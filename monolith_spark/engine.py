@@ -1,0 +1,208 @@
+"""MonolithDB — the engine facade: two-table layout + query plans.
+
+Layout (SURVEY.md §7.1):
+- ``series`` dim:  [series_id long, signature string, labels map<string,string>]
+- ``samples`` fact: [series_id long, timestamp long(ms), value double],
+  Parquet partitioned by ``chunk_id = floor(timestamp / chunk_size_ms)``
+  — the Spark mapping of the reference's Chunk
+  (/root/reference/src/chunk/chunk.rs:68-96); partition pruning replaces
+  chunk selection (/root/reference/src/db.rs:225-252).
+
+Scale notes (100 TB):
+- The dim is tiny relative to the fact (≤ millions of series vs
+  trillions of samples) → matcher evaluation is a broadcast join; the
+  fact table is never shuffled on the query path.
+- Facts are appended time-sorted within partitions so Parquet row-group
+  min/max stats give the reference's per-series binary search (F3) for
+  free.
+- Content-hash series ids make ingest idempotent and lock-free — the
+  reference serializes every insert behind a chunk RwLock
+  (/root/reference/src/chunk/chunk.rs:110-114); here concurrent
+  writers can only produce duplicate dim rows, which reads drop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monolith_spark.labels import (
+    LabelMatcher,
+    exact_signature_predicate,
+    matcher_predicate,
+    series_id_expr,
+    signature_expr,
+    superset_predicate,
+)
+from monolith_spark.operators.timeseries import (
+    chunk_pred,
+    time_trim,
+    to_timeseries,
+    valid_points,
+)
+
+# Reference default chunk size: 12000 seconds (/root/reference/src/lib.rs:44,
+# converted at /root/reference/src/common/option.rs:25-31). We use ms
+# uniformly (the reference's ms/s confusion is documented in SURVEY §2.6 ST3).
+DEFAULT_CHUNK_MS = 12_000 * 1000
+
+QueryMatcher = LabelMatcher
+
+
+@dataclass
+class MonolithDB:
+    """One engine instance rooted at ``path`` (≈ MonolithDb,
+    /root/reference/src/db.rs:22-32)."""
+
+    spark: SparkSession
+    path: str
+    chunk_size_ms: int = DEFAULT_CHUNK_MS
+
+    def __post_init__(self) -> None:
+        self.samples_path = os.path.join(self.path, "samples")
+        self.series_path = os.path.join(self.path, "series")
+        meta_path = os.path.join(self.path, "metadata.json")
+        # S4 db-level metadata (/root/reference/src/db.rs:107-124): reject
+        # reopening with a different chunk size, like the reference rejects
+        # mismatched indexer/storage types.
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("chunk_size_ms") != self.chunk_size_ms:
+                raise ValueError(
+                    f"existing db at {self.path} has chunk_size_ms="
+                    f"{meta.get('chunk_size_ms')}, requested {self.chunk_size_ms}"
+                )
+        else:
+            os.makedirs(self.path, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump(
+                    {
+                        "engine": "monolith-spark",
+                        "version": 1,
+                        "chunk_size_ms": self.chunk_size_ms,
+                        "created_ms": int(time.time() * 1000),
+                    },
+                    f,
+                )
+
+    # ------------------------------------------------------------------ write
+
+    def write(self, df: DataFrame, window: tuple[int, int] | None = None) -> None:
+        """Ingest a batch of [labels, timestamp, value] rows.
+
+        The reference's write path (/root/reference/src/db.rs:176-194 →
+        chunk.rs:110-137): range/zero filter (F1) → get-or-create series
+        (J5) → append points (S5). Here: filter → dim anti-join append →
+        fact append, all set-at-a-time.
+        """
+        df = valid_points(df, window=window)
+        df = df.withColumn("signature", signature_expr("labels")).withColumn(
+            "series_id", F.xxhash64(F.col("signature"))
+        )
+        df = df.withColumn(
+            "chunk_id", F.floor(F.col("timestamp") / F.lit(self.chunk_size_ms)).cast("long")
+        )
+        df.persist()
+        try:
+            # J5 get-or-create as a left_anti against the existing dim —
+            # content-hash ids make this idempotent (no critical section).
+            new_series = df.select("series_id", "signature", "labels").dropDuplicates(["series_id"])
+            existing = self._series_raw()
+            if existing is not None:
+                new_series = new_series.join(
+                    F.broadcast(existing.select("series_id")), "series_id", "left_anti"
+                )
+            new_series.write.mode("append").parquet(self.series_path)
+            # Time-sorted within partitions → Parquet row-group min/max
+            # stats implement F3's binary search.
+            (
+                df.select("series_id", "timestamp", "value", "chunk_id")
+                .repartition("chunk_id")
+                .sortWithinPartitions("series_id", "timestamp")
+                .write.mode("append")
+                .partitionBy("chunk_id")
+                .parquet(self.samples_path)
+            )
+        finally:
+            df.unpersist()
+
+    # ------------------------------------------------------------------- read
+
+    def _series_raw(self) -> DataFrame | None:
+        # Existence check first: letting spark.read throw prints a JVM
+        # stack trace to stderr even when caught.
+        if not os.path.exists(self.series_path):
+            return None
+        return self.spark.read.parquet(self.series_path)
+
+    def series(self) -> DataFrame:
+        """The series dimension; duplicate dim rows from concurrent
+        writers collapse here (last-write-wins is irrelevant: rows with
+        equal series_id are identical by construction)."""
+        raw = self._series_raw()
+        if raw is None:
+            raise FileNotFoundError(f"no series written under {self.path}")
+        return raw.dropDuplicates(["series_id"])
+
+    def samples(self) -> DataFrame:
+        return self.spark.read.parquet(self.samples_path)
+
+    def _query_samples(self, start_ms: int, end_ms: int) -> DataFrame:
+        return time_trim(
+            self.samples().filter(chunk_pred(start_ms, end_ms, self.chunk_size_ms)),
+            start_ms,
+            end_ms,
+        )
+
+    def _matched_series(self, matchers) -> DataFrame:
+        series = self.series()
+        if isinstance(matchers, dict):
+            pred = superset_predicate("labels", matchers)
+        else:
+            pred = matcher_predicate("labels", list(matchers))
+        return series.filter(pred)
+
+    def query_flat(self, matchers, start_ms: int, end_ms: int) -> DataFrame:
+        """Matching samples as flat rows [series_id, signature, labels,
+        timestamp, value] — the pre-assembly dataflow of Chunk::query
+        (/root/reference/src/chunk/chunk.rs:139-162).
+
+        ``matchers``: dict (EQ superset semantics, J4) or a list of
+        LabelMatcher for the full EQ/NEQ/RE/NRE surface.
+        """
+        sel = self._matched_series(matchers)
+        return self._query_samples(start_ms, end_ms).join(
+            F.broadcast(sel), "series_id"
+        )  # J6 metadata hydration as a broadcast join
+
+    def query(self, matchers, start_ms: int, end_ms: int) -> DataFrame:
+        """Remote-read evaluation: [series_id, signature, labels, points]
+        with points time-ascending (/root/reference/src/db.rs:202-267).
+        Series order is unspecified in the reference; sort by signature
+        for determinism."""
+        flat = self.query_flat(matchers, start_ms, end_ms)
+        return to_timeseries(flat, key_cols=["series_id", "signature"]).orderBy("signature")
+
+    def query_exact(self, full_labels: dict[str, str], start_ms: int, end_ms: int) -> DataFrame:
+        """J5 exact-signature point lookup
+        (/root/reference/src/indexer/sled_indexer.rs:98-107)."""
+        sel = self.series().filter(exact_signature_predicate("labels", full_labels))
+        flat = self._query_samples(start_ms, end_ms).join(F.broadcast(sel), "series_id")
+        return to_timeseries(flat, key_cols=["series_id", "signature"])
+
+    def label_values(self, key: str) -> DataFrame:
+        """Distinct values of one label key (Prometheus label_values API
+        analog; the reference exposes this only as the LR index keyspace,
+        /root/reference/src/indexer/sled_indexer.rs:23-25)."""
+        return (
+            self.series()
+            .select(F.try_element_at("labels", F.lit(key)).alias("value"))
+            .filter(F.col("value").isNotNull())
+            .distinct()
+        )

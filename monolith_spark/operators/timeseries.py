@@ -1,0 +1,130 @@
+"""Time-series plan builders — the reference's query dataflow as
+DataFrame transformations.
+
+Each function is a pure plan builder (no actions); Catalyst fuses the
+composition into one scan with pushed-down predicates. The reference's
+hand-rolled stages they replace are cited per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def valid_points(df: DataFrame, window: tuple[int, int] | None = None, ts: str = "timestamp") -> DataFrame:
+    """F1/F2 ingest filter: drop ts == 0; optionally keep only points
+    inside the current chunk window, bounds inclusive.
+
+    The reference mixes inclusive (db.rs:179-186) and exclusive
+    (chunk/chunk.rs:115-121) bounds so boundary points pass the filter
+    then error; we normalize to inclusive-and-drop (SURVEY.md §7.2 M1).
+    Late/out-of-range data is silently dropped, matching ST2
+    (/root/reference/src/db.rs:176-194).
+    """
+    pred = F.col(ts) != F.lit(0)
+    if window is not None:
+        start, end = window
+        pred = pred & F.col(ts).between(F.lit(start), F.lit(end))
+    return df.filter(pred)
+
+
+def time_trim(df: DataFrame, start_ms: int, end_ms: int, ts: str = "timestamp") -> DataFrame:
+    """F3 inclusive range trim (/root/reference/src/storage/common.rs:31-48).
+
+    The reference binary-searches each series' sorted blob; on Parquet
+    the same pruning is row-group min/max skipping — free when data is
+    written time-sorted within partitions.
+    """
+    return df.filter(F.col(ts).between(F.lit(start_ms), F.lit(end_ms)))
+
+
+def chunk_pred(start_ms: int, end_ms: int, chunk_size_ms: int, col: str = "chunk_id") -> Column:
+    """F4 chunk-overlap predicate → partition pruning.
+
+    Derives the chunk_id range touched by [start_ms, end_ms] so the scan
+    prunes time-bucket partitions exactly like the reference's
+    closed-interval overlap check (/root/reference/src/common/utils.rs:11-18,
+    applied at /root/reference/src/db.rs:225-252).
+    """
+    return F.col(col).between(F.lit(start_ms // chunk_size_ms), F.lit(end_ms // chunk_size_ms))
+
+
+def to_timeseries(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """A1 result assembly: per-series time-ascending point arrays.
+
+    groupBy + sort_array(collect_list) replaces the reference's
+    HashMap-of-Labels merge with reverse-accumulate/reverse ordering
+    (/root/reference/src/db.rs:202-267). Empty series vanish naturally
+    (F6, /root/reference/src/chunk/chunk.rs:156-158).
+    """
+    key_cols = key_cols or ["series_id"]
+    aggs = [
+        F.sort_array(F.collect_list(F.struct(F.col("timestamp"), F.col("value")))).alias("points")
+    ]
+    if "labels" in df.columns and "labels" not in key_cols:
+        aggs.insert(0, F.first("labels").alias("labels"))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def downsample(
+    df: DataFrame,
+    step_ms: int,
+    key_cols: list[str] | None = None,
+    agg: str = "avg",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """ReadHints-driven step aggregation — parsed but ignored by the
+    reference (/root/reference/src/proto/types.rs:1248-1257, SURVEY §2.4);
+    implemented here as the natural Spark extension.
+
+    Returns one row per (series, bucket_start_ms) with the aggregated
+    value and point count. Map-side partial aggregation makes this a
+    single shuffle on (series, bucket) at any scale.
+    """
+    key_cols = key_cols or ["series_id"]
+    bucket = (F.floor(F.col(ts) / F.lit(step_ms)) * F.lit(step_ms)).cast("long").alias("bucket_ms")
+    agg_fn = {
+        "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count,
+    }[agg]
+    return (
+        df.groupBy(*key_cols, bucket)
+        .agg(agg_fn("value").alias(f"{agg}_value"), F.count("*").alias("n_points"))
+    )
+
+
+def latest(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestamp") -> DataFrame:
+    """Most-recent point per series (Prometheus instant-vector analog).
+
+    Deterministic tie-break (ts desc, value desc) so results are stable
+    across engines and shuffle orders.
+    """
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts).desc(), F.col("value").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def delta_stats(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestamp") -> DataFrame:
+    """Per-series consecutive-point deltas (rate()-style building block).
+
+    Values are diffed in DECIMAL so sums are order-independent —
+    important for oracle parity and for deterministic results under
+    shuffle at scale.
+    """
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts))
+    dec = F.col("value").cast("decimal(28,6)")
+    diff = (dec - F.lag(dec).over(w)).alias("delta")
+    return (
+        df.select(*key_cols, F.col(ts), diff)
+        .filter(F.col("delta").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("delta").cast("double").alias("sum_delta"),
+            F.count("*").alias("n_deltas"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""End-to-end engine tests mirroring the reference's golden cases
+(FIXTURES.md G1-G7, distilled from /root/reference/tests/test_chunk.rs
+and /root/reference/src/storage/tikv_storage.rs:200-229)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.labels import python_signature
+
+S1 = {"test1": "1", "test2": "2"}
+S2 = {"test2": "2", "test3": "3"}
+S3 = {"test1": "1", "test2": "2", "test3": "3"}
+
+G1_POINTS = {
+    1: [(12, 12.9), (16, 13.5), (17, 46.4), (33, 45.5)],
+    2: [(120, 12.9), (160, 13.5), (161, 15.4), (167, -43.3)],
+    3: [(11, 12.9), (16, 13.5)],
+}
+G1_LABELS = {1: S1, 2: S2, 3: S3}
+
+
+def _g1_db(spark, tmp_path) -> MonolithDB:
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    rows = [
+        (labels, ts, v)
+        for sid, labels in G1_LABELS.items()
+        for ts, v in G1_POINTS[sid]
+    ]
+    df = spark.createDataFrame(rows, "labels map<string,string>, timestamp long, value double")
+    db.write(df)
+    return db
+
+
+def _points(row):
+    return [(p["timestamp"], p["value"]) for p in row["points"]]
+
+
+def test_g1_superset_query(spark, tmp_path):
+    # tests/test_chunk.rs:45-57 — query {test1=1}, t∈[0,100] → series 1 and 3.
+    db = _g1_db(spark, tmp_path)
+    res = db.query({"test1": "1"}, 0, 100).collect()
+    sigs = {r["signature"] for r in res}
+    assert sigs == {python_signature(S1), python_signature(S3)}
+    by_sig = {r["signature"]: r for r in res}
+    assert _points(by_sig[python_signature(S1)]) == G1_POINTS[1]
+    assert _points(by_sig[python_signature(S3)]) == G1_POINTS[3]
+
+    # tests/test_chunk.rs:59-67 — {test1=1, test2=2}, t∈[0,1000] → 2 series.
+    res2 = db.query({"test1": "1", "test2": "2"}, 0, 1000).collect()
+    assert {r["signature"] for r in res2} == {python_signature(S1), python_signature(S3)}
+
+
+def test_g2_exact_lookup_roundtrip(spark, tmp_path):
+    # tests/test_chunk.rs:72-112 — each full label set round-trips its points.
+    db = _g1_db(spark, tmp_path)
+    for sid, labels in G1_LABELS.items():
+        res = db.query_exact(labels, 0, 1000).collect()
+        assert len(res) == 1
+        assert _points(res[0]) == G1_POINTS[sid]
+
+
+def test_g3_time_trim_inclusive(spark, tmp_path):
+    # tikv_storage.rs:200-229 — read [120,160] over (120,123,156,190) →
+    # both bounds inclusive, 190 excluded.
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    labels = {"m": "trim"}
+    pts = [(120, 12.0), (123, 16.7), (156, 89.0), (190, 10.0)]
+    df = spark.createDataFrame(
+        [(labels, ts, v) for ts, v in pts],
+        "labels map<string,string>, timestamp long, value double",
+    )
+    db.write(df)
+    res = db.query({"m": "trim"}, 120, 160).collect()
+    assert len(res) == 1
+    assert _points(res[0]) == [(120, 12.0), (123, 16.7), (156, 89.0)]
+
+
+def test_g6_concurrent_out_of_order_ingest(spark, tmp_path):
+    # tests/test_chunk.rs:114-163 — 100 series × 50 points via 2 writers;
+    # every series queryable with its full point set. Two overlapping
+    # interleaved batches model the two writer threads (content-hash ids
+    # make the order irrelevant — SURVEY §7.4).
+    rng = random.Random(42)
+    n_series, n_points = 60, 30
+    start = 170_000
+    series = [
+        {f"label_{j}": f"{rng.randrange(1000):03d}_{i}" for j in range(5)}
+        for i in range(n_series)
+    ]
+    all_rows = [
+        (series[i], start + k * 100, round(rng.uniform(15.0, 199.0), 2))
+        for i in range(n_series)
+        for k in range(n_points)
+    ]
+    rng.shuffle(all_rows)
+    half = len(all_rows) // 2
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=160_000)
+    schema = "labels map<string,string>, timestamp long, value double"
+    db.write(spark.createDataFrame(all_rows[:half], schema))
+    db.write(spark.createDataFrame(all_rows[half:], schema))
+
+    res = db.query({}, 0, 10_000_000).collect()
+    assert len(res) == n_series
+    expected = {
+        python_signature(series[i]): sorted(
+            (start + k * 100, v)
+            for (lbl, t, v) in all_rows
+            if lbl is series[i]
+            for k in [(t - start) // 100]
+        )
+        for i in range(n_series)
+    }
+    for r in res:
+        assert _points(r) == expected[r["signature"]]
+    # dim has no duplicates even though both batches carried every series
+    assert db.series().count() == n_series
+
+
+def test_g7_late_and_zero_ts_dropped(spark, tmp_path):
+    # db.rs:176-194 / chunk.rs:110-121 — ts==0 and out-of-window points
+    # never appear (ST2 late-data drop), bounds inclusive (M1 normalization).
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    labels = {"m": "late"}
+    df = spark.createDataFrame(
+        [
+            (labels, 0, 1.0),      # invalid ts
+            (labels, 999, 2.0),    # before window
+            (labels, 1000, 3.0),   # boundary: kept (inclusive)
+            (labels, 1500, 4.0),
+            (labels, 2000, 5.0),   # boundary: kept (inclusive)
+            (labels, 2001, 6.0),   # after window
+        ],
+        "labels map<string,string>, timestamp long, value double",
+    )
+    db.write(df, window=(1000, 2000))
+    res = db.query({"m": "late"}, 0, 10_000).collect()
+    assert len(res) == 1
+    assert _points(res[0]) == [(1000, 3.0), (1500, 4.0), (2000, 5.0)]
+
+
+def test_metadata_rejects_mismatched_chunk_size(spark, tmp_path):
+    # S4 parity (/root/reference/src/db.rs:107-124): reopening with a
+    # different config errors.
+    MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=1000)
+    with pytest.raises(ValueError):
+        MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=2000)
+
+
+def test_g4_chunk_dir_codec():
+    # /root/reference/src/common/utils.rs:151-171 golden vector.
+    from monolith_spark.plans.chunks import decode_chunk_dir, encode_chunk_dir
+
+    assert encode_chunk_dir(1671234234, 14423141234) == "639d02ba000000035bafab72"
+    assert decode_chunk_dir("639d02ba000000035bafab72") == (1671234234, 14423141234)
+
+
+def test_label_values(spark, tmp_path):
+    db = _g1_db(spark, tmp_path)
+    vals = {r["value"] for r in db.label_values("test3").collect()}
+    assert vals == {"3"}
+    vals2 = {r["value"] for r in db.label_values("test2").collect()}
+    assert vals2 == {"2"}
