@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: ingest + query the engine at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Workload shape follows BASELINE.md: bulk ingest through the write path,
+conjunctive label queries spanning one / several / all chunk
+partitions, an exact-signature lookup, plus the analytic workload
+queries. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.session import get_spark
+from monolith_spark.sources.events import events_samples
+from monolith_spark.workload import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+# Events span 2024-01-01..2024-01-31; 2-day chunks → ~15 partitions.
+CHUNK_MS = 2 * 86_400_000
+JAN1 = 1_704_067_200_000
+
+WORKLOAD_NAMES = [
+    "ts_superset_eq",
+    "ts_series_agg",
+    "ts_downsample_1d",
+    "ts_latest",
+    "ts_delta_stats",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_nation_revenue",
+    "topk_orders_per_customer",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="monolith-spark-bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Warm the JVM/session so timings measure the engine, not startup.
+    spark.range(1000).count()
+
+    tmp = tempfile.mkdtemp(prefix="monolith_bench_")
+    db = MonolithDB(spark, os.path.join(tmp, "db"), chunk_size_ms=CHUNK_MS)
+    try:
+        samples = events_samples(spark, SF_DIR, with_signature=False)
+        timed("ingest", lambda: db.write(samples))
+
+        # Conjunctive matcher queries spanning 1 / ~5 / all chunks
+        timed("query_1chunk", lambda: _force(
+            db.query_flat({"event_type": "purchase"}, JAN1, JAN1 + CHUNK_MS - 1)))
+        timed("query_multichunk", lambda: _force(
+            db.query_flat({"event_type": "purchase", "kb": "3"}, JAN1, JAN1 + 10 * 86_400_000)))
+        timed("query_allchunks", lambda: _force(
+            db.query({"event_type": "click"}, 0, 4_000_000_000_000)))
+        timed("exact_lookup", lambda: _force(
+            db.query_exact(
+                {"event_type": "purchase", "kb": "8", "user": "12"}, 0, 4_000_000_000_000)))
+
+        queries = all_queries()
+        for name in WORKLOAD_NAMES:
+            timed(name, lambda n=name: _force(queries[n].spark_fn(spark, SF_DIR)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "monolith_spark_e2e_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
