@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine/dot exprs: sequential left-fold in DOUBLE via F.aggregate —
+  deterministic and bit-identical to DuckDB's list_reduce fold, so
+  oracle comparisons need no tolerance.
+- brute-force top-k: broadcast the (small) query set against the
+  corpus — the corpus is scanned once, never shuffled; per-row work is
+  JVM-side codegen.
+- LSH top-k: random-hyperplane signs from seedless md5-derived
+  pseudo-planes; bucket join + exact re-rank inside buckets — the
+  100 TB path (candidates per query bounded by bucket size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from monolith_spark.operators.text import hash60_expr
+
+
+def _dbl(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    a, b = _dbl(a), _dbl(b)
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    [query_id, neighbor_id, rank, cosine]; self-matches excluded when
+    ids collide. Deterministic rank: cosine desc, neighbor_id asc.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signature(vec_col: Column | str, planes: int, dim: int) -> Column:
+    """Seedless random-hyperplane LSH signature (BIGINT, `planes` bits).
+
+    Plane p's component for dimension d is +1/-1 from the parity of a
+    md5-derived hash of (p, d) — reproducible anywhere with md5.
+    """
+    return hyperplane_signature_offset(vec_col, planes, dim, 0)
+
+
+def hyperplane_signature_offset(
+    vec_col: Column | str, planes: int, dim: int, plane_offset: int
+) -> Column:
+    """hyperplane_signature with globally-numbered planes (for
+    multi-table LSH: table t uses planes [t*planes, (t+1)*planes))."""
+    v = _dbl(vec_col)
+    bits = []
+    for p in range(plane_offset, plane_offset + planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d, p=p: F.when(
+                        hash60_expr(F.concat(F.lit(f"plane{p}:"), d.cast("string"))) % 2 == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << (p - plane_offset))).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH candidates
+    + exact cosine re-rank.
+
+    Standard (planes x tables) trade-off: a pair at angular similarity
+    p collides in one table with prob p^planes and in >= 1 of L tables
+    with 1-(1-p^planes)^L. At scale the bucket equi-join replaces the
+    cross join — the corpus is hashed once (narrow map, no shuffle of
+    the vectors themselves), and candidates per query are bounded by
+    bucket occupancy. Recall is tested against brute_force_topk.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    tables = []
+    for t in range(num_tables):
+        # Distinct planes per table: global plane ids [t*planes, ...).
+        sig_c = hyperplane_signature_offset("c_vec", planes, dim, t * planes)
+        sig_q = hyperplane_signature_offset("q_vec", planes, dim, t * planes)
+        tables.append(
+            c.withColumn("sig", sig_c)
+            .withColumn("table", F.lit(t))
+            .join(
+                F.broadcast(q.withColumn("sig", sig_q).withColumn("table", F.lit(t))),
+                ["table", "sig"],
+            )
+        )
+    cand = tables[0]
+    for tdf in tables[1:]:
+        cand = cand.unionByName(tdf)
+    scored = (
+        cand.select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

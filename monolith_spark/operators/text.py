@@ -1,0 +1,160 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting. Everything is pure
+Column expressions / DataFrame plans — JVM-side, codegen'd, no Python
+UDFs — so the same computation is expressible in ANSI SQL for the
+DuckDB oracles and scales linearly with a single shuffle (or none).
+
+Determinism-for-parity conventions:
+- tokenization is split-on-\\s+ of trimmed text on both engines;
+- occurrence counts come from explode/filter (not replace tricks);
+- hashes are md5 hex strings (identical in Spark and DuckDB);
+- 64-bit-ish ints are parsed from the first 15 md5 hex chars (< 2^60,
+  safe for signed BIGINT on both engines, no ANSI overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = "[.!?,;:]"
+
+# Marker tokens per language for the n-gram/stopword language-ID
+# heuristic; deterministic tie-break by dict order (first wins ties).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "ist"],
+    "es": ["el", "la", "que", "los"],
+    "fr": ["le", "les", "et", "des"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens_expr(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+
+def stopword_count(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    return _count_in(tokens_expr(text), stopwords or STOPWORDS)
+
+
+def punct_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Marker-token language ID; ties resolve to the earlier language
+    in LANG_MARKERS order (deterministic)."""
+    toks = tokens_expr(text)
+    scores = {lang: _count_in(toks, ws) for lang, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    # Sequential CASE: lang i wins iff its score >= every later lang's
+    # score (earlier branches already lost) — first-wins tie-break.
+    expr = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = F.lit(True)
+        for later in langs[i + 1:]:
+            cond = cond & (scores[langs[i]] >= scores[later])
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of lower(trim(text))."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.trim(text)))
+
+
+def shingles_expr(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined)."""
+    toks = tokens_expr(text)
+    # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # docs with < n tokens must produce an empty shingle array.
+    sh = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def min_shingle_fingerprint(text: Column | str, n: int = 3) -> Column:
+    """MinHash with one hash function: min md5 over word n-gram
+    shingles — a cheap content fingerprint robust to local edits."""
+    sh = shingles_expr(text, n)
+    return F.array_min(F.transform(sh, F.md5))
+
+
+def hash60_expr(s: Column) -> Column:
+    """First 15 md5 hex chars as a BIGINT in [0, 2^60) — identical on
+    DuckDB via CAST('0x'||substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    feature_expr: Column | None = None,
+) -> DataFrame:
+    """60-bit SimHash over distinct tokens (or any feature array).
+
+    Per feature: 60-bit md5-derived hash; per bit: +1/-1 vote; sign of
+    the vote sum sets the output bit. Two shuffles — (id, bit) then
+    (id) — with map-side partial aggregation; linear at any scale.
+    ``feature_expr`` overrides the default distinct-token features
+    (e.g. shingles for a more discriminative fingerprint).
+    """
+    feats = feature_expr if feature_expr is not None else F.array_distinct(tokens_expr(text_col))
+    toks = df.select(
+        F.col(id_col), F.explode(feats).alias("tok")
+    ).withColumn("h", hash60_expr(F.col("tok")))
+    spark = df.sparkSession
+    bit_ids = spark.range(bits).withColumnRenamed("id", "bit")
+    votes = (
+        toks.crossJoin(bit_ids)
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("vote_sum"))
+    )
+    return (
+        votes.withColumn(
+            "bit_val",
+            F.when(F.col("vote_sum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(F.lit(0)),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit_val").alias("simhash"))
+    )
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token/char/quality statistics per document."""
+    toks = tokens_expr(text_col)
+    n_toks = F.size(toks)
+    total_tok_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_c"),
+        n_toks.alias("n_tokens"),
+        (total_tok_len.cast("double") / n_toks).alias("avg_token_len"),
+        (stopword_count(text_col).cast("double") / n_toks).alias("stopword_ratio"),
+        (punct_count(text_col).cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),
+    )

@@ -481,3 +481,272 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {q.name: q.oracle for q in _REGISTRY if q.oracle is not None}
+
+
+# ---------------------------------------------------- pipeline extensions
+# (dedup / text analysis / similarity / multimodal — SURVEY.md §7.2 M5)
+
+from monolith_spark.operators import dedup as _dedup  # noqa: E402
+from monolith_spark.operators import multimodal as _mm  # noqa: E402
+from monolith_spark.operators import similarity as _sim  # noqa: E402
+from monolith_spark.operators import text as _text  # noqa: E402
+
+_W = "string_split_regex(trim(text), '\\s+')"
+_STOP_SQL = "['the','a','of','and','to','in']"
+_JACCARD_TAU = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@_q(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_W} AS w FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars_c,
+           len(w) AS n_tokens,
+           CAST(list_reduce(list_transform(w, x -> length(x)), (a,b) -> a+b) AS DOUBLE)
+             / len(w) AS avg_token_len,
+           CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+             / len(w) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio
+    FROM t
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality components per document (north-star
+    text-analysis operator; pure codegen'd Column exprs)."""
+    return _text.text_stats(_docs(spark, sf_dir))
+
+
+@_q(
+    "text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    s AS (SELECT doc_id,
+            len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) s_en,
+            len(list_filter(w, x -> list_contains(['der','die','und','ist'], x))) s_de,
+            len(list_filter(w, x -> list_contains(['el','la','que','los'], x))) s_es,
+            len(list_filter(w, x -> list_contains(['le','les','et','des'], x))) s_fr
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic first-wins ties."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", _text.lang_id_expr("text").alias("lang_pred")
+    )
+
+
+@_q(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_W} AS w FROM documents)
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp,
+           list_min(list_transform(
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END),
+             s -> md5(s))) AS fp_shingle
+    FROM t
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-text md5 + min-shingle hash
+    (1-function MinHash), robust to local edits."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        _text.fingerprint_md5("text").alias("fp"),
+        _text.min_shingle_fingerprint("text", 3).alias("fp_shingle"),
+    )
+
+
+@_q(
+    "text_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_W}) AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vs
+      FROM h, range(60) b(bit) GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vs > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def text_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (md5-derived, seedless — identical
+    construction on both engines)."""
+    return _text.simhash(_docs(spark, sf_dir))
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS content_fp,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized content hash — the single
+    hash-groupBy that survives any scale."""
+    return _dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+_SHINGLE_CTE = f"""
+    d AS (SELECT doc_id, {_W} AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM d, range(1, 2000) r(i) WHERE i <= len(w) - 2),
+    n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1)
+"""
+
+
+@_q(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) AS jaccard
+    FROM inter JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+    WHERE CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) >= {_JACCARD_TAU}
+    """,
+)
+def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted shingle
+    index (no all-pairs join)."""
+    return _dedup.shingle_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_TAU)
+
+
+_MH_COLS = ", ".join(
+    f"min(CASE WHEN seed = {i} THEN mh END) AS mh{i}" for i in range(16)
+)
+_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{4*b} || mh{4*b+1} || mh{4*b+2} || mh{4*b+3}) AS band_sig FROM sig"
+    for b in range(4)
+)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hashed AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS mh
+      FROM sh, range(16) s(seed)),
+    sig AS (SELECT doc_id, {_MH_COLS} FROM hashed GROUP BY doc_id),
+    bands AS ({_MH_BANDS}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, count(*) AS ni
+      FROM cand
+      JOIN sh a ON doc_a = a.doc_id
+      JOIN sh b ON doc_b = b.doc_id AND a.shingle = b.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) AS jaccard
+    FROM inter JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+    WHERE CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) >= {_JACCARD_TAU}
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH (16 hashes, 4x4 bands) candidates + exact-Jaccard
+    verification — the linear-shuffle dedup path for 100 TB corpora.
+    The oracle implements the identical seedless construction."""
+    return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=_JACCARD_TAU)
+
+
+_COS_SQL = """
+  list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+  / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y)))
+"""
+
+
+@_q(
+    "sim_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT a.query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM q a JOIN e b ON b.vec_id <> a.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def sim_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-10 cosine neighbors for 8 query vectors;
+    sequential-fold double math is bit-identical across engines."""
+    embs = _embs(spark, sf_dir)
+    return _sim.brute_force_topk(
+        embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
+    )
+
+
+@_q(
+    "multimodal_payloads",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_payloads_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload bytes + typed metadata
+    (decode itself is stubbed — no codecs in this container)."""
+    media = _mm.attach_payload(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+# Rows-only entries (no SQL oracle): LSH variants whose guarantees are
+# statistical; verified against their exact twins in tests/.
+
+@_q("dedup_simhash_pairs", None)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 6) with rotated-prefix
+    blocking; recall vs exact Jaccard pairs checked in tests."""
+    return _dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@_q("sim_lsh_topk", None)
+def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (bucketed candidates + exact
+    re-rank); recall vs brute force checked in tests."""
+    embs = _embs(spark, sf_dir)
+    return _sim.lsh_topk(
+        embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
+    )
