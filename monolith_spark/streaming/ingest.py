@@ -1,0 +1,109 @@
+"""Structured Streaming ingest — the Spark mapping of the reference's
+chunk lifecycle (SURVEY.md §2.6).
+
+Reference behavior being reproduced:
+- ST1 chunk swap: a timer thread seals the current chunk every
+  chunk_size (/root/reference/src/db.rs:85-101, :269-318). Here a
+  processing-time trigger drives micro-batches and the chunk_id
+  partition column does the sealing — a partition simply stops
+  receiving appends once the stream has moved past it.
+- ST2 late-data drop: points outside the current chunk are silently
+  discarded (/root/reference/src/db.rs:176-194,
+  /root/reference/src/chunk/chunk.rs:110-121). Implemented as a
+  high-watermark policy in foreachBatch (late = older than the max
+  timestamp seen minus allowed_lateness).
+- ST4 write concurrency: the reference serializes inserts behind a
+  chunk RwLock; content-hash series ids make micro-batch appends
+  lock-free here (duplicate dim rows collapse on read).
+- WAL/recovery (S8, unwired in the reference): Structured Streaming
+  checkpointing + an epoch ledger for exactly-once fact appends.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from monolith_spark.engine import MonolithDB
+
+
+@dataclass
+class StreamingIngest:
+    """foreachBatch sink writing a samples stream into a MonolithDB.
+
+    late_policy:
+      - "keep": append everything; the chunk_id partitioning routes
+        late points to their correct (older) partition — strictly
+        better than the reference, which drops them.
+      - "drop": reference parity (ST2) — drop points older than
+        high_watermark - allowed_lateness_ms.
+    """
+
+    db: MonolithDB
+    late_policy: str = "keep"
+    allowed_lateness_ms: int = 0
+    high_watermark_ms: int = field(default=0, init=False)
+
+    def __post_init__(self) -> None:
+        if self.late_policy not in ("keep", "drop"):
+            raise ValueError(f"late_policy must be keep|drop, got {self.late_policy!r}")
+        self._epochs_dir = os.path.join(self.db.path, "_epochs")
+        os.makedirs(self._epochs_dir, exist_ok=True)
+
+    # -- exactly-once: foreachBatch may replay an epoch after recovery;
+    # -- MonolithDB.write is append-only, so an epoch ledger makes it
+    # -- idempotent (the streaming analog of the reference's WAL design,
+    # -- /root/reference/doc/wal.md).
+    def _epoch_done(self, epoch_id: int) -> bool:
+        return os.path.exists(os.path.join(self._epochs_dir, f"{epoch_id}.done"))
+
+    def _mark_epoch(self, epoch_id: int) -> None:
+        with open(os.path.join(self._epochs_dir, f"{epoch_id}.done"), "w") as f:
+            f.write("")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self._epoch_done(epoch_id):
+            return
+        window = None
+        if self.late_policy == "drop":
+            row = batch_df.selectExpr("max(timestamp) AS m").head()
+            batch_max = row["m"] if row and row["m"] is not None else None
+            if batch_max is not None:
+                self.high_watermark_ms = max(self.high_watermark_ms, batch_max)
+            cutoff = self.high_watermark_ms - self.allowed_lateness_ms
+            window = (cutoff, 2**62)
+        self.db.write(batch_df, window=window)
+        self._mark_epoch(epoch_id)
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int | None = None,
+    ) -> StreamingQuery:
+        """Attach the sink to a streaming [labels, timestamp, value]
+        DataFrame. trigger_seconds ≈ the reference's chunk-swap timer
+        cadence (ST1); None → process available data immediately."""
+        writer = (
+            stream_df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+        )
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+
+def samples_file_stream(spark, source_dir: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-based streaming source of samples parquet (the test/demo
+    stand-in for a Kafka remote-write feed, SURVEY §2.1 S1)."""
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    return (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )

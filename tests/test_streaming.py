@@ -1,0 +1,98 @@
+"""Streaming ingest tests: ST1 micro-batch lifecycle, ST2 late-data
+drop, exactly-once via the epoch ledger, and a watermarked windowed
+aggregation (the Structured Streaming idiom the reference's chunk
+machinery maps onto)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.labels import SAMPLES_SCHEMA
+from monolith_spark.streaming.ingest import StreamingIngest, samples_file_stream
+
+
+def _write_slice(spark, path, rows):
+    spark.createDataFrame(rows, SAMPLES_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_ingest_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_slice(spark, src, [({"m": "a"}, 1000, 1.0), ({"m": "a"}, 2000, 2.0)])
+    _write_slice(spark, src, [({"m": "a"}, 61_000, 3.0), ({"m": "b"}, 62_000, 4.0)])
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    ingest = StreamingIngest(db, late_policy="keep")
+    q = ingest.start(samples_file_stream(spark, src), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    res = {r["signature"]: r for r in db.query({}, 0, 100_000).collect()}
+    assert [(p["timestamp"], p["value"]) for p in res["m=a"]["points"]] == [
+        (1000, 1.0), (2000, 2.0), (61_000, 3.0)]
+    assert [(p["timestamp"], p["value"]) for p in res["m=b"]["points"]] == [(62_000, 4.0)]
+    # two chunk partitions materialized (ST1: sealing = partitioning)
+    chunks = {d for d in os.listdir(db.samples_path) if d.startswith("chunk_id=")}
+    assert chunks == {"chunk_id=0", "chunk_id=1"}
+
+
+def test_stream_late_data_dropped(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1 advances the high watermark to 100_000
+    _write_slice(spark, src, [({"m": "x"}, 100_000, 1.0)])
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    ingest = StreamingIngest(db, late_policy="drop", allowed_lateness_ms=10_000)
+    q = ingest.start(samples_file_stream(spark, src, max_files_per_trigger=1),
+                     str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    # batch 2: one in-window point, one too-late point (ST2)
+    _write_slice(spark, src, [({"m": "x"}, 95_000, 2.0), ({"m": "x"}, 80_000, 9.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    res = db.query({"m": "x"}, 0, 200_000).collect()
+    pts = [(p["timestamp"], p["value"]) for p in res[0]["points"]]
+    assert pts == [(95_000, 2.0), (100_000, 1.0)]  # 80_000 dropped
+
+
+def test_epoch_ledger_makes_replay_idempotent(spark, tmp_path):
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    ingest = StreamingIngest(db)
+    batch = spark.createDataFrame([({"m": "r"}, 1000, 1.0)], SAMPLES_SCHEMA)
+    ingest.process_batch(batch, epoch_id=7)
+    ingest.process_batch(batch, epoch_id=7)  # replay after recovery
+    res = db.query({"m": "r"}, 0, 10_000).collect()
+    assert [(p["timestamp"], p["value"]) for p in res[0]["points"]] == [(1000, 1.0)]
+
+
+def test_windowed_aggregation_with_watermark(spark, tmp_path):
+    # The Structured Streaming idiom replacing the reference's chunk
+    # machinery for aggregation: watermark + tumbling window.
+    src = str(tmp_path / "src")
+    _write_slice(
+        spark, src,
+        [({"m": "w"}, t, float(i)) for i, t in enumerate([1_000, 2_000, 61_000, 65_000])],
+    )
+    stream = samples_file_stream(spark, src)
+    agg = (
+        stream.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .withWatermark("event_time", "10 seconds")
+        .groupBy(F.window("event_time", "60 seconds"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_agg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["window"]["start"].minute: (r["n"], r["s"]) for r in
+            spark.sql("SELECT * FROM win_agg").collect()}
+    assert rows[0] == (2, 1.0)   # window [00:00, 01:00)
+    assert rows[1] == (2, 5.0)   # window [01:00, 02:00)
