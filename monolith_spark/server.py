@@ -1,0 +1,130 @@
+"""HTTP remote-storage server — the reference's MonolithServer
+(/root/reference/src/server.rs:47-63) as a thin facade over the engine.
+
+POST <write_path>: snappy(protobuf WriteRequest) → MonolithDB.write.
+POST <read_path>:  snappy(protobuf ReadRequest) → one QueryResult per
+Query → snappy(protobuf ReadResponse).
+
+Parse errors → 500, matching the reference (src/server.rs:79-89,
+:117-125). Matcher semantics: the reference collapses every matcher
+type to EQ (/root/reference/src/common/label.rs:19-24); we honor
+NEQ/RE/NRE (M4 extension) unless strict_reference_matchers=True.
+
+The serving layer is deliberately driver-side Python: query fan-out
+happens in Spark; HTTP is just transport (SURVEY §2.1 S2).
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.labels import LabelMatcher as EngineMatcher
+from monolith_spark.sources import remote as proto
+
+
+def write_request_to_df(spark, req: proto.WriteRequest):
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    rows = [
+        (ts.labels, s.timestamp, s.value)
+        for ts in req.timeseries
+        for s in ts.samples
+    ]
+    return spark.createDataFrame(rows, SAMPLES_SCHEMA)
+
+
+def _engine_matchers(q: proto.Query, strict: bool) -> list[EngineMatcher]:
+    out = []
+    for m in q.matchers:
+        mtype = "EQ" if strict else m.type_name
+        out.append(EngineMatcher(m.name, m.value, mtype))
+    return out
+
+
+def evaluate_read(db: MonolithDB, req: proto.ReadRequest, strict: bool = False) -> proto.ReadResponse:
+    """One QueryResult per Query (src/server.rs:133-169); points
+    time-ascending, series ordered by signature for determinism."""
+    resp = proto.ReadResponse()
+    for q in req.queries:
+        res = db.query(_engine_matchers(q, strict), q.start_timestamp_ms, q.end_timestamp_ms)
+        result = []
+        for row in res.collect():
+            result.append(
+                proto.TimeSeries(
+                    labels=dict(row["labels"]),
+                    samples=[
+                        proto.Sample(value=p["value"], timestamp=p["timestamp"])
+                        for p in row["points"]
+                    ],
+                )
+            )
+        resp.results.append(result)
+    return resp
+
+
+class MonolithServer:
+    """Blocking HTTP server; serve_background() for tests/demos."""
+
+    def __init__(
+        self,
+        db: MonolithDB,
+        host: str = "127.0.0.1",
+        port: int = 9087,
+        write_path: str = "/write",
+        read_path: str = "/read",
+        strict_reference_matchers: bool = False,
+    ) -> None:
+        self.db = db
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_POST(self) -> None:
+                if self.path not in (write_path, read_path):
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                try:
+                    body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
+                    raw = proto.snappy_decompress(body)
+                    if self.path == write_path:
+                        req = proto.decode_write_request(raw)
+                        server.db.write(write_request_to_df(server.db.spark, req))
+                        payload = b""
+                    else:
+                        resp = evaluate_read(
+                            server.db, proto.decode_read_request(raw),
+                            strict=strict_reference_matchers,
+                        )
+                        payload = proto.snappy_compress(proto.encode_read_response(resp))
+                    self.send_response(200)
+                    self.send_header("Content-Encoding", "snappy")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                except Exception as exc:  # 500 on parse/engine error (server.rs:79-89)
+                    msg = str(exc).encode()
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def serve_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

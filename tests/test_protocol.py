@@ -1,0 +1,135 @@
+"""Wire-protocol tests: snappy + protobuf codecs (golden vectors and
+roundtrips) and the HTTP remote write→read end-to-end path."""
+
+from __future__ import annotations
+
+import http.client
+import json
+
+import pytest
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.sources import remote as proto
+
+
+# ------------------------------------------------------------------ snappy
+
+def test_snappy_roundtrip_and_golden():
+    data = b"Wikipedia is a free, web-based, collaborative encyclopedia" * 3
+    assert proto.snappy_decompress(proto.snappy_compress(data)) == data
+    assert proto.snappy_decompress(proto.snappy_compress(b"")) == b""
+
+
+def test_snappy_decodes_copies():
+    # Hand-built stream exercising literal + copy1 (overlapping, RLE):
+    # uncompressed = b"abcabcabcabc" (12): literal "abc" then copy
+    # offset=3 len=9 (copy1 max len 11, min 4).
+    stream = bytes([12]) + bytes([(3 - 1) << 2]) + b"abc" + bytes([((9 - 4) << 2) | 1, 3])
+    assert proto.snappy_decompress(stream) == b"abcabcabcabc"
+    # copy2: offset as 2-byte LE
+    stream2 = bytes([8]) + bytes([(4 - 1) << 2]) + b"wxyz" + bytes([((4 - 1) << 2) | 2, 4, 0])
+    assert proto.snappy_decompress(stream2) == b"wxyzwxyz"
+
+
+def test_snappy_corrupt_raises():
+    with pytest.raises(ValueError):
+        proto.snappy_decompress(bytes([4]) + bytes([((4 - 4) << 2) | 1, 9]))  # offset > out
+
+
+# ---------------------------------------------------------------- protobuf
+
+def test_varint_int64_negative_roundtrip():
+    for v in [0, 1, 127, 128, 300, 2**32, 2**62, -1, -1000]:
+        data = proto._write_varint(v)
+        got, pos = proto._read_varint(data, 0)
+        assert proto._signed64(got) == v and pos == len(data)
+
+
+def test_write_request_roundtrip():
+    req = proto.WriteRequest(
+        timeseries=[
+            proto.TimeSeries(
+                labels={"__name__": "up", "job": "api"},
+                samples=[proto.Sample(1.5, 1000), proto.Sample(-2.25, 2000)],
+            ),
+            proto.TimeSeries(labels={"a": "b"}, samples=[proto.Sample(0.0, 5)]),
+        ]
+    )
+    got = proto.decode_write_request(proto.encode_write_request(req))
+    assert [ts.labels for ts in got.timeseries] == [ts.labels for ts in req.timeseries]
+    assert got.timeseries[0].samples[1].value == -2.25
+    assert got.timeseries[0].samples[1].timestamp == 2000
+
+
+def test_read_request_roundtrip_with_matcher_types():
+    req = proto.ReadRequest(
+        queries=[
+            proto.Query(
+                10, 2000,
+                [proto.LabelMatcher(proto.EQ, "job", "api"),
+                 proto.LabelMatcher(proto.RE, "env", "prod|stage"),
+                 proto.LabelMatcher(proto.NEQ, "dc", "eu")],
+            )
+        ]
+    )
+    got = proto.decode_read_request(proto.encode_read_request(req))
+    q = got.queries[0]
+    assert (q.start_timestamp_ms, q.end_timestamp_ms) == (10, 2000)
+    assert [(m.type_name, m.name, m.value) for m in q.matchers] == [
+        ("EQ", "job", "api"), ("RE", "env", "prod|stage"), ("NEQ", "dc", "eu")]
+
+
+def test_golden_label_encoding():
+    # protobuf wire bytes for Label{name="job", value="api"}:
+    # 0A (field1,LEN) 03 "job"  12 (field2,LEN) 03 "api"
+    assert proto._enc_label("job", "api") == b"\x0a\x03job\x12\x03api"
+
+
+# ----------------------------------------------------------------- HTTP e2e
+
+def _post(port: int, path: str, body: bytes):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_http_write_then_read_roundtrip(spark, tmp_path):
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        wr = proto.WriteRequest(
+            timeseries=[
+                proto.TimeSeries({"test1": "1", "test2": "2"},
+                                 [proto.Sample(12.9, 12), proto.Sample(13.5, 16)]),
+                proto.TimeSeries({"test2": "2", "test3": "3"},
+                                 [proto.Sample(12.9, 120)]),
+            ]
+        )
+        status, _ = _post(srv.port, "/write", proto.snappy_compress(proto.encode_write_request(wr)))
+        assert status == 200
+
+        rr = proto.ReadRequest(
+            queries=[proto.Query(0, 1000, [proto.LabelMatcher(proto.EQ, "test1", "1")])]
+        )
+        status, body = _post(srv.port, "/read", proto.snappy_compress(proto.encode_read_request(rr)))
+        assert status == 200
+        resp = proto.decode_read_response(proto.snappy_decompress(body))
+        assert len(resp.results) == 1
+        (ts,) = resp.results[0]
+        assert ts.labels == {"test1": "1", "test2": "2"}
+        assert [(s.timestamp, s.value) for s in ts.samples] == [(12, 12.9), (16, 13.5)]
+
+        # parse error -> 500 (reference src/server.rs:79-89)
+        status, _ = _post(srv.port, "/read", b"\x00garbage-not-snappy\xff\xff")
+        assert status == 500
+        # unknown path -> 404
+        status, _ = _post(srv.port, "/nope", b"")
+        assert status == 404
+    finally:
+        srv.shutdown()
