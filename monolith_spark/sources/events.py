@@ -24,17 +24,85 @@ from monolith_spark.labels import signature_expr
 K_PATTERN = r'"k":\s*(\d+)'
 
 
-def events_samples(spark: SparkSession, sf_dir: str, with_signature: bool = True) -> DataFrame:
+def label_exprs() -> dict[str, "F.Column"]:
+    """The label mapping as raw-column expressions (pre-projection).
+
+    Predicates built on these reach the parquet scan: Catalyst does NOT
+    simplify element_at(create_map(...)) back to the source column, so
+    filtering the materialized map hides e.g. the event_type equality
+    from pushdown. Filtering these expressions instead keeps the scan
+    pruned — the difference between reading one column stripe and the
+    whole table at 100 TB.
+    """
+    k = F.regexp_extract(F.col("props"), K_PATTERN, 1)
+    return {
+        "event_type": F.col("event_type"),
+        "kb": F.substring(k, 1, 1),
+        "user": F.col("user_id").cast("string"),
+    }
+
+
+def ts_range_pred(start_ms: int, end_ms: int):
+    """Inclusive ms-range predicate on the RAW nanos column, so it
+    pushes to parquet ([start*1e6, end*1e6 + 999_999] covers exactly
+    the rows whose floor-ms falls in [start_ms, end_ms])."""
+    return F.col("ts").between(start_ms * 1_000_000, end_ms * 1_000_000 + 999_999)
+
+
+def superset_pred_raw(matchers: dict[str, str]):
+    """J4 superset matcher on raw-column label expressions."""
+    exprs = label_exprs()
+    pred = F.lit(True)
+    for key, v in matchers.items():
+        pred = pred & (exprs[key] == F.lit(v)) if key in exprs else pred & F.lit(False)
+    return pred
+
+
+def matcher_pred_raw(matchers) -> "F.Column":
+    """Full EQ/NEQ/RE/NRE matcher semantics on raw-column exprs
+    (missing label = empty string, Prometheus-style)."""
+    exprs = label_exprs()
+    pred = F.lit(True)
+    for m in matchers:
+        val = exprs.get(m.name)
+        val = F.coalesce(val, F.lit("")) if val is not None else F.lit("")
+        if m.type == "EQ":
+            p = val == F.lit(m.value)
+        elif m.type == "NEQ":
+            p = val != F.lit(m.value)
+        elif m.type == "RE":
+            p = val.rlike(f"^(?:{m.value})$")
+        else:
+            p = ~val.rlike(f"^(?:{m.value})$")
+        pred = pred & p
+    return pred
+
+
+def events_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    with_signature: bool = True,
+    matchers: dict[str, str] | None = None,
+    label_matchers=None,
+    ts_range: tuple[int, int] | None = None,
+) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively;
     # read it as int64 nanos. Millisecond conversion must be integer
     # division — nanos exceed 2^53, double math would lose precision.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    k = F.regexp_extract(F.col("props"), K_PATTERN, 1)
+    # Filters go on raw columns BEFORE the map projection (pushdown).
+    if ts_range is not None:
+        ev = ev.filter(ts_range_pred(*ts_range))
+    if matchers:
+        ev = ev.filter(superset_pred_raw(matchers))
+    if label_matchers:
+        ev = ev.filter(matcher_pred_raw(label_matchers))
+    exprs = label_exprs()
     labels = F.create_map(
-        F.lit("event_type"), F.col("event_type"),
-        F.lit("kb"), F.substring(k, 1, 1),
-        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("event_type"), exprs["event_type"],
+        F.lit("kb"), exprs["kb"],
+        F.lit("user"), exprs["user"],
     )
     out = ev.select(
         labels.alias("labels"),

@@ -82,12 +82,10 @@ def _sum_value(col: str = "value"):
 def ts_superset_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 superset label match + F3 inclusive trim — the reference's one
     query shape (/root/reference/src/db.rs:202-267)."""
-    s = events_samples(spark, sf_dir)
-    return (
-        s.filter(superset_predicate("labels", {"event_type": "purchase"}))
-        .filter(F.col("timestamp").between(JAN3, JAN20))
-        .select("signature", F.col("timestamp").alias("ts_ms"), "value")
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN3, JAN20)
     )
+    return s.select("signature", F.col("timestamp").alias("ts_ms"), "value")
 
 
 @_q(
@@ -103,12 +101,11 @@ def ts_multi_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive matchers — Catalyst's ANDed scan replaces the
     reference's k-way posting intersection (J2/J3,
     /root/reference/src/common/utils.rs:56-128)."""
-    s = events_samples(spark, sf_dir)
-    return (
-        s.filter(superset_predicate("labels", {"event_type": "click", "user": "12"}))
-        .filter(F.col("timestamp").between(JAN8, JAN15))
-        .select("signature", F.col("timestamp").alias("ts_ms"), "value")
+    s = events_samples(
+        spark, sf_dir,
+        matchers={"event_type": "click", "user": "12"}, ts_range=(JAN8, JAN15),
     )
+    return s.select("signature", F.col("timestamp").alias("ts_ms"), "value")
 
 
 @_q(
@@ -123,10 +120,16 @@ def ts_multi_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_exact_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 exact-signature lookup
     (/root/reference/src/indexer/sled_indexer.rs:98-107)."""
-    s = events_samples(spark, sf_dir)
+    # The label universe has exactly these three keys, so the exact
+    # signature lookup equals the all-keys superset match — passing the
+    # matchers too lets the equality predicates reach the parquet scan.
+    s = events_samples(
+        spark, sf_dir,
+        matchers={"event_type": "purchase", "kb": "8", "user": "12"},
+        ts_range=(JAN1, JAN20),
+    )
     return (
         s.filter(F.col("signature") == "event_type=purchase,kb=8,user=12")
-        .filter(F.col("timestamp").between(JAN1, JAN20))
         .select("signature", F.col("timestamp").alias("ts_ms"), "value")
     )
 
@@ -148,7 +151,7 @@ def ts_exact_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_series_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series stats (A1 assembly summarized) — one shuffle on the
     series key with map-side partial aggregation."""
-    s = events_samples(spark, sf_dir).filter(F.col("timestamp").between(JAN1, JAN20))
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
     agg = s.groupBy("signature").agg(
         F.count("*").alias("n_points"),
         F.min("timestamp").alias("min_ts"),
@@ -174,9 +177,7 @@ def ts_downsample_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReadHints.step_ms downsampling — parsed-but-ignored by the
     reference (/root/reference/src/proto/types.rs:1248-1257), realized
     as a bucketed aggregate."""
-    s = events_samples(spark, sf_dir).filter(
-        superset_predicate("labels", {"event_type": "error"})
-    )
+    s = events_samples(spark, sf_dir, matchers={"event_type": "error"})
     bucket = (F.floor(F.col("timestamp") / DAY_MS) * DAY_MS).cast("long").alias("bucket_ms")
     return (
         s.groupBy("signature", bucket)
@@ -202,7 +203,7 @@ def ts_downsample_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instant-vector: most recent point per series, deterministic
     tie-break (ts desc, value desc)."""
-    s = events_samples(spark, sf_dir).filter(F.col("timestamp").between(JAN1, JAN20))
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
     return _latest(s, key_cols=["signature"]).select(
         "signature", F.col("timestamp").alias("ts_ms"), "value"
     )
@@ -239,13 +240,13 @@ def ts_neq_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEQ matcher (M4 extension; proto carries it at
     /root/reference/src/proto/types.rs:1184-1189 but the reference
     collapses it to EQ)."""
-    s = events_samples(spark, sf_dir).filter(
-        matcher_predicate("labels", [LabelMatcher("event_type", "error", NEQ)])
+    s = events_samples(
+        spark, sf_dir,
+        label_matchers=[LabelMatcher("event_type", "error", NEQ)],
+        ts_range=(JAN3, JAN15),
     )
-    return (
-        s.filter(F.col("timestamp").between(JAN3, JAN15))
-        .groupBy("signature")
-        .agg(F.count("*").alias("n_points"), _sum_value().alias("sum_value"))
+    return s.groupBy("signature").agg(
+        F.count("*").alias("n_points"), _sum_value().alias("sum_value")
     )
 
 
@@ -261,14 +262,12 @@ def ts_neq_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_regex_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RE matcher, fully anchored (Prometheus semantics)."""
-    s = events_samples(spark, sf_dir).filter(
-        matcher_predicate("labels", [LabelMatcher("event_type", "click|view", RE)])
+    s = events_samples(
+        spark, sf_dir,
+        label_matchers=[LabelMatcher("event_type", "click|view", RE)],
+        ts_range=(JAN3, JAN15),
     )
-    return (
-        s.filter(F.col("timestamp").between(JAN3, JAN15))
-        .groupBy("signature")
-        .agg(F.count("*").alias("n_points"))
-    )
+    return s.groupBy("signature").agg(F.count("*").alias("n_points"))
 
 
 @_q(
@@ -292,7 +291,7 @@ def ts_regex_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rate()-style consecutive deltas per series; DECIMAL diffs keep
     the sum order-independent."""
-    s = events_samples(spark, sf_dir).filter(F.col("timestamp").between(JAN1, JAN20))
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
     w = Window.partitionBy("signature").orderBy("timestamp", "value")
     dec = F.col("value").cast("decimal(28,6)")
     return (

@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the 100 TB contract, enforced:
+filters reach the parquet scan, chunk partitions prune, dims broadcast
+(the fact table is never sort-merge shuffled), scans read only the
+columns the query needs."""
+
+from __future__ import annotations
+
+import pytest
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.workload import all_queries
+
+
+@pytest.fixture(autouse=True)
+def _full_metadata(spark):
+    # plan toString truncates filter lists at 100 chars by default
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    yield
+    spark.conf.set("spark.sql.maxMetadataStringLength", old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(df) -> str:
+    # AQE replans at runtime; execute THIS DataFrame's QueryExecution
+    # (a noop write would spawn its own) so the final plan (with
+    # codegen stages) is what we inspect.
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ts_superset_eq_pushes_matcher_and_range(spark, sf_dir):
+    plan = _plan(all_queries()["ts_superset_eq"].spark_fn(spark, sf_dir))
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    # matcher equality + raw-nanos time range must reach the scan
+    assert "EqualTo(event_type,purchase)" in scan
+    assert "GreaterThanOrEqual(ts," in scan and "LessThanOrEqual(ts," in scan
+
+
+def test_engine_query_prunes_partitions_and_broadcasts(spark, tmp_path):
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    df = spark.createDataFrame(
+        [({"j": "a"}, t, 1.0) for t in (1_000, 61_000, 121_000, 181_000)],
+        "labels map<string,string>, timestamp long, value double",
+    )
+    db.write(df)
+    q = db.query_flat({"j": "a"}, 60_000, 120_000)
+    plan = _plan(q)
+    # chunk pruning (the reference's overlap check as partition filters)
+    assert "PartitionFilters: [isnotnull(chunk_id" in plan
+    assert "(chunk_id" in plan and ">= 1" in plan and "<= 2" in plan
+    # timestamp trim pushed to parquet row groups
+    assert "GreaterThanOrEqual(timestamp,60000)" in plan
+    # dim join is broadcast; the fact side is never shuffle-sorted
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    plan = _plan(all_queries()["tpch_nation_revenue"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(all_queries()["tpch_q1"].spark_fn(spark, sf_dir))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    schema = scan.split("ReadSchema: ")[1]
+    # 7 of 11 lineitem columns; notably l_orderkey/l_partkey excluded
+    assert "l_orderkey" not in schema
+    assert "l_quantity" in schema and "l_shipdate" in schema
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    plan = _final_plan(all_queries()["tpch_q1"].spark_fn(spark, sf_dir))
+    # whole-stage codegen renders as "*(n)" stage markers in the tree
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan and "*(2)" in plan
