@@ -109,6 +109,77 @@ def hyperplane_signature_offset(
     return sig.cast("long")
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: [id_a, id_b, cosine]
+    with id_a < id_b and cosine >= threshold.
+
+    The all-pairs baseline (and the oracle's construction) — use
+    embedding_near_dup_lsh as the 100 TB path; this exact variant is
+    the verify stage and the recall yardstick.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH blocking + exact verify.
+
+    Output ⊆ embedding_near_dup_pairs (every candidate is re-scored
+    with exact cosine); recall is statistical in (planes, tables) —
+    see lsh_topk for the collision math. All joins are equi-joins on
+    (table, signature): the corpus is hashed map-side and never
+    all-pairs joined — linear shuffle at any corpus size.
+    """
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    tables = []
+    for t in range(num_tables):
+        sig = hyperplane_signature_offset("vec", planes, dim, t * planes)
+        tables.append(base.withColumn("sig", sig).withColumn("table", F.lit(t)))
+    blocked = tables[0]
+    for tdf in tables[1:]:
+        blocked = blocked.unionByName(tdf)
+    x, y = blocked.alias("x"), blocked.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(
+            F.col("x.vid").alias("id_a"),
+            F.col("y.vid").alias("id_b"),
+            F.col("x.vec").alias("va"),
+            F.col("y.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -42,6 +42,18 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens_expr(text))
 
 
+# GPT-2-style pretokenizer, reduced to constructs that Java regex and
+# DuckDB's RE2 interpret identically: letter runs, digit runs, and
+# other-symbol runs, each with an optional leading space.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens_expr(text: Column | str) -> Column:
+    """BPE-ish regex pretokenization (array<string>)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))
+
+
 def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(words)))
 

@@ -731,8 +731,62 @@ def multimodal_payloads_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_TAU = 0.4  # synthetic embeddings are random: max pair cosine ~0.6
+
+
+@_q(
+    "text_tokens_bpe",
+    f"""
+    WITH t AS (SELECT doc_id,
+                 regexp_extract_all(text, '{_text.BPE_PATTERN}') AS bt
+               FROM documents)
+    SELECT doc_id,
+           len(bt) AS n_bpe_tokens,
+           len(list_distinct(bt)) AS n_distinct_bpe,
+           CAST(list_reduce(list_transform(bt, x -> length(x)), (a,b) -> a+b) AS DOUBLE)
+             / len(bt) AS avg_bpe_len
+    FROM t
+    """,
+)
+def text_tokens_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pretokenization counts (vs text_stats' whitespace
+    tokens) — pure codegen'd regexp_extract_all, no Python."""
+    bt = _text.bpe_tokens_expr("text")
+    total_len = F.aggregate(F.transform(bt, F.length), F.lit(0), lambda a, x: a + x)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(bt).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bt)).cast("long").alias("n_distinct_bpe"),
+        (total_len.cast("double") / F.size(bt)).alias("avg_bpe_len"),
+    )
+
+
+@_q(
+    "dedup_embedding_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= {_EMB_TAU}
+    """,
+)
+def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (sequential-fold double math = DuckDB's list_reduce, bit-identical)."""
+    return _sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=_EMB_TAU)
+
+
 # Rows-only entries (no SQL oracle): LSH variants whose guarantees are
 # statistical; verified against their exact twins in tests/.
+
+
+@_q("dedup_embedding_lsh", None)
+def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-blocked near-dup pairs + exact cosine verify —
+    the linear-shuffle path; subset-of-exact + recall checked in
+    tests."""
+    return _sim.embedding_near_dup_lsh(_embs(spark, sf_dir), threshold=_EMB_TAU)
 
 @_q("dedup_simhash_pairs", None)
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,36 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert lsh.filter(F.col("rank") == 1).count() > 0
 
 
+def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(embs, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_lsh(embs, threshold=0.4).collect()
+    }
+    assert exact, "threshold 0.4 should catch some random-vector pairs"
+    # candidates are exactly re-scored → can only miss, never add
+    assert lsh <= exact
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.3, f"near-dup LSH recall {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_bpe_tokens_vs_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world! it's 42 degrees")], "doc_id long, text string"
+    )
+    row = df.select(
+        text.bpe_tokens_expr("text").alias("bt"),
+        text.tokens_expr("text").alias("wt"),
+    ).first()
+    # regex pretokens split punctuation/digits off words
+    assert row["bt"] == ["hello", ",", " world", "!", " it", "'", "s", " 42", " degrees"]
+    assert len(row["bt"]) >= len(row["wt"])
+
+
 def test_exact_dedup_groups(spark):
     docs = spark.createDataFrame(
         [(1, "Hello World"), (2, "  hello world "), (3, "other text")],
