@@ -180,6 +180,106 @@ def embedding_near_dup_lsh(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for IVF, trained driver-side
+    on a deterministic sample (orderBy(id).limit(sample_n)).
+
+    Training on a bounded sample is the standard IVF recipe (FAISS
+    trains on ~{39*nlist}..{256*nlist} vectors regardless of corpus
+    size), so the collect here stays O(sample_n*dim) at 100 TB — the
+    corpus itself is never collected.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows])
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in C]
+
+
+def _cell_sims(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """array<struct<s: double, cid: int>> of cosine(vec, centroid),
+    one narrow projection — no shuffle, no join."""
+    structs = []
+    for cid, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        structs.append(
+            F.struct(cosine_expr(vec_col, lit).alias("s"), F.lit(cid).alias("cid"))
+        )
+    return F.array(*structs)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    every corpus vector is assigned to its nearest of `nlist` spherical
+    k-means centroids; each query probes its `nprobe` nearest cells and
+    re-ranks candidates with exact cosine.
+
+    The scale shape: cell assignment is a narrow map over the corpus
+    (centroids are literals — no join, no shuffle), and the probe is a
+    broadcast equi-join on cell id, so candidate work per query is
+    bounded by cell occupancy (~nprobe/nlist of the corpus). At 100 TB
+    the assigned corpus would be written once, partitioned/clustered by
+    `cell`, making a probe a partition-pruned scan. Recall→1 as
+    nprobe→nlist (nprobe=nlist is exhaustive = brute_force_topk).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, nlist, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = c.withColumn(
+        "cell", F.array_max(_cell_sims("c_vec", centroids))["cid"]
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_sims("q_vec", centroids))), 1, nprobe),
+        lambda s: s["cid"],
+    )
+    q = q.withColumn("cell", F.explode(probes))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -803,3 +803,13 @@ def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_topk(
         embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
     )
+
+
+@_q("sim_ivf_topk", None)
+def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (spherical-k-means cells, nprobe probe +
+    exact re-rank); recall vs brute force checked in tests."""
+    embs = _embs(spark, sf_dir)
+    return _sim.ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
+    )

@@ -48,6 +48,22 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert lsh.filter(F.col("rank") == 1).count() > 0
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(embs, queries, k=10).collect()
+    }
+    ivf = similarity.ivf_topk(embs, queries, k=10, nlist=8, nprobe=4).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(hits & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall}"
+    # nprobe == nlist probes every cell → exhaustive → exact
+    full = similarity.ivf_topk(embs, queries, k=10, nlist=8, nprobe=8).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact
+
+
 def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
