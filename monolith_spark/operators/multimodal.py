@@ -111,6 +111,54 @@ def extract_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, out_schema)
 
 
+def resize_media(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """mapInPandas resize plumbing: payload → fixed (width*height)-byte
+    "pixel buffer" + updated meta.
+
+    A real implementation would decode_image() then interpolate; no
+    codec exists in this container, so the resample step is a
+    DETERMINISTIC FAKE (stride-sampled payload bytes, zero-padded).
+    The Spark-side contract — Arrow batches in, binary out, meta struct
+    updated, narrow map with zero shuffles — is the real, tested part.
+    """
+    target = width * height
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if len(payload) >= target:
+            stride = len(payload) / target
+            return bytes(payload[int(i * stride)] for i in range(target))
+        return payload + b"\x00" * (target - len(payload))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(_fake_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "format": "raw/fake",
+                            "n_bytes": len(p),
+                            "width": width,
+                            "height": height,
+                        }
+                        for p in resized
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' plumbing demo: slice fixed-stride byte windows
     from each payload (stand-in for video frame extraction) — pure

@@ -302,6 +302,48 @@ def ts_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_counter_increase",
+    f"""
+    SELECT signature,
+           CAST(sum(step) AS DOUBLE) AS increase,
+           count(*) AS n_steps
+    FROM (
+      SELECT signature,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev
+                  ELSE v END AS step
+      FROM (
+        SELECT {SIG_SQL} AS signature,
+               CAST(value AS DECIMAL(28,6)) AS v,
+               lag(CAST(value AS DECIMAL(28,6))) OVER (
+                 PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+               ) AS prev
+        FROM events
+        WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      )
+    ) WHERE step IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus increase() with counter-reset handling (a drop means
+    the counter restarted from 0) — the batch twin of the stateful
+    streaming operator in streaming/stateful.py; DECIMAL steps keep the
+    sum order-independent."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    w = Window.partitionBy("signature").orderBy("timestamp", "value")
+    dec = F.col("value").cast("decimal(28,6)")
+    prev = F.lag(dec).over(w)
+    step = F.when(prev.isNull(), F.lit(None)).when(dec >= prev, dec - prev).otherwise(dec)
+    return (
+        s.select("signature", step.alias("step"))
+        .filter(F.col("step").isNotNull())
+        .groupBy("signature")
+        .agg(F.sum("step").cast("double").alias("increase"), F.count("*").alias("n_steps"))
+    )
+
+
 # ------------------------------------------------------------------- TPC-H
 
 @_q(

@@ -68,6 +68,65 @@ def test_epoch_ledger_makes_replay_idempotent(spark, tmp_path):
     assert [(p["timestamp"], p["value"]) for p in res[0]["points"]] == [(1000, 1.0)]
 
 
+def test_stateful_running_series_stats(spark, tmp_path):
+    # applyInPandasWithState: per-series state must carry across
+    # micro-batches (maxFilesPerTrigger=1 forces two batches).
+    from monolith_spark.labels import series_id_expr
+    from monolith_spark.streaming.stateful import running_series_stats
+
+    src = str(tmp_path / "src")
+    # counter series: 1 → 5 → (reset) 2; gauge series: constant 7
+    _write_slice(spark, src, [({"m": "c"}, 1000, 1.0), ({"m": "c"}, 2000, 5.0),
+                              ({"m": "g"}, 1000, 7.0)])
+    _write_slice(spark, src, [({"m": "c"}, 3000, 2.0), ({"m": "g"}, 2000, 7.0)])
+
+    stream = samples_file_stream(spark, src, max_files_per_trigger=1)
+    keyed = stream.select(
+        series_id_expr("labels").alias("series_id"), "timestamp", "value"
+    )
+    q = (
+        running_series_stats(keyed)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("series_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # update mode emits one row per series per batch; keep the latest
+    latest = {}
+    for r in spark.sql("SELECT * FROM series_stats").collect():
+        prev = latest.get(r["series_id"])
+        if prev is None or r["n"] > prev["n"]:
+            latest[r["series_id"]] = r
+    by_n = sorted(latest.values(), key=lambda r: r["sum"])
+    counter, gauge = by_n[0], by_n[1]
+    assert (counter["n"], counter["sum"], counter["min"], counter["max"]) == (3, 8.0, 1.0, 5.0)
+    assert (counter["last_ts"], counter["last_value"]) == (3000, 2.0)
+    # increase: (5-1) + reset-restart 2 = 6, accumulated ACROSS batches
+    assert counter["increase"] == 6.0
+    assert (gauge["n"], gauge["sum"], gauge["increase"]) == (2, 14.0, 0.0)
+
+
+def test_multimodal_resize(spark):
+    from monolith_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "short")], "doc_id long, text string"
+    )
+    out = mm.resize_media(mm.attach_payload(docs), width=4, height=4).collect()
+    rows = {r["media_id"]: r for r in out}
+    assert all(len(r["payload"]) == 16 for r in rows.values())
+    assert rows[1]["meta"]["width"] == 4 and rows[1]["meta"]["n_bytes"] == 16
+    # short payloads zero-padded, long ones stride-sampled — deterministic
+    assert rows[2]["payload"] == b"short" + b"\x00" * 11
+    again = {r["media_id"]: r["payload"]
+             for r in mm.resize_media(mm.attach_payload(docs), 4, 4).collect()}
+    assert again == {k: r["payload"] for k, r in rows.items()}
+
+
 def test_windowed_aggregation_with_watermark(spark, tmp_path):
     # The Structured Streaming idiom replacing the reference's chunk
     # machinery for aggregation: watermark + tumbling window.
