@@ -458,7 +458,15 @@ def tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-join rollup: every dim broadcast, the fact shuffled once."""
+    """Star-join rollup as a two-stage aggregation.
+
+    lineitem is pre-aggregated per orderkey (map-side partials, one
+    shuffle), then joined to orders on that same key — orders is a fact
+    table, so it is NOT broadcast; Catalyst/AQE picks a keyed join and
+    the per-order rollup makes count(DISTINCT o_orderkey) a plain
+    count(*) (no expand). Small dims (customer⋈nation⋈region) are
+    broadcast. This is the plan shape that survives 100× data growth.
+    """
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -472,13 +480,15 @@ def tpch_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("order_rev"))
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        per_order.join(orders.select("o_orderkey", "o_custkey"),
+                       per_order.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
         )
     )
 
