@@ -43,12 +43,59 @@ def _engine_matchers(q: proto.Query, strict: bool) -> list[EngineMatcher]:
     return out
 
 
+# ReadHints.func → downsample agg. Hints are advisory (Prometheus
+# re-evaluates client-side), so unknown funcs fall back to raw points —
+# the reference's behavior for ALL hints (types.rs:1248-1257, unread).
+_HINT_AGGS = {
+    "avg_over_time": "avg", "avg": "avg",
+    "sum_over_time": "sum", "sum": "sum",
+    "min_over_time": "min", "min": "min",
+    "max_over_time": "max", "max": "max",
+    "count_over_time": "count", "count": "count",
+}
+
+
+def _evaluate_hinted(db: MonolithDB, matchers, q: proto.Query) -> list[proto.TimeSeries] | None:
+    """Server-side step downsampling when hints carry a known func
+    (SURVEY §7.2 M5); returns None → caller uses the raw-points path."""
+    h = q.hints
+    agg = _HINT_AGGS.get(h.func) if (h and h.step_ms > 0) else None
+    if agg is None:
+        return None
+    from pyspark.sql import functions as F
+
+    from monolith_spark.operators.timeseries import downsample
+
+    flat = db.query_flat(matchers, q.start_timestamp_ms, q.end_timestamp_ms)
+    ds = downsample(flat, h.step_ms, key_cols=["series_id", "signature"], agg=agg)
+    rows = (
+        ds.join(F.broadcast(db.series().select("series_id", "labels")), "series_id")
+        .orderBy("signature", "bucket_ms")
+        .collect()
+    )
+    out: list[proto.TimeSeries] = []
+    cur_sig = None
+    for r in rows:
+        if r["signature"] != cur_sig:
+            out.append(proto.TimeSeries(labels=dict(r["labels"])))
+            cur_sig = r["signature"]
+        out[-1].samples.append(
+            proto.Sample(value=float(r[f"{agg}_value"]), timestamp=r["bucket_ms"])
+        )
+    return out
+
+
 def evaluate_read(db: MonolithDB, req: proto.ReadRequest, strict: bool = False) -> proto.ReadResponse:
     """One QueryResult per Query (src/server.rs:133-169); points
     time-ascending, series ordered by signature for determinism."""
     resp = proto.ReadResponse()
     for q in req.queries:
-        res = db.query(_engine_matchers(q, strict), q.start_timestamp_ms, q.end_timestamp_ms)
+        matchers = _engine_matchers(q, strict)
+        hinted = _evaluate_hinted(db, matchers, q)
+        if hinted is not None:
+            resp.results.append(hinted)
+            continue
+        res = db.query(matchers, q.start_timestamp_ms, q.end_timestamp_ms)
         result = []
         for row in res.collect():
             result.append(

@@ -192,10 +192,23 @@ class LabelMatcher:
 
 
 @dataclass
+class ReadHints:
+    """Prometheus ReadHints — parsed but never read by the reference
+    (/root/reference/src/proto/types.rs:1248-1257); we honor step_ms +
+    func as server-side downsampling (SURVEY §7.2 M5)."""
+
+    step_ms: int = 0       # field 1
+    func: str = ""         # field 2 ("avg_over_time", "sum", ...)
+    start_ms: int = 0      # field 3
+    end_ms: int = 0        # field 4
+
+
+@dataclass
 class Query:
     start_timestamp_ms: int = 0                 # field 1
     end_timestamp_ms: int = 0                   # field 2
     matchers: list[LabelMatcher] = field(default_factory=list)  # field 3
+    hints: ReadHints | None = None              # field 4
 
 
 @dataclass
@@ -244,6 +257,18 @@ def encode_read_request(req: ReadRequest) -> bytes:
                 mbody += _tag(1, 0) + _write_varint(m.type)
             mbody += _len_delim(2, m.name.encode()) + _len_delim(3, m.value.encode())
             body += _len_delim(3, mbody)
+        if q.hints is not None:
+            h = q.hints
+            hbody = b""
+            if h.step_ms:
+                hbody += _tag(1, 0) + _write_varint(h.step_ms)
+            if h.func:
+                hbody += _len_delim(2, h.func.encode())
+            if h.start_ms:
+                hbody += _tag(3, 0) + _write_varint(h.start_ms)
+            if h.end_ms:
+                hbody += _tag(4, 0) + _write_varint(h.end_ms)
+            body += _len_delim(4, hbody)
         out += _len_delim(1, body)
     return out
 
@@ -309,6 +334,20 @@ def _dec_matcher(data: bytes) -> LabelMatcher:
     return m
 
 
+def _dec_hints(data: bytes) -> ReadHints:
+    h = ReadHints()
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 0:
+            h.step_ms = _signed64(v)
+        elif f == 2:
+            h.func = v.decode()
+        elif f == 3 and wt == 0:
+            h.start_ms = _signed64(v)
+        elif f == 4 and wt == 0:
+            h.end_ms = _signed64(v)
+    return h
+
+
 def _dec_query(data: bytes) -> Query:
     q = Query()
     for f, wt, v in _iter_fields(data):
@@ -318,6 +357,8 @@ def _dec_query(data: bytes) -> Query:
             q.end_timestamp_ms = _signed64(v)
         elif f == 3:
             q.matchers.append(_dec_matcher(v))
+        elif f == 4:
+            q.hints = _dec_hints(v)
     return q
 
 

@@ -79,6 +79,24 @@ def test_read_request_roundtrip_with_matcher_types():
         ("EQ", "job", "api"), ("RE", "env", "prod|stage"), ("NEQ", "dc", "eu")]
 
 
+def test_read_request_hints_roundtrip():
+    req = proto.ReadRequest(
+        queries=[
+            proto.Query(
+                0, 10_000,
+                [proto.LabelMatcher(proto.EQ, "job", "api")],
+                hints=proto.ReadHints(step_ms=60_000, func="avg_over_time",
+                                      start_ms=0, end_ms=10_000),
+            ),
+            proto.Query(0, 99),  # hints omitted → stays None
+        ]
+    )
+    got = proto.decode_read_request(proto.encode_read_request(req))
+    h = got.queries[0].hints
+    assert (h.step_ms, h.func, h.start_ms, h.end_ms) == (60_000, "avg_over_time", 0, 10_000)
+    assert got.queries[1].hints is None
+
+
 def test_golden_label_encoding():
     # protobuf wire bytes for Label{name="job", value="api"}:
     # 0A (field1,LEN) 03 "job"  12 (field2,LEN) 03 "api"
@@ -124,6 +142,34 @@ def test_http_write_then_read_roundtrip(spark, tmp_path):
         (ts,) = resp.results[0]
         assert ts.labels == {"test1": "1", "test2": "2"}
         assert [(s.timestamp, s.value) for s in ts.samples] == [(12, 12.9), (16, 13.5)]
+
+        # hinted read: step downsampling server-side (M5). Points at
+        # ts 12 and 16 fall in bucket 0 of a 100 ms step → one avg'd
+        # sample stamped at the bucket start.
+        hr = proto.ReadRequest(
+            queries=[proto.Query(
+                0, 1000, [proto.LabelMatcher(proto.EQ, "test1", "1")],
+                hints=proto.ReadHints(step_ms=100, func="avg_over_time"),
+            )]
+        )
+        status, body = _post(srv.port, "/read", proto.snappy_compress(proto.encode_read_request(hr)))
+        assert status == 200
+        resp = proto.decode_read_response(proto.snappy_decompress(body))
+        (ts,) = resp.results[0]
+        assert ts.labels == {"test1": "1", "test2": "2"}
+        assert [(s.timestamp, s.value) for s in ts.samples] == [(0, (12.9 + 13.5) / 2)]
+
+        # unknown func → hints ignored, raw points (reference behavior)
+        hr2 = proto.ReadRequest(
+            queries=[proto.Query(
+                0, 1000, [proto.LabelMatcher(proto.EQ, "test1", "1")],
+                hints=proto.ReadHints(step_ms=100, func="holt_winters"),
+            )]
+        )
+        status, body = _post(srv.port, "/read", proto.snappy_compress(proto.encode_read_request(hr2)))
+        resp = proto.decode_read_response(proto.snappy_decompress(body))
+        assert [(s.timestamp, s.value) for s in resp.results[0][0].samples] == [
+            (12, 12.9), (16, 13.5)]
 
         # parse error -> 500 (reference src/server.rs:79-89)
         status, _ = _post(srv.port, "/read", b"\x00garbage-not-snappy\xff\xff")
