@@ -110,6 +110,12 @@ class MonolithDB:
         )
         df.persist()
         try:
+            # A batch can be empty after the F1 filter (e.g. all ts==0 —
+            # the reference errors per-point, we drop set-at-a-time). A
+            # zero-row partitioned write would leave a parquet dir with
+            # no footers, poisoning later reads — skip instead.
+            if df.isEmpty():
+                return
             # J5 get-or-create as a left_anti against the existing dim —
             # content-hash ids make this idempotent (no critical section).
             new_series = df.select("series_id", "signature", "labels").dropDuplicates(["series_id"])
@@ -144,13 +150,21 @@ class MonolithDB:
     def series(self) -> DataFrame:
         """The series dimension; duplicate dim rows from concurrent
         writers collapse here (last-write-wins is irrelevant: rows with
-        equal series_id are identical by construction)."""
+        equal series_id are identical by construction). Empty before
+        the first write — queries on an empty db return empty results,
+        like the reference's fresh chunk."""
         raw = self._series_raw()
         if raw is None:
-            raise FileNotFoundError(f"no series written under {self.path}")
+            return self.spark.createDataFrame(
+                [], "series_id long, signature string, labels map<string,string>"
+            )
         return raw.dropDuplicates(["series_id"])
 
     def samples(self) -> DataFrame:
+        if not os.path.exists(self.samples_path):
+            return self.spark.createDataFrame(
+                [], "series_id long, timestamp long, value double, chunk_id long"
+            )
         return self.spark.read.parquet(self.samples_path)
 
     def _query_samples(self, start_ms: int, end_ms: int) -> DataFrame:

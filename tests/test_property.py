@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) — the richer analog of the
+reference's random-data Ingester (/root/reference/src/common/test_utils.rs:126-220),
+which generates N series × M points × K random labels but only checks
+counts. Here every generated workload is verified against a pure-Python
+model of the engine's query semantics.
+
+Label values deliberately include ``,``/``=``/unicode — the exact
+inputs that silently corrupt the reference's signature encoding
+(/root/reference/src/indexer/sled_indexer.rs:291-319, SURVEY §1.1);
+the escaped signature must stay injective under them.
+
+derandomize=True: the driver re-runs tests per-round — examples must
+be reproducible, like the reference's seeded Ingester.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.labels import SAMPLES_SCHEMA, python_signature, signature_expr
+
+# Alphabet chosen to attack the signature codec: separators, escapes,
+# unicode, empties.
+_VAL = st.text(alphabet="ab,=\\é ", min_size=0, max_size=4)
+_KEY = st.text(alphabet="xyz_", min_size=1, max_size=3)
+_LABELS = st.dictionaries(_KEY, _VAL, min_size=1, max_size=4)
+
+_SETTINGS = dict(
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(max_examples=20, **_SETTINGS)
+@given(st.lists(_LABELS, min_size=1, max_size=6, unique_by=lambda d: tuple(sorted(d.items()))))
+def test_signature_injective_and_matches_python_model(spark, label_sets):
+    df = spark.createDataFrame(
+        [(labels, 1, 1.0) for labels in label_sets], SAMPLES_SCHEMA
+    ).select(signature_expr("labels").alias("sig"))
+    got = [r["sig"] for r in df.collect()]
+    want = [python_signature(labels) for labels in label_sets]
+    assert got == want
+    # distinct label sets → distinct signatures (injectivity, the
+    # property the reference's encoding lacks)
+    assert len(set(got)) == len(label_sets)
+
+
+@st.composite
+def _workload(draw):
+    series = draw(
+        st.lists(_LABELS, min_size=1, max_size=4,
+                 unique_by=lambda d: tuple(sorted(d.items())))
+    )
+    points = {
+        i: draw(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5000),
+                    st.floats(min_value=-1e6, max_value=1e6,
+                              allow_nan=False, allow_infinity=False),
+                ),
+                min_size=1,
+                max_size=6,
+                unique_by=lambda p: p[0],
+            )
+        )
+        for i in range(len(series))
+    }
+    # matcher: a subset of a generated series' labels (guarantees the
+    # superset-vs-exact distinction is exercised), or empty (match all)
+    src = draw(st.sampled_from(series))
+    keys = draw(st.lists(st.sampled_from(sorted(src)), unique=True)) if src else []
+    matchers = {k: src[k] for k in keys}
+    t0 = draw(st.integers(min_value=0, max_value=5000))
+    t1 = draw(st.integers(min_value=0, max_value=5000))
+    start, end = min(t0, t1), max(t0, t1)
+    return series, points, matchers, start, end
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(_workload())
+def test_write_query_matches_python_model(spark, tmp_path_factory, wl):
+    series, points, matchers, start, end = wl
+    rows = [
+        (labels, ts, val)
+        for i, labels in enumerate(series)
+        for ts, val in points[i]
+    ]
+    db = MonolithDB(
+        spark,
+        str(tmp_path_factory.mktemp("propdb")),
+        chunk_size_ms=1000,
+    )
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+
+    got = {
+        r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+        for r in db.query(matchers, start, end).collect()
+    }
+
+    # Pure-Python model: superset match (J4), ts != 0 (F1), inclusive
+    # trim (F3), time-ascending points (A1), empty series dropped (F6).
+    want = {}
+    for i, labels in enumerate(series):
+        if not all(labels.get(k) == v for k, v in matchers.items()):
+            continue
+        pts = sorted(
+            (ts, val) for ts, val in points[i] if ts != 0 and start <= ts <= end
+        )
+        if pts:
+            want[python_signature(labels)] = pts
+    assert got == want
