@@ -210,6 +210,67 @@ class MonolithDB:
         flat = self._query_samples(start_ms, end_ms).join(F.broadcast(sel), "series_id")
         return to_timeseries(flat, key_cols=["series_id", "signature"])
 
+    # ----------------------------------------------------------- maintenance
+
+    def compact_chunk(self, chunk_id: int, target_bytes: int = 128 * 1024 * 1024) -> bool:
+        """Rewrite one sealed chunk partition: merge the small files
+        micro-batch appends accumulate into ~target_bytes files sorted
+        by (series_id, timestamp).
+
+        The reference's unchecked TODO "Compression on swap chunk"
+        (/root/reference/README.md:60; dormant Gorilla codec, SURVEY
+        §4.4) realized the Spark way — a Parquet rewrite. Sorting
+        restores row-group min/max locality (F3's binary-search analog)
+        that interleaved appends erode, and the file-count cap is the
+        real 100 TB concern: a streaming ingest appending every 30 s
+        creates ~3k files/day/chunk without this.
+
+        Not safe concurrently with writers to the SAME chunk — run on
+        sealed chunks only (the reference compacts on swap for the same
+        reason). Returns False if the partition doesn't exist.
+        """
+        import shutil
+
+        part = os.path.join(self.samples_path, f"chunk_id={chunk_id}")
+        if not os.path.isdir(part):
+            return False
+        in_bytes = sum(
+            os.path.getsize(os.path.join(part, f))
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-in_bytes // target_bytes))
+        tmp = part + ".compact.tmp"
+        old = part + ".compact.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self.spark.read.parquet(part)
+            .repartition(n_files, "series_id")
+            .sortWithinPartitions("series_id", "timestamp")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(part, old)
+        os.rename(tmp, part)
+        shutil.rmtree(old)
+        return True
+
+    def compact(self, exclude_chunk_ids: set[int] | None = None) -> int:
+        """Compact every chunk partition (optionally excluding e.g. the
+        chunk currently receiving appends). Returns chunks rewritten."""
+        exclude = exclude_chunk_ids or set()
+        done = 0
+        if not os.path.isdir(self.samples_path):
+            return 0
+        for name in sorted(os.listdir(self.samples_path)):
+            if not name.startswith("chunk_id="):
+                continue
+            cid = int(name.split("=", 1)[1])
+            if cid in exclude:
+                continue
+            done += int(self.compact_chunk(cid))
+        return done
+
     def label_values(self, key: str) -> DataFrame:
         """Distinct values of one label key (Prometheus label_values API
         analog; the reference exposes this only as the LR index keyspace,

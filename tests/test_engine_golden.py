@@ -158,6 +158,34 @@ def test_g4_chunk_dir_codec():
     assert decode_chunk_dir("639d02ba000000035bafab72") == (1671234234, 14423141234)
 
 
+def test_compact_chunk_merges_files_preserves_results(spark, tmp_path):
+    import os
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    # 3 appends into the same chunk → ≥3 small files
+    for i in range(3):
+        db.write(spark.createDataFrame(
+            [({"m": "a"}, 1000 + i, float(i)), ({"m": "b"}, 2000 + i, float(10 + i))],
+            SAMPLES_SCHEMA))
+    part = os.path.join(db.samples_path, "chunk_id=0")
+    files_before = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files_before) >= 3
+    before = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+              for r in db.query({}, 0, 100_000).collect()}
+
+    assert db.compact_chunk(0) is True
+    files_after = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files_after) == 1  # tiny chunk → one target file
+    after = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+             for r in db.query({}, 0, 100_000).collect()}
+    assert after == before
+    # missing partition → no-op; compact() skips excluded chunks
+    assert db.compact_chunk(99) is False
+    assert db.compact(exclude_chunk_ids={0}) == 0
+
+
 def test_label_values(spark, tmp_path):
     db = _g1_db(spark, tmp_path)
     vals = {r["value"] for r in db.label_values("test3").collect()}
