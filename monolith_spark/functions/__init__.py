@@ -1,0 +1,73 @@
+"""Public scalar/expression function library (SURVEY §2.5).
+
+One import surface for every reusable Column-level function the engine
+defines, grouped by family. All are JVM-codegen expressions (no Python
+UDFs) unless noted in their home module.
+
+- labels / signatures (E1/E2 analogs): canonical sorted-escaped
+  signature, content-hash series id, matcher predicates
+- time series: range trim, chunk predicate, validity filter
+- text: tokenization (whitespace + BPE-style regex), language id,
+  fingerprints, simhash
+- similarity: deterministic fold dot/cosine, hyperplane LSH signatures
+"""
+
+from monolith_spark.labels import (
+    EQ,
+    NEQ,
+    NRE,
+    RE,
+    LabelMatcher,
+    exact_signature_predicate,
+    label_value,
+    matcher_predicate,
+    python_signature,
+    series_id_expr,
+    signature_expr,
+    signature_sql,
+    superset_predicate,
+)
+from monolith_spark.operators.similarity import (
+    cosine_expr,
+    dot_expr,
+    hyperplane_signature,
+    hyperplane_signature_offset,
+    norm_expr,
+)
+from monolith_spark.operators.text import (
+    BPE_PATTERN,
+    bpe_tokens_expr,
+    fingerprint_md5,
+    hash60_expr,
+    lang_id_expr,
+    min_shingle_fingerprint,
+    punct_count,
+    shingles_expr,
+    stopword_count,
+    token_count,
+    tokens_expr,
+)
+from monolith_spark.operators.timeseries import (
+    chunk_pred,
+    time_trim,
+    valid_points,
+)
+from monolith_spark.plans.chunks import (
+    chunk_range,
+    decode_chunk_dir,
+    encode_chunk_dir,
+)
+
+__all__ = [
+    "EQ", "NEQ", "RE", "NRE", "LabelMatcher",
+    "signature_expr", "series_id_expr", "python_signature", "signature_sql",
+    "superset_predicate", "matcher_predicate", "exact_signature_predicate",
+    "label_value",
+    "valid_points", "time_trim", "chunk_pred",
+    "chunk_range", "encode_chunk_dir", "decode_chunk_dir",
+    "tokens_expr", "token_count", "bpe_tokens_expr", "BPE_PATTERN",
+    "stopword_count", "punct_count", "lang_id_expr", "fingerprint_md5",
+    "shingles_expr", "min_shingle_fingerprint", "hash60_expr",
+    "dot_expr", "norm_expr", "cosine_expr",
+    "hyperplane_signature", "hyperplane_signature_offset",
+]

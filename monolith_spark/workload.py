@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from monolith_spark.labels import (
     NEQ,
+    NRE,
     RE,
     LabelMatcher,
     matcher_predicate,
@@ -265,6 +266,27 @@ def ts_regex_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_samples(
         spark, sf_dir,
         label_matchers=[LabelMatcher("event_type", "click|view", RE)],
+        ts_range=(JAN3, JAN15),
+    )
+    return s.groupBy("signature").agg(F.count("*").alias("n_points"))
+
+
+@_q(
+    "ts_nre_matcher",
+    f"""
+    SELECT {SIG_SQL} AS signature, count(*) AS n_points
+    FROM events
+    WHERE NOT regexp_full_match(event_type, 'click|view')
+      AND epoch_ms(ts) BETWEEN {JAN3} AND {JAN15}
+    GROUP BY 1
+    """,
+)
+def ts_nre_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NRE matcher (anchored negative regex) — completes the
+    EQ/NEQ/RE/NRE Prometheus matcher surface (M4)."""
+    s = events_samples(
+        spark, sf_dir,
+        label_matchers=[LabelMatcher("event_type", "click|view", NRE)],
         ts_range=(JAN3, JAN15),
     )
     return s.groupBy("signature").agg(F.count("*").alias("n_points"))
