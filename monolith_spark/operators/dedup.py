@@ -94,8 +94,11 @@ def minhash_signatures(
     seed expansion happens map-side.
     """
     sh = doc_shingles(df, id_col, text_col, n)
-    seeds = df.sparkSession.range(num_hashes).withColumnRenamed("id", "seed")
-    hashed = sh.crossJoin(seeds).withColumn(
+    # Seed expansion as an exploded literal array — a narrow map, not a
+    # cross join (no broadcast/nested-loop stage in the plan).
+    hashed = sh.withColumn(
+        "seed", F.explode(F.array(*[F.lit(i) for i in range(num_hashes)]))
+    ).withColumn(
         "mh", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
     )
     aggs = [

@@ -134,10 +134,10 @@ def simhash(
     toks = df.select(
         F.col(id_col), F.explode(feats).alias("tok")
     ).withColumn("h", hash60_expr(F.col("tok")))
-    spark = df.sparkSession
-    bit_ids = spark.range(bits).withColumnRenamed("id", "bit")
+    # Bit expansion via exploded sequence — a narrow map, not a cross
+    # join (keeps the plan free of nested-loop stages).
     votes = (
-        toks.crossJoin(bit_ids)
+        toks.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
         .withColumn(
             "vote",
             F.when(F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),

@@ -158,6 +158,29 @@ def test_g4_chunk_dir_codec():
     assert decode_chunk_dir("639d02ba000000035bafab72") == (1671234234, 14423141234)
 
 
+def test_storage_beats_reference_16_byte_records(spark, tmp_path):
+    # E6: the reference's dormant Gorilla codec exists to beat its
+    # 16-byte-per-point storage blobs (SURVEY §4.4). Parquet encodings
+    # must deliver that compactness without any custom bit-twiddling.
+    import os
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10**9)
+    n = 50_000
+    rows = [({"m": "a"}, 1_000 + 100 * i, float(i % 97)) for i in range(n)]
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+    db.compact()
+    nbytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(db.samples_path)
+        for f in files if f.endswith(".parquet")
+    )
+    # well under the reference's 16 B/point (ts+value), despite also
+    # storing series_id per row
+    assert nbytes / n < 16, f"{nbytes / n:.1f} bytes/point"
+
+
 def test_compact_chunk_merges_files_preserves_results(spark, tmp_path):
     import os
 

@@ -74,6 +74,30 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
     assert "l_quantity" in schema and "l_shipdate" in schema
 
 
+def test_approx_similarity_plans_avoid_cartesian(spark, sf_dir):
+    # The all-pairs/brute-force variants are allowed a nested-loop join
+    # (they are oracles); the LSH/IVF scale paths must be pure equi-join
+    # blocking — no cartesian, no broadcast-nested-loop.
+    from pyspark.sql import functions as F
+
+    from monolith_spark.operators import dedup, similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = embs.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+    scale_paths = {
+        "lsh_topk": similarity.lsh_topk(embs, queries, k=5),
+        "ivf_topk": similarity.ivf_topk(embs, queries, k=5, nlist=4, nprobe=2),
+        "near_dup_lsh": similarity.embedding_near_dup_lsh(embs),
+        "minhash_lsh": dedup.minhash_lsh_pairs(docs),
+        "simhash": dedup.simhash_pairs(docs),
+    }
+    for name, df in scale_paths.items():
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     plan = _final_plan(all_queries()["tpch_q1"].spark_fn(spark, sf_dir))
     # whole-stage codegen renders as "*(n)" stage markers in the tree
