@@ -114,6 +114,46 @@ def events_samples(
     return out
 
 
+def events_samples_stream(
+    spark: SparkSession, sf_dir: str, staging_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming twin of events_samples: the driver's events table as a
+    file-source stream of samples rows (SURVEY §7.2 M3 — the events
+    table standing in for a live remote-write feed). Projection is
+    identical to the batch mapping so batch results are the oracle.
+
+    The file stream source only accepts a directory of its own, and the
+    fixture dir holds every table — so the events file is symlinked
+    into ``staging_dir`` (which in production would simply BE the
+    landing directory new files arrive in).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.makedirs(staging_dir, exist_ok=True)
+    link = os.path.join(staging_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staging_dir)
+    )
+    exprs = label_exprs()
+    labels = F.create_map(
+        F.lit("event_type"), exprs["event_type"],
+        F.lit("kb"), exprs["kb"],
+        F.lit("user"), exprs["user"],
+    )
+    return ev.select(
+        labels.alias("labels"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("timestamp"),
+        F.col("value"),
+    )
+
+
 # The DuckDB twin of the signature above, for oracle SQL strings.
 SIG_SQL = (
     "'event_type=' || event_type || ',kb=' || "

@@ -68,6 +68,39 @@ def test_epoch_ledger_makes_replay_idempotent(spark, tmp_path):
     assert [(p["timestamp"], p["value"]) for p in res[0]["points"]] == [(1000, 1.0)]
 
 
+def test_stream_events_fixture_matches_batch(spark, tmp_path, sf_dir):
+    # M3: the driver's events table streamed through the full ingest
+    # path must agree with the batch mapping (which the DuckDB oracles
+    # validate elsewhere).
+    from pyspark.sql import functions as F
+
+    from monolith_spark.sources.events import events_samples, events_samples_stream
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=2 * 86_400_000)
+    ingest = StreamingIngest(db)
+    q = ingest.start(
+        events_samples_stream(spark, sf_dir, str(tmp_path / "stage")),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        db.query_flat({"event_type": "purchase"}, 0, 4_000_000_000_000)
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        .first()
+    )
+    want = (
+        events_samples(spark, sf_dir, matchers={"event_type": "purchase"})
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        .first()
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+    assert got["n"] > 0
+
+
 def test_stateful_running_series_stats(spark, tmp_path):
     # applyInPandasWithState: per-series state must carry across
     # micro-batches (maxFilesPerTrigger=1 forces two batches).
