@@ -836,6 +836,35 @@ def text_tokens_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_quality_filter",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_W} AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+               / len(w) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stopword_ratio
+    FROM s
+    WHERE n_tokens BETWEEN 25 AND 90 AND stopword_ratio >= 0.04
+    """,
+)
+def docs_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate over the text-stats features (length
+    band + minimum stopword density) — the training-data filter step;
+    one narrow projection + filter, no shuffle at all."""
+    stats = _text.text_stats(_docs(spark, sf_dir))
+    return (
+        stats.filter(
+            F.col("n_tokens").between(25, 90) & (F.col("stopword_ratio") >= 0.04)
+        )
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )
+
+
+@_q(
     "dedup_embedding_pairs",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

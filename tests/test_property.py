@@ -48,6 +48,78 @@ def test_signature_injective_and_matches_python_model(spark, label_sets):
     assert len(set(got)) == len(label_sets)
 
 
+@settings(max_examples=200, **_SETTINGS)
+@given(st.binary(min_size=0, max_size=4096))
+def test_snappy_roundtrip_arbitrary_bytes(data):
+    from monolith_spark.sources import remote as proto
+
+    assert proto.snappy_decompress(proto.snappy_compress(data)) == data
+
+
+_I64 = st.integers(min_value=0, max_value=2**62)
+_F64 = st.floats(allow_nan=False, width=64)
+
+
+@settings(max_examples=100, **_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(st.text(min_size=1, max_size=8), st.text(max_size=8),
+                            min_size=0, max_size=4),
+            st.lists(st.tuples(_F64, _I64), max_size=5),
+        ),
+        max_size=4,
+    )
+)
+def test_write_request_proto_roundtrip(series):
+    from monolith_spark.sources import remote as proto
+
+    req = proto.WriteRequest(
+        timeseries=[
+            proto.TimeSeries(labels, [proto.Sample(v, t) for v, t in samples])
+            for labels, samples in series
+        ]
+    )
+    got = proto.decode_write_request(
+        proto.snappy_decompress(proto.snappy_compress(proto.encode_write_request(req)))
+    )
+    assert got == req
+
+
+@settings(max_examples=100, **_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            _I64, _I64,
+            st.lists(
+                st.tuples(st.sampled_from([0, 1, 2, 3]),
+                          st.text(max_size=6), st.text(max_size=6)),
+                max_size=3,
+            ),
+            st.none() | st.tuples(_I64, st.sampled_from(["", "avg", "max_over_time"])),
+        ),
+        max_size=3,
+    )
+)
+def test_read_request_proto_roundtrip(queries):
+    from monolith_spark.sources import remote as proto
+
+    req = proto.ReadRequest(
+        queries=[
+            proto.Query(
+                start, end,
+                [proto.LabelMatcher(t, n, v) for t, n, v in ms],
+                hints=None if h is None else proto.ReadHints(step_ms=h[0], func=h[1]),
+            )
+            for start, end, ms, h in queries
+        ]
+    )
+    got = proto.decode_read_request(proto.encode_read_request(req))
+    # message-typed fields keep presence on the wire: an all-default
+    # ReadHints still encodes as an (empty) length-delimited field
+    assert got == req
+
+
 @st.composite
 def _workload(draw):
     series = draw(
