@@ -281,3 +281,36 @@ class MonolithDB:
             .filter(F.col("value").isNotNull())
             .distinct()
         )
+
+    def label_names(self) -> DataFrame:
+        """Distinct label keys across all series (Prometheus labels API
+        analog) — an explode over the megabyte-scale dim, never the
+        fact table."""
+        return (
+            self.series()
+            .select(F.explode(F.map_keys("labels")).alias("name"))
+            .distinct()
+        )
+
+    def drop_chunks_before(self, cutoff_ms: int) -> int:
+        """Retention: delete whole chunk partitions whose time range
+        ends before cutoff_ms. Partition-level file deletion — no
+        rewrite, no scan of surviving data (the operational piece the
+        reference's sealed-chunk list implies but never implements;
+        chunks accumulate forever in /root/reference/src/db.rs:22-32).
+        Returns the number of chunks dropped.
+        """
+        import shutil
+
+        if not os.path.isdir(self.samples_path):
+            return 0
+        dropped = 0
+        for name in sorted(os.listdir(self.samples_path)):
+            if not name.startswith("chunk_id="):
+                continue
+            cid = int(name.split("=", 1)[1])
+            chunk_end_ms = (cid + 1) * self.chunk_size_ms - 1
+            if chunk_end_ms < cutoff_ms:
+                shutil.rmtree(os.path.join(self.samples_path, name))
+                dropped += 1
+        return dropped

@@ -158,6 +158,25 @@ def test_g4_chunk_dir_codec():
     assert decode_chunk_dir("639d02ba000000035bafab72") == (1671234234, 14423141234)
 
 
+def test_label_names_and_retention(spark, tmp_path):
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": "a", "dc": "x"}, 1_000, 1.0),     # chunk 0
+         ({"job": "b"}, 61_000, 2.0),               # chunk 1
+         ({"job": "a", "env": "p"}, 121_000, 3.0)], # chunk 2
+        SAMPLES_SCHEMA))
+    assert {r["name"] for r in db.label_names().collect()} == {"job", "dc", "env"}
+
+    # retention: cutoff inside chunk 1 → only chunk 0 (ends 59_999) drops
+    assert db.drop_chunks_before(70_000) == 1
+    res = {r["signature"] for r in db.query({}, 0, 10**9).collect()}
+    assert res == {"job=b", "env=p,job=a"}
+    # idempotent; nothing else qualifies
+    assert db.drop_chunks_before(70_000) == 0
+
+
 def test_storage_beats_reference_16_byte_records(spark, tmp_path):
     # E6: the reference's dormant Gorilla codec exists to beat its
     # 16-byte-per-point storage blobs (SURVEY §4.4). Parquet encodings
