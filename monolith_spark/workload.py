@@ -325,6 +325,37 @@ def ts_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_sum_by_label",
+    f"""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value,
+           count(*) AS n_points
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1, 2
+    """,
+)
+def ts_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `sum by (event_type)` per day: cross-series aggregation
+    keyed by a label subset — one shuffle on (label, day) with map-side
+    partials; series identity deliberately collapses."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    return (
+        s.select(
+            F.try_element_at("labels", F.lit("event_type")).alias("event_type"),
+            F.date_format(
+                F.timestamp_millis((F.col("timestamp") / 86_400_000).cast("long") * 86_400_000),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(_sum_value().alias("sum_value"), F.count("*").alias("n_points"))
+    )
+
+
+@_q(
     "ts_counter_increase",
     f"""
     SELECT signature,
