@@ -96,15 +96,19 @@ def downsample(
 def latest(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestamp") -> DataFrame:
     """Most-recent point per series (Prometheus instant-vector analog).
 
-    Deterministic tie-break (ts desc, value desc) so results are stable
-    across engines and shuffle orders.
+    Implemented as max(struct(ts, value)) — lexicographic struct max
+    gives the (ts desc, value desc) tie-break AND aggregates with
+    map-side partials: the shuffle carries one row per (partition,
+    series), not every point, unlike a row_number window which must
+    sort-shuffle the full input. Output column order matches the
+    input's (key_cols, ts, value).
     """
     key_cols = key_cols or ["series_id"]
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts).desc(), F.col("value").desc())
+    top = F.max(F.struct(F.col(ts), F.col("value"))).alias("__top")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*key_cols)
+        .agg(top)
+        .select(*key_cols, F.col(f"__top.{ts}").alias(ts), F.col("__top.value").alias("value"))
     )
 
 
