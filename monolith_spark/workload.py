@@ -547,6 +547,49 @@ def tpch_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_rollup_revenue",
+    """
+    SELECT coalesce(r_name, '(all)') AS r_name,
+           coalesce(n_name, '(all)') AS n_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: region → nation → grand-total rollup in one
+    aggregation pass (Spark Expand feeds one shuffle — cheaper than
+    three separate aggregations and a union at any scale)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@_q(
     "topk_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
