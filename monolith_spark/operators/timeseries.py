@@ -112,6 +112,52 @@ def latest(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestam
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts: str = "timestamp",
+    right_value: str = "value",
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to every left row the most
+    recent right value with right.ts <= left.ts (inclusive), per key.
+
+    Spark has no native as-of join; the scalable composition is
+    union + running last_value — ONE sort-shuffle on the key, never a
+    range/cross join (candidate blowup at scale) and never a per-key
+    loop. Right rows order before left rows at equal ts, which is what
+    makes the bound inclusive (same semantics as DuckDB/kdb ASOF).
+
+    ``right`` must be unique per (key, ts) — pre-aggregate if not
+    (ambiguous as-of picks are engine-dependent otherwise).
+    """
+    lcols = list(left.columns)
+    ltypes = dict(left.dtypes)
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast("double")
+    )
+    r = right.select(
+        *key_cols, F.col(ts), F.col(right_value).cast("double").alias("__rv")
+    ).withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
+    combined = l.select(*lcols, "__side", "__rv").unionByName(
+        r.select(*lcols, "__side", "__rv")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        combined.withColumn(out_col, F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__rv")
+    )
+
+
 def delta_stats(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestamp") -> DataFrame:
     """Per-series consecutive-point deltas (rate()-style building block).
 

@@ -34,7 +34,9 @@ from monolith_spark.labels import (
     matcher_predicate,
     superset_predicate,
 )
+from monolith_spark.operators import timeseries as _tsops
 from monolith_spark.operators.timeseries import latest as _latest
+from monolith_spark.sources import events as _events
 from monolith_spark.sources.events import SIG_SQL, events_samples
 
 # Epoch-ms constants (UTC) inside the events table's 2024-01 range.
@@ -352,6 +354,47 @@ def ts_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day")
         .agg(_sum_value().alias("sum_value"), F.count("*").alias("n_points"))
+    )
+
+
+@_q(
+    "ts_asof_join",
+    f"""
+    WITH l AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, value
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    r AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS rv
+      FROM events
+      WHERE event_type = 'click' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2
+    )
+    SELECT l.user_id, l.ts_ms, l.value, r.rv AS last_click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+    """,
+)
+def ts_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent click
+    value at-or-before it (point-in-time semantics; DuckDB's native
+    ASOF JOIN is the oracle). See operators/timeseries.py:asof_join
+    for the union+last_value composition — one shuffle, no range join."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        _events.ts_range_pred(JAN1, JAN20)
+    )
+    ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", ms, "value")
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", ms, "value")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("value").alias("rv"))
+    )
+    return _tsops.asof_join(
+        left, right, key_cols=["user_id"], ts="ts_ms",
+        right_value="rv", out_col="last_click_value",
     )
 
 

@@ -158,6 +158,27 @@ def test_g4_chunk_dir_codec():
     assert decode_chunk_dir("639d02ba000000035bafab72") == (1671234234, 14423141234)
 
 
+def test_asof_join_semantics(spark):
+    from monolith_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 15, 1.5), (2, 5, 9.0)],
+        "k long, timestamp long, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 16, 160.0), (2, 50, 500.0)],
+        "k long, timestamp long, value double",
+    )
+    out = {
+        (r["k"], r["timestamp"]): r["asof_value"]
+        for r in asof_join(left, right, key_cols=["k"]).collect()
+    }
+    assert out[(1, 10)] == 100.0   # equal ts → inclusive
+    assert out[(1, 15)] == 100.0   # between right points → earlier one
+    assert out[(1, 20)] == 160.0
+    assert out[(2, 5)] is None     # right exists only later → no match
+
+
 def test_label_names_and_retention(spark, tmp_path):
     from monolith_spark.labels import SAMPLES_SCHEMA
 
