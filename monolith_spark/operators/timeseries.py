@@ -158,6 +158,44 @@ def asof_join(
     )
 
 
+def range_join(
+    samples: DataFrame,
+    intervals: DataFrame,
+    ts: str = "timestamp",
+    start: str = "start_ms",
+    end: str = "end_ms",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Interval-containment join: samples ⋈ intervals where
+    start <= ts <= end (inclusive), returning all columns of both.
+
+    A naive theta-join is a nested-loop (every sample × every
+    interval). Bucket blocking makes it an equi-join: each interval
+    explodes into the time buckets it covers, samples hash to one
+    bucket, and the exact BETWEEN runs only on bucket-colliding pairs.
+    Shuffle is |samples| + Σ interval spans / bucket_ms — linear, and
+    overlapping intervals are fine (a sample can match many).
+    Pick bucket_ms near the median interval span: bigger → fewer
+    interval replicas, smaller → tighter candidate sets.
+    """
+    b = F.floor(F.col(ts) / F.lit(bucket_ms))
+    s = samples.withColumn("__bucket", b)
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / F.lit(bucket_ms)),
+                F.floor(F.col(end) / F.lit(bucket_ms)),
+            )
+        ),
+    )
+    return (
+        s.join(i, "__bucket")
+        .filter(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("__bucket")
+    )
+
+
 def delta_stats(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestamp") -> DataFrame:
     """Per-series consecutive-point deltas (rate()-style building block).
 

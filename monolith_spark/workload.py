@@ -399,6 +399,42 @@ def ts_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_range_join_windows",
+    f"""
+    WITH w AS (
+      SELECT g AS window_id,
+             {JAN1} + g * {2 * DAY_MS} AS start_ms,
+             {JAN1} + g * {2 * DAY_MS} + {3 * DAY_MS} - 1 AS end_ms
+      FROM generate_series(0, 9) t(g)
+    )
+    SELECT w.window_id,
+           count(*) AS n_points,
+           CAST(sum(CAST(e.value AS {DEC})) AS DOUBLE) AS sum_value
+    FROM events e JOIN w ON epoch_ms(e.ts) BETWEEN w.start_ms AND w.end_ms
+    GROUP BY 1
+    """,
+)
+def ts_range_join_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: 10 OVERLAPPING 3-day windows (every 2 days) against
+    the sample stream, via bucket-blocked equi-join (see
+    operators/timeseries.py:range_join) — no nested-loop stage."""
+    s = events_samples(spark, sf_dir, with_signature=False)
+    base = F.lit(JAN1)
+    intervals = (
+        spark.range(10)
+        .select(
+            F.col("id").alias("window_id"),
+            (base + F.col("id") * (2 * DAY_MS)).alias("start_ms"),
+            (base + F.col("id") * (2 * DAY_MS) + 3 * DAY_MS - 1).alias("end_ms"),
+        )
+    )
+    joined = _tsops.range_join(s, intervals, ts="timestamp")
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_points"), _sum_value().alias("sum_value")
+    )
+
+
+@_q(
     "ts_counter_increase",
     f"""
     SELECT signature,

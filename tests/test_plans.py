@@ -92,6 +92,8 @@ def test_approx_similarity_plans_avoid_cartesian(spark, sf_dir):
         "minhash_lsh": dedup.minhash_lsh_pairs(docs),
         "simhash": dedup.simhash_pairs(docs),
     }
+    scale_paths["range_join"] = all_queries()["ts_range_join_windows"].spark_fn(spark, sf_dir)
+    scale_paths["asof_join"] = all_queries()["ts_asof_join"].spark_fn(spark, sf_dir)
     for name, df in scale_paths.items():
         plan = _plan(df)
         assert "CartesianProduct" not in plan, name
