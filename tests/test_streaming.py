@@ -143,6 +143,39 @@ def test_stateful_running_series_stats(spark, tmp_path):
     assert (gauge["n"], gauge["sum"], gauge["increase"]) == (2, 14.0, 0.0)
 
 
+def test_continuous_rollup_matches_batch_downsample(spark, tmp_path):
+    # Partials appended per micro-batch must merge to exactly the
+    # batch downsample of all the data, across batch boundaries that
+    # SPLIT a bucket; replays must not double-count.
+    from monolith_spark.streaming.rollup import ContinuousRollup
+
+    src = str(tmp_path / "src")
+    # bucket [0, 60s): points in both batches; bucket [60s, 120s): one
+    _write_slice(spark, src, [({"m": "a"}, 1000, 1.0), ({"m": "a"}, 2000, 5.0)])
+    _write_slice(spark, src, [({"m": "a"}, 3000, 3.0), ({"m": "a"}, 61_000, 7.0),
+                              ({"m": "b"}, 1000, 10.0)])
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    roll = ContinuousRollup(db, step_ms=60_000)
+    q = roll.start(samples_file_stream(spark, src, max_files_per_trigger=1),
+                   str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {(r["series_id"], r["bucket_ms"]): r for r in roll.read().collect()}
+    # series m=a, bucket 0 has 3 points split across the two batches
+    a_rows = [r for r in rows.values() if r["n_points"] == 3]
+    assert len(a_rows) == 1
+    a0 = a_rows[0]
+    assert (a0["sum_value"], a0["min_value"], a0["max_value"], a0["avg_value"]) == (9.0, 1.0, 5.0, 3.0)
+    assert {r["n_points"] for r in rows.values()} == {3, 1}
+    # replaying an epoch is a no-op (idempotent partials)
+    batch = spark.createDataFrame([({"m": "a"}, 1500, 100.0)], SAMPLES_SCHEMA)
+    roll.process_batch(batch, epoch_id=0)  # epoch 0 already done
+    rows2 = {(r["series_id"], r["bucket_ms"]): r["sum_value"] for r in roll.read().collect()}
+    assert rows2 == {k: r["sum_value"] for k, r in rows.items()}
+
+
 def test_multimodal_resize(spark):
     from monolith_spark.operators import multimodal as mm
 
