@@ -112,6 +112,36 @@ def latest(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestam
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    gap_ms: int,
+    ts: str = "timestamp",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based session assignment: rows of a key belong to the same
+    session while consecutive gaps are <= gap_ms; a larger gap starts a
+    new session. Adds ``session_id`` (0-based per key, in time order).
+
+    lag + cumulative sum over one (key, time) sort shuffle — the
+    standard linear sessionization; no self-join, no state blowup.
+    ``order_cols`` break ties at equal timestamps deterministically
+    (default: value if present).
+    """
+    order_cols = order_cols if order_cols is not None else (
+        ["value"] if "value" in df.columns else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts), *[F.col(c) for c in order_cols])
+    prev = F.lag(F.col(ts)).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(ts) - prev) > F.lit(gap_ms)), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts), *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", (F.sum(new_session).over(cum) - F.lit(1)).cast("long"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -435,6 +435,51 @@ def ts_range_join_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, value
+      FROM events WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN8}
+    ),
+    flagged AS (
+      SELECT user_id, ts_ms, value,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w > {6 * 3_600_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, value)
+    ),
+    sess AS (
+      SELECT user_id, ts_ms,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, value
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts_ms) AS start_ms,
+           max(ts_ms) AS end_ms
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def ts_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity gap) per user over one
+    week — lag + cumulative-sum session ids, then per-session rollup
+    (see operators/timeseries.py:sessionize)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(_events.ts_range_pred(JAN1, JAN8))
+        .select("user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"), "value")
+    )
+    sess = _tsops.sessionize(ev, key_cols=["user_id"], gap_ms=6 * 3_600_000, ts="ts_ms")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+    )
+
+
+@_q(
     "ts_counter_increase",
     f"""
     SELECT signature,
