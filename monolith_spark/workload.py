@@ -1063,6 +1063,52 @@ def docs_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_hash_sample",
+    """
+    SELECT doc_id, length(text) AS n_chars_c
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 2
+    """,
+)
+def docs_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample by content-hash of the key — the
+    reproducible alternative to TABLESAMPLE for training-data splits
+    (same rows on any engine, any partitioning, any run)."""
+    docs = _docs(spark, sf_dir)
+    bucket = _text.hash60_expr(F.col("doc_id").cast("string")) % 10
+    return docs.filter(bucket < 2).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_c")
+    )
+
+
+@_q(
+    "text_top_ngrams",
+    f"""
+    WITH t AS (SELECT unnest({_W}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1)
+    SELECT tok, n, rank FROM (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM c
+    ) WHERE rank <= 20
+    """,
+)
+def text_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (vocabulary head): explode →
+    count (map-side partials) → global top-k with deterministic
+    tie-break."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(_text.tokens_expr("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # global top-k as distributed TakeOrdered (orderBy+limit), THEN a
+    # rank over the 20 survivors — never a whole-vocabulary window
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(20)
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "tok", "n", "rank"
+    )
+
+
+@_q(
     "dedup_embedding_pairs",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
