@@ -97,6 +97,31 @@ class StreamingIngest:
         return writer.start()
 
 
+def dedup_stream(samples_stream: DataFrame, watermark_delay: str = "1 minute") -> DataFrame:
+    """Drop duplicate samples across micro-batches (retransmission
+    safety: Prometheus remote-write clients retry whole batches on
+    timeout, so at-least-once delivery duplicates points).
+
+    Watermarked dropDuplicates keys on (series_id, timestamp, value);
+    state for a key is releasable once the watermark passes it, so
+    state size is bounded by the delay window — not by stream history.
+    The map-typed labels column can't be a dedup key (maps aren't
+    comparable); the content-hash series_id is its stand-in and is
+    re-derived downstream anyway.
+    """
+    from pyspark.sql import functions as F
+
+    from monolith_spark.labels import series_id_expr
+
+    return (
+        samples_stream.withColumn("series_id", series_id_expr("labels"))
+        .withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .withWatermark("event_time", watermark_delay)
+        .dropDuplicates(["series_id", "timestamp", "value"])
+        .drop("series_id", "event_time")
+    )
+
+
 def samples_file_stream(spark, source_dir: str, max_files_per_trigger: int = 10) -> DataFrame:
     """File-based streaming source of samples parquet (the test/demo
     stand-in for a Kafka remote-write feed, SURVEY §2.1 S1)."""

@@ -143,6 +143,27 @@ def test_stateful_running_series_stats(spark, tmp_path):
     assert (gauge["n"], gauge["sum"], gauge["increase"]) == (2, 14.0, 0.0)
 
 
+def test_dedup_stream_drops_retransmitted_samples(spark, tmp_path):
+    # remote-write retry: batch 2 re-sends batch 1's point alongside a
+    # new one — the duplicate must not reach storage
+    from monolith_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "src")
+    _write_slice(spark, src, [({"m": "d"}, 1000, 1.0)])
+    _write_slice(spark, src, [({"m": "d"}, 1000, 1.0), ({"m": "d"}, 2000, 2.0)])
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    ingest = StreamingIngest(db)
+    stream = dedup_stream(samples_file_stream(spark, src, max_files_per_trigger=1))
+    q = ingest.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    res = db.query({"m": "d"}, 0, 100_000).collect()
+    pts = [(p["timestamp"], p["value"]) for p in res[0]["points"]]
+    assert pts == [(1000, 1.0), (2000, 2.0)]
+
+
 def test_continuous_rollup_matches_batch_downsample(spark, tmp_path):
     # Partials appended per micro-batch must merge to exactly the
     # batch downsample of all the data, across batch boundaries that
