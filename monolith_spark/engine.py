@@ -232,17 +232,30 @@ class MonolithDB:
         import shutil
 
         part = os.path.join(self.samples_path, f"chunk_id={chunk_id}")
+        prior_old = os.path.join(self.path, "_compact", f"chunk_{chunk_id}.old")
         if not os.path.isdir(part):
-            return False
+            # crash recovery: a previous run died between the two
+            # renames — the live data is the staged .old; restore it.
+            if os.path.isdir(prior_old):
+                os.rename(prior_old, part)
+            else:
+                return False
         in_bytes = sum(
             os.path.getsize(os.path.join(part, f))
             for f in os.listdir(part)
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-in_bytes // target_bytes))
-        tmp = part + ".compact.tmp"
-        old = part + ".compact.old"
+        # Staging dirs live OUTSIDE samples_path: a crash mid-swap must
+        # never leave a non-integer "chunk_id=..." dir that partition
+        # discovery would misparse, and concurrent readers must never
+        # see tmp data alongside the live partition.
+        staging = os.path.join(self.path, "_compact")
+        os.makedirs(staging, exist_ok=True)
+        tmp = os.path.join(staging, f"chunk_{chunk_id}.tmp")
+        old = os.path.join(staging, f"chunk_{chunk_id}.old")
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         (
             self.spark.read.parquet(part)
             .repartition(n_files, "series_id")
@@ -265,7 +278,10 @@ class MonolithDB:
         for name in sorted(os.listdir(self.samples_path)):
             if not name.startswith("chunk_id="):
                 continue
-            cid = int(name.split("=", 1)[1])
+            try:
+                cid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue  # not a partition dir — never wedge maintenance
             if cid in exclude:
                 continue
             done += int(self.compact_chunk(cid))
@@ -308,7 +324,10 @@ class MonolithDB:
         for name in sorted(os.listdir(self.samples_path)):
             if not name.startswith("chunk_id="):
                 continue
-            cid = int(name.split("=", 1)[1])
+            try:
+                cid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
             chunk_end_ms = (cid + 1) * self.chunk_size_ms - 1
             if chunk_end_ms < cutoff_ms:
                 shutil.rmtree(os.path.join(self.samples_path, name))

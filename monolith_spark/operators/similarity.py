@@ -24,6 +24,19 @@ def _dbl(v: Column | str) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the data (one-row action).
+
+    A wrong hardcoded dim is silent poison for hyperplane signatures:
+    zip_with null-pads, the fold goes NULL, every signature collapses
+    to 0 and LSH blocking degrades to one quadratic bucket.
+    """
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double (order-deterministic)."""
     return F.aggregate(
@@ -157,7 +170,7 @@ def embedding_near_dup_lsh(
     threshold: float = 0.4,
     planes: int = 4,
     num_tables: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -169,6 +182,8 @@ def embedding_near_dup_lsh(
     (table, signature): the corpus is hashed map-side and never
     all-pairs joined — linear shuffle at any corpus size.
     """
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("vid"),
         _dbl(vec_col).alias("vec"),
@@ -248,13 +263,22 @@ def train_ivf_centroids(
 
 
 def _cell_sims(vec_col: Column | str, centroids: list[list[float]]) -> Column:
-    """array<struct<s: double, cid: int>> of cosine(vec, centroid),
-    one narrow projection — no shuffle, no join."""
+    """array<struct<s: double, cid: int>> scoring vec against each
+    centroid; one narrow projection — no shuffle, no join.
+
+    Score is dot(v, c)/||c|| with ||c|| a driver-side constant — same
+    argmax/ordering as cosine (||v|| is constant per row) without
+    re-folding the row norm once per centroid.
+    """
+    import math
+
+    v = _dbl(vec_col)
     structs = []
     for cid, c in enumerate(centroids):
+        nc = math.sqrt(sum(x * x for x in c)) or 1.0
         lit = F.array(*[F.lit(float(x)) for x in c])
         structs.append(
-            F.struct(cosine_expr(vec_col, lit).alias("s"), F.lit(cid).alias("cid"))
+            F.struct((dot_expr(v, lit) / F.lit(nc)).alias("s"), F.lit(cid).alias("cid"))
         )
     return F.array(*structs)
 
@@ -325,7 +349,7 @@ def lsh_topk(
     k: int = 10,
     planes: int = 4,
     num_tables: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -340,6 +364,8 @@ def lsh_topk(
     the vectors themselves), and candidates per query are bounded by
     bucket occupancy. Recall is tested against brute_force_topk.
     """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _dbl(vec_col).alias("c_vec"),

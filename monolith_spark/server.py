@@ -57,7 +57,16 @@ _HINT_AGGS = {
 
 def _evaluate_hinted(db: MonolithDB, matchers, q: proto.Query) -> list[proto.TimeSeries] | None:
     """Server-side step downsampling when hints carry a known func
-    (SURVEY §7.2 M5); returns None → caller uses the raw-points path."""
+    (SURVEY §7.2 M5); returns None → caller uses the raw-points path.
+
+    Caveat, by design: the response carries one PRE-AGGREGATED sample
+    per step bucket. A client that re-applies its own aggregation over
+    these (plain Prometheus treats hints as advisory) should use the
+    raw path instead — that is why unknown funcs fall back to raw.
+    Bucket stamps are clamped into [start, end] so no sample lies
+    outside the requested range (the first bucket's floor-aligned
+    start can precede the query start).
+    """
     h = q.hints
     agg = _HINT_AGGS.get(h.func) if (h and h.step_ms > 0) else None
     if agg is None:
@@ -68,6 +77,10 @@ def _evaluate_hinted(db: MonolithDB, matchers, q: proto.Query) -> list[proto.Tim
 
     flat = db.query_flat(matchers, q.start_timestamp_ms, q.end_timestamp_ms)
     ds = downsample(flat, h.step_ms, key_cols=["series_id", "signature"], agg=agg)
+    ds = ds.withColumn(
+        "bucket_ms",
+        F.greatest(F.col("bucket_ms"), F.lit(q.start_timestamp_ms)),
+    )
     rows = (
         ds.join(F.broadcast(db.series().select("series_id", "labels")), "series_id")
         .orderBy("signature", "bucket_ms")

@@ -98,20 +98,27 @@ def events_samples(
         ev = ev.filter(superset_pred_raw(matchers))
     if label_matchers:
         ev = ev.filter(matcher_pred_raw(label_matchers))
+    out = _project_samples(ev)
+    if with_signature:
+        out = out.withColumn("signature", signature_expr("labels"))
+    return out
+
+
+def _project_samples(ev: DataFrame) -> DataFrame:
+    """The one canonical events→samples projection — shared by the
+    batch and streaming paths so batch results remain the streaming
+    oracle by construction."""
     exprs = label_exprs()
     labels = F.create_map(
         F.lit("event_type"), exprs["event_type"],
         F.lit("kb"), exprs["kb"],
         F.lit("user"), exprs["user"],
     )
-    out = ev.select(
+    return ev.select(
         labels.alias("labels"),
         F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("timestamp"),
         F.col("value"),
     )
-    if with_signature:
-        out = out.withColumn("signature", signature_expr("labels"))
-    return out
 
 
 def events_samples_stream(
@@ -141,17 +148,7 @@ def events_samples_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(staging_dir)
     )
-    exprs = label_exprs()
-    labels = F.create_map(
-        F.lit("event_type"), exprs["event_type"],
-        F.lit("kb"), exprs["kb"],
-        F.lit("user"), exprs["user"],
-    )
-    return ev.select(
-        labels.alias("labels"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("timestamp"),
-        F.col("value"),
-    )
+    return _project_samples(ev)
 
 
 # The DuckDB twin of the signature above, for oracle SQL strings.

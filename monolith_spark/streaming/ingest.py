@@ -102,12 +102,13 @@ def dedup_stream(samples_stream: DataFrame, watermark_delay: str = "1 minute") -
     safety: Prometheus remote-write clients retry whole batches on
     timeout, so at-least-once delivery duplicates points).
 
-    Watermarked dropDuplicates keys on (series_id, timestamp, value);
-    state for a key is releasable once the watermark passes it, so
-    state size is bounded by the delay window — not by stream history.
-    The map-typed labels column can't be a dedup key (maps aren't
-    comparable); the content-hash series_id is its stand-in and is
-    re-derived downstream anyway.
+    The watermarked event-time column MUST be among the dedup keys —
+    that is what lets Spark evict state once the watermark passes it
+    (otherwise state grows with stream history, not with the delay
+    window). event_time is derived 1:1 from timestamp, so including it
+    changes no semantics. The map-typed labels column can't be a dedup
+    key (maps aren't comparable); the content-hash series_id is its
+    stand-in and is re-derived downstream anyway.
     """
     from pyspark.sql import functions as F
 
@@ -117,7 +118,7 @@ def dedup_stream(samples_stream: DataFrame, watermark_delay: str = "1 minute") -
         samples_stream.withColumn("series_id", series_id_expr("labels"))
         .withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
         .withWatermark("event_time", watermark_delay)
-        .dropDuplicates(["series_id", "timestamp", "value"])
+        .dropDuplicates(["series_id", "event_time", "value"])
         .drop("series_id", "event_time")
     )
 

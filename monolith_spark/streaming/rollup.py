@@ -65,7 +65,13 @@ class ContinuousRollup:
         marker = os.path.join(self._epochs_dir, f"{epoch_id}.done")
         if os.path.exists(marker):
             return
-        bucket_partials(batch_df, self.step_ms).write.mode("append").parquet(self.path)
+        # Per-epoch partition dir + overwrite: a replay after a crash
+        # BETWEEN the write and the marker rewrites the same dir rather
+        # than appending a second copy — idempotent even without the
+        # marker (which remains as a cheap skip).
+        bucket_partials(batch_df, self.step_ms).write.mode("overwrite").parquet(
+            os.path.join(self.path, f"epoch={epoch_id}")
+        )
         with open(marker, "w") as f:
             f.write("")
 

@@ -61,8 +61,12 @@ def _update(
         n, s, mn, mx, last_ts, last_v, inc = state.get
     else:
         n, s, mn, mx, last_ts, last_v, inc = 0, 0.0, float("inf"), float("-inf"), -1, 0.0, 0.0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("timestamp")
+    # A big group arrives as SEVERAL Arrow chunks with no cross-chunk
+    # ordering guarantee — sorting each chunk alone would fire spurious
+    # counter resets at chunk boundaries. Concat first, sort once.
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("timestamp")
         for ts, v in zip(pdf["timestamp"], pdf["value"]):
             ts, v = int(ts), float(v)
             if n > 0:

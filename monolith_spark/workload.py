@@ -1015,21 +1015,25 @@ _EMB_TAU = 0.4  # synthetic embeddings are random: max pair cosine ~0.6
     SELECT doc_id,
            len(bt) AS n_bpe_tokens,
            len(list_distinct(bt)) AS n_distinct_bpe,
-           CAST(list_reduce(list_transform(bt, x -> length(x)), (a,b) -> a+b) AS DOUBLE)
-             / len(bt) AS avg_bpe_len
+           CASE WHEN len(bt) = 0 THEN NULL ELSE
+             CAST(list_reduce(list_transform(bt, x -> length(x)), (a,b) -> a+b) AS DOUBLE)
+               / len(bt) END AS avg_bpe_len
     FROM t
     """,
 )
 def text_tokens_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex pretokenization counts (vs text_stats' whitespace
-    tokens) — pure codegen'd regexp_extract_all, no Python."""
+    tokens) — pure codegen'd regexp_extract_all, no Python. Empty/
+    whitespace-only docs: counts 0, avg NULL on BOTH sides (DuckDB's
+    list_reduce errors on empty lists without the CASE guard)."""
     bt = _text.bpe_tokens_expr("text")
     total_len = F.aggregate(F.transform(bt, F.length), F.lit(0), lambda a, x: a + x)
+    n = F.size(bt)
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.size(bt).cast("long").alias("n_bpe_tokens"),
+        n.cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(bt)).cast("long").alias("n_distinct_bpe"),
-        (total_len.cast("double") / F.size(bt)).alias("avg_bpe_len"),
+        F.when(n > 0, total_len.cast("double") / n).alias("avg_bpe_len"),
     )
 
 

@@ -247,6 +247,14 @@ def test_compact_chunk_merges_files_preserves_results(spark, tmp_path):
     # missing partition → no-op; compact() skips excluded chunks
     assert db.compact_chunk(99) is False
     assert db.compact(exclude_chunk_ids={0}) == 0
+    # staging never leaks into the partition namespace
+    assert not any(".compact" in d for d in os.listdir(db.samples_path))
+    # crash between the two swap renames: partition gone, .old staged —
+    # next compact restores and completes
+    os.rename(part, os.path.join(db.path, "_compact", "chunk_0.old"))
+    assert db.compact_chunk(0) is True
+    assert {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+            for r in db.query({}, 0, 100_000).collect()} == before
 
 
 def test_label_values(spark, tmp_path):

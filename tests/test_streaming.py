@@ -195,6 +195,13 @@ def test_continuous_rollup_matches_batch_downsample(spark, tmp_path):
     roll.process_batch(batch, epoch_id=0)  # epoch 0 already done
     rows2 = {(r["series_id"], r["bucket_ms"]): r["sum_value"] for r in roll.read().collect()}
     assert rows2 == {k: r["sum_value"] for k, r in rows.items()}
+    # crash BETWEEN write and marker: replay must overwrite, not append
+    os.remove(os.path.join(roll._epochs_dir, "1.done"))
+    roll.process_batch(spark.createDataFrame(
+        [({"m": "a"}, 3000, 3.0), ({"m": "a"}, 61_000, 7.0), ({"m": "b"}, 1000, 10.0)],
+        SAMPLES_SCHEMA), epoch_id=1)
+    rows3 = {(r["series_id"], r["bucket_ms"]): r["sum_value"] for r in roll.read().collect()}
+    assert rows3 == rows2
 
 
 def test_multimodal_resize(spark):
