@@ -77,7 +77,7 @@ def main() -> None:
             db.query({"event_type": "click"}, 0, 4_000_000_000_000)))
         timed("exact_lookup", lambda: _force(
             db.query_exact(
-                {"event_type": "purchase", "kb": "8", "user": "12"}, 0, 4_000_000_000_000)))
+                {"event_type": "purchase", "kb": "6", "user": "11"}, 0, 4_000_000_000_000)))
 
         queries = all_queries()
         for name in WORKLOAD_NAMES:

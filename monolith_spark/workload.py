@@ -116,7 +116,7 @@ def ts_multi_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value
     FROM events
-    WHERE {SIG_SQL} = 'event_type=purchase,kb=8,user=12'
+    WHERE {SIG_SQL} = 'event_type=purchase,kb=6,user=11'
       AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
     """,
 )
@@ -128,11 +128,11 @@ def ts_exact_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matchers too lets the equality predicates reach the parquet scan.
     s = events_samples(
         spark, sf_dir,
-        matchers={"event_type": "purchase", "kb": "8", "user": "12"},
+        matchers={"event_type": "purchase", "kb": "6", "user": "11"},
         ts_range=(JAN1, JAN20),
     )
     return (
-        s.filter(F.col("signature") == "event_type=purchase,kb=8,user=12")
+        s.filter(F.col("signature") == "event_type=purchase,kb=6,user=11")
         .select("signature", F.col("timestamp").alias("ts_ms"), "value")
     )
 
