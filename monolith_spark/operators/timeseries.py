@@ -67,6 +67,38 @@ def to_timeseries(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame
     return df.groupBy(*key_cols).agg(*aggs)
 
 
+def to_timeseries_salted(
+    df: DataFrame, key_cols: list[str] | None = None, salt: int = 16
+) -> DataFrame:
+    """A1 assembly for skewed series: two-stage collect.
+
+    A single pathologically hot series makes plain
+    groupBy(series).collect_list route ALL its points to one reducer
+    (the skew risk called out in SCALE.md — AQE can split skewed join
+    partitions but not a skewed aggregation key). Salting splits each
+    series into `salt` sub-groups first (uniform by timestamp hash),
+    collects partial sorted arrays, then merges the ≤`salt` arrays per
+    series — the second stage shuffles one array-row per (series,
+    salt), not per point. Output is identical to to_timeseries.
+    """
+    key_cols = key_cols or ["series_id"]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col("timestamp")), F.lit(salt)))
+    partial_aggs = [
+        F.sort_array(
+            F.collect_list(F.struct(F.col("timestamp"), F.col("value")))
+        ).alias("partial")
+    ]
+    if "labels" in df.columns and "labels" not in key_cols:
+        partial_aggs.insert(0, F.first("labels").alias("labels"))
+    partials = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
+    final_aggs = [
+        F.sort_array(F.flatten(F.collect_list(F.col("partial")))).alias("points")
+    ]
+    if "labels" in df.columns and "labels" not in key_cols:
+        final_aggs.insert(0, F.first("labels").alias("labels"))
+    return partials.groupBy(*key_cols).agg(*final_aggs)
+
+
 def downsample(
     df: DataFrame,
     step_ms: int,

@@ -158,6 +158,20 @@ def test_g4_chunk_dir_codec():
     assert decode_chunk_dir("639d02ba000000035bafab72") == (1671234234, 14423141234)
 
 
+def test_salted_assembly_equals_plain(spark, sf_dir):
+    from monolith_spark.operators.timeseries import to_timeseries, to_timeseries_salted
+    from monolith_spark.sources.events import events_samples
+
+    s = events_samples(spark, sf_dir).select(
+        "signature", "labels", "timestamp", "value"
+    )
+    plain = {r["signature"]: r["points"]
+             for r in to_timeseries(s, key_cols=["signature"]).collect()}
+    salted = {r["signature"]: r["points"]
+              for r in to_timeseries_salted(s, key_cols=["signature"], salt=8).collect()}
+    assert salted == plain
+
+
 def test_asof_join_semantics(spark):
     from monolith_spark.operators.timeseries import asof_join
 
