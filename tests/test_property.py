@@ -48,6 +48,62 @@ def test_signature_injective_and_matches_python_model(spark, label_sets):
     assert len(set(got)) == len(label_sets)
 
 
+# regex-safe alphabet for RE/NRE values (no metacharacters)
+_SAFE_VAL = st.text(alphabet="abc", min_size=0, max_size=3)
+_SAFE_LABELS = st.dictionaries(_KEY, _SAFE_VAL, min_size=0, max_size=3)
+
+
+@st.composite
+def _matcher_case(draw):
+    from monolith_spark.labels import EQ, NEQ, NRE, RE, LabelMatcher
+
+    label_sets = draw(st.lists(_SAFE_LABELS, min_size=1, max_size=5))
+    matchers = []
+    for _ in range(draw(st.integers(0, 3))):
+        mtype = draw(st.sampled_from([EQ, NEQ, RE, NRE]))
+        name = draw(_KEY)
+        if mtype in (RE, NRE) and draw(st.booleans()):
+            value = f"{draw(_SAFE_VAL)}|{draw(_SAFE_VAL)}"  # alternation
+        else:
+            value = draw(_SAFE_VAL)
+        matchers.append(LabelMatcher(name, value, mtype))
+    return label_sets, matchers
+
+
+@settings(max_examples=25, **_SETTINGS)
+@given(_matcher_case())
+def test_matcher_predicate_matches_python_model(spark, case):
+    import re
+
+    from monolith_spark.labels import EQ, NEQ, NRE, RE, matcher_predicate
+
+    label_sets, matchers = case
+
+    def model(labels):
+        for m in matchers:
+            v = labels.get(m.name, "")  # Prometheus: missing = ""
+            if m.type == EQ:
+                ok = v == m.value
+            elif m.type == NEQ:
+                ok = v != m.value
+            elif m.type == RE:
+                ok = re.fullmatch(f"(?:{m.value})", v) is not None
+            else:
+                assert m.type == NRE
+                ok = re.fullmatch(f"(?:{m.value})", v) is None
+            if not ok:
+                return False
+        return True
+
+    df = spark.createDataFrame(
+        [(i, labels) for i, labels in enumerate(label_sets)],
+        "i long, labels map<string,string>",
+    )
+    got = {r["i"] for r in df.filter(matcher_predicate("labels", matchers)).collect()}
+    want = {i for i, labels in enumerate(label_sets) if model(labels)}
+    assert got == want
+
+
 @settings(max_examples=200, **_SETTINGS)
 @given(st.binary(min_size=0, max_size=4096))
 def test_snappy_roundtrip_arbitrary_bytes(data):
