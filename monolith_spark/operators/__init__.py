@@ -2,7 +2,9 @@ from monolith_spark.operators.timeseries import (
     asof_join,
     downsample,
     latest,
+    moving_avg,
     range_join,
+    series_quantiles,
     sessionize,
     time_trim,
     to_timeseries,
@@ -13,7 +15,9 @@ __all__ = [
     "asof_join",
     "downsample",
     "latest",
+    "moving_avg",
     "range_join",
+    "series_quantiles",
     "sessionize",
     "time_trim",
     "to_timeseries",

@@ -278,3 +278,58 @@ def delta_stats(df: DataFrame, key_cols: list[str] | None = None, ts: str = "tim
             F.count("*").alias("n_deltas"),
         )
     )
+
+
+def moving_avg(
+    df: DataFrame,
+    window_ms: int,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    out: str = "mavg",
+) -> DataFrame:
+    """Trailing time-range moving average per series (PromQL
+    avg_over_time analog): for each point, the mean of all values of
+    the same series in [ts - window_ms, ts].
+
+    A RANGE window frame over the numeric ms timestamp — peers at
+    equal timestamps fall in every peer's frame, so the result is
+    order-independent. The sum runs in DECIMAL (bit-stable under any
+    intra-frame order); one sort shuffle on the series key, frames
+    evaluated by a sliding aggregator, never O(n·window) rescans.
+    """
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts)).rangeBetween(-window_ms, 0)
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    n = F.count("value").over(w)
+    return df.withColumn(out, s / n)
+
+
+def series_quantiles(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    key_cols: list[str] | None = None,
+    value: str = "value",
+) -> DataFrame:
+    """Per-series discrete quantiles by ordered statistic: the value at
+    row ceil(q·n) in ascending value order (1-based).
+
+    Discrete (an actual data element, no interpolation arithmetic) so
+    results are bit-identical across engines, and deterministic under
+    value ties — any row_number assignment among equal values selects
+    the same value. One sort shuffle on the series key; the two window
+    functions share a single sort.
+    """
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(value))
+    part = Window.partitionBy(*key_cols)
+    rn = F.row_number().over(w).cast("long")
+    n = F.count("*").over(part)
+    ranked = df.select(*key_cols, F.col(value), rn.alias("__rn"), n.alias("__n"))
+    aggs = [
+        F.max(
+            F.when(F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")), F.col(value))
+        ).alias(f"p{int(round(q * 100))}")
+        for q in qs
+    ]
+    aggs.append(F.max("__n").alias("n_points"))
+    return ranked.groupBy(*key_cols).agg(*aggs)

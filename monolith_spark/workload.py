@@ -521,6 +521,94 @@ def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_moving_avg",
+    f"""
+    SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(value) OVER w AS mavg_3d
+    FROM events
+    WHERE event_type = 'view' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    WINDOW w AS (
+      PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts)
+      RANGE BETWEEN {3 * DAY_MS} PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-day avg_over_time per series — RANGE frame over the
+    ms timestamp (operators/timeseries.py:moving_avg). Beyond-reference
+    window analytics (SURVEY §2.4: reference has none)."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "view"}, ts_range=(JAN1, JAN20)
+    )
+    out = _tsops.moving_avg(
+        s, window_ms=3 * DAY_MS, key_cols=["signature"], out="mavg_3d"
+    )
+    return out.select(
+        "signature", F.col("timestamp").alias("ts_ms"), "value", "mavg_3d"
+    )
+
+
+@_q(
+    "ts_quantile",
+    f"""
+    WITH ranked AS (
+      SELECT {SIG_SQL} AS signature, value,
+             row_number() OVER (PARTITION BY {SIG_SQL} ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY {SIG_SQL}) AS n
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    )
+    SELECT signature,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+           max(n) AS n_points
+    FROM ranked GROUP BY signature
+    """,
+)
+def ts_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series discrete p50/p90 by ordered statistic
+    (operators/timeseries.py:series_quantiles) — an actual data element,
+    so cross-engine bit-identical; no interpolation arithmetic."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    return _tsops.series_quantiles(s, qs=(0.5, 0.9), key_cols=["signature"])
+
+
+@_q(
+    "ts_topk_series",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           count(*) AS n_points
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    ORDER BY sum(CAST(value AS DECIMAL(18,2))) DESC, signature
+    LIMIT 10
+    """,
+)
+def ts_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k series by total value (PromQL topk analog) — exact DECIMAL
+    totals make the ordering deterministic; partial aggregation + a
+    size-10 TakeOrdered, no full sort at any scale."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    total = F.sum(F.col("value").cast("decimal(18,2)"))
+    return (
+        s.groupBy("signature")
+        .agg(total.alias("__total_dec"), F.count("*").alias("n_points"))
+        # rank on the exact DECIMAL (matches the oracle's comparator;
+        # a double-rounded rank could cut the top-10 differently)
+        .orderBy(F.col("__total_dec").desc(), "signature")
+        .limit(10)
+        .select(
+            "signature",
+            F.col("__total_dec").cast("double").alias("total_value"),
+            "n_points",
+        )
+    )
+
+
 # ------------------------------------------------------------------- TPC-H
 
 @_q(
@@ -737,6 +825,140 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier volume — a 6-way join. The two fact
+    tables meet in ONE shuffle join on orderkey; every dim
+    (customer, supplier⋈nation⋈region) is broadcast, and the
+    customer-nation = supplier-nation condition is a post-join filter
+    on broadcast columns. Plan shape is scale-invariant: only
+    lineitem and orders ever shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    sdim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "tpch_brand_returns",
+    """
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS returned_revenue,
+           count(*) AS n_items,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def tpch_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue with conditional (CASE) aggregation of the
+    returned share — lineitem ⋈ broadcast(part), one shuffle on the
+    25-value brand key after map-side partials."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    returned = F.col("l_returnflag") == "R"
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.sum(F.when(returned, rev).otherwise(zero)).cast("double")
+            .alias("returned_revenue"),
+            F.count("*").alias("n_items"),
+            F.sum(F.when(returned, 1).otherwise(0)).cast("long").alias("n_returned"),
+        )
+    )
+
+
+@_q(
+    "events_daily_active",
+    """
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users over the event stream — exact distinct count
+    (partial-aggregated per day+user first, so the distinct never
+    carries raw rows through the shuffle) plus conditional counts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select(
+        (F.expr("CAST(ts DIV 1000000 AS BIGINT)") - (
+            F.expr("CAST(ts DIV 1000000 AS BIGINT)") % F.lit(DAY_MS)
+        )).alias("day_ms"),
+        "user_id",
+        "event_type",
+    )
+    return ev.groupBy("day_ms").agg(
+        F.count_distinct("user_id").cast("long").alias("dau"),
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("n_purchases"),
     )
 
 

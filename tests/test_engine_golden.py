@@ -193,6 +193,37 @@ def test_asof_join_semantics(spark):
     assert out[(2, 5)] is None     # right exists only later → no match
 
 
+def test_moving_avg_range_frame(spark):
+    from monolith_spark.operators.timeseries import moving_avg
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 10, 2.0), (1, 20, 3.0), (1, 35, 4.0),
+         (2, 5, 10.0), (2, 5, 20.0)],  # equal-ts peers: each sees both
+        "k long, timestamp long, value double",
+    )
+    out = {
+        (r["k"], r["timestamp"], r["value"]): r["mavg"]
+        for r in moving_avg(df, window_ms=10, key_cols=["k"]).collect()
+    }
+    assert out[(1, 0, 1.0)] == 1.0
+    assert out[(1, 10, 2.0)] == 1.5    # frame [0,10] → {1,2}
+    assert out[(1, 20, 3.0)] == 2.5    # frame [10,20] → {2,3}
+    assert out[(1, 35, 4.0)] == 4.0    # frame [25,35] → {4}
+    assert out[(2, 5, 10.0)] == 15.0   # RANGE peers share the frame
+    assert out[(2, 5, 20.0)] == 15.0
+
+
+def test_series_quantiles_ordered_statistic(spark):
+    from monolith_spark.operators.timeseries import series_quantiles
+
+    rows = [(1, i, float(i)) for i in range(1, 11)]  # values 1..10
+    rows += [(2, 0, 7.0)]                            # single-point series
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    out = {r["k"]: r for r in series_quantiles(df, key_cols=["k"]).collect()}
+    assert (out[1]["p50"], out[1]["p90"], out[1]["n_points"]) == (5.0, 9.0, 10)
+    assert (out[2]["p50"], out[2]["p90"], out[2]["n_points"]) == (7.0, 7.0, 1)
+
+
 def test_label_names_and_retention(spark, tmp_path):
     from monolith_spark.labels import SAMPLES_SCHEMA
 
