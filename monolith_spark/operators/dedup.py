@@ -237,3 +237,55 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_pairs(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                  max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: assign every
+    node the minimum id reachable from it, i.e. [node, cluster_id].
+    The canonicalization step after any pairwise dedup — "keep one doc
+    per duplicate group" needs groups, not pairs.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(log diameter) rounds for near-dup graphs (components are tiny).
+    Each round is one equi-join + one groupBy on node id — shuffle
+    volume stays O(edges); no all-pairs, no driver-side graph. Every
+    round is localCheckpoint-ed: iterative lineage must be truncated
+    or each subsequent job replays all previous rounds (and the final
+    plan nests max_iter joins deep). The convergence check is a
+    LIMIT-1 existence probe of changed labels, not a collect.
+    Distributed CC with better constants (large-star/small-star) only
+    pays off at far larger component sizes.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels

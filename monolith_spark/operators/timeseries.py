@@ -304,6 +304,56 @@ def moving_avg(
     return df.withColumn(out, s / n)
 
 
+def resample_ffill(
+    df: DataFrame,
+    step_ms: int,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: one row per series per
+    step_ms bucket between the series' first and last point; empty
+    buckets carry the last observed value forward (gap filling — the
+    step PromQL's range evaluation and every hypertable `time_bucket_gapfill`
+    perform; absent from the reference, which returns raw points).
+
+    Bucket value = the latest point in the bucket, (ts, value)-lexico
+    max so duplicate timestamps resolve deterministically. The grid is
+    generated per series with sequence/explode — no driver loop, no
+    cross join; grid size is bounded by time span / step regardless of
+    input row count. Two shuffles: the bucket aggregation and the
+    per-series ordered fill window (key-partitioned, sliding).
+    """
+    key_cols = key_cols or ["series_id"]
+    bucket = (F.floor(F.col(ts) / F.lit(step_ms)) * F.lit(step_ms)).cast("long")
+    per_bucket = (
+        df.groupBy(*key_cols, bucket.alias("bucket_ms"))
+        .agg(F.max(F.struct(F.col(ts), F.col("value"))).alias("__top"))
+        .select(*key_cols, "bucket_ms", F.col("__top.value").alias("__bucket_value"))
+    )
+    grid = (
+        per_bucket.groupBy(*key_cols)
+        .agg(F.min("bucket_ms").alias("__mn"), F.max("bucket_ms").alias("__mx"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence("__mn", "__mx", F.lit(step_ms))).alias("bucket_ms"),
+        )
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, [*key_cols, "bucket_ms"], "left")
+        .select(
+            *key_cols,
+            "bucket_ms",
+            F.last("__bucket_value", ignorenulls=True).over(w).alias("value"),
+            F.col("__bucket_value").isNotNull().alias("observed"),
+        )
+    )
+
+
 def series_quantiles(
     df: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9),

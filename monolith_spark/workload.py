@@ -609,6 +609,45 @@ def ts_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_resample_gapfill",
+    f"""
+    WITH samples AS (
+      SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    ranked AS (
+      SELECT signature, (ts_ms // {DAY_MS}) * {DAY_MS} AS bucket_ms, value,
+             row_number() OVER (
+               PARTITION BY signature, (ts_ms // {DAY_MS}) * {DAY_MS}
+               ORDER BY ts_ms DESC, value DESC
+             ) AS rn
+      FROM samples),
+    pb AS (SELECT signature, bucket_ms, value FROM ranked WHERE rn = 1),
+    bounds AS (SELECT signature, min(bucket_ms) AS mn, max(bucket_ms) AS mx
+               FROM pb GROUP BY 1),
+    grid AS (SELECT signature, unnest(generate_series(mn, mx, {DAY_MS})) AS bucket_ms
+             FROM bounds)
+    SELECT g.signature, g.bucket_ms,
+           last_value(pb.value IGNORE NULLS) OVER (
+             PARTITION BY g.signature ORDER BY g.bucket_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           pb.value IS NOT NULL AS observed
+    FROM grid g LEFT JOIN pb ON g.signature = pb.signature AND g.bucket_ms = pb.bucket_ms
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 1-day grid with forward fill per series
+    (operators/timeseries.py:resample_ffill) — the gap-filling
+    resample PromQL range evaluation / time_bucket_gapfill perform."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    return _tsops.resample_ffill(s, step_ms=DAY_MS, key_cols=["signature"])
+
+
 # ------------------------------------------------------------------- TPC-H
 
 @_q(
@@ -1130,6 +1169,35 @@ def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via inverted shingle
     index (no all-pairs join)."""
     return _dedup.shingle_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_TAU)
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+      WHERE CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) >= {_JACCARD_TAU}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+    SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: connected components over the exact
+    Jaccard pair graph (operators/dedup.py:cluster_pairs) — turns
+    pairwise near-dups into "keep one per cluster" groups."""
+    pairs = _dedup.shingle_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_TAU)
+    return _dedup.cluster_pairs(pairs)
 
 
 _MH_COLS = ", ".join(

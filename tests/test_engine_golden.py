@@ -308,3 +308,25 @@ def test_label_values(spark, tmp_path):
     assert vals == {"3"}
     vals2 = {r["value"] for r in db.label_values("test2").collect()}
     assert vals2 == {"2"}
+
+
+def test_resample_ffill_gapfill(spark):
+    from monolith_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        # series 1: buckets 0 and 20 observed, 10 is a gap → carries 1.0;
+        # bucket 20 has a same-ts tie (25,2.5) vs (25,1.5) → lexico max 2.5
+        # and a later-ts winner check via (21, 9.0) losing to ts=25.
+        [(1, 0, 1.0), (1, 21, 9.0), (1, 25, 2.5), (1, 25, 1.5),
+         (2, 40, 7.0)],
+        "k long, timestamp long, value double",
+    )
+    rows = {
+        (r["k"], r["bucket_ms"]): (r["value"], r["observed"])
+        for r in resample_ffill(df, step_ms=10, key_cols=["k"]).collect()
+    }
+    assert rows[(1, 0)] == (1.0, True)
+    assert rows[(1, 10)] == (1.0, False)   # gap forward-filled
+    assert rows[(1, 20)] == (2.5, True)    # latest ts wins; value breaks the tie
+    assert rows[(2, 40)] == (7.0, True)    # single-bucket series
+    assert len(rows) == 4

@@ -150,3 +150,16 @@ def test_multimodal_frame_sample(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_cluster_pairs_connected_components(spark):
+    from monolith_spark.operators.dedup import cluster_pairs
+
+    # Two components: a 5-node chain (worst-case diameter for min
+    # propagation) and a triangle; singletons don't appear (no edges).
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (2, 3), (3, 1), (1, 2)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["node"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 1: 1, 2: 1, 3: 1}
