@@ -105,3 +105,22 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # whole-stage codegen renders as "*(n)" stage markers in the tree
     assert "isFinalPlan=true" in plan
     assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_new_query_plans_stay_equi_join(spark, sf_dir):
+    # Q5: dims broadcast, never a cartesian/NLJ; the fact-fact join may
+    # be broadcast at fixture scale (AQE) but must be an equi-join.
+    names = ["tpch_q5_local_supplier", "tpch_brand_returns",
+             "ts_resample_gapfill", "ts_moving_avg", "dedup_clusters"]
+    for name in names:
+        plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    q5 = _plan(all_queries()["tpch_q5_local_supplier"].spark_fn(spark, sf_dir))
+    assert q5.count("BroadcastHashJoin") >= 3
+
+
+def test_moving_avg_matcher_reaches_scan(spark, sf_dir):
+    plan = _plan(all_queries()["ts_moving_avg"].spark_fn(spark, sf_dir))
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(event_type,view)" in scan
