@@ -108,19 +108,25 @@ def hyperplane_signature_offset(
     multi-table LSH: table t uses planes [t*planes, (t+1)*planes))."""
     v = _dbl(vec_col)
     bits = []
+
+    def _sign_array(prefix: str) -> Column:
+        # MUST be a single-argument lambda: F.transform passes the
+        # element index as a second argument when the callable accepts
+        # two, so a `lambda d, p=p` capture receives the index Column
+        # as `p` — the f-string then bakes in the Column repr (whose
+        # internal counter varies with session history), silently
+        # turning the seedless md5 planes session-dependent.
+        def body(d: Column) -> Column:
+            return F.when(
+                hash60_expr(F.concat(F.lit(prefix), d.cast("string"))) % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), body)
+
     for p in range(plane_offset, plane_offset + planes):
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d, p=p: F.when(
-                        hash60_expr(F.concat(F.lit(f"plane{p}:"), d.cast("string"))) % 2 == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, s: x * s,
-            ),
+            F.zip_with(v, _sign_array(f"plane{p}:"), lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

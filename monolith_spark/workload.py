@@ -1422,24 +1422,122 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistical; verified against their exact twins in tests/.
 
 
-@_q("dedup_embedding_lsh", None)
+def _plane_proj_sql(p: int) -> str:
+    # Projection onto md5-derived hyperplane tbl*4+p — the exact
+    # construction of similarity.py:hyperplane_signature_offset.
+    return (
+        "list_reduce(list_transform(range(0, 64), d -> v[d+1] * "
+        "CASE WHEN CAST('0x' || substr(md5('plane' || CAST(t.tbl*4+"
+        f"{p}"
+        " AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END), (x,y) -> x+y)"
+    )
+
+
+_LSH_SIG_SQL = " + ".join(
+    f"(CASE WHEN {_plane_proj_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(4)
+)
+
+
+@_q(
+    "dedup_embedding_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    blk AS (
+      SELECT vec_id, t.tbl AS tbl, {_LSH_SIG_SQL} AS sig
+      FROM e, range(8) t(tbl)),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM blk x JOIN blk y
+        ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id),
+    pv AS (
+      SELECT c.id_a, c.id_b, a.v AS av, b.v AS bv
+      FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id),
+    scored AS (
+      SELECT id_a, id_b,
+        list_reduce(list_transform(range(1, len(av)+1), i -> av[i]*bv[i]), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform(range(1, len(av)+1), i -> av[i]*av[i]), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(range(1, len(bv)+1), i -> bv[i]*bv[i]), (x,y) -> x+y)))
+        AS cosine
+      FROM pv)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_EMB_TAU}
+    """,
+)
 def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-blocked near-dup pairs + exact cosine verify —
-    the linear-shuffle path; subset-of-exact + recall checked in
-    tests."""
+    the linear-shuffle path. Planes are md5-derived and seedless, so
+    the oracle replays blocking AND verify exactly; subset-of-exact +
+    recall additionally checked in tests."""
     return _sim.embedding_near_dup_lsh(_embs(spark, sf_dir), threshold=_EMB_TAU)
 
-@_q("dedup_simhash_pairs", None)
+@_q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vs
+      FROM h, range(60) b(bit) GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vs > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY 1),
+    blocks AS (
+      -- 4 rotations of the 12-bit prefix: shift 60-12-15r, floored at 0
+      SELECT doc_id, simhash, r.rot,
+             (simhash >> (CASE r.rot WHEN 0 THEN 48 WHEN 1 THEN 33
+                                     WHEN 2 THEN 18 ELSE 3 END)) & 4095 AS block
+      FROM sig, range(4) r(rot))
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM blocks x JOIN blocks y
+      ON x.rot = y.rot AND x.block = y.block AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+    """,
+)
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 6) with rotated-prefix
-    blocking; recall vs exact Jaccard pairs checked in tests."""
+    blocking. The md5-derived construction is seedless, so the oracle
+    replays it exactly (blocking included) — recall vs exact Jaccard
+    pairs additionally checked in tests."""
     return _dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
-@_q("sim_lsh_topk", None)
+@_q(
+    "sim_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    blk AS (
+      SELECT vec_id, t.tbl AS tbl, {_LSH_SIG_SQL} AS sig
+      FROM e, range(8) t(tbl)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM blk q JOIN blk c ON q.tbl = c.tbl AND q.sig = c.sig
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+    pv AS (
+      SELECT cd.query_id, cd.neighbor_id, a.v AS av, b.v AS bv
+      FROM cand cd JOIN e a ON cd.query_id = a.vec_id JOIN e b ON cd.neighbor_id = b.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_transform(range(1, len(av)+1), i -> av[i]*bv[i]), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform(range(1, len(av)+1), i -> av[i]*av[i]), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(range(1, len(bv)+1), i -> bv[i]*bv[i]), (x,y) -> x+y)))
+        AS cosine
+      FROM pv)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
 def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (bucketed candidates + exact
-    re-rank); recall vs brute force checked in tests."""
+    re-rank). Deterministic md5 planes → the oracle replays the exact
+    bucketing; recall vs brute force additionally checked in tests."""
     embs = _embs(spark, sf_dir)
     return _sim.lsh_topk(
         embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
