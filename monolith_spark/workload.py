@@ -522,6 +522,94 @@ def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_rate",
+    f"""
+    SELECT signature,
+           CAST(sum(step) AS DOUBLE) / (max(ts_ms) - min(ts_ms)) * 1000.0
+             AS rate_per_sec,
+           count(*) AS n_steps
+    FROM (
+      SELECT signature, ts_ms,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev
+                  ELSE v END AS step
+      FROM (
+        SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms,
+               CAST(value AS DECIMAL(28,6)) AS v,
+               lag(CAST(value AS DECIMAL(28,6))) OVER (
+                 PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+               ) AS prev
+        FROM events
+        WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      )
+    ) WHERE step IS NOT NULL
+    GROUP BY 1 HAVING max(ts_ms) > min(ts_ms)
+    """,
+)
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus rate(): reset-corrected increase per second over the
+    covered span (steps only exist from the 2nd point on, so the span
+    is over step timestamps). Same single (series, time) sort shuffle
+    as increase; the division happens on exact DECIMAL totals."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    w = Window.partitionBy("signature").orderBy("timestamp", "value")
+    dec = F.col("value").cast("decimal(28,6)")
+    prev = F.lag(dec).over(w)
+    step = F.when(prev.isNull(), F.lit(None)).when(dec >= prev, dec - prev).otherwise(dec)
+    agg = (
+        s.select("signature", F.col("timestamp").alias("ts_ms"), step.alias("step"))
+        .filter(F.col("step").isNotNull())
+        .groupBy("signature")
+        .agg(
+            F.sum("step").cast("double").alias("sum_step"),
+            F.min("ts_ms").alias("mn"),
+            F.max("ts_ms").alias("mx"),
+            F.count("*").alias("n_steps"),
+        )
+        .filter(F.col("mx") > F.col("mn"))
+    )
+    return agg.select(
+        "signature",
+        (F.col("sum_step") / (F.col("mx") - F.col("mn")) * F.lit(1000.0)).alias("rate_per_sec"),
+        "n_steps",
+    )
+
+
+@_q(
+    "ts_stddev",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           count(*) AS n_points,
+           (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+           / count(*) AS variance
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    """,
+)
+def ts_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance per series (stddev_over_time analog) from
+    exact DECIMAL sum and sum-of-squares — the two-accumulator form is
+    order-independent, unlike a naive double stddev whose result
+    depends on partition merge order."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    d = F.col("value").cast("decimal(18,2)")
+    agg = s.groupBy("signature").agg(
+        F.count("*").alias("n_points"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+    )
+    return agg.select(
+        "signature",
+        "n_points",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_points")) / F.col("n_points"))
+        .alias("variance"),
+    )
+
+
+@_q(
     "ts_moving_avg",
     f"""
     SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value,
