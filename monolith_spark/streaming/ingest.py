@@ -133,3 +133,43 @@ def samples_file_stream(spark, source_dir: str, max_files_per_trigger: int = 10)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+
+
+def session_stream(
+    samples_stream: DataFrame,
+    gap: str = "30 seconds",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming gap-sessionization: points of a series whose
+    consecutive gaps stay within ``gap`` merge into one session row
+    [series_id, session_start_ms, session_end_ms, n_points, sum_value]
+    — the streaming twin of operators/timeseries.py:sessionize.
+
+    F.session_window keeps per-key open-session state and merges
+    overlapping windows as points arrive; the watermark closes
+    sessions and evicts their state, so state is bounded by the number
+    of series with activity inside the watermark horizon, not by
+    stream history. Sums run in DECIMAL (micro-batch arrival order
+    must not change the result).
+    """
+    from pyspark.sql import functions as F
+
+    from monolith_spark.labels import series_id_expr
+
+    return (
+        samples_stream.withColumn("series_id", series_id_expr("labels"))
+        .withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .withWatermark("event_time", watermark_delay)
+        .groupBy(F.session_window("event_time", gap), F.col("series_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "series_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_points",
+            "sum_value",
+        )
+    )

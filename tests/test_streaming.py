@@ -249,3 +249,44 @@ def test_windowed_aggregation_with_watermark(spark, tmp_path):
             spark.sql("SELECT * FROM win_agg").collect()}
     assert rows[0] == (2, 1.0)   # window [00:00, 01:00)
     assert rows[1] == (2, 5.0)   # window [01:00, 02:00)
+
+def test_session_stream_gap_semantics(spark, tmp_path):
+    from monolith_spark.streaming.ingest import session_stream
+
+    src = str(tmp_path / "src")
+    # series "s": points at 1s, 2s, 50s with a 10s gap → two sessions
+    # ([1s..2s] n=2, [50s] n=1); series "t": one point, one session.
+    _write_slice(
+        spark, src,
+        [({"m": "s"}, 1_000, 1.0), ({"m": "s"}, 2_000, 2.0),
+         ({"m": "s"}, 50_000, 3.0), ({"m": "t"}, 5_000, 9.0)],
+    )
+    out = session_stream(samples_file_stream(spark, src), gap="10 seconds")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess").collect()
+    from pyspark.sql import functions as F
+
+    from monolith_spark.labels import series_id_expr
+
+    ids = {
+        r["m"]: r["sid"]
+        for r in spark.createDataFrame([("s",), ("t",)], "m string")
+        .select("m", series_id_expr(F.create_map(F.lit("m"), F.col("m"))).alias("sid"))
+        .collect()
+    }
+    sid_s, sid_t = ids["s"], ids["t"]
+    sess = {(r["series_id"], r["session_start_ms"]): (r["session_end_ms"], r["n_points"], r["sum_value"])
+            for r in rows}
+    # session end = last event + gap (session_window semantics)
+    assert sess[(sid_s, 1_000)] == (12_000, 2, 3.0)
+    assert sess[(sid_s, 50_000)] == (60_000, 1, 3.0)
+    assert sess[(sid_t, 5_000)] == (15_000, 1, 9.0)
+    assert len(sess) == 3
