@@ -241,3 +241,93 @@ def test_write_query_matches_python_model(spark, tmp_path_factory, wl):
         if pts:
             want[python_signature(labels)] = pts
     assert got == want
+
+
+# ------------------------- window/resample operators vs python models
+# Values are exact quarters (2 decimal places) so DECIMAL(18,2)
+# aggregation is exact and the python Fraction model is bit-comparable.
+
+_TS_SMALL = st.integers(min_value=0, max_value=50)
+_V_QUARTER = st.integers(min_value=-400, max_value=400).map(lambda i: i / 4)
+_SERIES_PTS = st.lists(st.tuples(_TS_SMALL, _V_QUARTER), min_size=1, max_size=12)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(_SERIES_PTS, min_size=1, max_size=3),
+    st.integers(min_value=1, max_value=4).map(lambda s: s * 5),
+)
+def test_resample_ffill_matches_python_model(spark, series_pts, step):
+    from monolith_spark.operators.timeseries import resample_ffill
+
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = {
+        (r["k"], r["bucket_ms"]): (r["value"], r["observed"])
+        for r in resample_ffill(df, step_ms=step, key_cols=["k"]).collect()
+    }
+    want = {}
+    for k, pts in enumerate(series_pts):
+        buckets: dict[int, tuple[int, float]] = {}
+        for ts, v in pts:
+            b = (ts // step) * step
+            if b not in buckets or (ts, v) > buckets[b]:
+                buckets[b] = (ts, v)
+        last = None
+        for b in range(min(buckets), max(buckets) + 1, step):
+            if b in buckets:
+                last = buckets[b][1]
+                want[(k, b)] = (last, True)
+            else:
+                want[(k, b)] = (last, False)
+    assert got == want
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(_SERIES_PTS, min_size=1, max_size=3),
+    st.integers(min_value=1, max_value=20),
+)
+def test_moving_avg_matches_python_model(spark, series_pts, window):
+    from fractions import Fraction
+
+    from monolith_spark.operators.timeseries import moving_avg
+
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = sorted(
+        (r["k"], r["timestamp"], r["value"], r["mavg"])
+        for r in moving_avg(df, window_ms=window, key_cols=["k"]).collect()
+    )
+    want = []
+    for k, pts in enumerate(series_pts):
+        for ts, v in pts:
+            frame = [v2 for t2, v2 in pts if ts - window <= t2 <= ts]
+            mean = float(sum(Fraction(x) for x in frame)) / len(frame)
+            want.append((k, ts, v, mean))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
+def test_series_quantiles_matches_python_model(spark, series_pts):
+    import math
+
+    from monolith_spark.operators.timeseries import series_quantiles
+
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = {
+        r["k"]: (r["p50"], r["p90"], r["n_points"])
+        for r in series_quantiles(df, qs=(0.5, 0.9), key_cols=["k"]).collect()
+    }
+    want = {}
+    for k, pts in enumerate(series_pts):
+        vals = sorted(v for _, v in pts)
+        n = len(vals)
+        want[k] = (
+            vals[math.ceil(0.5 * n) - 1],
+            vals[math.ceil(0.9 * n) - 1],
+            n,
+        )
+    assert got == want
