@@ -1089,6 +1089,75 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_value_histogram",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           CAST(floor(value / 10.0) * 10.0 AS DOUBLE) AS bucket_lo,
+           count(*) AS n
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1, 2
+    """,
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series value histogram (fixed-width buckets) — the
+    distribution view PromQL histograms provide; one shuffle on
+    (series, bucket) with map-side partials."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    bucket = (F.floor(F.col("value") / F.lit(10.0)) * F.lit(10.0)).cast("double")
+    return (
+        s.groupBy("signature", bucket.alias("bucket_lo"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "events_signup_conversion",
+    """
+    WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS first_purchase_ms
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ms
+          GROUP BY 1)
+    SELECT s.user_id, s.signup_ms, p.first_purchase_ms,
+           p.user_id IS NOT NULL AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def events_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step: for each signed-up user, the first purchase at or
+    after their first signup. Two keyed aggregations + a left join on
+    user_id — no window over the raw stream, so the shuffle carries one
+    row per user, not per event."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("signup_ms"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts_ms") >= F.col("signup_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("first_purchase_ms"))
+    )
+    return (
+        signup.join(purchase, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ms",
+            "first_purchase_ms",
+            F.col("first_purchase_ms").isNotNull().alias("converted"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 def all_queries() -> dict[str, WorkloadQuery]:
