@@ -290,3 +290,46 @@ def test_session_stream_gap_semantics(spark, tmp_path):
     assert sess[(sid_s, 50_000)] == (60_000, 1, 3.0)
     assert sess[(sid_t, 5_000)] == (15_000, 1, 9.0)
     assert len(sess) == 3
+
+
+def test_streaming_neardup_index_within_and_cross_batch(spark, tmp_path):
+    from monolith_spark.streaming.neardup import StreamingNearDupIndex
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs_schema = "doc_id long, text string"
+    src = str(tmp_path / "docs")
+    # slice 1: doc 2 is a near-dup of doc 1; doc 10 unrelated
+    spark.createDataFrame(
+        [(1, base), (2, base + " tonight"),
+         (10, "completely different words about spark engines and parquet files")],
+        docs_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # slice 2: doc 3 is a near-dup of doc 1 (cross-batch); doc 11 unique
+    spark.createDataFrame(
+        [(3, base + " always"),
+         (11, "yet another unrelated document mentioning neither foxes nor dogs at all")],
+        docs_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx = StreamingNearDupIndex(spark, str(tmp_path / "idx"))
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = idx.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["new_doc_id"], r["old_doc_id"]) for r in idx.matches().collect()}
+    assert (2, 1) in got          # within-batch
+    assert (3, 1) in got          # cross-batch against the persisted index
+    assert (3, 2) in got          # cross-batch against batch-1's second doc
+    assert all(n not in (10, 11) for n, _ in got)   # uniques match nothing
+    assert all(o not in (10, 11) for _, o in got)
+
+    # replaying the same epoch is a no-op (ledger)
+    n_before = idx.matches().count()
+    batch1 = spark.read.parquet(src)
+    idx.process_batch(batch1, epoch_id=0)
+    assert idx.matches().count() == n_before
