@@ -4,6 +4,7 @@ from monolith_spark.operators.timeseries import (
     latest,
     moving_avg,
     range_join,
+    resample_ffill,
     series_quantiles,
     sessionize,
     time_trim,
@@ -17,6 +18,7 @@ __all__ = [
     "latest",
     "moving_avg",
     "range_join",
+    "resample_ffill",
     "series_quantiles",
     "sessionize",
     "time_trim",

@@ -240,23 +240,25 @@ def simhash_pairs(
 
 
 def cluster_pairs(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
-                  max_iter: int = 20) -> DataFrame:
+                  max_iter: int = 50) -> DataFrame:
     """Connected components over a near-dup pair graph: assign every
     node the minimum id reachable from it, i.e. [node, cluster_id].
     The canonicalization step after any pairwise dedup — "keep one doc
     per duplicate group" needs groups, not pairs.
 
     Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(log diameter) rounds for near-dup graphs (components are tiny).
-    Each round is one equi-join + one groupBy on node id — shuffle
-    volume stays O(edges); no all-pairs, no driver-side graph. Every
-    round is localCheckpoint-ed: iterative lineage must be truncated
-    or each subsequent job replays all previous rounds (and the final
-    plan nests max_iter joins deep). The convergence check is a
-    LIMIT-1 existence probe of changed labels, not a collect.
-    Distributed CC with better constants (large-star/small-star) only
-    pays off at far larger component sizes.
+    min of its own label and its neighbors' labels — one hop per
+    round, so convergence takes O(component diameter) rounds (near-dup
+    components are tiny and shallow; ``max_iter`` bounds pathological
+    chains and exhaustion RAISES rather than returning silently-split
+    clusters). Each round is one equi-join + one groupBy on node id —
+    shuffle volume stays O(edges); no all-pairs, no driver-side graph.
+    Every round is localCheckpoint-ed: iterative lineage must be
+    truncated or each subsequent job replays all previous rounds (and
+    the final plan nests max_iter joins deep). The convergence check
+    is a LIMIT-1 existence probe of changed labels, not a collect.
+    Distributed CC in O(log n) rounds (large-star/small-star) only
+    pays off at far larger component diameters.
     """
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -287,5 +289,8 @@ def cluster_pairs(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"cluster_pairs did not converge in {max_iter} rounds — a component "
+        f"has diameter > {max_iter}; raise max_iter"
+    )

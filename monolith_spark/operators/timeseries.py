@@ -286,6 +286,7 @@ def moving_avg(
     key_cols: list[str] | None = None,
     ts: str = "timestamp",
     out: str = "mavg",
+    dec: str = "decimal(28,6)",
 ) -> DataFrame:
     """Trailing time-range moving average per series (PromQL
     avg_over_time analog): for each point, the mean of all values of
@@ -294,12 +295,14 @@ def moving_avg(
     A RANGE window frame over the numeric ms timestamp — peers at
     equal timestamps fall in every peer's frame, so the result is
     order-independent. The sum runs in DECIMAL (bit-stable under any
-    intra-frame order); one sort shuffle on the series key, frames
-    evaluated by a sliding aggregator, never O(n·window) rescans.
+    intra-frame order — note ``dec``'s scale quantizes inputs: the
+    default keeps 6 decimal places); one sort shuffle on the series
+    key, frames evaluated by a sliding aggregator, never O(n·window)
+    rescans.
     """
     key_cols = key_cols or ["series_id"]
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts)).rangeBetween(-window_ms, 0)
-    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    s = F.sum(F.col("value").cast(dec)).over(w).cast("double")
     n = F.count("value").over(w)
     return df.withColumn(out, s / n)
 
@@ -368,6 +371,11 @@ def series_quantiles(
     value ties — any row_number assignment among equal values selects
     the same value. One sort shuffle on the series key; the two window
     functions share a single sort.
+
+    The rank is computed as ceil over an exact DECIMAL product: a
+    double product can round past the true integer (0.07 * 100 =
+    7.000000000000001 → ceil 8 picks the wrong element) — oracles
+    must use the same DECIMAL form.
     """
     key_cols = key_cols or ["series_id"]
     w = Window.partitionBy(*key_cols).orderBy(F.col(value))
@@ -377,7 +385,11 @@ def series_quantiles(
     ranked = df.select(*key_cols, F.col(value), rn.alias("__rn"), n.alias("__n"))
     aggs = [
         F.max(
-            F.when(F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")), F.col(value))
+            F.when(
+                F.col("__rn")
+                == F.ceil(F.lit(q).cast("decimal(12,6)") * F.col("__n")),
+                F.col(value),
+            )
         ).alias(f"p{int(round(q * 100))}")
         for q in qs
     ]

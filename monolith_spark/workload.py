@@ -580,10 +580,11 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {SIG_SQL} AS signature,
            count(*) AS n_points,
-           (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-            - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-              * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-           / count(*) AS variance
+           greatest(
+             (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             / count(*), 0.0) AS variance
     FROM events
     WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
     GROUP BY 1
@@ -593,7 +594,9 @@ def ts_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population variance per series (stddev_over_time analog) from
     exact DECIMAL sum and sum-of-squares — the two-accumulator form is
     order-independent, unlike a naive double stddev whose result
-    depends on partition merge order."""
+    depends on partition merge order. Clamped at 0 (both sides): the
+    double rounding of s1²/n can dip a true-zero variance a few ulps
+    negative, which would NaN a downstream sqrt."""
     s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
     d = F.col("value").cast("decimal(18,2)")
     agg = s.groupBy("signature").agg(
@@ -604,8 +607,11 @@ def ts_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "signature",
         "n_points",
-        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_points")) / F.col("n_points"))
-        .alias("variance"),
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_points"))
+            / F.col("n_points"),
+            F.lit(0.0),
+        ).alias("variance"),
     )
 
 
@@ -613,7 +619,7 @@ def ts_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_moving_avg",
     f"""
     SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
              / count(value) OVER w AS mavg_3d
     FROM events
     WHERE event_type = 'view' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
@@ -649,8 +655,10 @@ def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
     )
     SELECT signature,
-           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
-           max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+           max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DECIMAL(12,6)) * n) AS BIGINT)
+               THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DECIMAL(12,6)) * n) AS BIGINT)
+               THEN value END) AS p90,
            max(n) AS n_points
     FROM ranked GROUP BY signature
     """,

@@ -110,8 +110,11 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 def test_new_query_plans_stay_equi_join(spark, sf_dir):
     # Q5: dims broadcast, never a cartesian/NLJ; the fact-fact join may
     # be broadcast at fixture scale (AQE) but must be an equi-join.
+    # dedup_clusters is excluded: cluster_pairs returns an eagerly
+    # localCheckpoint-ed result whose plan is a Scan ExistingRDD — a
+    # plan assertion on it would be vacuous (and run the whole job).
     names = ["tpch_q5_local_supplier", "tpch_brand_returns",
-             "ts_resample_gapfill", "ts_moving_avg", "dedup_clusters"]
+             "ts_resample_gapfill", "ts_moving_avg"]
     for name in names:
         plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name

@@ -328,8 +328,26 @@ def test_streaming_neardup_index_within_and_cross_batch(spark, tmp_path):
     assert all(n not in (10, 11) for n, _ in got)   # uniques match nothing
     assert all(o not in (10, 11) for _, o in got)
 
-    # replaying the same epoch is a no-op (ledger)
-    n_before = idx.matches().count()
+    # replaying a completed epoch is a no-op (ledger fast path)
+    before = {(r["new_doc_id"], r["old_doc_id"], r["jaccard"])
+              for r in idx.matches().collect()}
     batch1 = spark.read.parquet(src)
     idx.process_batch(batch1, epoch_id=0)
-    assert idx.matches().count() == n_before
+    assert {(r["new_doc_id"], r["old_doc_id"], r["jaccard"])
+            for r in idx.matches().collect()} == before
+
+    # crash-replay: epoch 1's writes landed but the ledger mark didn't.
+    # The rerun must overwrite epoch 1's partitions and must NOT match
+    # the batch against its own persisted signatures (no self-pairs,
+    # no duplicates).
+    import os
+
+    slice2 = spark.createDataFrame(
+        [(3, base + " always"),
+         (11, "yet another unrelated document mentioning neither foxes nor dogs at all")],
+        docs_schema,
+    )
+    os.remove(os.path.join(idx._epochs_dir, "1.done"))
+    idx.process_batch(slice2, epoch_id=1)
+    assert {(r["new_doc_id"], r["old_doc_id"], r["jaccard"])
+            for r in idx.matches().collect()} == before
