@@ -616,6 +616,153 @@ def ts_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_irate",
+    f"""
+    WITH ranked AS (
+      SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms,
+             CAST(value AS DECIMAL(28,6)) AS v,
+             row_number() OVER (
+               PARTITION BY {SIG_SQL}
+               ORDER BY epoch_ms(ts) DESC, value DESC
+             ) AS rn
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    )
+    SELECT signature,
+           CAST(CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END AS DOUBLE)
+             / (t1 - t2) * 1000.0 AS irate_per_sec
+    FROM (
+      SELECT signature,
+             max(CASE WHEN rn = 1 THEN v END) AS v1,
+             max(CASE WHEN rn = 2 THEN v END) AS v2,
+             max(CASE WHEN rn = 1 THEN ts_ms END) AS t1,
+             max(CASE WHEN rn = 2 THEN ts_ms END) AS t2
+      FROM ranked WHERE rn <= 2 GROUP BY 1
+    ) WHERE t2 IS NOT NULL AND t1 > t2
+    """,
+)
+def ts_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL irate(): reset-corrected rate from the LAST TWO samples
+    per series only. One sort shuffle; the top-2 selection is a
+    row_number window, ties broken by value so both engines pick the
+    same pair. The step stays DECIMAL until the final double divide."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    w = Window.partitionBy("signature").orderBy(
+        F.desc("timestamp"), F.desc("value")
+    )
+    ranked = s.select(
+        "signature",
+        F.col("timestamp").alias("ts_ms"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    agg = (
+        ranked.groupBy("signature")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("v1"),
+            F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("v2"),
+            F.max(F.when(F.col("rn") == 1, F.col("ts_ms"))).alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("ts_ms"))).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull() & (F.col("t1") > F.col("t2")))
+    )
+    step = F.when(F.col("v1") >= F.col("v2"), F.col("v1") - F.col("v2")).otherwise(
+        F.col("v1")
+    )
+    return agg.select(
+        "signature",
+        (step.cast("double") / (F.col("t1") - F.col("t2")) * F.lit(1000.0)).alias(
+            "irate_per_sec"
+        ),
+    )
+
+
+@_q(
+    "ts_deriv",
+    f"""
+    SELECT signature, n_points,
+           (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * 1000.0
+             AS deriv_per_sec
+    FROM (
+      SELECT {SIG_SQL} AS signature,
+             count(*) AS n_points,
+             CAST(sum(CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))
+                      * CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1
+    ) WHERE n_points * sxx - sx * sx > 0
+    """,
+)
+def ts_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv(): per-series least-squares slope (per second) from
+    four exact DECIMAL accumulators (n, Σx, Σy, Σxx, Σxy) — a single
+    map-side-combinable aggregation, no window, order-independent.
+    Timestamps are centered on the range start before squaring so Σxx
+    fits comfortably in DECIMAL; the slope itself is assembled from the
+    exact sums with identical double ops on both engines."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    x = (F.col("timestamp") - F.lit(JAN1)).cast("decimal(20,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    agg = s.groupBy("signature").agg(
+        F.count("*").alias("n_points"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    denom = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / denom
+        * F.lit(1000.0)
+    )
+    return agg.filter(denom > 0).select(
+        "signature", "n_points", slope.alias("deriv_per_sec")
+    )
+
+
+@_q(
+    "ts_changes",
+    f"""
+    SELECT signature,
+           count(CASE WHEN prev IS NOT NULL AND v <> prev THEN 1 END) AS n_changes,
+           count(CASE WHEN prev IS NOT NULL AND v < prev THEN 1 END) AS n_resets
+    FROM (
+      SELECT {SIG_SQL} AS signature, value AS v,
+             lag(value) OVER (
+               PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+             ) AS prev
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    )
+    GROUP BY 1
+    """,
+)
+def ts_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL changes() and resets() in one pass: per-series counts of
+    consecutive-value changes and drops. Integer outputs — immune to
+    float summation order; same (ts, value) tie-break ordering as the
+    other lag-based queries so both engines see identical neighbors."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    w = Window.partitionBy("signature").orderBy("timestamp", "value")
+    prev = F.lag("value").over(w)
+    seq = s.select("signature", F.col("value").alias("v"), prev.alias("prev"))
+    return seq.groupBy("signature").agg(
+        F.count(
+            F.when(F.col("prev").isNotNull() & (F.col("v") != F.col("prev")), 1)
+        ).alias("n_changes"),
+        F.count(
+            F.when(F.col("prev").isNotNull() & (F.col("v") < F.col("prev")), 1)
+        ).alias("n_resets"),
+    )
+
+
+@_q(
     "ts_moving_avg",
     f"""
     SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value,
