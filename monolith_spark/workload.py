@@ -1313,6 +1313,99 @@ def events_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_retention",
+    f"""
+    SELECT DISTINCT user_id FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN8}
+    INTERSECT
+    SELECT DISTINCT user_id FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN15} AND {JAN20}
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op retention: users active in week 1 INTERSECT users active
+    in week 3 (SURVEY §2.4 lists set ops as absent in the reference —
+    this is the extension). Spark plans INTERSECT as an aggregate +
+    semi-join on the already-distinct sides, so the shuffle carries one
+    row per user per side, never raw events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    w1 = ev.filter(F.col("ts_ms").between(JAN1, JAN8)).select("user_id")
+    w2 = ev.filter(F.col("ts_ms").between(JAN15, JAN20)).select("user_id")
+    return w1.intersect(w2)
+
+
+@_q(
+    "events_churned",
+    f"""
+    SELECT DISTINCT user_id FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN8}
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN15} AND {JAN15 + DAY_MS}
+    """,
+)
+def events_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op churn: users active in week 1 EXCEPT active on Jan 15 —
+    the anti-join twin of events_retention (a one-day second window so
+    churn exists even at the smallest fixture scale)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    w1 = ev.filter(F.col("ts_ms").between(JAN1, JAN8)).select("user_id")
+    w2 = ev.filter(F.col("ts_ms").between(JAN15, JAN15 + DAY_MS)).select("user_id")
+    # subtract = EXCEPT DISTINCT (exceptAll's multiset semantics would
+    # keep users seen more often in w1 than w2 — wrong for churn).
+    return w1.subtract(w2)
+
+
+@_q("ts_approx_quantiles", None)
+def ts_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles per series (GK summaries via percentile_approx):
+    one mergeable aggregation, NO per-series sort — the scale path when
+    ts_quantile's exact ordered statistic is too expensive (at 100 TB a
+    full sort per series dwarfs the scan; the sketch is map-side
+    combinable and bounded-memory). Rows-only: the sketch's element
+    choice is engine-specific; accuracy is asserted against the exact
+    quantiles in tests/test_sketches.py."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    agg = s.groupBy("signature").agg(
+        F.percentile_approx("value", [0.5, 0.9], 10_000).alias("ap"),
+        F.count("*").alias("n_points"),
+    )
+    return agg.select(
+        "signature",
+        F.col("ap")[0].alias("p50_approx"),
+        F.col("ap")[1].alias("p90_approx"),
+        "n_points",
+    )
+
+
+@_q("events_hll_daily_users", None)
+def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ daily active users: approx_count_distinct at 2%
+    rsd — constant memory per group vs the exact distinct's shuffle of
+    every (day, user) pair, the right trade at 100 TB. Rows-only
+    (HLL++ estimates are engine-specific); error vs exact is asserted
+    in tests/test_sketches.py."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    return (
+        ev.filter(F.col("ts_ms").between(JAN1, JAN20))
+        .groupBy((F.col("ts_ms") / F.lit(DAY_MS)).cast("long").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 def all_queries() -> dict[str, WorkloadQuery]:

@@ -1,0 +1,63 @@
+"""Accuracy bounds for the sketch-based (rows-only) workload queries:
+sketches can't hash-match an oracle, so their contract is a bounded
+error against the exact computation on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monolith_spark.sources.events import events_samples
+from monolith_spark.workload import JAN1, JAN20, DAY_MS, all_queries
+
+
+def test_approx_quantiles_rank_error_bounded(spark, sf_dir):
+    # GK sketch guarantee: the returned element's true rank is within
+    # eps*n of the target rank (eps = 1/accuracy = 1e-4, i.e. exact at
+    # fixture scale up to ties). Verify via empirical CDF: for target
+    # quantile q, #(v < p) <= q*n and #(v <= p) >= q*n, ±1 element.
+    approx = {
+        r["signature"]: r
+        for r in all_queries()["ts_approx_quantiles"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    exact = (
+        events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+        .groupBy("signature")
+        .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+        .collect()
+    )
+    assert approx and len(exact) == len(approx)
+    for row in exact:
+        vals, got = row["vals"], approx[row["signature"]]
+        n = len(vals)
+        assert got["n_points"] == n
+        for q, p in ((0.5, got["p50_approx"]), (0.9, got["p90_approx"])):
+            lo = sum(1 for v in vals if v < p)
+            hi = sum(1 for v in vals if v <= p)
+            assert lo <= q * n + 1, (row["signature"], q, p, lo, n)
+            assert hi >= q * n - 1, (row["signature"], q, p, hi, n)
+
+
+def test_hll_daily_users_within_rsd(spark, sf_dir):
+    got = {
+        r["day"]: r["approx_users"]
+        for r in all_queries()["events_hll_daily_users"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.filter(F.col("ts_ms").between(JAN1, JAN20))
+        .groupBy((F.col("ts_ms") / F.lit(DAY_MS)).cast("long").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys() and got
+    for day, n in exact.items():
+        # 2% rsd → 5 sigma ≈ 10%; plus integer slack for tiny groups
+        assert abs(got[day] - n) <= max(0.10 * n, 2), (day, got[day], n)
