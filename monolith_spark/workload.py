@@ -1268,6 +1268,56 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_histogram_quantile",
+    f"""
+    WITH h AS (
+      SELECT {SIG_SQL} AS signature,
+             CAST(floor(value / 10.0) * 10.0 AS DOUBLE) AS lo,
+             count(*) AS n
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT signature, lo, n,
+             sum(n) OVER (PARTITION BY signature ORDER BY lo) AS cum,
+             sum(n) OVER (PARTITION BY signature) AS total
+      FROM h
+    )
+    SELECT signature,
+           lo + (CAST(0.9 AS DOUBLE) * total - (cum - n)) / n * 10.0 AS p90_est,
+           total AS n_points
+    FROM c
+    WHERE cum >= CAST(0.9 AS DOUBLE) * total
+      AND cum - n < CAST(0.9 AS DOUBLE) * total
+    """,
+)
+def ts_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile analog: p90 estimated from fixed-width
+    bucket counts by linear interpolation inside the bucket holding the
+    target rank — the aggregate-then-estimate pattern that replaces a
+    per-series sort with a (series, bucket) groupBy whose cardinality
+    is bounded by the bucket grid, not the data. Counts are integers,
+    so the interpolation's double ops are bit-identical cross-engine."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    bucket = (F.floor(F.col("value") / F.lit(10.0)) * F.lit(10.0)).cast("double")
+    hist = s.groupBy("signature", bucket.alias("lo")).agg(F.count("*").alias("n"))
+    wc = Window.partitionBy("signature").orderBy("lo")
+    wt = Window.partitionBy("signature")
+    c = hist.select(
+        "signature", "lo", "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    t = F.lit(0.9) * F.col("total")
+    est = F.col("lo") + (t - (F.col("cum") - F.col("n"))) / F.col("n") * F.lit(10.0)
+    return (
+        c.filter((F.col("cum") >= t) & (F.col("cum") - F.col("n") < t))
+        .select("signature", est.alias("p90_est"), F.col("total").alias("n_points"))
+    )
+
+
+@_q(
     "events_signup_conversion",
     """
     WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS signup_ms
