@@ -127,3 +127,30 @@ def test_moving_avg_matcher_reaches_scan(spark, sf_dir):
     plan = _plan(all_queries()["ts_moving_avg"].spark_fn(spark, sf_dir))
     scan = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "EqualTo(event_type,view)" in scan
+
+
+def test_single_agg_families_avoid_window_and_sort(spark, sf_dir):
+    qs = all_queries()
+    # deriv: five accumulators in ONE map-combinable aggregation — a
+    # window or sort here would mean the cheap path regressed
+    plan = _plan(qs["ts_deriv"].spark_fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "Window" not in plan, plan[:1500]
+    # GK sketch quantiles: hash aggregation of sketch partials, never a
+    # sort-based agg over raw values
+    plan = _plan(qs["ts_approx_quantiles"].spark_fn(spark, sf_dir))
+    assert "Window" not in plan and "SortAggregate" not in plan, plan[:1500]
+    # histogram quantile: join-free — bucket grid agg + window over the
+    # (tiny) histogram, the raw scan feeds exactly one aggregation
+    plan = _plan(qs["ts_histogram_quantile"].spark_fn(spark, sf_dir))
+    assert "Join" not in plan and "PushedFilters" in plan, plan[:1500]
+
+
+def test_setop_plans_reduce_before_joining(spark, sf_dir):
+    # INTERSECT/EXCEPT must plan as distinct-aggregate + equi-join —
+    # never a nested loop, and the join operands are the distinct user
+    # sets, not raw events
+    for name in ("events_retention", "events_churned"):
+        plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "HashAggregate" in plan, name
