@@ -2007,3 +2007,55 @@ def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_topk(
         embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
     )
+
+
+@_q(
+    "docs_curation",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_W} AS w FROM documents),
+    q AS (
+      SELECT doc_id, text, len(w) AS n_tokens
+      FROM t
+      WHERE len(w) BETWEEN 25 AND 90
+        AND CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+              / len(w) >= 0.04
+    ),
+    e AS (
+      SELECT * FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(lower(trim(text))))
+    ),
+    sh AS (SELECT DISTINCT doc_id, w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2] AS shingle
+           FROM (SELECT doc_id, {_W} AS w2 FROM e) z, range(1, 2000) r(i)
+           WHERE i <= len(w2) - 2),
+    n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    neardup AS (
+      SELECT DISTINCT doc_b FROM pairs
+      JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+      WHERE CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) >= {_JACCARD_TAU})
+    SELECT doc_id, n_tokens FROM e
+    WHERE doc_id NOT IN (SELECT doc_b FROM neardup)
+    """,
+)
+def docs_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE dataflow:
+    quality gate → exact dedup (keep min-id per content hash) →
+    near-dup removal (drop the higher id of every verified Jaccard
+    pair) → surviving docs with token counts. Composes the already-
+    tested operators; every stage is an equi-join / aggregation, so
+    the composite inherits each stage's scale shape (SCALE.md). The
+    keep-lowest-id rule is greedy-by-pair, not connected components —
+    cluster-level canonicalization is dedup_clusters' job."""
+    docs = _docs(spark, sf_dir)
+    gates = _text.text_stats(docs).filter(
+        F.col("n_tokens").between(25, 90) & (F.col("stopword_ratio") >= 0.04)
+    )
+    q = docs.join(gates.select("doc_id", "n_tokens"), "doc_id")
+    canon = _dedup.exact_dedup(q).select(F.col("canonical_id").alias("doc_id"))
+    e = q.join(canon, "doc_id", "semi")
+    pairs = _dedup.shingle_jaccard_pairs(e, threshold=_JACCARD_TAU)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return e.join(drop, "doc_id", "left_anti").select("doc_id", "n_tokens")
