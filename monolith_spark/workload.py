@@ -1267,6 +1267,79 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BY_KEY_SQL = (
+    "'event_type=' || event_type || ',kb=' || "
+    "substr(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), 1, 1)"
+)
+
+
+@_q(
+    "ts_anomaly",
+    f"""
+    WITH base AS (
+      SELECT {_BY_KEY_SQL} AS series, epoch_ms(ts) AS ts_ms, value,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  OVER w AS DOUBLE) AS s2,
+             count(value) OVER w AS cnt
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      WINDOW w AS (PARTITION BY {_BY_KEY_SQL} ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN {7 * DAY_MS} PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, ts_ms, value,
+           (value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / cnt) AS zscore
+    FROM base
+    WHERE cnt >= 5 AND (s2 - s1 * s1 / cnt) / cnt > 0
+      AND abs((value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / cnt)) > 1.5
+    """,
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection over the coarser
+    ``by (event_type, kb)`` aggregate stream (PromQL's `by` grouping —
+    full-signature series are too sparse for windowed stats at the
+    smallest fixture): flag points >1.5σ from their own stream's
+    trailing-7-day mean (≥5 points; near-uniform fixture values bound
+    |z| by (n-1)/√n, so 1.5 is the meaningful gate at these window
+    sizes). The stats are ts_stddev's exact DECIMAL two-accumulator
+    form over ts_moving_avg's RANGE frame — one (series, time) sort
+    shuffle, sliding-frame evaluation; the z-score's double ops
+    (divide, sqrt, abs) are IEEE-identical cross-engine."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        _events.ts_range_pred(JAN1, JAN20)
+    )
+    exprs = _events.label_exprs()
+    key = F.concat(
+        F.lit("event_type="), exprs["event_type"], F.lit(",kb="), exprs["kb"]
+    )
+    s = ev.select(
+        key.alias("series"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy(F.col("ts_ms"))
+        .rangeBetween(-7 * DAY_MS, 0)
+    )
+    d = F.col("value").cast("decimal(18,2)")
+    base = s.select(
+        "series",
+        "ts_ms",
+        "value",
+        F.sum(d).over(w).cast("double").alias("s1"),
+        F.sum(d * d).over(w).cast("double").alias("s2"),
+        F.count("value").over(w).alias("cnt"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) / F.col("cnt")
+    z = (F.col("value") - F.col("s1") / F.col("cnt")) / F.sqrt(var)
+    return (
+        base.filter((F.col("cnt") >= 5) & (var > 0) & (F.abs(z) > 1.5))
+        .select("series", "ts_ms", "value", z.alias("zscore"))
+    )
+
+
 @_q(
     "ts_histogram_quantile",
     f"""
