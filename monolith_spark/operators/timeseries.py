@@ -395,3 +395,109 @@ def series_quantiles(
     ]
     aggs.append(F.max("__n").alias("n_points"))
     return ranked.groupBy(*key_cols).agg(*aggs)
+
+
+def changes_resets(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL changes() and resets() in one pass: per-series counts of
+    consecutive-value changes and drops ([*key, n_changes, n_resets]).
+
+    One lag over a (key, time) sort; ties broken by value so duplicate
+    timestamps order deterministically. Integer outputs — immune to
+    float summation order, so oracle parity is exact by construction.
+    """
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts), F.col(value))
+    seq = df.select(
+        *key_cols, F.col(value).alias("__v"), F.lag(F.col(value)).over(w).alias("__prev")
+    )
+    notnull = F.col("__prev").isNotNull()
+    return seq.groupBy(*key_cols).agg(
+        F.count(F.when(notnull & (F.col("__v") != F.col("__prev")), 1)).alias("n_changes"),
+        F.count(F.when(notnull & (F.col("__v") < F.col("__prev")), 1)).alias("n_resets"),
+    )
+
+
+def linreg_slope(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+    t0: int = 0,
+    per: float = 1000.0,
+    out: str = "slope",
+) -> DataFrame:
+    """PromQL deriv(): per-series least-squares slope (× ``per``, i.e.
+    per-second for ms timestamps) from five exact DECIMAL accumulators
+    (n, Σx, Σy, Σxx, Σxy) — ONE map-combinable aggregation, no window,
+    no sort, order-independent. Returns [*key, n_points, out].
+
+    ``t0`` centers timestamps before squaring so Σxx stays in DECIMAL
+    range (pass the query range start); DECIMAL(20,0) keeps engines
+    like DuckDB on wide (hugeint) physical types where an int64-backed
+    DECIMAL(18) product would overflow. Series with zero x-variance
+    (all points at one timestamp) are dropped — slope undefined.
+    """
+    key_cols = key_cols or ["series_id"]
+    x = (F.col(ts) - F.lit(t0)).cast("decimal(20,0)")
+    y = F.col(value).cast("decimal(18,2)")
+    agg = df.groupBy(*key_cols).agg(
+        F.count("*").alias("n_points"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+    )
+    denom = F.col("n_points") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (
+        (F.col("n_points") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        / denom
+        * F.lit(per)
+    )
+    return agg.filter(denom > 0).select(*key_cols, "n_points", slope.alias(out))
+
+
+def irate(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+    per: float = 1000.0,
+    out: str = "irate",
+) -> DataFrame:
+    """PromQL irate(): reset-corrected rate from the LAST TWO samples
+    per series ([*key, out]). A row_number top-2 over a (time desc,
+    value desc) sort — one shuffle; the value tie-break makes the pair
+    deterministic under duplicate timestamps. The step stays DECIMAL
+    until the final double divide. Series without two distinct
+    trailing timestamps are dropped (rate undefined)."""
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts), F.desc(value))
+    d = F.col(value).cast("decimal(28,6)")
+    ranked = df.select(
+        *key_cols,
+        F.col(ts).alias("__t"),
+        d.alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+    ).filter(F.col("__rn") <= 2)
+    agg = (
+        ranked.groupBy(*key_cols)
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__v1"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__v"))).alias("__v2"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__t"))).alias("__t1"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__t"))).alias("__t2"),
+        )
+        .filter(F.col("__t2").isNotNull() & (F.col("__t1") > F.col("__t2")))
+    )
+    step = F.when(F.col("__v1") >= F.col("__v2"), F.col("__v1") - F.col("__v2")).otherwise(
+        F.col("__v1")
+    )
+    return agg.select(
+        *key_cols,
+        (step.cast("double") / (F.col("__t1") - F.col("__t2")) * F.lit(per)).alias(out),
+    )

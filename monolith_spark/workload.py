@@ -647,34 +647,7 @@ def ts_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window, ties broken by value so both engines pick the
     same pair. The step stays DECIMAL until the final double divide."""
     s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
-    w = Window.partitionBy("signature").orderBy(
-        F.desc("timestamp"), F.desc("value")
-    )
-    ranked = s.select(
-        "signature",
-        F.col("timestamp").alias("ts_ms"),
-        F.col("value").cast("decimal(28,6)").alias("v"),
-        F.row_number().over(w).alias("rn"),
-    ).filter(F.col("rn") <= 2)
-    agg = (
-        ranked.groupBy("signature")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("v1"),
-            F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("v2"),
-            F.max(F.when(F.col("rn") == 1, F.col("ts_ms"))).alias("t1"),
-            F.max(F.when(F.col("rn") == 2, F.col("ts_ms"))).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull() & (F.col("t1") > F.col("t2")))
-    )
-    step = F.when(F.col("v1") >= F.col("v2"), F.col("v1") - F.col("v2")).otherwise(
-        F.col("v1")
-    )
-    return agg.select(
-        "signature",
-        (step.cast("double") / (F.col("t1") - F.col("t2")) * F.lit(1000.0)).alias(
-            "irate_per_sec"
-        ),
-    )
+    return _tsops.irate(s, key_cols=["signature"], out="irate_per_sec")
 
 
 @_q(
@@ -706,24 +679,9 @@ def ts_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits comfortably in DECIMAL; the slope itself is assembled from the
     exact sums with identical double ops on both engines."""
     s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
-    x = (F.col("timestamp") - F.lit(JAN1)).cast("decimal(20,0)")
-    y = F.col("value").cast("decimal(18,2)")
-    agg = s.groupBy("signature").agg(
-        F.count("*").alias("n_points"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(x * y).cast("double").alias("sxy"),
-    )
-    denom = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = (
-        (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / denom
-        * F.lit(1000.0)
-    )
-    return agg.filter(denom > 0).select(
-        "signature", "n_points", slope.alias("deriv_per_sec")
-    )
+    return _tsops.linreg_slope(
+        s, key_cols=["signature"], t0=JAN1, out="deriv_per_sec"
+    ).select("signature", "n_points", "deriv_per_sec")
 
 
 @_q(
@@ -749,17 +707,7 @@ def ts_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     float summation order; same (ts, value) tie-break ordering as the
     other lag-based queries so both engines see identical neighbors."""
     s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
-    w = Window.partitionBy("signature").orderBy("timestamp", "value")
-    prev = F.lag("value").over(w)
-    seq = s.select("signature", F.col("value").alias("v"), prev.alias("prev"))
-    return seq.groupBy("signature").agg(
-        F.count(
-            F.when(F.col("prev").isNotNull() & (F.col("v") != F.col("prev")), 1)
-        ).alias("n_changes"),
-        F.count(
-            F.when(F.col("prev").isNotNull() & (F.col("v") < F.col("prev")), 1)
-        ).alias("n_resets"),
-    )
+    return _tsops.changes_resets(s, key_cols=["signature"])
 
 
 @_q(

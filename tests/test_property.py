@@ -331,3 +331,72 @@ def test_series_quantiles_matches_python_model(spark, series_pts):
             n,
         )
     assert got == want
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
+def test_changes_resets_matches_python_model(spark, series_pts):
+    from monolith_spark.operators.timeseries import changes_resets
+
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = {
+        r["k"]: (r["n_changes"], r["n_resets"])
+        for r in changes_resets(df, key_cols=["k"]).collect()
+    }
+    want = {}
+    for k, pts in enumerate(series_pts):
+        seq = [v for _, v in sorted(pts)]
+        want[k] = (
+            sum(1 for a, b in zip(seq, seq[1:]) if a != b),
+            sum(1 for a, b in zip(seq, seq[1:]) if b < a),
+        )
+    assert got == want
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
+def test_linreg_slope_matches_python_model(spark, series_pts):
+    from fractions import Fraction
+
+    from monolith_spark.operators.timeseries import linreg_slope
+
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = {
+        r["k"]: (r["n_points"], r["slope"])
+        for r in linreg_slope(df, key_cols=["k"]).collect()
+    }
+    want = {}
+    for k, pts in enumerate(series_pts):
+        n = len(pts)
+        # exact sums (ints/quarters), then the engine's double ops
+        sx = float(sum(Fraction(t) for t, _ in pts))
+        sy = float(sum(Fraction(v) for _, v in pts))
+        sxx = float(sum(Fraction(t) ** 2 for t, _ in pts))
+        sxy = float(sum(Fraction(t) * Fraction(v) for t, v in pts))
+        denom = n * sxx - sx * sx
+        if denom > 0:
+            want[k] = (n, (n * sxy - sx * sy) / denom * 1000.0)
+    assert got == want
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
+def test_irate_matches_python_model(spark, series_pts):
+    from fractions import Fraction
+
+    from monolith_spark.operators.timeseries import irate
+
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = {r["k"]: r["irate"] for r in irate(df, key_cols=["k"]).collect()}
+    want = {}
+    for k, pts in enumerate(series_pts):
+        top = sorted(pts, reverse=True)[:2]
+        if len(top) < 2 or top[0][0] <= top[1][0]:
+            continue
+        (t1, v1), (t2, v2) = top
+        step = Fraction(v1) - Fraction(v2) if v1 >= v2 else Fraction(v1)
+        want[k] = float(step) / (t1 - t2) * 1000.0
+    assert got == want
