@@ -501,3 +501,44 @@ def irate(
         *key_cols,
         (step.cast("double") / (F.col("__t1") - F.col("__t2")) * F.lit(per)).alias(out),
     )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+    window_ms: int = 7 * 86_400_000,
+    min_points: int = 5,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: rows of ``df`` whose
+    value deviates more than ``threshold``·σ from their own series'
+    trailing ``window_ms`` mean (windows with ≥ ``min_points`` and
+    positive variance). Returns [*key, ts, value, zscore].
+
+    Window stats use the exact DECIMAL two-accumulator form (sum +
+    sum-of-squares, order-independent) over a RANGE frame — one
+    (key, time) sort shuffle, sliding-frame evaluation; the z-score's
+    double ops (divide, sqrt, abs) are IEEE-deterministic, so results
+    are reproducible cross-engine and cross-run."""
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts)).rangeBetween(-window_ms, 0)
+    d = F.col(value).cast("decimal(18,2)")
+    base = df.select(
+        *key_cols,
+        F.col(ts),
+        F.col(value),
+        F.sum(d).over(w).cast("double").alias("__s1"),
+        F.sum(d * d).over(w).cast("double").alias("__s2"),
+        F.count(value).over(w).alias("__cnt"),
+    )
+    # expression shape matches the ts_anomaly oracle SQL exactly
+    var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__cnt")) / F.col("__cnt")
+    z = (F.col(value) - F.col("__s1") / F.col("__cnt")) / F.sqrt(var)
+    return (
+        base.filter(
+            (F.col("__cnt") >= min_points) & (var > 0) & (F.abs(z) > threshold)
+        )
+        .select(*key_cols, F.col(ts), F.col(value), z.alias("zscore"))
+    )

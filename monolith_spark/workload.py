@@ -1266,25 +1266,9 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
         "value",
     )
-    w = (
-        Window.partitionBy("series")
-        .orderBy(F.col("ts_ms"))
-        .rangeBetween(-7 * DAY_MS, 0)
-    )
-    d = F.col("value").cast("decimal(18,2)")
-    base = s.select(
-        "series",
-        "ts_ms",
-        "value",
-        F.sum(d).over(w).cast("double").alias("s1"),
-        F.sum(d * d).over(w).cast("double").alias("s2"),
-        F.count("value").over(w).alias("cnt"),
-    )
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) / F.col("cnt")
-    z = (F.col("value") - F.col("s1") / F.col("cnt")) / F.sqrt(var)
-    return (
-        base.filter((F.col("cnt") >= 5) & (var > 0) & (F.abs(z) > 1.5))
-        .select("series", "ts_ms", "value", z.alias("zscore"))
+    return _tsops.anomaly_zscore(
+        s, key_cols=["series"], ts="ts_ms",
+        window_ms=7 * DAY_MS, min_points=5, threshold=1.5,
     )
 
 
