@@ -351,3 +351,51 @@ def test_streaming_neardup_index_within_and_cross_batch(spark, tmp_path):
     idx.process_batch(slice2, epoch_id=1)
     assert {(r["new_doc_id"], r["old_doc_id"], r["jaccard"])
             for r in idx.matches().collect()} == before
+
+
+def test_streaming_anomalies_prequential(spark, tmp_path):
+    # Prequential z-score: a planted spike must be flagged once its
+    # series has >= min_points priors; state (and therefore scoring)
+    # must carry across micro-batches.
+    from monolith_spark.labels import series_id_expr
+    from monolith_spark.streaming.anomaly import (
+        prequential_anomalies_batch,
+        streaming_anomalies,
+    )
+
+    src = str(tmp_path / "src")
+    steady = [({"m": "a"}, 1000 * t, float(10 + (t % 2))) for t in range(1, 7)]
+    _write_slice(spark, src, steady)
+    # batch 2: one more steady point, then the spike; plus an
+    # all-steady series that must never fire
+    _write_slice(spark, src, [({"m": "a"}, 7000, 11.0), ({"m": "a"}, 8000, 99.0),
+                              ({"m": "b"}, 1000, 5.0)])
+
+    stream = samples_file_stream(spark, src, max_files_per_trigger=1)
+    keyed = stream.select(
+        series_id_expr("labels").alias("series_id"), "timestamp", "value"
+    )
+    q = (
+        streaming_anomalies(keyed, min_points=5, threshold=3.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("anomalies")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["series_id"], r["timestamp"], r["value"], r["zscore"])
+        for r in spark.sql("SELECT * FROM anomalies").collect()
+    )
+    # python twin over the SAME points in the same order
+    df = spark.read.parquet(src).select(
+        series_id_expr("labels").alias("series_id"), "timestamp", "value"
+    )
+    rows = [(r["series_id"], r["timestamp"], r["value"]) for r in df.collect()]
+    want = sorted(prequential_anomalies_batch(rows, min_points=5, threshold=3.0))
+    assert got == want
+    # exactly the planted spike, nothing else
+    assert len(got) == 1 and got[0][2] == 99.0
