@@ -2064,3 +2064,109 @@ def docs_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.shingle_jaccard_pairs(e, threshold=_JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return e.join(drop, "doc_id", "left_anti").select("doc_id", "n_tokens")
+
+
+@_q(
+    "docs_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    base AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+    topf AS (
+      SELECT doc_id, max(c) AS top_c FROM (
+        SELECT doc_id, tokn, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tokn FROM base)
+        GROUP BY 1, 2)
+      GROUP BY 1),
+    tri AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM base, range(1, 2000) r(i) WHERE i <= len(w) - 2),
+    tstat AS (
+      SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_dist
+      FROM tri GROUP BY 1)
+    SELECT base.doc_id, len(w) AS n_tokens,
+           CAST(topf.top_c AS DOUBLE) / len(w) AS top_token_frac,
+           CAST(tstat.n_tri - tstat.n_dist AS DOUBLE) / tstat.n_tri
+             AS dup_trigram_frac
+    FROM base JOIN topf USING (doc_id) JOIN tstat USING (doc_id)
+    """,
+)
+def docs_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-token
+    fraction and duplicated-trigram fraction — the quality gates that
+    catch boilerplate/looping text which length/stopword stats miss.
+    Two explode+groupBy passes keyed by doc_id; ratios are integer
+    counts divided once in double, parity-exact cross-engine."""
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.select("doc_id", _text.tokens_expr("text").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    topf = (
+        base.select("doc_id", F.explode("w").alias("tokn"))
+        .groupBy("doc_id", "tokn")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_c"))
+    )
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.array_join(F.slice("w", i, 3), " "),
+    )
+    tstat = (
+        base.select("doc_id", F.explode(tri_arr).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"), F.countDistinct("g").alias("n_dist"))
+    )
+    return (
+        base.join(topf, "doc_id")
+        .join(tstat, "doc_id")
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            (F.col("top_c").cast("double") / F.size("w")).alias("top_token_frac"),
+            ((F.col("n_tri") - F.col("n_dist")).cast("double") / F.col("n_tri")).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+@_q(
+    "docs_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                      || ' ' || w[i+4] AS g
+          FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 4),
+    hold AS (SELECT doc_id FROM documents
+             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 10 < 2),
+    hg AS (SELECT DISTINCT g FROM g WHERE doc_id IN (SELECT doc_id FROM hold))
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM g JOIN hg USING (g)
+    WHERE g.doc_id NOT IN (SELECT doc_id FROM hold)
+    GROUP BY 1
+    """,
+)
+def docs_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with a holdout set (here: the deterministic 20% hash
+    sample standing in for an eval benchmark). The overlap check is an
+    equi-join on shingles against the holdout's (distinct) shingle
+    set — an inverted-index probe, linear shuffle, no all-pairs; at
+    100 TB the holdout shingle set is small enough to broadcast."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id", F.explode(_text.shingles_expr("text", 5)).alias("g")
+    )
+    hold_ids = docs.filter(
+        _text.hash60_expr(F.col("doc_id").cast("string")) % 10 < 2
+    ).select("doc_id")
+    hg = g.join(hold_ids, "doc_id", "semi").select("g").distinct()
+    return (
+        g.join(hold_ids, "doc_id", "left_anti")
+        .join(hg, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
