@@ -333,3 +333,37 @@ class MonolithDB:
                 shutil.rmtree(os.path.join(self.samples_path, name))
                 dropped += 1
         return dropped
+
+    def chunks(self) -> DataFrame:
+        """Chunk inventory: [chunk_id, start_ms, end_ms, n_files,
+        bytes] per sealed/live partition — the observability view of
+        the reference's sealed-chunk list + chunk metadata
+        (/root/reference/src/db.rs:22-32, chunk.rs:22-56). Reads the
+        partition directory listing only — no data scan."""
+        rows = []
+        if os.path.isdir(self.samples_path):
+            for name in sorted(os.listdir(self.samples_path)):
+                if not name.startswith("chunk_id="):
+                    continue
+                try:
+                    cid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                d = os.path.join(self.samples_path, name)
+                files = [
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                ]
+                rows.append(
+                    (
+                        cid,
+                        cid * self.chunk_size_ms,
+                        (cid + 1) * self.chunk_size_ms - 1,
+                        len(files),
+                        sum(os.path.getsize(f) for f in files),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows, "chunk_id long, start_ms long, end_ms long, n_files long, bytes long"
+        )

@@ -330,3 +330,20 @@ def test_resample_ffill_gapfill(spark):
     assert rows[(1, 20)] == (2.5, True)    # latest ts wins; value breaks the tie
     assert rows[(2, 40)] == (7.0, True)    # single-bucket series
     assert len(rows) == 4
+
+
+def test_chunks_inventory(spark, tmp_path):
+    from monolith_spark.engine import MonolithDB
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=1000)
+    df = spark.createDataFrame(
+        [({"a": "1"}, 100, 1.0), ({"a": "1"}, 1500, 2.0), ({"a": "2"}, 2500, 3.0)],
+        SAMPLES_SCHEMA,
+    )
+    db.write(df)
+    got = {r["chunk_id"]: r for r in db.chunks().collect()}
+    assert sorted(got) == [0, 1, 2]
+    assert got[0]["start_ms"] == 0 and got[0]["end_ms"] == 999
+    assert got[2]["start_ms"] == 2000 and got[2]["end_ms"] == 2999
+    assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in got.values())
