@@ -2170,3 +2170,42 @@ def docs_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+@_q(
+    "docs_stratified_sample",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    s AS (SELECT doc_id,
+            len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) s_en,
+            len(list_filter(w, x -> list_contains(['der','die','und','ist'], x))) s_de,
+            len(list_filter(w, x -> list_contains(['el','la','que','los'], x))) s_es,
+            len(list_filter(w, x -> list_contains(['le','les','et','des'], x))) s_fr
+          FROM t),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM s)
+    SELECT doc_id, lang_pred
+    FROM lang
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+          < CASE WHEN lang_pred = 'en' THEN 10 ELSE 50 END
+    """,
+)
+def docs_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: per-language deterministic hash
+    rates (downsample the dominant language to 10%, keep the tail at
+    50%) — the rebalancing step of a multilingual training mix. Pure
+    projection + filter, zero shuffles; the hash gate is the same
+    reproducible md5-prefix draw as docs_hash_sample, so the sample is
+    stable across runs, engines, and partitionings."""
+    docs = _docs(spark, sf_dir)
+    lang = docs.select(
+        "doc_id", _text.lang_id_expr("text").alias("lang_pred")
+    )
+    rate = F.when(F.col("lang_pred") == "en", F.lit(10)).otherwise(F.lit(50))
+    draw = _text.hash60_expr(F.col("doc_id").cast("string")) % 100
+    return lang.filter(draw < rate)
