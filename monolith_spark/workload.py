@@ -2209,3 +2209,49 @@ def docs_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(F.col("lang_pred") == "en", F.lit(10)).otherwise(F.lit(50))
     draw = _text.hash60_expr(F.col("doc_id").cast("string")) % 100
     return lang.filter(draw < rate)
+
+
+@_q(
+    "events_cohort_retention",
+    f"""
+    WITH signup AS (
+      SELECT user_id,
+             CAST((min(epoch_ms(ts)) - {JAN1}) // {7 * DAY_MS} AS BIGINT) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST((epoch_ms(ts) - {JAN1}) // {7 * DAY_MS} AS BIGINT) AS active_week
+      FROM events)
+    SELECT s.cohort_week, a.active_week,
+           count(DISTINCT s.user_id) AS n_users
+    FROM signup s JOIN activity a
+      ON s.user_id = a.user_id AND a.active_week >= s.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week, counted
+    in every subsequent week they were active — the standard retention
+    triangle. One per-user aggregation + one equi-join on user_id +
+    one (cohort, week) count; the week inequality rides on the equi-
+    join (no range join needed), and integer counts make parity exact.
+    At scale both sides are user-grained (not event-grained) before
+    the join, so the shuffle carries one row per user(-week)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
+    )
+    week = lambda c: F.floor((c - F.lit(JAN1)) / F.lit(7 * DAY_MS)).cast("long")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(week(F.min("ts_ms")).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", week(F.col("ts_ms")).alias("active_week")).distinct()
+    return (
+        signup.join(activity, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", "active_week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
