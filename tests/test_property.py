@@ -400,3 +400,39 @@ def test_irate_matches_python_model(spark, series_pts):
         step = Fraction(v1) - Fraction(v2) if v1 >= v2 else Fraction(v1)
         want[k] = float(step) / (t1 - t2) * 1000.0
     assert got == want
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(_SERIES_PTS, min_size=1, max_size=3),
+    st.integers(min_value=1, max_value=20),
+)
+def test_anomaly_zscore_matches_python_model(spark, series_pts, window):
+    import math
+    from fractions import Fraction
+
+    from monolith_spark.operators.timeseries import anomaly_zscore
+
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = sorted(
+        (r["k"], r["timestamp"], r["value"], r["zscore"])
+        for r in anomaly_zscore(
+            df, key_cols=["k"], window_ms=window, min_points=2, threshold=0.5
+        ).collect()
+    )
+    want = []
+    for k, pts in enumerate(series_pts):
+        for ts, v in pts:
+            frame = [v2 for t2, v2 in pts if ts - window <= t2 <= ts]
+            n = len(frame)
+            # exact DECIMAL sums (quarters are exact at scale 2), then
+            # the engine's double ops in the same order
+            s1 = float(sum(Fraction(x) for x in frame))
+            s2 = float(sum(Fraction(x) ** 2 for x in frame))
+            var = (s2 - s1 * s1 / n) / n
+            if n >= 2 and var > 0:
+                z = (v - s1 / n) / math.sqrt(var)
+                if abs(z) > 0.5:
+                    want.append((k, ts, v, z))
+    assert got == sorted(want)
