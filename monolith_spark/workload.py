@@ -2255,3 +2255,69 @@ def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@_q(
+    "ts_max_daily_increase",
+    f"""
+    WITH steps AS (
+      SELECT signature,
+             CAST((ts_ms - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev
+                  ELSE v END AS step
+      FROM (
+        SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms,
+               CAST(value AS DECIMAL(28,6)) AS v,
+               lag(CAST(value AS DECIMAL(28,6))) OVER (
+                 PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+               ) AS prev
+        FROM events
+        WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      )
+    ),
+    daily AS (
+      SELECT signature, day, sum(step) AS inc
+      FROM steps WHERE step IS NOT NULL GROUP BY 1, 2),
+    mx AS (SELECT signature, max(inc) AS mi FROM daily GROUP BY 1)
+    SELECT d.signature, CAST(mx.mi AS DOUBLE) AS max_increase,
+           min(d.day) AS best_day
+    FROM daily d JOIN mx ON d.signature = mx.signature AND d.inc = mx.mi
+    GROUP BY 1, 2
+    """,
+)
+def ts_max_daily_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery composition, max_over_time(increase(c[1d])[...]):
+    reset-corrected steps bucketed by day, summed per (series, day) in
+    exact DECIMAL, then the per-series max with min-day tie-break.
+    One (series, time) sort shuffle for the lag, then day-grained
+    aggregations — the raw stream never shuffles twice; the max-day
+    selection joins day-grained rows only."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    w = Window.partitionBy("signature").orderBy("timestamp", "value")
+    dec = F.col("value").cast("decimal(28,6)")
+    prev = F.lag(dec).over(w)
+    step = F.when(prev.isNull(), F.lit(None)).when(dec >= prev, dec - prev).otherwise(dec)
+    day = F.floor((F.col("timestamp") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
+    daily = (
+        s.select("signature", day.alias("day"), step.alias("step"))
+        .filter(F.col("step").isNotNull())
+        .groupBy("signature", "day")
+        .agg(F.sum("step").alias("inc"))
+    )
+    mx = (
+        daily.groupBy("signature")
+        .agg(F.max("inc").alias("mi"))
+        .withColumnRenamed("signature", "sig_mx")
+    )
+    return (
+        daily.join(
+            mx,
+            (F.col("signature") == F.col("sig_mx")) & (F.col("inc") == F.col("mi")),
+        )
+        .groupBy("signature", "mi")
+        .agg(F.min("day").alias("best_day"))
+        .select(
+            "signature", F.col("mi").cast("double").alias("max_increase"), "best_day"
+        )
+    )
