@@ -2321,3 +2321,53 @@ def ts_max_daily_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signature", F.col("mi").cast("double").alias("max_increase"), "best_day"
         )
     )
+
+
+@_q(
+    "ts_vector_ratio",
+    f"""
+    WITH p AS (
+      SELECT CAST(user_id AS VARCHAR) AS usr,
+             CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS pv
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2),
+    v AS (
+      SELECT CAST(user_id AS VARCHAR) AS usr,
+             CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vv
+      FROM events
+      WHERE event_type = 'view' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2)
+    SELECT p.usr, p.day, p.pv / v.vv AS purchase_per_view
+    FROM p JOIN v ON p.usr = v.usr AND p.day = v.day
+    WHERE v.vv <> 0.0
+    """,
+)
+def ts_vector_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL binary operation with vector matching — the analog of
+    ``sum by (user)(purchase) / on(user, day) sum by (user, day)(view)``:
+    two label-grouped aggregate streams equi-joined on their shared
+    labels, inner-match semantics (pairs present on both sides only).
+    Each side is aggregated to (user, day) grain BEFORE the join, so
+    the shuffle carries grouped rows, never raw events; sums stay
+    DECIMAL until the final double ratio."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    day = F.floor((F.col("timestamp") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
+    usr = F.try_element_at("labels", F.lit("user"))
+    et = F.try_element_at("labels", F.lit("event_type"))
+
+    def side(event_type: str, out: str) -> DataFrame:
+        return (
+            s.filter(et == event_type)
+            .groupBy(usr.alias("usr"), day.alias("day"))
+            .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias(out))
+        )
+
+    p, v = side("purchase", "pv"), side("view", "vv")
+    return (
+        p.join(v, ["usr", "day"])
+        .filter(F.col("vv") != 0.0)
+        .select("usr", "day", (F.col("pv") / F.col("vv")).alias("purchase_per_view"))
+    )
