@@ -2371,3 +2371,89 @@ def ts_vector_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vv") != 0.0)
         .select("usr", "day", (F.col("pv") / F.col("vv")).alias("purchase_per_view"))
     )
+
+
+@_q(
+    "ts_wow_change",
+    f"""
+    WITH w1 AS (
+      SELECT {SIG_SQL} AS signature,
+             sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN8} GROUP BY 1),
+    w2 AS (
+      SELECT {SIG_SQL} AS signature,
+             sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events WHERE epoch_ms(ts) BETWEEN {JAN8 + 1} AND {JAN15} GROUP BY 1)
+    SELECT COALESCE(w1.signature, w2.signature) AS signature,
+           CAST(COALESCE(w1.s, 0) AS DOUBLE) AS week1,
+           CAST(COALESCE(w2.s, 0) AS DOUBLE) AS week2,
+           CAST(COALESCE(w2.s, 0) - COALESCE(w1.s, 0) AS DOUBLE) AS change
+    FROM w1 FULL OUTER JOIN w2 ON w1.signature = w2.signature
+    """,
+)
+def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per series via FULL OUTER vector matching
+    (PromQL `or`-style union semantics): series present in either week
+    appear, absent sides coalesce to 0 BEFORE the double cast so the
+    difference stays DECIMAL-exact. Both sides are series-grained
+    aggregates before the join."""
+    s = events_samples(spark, sf_dir)
+    d = F.col("value").cast(DEC)
+
+    def week(lo: int, hi: int, out: str) -> DataFrame:
+        return (
+            s.filter(F.col("timestamp").between(lo, hi))
+            .groupBy("signature")
+            .agg(F.sum(d).alias(out))
+        )
+
+    w1 = week(JAN1, JAN8, "s1")
+    w2 = week(JAN8 + 1, JAN15, "s2").withColumnRenamed("signature", "sig2")
+    z = F.lit(0).cast(DEC)
+    return (
+        w1.join(w2, w1.signature == F.col("sig2"), "full_outer")
+        .select(
+            F.coalesce("signature", "sig2").alias("signature"),
+            F.coalesce("s1", z).cast("double").alias("week1"),
+            F.coalesce("s2", z).cast("double").alias("week2"),
+            (F.coalesce("s2", z) - F.coalesce("s1", z)).cast("double").alias("change"),
+        )
+    )
+
+
+@_q(
+    "events_type_pivot",
+    f"""
+    SELECT CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    """,
+)
+def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily counts per event type as columns. Spark's pivot
+    with an EXPLICIT value list compiles to the same one-pass
+    conditional aggregation as the SQL (an unlisted-values pivot would
+    need a distinct pre-pass — never do that at scale)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    day = F.floor((F.col("ts_ms") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
+    pivoted = (
+        ev.filter(F.col("ts_ms").between(JAN1, JAN20))
+        .groupBy(day.alias("day"))
+        .pivot("event_type", ["view", "click", "purchase", "signup"])
+        .count()
+    )
+    return pivoted.select(
+        "day",
+        F.coalesce("view", F.lit(0)).alias("n_view"),
+        F.coalesce("click", F.lit(0)).alias("n_click"),
+        F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        F.coalesce("signup", F.lit(0)).alias("n_signup"),
+    )
