@@ -2457,3 +2457,34 @@ def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
         F.coalesce("signup", F.lit(0)).alias("n_signup"),
     )
+
+
+@_q(
+    "ts_label_manipulation",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           event_type || ':' || CAST(user_id AS VARCHAR) AS instance,
+           regexp_replace(event_type, '^(view|click)$', 'engagement') AS family,
+           count(*) AS n_points
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_label_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL label_join + label_replace analogs: derive an `instance`
+    label by joining existing labels and a `family` label by regex
+    rewrite, then aggregate by the derived labels — pure projections
+    (zero extra shuffles beyond the final groupBy); the label algebra
+    the reference's fixed label model cannot express."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    et = F.try_element_at("labels", F.lit("event_type"))
+    usr = F.try_element_at("labels", F.lit("user"))
+    return (
+        s.groupBy(
+            "signature",
+            F.concat(et, F.lit(":"), usr).alias("instance"),
+            F.regexp_replace(et, "^(view|click)$", "engagement").alias("family"),
+        )
+        .agg(F.count("*").alias("n_points"))
+    )
