@@ -2435,27 +2435,28 @@ def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: daily counts per event type as columns. Spark's pivot
-    with an EXPLICIT value list compiles to the same one-pass
-    conditional aggregation as the SQL (an unlisted-values pivot would
-    need a distinct pre-pass — never do that at scale)."""
+    """Pivot: daily counts per event type as columns, written as ONE
+    conditional aggregation (one shuffle, day-keyed). DataFrame
+    `.pivot()` — even with an explicit value list — plans an extra
+    (day, event_type) pre-aggregation shuffle; the conditional-agg
+    form is the scale path, asserted in test_plans.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
     )
     day = F.floor((F.col("ts_ms") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
-    pivoted = (
+    cnt = lambda t, out: F.count(
+        F.when(F.col("event_type") == t, 1)
+    ).alias(out)
+    return (
         ev.filter(F.col("ts_ms").between(JAN1, JAN20))
         .groupBy(day.alias("day"))
-        .pivot("event_type", ["view", "click", "purchase", "signup"])
-        .count()
-    )
-    return pivoted.select(
-        "day",
-        F.coalesce("view", F.lit(0)).alias("n_view"),
-        F.coalesce("click", F.lit(0)).alias("n_click"),
-        F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
-        F.coalesce("signup", F.lit(0)).alias("n_signup"),
+        .agg(
+            cnt("view", "n_view"),
+            cnt("click", "n_click"),
+            cnt("purchase", "n_purchase"),
+            cnt("signup", "n_signup"),
+        )
     )
 
 

@@ -154,3 +154,20 @@ def test_setop_plans_reduce_before_joining(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "HashAggregate" in plan, name
+
+
+def test_analytics_joins_stay_equi_and_grouped(spark, sf_dir):
+    # cohort / vector-ratio / WoW / curation: every join must be an
+    # equi-join (no nested loop), and the join inputs must be
+    # aggregated/grouped rows, visible as HashAggregate below the join
+    for name in ("events_cohort_retention", "ts_vector_ratio",
+                 "ts_wow_change", "docs_curation", "docs_decontaminate",
+                 "ts_max_daily_increase"):
+        plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # pivot: no join, and one shuffle — Spark pre-aggregates
+    # (day, event_type) map-side, then pivotfirst over a single
+    # day-keyed exchange
+    plan = _plan(all_queries()["events_type_pivot"].spark_fn(spark, sf_dir))
+    assert "Join" not in plan and plan.count("Exchange") == 1, plan[:1500]
