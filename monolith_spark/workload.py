@@ -2489,3 +2489,31 @@ def ts_label_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_points"))
     )
+
+
+@_q(
+    "ts_absent",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           count(*) AS n_points_total
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    HAVING count(CASE WHEN epoch_ms(ts) >= {JAN15} THEN 1 END) = 0
+    """,
+)
+def ts_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL absent()-style staleness detection: series that reported
+    in the full range but have NO points in the recent window — the
+    "metric went dark" alert. One conditional aggregation (count the
+    recent points while counting all), no anti-join, no second scan."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    return (
+        s.groupBy("signature")
+        .agg(
+            F.count("*").alias("n_points_total"),
+            F.count(F.when(F.col("timestamp") >= JAN15, 1)).alias("__recent"),
+        )
+        .filter(F.col("__recent") == 0)
+        .drop("__recent")
+    )
