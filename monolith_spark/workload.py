@@ -2517,3 +2517,50 @@ def ts_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__recent") == 0)
         .drop("__recent")
     )
+
+
+@_q(
+    "events_wau",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}),
+    contrib AS (
+      SELECT user_id, day + i AS report_day
+      FROM ud, range(0, 7) r(i))
+    SELECT report_day AS day, count(DISTINCT user_id) AS wau
+    FROM contrib
+    WHERE report_day <= (SELECT max(day) FROM ud)
+    GROUP BY 1
+    """,
+)
+def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (sliding distinct). The
+    sliding window is rewritten as an EXPLODE: each user-day
+    contributes to the 7 report days it falls in, then one distinct
+    count per report day — every step an equi-keyed aggregation, no
+    range self-join, no per-day rescans. Input is first reduced to
+    (user, day) grain, so the explode is 7× user-days, not 7× events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    ud = (
+        ev.filter(F.col("ts_ms").between(JAN1, JAN20))
+        .select(
+            "user_id",
+            F.floor((F.col("ts_ms") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    max_day = ud.agg(F.max("day").alias("mx"))
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("report_day")
+    )
+    return (
+        contrib.join(F.broadcast(max_day), contrib.report_day <= F.col("mx"))
+        .groupBy(F.col("report_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
