@@ -2564,3 +2564,48 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("report_day").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@_q(
+    "ts_time_weighted_avg",
+    f"""
+    WITH seg AS (
+      SELECT signature, v,
+             lead(ts_ms) OVER (PARTITION BY signature ORDER BY ts_ms, v) - ts_ms
+               AS dur
+      FROM (
+        SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+        WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      )
+    )
+    SELECT signature,
+           CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) AS twa,
+           count(*) AS n_segments
+    FROM seg WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY 1
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series: each sample's value is held
+    until the next sample (step interpolation), weighted by that
+    duration — the TSDB average that plain avg gets wrong under uneven
+    sampling. One (series, time) sort for the lead(); Σ(v·Δt) runs in
+    DECIMAL (exact — ms durations are integers), divided once in
+    double. Zero-duration segments (duplicate timestamps) drop out."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    w = Window.partitionBy("signature").orderBy("timestamp", "value")
+    v = F.col("value").cast(DEC)
+    seg = s.select(
+        "signature",
+        v.alias("v"),
+        (F.lead("timestamp").over(w) - F.col("timestamp")).alias("dur"),
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return seg.groupBy("signature").agg(
+        (
+            F.sum(F.col("v") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double")
+        ).alias("twa"),
+        F.count("*").alias("n_segments"),
+    )
