@@ -2609,3 +2609,35 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa"),
         F.count("*").alias("n_segments"),
     )
+
+
+@_q(
+    "events_json_extract",
+    f"""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      AND json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON `props` payload
+    natively (get_json_object — JVM-side, codegen'd, no Python) and
+    aggregate by a derived numeric key. The JSON parse is a pure
+    projection; the only shuffle is the final low-cardinality groupBy."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "props", "value", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.col("ts_ms").between(JAN1, JAN20) & k.isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
