@@ -461,6 +461,46 @@ def linreg_slope(
     return agg.filter(denom > 0).select(*key_cols, "n_points", slope.alias(out))
 
 
+def predict_linear(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+    t0: int = 0,
+    at_ms: int = 0,
+    out: str = "predicted",
+) -> DataFrame:
+    """PromQL predict_linear(): least-squares extrapolation of each
+    series to ``t0 + at_ms``, from the same five exact DECIMAL
+    accumulators as :func:`linreg_slope` (one map-combinable
+    aggregation, no sort). The reference parses the PromQL func hint
+    but never evaluates it (ReadHints at
+    /root/reference/src/proto/types.rs:1248-1257, unread by the
+    server); this is the server-side evaluation Spark makes cheap.
+
+    intercept + slope are assembled from the exact sums with plain
+    double arithmetic (centered x-coordinates), so an oracle engine
+    running the identical expression over the identical sums is
+    bit-equal. Series with zero x-variance are dropped.
+    """
+    key_cols = key_cols or ["series_id"]
+    x = (F.col(ts) - F.lit(t0)).cast("decimal(20,0)")
+    y = F.col(value).cast("decimal(18,2)")
+    agg = df.groupBy(*key_cols).agg(
+        F.count("*").alias("n_points"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+    )
+    n = F.col("n_points")
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope_ms = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+    intercept = (F.col("__sy") - slope_ms * F.col("__sx")) / n
+    predicted = intercept + slope_ms * F.lit(float(at_ms))
+    return agg.filter(denom > 0).select(*key_cols, "n_points", predicted.alias(out))
+
+
 def irate(
     df: DataFrame,
     key_cols: list[str] | None = None,

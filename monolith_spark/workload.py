@@ -684,6 +684,108 @@ def ts_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("signature", "n_points", "deriv_per_sec")
 
 
+_PRED_AT = JAN20 + 7 * DAY_MS - JAN1  # extrapolate one week past range end
+
+
+@_q(
+    "ts_predict_linear",
+    f"""
+    SELECT signature, n_points,
+           (sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx)
+             / n_points
+             + (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+               * CAST({_PRED_AT} AS DOUBLE)
+             AS predicted
+    FROM (
+      SELECT {SIG_SQL} AS signature,
+             count(*) AS n_points,
+             CAST(sum(CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))
+                      * CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(epoch_ms(ts) - {JAN1} AS DECIMAL(20,0))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1
+    ) WHERE n_points * sxx - sx * sx > 0
+    """,
+)
+def ts_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL predict_linear(): extrapolate each series one week past
+    the range end via exact-DECIMAL least squares (see
+    operators/timeseries.py:predict_linear). Same accumulator
+    discipline as ts_deriv; intercept assembly adds no new shuffle."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    return _tsops.predict_linear(
+        s, key_cols=["signature"], t0=JAN1, at_ms=_PRED_AT, out="predicted"
+    ).select("signature", "n_points", "predicted")
+
+
+@_q(
+    "ts_count_values",
+    f"""
+    SELECT value, count(*) AS n_samples,
+           count(DISTINCT {SIG_SQL}) AS n_series
+    FROM events
+    WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY value
+    """,
+)
+def ts_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL count_values(): frequency of each exact sample value,
+    plus how many distinct series produced it — a group-by on the
+    value column itself. Values group on exact double bits in both
+    engines, so no rounding epsilon is needed."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    return s.groupBy("value").agg(
+        F.count("*").alias("n_samples"),
+        F.count_distinct("signature").alias("n_series"),
+    )
+
+
+@_q(
+    "ts_scalar_math",
+    f"""
+    SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms,
+           abs(value - 100) AS abs_dev,
+           least(greatest(value, 50.0), 250.0) AS clamped,
+           CAST(floor(value) AS DOUBLE) AS floor_v,
+           CAST(ceil(value) AS DOUBLE) AS ceil_v,
+           CAST(round(value) AS DOUBLE) AS round_v,
+           sqrt(value) AS sqrt_v,
+           CAST(sign(value - 100) AS DOUBLE) AS sgn_dev
+    FROM events
+    WHERE event_type = 'view' AND epoch_ms(ts) BETWEEN {JAN8} AND {JAN15}
+    """,
+)
+def ts_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL scalar math bundle — clamp/abs/floor/ceil/round/sqrt/sgn
+    applied per sample, fully inside whole-stage codegen. Only
+    IEEE-exact functions are used (sqrt is correctly rounded; round on
+    positive half-way doubles agrees between BigDecimal HALF_UP and
+    C round-half-away) so cross-engine equality is bitwise; exp/ln are
+    deliberately excluded — libm vs java.lang.Math differ in the last
+    ulp."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "view"}, ts_range=(JAN8, JAN15)
+    )
+    v = F.col("value")
+    return s.select(
+        "signature",
+        F.col("timestamp").alias("ts_ms"),
+        F.abs(v - 100).alias("abs_dev"),
+        F.least(F.greatest(v, F.lit(50.0)), F.lit(250.0)).alias("clamped"),
+        F.floor(v).cast("double").alias("floor_v"),
+        F.ceil(v).cast("double").alias("ceil_v"),
+        F.round(v).cast("double").alias("round_v"),
+        F.sqrt(v).alias("sqrt_v"),
+        F.signum(v - 100).cast("double").alias("sgn_dev"),
+    )
+
+
 @_q(
     "ts_changes",
     f"""

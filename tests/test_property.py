@@ -383,6 +383,34 @@ def test_linreg_slope_matches_python_model(spark, series_pts):
 
 @settings(max_examples=10, **_SETTINGS)
 @given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
+def test_predict_linear_matches_python_model(spark, series_pts):
+    from fractions import Fraction
+
+    from monolith_spark.operators.timeseries import predict_linear
+
+    at_ms = 5_000
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = {
+        r["k"]: (r["n_points"], r["predicted"])
+        for r in predict_linear(df, key_cols=["k"], at_ms=at_ms).collect()
+    }
+    want = {}
+    for k, pts in enumerate(series_pts):
+        n = len(pts)
+        sx = float(sum(Fraction(t) for t, _ in pts))
+        sy = float(sum(Fraction(v) for _, v in pts))
+        sxx = float(sum(Fraction(t) ** 2 for t, _ in pts))
+        sxy = float(sum(Fraction(t) * Fraction(v) for t, v in pts))
+        denom = n * sxx - sx * sx
+        if denom > 0:
+            slope = (n * sxy - sx * sy) / denom
+            want[k] = (n, (sy - slope * sx) / n + slope * float(at_ms))
+    assert got == want
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
 def test_irate_matches_python_model(spark, series_pts):
     from fractions import Fraction
 
