@@ -40,6 +40,58 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def passage_dup_stats(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level (sub-document) duplication: split each document
+    into consecutive non-overlapping ``k``-token passages and count,
+    per document, how many of its passages occur more than once in the
+    whole corpus (CCNet/RefinedWeb-style paragraph dedup, at passage
+    grain since the fixture has no paragraph breaks).
+
+    Returns [id_col, n_passages, n_dup_passages, dup_fraction].
+
+    Scale shape: passages are hashed to 8-byte xxhash64 keys map-side,
+    so the corpus-frequency shuffle ships (hash, id) — never passage
+    text; the duplicated-hash set joins back by semi-join on the same
+    key. Collisions at 64-bit over ~1e12 passages are ~3e-8 per pair —
+    acceptable for a *statistic*; exact_dedup-style md5 would be used
+    for destructive removal.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_pass = F.floor(F.size(w) / k).cast("long")
+    passages = F.transform(
+        F.sequence(F.lit(1), n_pass.cast("int")),
+        lambda i: F.xxhash64(F.array_join(F.slice(w, (i - 1) * k + 1, k), " ")),
+    )
+    base = df.select(
+        F.col(id_col), n_pass.alias("n_passages"), passages.alias("__ph")
+    ).filter(F.col("n_passages") >= 1)
+    ex = base.select(id_col, F.explode("__ph").alias("h"))
+    dup_h = ex.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    per_doc = (
+        ex.join(dup_h, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_passages"))
+    )
+    return (
+        base.drop("__ph")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_passages",
+            F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),
+            (
+                F.coalesce("n_dup_passages", F.lit(0)).cast("double")
+                / F.col("n_passages")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles, one row per (doc, shingle)."""
     return df.select(

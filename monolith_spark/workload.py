@@ -2354,6 +2354,33 @@ def docs_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_passage_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    base AS (SELECT doc_id, CAST(floor(len(w) / 8) AS BIGINT) AS n_passages, w
+             FROM t WHERE len(w) >= 8),
+    ch AS (SELECT doc_id,
+                  list_aggregate(w[(i-1)*8+1 : i*8], 'string_agg', ' ') AS chunk
+           FROM base, range(1, 2000) r(i) WHERE i <= n_passages),
+    cnt AS (SELECT chunk, count(*) AS c FROM ch GROUP BY 1),
+    d AS (SELECT ch.doc_id, count(*) AS n_dup FROM ch
+          JOIN cnt USING (chunk) WHERE c > 1 GROUP BY 1)
+    SELECT b.doc_id, b.n_passages,
+           coalesce(d.n_dup, 0) AS n_dup_passages,
+           CAST(coalesce(d.n_dup, 0) AS DOUBLE) / b.n_passages AS dup_fraction
+    FROM base b LEFT JOIN d ON b.doc_id = d.doc_id
+    """,
+)
+def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-grain) dedup statistic: fraction of each
+    document's non-overlapping 8-token passages that recur anywhere in
+    the corpus (operators/dedup.py:passage_dup_stats). The oracle
+    groups raw passage text; Spark groups 64-bit passage hashes —
+    equality of the resulting counts doubles as a collision check."""
+    return _dedup.passage_dup_stats(_docs(spark, sf_dir), k=8)
+
+
+@_q(
     "docs_repetition",
     f"""
     WITH t AS (SELECT doc_id, {_W} AS w FROM documents),

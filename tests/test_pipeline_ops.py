@@ -105,6 +105,24 @@ def test_exact_dedup_groups(spark):
     assert dup_group["canonical_id"] == 1
 
 
+def test_passage_dup_stats_planted(spark):
+    shared = "a b c d e f g h"  # one exact 8-token passage in docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " p q r s t u v w"),   # 2 passages, 1 duplicated
+            (2, shared),                        # 1 passage, duplicated
+            (3, "x y z x y z x y"),             # 1 passage, unique
+            (4, "too short"),                   # 0 passages → dropped
+        ],
+        "doc_id long, text string",
+    )
+    res = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"], r["dup_fraction"])
+        for r in dedup.passage_dup_stats(docs, k=8).collect()
+    }
+    assert res == {1: (2, 1, 0.5), 2: (1, 1, 1.0), 3: (1, 0, 0.0)}
+
+
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
     res = df.select("doc_id", text.shingles_expr("text", 3).alias("sh")).collect()
