@@ -461,6 +461,75 @@ def linreg_slope(
     return agg.filter(denom > 0).select(*key_cols, "n_points", slope.alias(out))
 
 
+def holt_winters(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+    sf: float = 0.25,
+    tf: float = 0.5,
+    out: str = "smoothed",
+) -> DataFrame:
+    """PromQL holt_winters() (double exponential smoothing): per-series
+    sequential recurrence — level smoothed by ``sf``, trend by ``tf`` —
+    returning the final smoothed value. The reference parses the func
+    hint but never evaluates it (/root/reference/src/proto/types.rs:
+    1248-1257); Prometheus evaluates it client-side; we evaluate it
+    engine-side.
+
+    An inherently ORDER-DEPENDENT fold, expressed Spark-first as
+    ``F.aggregate`` over ``sort_array(collect_list(...))`` — the whole
+    recurrence runs inside JVM codegen (no Python UDF, no window, one
+    shuffle on the series key). Points sort by (ts, value) so duplicate
+    timestamps fold deterministically. Series need ≥ 2 points.
+
+    State follows the Prometheus recurrence exactly: s1₀ = v₁,
+    b₀ = v₂ − v₁; per step i ≥ 1: b ← b (i = 1) else tf·(s1−s0) +
+    (1−tf)·b, then (s0, s1) ← (s1, sf·vᵢ + (1−sf)·(s1+b)). Plain double
+    arithmetic in a fixed order → an oracle running the identical
+    recurrence is bit-equal.
+    """
+    key_cols = key_cols or ["series_id"]
+    pts = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))
+            ).alias("__pts")
+        )
+        .filter(F.size("__pts") >= 2)
+    )
+    vals = F.transform(F.col("__pts"), lambda p: p["v"])
+    sfl, tfl = F.lit(float(sf)), F.lit(float(tf))
+    one = F.lit(1.0)
+    init = F.struct(
+        F.lit(0.0).alias("s0"),
+        F.element_at(vals, 1).alias("s1"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        F.lit(1).alias("i"),
+    )
+
+    def step(acc, v):
+        b2 = F.when(acc["i"] == 1, acc["b"]).otherwise(
+            tfl * (acc["s1"] - acc["s0"]) + (one - tfl) * acc["b"]
+        )
+        return F.struct(
+            acc["s1"].alias("s0"),
+            (sfl * v + (one - sfl) * (acc["s1"] + b2)).alias("s1"),
+            b2.alias("b"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    smoothed = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1), init, step, lambda a: a["s1"]
+    )
+    return pts.select(
+        *key_cols,
+        F.size("__pts").cast("long").alias("n_points"),
+        smoothed.alias(out),
+    )
+
+
 def predict_linear(
     df: DataFrame,
     key_cols: list[str] | None = None,

@@ -684,6 +684,58 @@ def ts_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("signature", "n_points", "deriv_per_sec")
 
 
+_HW_SF, _HW_TF = 0.25, 0.5  # exactly-representable smoothing factors
+
+
+@_q(
+    "ts_holt_winters",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT {SIG_SQL} AS signature,
+             row_number() OVER (PARTITION BY {SIG_SQL}
+                                ORDER BY epoch_ms(ts), value) AS i,
+             count(*) OVER (PARTITION BY {SIG_SQL}) AS n,
+             value AS v
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    hw AS (
+      SELECT p1.signature, 1 AS i, p1.n,
+             CAST(0 AS DOUBLE) AS s0, p1.v AS s1, p2.v - p1.v AS b
+      FROM pts p1 JOIN pts p2 ON p1.signature = p2.signature
+                             AND p1.i = 1 AND p2.i = 2
+      WHERE p1.n >= 2
+      UNION ALL
+      SELECT h.signature, h.i + 1, h.n,
+             h.s1,
+             CAST({_HW_SF} AS DOUBLE) * p.v
+               + (1 - CAST({_HW_SF} AS DOUBLE)) *
+                 (h.s1 + CASE WHEN h.i = 1 THEN h.b
+                              ELSE CAST({_HW_TF} AS DOUBLE) * (h.s1 - h.s0)
+                                   + (1 - CAST({_HW_TF} AS DOUBLE)) * h.b END),
+             CASE WHEN h.i = 1 THEN h.b
+                  ELSE CAST({_HW_TF} AS DOUBLE) * (h.s1 - h.s0)
+                       + (1 - CAST({_HW_TF} AS DOUBLE)) * h.b END
+      FROM hw h JOIN pts p ON p.signature = h.signature AND p.i = h.i + 1
+    )
+    SELECT signature, n AS n_points, s1 AS smoothed FROM hw WHERE i = n
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL holt_winters(): order-dependent double-exponential
+    smoothing as a JVM-side F.aggregate fold over each series' sorted
+    points (operators/timeseries.py:holt_winters) — no Python UDF, one
+    shuffle. The DuckDB oracle replays the identical recurrence as a
+    recursive CTE, so equality is bitwise despite the sequential
+    arithmetic."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    return _tsops.holt_winters(
+        s, key_cols=["signature"], sf=_HW_SF, tf=_HW_TF, out="smoothed"
+    ).select("signature", "n_points", "smoothed")
+
+
 _PRED_AT = JAN20 + 7 * DAY_MS - JAN1  # extrapolate one week past range end
 
 

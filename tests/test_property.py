@@ -383,6 +383,32 @@ def test_linreg_slope_matches_python_model(spark, series_pts):
 
 @settings(max_examples=10, **_SETTINGS)
 @given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
+def test_holt_winters_matches_python_model(spark, series_pts):
+    from monolith_spark.operators.timeseries import holt_winters
+
+    sf, tf = 0.25, 0.5
+    rows = [(k, ts, v) for k, pts in enumerate(series_pts) for ts, v in pts]
+    df = spark.createDataFrame(rows, "k long, timestamp long, value double")
+    got = {
+        r["k"]: (r["n_points"], r["smoothed"])
+        for r in holt_winters(df, key_cols=["k"], sf=sf, tf=tf).collect()
+    }
+    want = {}
+    for k, pts in enumerate(series_pts):
+        vs = [v for _, v in sorted(pts)]
+        if len(vs) < 2:
+            continue
+        s0, s1, b = 0.0, vs[0], vs[1] - vs[0]
+        for i in range(1, len(vs)):
+            if i - 1 != 0:
+                b = tf * (s1 - s0) + (1 - tf) * b
+            s0, s1 = s1, sf * vs[i] + (1 - sf) * (s1 + b)
+        want[k] = (len(vs), s1)
+    assert got == want
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(st.lists(_SERIES_PTS, min_size=1, max_size=3))
 def test_predict_linear_matches_python_model(spark, series_pts):
     from fractions import Fraction
 
