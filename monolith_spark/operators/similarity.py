@@ -137,6 +137,43 @@ def hyperplane_signature_offset(
     return sig.cast("long")
 
 
+def int8_quantize_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization quality, per vector: scale =
+    max|x| / 127, code = round(x / scale), reconstruction x̂ = code ·
+    scale. Returns [id_col, n_dims, scale, rmse, max_abs_err] — the
+    stats a pipeline needs to decide whether 4× embedding compression
+    is tolerable before reindexing 100 TB of vectors.
+
+    Pure projection: no shuffle, no UDF; every fold is the module's
+    deterministic sequential F.aggregate, so a DuckDB list_reduce
+    oracle is bit-equal. Zero vectors (scale = 0) are dropped —
+    quantization is undefined for them. round() on half-way doubles is
+    away-from-zero in both engines (BigDecimal HALF_UP vs C round).
+    """
+    v = _dbl(vec_col)
+    base = df.select(F.col(id_col), v.alias("__v"))
+    scale = (
+        F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+        / F.lit(127.0)
+    )
+    base = base.withColumn("scale", scale).filter(F.col("scale") > 0)
+    err = F.transform(
+        F.col("__v"),
+        lambda x: x - F.round(x / F.col("scale")) * F.col("scale"),
+    )
+    sse = F.aggregate(err, F.lit(0.0), lambda a, x: a + x * x)
+    max_err = F.aggregate(err, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    return base.select(
+        id_col,
+        F.size("__v").cast("long").alias("n_dims"),
+        "scale",
+        F.sqrt(sse / F.size("__v")).alias("rmse"),
+        max_err.alias("max_abs_err"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

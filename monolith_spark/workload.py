@@ -1662,6 +1662,74 @@ def ts_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_purchase_view_corr",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  AS DECIMAL(18,2)) AS px,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS DECIMAL(18,2)) AS py
+      FROM events GROUP BY user_id
+    ),
+    acc AS (
+      SELECT count(*) AS n,
+             CAST(sum(px) AS DOUBLE) AS sx, CAST(sum(py) AS DOUBLE) AS sy,
+             CAST(sum(px * px) AS DOUBLE) AS sxx,
+             CAST(sum(py * py) AS DOUBLE) AS syy,
+             CAST(sum(px * py) AS DOUBLE) AS sxy
+      FROM per_user
+    )
+    SELECT n AS n_users,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_value_views
+    FROM acc
+    """,
+)
+def events_purchase_view_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between per-user purchase spend and view
+    count — corr() from six exact DECIMAL accumulators (the linreg
+    discipline applied to a bivariate statistic; built-in corr() sums
+    raw doubles and is order-dependent, so it can't hash-match an
+    oracle). One scan, two map-combinable aggregations, no join: the
+    per-user stage is conditional aggregation over a single pass.
+    Stage-1 sums are re-narrowed to DECIMAL(18,2) on both engines so
+    stage-2 products stay inside exact 128-bit decimals."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")
+            ).otherwise(zero)
+        )
+        .cast("decimal(18,2)")
+        .alias("px"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+        .cast("decimal(18,2)")
+        .alias("py"),
+    )
+    acc = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("px").cast("double").alias("sx"),
+        F.sum("py").cast("double").alias("sy"),
+        F.sum(F.col("px") * F.col("px")).cast("double").alias("sxx"),
+        F.sum(F.col("py") * F.col("py")).cast("double").alias("syy"),
+        F.sum(F.col("px") * F.col("py")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return acc.select(n.alias("n_users"), corr.alias("corr_value_views"))
+
+
+@_q(
     "events_signup_conversion",
     """
     WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS signup_ms
@@ -2044,6 +2112,34 @@ _COS_SQL = """
   / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
      * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y)))
 """
+
+
+@_q(
+    "emb_quantize_error",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_reduce(list_transform(e, x -> abs(x)),
+                             (a, b) -> greatest(a, b)) / 127 AS scale
+          FROM v),
+    err AS (SELECT vec_id, scale, len(e) AS n_dims,
+                   list_transform(e, x -> x - round(x / scale) * scale) AS d
+            FROM s WHERE scale > 0)
+    SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, scale,
+           sqrt(list_reduce(list_transform(d, x -> x * x), (a, b) -> a + b)
+                / n_dims) AS rmse,
+           list_reduce(list_transform(d, x -> abs(x)),
+                       (a, b) -> greatest(a, b)) AS max_abs_err
+    FROM err
+    """,
+)
+def emb_quantize_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization quality over the embeddings table
+    (operators/similarity.py:int8_quantize_stats) — shuffle-free
+    projection; sequential folds make the oracle bit-equal."""
+    return _sim.int8_quantize_stats(_embs(spark, sf_dir))
 
 
 @_q(
