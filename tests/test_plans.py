@@ -171,3 +171,46 @@ def test_analytics_joins_stay_equi_and_grouped(spark, sf_dir):
     # day-keyed exchange
     plan = _plan(all_queries()["events_type_pivot"].spark_fn(spark, sf_dir))
     assert "Join" not in plan and plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides written CLUSTERED BY the join key with the same
+    bucket count -> the sort-merge join runs with ZERO Exchange (the
+    scan's bucket spec satisfies the join's required distribution).
+    At 100 TB this is the layout for recurring fact-fact joins."""
+    from monolith_spark.plans.bucketing import bucket_spec, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    line = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wh = str(tmp_path)
+    write_bucketed(orders, "b_orders", f"{wh}/b_orders", ["o_orderkey"], buckets=8)
+    write_bucketed(
+        line, "b_lineitem", f"{wh}/b_lineitem", ["l_orderkey"], buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    try:
+        assert bucket_spec(spark, "b_orders") == (8, ["o_orderkey"])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (
+                spark.table("b_orders")
+                .join(
+                    spark.table("b_lineitem"),
+                    spark.table("b_orders").o_orderkey
+                    == spark.table("b_lineitem").l_orderkey,
+                )
+                .groupBy("o_orderkey")
+                .count()
+            )
+            plan = _final_plan(j)
+            assert "Exchange" not in plan, plan[:2000]
+            assert "SortMergeJoin" in plan
+            # the groupBy keys on the bucket column too: no shuffle for
+            # the aggregate either
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
