@@ -16,12 +16,39 @@ alphanumeric).
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta, timezone
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monolith_spark.labels import signature_expr
 
 K_PATTERN = r'"k":\s*(\d+)'
+
+# events.ts is parquet timestamp[us] (no zone) → Spark TIMESTAMP_NTZ.
+# With session tz pinned to UTC the NTZ→LTZ cast is the identity, so
+# unix_millis matches DuckDB's epoch_ms(ts) exactly (both floor).
+TS_MS_SQL = "unix_millis(CAST(ts AS TIMESTAMP))"
+
+
+def ts_ms_expr(alias: str = "ts_ms") -> "F.Column":
+    return F.expr(TS_MS_SQL).alias(alias)
+
+
+def _ntz_lit(ms: int) -> str:
+    """A TIMESTAMP_NTZ literal for an epoch-ms instant (UTC wall clock).
+    Literal comparison keeps the predicate on the raw column → parquet
+    row-group pushdown, where unix_millis(ts) >= c would not push."""
+    dt = datetime.fromtimestamp(ms // 1000, tz=timezone.utc) + timedelta(
+        milliseconds=ms % 1000
+    )
+    return "TIMESTAMP_NTZ'" + dt.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+
+
+def set_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone — every epoch-ms derivation assumes it."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
 
 
 def label_exprs() -> dict[str, "F.Column"]:
@@ -43,10 +70,10 @@ def label_exprs() -> dict[str, "F.Column"]:
 
 
 def ts_range_pred(start_ms: int, end_ms: int):
-    """Inclusive ms-range predicate on the RAW nanos column, so it
-    pushes to parquet ([start*1e6, end*1e6 + 999_999] covers exactly
-    the rows whose floor-ms falls in [start_ms, end_ms])."""
-    return F.col("ts").between(start_ms * 1_000_000, end_ms * 1_000_000 + 999_999)
+    """Inclusive ms-range predicate on the RAW timestamp column, so it
+    pushes to parquet (ts ∈ [start_ms, end_ms+1ms) covers exactly the
+    rows whose floor-ms falls in [start_ms, end_ms])."""
+    return F.expr(f"ts >= {_ntz_lit(start_ms)}") & F.expr(f"ts < {_ntz_lit(end_ms + 1)}")
 
 
 def superset_pred_raw(matchers: dict[str, str]):
@@ -86,11 +113,7 @@ def events_samples(
     label_matchers=None,
     ts_range: tuple[int, int] | None = None,
 ) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively;
-    # read it as int64 nanos. Millisecond conversion must be integer
-    # division — nanos exceed 2^53, double math would lose precision.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = set_utc(spark).read.parquet(f"{sf_dir}/events.parquet")
     # Filters go on raw columns BEFORE the map projection (pushdown).
     if ts_range is not None:
         ev = ev.filter(ts_range_pred(*ts_range))
@@ -116,7 +139,7 @@ def _project_samples(ev: DataFrame) -> DataFrame:
     )
     return ev.select(
         labels.alias("labels"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("timestamp"),
+        F.expr(TS_MS_SQL).alias("timestamp"),
         F.col("value"),
     )
 
@@ -136,7 +159,7 @@ def events_samples_stream(
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_utc(spark)
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     os.makedirs(staging_dir, exist_ok=True)
     link = os.path.join(staging_dir, "events.parquet")

@@ -380,11 +380,11 @@ def ts_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value at-or-before it (point-in-time semantics; DuckDB's native
     ASOF JOIN is the oracle). See operators/timeseries.py:asof_join
     for the union+last_value composition — one shuffle, no range join."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
         _events.ts_range_pred(JAN1, JAN20)
     )
-    ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    ms = F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     left = ev.filter(F.col("event_type") == "purchase").select("user_id", ms, "value")
     right = (
         ev.filter(F.col("event_type") == "click")
@@ -465,11 +465,11 @@ def ts_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6 h inactivity gap) per user over one
     week — lag + cumulative-sum session ids, then per-session rollup
     (see operators/timeseries.py:sessionize)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter(_events.ts_range_pred(JAN1, JAN8))
-        .select("user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"), "value")
+        .select("user_id", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms"), "value")
     )
     sess = _tsops.sessionize(ev, key_cols=["user_id"], gap_ms=6 * 3_600_000, ts="ts_ms")
     return sess.groupBy("user_id", "session_id").agg(
@@ -1514,11 +1514,11 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users over the event stream — exact distinct count
     (partial-aggregated per day+user first, so the distinct never
     carries raw rows through the shuffle) plus conditional counts."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev = ev.select(
-        (F.expr("CAST(ts DIV 1000000 AS BIGINT)") - (
-            F.expr("CAST(ts DIV 1000000 AS BIGINT)") % F.lit(DAY_MS)
+        (F.expr("unix_millis(CAST(ts AS TIMESTAMP))") - (
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP))") % F.lit(DAY_MS)
         )).alias("day_ms"),
         "user_id",
         "event_type",
@@ -1592,7 +1592,7 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     form over ts_moving_avg's RANGE frame — one (series, time) sort
     shuffle, sliding-frame evaluation; the z-score's double ops
     (divide, sqrt, abs) are IEEE-identical cross-engine."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
         _events.ts_range_pred(JAN1, JAN20)
     )
@@ -1602,7 +1602,7 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = ev.select(
         key.alias("series"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms"),
         "value",
     )
     return _tsops.anomaly_zscore(
@@ -1698,7 +1698,7 @@ def events_purchase_view_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user stage is conditional aggregation over a single pass.
     Stage-1 sums are re-narrowed to DECIMAL(18,2) on both engines so
     stage-2 products stay inside exact 128-bit decimals."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     zero = F.lit(0).cast("decimal(18,2)")
     per_user = ev.groupBy("user_id").agg(
@@ -1748,9 +1748,9 @@ def events_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     after their first signup. Two keyed aggregations + a left join on
     user_id — no window over the raw stream, so the shuffle carries one
     row per user, not per event."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_type", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "user_id", "event_type", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     signup = (
         ev.filter(F.col("event_type") == "signup")
@@ -1791,9 +1791,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the extension). Spark plans INTERSECT as an aggregate +
     semi-join on the already-distinct sides, so the shuffle carries one
     row per user per side, never raw events."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "user_id", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     w1 = ev.filter(F.col("ts_ms").between(JAN1, JAN8)).select("user_id")
     w2 = ev.filter(F.col("ts_ms").between(JAN15, JAN20)).select("user_id")
@@ -1814,9 +1814,9 @@ def events_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op churn: users active in week 1 EXCEPT active on Jan 15 —
     the anti-join twin of events_retention (a one-day second window so
     churn exists even at the smallest fixture scale)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "user_id", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     w1 = ev.filter(F.col("ts_ms").between(JAN1, JAN8)).select("user_id")
     w2 = ev.filter(F.col("ts_ms").between(JAN15, JAN15 + DAY_MS)).select("user_id")
@@ -1854,9 +1854,9 @@ def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     every (day, user) pair, the right trade at 100 TB. Rows-only
     (HLL++ estimates are engine-specific); error vs exact is asserted
     in tests/test_sketches.py."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "user_id", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     return (
         ev.filter(F.col("ts_ms").between(JAN1, JAN20))
@@ -2699,10 +2699,10 @@ def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (no range join needed), and integer counts make parity exact.
     At scale both sides are user-grained (not event-grained) before
     the join, so the shuffle carries one row per user(-week)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_type",
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms"),
     )
     week = lambda c: F.floor((c - F.lit(JAN1)) / F.lit(7 * DAY_MS)).cast("long")
     signup = (
@@ -2902,9 +2902,9 @@ def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     `.pivot()` — even with an explicit value list — plans an extra
     (day, event_type) pre-aggregation shuffle; the conditional-agg
     form is the scale path, asserted in test_plans.py."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_type", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "event_type", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     day = F.floor((F.col("ts_ms") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
     cnt = lambda t, out: F.count(
@@ -3005,9 +3005,9 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per report day — every step an equi-keyed aggregation, no
     range self-join, no per-day rescans. Input is first reduced to
     (user, day) grain, so the explode is 7× user-days, not 7× events."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "user_id", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     ud = (
         ev.filter(F.col("ts_ms").between(JAN1, JAN20))
@@ -3090,9 +3090,9 @@ def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     natively (get_json_object — JVM-side, codegen'd, no Python) and
     aggregate by a derived numeric key. The JSON parse is a pure
     projection; the only shuffle is the final low-cardinality groupBy."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "props", "value", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "props", "value", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     k = F.get_json_object("props", "$.k").cast("long")
     return (

@@ -35,9 +35,10 @@ def _final_plan(df) -> str:
 def test_ts_superset_eq_pushes_matcher_and_range(spark, sf_dir):
     plan = _plan(all_queries()["ts_superset_eq"].spark_fn(spark, sf_dir))
     scan = [l for l in plan.splitlines() if "PushedFilters" in l][0]
-    # matcher equality + raw-nanos time range must reach the scan
+    # matcher equality + raw-timestamp range must reach the scan
+    # (range is [start, end+1ms) on the TIMESTAMP_NTZ column)
     assert "EqualTo(event_type,purchase)" in scan
-    assert "GreaterThanOrEqual(ts," in scan and "LessThanOrEqual(ts," in scan
+    assert "GreaterThanOrEqual(ts," in scan and "LessThan(ts," in scan
 
 
 def test_engine_query_prunes_partitions_and_broadcasts(spark, tmp_path):

@@ -46,9 +46,9 @@ def test_hll_daily_users_within_rsd(spark, sf_dir):
         .spark_fn(spark, sf_dir)
         .collect()
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+        "user_id", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
     )
     exact = {
         r["day"]: r["n"]
