@@ -215,3 +215,58 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q19_envelope_conjuncts_reach_both_scans(spark, sf_dir):
+    # The OR-of-ANDs itself can't push, but its derived per-side
+    # envelopes must: quantity range on lineitem, brand-IN + size
+    # range on part. The residual disjunction rides the join.
+    plan = _plan(all_queries()["tpch_q19_disjunctive"].spark_fn(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_scan = [l for l in scans if "l_quantity" in l][0]
+    p_scan = [l for l in scans if "p_brand" in l][0]
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_scan
+    assert "LessThanOrEqual(l_quantity,40.0)" in li_scan
+    assert "In(p_brand" in p_scan and "LessThanOrEqual(p_size,35)" in p_scan
+
+
+def test_q21_decorrelates_without_expand_or_self_join_probe(spark, sf_dir):
+    # The EXISTS / NOT-EXISTS pair must become ONE per-order aggregate:
+    # no Expand (the multi-countDistinct plan), no left-semi/anti
+    # probes of the fact table, everything an equi-join.
+    plan = _plan(
+        all_queries()["tpch_q21_sole_return_supplier"].spark_fn(spark, sf_dir)
+    )
+    assert "Expand" not in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_revenue_is_broadcast_not_window(spark, sf_dir):
+    # 'equals the global max' must come from a broadcast 1-row agg,
+    # never a Window over a single partition (which would serialize
+    # the whole per-supplier aggregate through one task).
+    plan = _plan(all_queries()["tpch_q15_top_supplier"].spark_fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    # ORDER BY + LIMIT plans TakeOrderedAndProject (per-partition
+    # heaps + driver merge), not a full Sort+Exchange of the aggregate.
+    plan = _plan(all_queries()["tpch_q10_returned_top"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_q8_dims_broadcast(spark, sf_dir):
+    # Region/nation/supplier/part legs are broadcast; shuffles are
+    # reserved for the lineitem⋈orders⋈customer fact joins.
+    for name, min_bcast in [
+        ("tpch_q7_volume_shipping", 3),
+        ("tpch_q8_market_share", 4),
+    ]:
+        plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
