@@ -1499,6 +1499,122 @@ def tpch_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_groupingsets_margins",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+    """,
+)
+def tpch_groupingsets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS: per-region AND per-priority
+    margins from ONE pass over the fact (an Expand feeding a single
+    shuffle) — not expressible as rollup/cube, and half the scan cost
+    of two separate aggregations at scale. COALESCE sentinels replace
+    the grouping nulls so the oracle hash sees concrete keys."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    joined.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+        """
+    )
+
+
+@_q(
+    "orders_window_suite",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             count(*)          OVER (PARTITION BY o_custkey) AS n_orders,
+             row_number()      OVER w_seq  AS rn,
+             ntile(4)          OVER w_seq  AS quartile,
+             dense_rank()      OVER w_price AS price_rank,
+             percent_rank()    OVER w_price AS price_pr,
+             cume_dist()       OVER w_price AS price_cd,
+             lag(CAST(o_totalprice AS DECIMAL(12,2)))  OVER w_seq AS prev_price,
+             first_value(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_seq
+               AS first_price
+      FROM orders
+      WINDOW w_seq   AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+             w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+    )
+    SELECT o_custkey, o_orderkey, rn, quartile, price_rank, price_pr,
+           price_cd,
+           CAST(price - COALESCE(prev_price, price) AS DOUBLE) AS price_delta,
+           CAST(first_price AS DOUBLE) AS first_price
+    FROM seq
+    WHERE n_orders >= 3
+    """,
+)
+def orders_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth over one (custkey, time) sort: sequence
+    number, quartile, dense rank / percent_rank / cume_dist by price,
+    lag delta, and running first_value. Rank outputs are exact small
+    rationals (identical across engines); the lag delta subtracts
+    DECIMALs. Both windows share the custkey partitioning, so Spark
+    plans ONE hash-partition exchange and two in-partition sorts."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    w_all = Window.partitionBy("o_custkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        price.alias("price"),
+        F.count("*").over(w_all).alias("n_orders"),
+        F.row_number().over(w_seq).cast("long").alias("rn"),
+        F.ntile(4).over(w_seq).cast("long").alias("quartile"),
+        F.dense_rank().over(w_price).cast("long").alias("price_rank"),
+        F.percent_rank().over(w_price).alias("price_pr"),
+        F.cume_dist().over(w_price).alias("price_cd"),
+        F.lag(price).over(w_seq).alias("prev_price"),
+        F.first(price).over(w_seq).alias("first_price"),
+    )
+    return seq.filter(F.col("n_orders") >= 3).select(
+        "o_custkey",
+        "o_orderkey",
+        "rn",
+        "quartile",
+        "price_rank",
+        "price_pr",
+        "price_cd",
+        (F.col("price") - F.coalesce("prev_price", "price"))
+        .cast("double")
+        .alias("price_delta"),
+        F.col("first_price").cast("double").alias("first_price"),
+    )
+
+
+@_q(
     "tpch_q7_volume_shipping",
     """
     SELECT supp_region, cust_region, yr, CAST(sum(vol) AS DOUBLE) AS volume

@@ -270,3 +270,21 @@ def test_q7_q8_dims_broadcast(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= min_bcast, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_window_suite_one_exchange(spark, sf_dir):
+    # Both windows partition by o_custkey — Spark must plan ONE
+    # hash-partition exchange and re-sort within partitions, never a
+    # second shuffle for the second ordering.
+    plan = _plan(all_queries()["orders_window_suite"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_groupingsets_single_pass(spark, sf_dir):
+    # Independent margins via GROUPING SETS: one Expand feeding one
+    # aggregation — the fact is scanned once, not once per margin.
+    plan = _plan(
+        all_queries()["tpch_groupingsets_margins"].spark_fn(spark, sf_dir)
+    )
+    assert plan.count("Expand") == 1
