@@ -2530,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
 
 from monolith_spark.operators import dedup as _dedup  # noqa: E402
 from monolith_spark.operators import multimodal as _mm  # noqa: E402
+from monolith_spark.operators import search as _search  # noqa: E402
 from monolith_spark.operators import similarity as _sim  # noqa: E402
 from monolith_spark.operators import text as _text  # noqa: E402
 
@@ -3169,6 +3170,61 @@ def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups raw passage text; Spark groups 64-bit passage hashes —
     equality of the resulting counts doubles as a collision check."""
     return _dedup.passage_dup_stats(_docs(spark, sf_dir), k=8)
+
+
+BM25_QUERIES = [
+    ("storage", ["hash", "join", "merge"]),
+    ("streaming", ["stream", "window", "batch"]),
+    ("scanning", ["scan", "filter", "query"]),
+]
+_BM25_Q_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+_BM25_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+
+
+@_q(
+    "docs_bm25_search",
+    f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    toklists AS (SELECT doc_id, {_BM25_TOKS} AS toklist FROM documents),
+    toks AS (SELECT doc_id, len(toklist) AS dl, unnest(toklist) AS term
+             FROM toklists),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(len(toklist)) AS DOUBLE) / count(*) AS avgdl
+              FROM toklists),
+    p AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+          FROM toks
+          WHERE term IN (SELECT DISTINCT term FROM q)
+          GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+    cand AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(((n - df + 0.5) / (df + 0.5))
+                  * ((tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / avgdl))))
+                  AS DECIMAL(18,9)) AS ts
+      FROM p JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats),
+    scored AS (SELECT query_id, doc_id, sum(ts) AS score_dec,
+                      count(*) AS n_terms_hit
+               FROM cand GROUP BY 1, 2)
+    SELECT query_id, doc_id, rank, CAST(score_dec AS DOUBLE) AS score,
+           n_terms_hit
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_dec DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword search: top-10 documents per query under
+    BM25(odds-idf) — see operators/search.py for the postings/
+    broadcast/decimal-sum architecture and why the idf stays in odds
+    form (ln isn't IEEE-exact-rounded; ranking parity would die by
+    one ULP)."""
+    return _search.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
 
 
 @_q(

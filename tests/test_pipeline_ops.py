@@ -181,3 +181,66 @@ def test_cluster_pairs_connected_components(spark):
     )
     out = {r["node"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
     assert out == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 1: 1, 2: 1, 3: 1}
+
+
+def test_bm25_topk_matches_python_model(spark):
+    from monolith_spark.operators.search import bm25_topk
+
+    corpus = [
+        (1, "hash join hash join hash"),   # heavy on both query terms
+        (2, "hash scan scan scan"),        # one term, once
+        (3, "merge sort sort"),            # no query terms
+        (4, "join join scan"),             # one term, twice
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_topk(docs, [("q", ["hash", "join"])], k=10).collect()
+    }
+
+    # independent python model of the documented formula
+    from decimal import Decimal, ROUND_HALF_UP
+
+    toks = {d: t.split() for d, t in corpus}
+    n, avgdl = len(corpus), sum(len(t) for t in toks.values()) / len(corpus)
+    df = {
+        t: sum(1 for w in toks.values() if t in w) for t in ["hash", "join"]
+    }
+    def score(doc):
+        s = Decimal(0)
+        for t in ["hash", "join"]:
+            tf = toks[doc].count(t)
+            if not tf:
+                continue
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(toks[doc]) / avgdl)))
+            s += Decimal(repr(idf * tfn)).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP
+            )
+        return float(s)
+
+    assert set(out) == {("q", 1), ("q", 2), ("q", 4)}  # doc 3 never matches
+    expect = sorted(
+        [(d, score(d)) for d in (1, 2, 4)], key=lambda x: (-x[1], x[0])
+    )
+    for rank, (d, sc) in enumerate(expect, start=1):
+        got_rank, got_score = out[("q", d)]
+        assert got_rank == rank, (d, got_rank, rank)
+        assert abs(got_score - sc) < 1e-9, (d, got_score, sc)
+
+
+def test_bm25_prunes_terms_before_shuffle(spark, sf_dir):
+    from monolith_spark.workload import all_queries
+
+    # The query-term IN filter must be a child of the postings
+    # exchange (plan prints parents first): the shuffle carries
+    # matching tokens only, never the full exploded corpus.
+    df = all_queries()["docs_bm25_search"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning" in l and "term#" in l]
+    filt = [i for i, l in enumerate(lines)
+            if "Filter" in l and "term#" in l and " IN (" in l]
+    assert exch and filt, plan[:2000]
+    assert min(filt) > min(exch)
