@@ -1499,6 +1499,44 @@ def tpch_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_salted_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact⋈fact join in salted form (operators/skew.py): lineitem
+    salted on a deterministic row hash, orders replicated 8× — each
+    hot orderkey spreads over 8 tasks. Result set provably identical
+    to the plain join (the oracle IS the plain join); this entry
+    exists to keep the skew fallback release-tested, for the key-hot
+    case AQE's partition splitting can't rescue."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "k"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = _skew.salted_join(
+        li, orders, on="k", n_salts=8, salt_src="l_linenumber"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_q(
     "tpch_groupingsets_margins",
     """
     SELECT COALESCE(r_name, 'ALL') AS region,
@@ -2531,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
 from monolith_spark.operators import dedup as _dedup  # noqa: E402
 from monolith_spark.operators import multimodal as _mm  # noqa: E402
 from monolith_spark.operators import search as _search  # noqa: E402
+from monolith_spark.operators import skew as _skew  # noqa: E402
 from monolith_spark.operators import similarity as _sim  # noqa: E402
 from monolith_spark.operators import text as _text  # noqa: E402
 

@@ -244,3 +244,45 @@ def test_bm25_prunes_terms_before_shuffle(spark, sf_dir):
             if "Filter" in l and "term#" in l and " IN (" in l]
     assert exch and filt, plan[:2000]
     assert min(filt) > min(exch)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from monolith_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 2, 3, 9) for i in range(4)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (7, "z")], "k long, tag string"
+    )
+    for how in ("inner", "left", "left_semi"):
+        got = sorted(
+            tuple(r) for r in salted_join(
+                left, right, "k", n_salts=4, salt_src="payload", how=how
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+        assert got == want, how
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from monolith_spark.operators.skew import salted_join
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        salted_join(df, df, "id", how="full")
+
+
+def test_salted_join_spreads_key_and_replicates_right(spark):
+    from monolith_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, i) for i in range(100)], "k long, p long")
+    right = spark.createDataFrame([(1, "x")], "k long, tag string")
+    out = salted_join(left, right, "k", n_salts=8, salt_src="p")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the join key set must include the salt; the right side must be
+    # exploded (replicated) — that's the whole mechanism
+    assert "__salt" in plan
+    assert "Generate explode" in plan
+    assert out.count() == 100
