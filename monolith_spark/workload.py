@@ -1499,6 +1499,60 @@ def tpch_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_unpivot_region_metrics",
+    """
+    WITH m AS (
+      SELECT r_name AS region,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name
+    )
+    UNPIVOT m ON revenue, n_orders, n_customers
+    INTO NAME metric VALUE value
+    """,
+)
+def tpch_unpivot_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt): per-region metrics melted to
+    (region, metric, value) — Spark's unpivot is a zero-shuffle
+    Expand over the already-aggregated 5-row frame; the upstream agg
+    is the only shuffle. The inverse of events_type_pivot."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    wide = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("double").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["region"],
+        values=["revenue", "n_orders", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@_q(
     "tpch_salted_priority_revenue",
     """
     SELECT o_orderpriority,
