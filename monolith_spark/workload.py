@@ -2234,6 +2234,259 @@ def tpch_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH cost AS (SELECT l_partkey, l_suppkey,
+                         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+                  FROM lineitem GROUP BY 1, 2),
+    eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+    ec AS (SELECT c.*, s_name, s_acctbal, n_name
+           FROM cost c JOIN eu ON l_suppkey = s_suppkey),
+    mn AS (SELECT l_partkey AS mk, min(cost) AS mincost FROM ec GROUP BY 1)
+    SELECT p_partkey, p_brand, s_name, n_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           CAST(cost AS DOUBLE) AS supply_cost
+    FROM ec
+    JOIN mn ON l_partkey = mk AND cost = mincost
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'STANDARD' AND p_size <= 15
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem standing in for the fixture's missing
+    partsupp): for each STANDARD small part, the EUROPE supplier(s)
+    offering it at minimum cost — a correlated min subquery,
+    decorrelated into a per-part aggregate joined back on DECIMAL
+    equality (exact, so ties surface identically in both engines).
+    Spark form: the supplier⋈nation⋈region dim chain broadcasts into
+    the (part, supp) cost aggregate; 'equals per-part min' is a second
+    groupBy of the SAME shuffled relation re-joined on l_partkey —
+    Catalyst reuses the exchange rather than rescanning the fact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(DEC)).alias("cost")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ec = cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    mn = ec.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("mincost")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand")
+    return (
+        ec.join(mn, (F.col("l_partkey") == F.col("mk"))
+                & (F.col("cost") == F.col("mincost")))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@_q(
+    "tpch_q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8')
+      GROUP BY 1)
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val, (SELECT sum(v) AS t FROM val)
+    WHERE v * 500 > t
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of the
+    tracked nations' total traded value — a HAVING against a scalar
+    aggregate subquery. Spark form: the 1-row grand total broadcasts
+    back against the per-part aggregate; the share threshold compares
+    exact DECIMALs (v·500 > t), never a double fraction, so the
+    boundary can't flip between engines. At 100 TB the per-part
+    aggregate is the only fact-sized shuffle; the total is a
+    map-combinable second pass reusing the same exchange."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    ).select("n_nationkey")
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * F.col("l_quantity").cast(DEC)
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.join(F.broadcast(tot), F.col("v") * 500 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "tpch_q12_priority_by_month",
+    """
+    SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_linestatus = 'F'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (ship month standing in for the fixture's
+    missing l_shipmode): urgent-vs-other order counts per ship month —
+    the fact⋈fact join whose payload is two conditional counts. The
+    lineitem side carries only (orderkey, month) through the join and
+    the linestatus+date conjuncts reach the scan as pushed filters."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_linestatus") == "F")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", F.month("l_shipdate").cast("long").alias("ship_month"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 3000)
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many qualified suppliers can supply each
+    (brand, size) bucket, excluding low-standing suppliers — a NOT-IN
+    anti-join feeding a COUNT DISTINCT. Spark form: lineitem reduces
+    to distinct (part, supp) pairs FIRST (the only fact-sized
+    shuffle), the exclusion list is a broadcast anti-join, and the
+    distinct supplier count groups the already-distinct pairs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F.col("s_acctbal") < 3000
+    ).select("s_suppkey")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q20_part_promotion_suppliers",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN
+        (SELECT l_suppkey
+         FROM lineitem
+         JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%') ON
+              p_partkey = l_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_suppkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+    """,
+)
+def tpch_q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a significant quantity
+    of promoted ('blue') parts in 1996 — the nested-IN semi-join
+    chain. Spark form: part filter broadcasts into the date-pruned
+    lineitem scan, the per-supplier quantity HAVING compares exact
+    DECIMALs, and the qualifying supplier keys drive a left-semi join
+    into the supplier dim — the fact table is scanned once and only
+    (suppkey, qty) survives the shuffle."""
+    gp = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("blue%")
+    ).select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qualified = (
+        li.join(F.broadcast(gp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
+        .filter(F.col("sq") > 200)
+        .select("l_suppkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@_q(
     "events_daily_active",
     """
     SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,

@@ -288,3 +288,31 @@ def test_groupingsets_single_pass(spark, sf_dir):
         all_queries()["tpch_groupingsets_margins"].spark_fn(spark, sf_dir)
     )
     assert plan.count("Expand") == 1
+
+
+def test_new_tpch_shape_plans(spark, sf_dir):
+    qs = all_queries()
+    # Q2/Q12/Q16/Q20: equi-joins only — dims broadcast, no NLJ.
+    for name in ("tpch_q2_min_cost_supplier", "tpch_q12_priority_by_month",
+                 "tpch_q16_supplier_count",
+                 "tpch_q20_part_promotion_suppliers"):
+        plan = _plan(qs[name].spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Q16: the NOT-IN must plan a broadcast anti-join, and the distinct
+    # supplier count over pre-distinct pairs must not need Expand.
+    q16 = _plan(qs["tpch_q16_supplier_count"].spark_fn(spark, sf_dir))
+    assert "LeftAnti" in q16 and "BroadcastHashJoin" in q16
+    assert "Expand" not in q16
+    # Q20: nested-IN becomes a left-semi into supplier; the date range
+    # prunes the fact scan.
+    q20 = _plan(qs["tpch_q20_part_promotion_suppliers"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in q20
+    assert any("PushedFilters" in l and "l_shipdate" in l
+               for l in q20.splitlines())
+    # Q11: the grand-total side is a broadcast 1-row aggregate — the
+    # only acceptable nested-loop shape (1 row × per-part agg); the
+    # fact-sized work must still be hash-aggregated, not cartesian.
+    q11 = _plan(qs["tpch_q11_important_parts"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in q11
+    assert "HashAggregate" in q11
