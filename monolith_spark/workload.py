@@ -2764,6 +2764,43 @@ def events_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           count(*) AS n_views,
+           min(epoch_ms(p.ts) - epoch_ms(v.ts)) AS min_lag_ms,
+           CAST(min(p.value) AS DOUBLE) AS purchase_value
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: every purchase joined to the views
+    by the same user in the preceding hour — an interval join (equi on
+    user_id, residual time-range predicate riding the join) aggregated
+    per purchase. The same plan runs live as a watermarked
+    stream-stream join in streaming/joins.py:attribution_stream, where
+    the horizon bounds both sides' state retention."""
+    from monolith_spark.streaming.joins import attribution_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        attribution_batch(ev, horizon_minutes=60)
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.min("lag_ms").alias("min_lag_ms"),
+            F.min("purchase_value").cast("double").alias("purchase_value"),
+        )
+    )
+
+
+@_q(
     "events_retention",
     f"""
     SELECT DISTINCT user_id FROM events

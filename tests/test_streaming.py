@@ -399,3 +399,49 @@ def test_streaming_anomalies_prequential(spark, tmp_path):
     assert got == want
     # exactly the planted spike, nothing else
     assert len(got) == 1 and got[0][2] == 99.0
+
+
+def test_attribution_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-stream interval join (views ⋈ purchases within 1 h by
+    user): driving the fixture events through file micro-batches must
+    produce exactly the batch twin's pairs, including pairs whose view
+    and purchase arrive in DIFFERENT micro-batches (buffered in join
+    state until the partner side shows up)."""
+    from monolith_spark.streaming.joins import attribution_batch, attribution_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        (r["view_id"], r["purchase_id"], r["lag_ms"])
+        for r in attribution_batch(ev, horizon_minutes=60).collect()
+    }
+    assert expected  # fixture must actually exercise the join
+
+    # Slice by ts so partners of a pair can land in different batches.
+    src = str(tmp_path / "ev_src")
+    ordered = ev.orderBy("ts").coalesce(1)
+    n = ordered.count()
+    rows = ordered.collect()
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * n // 3: (i + 1) * n // 3], ev.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = attribution_stream(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        horizon_minutes=60,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["view_id"], r["purchase_id"], r["lag_ms"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == expected
