@@ -212,10 +212,18 @@ class MonolithDB:
 
     # ----------------------------------------------------------- maintenance
 
-    def compact_chunk(self, chunk_id: int, target_bytes: int = 128 * 1024 * 1024) -> bool:
+    def compact_chunk(
+        self,
+        chunk_id: int,
+        target_bytes: int = 128 * 1024 * 1024,
+        layout: str = "series",
+    ) -> bool:
         """Rewrite one sealed chunk partition: merge the small files
         micro-batch appends accumulate into ~target_bytes files sorted
-        by (series_id, timestamp).
+        by (series_id, timestamp) (``layout="series"``) or clustered
+        along the Morton curve over (series_id, timestamp)
+        (``layout="zorder"``, plans/zorder.py) so file/row-group
+        min/max stats prune in BOTH dimensions.
 
         The reference's unchecked TODO "Compression on swap chunk"
         (/root/reference/README.md:60; dormant Gorilla codec, SURVEY
@@ -256,19 +264,28 @@ class MonolithDB:
         old = os.path.join(staging, f"chunk_{chunk_id}.old")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        (
-            self.spark.read.parquet(part)
-            .repartition(n_files, "series_id")
-            .sortWithinPartitions("series_id", "timestamp")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        src = self.spark.read.parquet(part)
+        if layout == "zorder":
+            from monolith_spark.plans.zorder import cluster_zorder
+
+            laid_out = cluster_zorder(src, int(n_files))
+        elif layout == "series":
+            laid_out = src.repartition(n_files, "series_id").sortWithinPartitions(
+                "series_id", "timestamp"
+            )
+        else:
+            raise ValueError(f"unknown compaction layout: {layout!r}")
+        laid_out.write.mode("overwrite").parquet(tmp)
         os.rename(part, old)
         os.rename(tmp, part)
         shutil.rmtree(old)
         return True
 
-    def compact(self, exclude_chunk_ids: set[int] | None = None) -> int:
+    def compact(
+        self,
+        exclude_chunk_ids: set[int] | None = None,
+        layout: str = "series",
+    ) -> int:
         """Compact every chunk partition (optionally excluding e.g. the
         chunk currently receiving appends). Returns chunks rewritten."""
         exclude = exclude_chunk_ids or set()
@@ -284,7 +301,7 @@ class MonolithDB:
                 continue  # not a partition dir — never wedge maintenance
             if cid in exclude:
                 continue
-            done += int(self.compact_chunk(cid))
+            done += int(self.compact_chunk(cid, layout=layout))
         return done
 
     def label_values(self, key: str) -> DataFrame:

@@ -347,3 +347,80 @@ def test_chunks_inventory(spark, tmp_path):
     assert got[0]["start_ms"] == 0 and got[0]["end_ms"] == 999
     assert got[2]["start_ms"] == 2000 and got[2]["end_ms"] == 2999
     assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in got.values())
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order compaction (plans/zorder.py): file min/max footprints
+    must become rectangles — partial in BOTH series and time — where
+    the default (series, timestamp) sort leaves every file spanning
+    the chunk's whole time range. Results must be byte-identical."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+    from monolith_spark.plans.zorder import cluster_zorder
+
+    span = 1_000_000
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=span)
+    rows = [
+        ({"m": f"s{i}"}, ts, float(i))
+        for i in range(64)
+        for ts in range(1_000, span, 8_000)
+    ]
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+    before = {
+        (r["signature"], tuple((p["timestamp"], p["value"]) for p in r["points"]))
+        for r in db.query({}, 0, span).collect()
+    }
+
+    def bounds(path, col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    cc = g.column(c)
+                    if cc.path_in_schema == col and cc.statistics is not None:
+                        lo = cc.statistics.min if lo is None else min(lo, cc.statistics.min)
+                        hi = cc.statistics.max if hi is None else max(hi, cc.statistics.max)
+            out.append((lo, hi))
+        return out
+
+    samples = spark.read.parquet(os.path.join(db.samples_path, "chunk_id=0"))
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "series_sort")
+    cluster_zorder(samples, 16).write.parquet(zdir)
+    (
+        samples.repartition(16, "series_id")
+        .sortWithinPartitions("series_id", "timestamp")
+        .write.parquet(sdir)
+    )
+
+    # A quarter-span time slice: the series-sorted layout cannot skip
+    # any file; the z-ordered layout must skip some.
+    w_lo, w_hi = 0, span // 4
+    s_ts = bounds(sdir, "timestamp")
+    z_ts = bounds(zdir, "timestamp")
+    s_hit = sum(1 for lo, hi in s_ts if not (hi < w_lo or lo > w_hi))
+    z_hit = sum(1 for lo, hi in z_ts if not (hi < w_lo or lo > w_hi))
+    assert s_hit == len(s_ts)
+    assert z_hit <= 0.75 * len(z_ts)
+
+    # A single-series probe must also skip files under z-order (the
+    # series rank occupies the even Morton bits).
+    sid = samples.select("series_id").first()[0]
+    z_sid = bounds(zdir, "series_id")
+    assert sum(1 for lo, hi in z_sid if lo <= sid <= hi) < len(z_sid)
+
+    # The maintenance path rewrites in place and preserves results.
+    assert db.compact_chunk(0, layout="zorder")
+    after = {
+        (r["signature"], tuple((p["timestamp"], p["value"]) for p in r["points"]))
+        for r in db.query({}, 0, span).collect()
+    }
+    assert after == before
