@@ -450,3 +450,186 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ------------------------------------------------------------ product quant.
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 11,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the (L2-normalized)
+    vector into ``m`` contiguous subspaces and run plain k-means with
+    ``ksub`` centroids in each, driver-side on a deterministic bounded
+    sample (the FAISS recipe — training cost is O(sample_n·dim)
+    regardless of corpus size). Returns ``m`` lists of ``ksub``
+    centroids of dim/m floats each.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub: (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def _unit_expr(vec: Column) -> Column:
+    n = norm_expr(vec)
+    return F.transform(vec, lambda x: x / n)
+
+
+def _sub_d2(vec: Column, off: int, cent: list[float]) -> Column:
+    """Squared L2 distance of vec[off : off+len(cent)] to a literal
+    centroid — a flat codegen'd expression (no higher-order aggregate)."""
+    terms = [
+        (F.element_at(vec, off + t + 1) - F.lit(c)) ** 2
+        for t, c in enumerate(cent)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
+def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Encode a normalized vector as ``m`` small codes: per subspace,
+    the argmin-distance centroid id (array_min over (d2, code) structs
+    — ties to the lowest code, deterministically)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        entries = F.array(*[
+            F.struct(
+                _sub_d2(vec, j * dsub, cent).alias("d2"),
+                F.lit(code).alias("code"),
+            )
+            for code, cent in enumerate(codebooks[j])
+        ])
+        codes.append(F.array_min(entries)["code"])
+    return F.array(*codes)
+
+
+def _adc_table_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table: table[j][code] = squared L2 distance
+    from the query's j-th subvector to that centroid."""
+    dsub = len(codebooks[0][0])
+    return F.array(*[
+        F.array(*[_sub_d2(vec, j * dsub, cent) for cent in cb])
+        for j, cb in enumerate(codebooks)
+    ])
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF cells bound the candidate set,
+    PQ asymmetric-distance (ADC) scoring ranks candidates from m code
+    lookups instead of dim multiplies, and the best refine_factor·k
+    per query are re-ranked with exact cosine.
+
+    Vectors are L2-normalized before encoding, so ADC's squared L2
+    ordering is monotone with cosine (|u-v|² = 2-2cos for unit
+    vectors) — the compressed ranking chases the same objective the
+    refinement checks. The scale story: the corpus side is a narrow
+    map (cell + m-byte codes from literal centroids — at rest this is
+    a ~dim·4/m-fold compression of the index), the probe is the same
+    broadcast equi-join as IVF, and ADC costs O(m) per candidate.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, nlist, id_col, vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dbl(vec_col).alias("c_vec"),
+        norm_expr(_dbl(vec_col)).alias("cn"),
+    )
+    c = c.withColumn("cell", F.array_max(_cell_sims("c_vec", centroids))["cid"])
+    c = c.withColumn("codes", pq_code_expr(_unit_expr(F.col("c_vec")), codebooks))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _dbl(vec_col).alias("q_vec"),
+        norm_expr(_dbl(vec_col)).alias("qn"),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_sims("q_vec", centroids))), 1, nprobe),
+        lambda s: s["cid"],
+    )
+    q = (
+        q.withColumn("qtab", _adc_table_expr(_unit_expr(F.col("q_vec")), codebooks))
+        .withColumn("cell", F.explode(probes))
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("qtab"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_d2", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    refined = (
+        cand.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= refine_factor * k)
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -3476,6 +3476,19 @@ def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("sim_pq_topk", None)
+def sim_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF cells bound candidates, product-
+    quantization ADC (m code lookups per candidate instead of dim
+    multiplies, ~32× index compression at rest) ranks them, exact
+    cosine re-ranks the shortlist; recall vs brute force checked in
+    tests (rows-only here — codebook k-means is driver-side)."""
+    embs = _embs(spark, sf_dir)
+    return _sim.ivfpq_topk(
+        embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
+    )
+
+
 @_q(
     "docs_curation",
     f"""

@@ -286,3 +286,34 @@ def test_salted_join_spreads_key_and_replicates_right(spark):
     assert "__salt" in plan
     assert "Generate explode" in plan
     assert out.count() == 100
+
+
+def test_ivfpq_topk_recall_and_adc_fidelity(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(embs, queries, k=10).collect()
+    }
+    pq = similarity.ivfpq_topk(
+        embs, queries, k=10, nlist=8, nprobe=4, m=8, ksub=16
+    ).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    recall = len(hits & exact) / len(exact)
+    assert recall >= 0.3, f"IVF-PQ recall {recall}"
+    # Reported cosine must be the EXACT re-ranked score, not the ADC
+    # approximation: spot-check one pair against numpy.
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in embs.collect()}
+    r0 = pq[0]
+    a, b = vecs[r0["query_id"]], vecs[r0["neighbor_id"]]
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(r0["cosine"] - want) < 1e-9
+    # Exhaustive probing + generous refinement converges to exact.
+    full = similarity.ivfpq_topk(
+        embs, queries, k=10, nlist=8, nprobe=8, m=8, ksub=16,
+        refine_factor=70,
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact

@@ -89,6 +89,9 @@ def test_approx_similarity_plans_avoid_cartesian(spark, sf_dir):
     scale_paths = {
         "lsh_topk": similarity.lsh_topk(embs, queries, k=5),
         "ivf_topk": similarity.ivf_topk(embs, queries, k=5, nlist=4, nprobe=2),
+        "ivfpq_topk": similarity.ivfpq_topk(
+            embs, queries, k=5, nlist=4, nprobe=2, m=8, ksub=8
+        ),
         "near_dup_lsh": similarity.embedding_near_dup_lsh(embs),
         "minhash_lsh": dedup.minhash_lsh_pairs(docs),
         "simhash": dedup.simhash_pairs(docs),
