@@ -47,10 +47,16 @@ from monolith_spark.operators.text import (
     token_count,
     tokens_expr,
 )
+from monolith_spark.operators.similarity import (
+    pq_code_expr,
+)
 from monolith_spark.operators.timeseries import (
     chunk_pred,
     time_trim,
     valid_points,
+)
+from monolith_spark.plans.zorder import (
+    zvalue_expr,
 )
 from monolith_spark.plans.chunks import (
     chunk_range,
@@ -70,4 +76,5 @@ __all__ = [
     "shingles_expr", "min_shingle_fingerprint", "hash60_expr",
     "dot_expr", "norm_expr", "cosine_expr",
     "hyperplane_signature", "hyperplane_signature_offset",
+    "pq_code_expr", "zvalue_expr",
 ]
