@@ -191,6 +191,55 @@ def ts_downsample_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_rollup_cascade",
+    f"""
+    WITH h AS (
+      SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+             sum(CAST(value AS {DEC})) AS s, count(*) AS n,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1)
+    SELECT (hour_ms // {DAY_MS}) * {DAY_MS} AS day_ms,
+           CAST(sum(s) AS DOUBLE) AS sum_value,
+           CAST(sum(n) AS BIGINT) AS n_points,
+           min(mn) AS min_value, max(mx) AS max_value,
+           CAST(sum(s) AS DOUBLE) / sum(n) AS avg_value
+    FROM h GROUP BY 1
+    """,
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous-aggregate cascade (the Timescale
+    hypertable-rollup pattern, streaming twin in streaming/rollup.py):
+    daily stats computed FROM hourly partials, never re-reading raw
+    data. Every accumulator is mergeable (DECIMAL sum, count, min,
+    max; avg derived at the end), so the cascade is lossless — the
+    oracle's two-level SQL mirrors the same re-aggregation and must
+    hash-match exactly. At 100 TB this is the difference between
+    scanning a day of raw points and merging 24 partial rows per day."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Integer `div`, not double division-and-truncate: ms values sit
+    # near 2^40 where a double quotient can land a ULP under the exact
+    # boundary and bucket one point into the previous hour.
+    hour = F.expr(
+        "(unix_millis(CAST(ts AS TIMESTAMP)) div 3600000) * 3600000"
+    ).alias("hour_ms")
+    hourly = ev.groupBy(hour).agg(
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+        F.count("*").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    day = F.expr(f"(hour_ms div {DAY_MS}) * {DAY_MS}").alias("day_ms")
+    return hourly.groupBy(day).agg(
+        F.sum("s").cast("double").alias("sum_value"),
+        F.sum("n").cast("long").alias("n_points"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("avg_value"),
+    )
+
+
+@_q(
     "ts_latest",
     f"""
     SELECT signature, ts_ms, value FROM (
