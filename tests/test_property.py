@@ -490,3 +490,42 @@ def test_anomaly_zscore_matches_python_model(spark, series_pts, window):
                 if abs(z) > 0.5:
                     want.append((k, ts, v, z))
     assert got == sorted(want)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.integers(min_value=0, max_value=999_999),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(**_SETTINGS)
+def test_zvalue_matches_python_morton_model(spark, pairs):
+    """plans/zorder.py: the JVM bit-arithmetic z-value must equal a
+    pure-Python Morton interleave of (top-16-bits-of-series, scaled
+    time rank) — and in particular be injective per rank pair."""
+    from monolith_spark.plans.zorder import ZBITS, zvalue_expr
+
+    ts_min, ts_max = 0, 999_999
+    span = ts_max - ts_min + 1
+
+    def spread(x: int) -> int:
+        out = 0
+        for b in range(16):
+            out |= ((x >> b) & 1) << (2 * b)
+        return out
+
+    def model(sid: int, ts: int) -> int:
+        srank = (sid & (2**64 - 1)) >> (64 - ZBITS)
+        trank = min(int((ts - ts_min) * (1 << ZBITS) / span), (1 << ZBITS) - 1)
+        return (spread(trank) << 1) | spread(srank)
+
+    df = spark.createDataFrame(
+        [(s, t) for s, t in pairs], "series_id long, timestamp long"
+    ).withColumn("z", zvalue_expr("series_id", "timestamp", ts_min, ts_max))
+    for r in df.collect():
+        assert r["z"] == model(r["series_id"], r["timestamp"]), (
+            r["series_id"], r["timestamp"])
