@@ -445,3 +445,67 @@ def test_attribution_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert got == expected
+
+
+def test_attribution_stream_left_outer_emits_expired_views(spark, tmp_path, sf_dir):
+    """left_outer mode: a view with no qualifying purchase is emitted
+    (NULL purchase columns) once the watermark proves its horizon
+    closed. With the final watermark at max_ts - 30min, every
+    unmatched view older than max_ts - 90min (horizon 60 + delay 30)
+    must have been flushed; inner pairs must still match the batch
+    twin exactly."""
+    from monolith_spark.streaming.joins import attribution_batch, attribution_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inner = {
+        (r["view_id"], r["purchase_id"])
+        for r in attribution_batch(ev, horizon_minutes=60).collect()
+    }
+    matched_views = {v for v, _ in inner}
+    import pyspark.sql.functions as F
+
+    max_ms = ev.agg(F.max(F.unix_millis(F.col("ts").cast("timestamp")))).first()[0]
+    expired_unmatched = {
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("event_type") == "view")
+            & (F.unix_millis(F.col("ts").cast("timestamp"))
+               < max_ms - 90 * 60_000)
+        ).collect()
+        if r["event_id"] not in matched_views
+    }
+
+    src = str(tmp_path / "ev_src")
+    rows = ev.orderBy("ts").collect()
+    n = len(rows)
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * n // 3: (i + 1) * n // 3], ev.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        attribution_stream(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            horizon_minutes=60,
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("attrib_outer")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM attrib_outer").collect()
+    got_inner = {
+        (r["view_id"], r["purchase_id"]) for r in out
+        if r["purchase_id"] is not None
+    }
+    got_outer = {r["view_id"] for r in out if r["purchase_id"] is None}
+    assert got_inner == inner
+    # Everything emitted as unmatched must truly have no partner, and
+    # every provably-expired unmatched view must have been emitted.
+    assert got_outer.isdisjoint(matched_views)
+    assert expired_unmatched <= got_outer
