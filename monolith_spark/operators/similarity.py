@@ -506,17 +506,17 @@ def _unit_expr(vec: Column) -> Column:
     return F.transform(vec, lambda x: x / n)
 
 
-def _sub_d2(vec: Column, off: int, cent: list[float]) -> Column:
-    """Squared L2 distance of vec[off : off+len(cent)] to a literal
-    centroid — a flat codegen'd expression (no higher-order aggregate)."""
-    terms = [
-        (F.element_at(vec, off + t + 1) - F.lit(c)) ** 2
-        for t, c in enumerate(cent)
-    ]
-    out = terms[0]
-    for term in terms[1:]:
-        out = out + term
-    return out
+def _sub_score(vec: Column, off: int, cent: list[float]) -> Column:
+    """|c|² − 2·(x·c) for vec[off : off+len(cent)] against a literal
+    centroid: the squared L2 distance shifted by the per-row constant
+    |x|², which cancels in every use here (argmin over centroids, and
+    per-query ADC ranking). The inner-product form keeps ONE reference
+    to each vector element and no Math.pow — the flat expression stays
+    small across m·ksub·dsub terms."""
+    dot = F.element_at(vec, off + 1) * F.lit(cent[0])
+    for t, c in enumerate(cent[1:], start=1):
+        dot = dot + F.element_at(vec, off + t + 1) * F.lit(c)
+    return F.lit(sum(c * c for c in cent)) - 2.0 * dot
 
 
 def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -529,7 +529,7 @@ def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     for j in range(m):
         entries = F.array(*[
             F.struct(
-                _sub_d2(vec, j * dsub, cent).alias("d2"),
+                _sub_score(vec, j * dsub, cent).alias("d2"),
                 F.lit(code).alias("code"),
             )
             for code, cent in enumerate(codebooks[j])
@@ -539,11 +539,13 @@ def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
 
 
 def _adc_table_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """Per-query ADC lookup table: table[j][code] = squared L2 distance
-    from the query's j-th subvector to that centroid."""
+    """Per-query ADC lookup table: table[j][code] = the j-th
+    subvector's distance score to that centroid (squared L2 shifted by
+    the per-query constant Σ|q_j|² — candidate ORDERING per query is
+    identical, which is all ADC ranking uses)."""
     dsub = len(codebooks[0][0])
     return F.array(*[
-        F.array(*[_sub_d2(vec, j * dsub, cent) for cent in cb])
+        F.array(*[_sub_score(vec, j * dsub, cent) for cent in cb])
         for j, cb in enumerate(codebooks)
     ])
 
@@ -612,10 +614,10 @@ def ivfpq_topk(
     cand = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_d2", adc)
+        .withColumn("adc_score", adc)
     )
     w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id")
+        F.col("adc_score").asc(), F.col("neighbor_id")
     )
     refined = (
         cand.withColumn("adc_rank", F.row_number().over(w_adc))
