@@ -635,3 +635,90 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ----------------------------------------------------------- persisted IVF
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index: assign every corpus vector to its
+    nearest centroid and write Parquet PARTITIONED BY cell, with the
+    centroids in a JSON sidecar. This is the 100 TB shape SCALE.md
+    promises: the corpus is written once, and every probe afterwards
+    is a partition-pruned scan of ~nprobe/nlist of the data — no
+    full-corpus scan per query batch. Returns the centroids used.
+    """
+    import json
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, nlist, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dbl(vec_col).alias("c_vec"),
+        norm_expr(_dbl(vec_col)).alias("cn"),
+    ).withColumn("cell", F.array_max(_cell_sims("c_vec", centroids))["cid"])
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a persisted IVF index (write_ivf_index).
+
+    The probed cell ids are resolved driver-side from the (small)
+    query set and injected as an IN-filter on the PARTITION column, so
+    the scan reads only the probed cells' files — visible as
+    `PartitionFilters: [cell IN (...)]` in the plan. Scoring matches
+    ivf_topk: exact cosine inside probed cells, deterministic order.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        centroids = json.load(fh)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _dbl(vec_col).alias("q_vec"),
+        norm_expr(_dbl(vec_col)).alias("qn"),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_sims("q_vec", centroids))), 1, nprobe),
+        lambda s: s["cid"],
+    )
+    q = q.withColumn("cell", F.explode(probes))
+    probe_cells = sorted(
+        {r["cell"] for r in q.select("cell").distinct().collect()}
+    )
+    c = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

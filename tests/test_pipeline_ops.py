@@ -317,3 +317,22 @@ def test_ivfpq_topk_recall_and_adc_fidelity(spark, sf_dir):
         refine_factor=70,
     ).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the probe scan must carry a
+    PartitionFilters IN-clause on the cell column (reading only probed
+    cells' files), and results must equal the in-memory ivf_topk with
+    the same centroids."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    path = str(tmp_path / "ivf_index")
+    cents = similarity.write_ivf_index(embs, path, nlist=8)
+    got = similarity.ivf_topk_indexed(spark, path, queries, k=10, nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "cell" in scan[0], plan[:1200]
+    want = similarity.ivf_topk(
+        embs, queries, k=10, nlist=8, nprobe=4, centroids=cents
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
