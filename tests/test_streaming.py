@@ -509,3 +509,60 @@ def test_attribution_stream_left_outer_emits_expired_views(spark, tmp_path, sf_d
     # every provably-expired unmatched view must have been emitted.
     assert got_outer.isdisjoint(matched_views)
     assert expired_unmatched <= got_outer
+
+
+def test_streaming_ivf_index_appends_and_replays(spark, tmp_path, sf_dir):
+    """StreamingIVFIndex: embeddings streamed in 3 micro-batches under
+    fixed centroids must yield a probe-able index equal to the batch
+    ivf_topk over the full corpus; replaying an epoch (crash recovery)
+    must not duplicate rows."""
+    from monolith_spark.operators import similarity
+    from monolith_spark.streaming.ivf import StreamingIVFIndex
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(embs, nlist=8)
+    queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+
+    src = str(tmp_path / "emb_src")
+    rows = embs.orderBy("vec_id").collect()
+    n = len(rows)
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * n // 3: (i + 1) * n // 3], embs.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    idx = StreamingIVFIndex(spark, str(tmp_path / "ivf"), centroids=cents)
+    q = idx.start(
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = sorted(
+        map(tuple, similarity.ivf_topk(
+            embs, queries, k=10, nlist=8, nprobe=4, centroids=cents
+        ).collect())
+    )
+    got = similarity.ivf_topk_indexed(
+        spark, str(tmp_path / "ivf"), queries, k=10, nprobe=4
+    )
+    assert sorted(map(tuple, got.collect())) == want
+
+    # Crash replay: wipe epoch 1's ledger mark and half its output,
+    # then re-process the same batch — overwrite restores it exactly.
+    import os
+    import shutil
+
+    edir = str(tmp_path / "ivf" / "epoch_id=1")
+    os.remove(str(tmp_path / "ivf" / "_epochs" / "1.done"))
+    cells = [d for d in os.listdir(edir) if d.startswith("cell=")]
+    shutil.rmtree(os.path.join(edir, cells[0]))
+    batch1 = spark.createDataFrame(rows[n // 3: 2 * n // 3], embs.schema)
+    idx.process_batch(batch1, 1)
+    got2 = similarity.ivf_topk_indexed(
+        spark, str(tmp_path / "ivf"), queries, k=10, nprobe=4
+    )
+    assert sorted(map(tuple, got2.collect())) == want
