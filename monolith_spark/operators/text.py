@@ -170,3 +170,55 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         (stopword_count(text_col).cast("double") / n_toks).alias("stopword_ratio"),
         (punct_count(text_col).cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 512,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-slice sequence packing: assign each document to
+    the fixed-token-budget training bin where its FIRST token lands
+    (the standard LLM pre-training prep of concatenating docs in a
+    deterministic order and slicing every ``max_tokens``).
+
+    Documents are first sharded into ``n_buckets`` by the cross-engine
+    md5 hash of their id, then packed independently per bucket in
+    doc_id order — the cumulative-sum window partitions by bucket, so
+    packing parallelizes across buckets instead of serializing the
+    corpus through one global ordering (at 100 TB a single unbounded
+    window is one task; sharded packing is embarrassingly parallel and
+    each bin is still reproducible from (bucket, bin_id)).
+
+    Output: [id_col, bucket, bin_id, start_offset, n_tokens] where
+    start_offset is the doc's first-token position within its bucket's
+    concatenation.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col)
+    bucket = hash60_expr(F.col(id_col).cast("string")) % n_buckets
+    base = df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("start_offset", cum - F.col("n_tokens"))
+        .select(
+            id_col,
+            "bucket",
+            # integer `div`, matching the oracle's `//` exactly
+            F.expr(f"start_offset div {max_tokens}").alias("bin_id"),
+            "start_offset",
+            "n_tokens",
+        )
+    )

@@ -3347,6 +3347,34 @@ def docs_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 16 AS bucket,
+             CAST(len({_W}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (SELECT *,
+            sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, bucket, (cum - n_tokens) // 512 AS bin_id,
+           cum - n_tokens AS start_offset, n_tokens
+    FROM c
+    """,
+)
+def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pre-training prep: concatenate docs in
+    deterministic per-bucket order and assign each to the 512-token
+    training bin where its first token lands. Sharding by md5 bucket
+    keeps the cumulative-sum window parallel (16 independent
+    partitions, not one global ordering) and every bin reproducible
+    from (bucket, bin_id) alone."""
+    return _text.pack_sequences(_docs(spark, sf_dir), max_tokens=512, n_buckets=16)
+
+
+@_q(
     "text_top_ngrams",
     f"""
     WITH t AS (SELECT unnest({_W}) AS tok FROM documents),
