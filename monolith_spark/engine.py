@@ -62,6 +62,12 @@ class MonolithDB:
     spark: SparkSession
     path: str
     chunk_size_ms: int = DEFAULT_CHUNK_MS
+    # Force-broadcast the matched series dim only while its on-disk
+    # size stays under this bound; above it (high-cardinality labels at
+    # 100 TB — a match-all query would ship the whole dim to every
+    # executor) drop the hint and let AQE pick the join strategy from
+    # runtime sizes.
+    dim_broadcast_bytes: int = 256 * 1024 * 1024
 
     def __post_init__(self) -> None:
         self.samples_path = os.path.join(self.path, "samples")
@@ -182,6 +188,22 @@ class MonolithDB:
             pred = matcher_predicate("labels", list(matchers))
         return series.filter(pred)
 
+    def _dim_hint(self, sel: DataFrame) -> DataFrame:
+        """Broadcast hint for the matched dim, gated on the dim's
+        on-disk size (an O(#files) driver-side stat, no job): a
+        Parquet dim under the bound decompresses well within executor
+        memory; past it the hint would force shipping a
+        high-cardinality dim everywhere, so AQE decides instead."""
+        if not os.path.isdir(self.series_path):
+            return F.broadcast(sel)  # empty dim
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(self.series_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return F.broadcast(sel) if total < self.dim_broadcast_bytes else sel
+
     def query_flat(self, matchers, start_ms: int, end_ms: int) -> DataFrame:
         """Matching samples as flat rows [series_id, signature, labels,
         timestamp, value] — the pre-assembly dataflow of Chunk::query
@@ -192,8 +214,8 @@ class MonolithDB:
         """
         sel = self._matched_series(matchers)
         return self._query_samples(start_ms, end_ms).join(
-            F.broadcast(sel), "series_id"
-        )  # J6 metadata hydration as a broadcast join
+            self._dim_hint(sel), "series_id"
+        )  # J6 metadata hydration; broadcast while the dim is small
 
     def query(self, matchers, start_ms: int, end_ms: int) -> DataFrame:
         """Remote-read evaluation: [series_id, signature, labels, points]
@@ -207,7 +229,7 @@ class MonolithDB:
         """J5 exact-signature point lookup
         (/root/reference/src/indexer/sled_indexer.rs:98-107)."""
         sel = self.series().filter(exact_signature_predicate("labels", full_labels))
-        flat = self._query_samples(start_ms, end_ms).join(F.broadcast(sel), "series_id")
+        flat = self._query_samples(start_ms, end_ms).join(self._dim_hint(sel), "series_id")
         return to_timeseries(flat, key_cols=["series_id", "signature"])
 
     # ----------------------------------------------------------- maintenance

@@ -424,3 +424,29 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         for r in db.query({}, 0, span).collect()
     }
     assert after == before
+
+
+def test_dim_broadcast_gated_on_size(spark, tmp_path):
+    """The matched-dim broadcast hint applies only under the size
+    bound: the default db plans a BroadcastHashJoin; with the bound at
+    0 (simulating a dim too large to ship) the hint is dropped and the
+    query still returns identical results via AQE's choice."""
+    db = _g1_db(spark, tmp_path)
+    plan = db.query_flat({"test1": "1"}, 0, 10_000)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    big = MonolithDB(
+        spark, str(tmp_path / "db"), chunk_size_ms=10_000, dim_broadcast_bytes=0
+    )
+    a = sorted(
+        (r["signature"], p["timestamp"], p["value"])
+        for r in db.query({"test1": "1"}, 0, 10_000).collect()
+        for p in r["points"]
+    )
+    b = sorted(
+        (r["signature"], p["timestamp"], p["value"])
+        for r in big.query({"test1": "1"}, 0, 10_000).collect()
+        for p in r["points"]
+    )
+    assert a == b and a
