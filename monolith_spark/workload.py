@@ -2850,6 +2850,68 @@ def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_funnel_steps",
+    """
+    WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS t_signup
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+    v AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t_view
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND epoch_ms(e.ts) >= s.t_signup
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t_purchase
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= v.t_view
+          GROUP BY 1)
+    SELECT s.user_id, s.t_signup, v.t_view, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN v.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS reached_step
+    FROM s
+    LEFT JOIN v ON s.user_id = v.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ORDERED funnel (signup → first view at-or-after it →
+    first purchase at-or-after that): each stage is a keyed min
+    aggregate of events gated by the previous stage's timestamp, so
+    the shuffle always carries one row per user, never raw events
+    through a window. Out-of-order lookalikes (purchase before the
+    qualifying view) correctly don't count."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms"),
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_ms") >= F.col("t_signup"))
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_ms") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t_purchase"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_signup", "t_view", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_view").isNotNull(), 2)
+            .otherwise(1).cast("long").alias("reached_step"),
+        )
+    )
+
+
+@_q(
     "events_retention",
     f"""
     SELECT DISTINCT user_id FROM events
