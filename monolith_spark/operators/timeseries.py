@@ -357,6 +357,76 @@ def resample_ffill(
     )
 
 
+def resample_lerp(
+    df: DataFrame,
+    step_ms: int,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation (the
+    `interpolate()` companion to resample_ffill's locf): observed
+    buckets keep their (ts, value)-max point's value; empty buckets
+    get the straight line between the previous and next observed
+    POINTS (their actual timestamps, not bucket edges) evaluated at
+    the bucket timestamp. Grid edges are observed buckets by
+    construction, so no NULLs escape.
+
+    Same scale shape as resample_ffill: per-series sequence/explode
+    grid, one bucket aggregation, one key-partitioned ordered window
+    (the prev/next frames share the sort — no extra shuffle).
+    """
+    key_cols = key_cols or ["series_id"]
+    bucket = (F.floor(F.col(ts) / F.lit(step_ms)) * F.lit(step_ms)).cast("long")
+    per_bucket = (
+        df.groupBy(*key_cols, bucket.alias("bucket_ms"))
+        .agg(F.max(F.struct(F.col(ts), F.col("value"))).alias("__top"))
+        .select(
+            *key_cols,
+            "bucket_ms",
+            F.col("__top").getField(ts).alias("__pt_ts"),
+            F.col("__top").getField("value").alias("__pt_val"),
+        )
+    )
+    grid = (
+        per_bucket.groupBy(*key_cols)
+        .agg(F.min("bucket_ms").alias("__mn"), F.max("bucket_ms").alias("__mx"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence("__mn", "__mx", F.lit(step_ms))).alias("bucket_ms"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(per_bucket, [*key_cols, "bucket_ms"], "left").select(
+        *key_cols,
+        "bucket_ms",
+        "__pt_val",
+        F.last("__pt_ts", ignorenulls=True).over(w_prev).alias("__tp"),
+        F.last("__pt_val", ignorenulls=True).over(w_prev).alias("__vp"),
+        F.first("__pt_ts", ignorenulls=True).over(w_next).alias("__tn"),
+        F.first("__pt_val", ignorenulls=True).over(w_next).alias("__vn"),
+    )
+    lerp = F.col("__vp") + (F.col("__vn") - F.col("__vp")) * (
+        (F.col("bucket_ms") - F.col("__tp")) / (F.col("__tn") - F.col("__tp"))
+    )
+    return j.select(
+        *key_cols,
+        "bucket_ms",
+        F.when(F.col("__pt_val").isNotNull(), F.col("__pt_val"))
+        .otherwise(lerp)
+        .alias("value"),
+        F.col("__pt_val").isNotNull().alias("observed"),
+    )
+
+
 def series_quantiles(
     df: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9),

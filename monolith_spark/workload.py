@@ -1042,6 +1042,58 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tsops.resample_ffill(s, step_ms=DAY_MS, key_cols=["signature"])
 
 
+@_q(
+    "ts_resample_lerp",
+    f"""
+    WITH samples AS (
+      SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    ranked AS (
+      SELECT signature, (ts_ms // {DAY_MS}) * {DAY_MS} AS bucket_ms, ts_ms, value,
+             row_number() OVER (
+               PARTITION BY signature, (ts_ms // {DAY_MS}) * {DAY_MS}
+               ORDER BY ts_ms DESC, value DESC
+             ) AS rn
+      FROM samples),
+    pb AS (SELECT signature, bucket_ms, ts_ms AS pt_ts, value FROM ranked WHERE rn = 1),
+    bounds AS (SELECT signature, min(bucket_ms) AS mn, max(bucket_ms) AS mx
+               FROM pb GROUP BY 1),
+    grid AS (SELECT signature, unnest(generate_series(mn, mx, {DAY_MS})) AS bucket_ms
+             FROM bounds),
+    fr AS (
+      SELECT g.signature, g.bucket_ms, pb.value AS pv,
+             last_value(pb.pt_ts IGNORE NULLS) OVER w_prev AS tp,
+             last_value(pb.value IGNORE NULLS) OVER w_prev AS vp,
+             first_value(pb.pt_ts IGNORE NULLS) OVER w_next AS tn,
+             first_value(pb.value IGNORE NULLS) OVER w_next AS vn
+      FROM grid g LEFT JOIN pb
+        ON g.signature = pb.signature AND g.bucket_ms = pb.bucket_ms
+      WINDOW
+        w_prev AS (PARTITION BY g.signature ORDER BY g.bucket_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY g.signature ORDER BY g.bucket_ms
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT signature, bucket_ms,
+           CASE WHEN pv IS NOT NULL THEN pv
+                ELSE vp + (vn - vp) * ((bucket_ms - tp) / (tn - tp)) END AS value,
+           pv IS NOT NULL AS observed
+    FROM fr
+    """,
+)
+def ts_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 1-day grid with LINEAR interpolation per series
+    (operators/timeseries.py:resample_lerp) — gap buckets get the
+    straight line between the surrounding observed points evaluated at
+    the bucket timestamp; the interpolation arithmetic is mirrored
+    op-for-op in the oracle so doubles stay bit-equal."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    return _tsops.resample_lerp(s, step_ms=DAY_MS, key_cols=["signature"])
+
+
 # ------------------------------------------------------------------- TPC-H
 
 @_q(

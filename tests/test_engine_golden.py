@@ -450,3 +450,24 @@ def test_dim_broadcast_gated_on_size(spark, tmp_path):
         for p in r["points"]
     )
     assert a == b and a
+
+
+def test_resample_lerp_hand_case(spark):
+    """Linear interpolation: exact at observed buckets, straight line
+    through gaps using the surrounding POINTS' actual timestamps."""
+    from monolith_spark.operators.timeseries import resample_lerp
+
+    df = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 405, 40.0)],  # points in buckets 100, 400
+        "series_id long, timestamp long, value double",
+    )
+    rows = {
+        r["bucket_ms"]: (r["value"], r["observed"])
+        for r in resample_lerp(df, step_ms=100).collect()
+    }
+    assert rows[100] == (10.0, True)
+    assert rows[400] == (40.0, True)
+    # gap buckets 200, 300: line between (100, 10) and (405, 40)
+    assert abs(rows[200][0] - (10.0 + 30.0 * (100 / 305))) < 1e-12
+    assert rows[200][1] is False
+    assert abs(rows[300][0] - (10.0 + 30.0 * (200 / 305))) < 1e-12
