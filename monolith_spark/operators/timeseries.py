@@ -721,3 +721,67 @@ def anomaly_zscore(
         )
         .select(*key_cols, F.col(ts), F.col(value), z.alias("zscore"))
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+    k: float = 1.0,
+    h: float = 10.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection against each series' own
+    mean: S⁺ accumulates positive deviations beyond slack ``k``, S⁻
+    negative ones, both clamped at 0; a change is signalled when
+    either excursion exceeds threshold ``h``. Returns per series
+    [key, n_points, max_pos, max_neg, first_cross_ms (NULL if never)].
+
+    Like holt_winters, an inherently order-dependent fold expressed as
+    ``F.aggregate`` over the series' sorted points — the recurrence
+    runs inside JVM codegen, one shuffle on the series key. The mean
+    is the exact DECIMAL sum cast to double over the count, so the
+    oracle's recursive CTE replays bit-identical arithmetic.
+    """
+    key_cols = key_cols or ["series_id"]
+    mu = (
+        F.sum(F.col(value).cast("decimal(18,2)")).cast("double") / F.count("*")
+    ).alias("__mu")
+    pts = df.groupBy(*key_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))
+        ).alias("__pts"),
+        mu,
+    )
+    kl, hl, zero = F.lit(float(k)), F.lit(float(h)), F.lit(0.0)
+    init = F.struct(
+        zero.alias("sp"),
+        zero.alias("sn"),
+        zero.alias("mp"),
+        zero.alias("mn"),
+        F.lit(0).cast("long").alias("cross"),
+    )
+
+    def step(acc, p):
+        sp = F.greatest(zero, acc["sp"] + (p["v"] - F.col("__mu") - kl))
+        sn = F.greatest(zero, acc["sn"] + (F.col("__mu") - p["v"] - kl))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["mp"], sp).alias("mp"),
+            F.greatest(acc["mn"], sn).alias("mn"),
+            F.when(acc["cross"] != 0, acc["cross"])
+            .when((sp > hl) | (sn > hl), p["t"])
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cross"),
+        )
+
+    st = F.aggregate(F.col("__pts"), init, step)
+    return pts.select(
+        *key_cols,
+        F.size("__pts").cast("long").alias("n_points"),
+        st["mp"].alias("max_pos"),
+        st["mn"].alias("max_neg"),
+        F.nullif(st["cross"], F.lit(0)).alias("first_cross_ms"),
+    )

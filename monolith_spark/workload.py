@@ -789,6 +789,64 @@ _PRED_AT = JAN20 + 7 * DAY_MS - JAN1  # extrapolate one week past range end
 
 
 @_q(
+    "ts_cusum",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT {SIG_SQL} AS signature,
+             row_number() OVER (PARTITION BY {SIG_SQL}
+                                ORDER BY epoch_ms(ts), value) AS i,
+             count(*) OVER (PARTITION BY {SIG_SQL}) AS n,
+             epoch_ms(ts) AS t, value AS v
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    mu AS (SELECT signature,
+                  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
+           FROM pts GROUP BY 1),
+    cs AS (
+      SELECT p.signature, p.i, p.n,
+             greatest(0.0, 0.0 + (p.v - m.mu - 1.0)) AS sp,
+             greatest(0.0, 0.0 + (m.mu - p.v - 1.0)) AS sn,
+             greatest(0.0, 0.0 + (p.v - m.mu - 1.0)) AS mp,
+             greatest(0.0, 0.0 + (m.mu - p.v - 1.0)) AS mn,
+             CASE WHEN greatest(0.0, 0.0 + (p.v - m.mu - 1.0)) > 10.0
+                    OR greatest(0.0, 0.0 + (m.mu - p.v - 1.0)) > 10.0
+                  THEN p.t ELSE 0 END AS cross_t
+      FROM pts p JOIN mu m ON p.signature = m.signature
+      WHERE p.i = 1
+      UNION ALL
+      SELECT c.signature, c.i + 1, c.n,
+             greatest(0.0, c.sp + (p.v - m.mu - 1.0)),
+             greatest(0.0, c.sn + (m.mu - p.v - 1.0)),
+             greatest(c.mp, greatest(0.0, c.sp + (p.v - m.mu - 1.0))),
+             greatest(c.mn, greatest(0.0, c.sn + (m.mu - p.v - 1.0))),
+             CASE WHEN c.cross_t <> 0 THEN c.cross_t
+                  WHEN greatest(0.0, c.sp + (p.v - m.mu - 1.0)) > 10.0
+                    OR greatest(0.0, c.sn + (m.mu - p.v - 1.0)) > 10.0
+                  THEN p.t ELSE 0 END
+      FROM cs c
+      JOIN pts p ON p.signature = c.signature AND p.i = c.i + 1
+      JOIN mu m ON m.signature = c.signature
+    )
+    SELECT signature, CAST(n AS BIGINT) AS n_points, mp AS max_pos,
+           mn AS max_neg, NULLIF(cross_t, 0) AS first_cross_ms
+    FROM cs WHERE i = n
+    """,
+)
+def ts_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection per series
+    (operators/timeseries.py:cusum): clamped cumulative deviations
+    from the series' exact mean with slack 1.0, threshold 10.0 — the
+    classic sequential change-point statistic, run as a JVM-side
+    aggregate fold; the oracle replays the recurrence as a recursive
+    CTE for bitwise equality."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    return _tsops.cusum(s, key_cols=["signature"], k=1.0, h=10.0)
+
+
+@_q(
     "ts_predict_linear",
     f"""
     SELECT signature, n_points,
