@@ -2960,6 +2960,38 @@ def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: per-user event sequences (ordered
+    by time, event_id tie-break) reduced to (prev, next) type-pair
+    counts — one user-keyed sort window, then a tiny groupBy whose
+    cardinality is |types|², not events."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
     "events_funnel_steps",
     """
     WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS t_signup
