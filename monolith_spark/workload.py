@@ -3579,6 +3579,54 @@ def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_budget_sample",
+    f"""
+    WITH t AS (SELECT doc_id, lang, CAST(len({_W}) AS BIGINT) AS n_tokens
+               FROM documents),
+    tot AS (SELECT lang, sum(n_tokens) AS lt FROM t GROUP BY 1),
+    tgt AS (SELECT CAST(sum(lt) AS DOUBLE) / (2 * count(*)) AS budget FROM tot),
+    rates AS (SELECT lang,
+                     CAST(floor(least(1.0, budget / CAST(lt AS DOUBLE))
+                                * 1048576) AS BIGINT) AS thr
+              FROM tot, tgt)
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM t JOIN rates ON t.lang = rates.lang
+    WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1048576 < thr
+    """,
+)
+def docs_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-driven sampling: each language's keep-rate is
+    derived FROM a target budget (half the equal-share of total
+    tokens), so over-represented languages are trimmed toward the
+    budget and under-represented ones kept whole — the planning step
+    of hitting a target training mix, not a hand-picked rate. The
+    threshold is materialized as an integer over a 2^20 hash domain so
+    the boundary compare is exact on both engines."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "lang", _text.token_count("text").cast("long").alias("n_tokens")
+    )
+    tot = t.groupBy("lang").agg(F.sum("n_tokens").alias("lt"))
+    tgt = tot.agg(
+        (F.sum("lt").cast("double") / (2 * F.count("*"))).alias("budget")
+    )
+    rates = tot.join(F.broadcast(tgt)).select(
+        "lang",
+        F.floor(
+            F.least(F.lit(1.0), F.col("budget") / F.col("lt").cast("double"))
+            * 1048576
+        ).cast("long").alias("thr"),
+    )
+    draw = _text.hash60_expr(F.col("doc_id").cast("string")) % 1048576
+    return (
+        t.join(F.broadcast(rates), "lang")
+        .filter(draw < F.col("thr"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@_q(
     "text_top_ngrams",
     f"""
     WITH t AS (SELECT unnest({_W}) AS tok FROM documents),
