@@ -789,6 +789,47 @@ _PRED_AT = JAN20 + 7 * DAY_MS - JAN1  # extrapolate one week past range end
 
 
 @_q(
+    "ts_gaps",
+    f"""
+    WITH s AS (
+      SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    d AS (SELECT signature, ts_ms,
+                 lag(ts_ms) OVER (PARTITION BY signature ORDER BY ts_ms) AS prev_ms
+          FROM s)
+    SELECT signature, prev_ms AS gap_start_ms, ts_ms AS gap_end_ms,
+           ts_ms - prev_ms AS gap_ms
+    FROM d
+    WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > {2 * DAY_MS}
+    """,
+)
+def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data detection: intervals where a series reported
+    nothing for more than 2 days — one per-series lag window, rows out
+    only for the gaps (the monitoring complement of ts_absent, which
+    flags series that stopped entirely)."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    w = Window.partitionBy("signature").orderBy("timestamp")
+    return (
+        s.withColumn("prev_ms", F.lag("timestamp").over(w))
+        .filter(
+            F.col("prev_ms").isNotNull()
+            & (F.col("timestamp") - F.col("prev_ms") > 2 * DAY_MS)
+        )
+        .select(
+            "signature",
+            F.col("prev_ms").alias("gap_start_ms"),
+            F.col("timestamp").alias("gap_end_ms"),
+            (F.col("timestamp") - F.col("prev_ms")).alias("gap_ms"),
+        )
+    )
+
+
+@_q(
     "ts_cusum",
     f"""
     WITH RECURSIVE pts AS (
