@@ -2687,6 +2687,109 @@ def tpch_q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_q(
+    "orders_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(epoch_ms(o_orderdate)) AS last_order_ms,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1)
+    SELECT o_custkey, last_order_ms, frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
+           CAST(ntile(5) OVER (ORDER BY last_order_ms DESC, o_custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+             AS m_score
+    FROM rfm
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer with quintile scores. The windows rank the PER-CUSTOMER
+    aggregate (one row per customer, never raw orders) with o_custkey
+    tie-breaks so quintile boundaries are deterministic; monetary sums
+    in DECIMAL."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))")).alias(
+            "last_order_ms"
+        ),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    def score(col, name):
+        w = Window.orderBy(F.col(col).desc(), F.col("o_custkey"))
+        return F.ntile(5).over(w).cast("long").alias(name)
+    return rfm.select(
+        "o_custkey", "last_order_ms", "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        score("last_order_ms", "r_score"),
+        score("frequency", "f_score"),
+        score("monetary", "m_score"),
+    )
+
+
+@_q(
+    "tpch_revenue_pareto",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS total_rev,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk
+      FROM per_part)
+    SELECT l_partkey, rnk, CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS cum_share
+    FROM ranked
+    WHERE CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.5
+    """,
+)
+def tpch_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto head): the top parts covering the
+    first half of total revenue, via a running DECIMAL sum over the
+    per-part aggregate ranked descending. The windows order ONE row
+    per part; the cumulative/total division happens once in double on
+    exact numerators so the 0.5 cutoff can't straddle engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    w = (
+        Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_part.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+        F.row_number().over(
+            Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        ).alias("rnk"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    return ranked.filter(share <= 0.5).select(
+        "l_partkey", "rnk",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+    )
+
+
+@_q(
     "events_daily_active",
     """
     SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
