@@ -3723,6 +3723,43 @@ def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_dup_rate_by_source",
+    """
+    WITH h AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp
+               FROM documents),
+    g AS (SELECT source, fp, count(*) AS n,
+                 min(doc_id) AS canonical_id
+          FROM h GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+           CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS dup_rate
+    FROM g GROUP BY 1
+    """,
+)
+def docs_dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: per-source exact-duplicate rate (docs
+    beyond the first per content fingerprint). Two groupBys whose keys
+    shrink at each step — (source, fp) then source — so the shuffle
+    carries fingerprints, never text."""
+    docs = _docs(spark, sf_dir)
+    g = (
+        docs.select(
+            "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+        )
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dup_docs"),
+        ((F.sum("n") - F.count("*")).cast("double") / F.sum("n")).alias("dup_rate"),
+    )
+
+
+@_q(
     "docs_budget_sample",
     f"""
     WITH t AS (SELECT doc_id, lang, CAST(len({_W}) AS BIGINT) AS n_tokens
