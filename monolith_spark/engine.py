@@ -127,8 +127,13 @@ class MonolithDB:
             new_series = df.select("series_id", "signature", "labels").dropDuplicates(["series_id"])
             existing = self._series_raw()
             if existing is not None:
+                # Same size gate as the query path: force-broadcasting
+                # a high-cardinality dim on every micro-batch would be
+                # the write path's scaling cliff.
                 new_series = new_series.join(
-                    F.broadcast(existing.select("series_id")), "series_id", "left_anti"
+                    self._dim_hint(existing.select("series_id")),
+                    "series_id",
+                    "left_anti",
                 )
             new_series.write.mode("append").parquet(self.series_path)
             # Time-sorted within partitions → Parquet row-group min/max
