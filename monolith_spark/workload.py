@@ -1103,6 +1103,75 @@ def ts_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_bottomk_series",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           count(*) AS n_points
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    ORDER BY sum(CAST(value AS DECIMAL(18,2))) ASC, signature
+    LIMIT 10
+    """,
+)
+def ts_bottomk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k series by total value (PromQL bottomk analog) — the
+    ascending mirror of ts_topk_series: exact DECIMAL totals,
+    TakeOrdered, no full sort."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    total = F.sum(F.col("value").cast("decimal(18,2)"))
+    return (
+        s.groupBy("signature")
+        .agg(total.alias("__total_dec"), F.count("*").alias("n_points"))
+        .orderBy(F.col("__total_dec").asc(), "signature")
+        .limit(10)
+        .select(
+            "signature",
+            F.col("__total_dec").cast("double").alias("total_value"),
+            "n_points",
+        )
+    )
+
+
+@_q(
+    "ts_idelta",
+    f"""
+    WITH s AS (
+      SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER (PARTITION BY {SIG_SQL}
+                                ORDER BY epoch_ms(ts) DESC, value DESC) AS rn
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20})
+    SELECT a.signature, a.ts_ms AS last_ms,
+           a.value - b.value AS idelta
+    FROM s a JOIN s b ON a.signature = b.signature AND a.rn = 1 AND b.rn = 2
+    """,
+)
+def ts_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL idelta(): difference of the LAST TWO samples per series
+    (irate without the time division) — a size-2 per-series ordered
+    head via max-struct aggregates, so the shuffle carries two points
+    per series, never the window."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    w = Window.partitionBy("signature").orderBy(
+        F.col("timestamp").desc(), F.col("value").desc()
+    )
+    ranked = s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    last = ranked.filter(F.col("rn") == 1).select(
+        "signature", F.col("timestamp").alias("last_ms"), F.col("value").alias("v1")
+    )
+    prev = ranked.filter(F.col("rn") == 2).select(
+        "signature", F.col("value").alias("v2")
+    )
+    return last.join(prev, "signature").select(
+        "signature", "last_ms", (F.col("v1") - F.col("v2")).alias("idelta")
+    )
+
+
+@_q(
     "ts_resample_gapfill",
     f"""
     WITH samples AS (
