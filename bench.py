@@ -42,6 +42,10 @@ WORKLOAD_NAMES = [
     "tpch_q3_top10",
     "tpch_nation_revenue",
     "topk_orders_per_customer",
+    # LLM-pipeline operators (timing regression tracking alongside TSDB/TPC-H)
+    "docs_bm25_search",
+    "dedup_minhash_lsh",
+    "sim_ivf_topk",
 ]
 
 
@@ -78,6 +82,28 @@ def main() -> None:
         timed("exact_lookup", lambda: _force(
             db.query_exact(
                 {"event_type": "purchase", "kb": "6", "user": "11"}, 0, 4_000_000_000_000)))
+
+        # Skew stress: ≥10% of all points forced onto ONE series (constant
+        # label map on a 1/8 timestamp-hash slice), then assembly routed
+        # through the salted path via skew auto-detection. Target: within
+        # 2× of the unskewed query_allchunks despite the hot series.
+        from pyspark.sql import functions as F
+
+        hot = F.create_map(
+            F.lit("event_type"), F.lit("hot"),
+            F.lit("kb"), F.lit("0"),
+            F.lit("user"), F.lit("hot"),
+        )
+        skewed = samples.withColumn(
+            "labels",
+            F.when(F.pmod(F.xxhash64("timestamp"), F.lit(8)) == 0, hot).otherwise(
+                F.col("labels")
+            ),
+        )
+        db_skew = MonolithDB(spark, os.path.join(tmp, "db_skew"), chunk_size_ms=CHUNK_MS)
+        timed("ingest_skewed", lambda: db_skew.write(skewed))
+        timed("query_skewed_salted", lambda: _force(
+            db_skew.query({"event_type": "hot"}, 0, 4_000_000_000_000, salted="auto")))
 
         queries = all_queries()
         for name in WORKLOAD_NAMES:

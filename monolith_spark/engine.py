@@ -41,8 +41,10 @@ from monolith_spark.labels import (
 )
 from monolith_spark.operators.timeseries import (
     chunk_pred,
+    detect_skewed_key,
     time_trim,
     to_timeseries,
+    to_timeseries_salted,
     valid_points,
 )
 
@@ -66,8 +68,13 @@ class MonolithDB:
     # size stays under this bound; above it (high-cardinality labels at
     # 100 TB — a match-all query would ship the whole dim to every
     # executor) drop the hint and let AQE pick the join strategy from
-    # runtime sizes.
+    # runtime sizes. The bound is compared against on-disk Parquet
+    # bytes × DIM_DECOMPRESS_FACTOR: broadcast ships decompressed rows,
+    # and dictionary/RLE-encoded label dims commonly expand 5-10×, so
+    # gating on raw file size alone would force multi-GB broadcasts
+    # past executor memory.
     dim_broadcast_bytes: int = 256 * 1024 * 1024
+    DIM_DECOMPRESS_FACTOR: int = 8
 
     def __post_init__(self) -> None:
         self.samples_path = os.path.join(self.path, "samples")
@@ -171,7 +178,28 @@ class MonolithDB:
             )
         return raw.dropDuplicates(["series_id"])
 
+    def _recover_compaction(self) -> None:
+        """Self-healing read path: if a compaction crashed between its
+        two renames, the live partition is the staged ``.old`` — restore
+        it before planning a scan so a reader never sees missing rows.
+        One listdir when staging exists, zero cost otherwise; races
+        between concurrent readers are benign (first rename wins)."""
+        staging = os.path.join(self.path, "_compact")
+        if not os.path.isdir(staging):
+            return
+        for name in os.listdir(staging):
+            if not name.endswith(".old"):
+                continue
+            chunk = name[len("chunk_"):-len(".old")]
+            part = os.path.join(self.samples_path, f"chunk_id={chunk}")
+            if not os.path.isdir(part):
+                try:
+                    os.rename(os.path.join(staging, name), part)
+                except OSError:
+                    pass  # another reader/compactor won the race
+
     def samples(self) -> DataFrame:
+        self._recover_compaction()
         if not os.path.exists(self.samples_path):
             return self.spark.createDataFrame(
                 [], "series_id long, timestamp long, value double, chunk_id long"
@@ -207,7 +235,11 @@ class MonolithDB:
             for f in files
             if f.endswith(".parquet")
         )
-        return F.broadcast(sel) if total < self.dim_broadcast_bytes else sel
+        return (
+            F.broadcast(sel)
+            if total * self.DIM_DECOMPRESS_FACTOR < self.dim_broadcast_bytes
+            else sel
+        )
 
     def query_flat(self, matchers, start_ms: int, end_ms: int) -> DataFrame:
         """Matching samples as flat rows [series_id, signature, labels,
@@ -222,13 +254,31 @@ class MonolithDB:
             self._dim_hint(sel), "series_id"
         )  # J6 metadata hydration; broadcast while the dim is small
 
-    def query(self, matchers, start_ms: int, end_ms: int) -> DataFrame:
+    def query(
+        self,
+        matchers,
+        start_ms: int,
+        end_ms: int,
+        salted: bool | str = False,
+    ) -> DataFrame:
         """Remote-read evaluation: [series_id, signature, labels, points]
         with points time-ascending (/root/reference/src/db.rs:202-267).
         Series order is unspecified in the reference; sort by signature
-        for determinism."""
+        for determinism.
+
+        ``salted``: False → single-stage collect (cheapest when no
+        series is hot); True → two-stage salted assembly
+        (to_timeseries_salted); "auto" → pay one small sampled job to
+        detect a hot series first. AQE splits skewed JOIN partitions
+        but not a skewed aggregation key, so a ≥10%-of-points series
+        needs the salted path to avoid a single straggler reducer.
+        """
         flat = self.query_flat(matchers, start_ms, end_ms)
-        return to_timeseries(flat, key_cols=["series_id", "signature"]).orderBy("signature")
+        use_salt = bool(salted)
+        if salted == "auto":
+            use_salt = detect_skewed_key(flat, key_cols=["series_id"])
+        assemble = to_timeseries_salted if use_salt else to_timeseries
+        return assemble(flat, key_cols=["series_id", "signature"]).orderBy("signature")
 
     def query_exact(self, full_labels: dict[str, str], start_ms: int, end_ms: int) -> DataFrame:
         """J5 exact-signature point lookup
@@ -267,14 +317,12 @@ class MonolithDB:
         import shutil
 
         part = os.path.join(self.samples_path, f"chunk_id={chunk_id}")
-        prior_old = os.path.join(self.path, "_compact", f"chunk_{chunk_id}.old")
+        # crash recovery: a previous run died between the two renames —
+        # the live data is the staged .old; restore it (shared with the
+        # self-healing read path).
+        self._recover_compaction()
         if not os.path.isdir(part):
-            # crash recovery: a previous run died between the two
-            # renames — the live data is the staged .old; restore it.
-            if os.path.isdir(prior_old):
-                os.rename(prior_old, part)
-            else:
-                return False
+            return False
         in_bytes = sum(
             os.path.getsize(os.path.join(part, f))
             for f in os.listdir(part)

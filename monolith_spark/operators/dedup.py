@@ -284,7 +284,7 @@ def simhash_pairs(
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+            F.expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -510,12 +510,19 @@ def _sub_score(vec: Column, off: int, cent: list[float]) -> Column:
     """|c|² − 2·(x·c) for vec[off : off+len(cent)] against a literal
     centroid: the squared L2 distance shifted by the per-row constant
     |x|², which cancels in every use here (argmin over centroids, and
-    per-query ADC ranking). The inner-product form keeps ONE reference
-    to each vector element and no Math.pow — the flat expression stays
-    small across m·ksub·dsub terms."""
-    dot = F.element_at(vec, off + 1) * F.lit(cent[0])
-    for t, c in enumerate(cent[1:], start=1):
-        dot = dot + F.element_at(vec, off + t + 1) * F.lit(c)
+    per-query ADC ranking). Higher-order form (slice + zip_with +
+    aggregate): the input array is referenced ONCE per centroid, so a
+    transform-derived ``vec`` can't be re-evaluated per element — and
+    the loop body beats the unrolled element_at chain in codegen
+    (A/B'd at sf0.1: ~5.5 s vs ~7.2 s warm for the full encode).
+    Summation is index-ascending, identical to the unrolled form, so
+    double results are bit-equal and oracles are unaffected."""
+    sub = F.slice(vec, off + 1, len(cent))
+    dot = F.aggregate(
+        F.zip_with(sub, F.array(*[F.lit(c) for c in cent]), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return F.lit(sum(c * c for c in cent)) - 2.0 * dot
 
 
@@ -588,7 +595,12 @@ def ivfpq_topk(
         norm_expr(_dbl(vec_col)).alias("cn"),
     )
     c = c.withColumn("cell", F.array_max(_cell_sims("c_vec", centroids))["cid"])
-    c = c.withColumn("codes", pq_code_expr(_unit_expr(F.col("c_vec")), codebooks))
+    # Materialize the unit vector in its own column: element access in
+    # the encoder then hits an attribute, not a re-embedded O(dim)
+    # normalize transform (projection-collapse trap; A/B'd ~20% faster).
+    c = c.withColumn("c_unit", _unit_expr(F.col("c_vec"))).withColumn(
+        "codes", pq_code_expr(F.col("c_unit"), codebooks)
+    ).drop("c_unit")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _dbl(vec_col).alias("q_vec"),
@@ -599,7 +611,9 @@ def ivfpq_topk(
         lambda s: s["cid"],
     )
     q = (
-        q.withColumn("qtab", _adc_table_expr(_unit_expr(F.col("q_vec")), codebooks))
+        q.withColumn("q_unit", _unit_expr(F.col("q_vec")))
+        .withColumn("qtab", _adc_table_expr(F.col("q_unit"), codebooks))
+        .drop("q_unit")
         .withColumn("cell", F.explode(probes))
     )
     adc = F.aggregate(

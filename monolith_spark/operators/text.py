@@ -164,8 +164,8 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
     return df.select(
         F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars_c"),
-        n_toks.alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_c"),
+        n_toks.cast("long").alias("n_tokens"),
         (total_tok_len.cast("double") / n_toks).alias("avg_token_len"),
         (stopword_count(text_col).cast("double") / n_toks).alias("stopword_ratio"),
         (punct_count(text_col).cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),

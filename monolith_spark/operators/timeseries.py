@@ -99,6 +99,45 @@ def to_timeseries_salted(
     return partials.groupBy(*key_cols).agg(*final_aggs)
 
 
+def detect_skewed_key(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    hot_frac: float = 0.10,
+    sample_frac: float = 0.01,
+    min_sample_rows: int = 10_000,
+) -> bool:
+    """One cheap sampled job: does any key hold ≥ hot_frac of rows?
+
+    Samples ``sample_frac`` of rows (uniform, seeded for re-run
+    determinism), counts per key, and compares the max share against
+    the threshold. The sample is aggregated map-side before the single
+    tiny shuffle, so the job cost is ~a scan of sample_frac of the
+    input — negligible next to the query it guards. A hot key at the
+    hot_frac=10% level is detected with near-certainty once the sample
+    holds ≥ min_sample_rows (binomial σ ≈ 0.3% at 10k rows); a smaller
+    sample abstains (returns False) rather than flapping.
+    """
+    key_cols = key_cols or ["series_id"]
+    frac = sample_frac
+    while True:
+        agg = (
+            df.sample(fraction=frac, seed=7)
+            .groupBy(*key_cols)
+            .agg(F.count("*").alias("__n"))
+            .agg(F.sum("__n").alias("total"), F.max("__n").alias("top"))
+            .head()
+        )
+        total = agg["total"] if agg is not None else None
+        if total is not None and (total >= min_sample_rows or frac >= 1.0):
+            return agg["top"] / total >= hot_frac
+        if frac >= 1.0:
+            return False  # input genuinely tiny and empty-ish — no skew concern
+        # Sample too small for a confident verdict ⇒ the input itself is
+        # small, so escalating the fraction is cheap. 10× per step keeps
+        # the escalation O(log) jobs; a 100-TB input never escalates.
+        frac = min(1.0, frac * 10)
+
+
 def downsample(
     df: DataFrame,
     step_ms: int,
@@ -123,6 +162,70 @@ def downsample(
         df.groupBy(*key_cols, bucket)
         .agg(agg_fn("value").alias(f"{agg}_value"), F.count("*").alias("n_points"))
     )
+
+
+def range_func_by_step(
+    df: DataFrame,
+    step_ms: int,
+    func: str = "rate",
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+) -> DataFrame:
+    """PromQL range functions evaluated per step bucket — the hinted
+    remote-read path for ``func`` ∈ {rate, increase, delta, irate}
+    (ReadHints.func names from the public Prometheus proto; parsed but
+    unread by the reference, /root/reference/src/proto/types.rs:1248-1257).
+
+    Steps (consecutive-point diffs, reset-corrected for counters) are
+    computed per series across the whole range, then each step is
+    assigned to the bucket of its LATER point — so bucket increases
+    partition the total: Σ_buckets increase == increase over the full
+    range (continuity across bucket edges, unlike a per-bucket
+    first/last evaluation which would drop cross-edge steps).
+
+    One window sort shuffle on (series) + one groupBy on (series,
+    bucket) — both map-combinable; scales like any keyed agg.
+    """
+    key_cols = key_cols or ["series_id"]
+    w = Window.partitionBy(*key_cols).orderBy(ts, "value")
+    dec = F.col("value").cast("decimal(28,6)")
+    prev_v = F.lag(dec).over(w)
+    prev_t = F.lag(F.col(ts)).over(w)
+    inc_step = (
+        F.when(prev_v.isNull(), F.lit(None))
+        .when(dec >= prev_v, dec - prev_v)
+        .otherwise(dec)  # counter reset: the new value IS the increase
+    )
+    delta_step = F.when(prev_v.isNull(), F.lit(None)).otherwise(dec - prev_v)
+    bucket = (F.floor(F.col(ts) / F.lit(step_ms)) * F.lit(step_ms)).cast("long")
+    stepped = df.select(
+        *key_cols,
+        bucket.alias("bucket_ms"),
+        F.col(ts).alias("__t"),
+        inc_step.alias("__inc"),
+        delta_step.alias("__delta"),
+        (F.col(ts) - prev_t).alias("__dt"),
+    ).filter(F.col("__inc").isNotNull())
+    g = stepped.groupBy(*key_cols, "bucket_ms")
+    if func == "increase":
+        out = g.agg(F.sum("__inc").cast("double").alias("increase_value"))
+    elif func == "rate":
+        out = g.agg(
+            (F.sum("__inc").cast("double") / F.lit(step_ms / 1000.0)).alias("rate_value")
+        )
+    elif func == "delta":
+        out = g.agg(F.sum("__delta").cast("double").alias("delta_value"))
+    elif func == "irate":
+        # instantaneous: last step in the bucket over its own duration
+        out = g.agg(
+            (
+                F.max_by(F.col("__inc"), F.col("__t")).cast("double")
+                / (F.max_by(F.col("__dt"), F.col("__t")).cast("double") / 1000.0)
+            ).alias("irate_value")
+        )
+    else:
+        raise ValueError(f"unsupported range func: {func!r}")
+    return out
 
 
 def latest(df: DataFrame, key_cols: list[str] | None = None, ts: str = "timestamp") -> DataFrame:

@@ -56,8 +56,11 @@ def zvalue_expr(
         (F.col(ts_col) - F.lit(ts_min)).cast("double")
         * F.lit(float(1 << ZBITS) / span)
     ).cast("long")
-    # Clamp against ts == ts_max landing exactly on 2^ZBITS.
-    ts_rank = F.least(ts_rank, F.lit((1 << ZBITS) - 1))
+    # Clamp BOTH sides: ts == ts_max lands exactly on 2^ZBITS, and with
+    # caller-passed bounds (the at-scale path) a late/early straggler
+    # below ts_min would otherwise produce a negative rank whose masked
+    # bit-spread yields an arbitrary non-monotone z-value.
+    ts_rank = F.greatest(F.lit(0), F.least(ts_rank, F.lit((1 << ZBITS) - 1)))
     return F.shiftleft(_spread_bits(ts_rank), 1).bitwiseOR(
         _spread_bits(series_rank)
     )

@@ -54,6 +54,11 @@ _HINT_AGGS = {
     "count_over_time": "count", "count": "count",
 }
 
+# PromQL range funcs the proto carries → per-step-bucket evaluation via
+# the tested range_func_by_step operator (reset-corrected steps; bucket
+# increases sum to the full-range increase).
+_HINT_RANGE_FUNCS = {"rate", "increase", "delta", "irate"}
+
 
 def _evaluate_hinted(db: MonolithDB, matchers, q: proto.Query) -> list[proto.TimeSeries] | None:
     """Server-side step downsampling when hints carry a known func
@@ -68,19 +73,27 @@ def _evaluate_hinted(db: MonolithDB, matchers, q: proto.Query) -> list[proto.Tim
     start can precede the query start).
     """
     h = q.hints
-    agg = _HINT_AGGS.get(h.func) if (h and h.step_ms > 0) else None
-    if agg is None:
+    if not (h and h.step_ms > 0):
+        return None
+    agg = _HINT_AGGS.get(h.func)
+    if agg is None and h.func not in _HINT_RANGE_FUNCS:
         return None
     from pyspark.sql import functions as F
 
-    from monolith_spark.operators.timeseries import downsample
+    from monolith_spark.operators.timeseries import downsample, range_func_by_step
 
     flat = db.query_flat(matchers, q.start_timestamp_ms, q.end_timestamp_ms)
-    ds = downsample(flat, h.step_ms, key_cols=["series_id", "signature"], agg=agg)
+    if agg is None:  # rate/increase/delta/irate
+        agg = h.func
+        ds = range_func_by_step(
+            flat, h.step_ms, func=h.func, key_cols=["series_id", "signature"]
+        )
+    else:
+        ds = downsample(flat, h.step_ms, key_cols=["series_id", "signature"], agg=agg)
     ds = ds.withColumn(
         "bucket_ms",
         F.greatest(F.col("bucket_ms"), F.lit(q.start_timestamp_ms)),
-    )
+    ).filter(F.col(f"{agg}_value").isNotNull())
     rows = (
         ds.join(F.broadcast(db.series().select("series_id", "labels")), "series_id")
         .orderBy("signature", "bucket_ms")

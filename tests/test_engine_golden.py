@@ -172,6 +172,42 @@ def test_salted_assembly_equals_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_skew_detection_routes_salted_assembly(spark, sf_dir, tmp_path):
+    """detect_skewed_key flags a ≥10%-hot series (escalating its sample
+    when the matched set is small) and query(salted="auto") still
+    returns results identical to the plain path."""
+    from pyspark.sql import functions as F
+
+    from monolith_spark.engine import MonolithDB
+    from monolith_spark.operators.timeseries import detect_skewed_key
+    from monolith_spark.sources.events import events_samples
+
+    samples = events_samples(spark, sf_dir, with_signature=False)
+    hot = F.create_map(
+        F.lit("event_type"), F.lit("hot"),
+        F.lit("kb"), F.lit("0"),
+        F.lit("user"), F.lit("hot"),
+    )
+    skewed = samples.withColumn(
+        "labels",
+        F.when(F.pmod(F.xxhash64("timestamp"), F.lit(8)) == 0, hot)
+        .otherwise(F.col("labels")),
+    )
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=2 * 86_400_000)
+    db.write(skewed)
+
+    flat_all = db.query_flat({}, 0, 4_000_000_000_000)
+    assert detect_skewed_key(flat_all)  # ~12.5% of points on one series
+    unskewed = db.query_flat({"event_type": "purchase"}, 0, 4_000_000_000_000)
+    assert not detect_skewed_key(unskewed)
+
+    auto = db.query({"event_type": "hot"}, 0, 4_000_000_000_000, salted="auto")
+    plain = db.query({"event_type": "hot"}, 0, 4_000_000_000_000)
+    a = [(r["signature"], r["points"]) for r in auto.collect()]
+    p = [(r["signature"], r["points"]) for r in plain.collect()]
+    assert a == p and len(a) == 1
+
+
 def test_asof_join_semantics(spark):
     from monolith_spark.operators.timeseries import asof_join
 
@@ -300,6 +336,60 @@ def test_compact_chunk_merges_files_preserves_results(spark, tmp_path):
     assert db.compact_chunk(0) is True
     assert {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
             for r in db.query({}, 0, 100_000).collect()} == before
+
+
+def test_compaction_crash_midswap_reader_sees_consistent_data(
+    spark, tmp_path, monkeypatch
+):
+    """Kill compact_chunk at the REAL crash point — between its two
+    swap renames — and prove a reader never sees missing or duplicate
+    rows: the read path self-heals from the staged .old, and a retried
+    compaction completes."""
+    import os as _os
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    for i in range(3):
+        db.write(spark.createDataFrame(
+            [({"m": "a"}, 1000 + i, float(i)), ({"m": "b"}, 2000 + i, float(10 + i))],
+            SAMPLES_SCHEMA))
+    before = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+              for r in db.query({}, 0, 100_000).collect()}
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first = part→old succeeded; die before tmp→part
+            raise OSError("injected crash between swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("monolith_spark.engine.os.rename", crashing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected crash"):
+        db.compact_chunk(0)
+    monkeypatch.setattr("monolith_spark.engine.os.rename", real_rename)
+
+    # crashed state on disk: live partition absent, .old staged
+    assert not _os.path.isdir(_os.path.join(db.samples_path, "chunk_id=0"))
+    assert _os.path.isdir(_os.path.join(db.path, "_compact", "chunk_0.old"))
+
+    # a FRESH reader (new engine instance, as after a process restart)
+    # sees exactly the original rows — nothing missing, nothing doubled
+    db2 = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    healed = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+              for r in db2.query({}, 0, 100_000).collect()}
+    assert healed == before
+
+    # and the retried compaction completes normally afterwards
+    assert db2.compact_chunk(0) is True
+    part = _os.path.join(db2.samples_path, "chunk_id=0")
+    assert len([f for f in _os.listdir(part) if f.endswith(".parquet")]) == 1
+    assert {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+            for r in db2.query({}, 0, 100_000).collect()} == before
 
 
 def test_label_values(spark, tmp_path):

@@ -165,9 +165,64 @@ def test_multimodal_frame_sample(spark):
     assert len(frames[3]["frame"]) == 8  # 200 - 192
 
 
-def test_decode_stub_raises():
+def test_decode_compressed_formats_raise():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_ppm_roundtrip_and_golden():
+    import numpy as np
+
+    img = multimodal.synth_image(7, 5, 4)
+    assert multimodal.decode_image(multimodal.encode_ppm(img)).tolist() == img.tolist()
+    # golden: header comments + known raster, per the netpbm spec
+    p = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    out = multimodal.decode_image(p)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [0, 1, 2] and out[1, 1].tolist() == [9, 10, 11]
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n2 2\n255\n\x00")  # truncated raster
+    # resize is floor-sampled nearest neighbor
+    big = multimodal.synth_image(3, 10, 6)
+    small = multimodal.resize_image(big, 4, 2)
+    assert small.shape == (2, 4, 3)
+    assert small[1, 3].tolist() == big[3, 7].tolist()  # (1*6)//2, (3*10)//4
+
+
+def test_bmp_golden_bottom_up_padded():
+    """2x2 24-bit bottom-up BMP with 2-byte row padding, BGR order."""
+    import struct
+
+    def bgr(r, g, b):
+        return bytes([b, g, r])
+
+    pix = (bgr(7, 8, 9) + bgr(10, 11, 12) + b"\x00\x00"  # bottom row first
+           + bgr(1, 2, 3) + bgr(4, 5, 6) + b"\x00\x00")
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    out = multimodal.decode_image(hdr + dib + pix)
+    assert out.tolist() == [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]]
+
+
+def test_decode_resize_features_end_to_end(spark):
+    """Real PPM bytes through the Spark pipeline; corrupt row → NULLs."""
+    import pandas as pd
+
+    docs = spark.createDataFrame([(i, "x") for i in range(20)], "doc_id long, text string")
+    media = multimodal.attach_synth_ppm(docs)
+    out = multimodal.decode_resize_features(media, width=8, height=8).toPandas()
+    assert len(out) == 20
+    row = out[out.media_id == 7].iloc[0]
+    img = multimodal.synth_image(7, 4 + 7 % 5, 4 + 7 % 3)
+    small = multimodal.resize_image(img, 8, 8).astype("int64")
+    assert row["width"] == 4 + 7 % 5 and row["height"] == 4 + 7 % 3
+    assert row["mean_r"] == small[:, :, 0].mean()
+    # corrupt payload surfaces as NULL features, not a job failure
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "payload": [b"\x89PNG not an image"]})
+    )
+    nulls = multimodal.decode_resize_features(bad).collect()
+    assert nulls[0]["mean_r"] is None and nulls[0]["width"] is None
 
 
 def test_cluster_pairs_connected_components(spark):

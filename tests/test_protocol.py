@@ -179,3 +179,61 @@ def test_http_write_then_read_roundtrip(spark, tmp_path):
         assert status == 404
     finally:
         srv.shutdown()
+
+
+def test_hinted_range_funcs_semantics(spark, tmp_path):
+    """ReadHints func ∈ {rate, increase, delta, irate} evaluated
+    server-side per step bucket (reset-corrected counter steps)."""
+    from monolith_spark.server import evaluate_read
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    wr = proto.WriteRequest(
+        timeseries=[
+            proto.TimeSeries(
+                {"name": "ctr"},
+                [proto.Sample(0.0, 1), proto.Sample(5.0, 10),
+                 proto.Sample(2.0, 20), proto.Sample(7.0, 30)],  # reset at t=20
+            )
+        ]
+    )
+    from monolith_spark.server import write_request_to_df
+
+    db.write(write_request_to_df(spark, wr))
+
+    def hinted(func):
+        req = proto.ReadRequest(queries=[proto.Query(
+            0, 1000, [proto.LabelMatcher(proto.EQ, "name", "ctr")],
+            hints=proto.ReadHints(step_ms=20, func=func),
+        )])
+        (ts,) = evaluate_read(db, req).results[0]
+        return [(s.timestamp, s.value) for s in ts.samples]
+
+    # steps: t10 +5 (bucket 0), t20 reset→inc 2 (bucket 20), t30 +5 (bucket 20)
+    assert hinted("increase") == [(0, 5.0), (20, 7.0)]
+    assert hinted("rate") == [(0, 5.0 / 0.02), (20, 7.0 / 0.02)]
+    assert hinted("delta") == [(0, 5.0), (20, (2.0 - 5.0) + (7.0 - 2.0))]
+    # irate: last step in each bucket over its own duration (ms→s);
+    # bucket 0's step spans t=1→10 (9 ms), bucket 20's t=20→30 (10 ms)
+    assert hinted("irate") == [(0, 5.0 / 0.009), (20, 5.0 / 0.010)]
+
+
+def test_range_func_matches_counter_increase_on_fixture(spark, sf_dir):
+    """One giant hint bucket reproduces the tested ts_counter_increase
+    workload operator exactly on the events fixture."""
+    from monolith_spark import workload
+    from monolith_spark.operators.timeseries import range_func_by_step
+    from monolith_spark.sources.events import events_samples
+
+    JAN1, JAN20 = 1_704_067_200_000, 1_705_708_800_000
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    via_hint = {
+        r["signature"]: r["increase_value"]
+        for r in range_func_by_step(
+            s, step_ms=1 << 50, func="increase", key_cols=["signature"]
+        ).collect()
+    }
+    via_op = {
+        r["signature"]: r["increase"]
+        for r in workload.queries()["ts_counter_increase"](spark, sf_dir).collect()
+    }
+    assert via_hint == via_op
