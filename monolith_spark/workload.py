@@ -3671,11 +3671,17 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.cluster_pairs(pairs)
 
 
+# Universal-hash MinHash twin (operators/dedup.py: MINHASH_AB/PRIME):
+# identical (a, b) literals and Mersenne-prime arithmetic.
+_MH_P = _dedup.MINHASH_PRIME
 _MH_COLS = ", ".join(
-    f"min(CASE WHEN seed = {i} THEN mh END) AS mh{i}" for i in range(16)
+    f"min((h * {a} + {b}) % {_MH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(_dedup.MINHASH_AB[:16])
 )
 _MH_BANDS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(mh{4*b} || mh{4*b+1} || mh{4*b+2} || mh{4*b+3}) AS band_sig FROM sig"
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(mh{4*b} || ':' || mh{4*b+1} || ':' || mh{4*b+2} || ':' || mh{4*b+3})"
+    f" AS band_sig FROM sig"
     for b in range(4)
 )
 
@@ -3685,8 +3691,9 @@ _MH_BANDS = " UNION ALL ".join(
     f"""
     WITH {_SHINGLE_CTE},
     hashed AS (
-      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || shingle) AS mh
-      FROM sh, range(16) s(seed)),
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM sh),
     sig AS (SELECT doc_id, {_MH_COLS} FROM hashed GROUP BY doc_id),
     bands AS ({_MH_BANDS}),
     cand AS (
