@@ -319,3 +319,60 @@ def test_new_tpch_shape_plans(spark, sf_dir):
     q11 = _plan(qs["tpch_q11_important_parts"].spark_fn(spark, sf_dir))
     assert "CartesianProduct" not in q11
     assert "HashAggregate" in q11
+
+
+def test_range_func_by_step_two_exchanges(spark, sf_dir):
+    # rate/increase per step bucket: ONE sort exchange for the per-series
+    # window, ONE hash exchange for the (series, bucket) agg — and the
+    # agg must be partial (map-side combine) before its shuffle.
+    from monolith_spark.operators.timeseries import range_func_by_step
+    from monolith_spark.sources.events import events_samples
+
+    s = events_samples(spark, sf_dir)
+    plan = _plan(range_func_by_step(s, 86_400_000, "rate", key_cols=["signature"]))
+    # ONE exchange total: hashpartitioning(signature) for the window
+    # also satisfies the (signature, bucket) agg's clustering, so the
+    # agg reuses the same partitioning instead of reshuffling.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side combine ahead of the shuffle
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_multimodal_decode_is_narrow_map(spark, sf_dir):
+    # decode→resize→features must be a shuffle-free narrow map: payloads
+    # cross into Python via Arrow once, and nothing repartitions them.
+    plan = _plan(all_queries()["multimodal_decode_stats"].spark_fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2  # synth payloads + decode stage
+
+
+def test_minhash_signatures_single_shuffle_no_seed_explode(spark, sf_dir):
+    # Universal-hash minhashes: the ONLY exchange is the (doc) groupBy;
+    # the k transforms stay map-side (no 16× seed explode stage), and
+    # the agg combines map-side before shuffling.
+    import pyspark.sql.functions as F
+
+    from monolith_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate explode") == 1  # shingles only, not seeds
+    assert "partial_min" in plan
+
+
+def test_salted_assembly_two_stage_exchanges(spark, tmp_path):
+    # The salted collect must shuffle per-(series, salt) partials first,
+    # then one array-row-per-salt merge — two exchanges, no more.
+    from monolith_spark.operators.timeseries import to_timeseries_salted
+
+    df = spark.createDataFrame(
+        [(1, t, float(t)) for t in range(10)],
+        "series_id long, timestamp long, value double",
+    )
+    plan = _plan(to_timeseries_salted(df, salt=4))
+    assert plan.count("Exchange hashpartitioning") == 2
+    # stage 1 collects per-(series, salt), stage 2 merges array rows —
+    # both with map-side partials
+    assert "partial_collect_list(struct(timestamp" in plan
+    assert "partial_collect_list(partial" in plan
