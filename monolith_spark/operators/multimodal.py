@@ -196,6 +196,131 @@ def decode_resize_features(
     return df.select("media_id", "payload").mapInPandas(batches, out_schema)
 
 
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PCM WAV (RIFF) file per the public spec: 'RIFF'/'WAVE'
+    container, chunk walk for 'fmt ' (must be PCM int16) and 'data'.
+    Returns (sample_rate, channels, int16 samples interleaved)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"only 16-bit PCM supported (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """Serialize int16 samples as a canonical 44-byte-header PCM WAV."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def synth_audio(seed: int, n: int) -> np.ndarray:
+    """Deterministic int16 test signal:
+    s_k = ((31k² + 17·(seed % 89)) mod 65536) − 32768.
+    Pure integer arithmetic — expressible in ANSI SQL for oracles."""
+    k = np.arange(n, dtype=np.int64)
+    return ((31 * k * k + 17 * (seed % 89)) % 65536 - 32768).astype(np.int16)
+
+
+def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of REAL WAV bytes: per row, 64 + id%37 samples at
+    8000 + (id%3)·4000 Hz from synth_audio(id) — a genuine PCM file
+    any audio tool would play."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        encode_wav(
+                            synth_audio(i, 64 + i % 37), 8000 + (i % 3) * 4000
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, out_schema
+    )
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio pipeline: WAV payload → spec-based decode → signal
+    stats (peak, mean |s|, RMS). Narrow Arrow-batched map, zero
+    shuffles; undecodable payloads degrade to NULL rows. Sums are
+    integer-exact in double (≤2³⁷ for bench-sized clips), so the stats
+    are bit-reproducible cross-engine."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("peak", T.LongType(), True),
+            T.StructField("mean_abs", T.DoubleType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, _, s = _decode_wav(bytes(payload))
+                    v = s.astype(np.int64)
+                    n = len(v)
+                    rows.append(
+                        (
+                            mid,
+                            rate,
+                            n,
+                            int(np.abs(v).max()) if n else None,
+                            float(np.abs(v).sum()) / n if n else None,
+                            float(np.sqrt(float((v * v).sum()) / n)) if n else None,
+                        )
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "peak", "mean_abs", "rms"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
 def attach_synth_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media table of REAL PPM bytes, one synthetic image per row:
     size (4 + id%5) × (4 + id%3), pixels from synth_image(id). The

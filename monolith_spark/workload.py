@@ -3456,6 +3456,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_matcher_degraded",
     "ts_matcher_extended",
     "multimodal_decode_stats",
+    "multimodal_audio_stats",
 )
 
 
@@ -3833,6 +3834,36 @@ def multimodal_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver; at 100 TB this is the canonical decode-and-featurize scan."""
     media = _mm.attach_synth_ppm(_docs(spark, sf_dir))
     return _mm.decode_resize_features(media, width=8, height=8)
+
+
+@_q(
+    "multimodal_audio_stats",
+    """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                      64 + CAST(doc_id AS BIGINT) % 37 AS n,
+                      CAST(8000 + (CAST(doc_id AS BIGINT) % 3) * 4000 AS INT)
+                        AS sample_rate
+               FROM documents),
+    s AS (SELECT media_id, n, sample_rate,
+                 (31 * k.k * k.k + 17 * (media_id % 89)) % 65536 - 32768 AS v
+          FROM d, range(0, 101) k(k) WHERE k.k < n)
+    SELECT media_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           sum(CAST(abs(v) AS DOUBLE)) / n AS mean_abs,
+           sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) / n) AS rms
+    FROM s GROUP BY media_id, sample_rate, n
+    """,
+)
+def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bytes through the audio path: per-document synthetic PCM
+    WAV (genuine RIFF files) → spec-based decode → signal stats. The
+    oracle recomputes the same int16 samples arithmetically, so any
+    header-parse / endianness / sign bug breaks the hash. All sums are
+    integer-exact in double at these clip lengths, making RMS bit-equal
+    cross-engine. Narrow Arrow map — zero shuffles, the audio analog of
+    multimodal_decode_stats."""
+    media = _mm.attach_synth_wav(_docs(spark, sf_dir))
+    return _mm.audio_features(media)
 
 
 _EMB_TAU = 0.4  # synthetic embeddings are random: max pair cosine ~0.6

@@ -204,6 +204,41 @@ def test_bmp_golden_bottom_up_padded():
     assert out.tolist() == [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]]
 
 
+def test_wav_roundtrip_and_golden():
+    import numpy as np
+
+    s = multimodal.synth_audio(7, 50)
+    rate, ch, out = multimodal._decode_wav(multimodal.encode_wav(s, 12000))
+    assert rate == 12000 and ch == 1 and out.tolist() == s.tolist()
+    # negative samples survive the little-endian int16 round trip
+    wav = multimodal.encode_wav(np.array([1, -2, 32767, -32768], dtype=np.int16), 8000)
+    _, _, v = multimodal._decode_wav(wav)
+    assert v.tolist() == [1, -2, 32767, -32768]
+    with pytest.raises(ValueError):
+        multimodal._decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+    with pytest.raises(ValueError):
+        multimodal._decode_wav(b"OggS not a wav")
+
+
+def test_audio_features_end_to_end(spark):
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.createDataFrame([(i, "x") for i in range(10)], "doc_id long, text string")
+    out = multimodal.audio_features(multimodal.attach_synth_wav(docs)).toPandas()
+    assert len(out) == 10
+    row = out[out.media_id == 7].iloc[0]
+    s = multimodal.synth_audio(7, 64 + 7 % 37).astype("int64")
+    assert row["sample_rate"] == 8000 + (7 % 3) * 4000
+    assert row["n_samples"] == len(s)
+    assert row["peak"] == np.abs(s).max()
+    assert row["mean_abs"] == np.abs(s).sum() / len(s)
+    # corrupt payload → NULL row, job survives
+    bad = spark.createDataFrame(pd.DataFrame({"media_id": [9], "payload": [b"OggS..."]}))
+    nulls = multimodal.audio_features(bad).collect()
+    assert nulls[0]["rms"] is None and nulls[0]["sample_rate"] is None
+
+
 def test_decode_resize_features_end_to_end(spark):
     """Real PPM bytes through the Spark pipeline; corrupt row → NULLs."""
     import pandas as pd
