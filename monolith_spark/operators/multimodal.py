@@ -321,6 +321,129 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, out_schema)
 
 
+def _decode_y4m(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode YUV4MPEG2 (.y4m) per the public spec: ASCII stream header
+    "YUV4MPEG2 W<w> H<h> F<n>:<d> ... [C<space>]\\n", then per frame a
+    "FRAME[ params]\\n" marker followed by raw planes — Y (w·h) plus
+    U,V (w/2·h/2 each) for 4:2:0. Returns (width, height, Y planes);
+    chroma is parsed past but not returned (luma features only)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    colorspace = b"420"
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:]
+    if width is None or height is None:
+        raise ValueError("missing W/H in y4m header")
+    if not colorspace.startswith(b"420"):
+        raise ValueError(f"only C420* supported, got {colorspace!r}")
+    y_size = width * height
+    frame_size = y_size + 2 * (width // 2) * (height // 2)
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        y = payload[pos : pos + y_size]
+        if len(y) != y_size:
+            raise ValueError("truncated y4m frame")
+        frames.append(np.frombuffer(y, dtype=np.uint8).reshape(height, width))
+        pos += frame_size
+    return width, height, frames
+
+
+def encode_y4m(frames_y: list[np.ndarray], width: int, height: int) -> bytes:
+    """Serialize luma frames as a C420 YUV4MPEG2 stream (chroma planes
+    neutral 128)."""
+    chroma = bytes([128]) * (2 * (width // 2) * (height // 2))
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (width, height)]
+    for y in frames_y:
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(y, dtype=np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def synth_video(seed: int, width: int, height: int, n_frames: int) -> list[np.ndarray]:
+    """Deterministic luma frames: frame f pixel (y, x) =
+    (5x + 3y + 11f + 7·(seed % 83)) % 256 — ANSI-SQL-expressible."""
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    return [
+        ((5 * x + 3 * y + 11 * f + 7 * (seed % 83)) % 256).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+
+
+def attach_synth_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of REAL Y4M bytes: per row 2 + id%4 frames of
+    (8 + 2·(id%3)) × (6 + 2·(id%2)) video from synth_video(id)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h, nf = 8 + 2 * (i % 3), 6 + 2 * (i % 2), 2 + i % 4
+                payloads.append(encode_y4m(synth_video(i, w, h, nf), w, h))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, out_schema
+    )
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video pipeline: Y4M payload → spec-based decode → sample
+    every ``every_n``-th frame → per-frame mean luma. One output row
+    per sampled frame — the decode-and-frame-sample scan a video
+    training pipeline runs. Narrow Arrow map, zero shuffles;
+    undecodable payloads yield a single NULL row."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("frame_no", T.LongType(), True),
+            T.StructField("mean_y", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = _decode_y4m(bytes(payload))
+                    for f in range(0, len(frames), every_n):
+                        mean_y = float(frames[f].astype(np.int64).sum()) / (w * h)
+                        rows.append((mid, w, h, len(frames), f, mean_y))
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames", "frame_no", "mean_y"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
 def attach_synth_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media table of REAL PPM bytes, one synthetic image per row:
     size (4 + id%5) × (4 + id%3), pixels from synth_image(id). The

@@ -239,6 +239,44 @@ def test_audio_features_end_to_end(spark):
     assert nulls[0]["rms"] is None and nulls[0]["sample_rate"] is None
 
 
+def test_y4m_roundtrip_and_golden():
+    import numpy as np
+
+    frames = multimodal.synth_video(7, 10, 6, 3)
+    w, h, out = multimodal._decode_y4m(multimodal.encode_y4m(frames, 10, 6))
+    assert (w, h) == (10, 6) and len(out) == 3
+    assert all(a.tolist() == b.tolist() for a, b in zip(out, frames))
+    # golden: hand-built header with extra params + one 2x2 frame
+    y = bytes([10, 20, 30, 40])
+    payload = b"YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C420jpeg XYSCSS=420JPEG\n" \
+              b"FRAME\n" + y + bytes([128, 128])
+    w, h, fr = multimodal._decode_y4m(payload)
+    assert (w, h) == (2, 2) and fr[0].tolist() == [[10, 20], [30, 40]]
+    with pytest.raises(ValueError):
+        multimodal._decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError):
+        multimodal._decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + y[:2])  # truncated
+
+
+def test_video_frame_stats_end_to_end(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame([(i, "x") for i in range(12)], "doc_id long, text string")
+    out = multimodal.video_frame_stats(
+        multimodal.attach_synth_y4m(docs), every_n=2
+    ).toPandas()
+    row7 = out[out.media_id == 7]
+    nf = 2 + 7 % 4  # 5 frames → sampled 0, 2, 4
+    assert sorted(row7["frame_no"]) == [0, 2, 4]
+    assert (row7["n_frames"] == nf).all()
+    frames = multimodal.synth_video(7, 8 + 2 * (7 % 3), 6 + 2 * (7 % 2), nf)
+    exp = frames[2].astype("int64").sum() / frames[2].size
+    assert row7[row7.frame_no == 2]["mean_y"].iloc[0] == exp
+    bad = spark.createDataFrame(pd.DataFrame({"media_id": [9], "payload": [b"nope"]}))
+    nulls = multimodal.video_frame_stats(bad).collect()
+    assert len(nulls) == 1 and nulls[0]["mean_y"] is None
+
+
 def test_decode_resize_features_end_to_end(spark):
     """Real PPM bytes through the Spark pipeline; corrupt row → NULLs."""
     import pandas as pd
