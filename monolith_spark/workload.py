@@ -3492,6 +3492,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_stats",
     "multimodal_audio_stats",
     "multimodal_video_stats",
+    "text_cms_heavy_hitters",
 )
 
 
@@ -4153,6 +4154,57 @@ def text_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("n").desc(), "tok")
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "tok", "n", "rank"
+    )
+
+
+@_q(
+    "text_cms_heavy_hitters",
+    f"""
+    WITH t AS (SELECT unnest({_W}) AS tok FROM documents),
+    probes AS (SELECT tok, d.d,
+                      CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || tok), 1, 15)
+                           AS BIGINT) % 1024 AS bucket
+               FROM t, range(3) d(d)),
+    sketch AS (SELECT d, bucket, count(*) AS n FROM probes GROUP BY 1, 2),
+    exact AS (SELECT tok, count(*) AS exact_n FROM t GROUP BY 1),
+    top AS (SELECT tok, exact_n,
+                   row_number() OVER (ORDER BY exact_n DESC, tok) AS rank
+            FROM exact QUALIFY rank <= 20),
+    est AS (
+      SELECT top.tok, min(s.n) AS cms_n
+      FROM top, range(3) d(d)
+      JOIN sketch s
+        ON s.d = d.d
+       AND s.bucket = CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || top.tok), 1, 15)
+                           AS BIGINT) % 1024
+      GROUP BY 1)
+    SELECT top.tok, rank, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_n AS BIGINT) AS cms_n
+    FROM top JOIN est ON top.tok = est.tok
+    """,
+)
+def text_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch (depth 3 × width 1024,
+    md5-derived buckets) probed for the exact top-20 tokens — the
+    bounded-state frequency path for 100 TB vocabularies (see
+    operators/sketches.py: reducer state is the sketch size, not the
+    vocabulary; sketches merge by addition). The deterministic hashing
+    makes the sketch itself SQL-replayable, so unlike the GK/HLL
+    built-ins this sketch query is exact-oracle-checked (cms_n ≥
+    exact_n by construction; equality at this scale's collision rate)."""
+    from monolith_spark.operators import sketches as _sk
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(_text.tokens_expr("text")).alias("tok")
+    )
+    sketch = _sk.cms_sketch(toks, "tok", depth=3, width=1024)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    top = counts.orderBy(F.col("exact_n").desc(), "tok").limit(20)
+    w = Window.orderBy(F.col("exact_n").desc(), "tok")
+    top = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    est = _sk.cms_estimate(sketch, top.select("tok"), "tok", depth=3, width=1024)
+    return top.join(est, "tok").select(
+        "tok", "rank", "exact_n", F.col("cms_n").cast("long").alias("cms_n")
     )
 
 

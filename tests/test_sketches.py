@@ -61,3 +61,32 @@ def test_hll_daily_users_within_rsd(spark, sf_dir):
     for day, n in exact.items():
         # 2% rsd → 5 sigma ≈ 10%; plus integer slack for tiny groups
         assert abs(got[day] - n) <= max(0.10 * n, 2), (day, got[day], n)
+
+
+def test_cms_upper_bound_and_merge(spark, sf_dir):
+    """CMS contracts: est >= true for EVERY key (not just heavy
+    hitters); per-partition sketches merge by addition to exactly the
+    whole-corpus sketch; sketch size is bounded by depth*width."""
+    from monolith_spark.operators import sketches as sk
+    from monolith_spark.operators.text import tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokens_expr("text")).alias("tok"))
+    sketch = sk.cms_sketch(toks, "tok", depth=3, width=256)
+    assert sketch.count() <= 3 * 256
+
+    exact = toks.groupBy("tok").agg(F.count("*").alias("true_n"))
+    est = sk.cms_estimate(sketch, exact.select("tok"), "tok", depth=3, width=256)
+    joined = exact.join(est, "tok")
+    assert joined.filter(F.col("cms_n") < F.col("true_n")).count() == 0
+
+    # merge = sum of counters: split the corpus in half and re-merge
+    a = sk.cms_sketch(
+        toks.filter(F.crc32(F.col("tok")) % 2 == 0), "tok", depth=3, width=256
+    )
+    b = sk.cms_sketch(
+        toks.filter(F.crc32(F.col("tok")) % 2 == 1), "tok", depth=3, width=256
+    )
+    merged = {(r["d"], r["bucket"]): r["n"] for r in sk.cms_merge(a, b).collect()}
+    whole = {(r["d"], r["bucket"]): r["n"] for r in sketch.collect()}
+    assert merged == whole
