@@ -50,10 +50,24 @@ from monolith_spark.operators.text import (
 from monolith_spark.operators.similarity import (
     pq_code_expr,
 )
+from monolith_spark.operators.sketches import (
+    cms_bucket_expr,
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+)
 from monolith_spark.operators.timeseries import (
     chunk_pred,
+    range_func_by_step,
     time_trim,
     valid_points,
+)
+from monolith_spark.operators.multimodal import (
+    decode_image,
+    encode_ppm,
+    encode_wav,
+    encode_y4m,
+    resize_image,
 )
 from monolith_spark.plans.zorder import (
     zvalue_expr,
@@ -77,4 +91,7 @@ __all__ = [
     "dot_expr", "norm_expr", "cosine_expr",
     "hyperplane_signature", "hyperplane_signature_offset",
     "pq_code_expr", "zvalue_expr",
+    "range_func_by_step",
+    "cms_sketch", "cms_estimate", "cms_merge", "cms_bucket_expr",
+    "decode_image", "encode_ppm", "encode_wav", "encode_y4m", "resize_image",
 ]

@@ -566,3 +566,41 @@ def test_streaming_ivf_index_appends_and_replays(spark, tmp_path, sf_dir):
         spark, str(tmp_path / "ivf"), queries, k=10, nprobe=4
     )
     assert sorted(map(tuple, got2.collect())) == want
+
+
+def test_continuous_cms_matches_batch_sketch(spark, tmp_path):
+    """Per-epoch CMS partials must merge to exactly the batch sketch of
+    all streamed keys; replays must not double-count."""
+    from monolith_spark.operators.sketches import cms_sketch
+    from monolith_spark.streaming.cms import ContinuousCMS
+
+    src = str(tmp_path / "toks")
+    for words in (["a", "b", "a"], ["b", "c", "a"], ["c", "c", "c"]):
+        spark.createDataFrame([(w,) for w in words], "key string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    cms = ContinuousCMS(spark, str(tmp_path / "cms"), depth=3, width=64)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = cms.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    all_keys = spark.read.parquet(src)
+    batch = {(r["d"], r["bucket"]): r["n"]
+             for r in cms_sketch(all_keys, "key", 3, 64).collect()}
+    streamed = {(r["d"], r["bucket"]): r["n"] for r in cms.sketch().collect()}
+    assert streamed == batch
+
+    est = {r["key"]: r["cms_n"]
+           for r in cms.estimate(spark.createDataFrame(
+               [("a",), ("b",), ("c",), ("zzz",)], "key string")).collect()}
+    assert est["a"] >= 3 and est["b"] >= 2 and est["c"] >= 4
+    # upper-bound property holds for absent keys too (0 or collision)
+    assert est["zzz"] >= 0
+
+    # replayed epoch is a no-op
+    cms.process_batch(spark.createDataFrame([("a",)] * 100, "key string"), epoch_id=0)
+    assert {(r["d"], r["bucket"]): r["n"] for r in cms.sketch().collect()} == batch
