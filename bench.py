@@ -116,12 +116,25 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Rows present since round 1 — "core_sec" keeps a like-for-like
+    # number against BENCH_r01 (16.345 s at sf0.1); rows added later
+    # (skew stress + pipeline operators) widen coverage, not the
+    # baseline workload.
+    r01_rows = {
+        "ingest", "query_1chunk", "query_multichunk", "query_allchunks",
+        "exact_lookup", "ts_superset_eq", "ts_series_agg", "ts_downsample_1d",
+        "ts_latest", "ts_delta_stats", "tpch_q1", "tpch_q3_top10",
+        "tpch_nation_revenue", "topk_orders_per_customer",
+    }
     print(
         json.dumps(
             {
                 "metric": "monolith_spark_e2e_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "core_sec": round(
+                    sum(v for k, v in timings.items() if k in r01_rows), 3
+                ),
                 "queries": timings,
                 "sf": sf_val,
             }
