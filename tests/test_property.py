@@ -529,3 +529,80 @@ def test_zvalue_matches_python_morton_model(spark, pairs):
     for r in df.collect():
         assert r["z"] == model(r["series_id"], r["timestamp"]), (
             r["series_id"], r["timestamp"])
+
+
+# ------------------------------------------------------- media codecs
+
+@settings(max_examples=50, **_SETTINGS)
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+)
+def test_ppm_roundtrip_arbitrary_pixels(data, w, h):
+    import numpy as np
+
+    from monolith_spark.operators.multimodal import decode_image, encode_ppm
+
+    raw = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    assert decode_image(encode_ppm(img)).tolist() == img.tolist()
+
+
+@settings(max_examples=50, **_SETTINGS)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_arbitrary_samples(samples, rate):
+    import numpy as np
+
+    from monolith_spark.operators.multimodal import _decode_wav, encode_wav
+
+    arr = np.array(samples, dtype=np.int16)
+    got_rate, ch, out = _decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate and ch == 1 and out.tolist() == samples
+
+
+@settings(max_examples=30, **_SETTINGS)
+@given(
+    data=st.data(),
+    w=st.sampled_from([2, 4, 6, 8]),
+    h=st.sampled_from([2, 4, 6]),
+    nf=st.integers(min_value=0, max_value=4),
+)
+def test_y4m_roundtrip_arbitrary_frames(data, w, h, nf):
+    import numpy as np
+
+    from monolith_spark.operators.multimodal import _decode_y4m, encode_y4m
+
+    frames = [
+        np.frombuffer(
+            data.draw(st.binary(min_size=w * h, max_size=w * h)), dtype=np.uint8
+        ).reshape(h, w)
+        for _ in range(nf)
+    ]
+    got_w, got_h, out = _decode_y4m(encode_y4m(frames, w, h))
+    assert (got_w, got_h) == (w, h) and len(out) == nf
+    assert all(a.tolist() == b.tolist() for a, b in zip(out, frames))
+
+
+@settings(max_examples=40, **_SETTINGS)
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=10),
+    ow=st.integers(min_value=1, max_value=16),
+    oh=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=10**9),
+)
+def test_resize_matches_floor_sampling_model(w, h, ow, oh, seed):
+    from monolith_spark.operators.multimodal import resize_image, synth_image
+
+    img = synth_image(seed, w, h)
+    out = resize_image(img, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    for j in (0, oh - 1):
+        for i in (0, ow - 1):
+            assert out[j, i].tolist() == img[(j * h) // oh, (i * w) // ow].tolist()
