@@ -604,3 +604,40 @@ def test_continuous_cms_matches_batch_sketch(spark, tmp_path):
     # replayed epoch is a no-op
     cms.process_batch(spark.createDataFrame([("a",)] * 100, "key string"), epoch_id=0)
     assert {(r["d"], r["bucket"]): r["n"] for r in cms.sketch().collect()} == batch
+
+
+def test_rollup_tiering_survives_raw_retention(spark, tmp_path):
+    """The classic TSDB tiering lifecycle: continuous rollup keeps the
+    downsampled history while raw-chunk retention deletes old
+    partitions — after the drop, the rollup still answers for the
+    aged-out window and raw queries serve only the retained one."""
+    from monolith_spark.streaming.rollup import ContinuousRollup
+
+    src = str(tmp_path / "src")
+    # chunk 0: [0, 60s); chunk 1: [60s, 120s)
+    _write_slice(spark, src, [({"m": "a"}, 1_000, 2.0), ({"m": "a"}, 2_000, 4.0)])
+    _write_slice(spark, src, [({"m": "a"}, 61_000, 8.0)])
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    ingest = StreamingIngest(db, late_policy="keep")
+    roll = ContinuousRollup(db, step_ms=60_000)
+    q1 = ingest.start(samples_file_stream(spark, src), str(tmp_path / "ck1"))
+    q1.processAllAvailable(); q1.stop()
+    q2 = roll.start(samples_file_stream(spark, src), str(tmp_path / "ck2"))
+    q2.processAllAvailable(); q2.stop()
+
+    assert db.drop_chunks_before(60_000) == 1  # chunk 0 aged out
+
+    # raw: only the retained chunk remains
+    raw = db.query({}, 0, 200_000).collect()
+    assert len(raw) == 1
+    assert [(p["timestamp"], p["value"]) for p in raw[0]["points"]] == [(61_000, 8.0)]
+
+    # rollup: full history still served, including the dropped window
+    buckets = {r["bucket_ms"]: r for r in roll.read().collect()}
+    assert buckets[0]["sum_value"] == 6.0 and buckets[0]["n_points"] == 2
+    assert buckets[0]["avg_value"] == 3.0
+    assert buckets[60_000]["sum_value"] == 8.0
+
+    # retention is idempotent and never touches surviving chunks
+    assert db.drop_chunks_before(60_000) == 0
