@@ -38,7 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("MONOLITH_SPARK_DRIVER_MEM", "8g"))
+        # Local mode runs all executor threads inside the driver JVM, so
+        # this is the whole engine's heap; 16g leaves headroom for 32
+        # concurrent tasks' shuffle/broadcast state at sf0.1+.
+        .config("spark.driver.memory", os.environ.get("MONOLITH_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
