@@ -1670,6 +1670,63 @@ def tpch_dormant_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH c AS (SELECT c_custkey,
+                      CAST(c_nationkey % 7 AS BIGINT) AS cntrycode,
+                      CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+               FROM customer WHERE c_nationkey % 7 IN (0, 1, 2, 3)),
+    s AS (SELECT sum(bal) AS t, count(*) AS n FROM c WHERE bal > 0)
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(bal) AS DOUBLE) AS totacctbal
+    FROM c, s
+    WHERE bal * n > t
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 full shape: a scalar aggregate subquery (average
+    positive balance) gating candidates, a NOT EXISTS anti-join against
+    the fact, and a group over a derived country code (the fixture has
+    no c_phone; nationkey mod 7 stands in for the phone prefix).
+    Spark form: the 1-row (total, count) broadcasts; the above-average
+    test cross-multiplies exact DECIMALs (bal·n > t) so the boundary
+    can't flip between engines; orders is date-pruned at the scan then
+    reduced to distinct keys before the anti probe. (Q22 proper uses
+    customers with no orders at all; this fixture's customers all
+    order, so "no orders since 2000" keeps the shape non-vacuous.)
+    At 100 TB the only fact-sized work is that pruned distinct —
+    everything after runs on the filtered customer slice."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 7).cast("long").alias("cntrycode"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    ).filter(F.col("cntrycode").isin(0, 1, 2, 3))
+    stats = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("t"), F.count("*").alias("n")
+    )
+    ordered_keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .filter(F.col("bal") * F.col("n") > F.col("t"))
+        .join(ordered_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@_q(
     "tpch_q6_revenue_delta",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

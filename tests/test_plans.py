@@ -319,6 +319,13 @@ def test_new_tpch_shape_plans(spark, sf_dir):
     q11 = _plan(qs["tpch_q11_important_parts"].spark_fn(spark, sf_dir))
     assert "CartesianProduct" not in q11
     assert "HashAggregate" in q11
+    # Q22: the scalar-aggregate side broadcasts (1 row), the anti probe
+    # is date-pruned at the orders scan, and no cartesian appears
+    # despite the scalar cross join.
+    q22 = _plan(qs["tpch_q22_global_sales_opportunity"].spark_fn(spark, sf_dir))
+    assert "LeftAnti" in q22
+    assert "CartesianProduct" not in q22
+    assert any("PushedFilters" in l and "o_orderdate" in l for l in q22.splitlines())
 
 
 def test_range_func_by_step_two_exchanges(spark, sf_dir):
