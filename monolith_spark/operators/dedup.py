@@ -93,10 +93,19 @@ def passage_dup_stats(
 
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles, one row per (doc, shingle)."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_expr(text_col, n)).alias("shingle"),
+    """Distinct word n-gram shingles, one row per (doc, shingle).
+
+    Tokenizes into its own projection FIRST: shingles_expr references
+    the token array once per shingle, and building it over the raw
+    split expression re-evaluates the split per reference (the
+    projection-collapse trap — 6× slower at sf0.1, A/B'd)."""
+    from monolith_spark.operators.text import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w")
+    )
+    return toks.select(
+        "doc_id", F.explode(shingles_expr(F.col("__w"), n, pre_tokenized=True)).alias("shingle")
     )
 
 

@@ -90,16 +90,31 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
-def shingles_expr(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
-    """Word n-gram shingles as an array<string> (space-joined)."""
-    toks = tokens_expr(text)
-    # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
-    # docs with < n tokens must produce an empty shingle array.
-    sh = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh) if distinct else sh
+def shingles_expr(
+    text: Column | str, n: int = 3, distinct: bool = True, pre_tokenized: bool = False
+) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined).
+
+    The token array is referenced once per shingle inside the builder
+    lambda; referencing the raw split expression there would
+    re-evaluate the split per shingle (higher-order lambdas don't
+    hoist outer subexpressions — 5× slower at sf0.1, A/B'd). The
+    single-element transform binds the tokens to a lambda variable, so
+    the split runs once per row whatever the caller passes."""
+    toks = (F.col(text) if isinstance(text, str) else text) if pre_tokenized else tokens_expr(text)
+
+    def _build(w: Column) -> Column:
+        # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+        # docs with < n tokens must produce an empty shingle array.
+        sh = F.when(F.size(w) >= n, F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(sh) if distinct else sh
+
+    if pre_tokenized:
+        return _build(toks)
+    return F.element_at(F.transform(F.array(toks), _build), 1)
 
 
 def min_shingle_fingerprint(text: Column | str, n: int = 3) -> Column:
