@@ -561,3 +561,30 @@ def test_resample_lerp_hand_case(spark):
     assert abs(rows[200][0] - (10.0 + 30.0 * (100 / 305))) < 1e-12
     assert rows[200][1] is False
     assert abs(rows[300][0] - (10.0 + 30.0 * (200 / 305))) < 1e-12
+
+
+def test_bench_emits_driver_contract_json():
+    """bench.py is the driver's per-round measurement: it must exit 0
+    and print exactly one JSON line with the agreed keys at any SF."""
+    import json
+    import os as _os
+    import subprocess
+    import sys
+
+    env = dict(_os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1
+    rec = json.loads(json_lines[0])
+    assert rec["metric"] == "monolith_spark_e2e_sec" and rec["unit"] == "sec"
+    assert rec["sf"] == 0.001
+    assert 0 < rec["core_sec"] <= rec["value"]
+    assert abs(sum(rec["queries"].values()) - rec["value"]) < 0.01
+    assert {"ingest", "query_allchunks", "dedup_minhash_lsh"} <= set(rec["queries"])
