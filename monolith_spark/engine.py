@@ -312,7 +312,13 @@ class MonolithDB:
 
         Not safe concurrently with writers to the SAME chunk — run on
         sealed chunks only (the reference compacts on swap for the same
-        reason). Returns False if the partition doesn't exist.
+        reason). Readers that PLANNED a scan before the swap hold the
+        old file paths and will fail (not silently lose data) if they
+        execute after it; new reads self-heal via _recover_compaction.
+        True snapshot isolation across a rewrite needs a manifest table
+        format (Delta/Iceberg) — at cluster scale run compaction in a
+        read-quiesced maintenance window, exactly like the reference's
+        swap lock. Returns False if the partition doesn't exist.
         """
         import shutil
 
