@@ -1,0 +1,275 @@
+"""Gorilla time-series compression — cold-tier archival codec.
+
+Implements the streaming compression scheme from the public paper
+(Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory Time Series
+Database", VLDB 2015, §4.1): delta-of-delta timestamps and XOR'd
+float64 values, bit-packed. The reference carries the same algorithm
+dormant (/root/reference/src/compaction/gorilla.rs — no callers, README
+TODO); here it is WIRED as the cold-archive export path: sealed chunks
+re-encode to one blob per series (`export_chunk_gorilla`), cutting the
+at-rest footprint several-fold below Parquet for slow-moving series,
+and decode back through the normal query shape (`read_gorilla`).
+
+Bit scheme (documented here precisely — this module is its own spec;
+vectors in tests/test_gorilla.py are derived from it, not from any
+other implementation):
+
+- header: first timestamp, 64-bit big-endian two's complement; first
+  value, raw float64 bits.
+- second point: the first delta goes through the same D scheme below
+  with a previous delta of 0 (so any gap encodes, worst case 4+64
+  bits), then the value scheme.
+- timestamps, delta-of-delta D:
+    D == 0               → '0'
+    -63   <= D <= 64     → '10'   + 7  bits of D + 63
+    -255  <= D <= 256    → '110'  + 9  bits of D + 255
+    -2047 <= D <= 2048   → '1110' + 12 bits of D + 2047
+    else                 → '1111' + 64 bits two's complement
+- values, X = bits(v) XOR bits(prev):
+    X == 0 → '0'
+    else '1', then with L = leading zeros (capped 31), M = 64-L-T
+    meaningful bits of X:
+      if the previous window [prev_L, prev_M] contains this one:
+          '0' + prev_M bits (X >> prev_T)
+      else:
+          '1' + 5 bits L + 6 bits (M-1) + M bits (X >> T)
+The stream ends after exactly n points (count carried out-of-band in
+the blob's companion column) — no end marker needed.
+
+Encode/decode run distributively (one Arrow batch per partition, one
+blob per series); nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class _BitWriter:
+    __slots__ = ("buf", "cur", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        """Append ``bits`` low bits of ``value`` (unsigned), MSB first."""
+        self.cur = (self.cur << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.cur >> self.nbits) & 0xFF)
+        self.cur &= (1 << self.nbits) - 1
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.cur << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        out = 0
+        pos = self.pos
+        for _ in range(bits):
+            byte = self.data[pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return out
+
+
+def _signed(value: int, bits: int) -> int:
+    return value - (1 << bits) if value >= (1 << (bits - 1)) else value
+
+
+_DOD_RANGES = (  # (prefix, prefix_bits, payload_bits, bias)
+    (0b10, 2, 7, 63),
+    (0b110, 3, 9, 255),
+    (0b1110, 4, 12, 2047),
+)
+
+
+def encode_points(points: list[tuple[int, float]]) -> bytes:
+    """Encode [(timestamp_ms, value)] (time-ascending) to a Gorilla blob."""
+    if not points:
+        return b""
+    w = _BitWriter()
+    t0, v0 = points[0]
+    w.write(t0 & ((1 << 64) - 1), 64)
+    prev_vbits = struct.unpack("<Q", struct.pack("<d", v0))[0]
+    w.write(prev_vbits, 64)
+    prev_t, prev_delta = t0, 0  # first delta = dod against 0
+    prev_lead, prev_mean = -1, -1  # no previous XOR window
+    for t, v in points[1:]:
+        delta = t - prev_t
+        dod = delta - prev_delta
+        if dod == 0:
+            w.write(0, 1)
+        else:
+            for prefix, pbits, bits, bias in _DOD_RANGES:
+                if -bias <= dod <= bias + 1:
+                    w.write(prefix, pbits)
+                    w.write(dod + bias, bits)
+                    break
+            else:
+                w.write(0b1111, 4)
+                w.write(dod & ((1 << 64) - 1), 64)
+        prev_t, prev_delta = t, delta
+
+        vbits = struct.unpack("<Q", struct.pack("<d", v))[0]
+        xor = vbits ^ prev_vbits
+        prev_vbits = vbits
+        if xor == 0:
+            w.write(0, 1)
+            continue
+        w.write(1, 1)
+        lead = min(64 - xor.bit_length(), 31)
+        trail = (xor & -xor).bit_length() - 1
+        mean = 64 - lead - trail
+        prev_trail = 64 - prev_lead - prev_mean
+        # Reuse the previous window iff this XOR's meaningful bits fit
+        # entirely inside it (lead >= prev_lead AND trail >= prev_trail)
+        if prev_lead >= 0 and lead >= prev_lead and trail >= prev_trail:
+            w.write(0, 1)
+            w.write(xor >> prev_trail, prev_mean)
+        else:
+            w.write(1, 1)
+            w.write(lead, 5)
+            w.write(mean - 1, 6)
+            w.write(xor >> trail, mean)
+            prev_lead, prev_mean = lead, mean
+    return w.bytes()
+
+
+def decode_points(blob: bytes, n: int) -> list[tuple[int, float]]:
+    """Decode a Gorilla blob back to ``n`` [(timestamp_ms, value)]."""
+    if n == 0:
+        return []
+    r = _BitReader(blob)
+    t = _signed(r.read(64), 64)
+    vbits = r.read(64)
+    out = [(t, struct.unpack("<d", struct.pack("<Q", vbits))[0])]
+    prev_delta = 0
+    prev_lead, prev_mean = -1, -1
+    for _ in range(n - 1):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            for _prefix, _pbits, bits, bias in _DOD_RANGES:
+                if r.read(1) == 0:
+                    dod = r.read(bits) - bias
+                    break
+            else:
+                dod = _signed(r.read(64), 64)
+        delta = prev_delta + dod
+        t += delta
+        prev_delta = delta
+
+        if r.read(1) == 1:
+            if r.read(1) == 0:
+                prev_trail = 64 - prev_lead - prev_mean
+                xor = r.read(prev_mean) << prev_trail
+            else:
+                lead = r.read(5)
+                mean = r.read(6) + 1
+                trail = 64 - lead - mean
+                xor = r.read(mean) << trail
+                prev_lead, prev_mean = lead, mean
+            vbits ^= xor
+        out.append((t, struct.unpack("<d", struct.pack("<Q", vbits))[0]))
+    return out
+
+
+_GORILLA_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.LongType(), False),
+        T.StructField("chunk_id", T.LongType(), True),
+        T.StructField("n_points", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+
+def encode_series_df(flat: DataFrame) -> DataFrame:
+    """[series_id, chunk_id, timestamp, value] → one Gorilla blob per
+    (series_id, chunk_id). Grouped Arrow batches; encoding is pure
+    per-group CPU, no driver involvement."""
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp")
+        pts = list(zip(pdf["timestamp"].astype("int64"), pdf["value"].astype("float64")))
+        return pd.DataFrame(
+            {
+                "series_id": [int(pdf["series_id"].iloc[0])],
+                "chunk_id": [int(pdf["chunk_id"].iloc[0]) if "chunk_id" in pdf else None],
+                "n_points": [len(pts)],
+                "blob": [encode_points(pts)],
+            }
+        )
+
+    cols = ["series_id", "timestamp", "value"]
+    keys = ["series_id"]
+    if "chunk_id" in flat.columns:
+        cols.append("chunk_id")
+        keys.append("chunk_id")
+    return flat.select(*cols).groupBy(*keys).applyInPandas(enc, _GORILLA_SCHEMA)
+
+
+def decode_series_df(encoded: DataFrame) -> DataFrame:
+    """Inverse of encode_series_df: blobs → flat [series_id, chunk_id,
+    timestamp, value] rows."""
+    out_schema = T.StructType(
+        [
+            T.StructField("series_id", T.LongType(), False),
+            T.StructField("chunk_id", T.LongType(), True),
+            T.StructField("timestamp", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for sid, cid, n, blob in zip(
+                pdf["series_id"], pdf["chunk_id"], pdf["n_points"], pdf["blob"]
+            ):
+                for t, v in decode_points(bytes(blob), int(n)):
+                    rows.append((int(sid), None if pd.isna(cid) else int(cid), t, v))
+            out = pd.DataFrame(rows, columns=["series_id", "chunk_id", "timestamp", "value"])
+            if rows:
+                yield out
+            # empty partitions yield nothing (object-dtype empties trip Arrow)
+
+    return encoded.mapInPandas(dec, out_schema)
+
+
+def export_chunk_gorilla(db, chunk_id: int, out_path: str) -> int:
+    """Archive one sealed chunk as Gorilla blobs (one row per series).
+    Returns the number of series written. The read path is
+    `read_gorilla`; `db.query` output on the chunk equals the decoded
+    archive (tested)."""
+    part = db.samples().filter(F.col("chunk_id") == chunk_id)
+    enc = encode_series_df(part)
+    enc.write.mode("overwrite").parquet(out_path)
+    return db.spark.read.parquet(out_path).count()
+
+
+def read_gorilla(spark, path: str) -> DataFrame:
+    """Load an archived chunk back to flat sample rows."""
+    return decode_series_df(spark.read.parquet(path))
