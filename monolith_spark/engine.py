@@ -125,9 +125,15 @@ class MonolithDB:
         try:
             # A batch can be empty after the F1 filter (e.g. all ts==0 —
             # the reference errors per-point, we drop set-at-a-time). A
-            # zero-row partitioned write would leave a parquet dir with
-            # no footers, poisoning later reads — skip instead.
-            if df.isEmpty():
+            # zero-row write would leave a FIRST-write parquet dir with
+            # no footers, poisoning later reads — but appending nothing
+            # to existing tables is harmless, so the emptiness probe
+            # (one Spark job) only runs until both tables exist. On a
+            # streaming ingest that's one saved job per micro-batch.
+            if (
+                not os.path.exists(self.samples_path)
+                or not os.path.exists(self.series_path)
+            ) and df.isEmpty():
                 return
             # J5 get-or-create as a left_anti against the existing dim —
             # content-hash ids make this idempotent (no critical section).

@@ -588,3 +588,26 @@ def test_bench_emits_driver_contract_json():
     assert 0 < rec["core_sec"] <= rec["value"]
     assert abs(sum(rec["queries"].values()) - rec["value"]) < 0.01
     assert {"ingest", "query_allchunks", "dedup_minhash_lsh"} <= set(rec["queries"])
+
+
+def test_empty_batch_writes_never_poison_or_probe(spark, tmp_path):
+    """An all-invalid first batch leaves no footer-less parquet dirs;
+    steady-state empty appends are harmless without the emptiness
+    probe (which only runs until both tables exist)."""
+    import os as _os
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    empty = spark.createDataFrame([({"m": "x"}, 0, 1.0)], SAMPLES_SCHEMA)  # ts==0 dropped
+    db.write(empty)
+    assert not _os.path.exists(db.samples_path)
+    assert not _os.path.exists(db.series_path)
+    assert db.query({}, 0, 10**9).count() == 0
+
+    db.write(spark.createDataFrame([({"m": "x"}, 1000, 1.0)], SAMPLES_SCHEMA))
+    db.write(empty)  # append-nothing to existing tables
+    res = db.query({}, 0, 10**9).collect()
+    assert len(res) == 1
+    assert [(p["timestamp"], p["value"]) for p in res[0]["points"]] == [(1000, 1.0)]
+    assert db.series().count() == 1
