@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scaling headroom probe: ingest + query the engine at 1× and N× the
+sf0.1 events (copies shifted in time AND user-label space, so series
+count and chunk count scale with the multiplier, not just row count).
+
+Prints one JSON line per multiplier. This is the evidence behind
+SCALE.md's "overhead-bound at test scale" claim — rerun after engine
+changes to confirm times stay ~flat while data grows 10×.
+
+  python scale_probe.py            # multipliers 1 and 10
+  SCALE_PROBE_MULTS=1,5,20 python scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.session import get_spark
+from monolith_spark.sources.events import events_samples
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CHUNK_MS = 2 * 86_400_000
+MONTH_MS = 31 * 86_400_000
+
+
+def scaled_samples(spark, mult: int):
+    s = events_samples(spark, SF_DIR, with_signature=False)
+    parts = [s]
+    for i in range(1, mult):
+        shifted = s.withColumn(
+            "timestamp", F.col("timestamp") + F.lit(i * MONTH_MS)
+        ).withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(F.col("labels"), lambda k, v: k != F.lit("user")),
+                F.create_map(
+                    F.lit("user"),
+                    F.concat(F.element_at(F.col("labels"), "user"), F.lit(f"_{i}")),
+                ),
+            ),
+        )
+        parts.append(shifted)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def main() -> None:
+    spark = get_spark(app_name="monolith-spark-scale-probe")
+    spark.range(1000).count()  # JVM warm-up
+    mults = [
+        int(m) for m in os.environ.get("SCALE_PROBE_MULTS", "1,10").split(",")
+    ]
+    for mult in mults:
+        tmp = tempfile.mkdtemp(prefix="monolith_scale_")
+        try:
+            db = MonolithDB(spark, os.path.join(tmp, "db"), chunk_size_ms=CHUNK_MS)
+            s = scaled_samples(spark, mult)
+            t0 = time.perf_counter()
+            db.write(s)
+            ingest_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            db.query({"event_type": "click"}, 0, 10**16).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            query_s = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "mult": mult,
+                        "rows": db.samples().count(),
+                        "series": db.series().count(),
+                        "ingest_sec": round(ingest_s, 3),
+                        "query_allchunks_sec": round(query_s, 3),
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
