@@ -1274,6 +1274,52 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_gorilla_roundtrip",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           count(*) AS n_points,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value,
+           min(epoch_ms(ts)) AS min_ts,
+           max(epoch_ms(ts)) AS max_ts
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN8}
+    GROUP BY 1
+    """,
+)
+def ts_gorilla_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-archive codec verified end-to-end: one week of samples goes
+    through Gorilla ENCODE (one blob per series, distributed
+    applyInPandas) then DECODE, and the per-series aggregates of the
+    decoded points must hash-match the oracle computed DIRECTLY from
+    the raw events — the roundtrip is the identity, so any bit-scheme
+    defect (dod class edges, XOR window reuse, padding) breaks the
+    driver check. See sources/gorilla.py."""
+    from monolith_spark.sources.gorilla import decode_series_df, encode_series_df
+
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN8))
+    keyed = s.select(
+        F.xxhash64("signature").alias("series_id"),
+        "signature",
+        F.col("timestamp"),
+        "value",
+    )
+    sig_map = keyed.select("series_id", "signature").dropDuplicates(["series_id"])
+    decoded = decode_series_df(
+        encode_series_df(keyed.select("series_id", "timestamp", "value"))
+    )
+    return (
+        decoded.join(F.broadcast(sig_map), "series_id")
+        .groupBy("signature")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+        )
+    )
+
+
+@_q(
     "ts_resample_lerp",
     f"""
     WITH samples AS (
@@ -3550,6 +3596,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_stats",
     "multimodal_video_stats",
     "text_cms_heavy_hitters",
+    "ts_gorilla_roundtrip",
 )
 
 
