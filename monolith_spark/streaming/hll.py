@@ -1,0 +1,85 @@
+"""Continuous distinct-count state via DataSketches HLL.
+
+`approx_count_distinct` gives a per-query estimate but no reusable
+state: every read rescans raw data, and at 100 TB a "daily active
+users over all history" query re-shuffles the full (day, user) stream.
+DataSketches HLL sketches (Spark 3.5+: hll_sketch_agg / hll_union_agg /
+hll_sketch_estimate) are MERGEABLE binary state: each micro-batch
+appends one small sketch per group, reads union the partials — the
+same continuous-aggregate shape as ContinuousRollup (sums) and
+ContinuousCMS (frequencies), completing the mergeable-state trio for
+distinct counts.
+
+Properties: partial unions are order- and batching-insensitive; a
+replayed epoch overwrites its own partition (idempotent); per-group
+state is ~KB regardless of cardinality. For small cardinalities the
+sketch is in exact (coupon) mode, so tests can assert estimate ==
+exact count rather than a tolerance.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class ContinuousHLL:
+    """foreachBatch sink maintaining per-group HLL sketches of
+    ``value_col`` under ``path`` (epoch-partitioned parquet)."""
+
+    spark: SparkSession
+    path: str
+    value_col: str
+    group_cols: list[str] = field(default_factory=list)
+    lgk: int = 12  # DataSketches lgConfigK; 12 → ~1.6% rsd, 4 KB max
+
+    def __post_init__(self) -> None:
+        self._epochs_dir = self.path + "_epochs"
+        os.makedirs(self._epochs_dir, exist_ok=True)
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        agg = F.hll_sketch_agg(self.value_col, self.lgk).alias("sketch")
+        if self.group_cols:
+            return batch_df.groupBy(*self.group_cols).agg(agg)
+        return batch_df.agg(agg)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(self._epochs_dir, f"{epoch_id}.done")
+        if os.path.exists(marker):
+            return
+        self._partial(batch_df).write.mode("overwrite").parquet(
+            os.path.join(self.path, f"epoch={epoch_id}")
+        )
+        with open(marker, "w") as f:
+            f.write("")
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
+        return (
+            stream_df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+            .start()
+        )
+
+    def read(self) -> DataFrame:
+        """Merged estimates: [*group_cols, n_distinct]."""
+        schema = ", ".join(
+            [f"{c} string" for c in self.group_cols] + ["n_distinct long"]
+        )
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], schema)
+        p = self.spark.read.parquet(self.path)
+        merged = F.hll_union_agg("sketch").alias("merged")
+        if self.group_cols:
+            g = p.groupBy(*self.group_cols).agg(merged)
+        else:
+            g = p.agg(merged)
+        return g.select(
+            *self.group_cols,
+            F.hll_sketch_estimate("merged").alias("n_distinct"),
+        )

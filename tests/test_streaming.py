@@ -641,3 +641,39 @@ def test_rollup_tiering_survives_raw_retention(spark, tmp_path):
 
     # retention is idempotent and never touches surviving chunks
     assert db.drop_chunks_before(60_000) == 0
+
+
+def test_continuous_hll_matches_exact_distinct(spark, tmp_path):
+    """Per-epoch HLL partials union to the exact per-day distinct count
+    (coupon mode is exact at these cardinalities), across batch
+    boundaries that split a day; replays never double-count."""
+    from monolith_spark.streaming.hll import ContinuousHLL
+
+    src = str(tmp_path / "ev")
+    # day d1: users u0..u9 split across two batches (u5..u9 repeated);
+    # day d2: users u0..u4
+    spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(8)], "day string, user string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(5, 10)] + [("d2", f"u{i}") for i in range(5)],
+        "day string, user string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    hll = ContinuousHLL(spark, str(tmp_path / "hll"), "user", ["day"])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = hll.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["day"]: r["n_distinct"] for r in hll.read().collect()}
+    assert got == {"d1": 10, "d2": 5}
+
+    # replayed epoch is a no-op
+    hll.process_batch(
+        spark.createDataFrame([("d1", "uNEW")], "day string, user string"), epoch_id=0
+    )
+    assert {r["day"]: r["n_distinct"] for r in hll.read().collect()} == got
