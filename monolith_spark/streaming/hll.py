@@ -67,9 +67,11 @@ class ContinuousHLL:
         )
 
     def read(self) -> DataFrame:
-        """Merged estimates: [*group_cols, n_distinct]."""
+        """Merged estimates: [*group_cols, n_distinct]. Before the
+        first epoch lands, group columns default to string in the
+        empty frame (their true types are only known from data)."""
         schema = ", ".join(
-            [f"{c} string" for c in self.group_cols] + ["n_distinct long"]
+            [f"`{c}` string" for c in self.group_cols] + ["n_distinct long"]
         )
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], schema)
