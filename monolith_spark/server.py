@@ -111,29 +111,48 @@ def _evaluate_hinted(db: MonolithDB, matchers, q: proto.Query) -> list[proto.Tim
     return out
 
 
-def evaluate_read(db: MonolithDB, req: proto.ReadRequest, strict: bool = False) -> proto.ReadResponse:
+def _evaluate_one(db: MonolithDB, q: proto.Query, strict: bool) -> list[proto.TimeSeries]:
+    matchers = _engine_matchers(q, strict)
+    hinted = _evaluate_hinted(db, matchers, q)
+    if hinted is not None:
+        return hinted
+    res = db.query(matchers, q.start_timestamp_ms, q.end_timestamp_ms)
+    return [
+        proto.TimeSeries(
+            labels=dict(row["labels"]),
+            samples=[
+                proto.Sample(value=p["value"], timestamp=p["timestamp"])
+                for p in row["points"]
+            ],
+        )
+        for row in res.collect()
+    ]
+
+
+def evaluate_read(
+    db: MonolithDB,
+    req: proto.ReadRequest,
+    strict: bool = False,
+    max_parallel: int = 4,
+) -> proto.ReadResponse:
     """One QueryResult per Query (src/server.rs:133-169); points
-    time-ascending, series ordered by signature for determinism."""
+    time-ascending, series ordered by signature for determinism.
+
+    Multi-query requests evaluate CONCURRENTLY (Spark's scheduler
+    interleaves jobs submitted from separate threads — a serial loop
+    would leave executors idle between queries); results keep request
+    order. ``max_parallel`` bounds driver-side memory for the collected
+    results."""
     resp = proto.ReadResponse()
-    for q in req.queries:
-        matchers = _engine_matchers(q, strict)
-        hinted = _evaluate_hinted(db, matchers, q)
-        if hinted is not None:
-            resp.results.append(hinted)
-            continue
-        res = db.query(matchers, q.start_timestamp_ms, q.end_timestamp_ms)
-        result = []
-        for row in res.collect():
-            result.append(
-                proto.TimeSeries(
-                    labels=dict(row["labels"]),
-                    samples=[
-                        proto.Sample(value=p["value"], timestamp=p["timestamp"])
-                        for p in row["points"]
-                    ],
-                )
-            )
-        resp.results.append(result)
+    if len(req.queries) <= 1:
+        for q in req.queries:
+            resp.results.append(_evaluate_one(db, q, strict))
+        return resp
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        futures = [pool.submit(_evaluate_one, db, q, strict) for q in req.queries]
+        resp.results.extend(f.result() for f in futures)
     return resp
 
 

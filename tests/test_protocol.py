@@ -237,3 +237,34 @@ def test_range_func_matches_counter_increase_on_fixture(spark, sf_dir):
         for r in workload.queries()["ts_counter_increase"](spark, sf_dir).collect()
     }
     assert via_hint == via_op
+
+
+def test_multi_query_read_concurrent_preserves_order(spark, tmp_path):
+    """A ReadRequest with several queries evaluates concurrently but
+    results stay in request order, identical to serial evaluation."""
+    from monolith_spark.server import _evaluate_one, evaluate_read, write_request_to_df
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    wr = proto.WriteRequest(
+        timeseries=[
+            proto.TimeSeries({"job": f"j{i}"}, [proto.Sample(float(i), 10 + i)])
+            for i in range(6)
+        ]
+    )
+    db.write(write_request_to_df(spark, wr))
+    queries = [
+        proto.Query(0, 1000, [proto.LabelMatcher(proto.EQ, "job", f"j{i}")])
+        for i in range(6)
+    ] + [proto.Query(0, 1000, [])]  # match-all as the 7th
+    resp = evaluate_read(db, proto.ReadRequest(queries=queries), max_parallel=4)
+    assert len(resp.results) == 7
+    for i in range(6):
+        (ts,) = resp.results[i]
+        assert ts.labels == {"job": f"j{i}"}
+        assert [(s.timestamp, s.value) for s in ts.samples] == [(10 + i, float(i))]
+    assert len(resp.results[6]) == 6
+    # concurrent == serial
+    serial = [_evaluate_one(db, q, False) for q in queries]
+    for a, b in zip(resp.results, serial):
+        assert [(t.labels, [(s.timestamp, s.value) for s in t.samples]) for t in a] \
+            == [(t.labels, [(s.timestamp, s.value) for s in t.samples]) for t in b]
