@@ -52,15 +52,20 @@ def postings(
     terms: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) — one row per distinct term per doc.
-    With `terms`, non-matching tokens are dropped pre-shuffle."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    ).select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
+
+    With `terms`, non-matching tokens are dropped BEFORE the explode
+    (array-level filter), so the Generate emits |hit tokens| rows, not
+    |corpus tokens| — at 100 TB the per-row explode fan-out, not just
+    the shuffle, is bounded by the hit count."""
+    toks = tokenize(text_col)
     if terms is not None:
-        toks = toks.filter(F.col("term").isin(terms))
-    return toks.groupBy("doc_id", "term").agg(
+        toks = F.filter(toks, lambda t: t.isin(*terms))
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col)).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return flat.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.max("dl").alias("dl")
     )
 
@@ -75,33 +80,50 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def query_table(spark, queries: list[tuple[str, list[str]]]) -> DataFrame:
+    """(query_id, term) literal table, built JVM-side (explode of a
+    struct-array literal). `spark.createDataFrame` would route the
+    literals through applySchemaToPythonRDD and spin Python worker
+    processes for a handful of constants — measured at multiple
+    seconds of cold-start in the bench."""
+    rows = F.array(*[
+        F.struct(F.lit(qid).alias("query_id"), F.lit(t).alias("term"))
+        for qid, terms in queries
+        for t in terms
+    ])
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[str, list[str]]],
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k docs per query by BM25(odds-idf), k1=1.2, b=0.75.
 
     idf_odds(t) = (N - df + 0.5) / (df + 0.5)
     tf_norm(t,d) = tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl/avgdl))
     score(q,d)  = Σ_t∈q dec18_9(idf_odds · tf_norm)
+
+    Scan budget: ONE corpus scan for the pruned postings (plus one
+    aggregate-only scan for (n, avgdl) unless a precomputed `stats`
+    frame is passed — at 100 TB corpus stats belong to the snapshot,
+    not the query). Document frequency comes from a window over the
+    already-pruned candidate postings, never a second corpus pass.
     """
     spark = docs.sparkSession
     all_terms = sorted({t for _, terms in queries for t in terms})
     p = postings(docs, id_col, text_col, terms=all_terms)
-    stats = corpus_stats(docs, text_col)
-    df_tbl = p.groupBy("term").agg(F.count("*").alias("df"))
-    qdf = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms],
-        "query_id string, term string",
-    )
-    cand = (
-        p.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(stats))
-    )
+    if stats is None:
+        stats = corpus_stats(docs, text_col)
+    # df(term) = #docs containing it = rows per term in p (already one
+    # row per (doc, term)); the window exchange carries hits only.
+    p = p.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    qdf = query_table(spark, queries)
+    cand = p.join(F.broadcast(qdf), "term").crossJoin(F.broadcast(stats))
     idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     tf_norm = (F.col("tf") * F.lit(2.2)) / (
         F.col("tf")

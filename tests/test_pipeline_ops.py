@@ -360,18 +360,25 @@ def test_bm25_topk_matches_python_model(spark):
 def test_bm25_prunes_terms_before_shuffle(spark, sf_dir):
     from monolith_spark.workload import all_queries
 
-    # The query-term IN filter must be a child of the postings
-    # exchange (plan prints parents first): the shuffle carries
-    # matching tokens only, never the full exploded corpus.
+    # Term pruning must happen INSIDE the explode's input (array-level
+    # lambda filter), so the Generate emits |hit tokens| rows and the
+    # postings exchange below it carries matching tokens only — never
+    # the full exploded corpus, and no post-explode IN-filter node.
     df = all_queries()["docs_bm25_search"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     exch = [i for i, l in enumerate(lines)
             if "Exchange hashpartitioning" in l and "term#" in l]
-    filt = [i for i, l in enumerate(lines)
-            if "Filter" in l and "term#" in l and " IN (" in l]
-    assert exch and filt, plan[:2000]
-    assert min(filt) > min(exch)
+    gen = [i for i, l in enumerate(lines)
+           if "Generate explode(filter(" in l and " IN (" in l]
+    post_explode_filter = [
+        l for l in lines
+        if l.lstrip().lstrip("+-:").lstrip().startswith("Filter")
+        and "term#" in l and " IN (" in l
+    ]
+    assert exch and gen, plan[:2000]
+    assert min(gen) > min(exch), "pruned Generate must feed the exchange"
+    assert not post_explode_filter, post_explode_filter
 
 
 def test_salted_join_matches_plain_join(spark):
