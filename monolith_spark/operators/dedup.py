@@ -21,7 +21,7 @@ construction (see workload.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from monolith_spark.operators.text import fingerprint_md5, shingles_expr, simhash
@@ -378,3 +378,47 @@ def cluster_pairs(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
         f"cluster_pairs did not converge in {max_iter} rounds — a component "
         f"has diameter > {max_iter}; raise max_iter"
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: from a (node, cluster_id)
+    assignment (cluster_pairs output) keep ONE canonical doc per
+    near-dup cluster — highest ``score_col``, ties to the lowest id —
+    and every un-clustered doc as its own singleton cluster.
+
+    The "keep one per group" selection every dedup pipeline ends with
+    (the reference stops at pair/cluster *detection*; this is the
+    materialization step a training-data pipeline actually ships).
+
+    Scale shape: ``clusters`` holds near-dup nodes only (≪ corpus), so
+    the winner ranking windows over a small relation, and the
+    singleton path is a broadcast ANTI join against that same node
+    set — the corpus-sized side is never shuffled. ``docs`` must carry
+    (id_col, score_col) and is scanned once.
+    """
+    scored = docs.select(F.col(id_col).alias("doc_id"), F.col(score_col))
+    ranked = (
+        clusters.join(scored, F.col("node") == F.col("doc_id"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col(score_col).desc(), F.col("node")
+                )
+            ),
+        )
+    )
+    winners = ranked.filter(F.col("__rn") == 1).select(
+        "doc_id", "cluster_id", score_col
+    )
+    singletons = scored.join(
+        F.broadcast(clusters.select(F.col("node").alias("doc_id"))),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"), score_col)
+    return winners.unionByName(singletons)

@@ -237,3 +237,77 @@ def pack_sequences(
             "n_tokens",
         )
     )
+
+
+def doc_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, head, bg): one row per adjacent token pair, in order of
+    occurrence (duplicates kept — these are LM *events*, not a set).
+    The head token rides along so scoring never re-splits the bigram
+    string. Array-level zip of two slices — no positional self-join."""
+    def _pairs(w: Column) -> Column:
+        # slice length w−1 ≥ 0 always (split never yields an empty
+        # array), and explode of the empty result drops <2-token docs.
+        return F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(
+                a.alias("head"), F.concat_ws(" ", a, b).alias("bg")
+            ),
+        )
+
+    # Bind the token array once (see shingles_expr): referencing the
+    # raw split in each slice would re-evaluate it per reference.
+    pairs = F.element_at(F.transform(F.array(tokens_expr(text_col)), _pairs), 1)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("b"))
+        .select("doc_id", F.col("b.head").alias("head"), F.col("b.bg").alias("bg"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document fluency under a corpus bigram language model:
+    avg over the doc's bigrams of P(b|a) = c(ab) / c(a) (MLE — no
+    smoothing needed when scoring docs drawn from the scoring corpus,
+    since every observed bigram has c(ab) >= 1). The KenLM-style
+    quality signal of CCNet/Gopher pipelines, with counts instead of
+    log-probs: probabilities are summed as DECIMAL(18,9), so the
+    per-doc reduction is exact in any partition order, and ln() (not
+    IEEE exact-rounded, engine-dependent) never enters the pipeline.
+
+    Scale shape: the unigram/bigram count tables are corpus aggregates
+    — precompute them per snapshot and pass them in (`unigrams` /
+    `bigrams`) to skip two corpus scans per query. Scoring is two
+    equi-joins keyed on term; Zipf-skewed heads are exactly what AQE
+    skew-join splitting exists for.
+    """
+    bg = doc_bigrams(df, id_col, text_col)
+    if unigrams is None:
+        unigrams = (
+            df.select(F.explode(tokens_expr(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("c1"))
+        )
+    if bigrams is None:
+        bigrams = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    pr = (
+        bg.join(bigrams, "bg")
+        .join(unigrams, F.col("head") == F.col("tok"))
+        .select(
+            "doc_id",
+            (F.col("c2").cast("double") / F.col("c1").cast("double"))
+            .cast("decimal(18,9)")
+            .alias("pr"),
+        )
+    )
+    return pr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (F.sum("pr").cast("double") / F.count("*")).alias("avg_bigram_p"),
+    )

@@ -5186,3 +5186,181 @@ def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
+
+
+@_q(
+    "docs_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+      WHERE CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) >= {_JACCARD_TAU}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+    cl AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
+    ranked AS (
+      SELECT cl.node AS doc_id, cl.cluster_id, tok.n_tokens,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY tok.n_tokens DESC, cl.node) AS rn
+      FROM cl JOIN tok ON cl.node = tok.doc_id)
+    SELECT doc_id, cluster_id, n_tokens FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id, n_tokens FROM tok t
+    WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.node = t.doc_id)
+    """,
+)
+def docs_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's last mile: materialize the deduplicated
+    corpus — near-dup clusters from the exact-Jaccard pair graph, then
+    ONE canonical doc per cluster (most tokens, ties to lowest id),
+    plus every unclustered doc as its own singleton. See
+    operators/dedup.py:keep_best for the broadcast-anti scale shape."""
+    docs = _docs(spark, sf_dir)
+    pairs = _dedup.shingle_jaccard_pairs(docs, threshold=_JACCARD_TAU)
+    clusters = _dedup.cluster_pairs(pairs)
+    stats = _text.text_stats(docs).select("doc_id", "n_tokens")
+    return _dedup.keep_best(stats, clusters, "n_tokens")
+
+
+@_q(
+    "docs_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS head, w[i] || ' ' || w[i+1] AS bg
+           FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 1),
+    uni AS (SELECT tok, count(*) AS c1
+            FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+    c2t AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+    pr AS (SELECT doc_id,
+                  CAST(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                       AS DECIMAL(18,9)) AS pr
+           FROM bg JOIN c2t USING (bg) JOIN uni ON bg.head = uni.tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(pr) AS DOUBLE) / count(*) AS avg_bigram_p
+    FROM pr GROUP BY 1
+    """,
+)
+def docs_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM fluency score per document (the CCNet/Gopher
+    LM-quality signal, counts instead of log-probs): avg over doc
+    bigrams of P(b|a) = c(ab)/c(a), DECIMAL-summed so the reduction is
+    exact in any partition order and ln() never enters. See
+    operators/text.py:bigram_lm_score."""
+    return _text.bigram_lm_score(_docs(spark, sf_dir))
+
+
+@_q(
+    "ts_mad_outliers",
+    f"""
+    WITH s AS (
+      SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}),
+    r1 AS (
+      SELECT signature, ts_ms, v,
+             row_number() OVER (PARTITION BY signature
+                                ORDER BY v, ts_ms) AS rn,
+             count(*) OVER (PARTITION BY signature) AS cnt
+      FROM s),
+    m AS (
+      SELECT *,
+             CAST(floor((cnt + 1) / 2.0) AS BIGINT) AS lo,
+             CAST(floor(cnt / 2.0) AS BIGINT) + 1 AS hi
+      FROM r1),
+    med AS (
+      SELECT *,
+             sum(CASE WHEN rn = lo THEN v END) OVER (PARTITION BY signature)
+             + sum(CASE WHEN rn = hi THEN v END) OVER (PARTITION BY signature)
+               AS med2
+      FROM m),
+    d AS (SELECT *, abs(2 * v - med2) AS dev FROM med),
+    r2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY signature
+                                ORDER BY dev, ts_ms) AS rn2
+      FROM d),
+    mad AS (
+      SELECT *,
+             sum(CASE WHEN rn2 = lo THEN dev END) OVER (PARTITION BY signature)
+             + sum(CASE WHEN rn2 = hi THEN dev END) OVER (PARTITION BY signature)
+               AS dev2
+      FROM r2)
+    SELECT signature,
+           count(*) AS n_points,
+           CAST(max(med2) AS DOUBLE) / 2.0 AS med,
+           CAST(max(dev2) AS DOUBLE) / 4.0 AS mad,
+           CAST(sum(CASE WHEN 2 * dev > 3 * dev2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM mad GROUP BY 1
+    """,
+)
+def ts_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier stats: median / MAD (median absolute
+    deviation) and the count of points beyond 3 MAD — the
+    outlier-resistant twin of ts_stddev's z-score shape.
+
+    Exact-parity trick: interpolated medians ((a+b)/2) differ across
+    engines by ULPs, so the pipeline carries DOUBLED median (med2 =
+    v[lo]+v[hi], the middle row counted twice when n is odd) and
+    QUADRUPLED MAD (dev2, from dev = |2v - med2| = 2|v - M|) in exact
+    DECIMAL — no division until the final cast to double, and the
+    outlier test |v-M| > 3·MAD becomes the integer-scaled 2·dev >
+    3·dev2. Plan: ONE exchange on signature — every window and the
+    final groupBy share the partitioning."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20)).select(
+        "signature",
+        F.col("timestamp").alias("ts_ms"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+    )
+    w_all = Window.partitionBy("signature")
+    r1 = s.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("signature").orderBy("v", "ts_ms"))
+        .alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    m = r1.select(
+        "*",
+        F.floor((F.col("cnt") + 1) / 2.0).cast("long").alias("lo"),
+        (F.floor(F.col("cnt") / 2.0).cast("long") + 1).alias("hi"),
+    )
+    med = m.select(
+        "*",
+        (
+            F.sum(F.when(F.col("rn") == F.col("lo"), F.col("v"))).over(w_all)
+            + F.sum(F.when(F.col("rn") == F.col("hi"), F.col("v"))).over(w_all)
+        ).alias("med2"),
+    )
+    d = med.select("*", F.abs(2 * F.col("v") - F.col("med2")).alias("dev"))
+    r2 = d.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("signature").orderBy("dev", "ts_ms"))
+        .alias("rn2"),
+    )
+    mad = r2.select(
+        "*",
+        (
+            F.sum(F.when(F.col("rn2") == F.col("lo"), F.col("dev"))).over(w_all)
+            + F.sum(F.when(F.col("rn2") == F.col("hi"), F.col("dev"))).over(w_all)
+        ).alias("dev2"),
+    )
+    return mad.groupBy("signature").agg(
+        F.count("*").alias("n_points"),
+        (F.max("med2").cast("double") / 2.0).alias("med"),
+        (F.max("dev2").cast("double") / 4.0).alias("mad"),
+        F.sum(
+            F.when(2 * F.col("dev") > 3 * F.col("dev2"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )

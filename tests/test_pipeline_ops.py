@@ -471,3 +471,96 @@ def test_persisted_ivf_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pa
         embs, queries, k=10, nlist=8, nprobe=4, centroids=cents
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_keep_best_selects_highest_score_per_cluster(spark):
+    from monolith_spark.operators.dedup import keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, score long",
+    )
+    # cluster 1 = {1,2,3}, cluster 4 = {4}; doc 9 unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node long, cluster_id long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["score"])
+           for r in keep_best(docs, clusters, "score").collect()}
+    # ties on score=30 break to the LOWEST doc id (2 beats 3)
+    assert out == {2: (1, 30), 4: (4, 5), 9: (9, 7)}
+
+
+def test_bigram_lm_score_matches_python_model(spark):
+    from monolith_spark.operators.text import bigram_lm_score
+
+    corpus = [(1, "a b a b"), (2, "a b c"), (3, "c")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_bigrams"], r["avg_bigram_p"])
+           for r in bigram_lm_score(docs).collect()}
+
+    from decimal import Decimal, ROUND_HALF_UP
+    toks = {d: t.split() for d, t in corpus}
+    uni, c2 = {}, {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    def score(d):
+        bgs = list(zip(toks[d], toks[d][1:]))
+        s = sum(
+            (Decimal(repr(c2[bg] / uni[bg[0]]))
+             .quantize(Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+             for bg in bgs),
+            Decimal(0),
+        )
+        return len(bgs), float(s) / len(bgs)
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    for d in (1, 2):
+        n, p = score(d)
+        assert out[d][0] == n
+        assert abs(out[d][1] - p) < 1e-12, (d, out[d], p)
+
+
+def test_mad_outliers_matches_numpy(spark):
+    from monolith_spark.workload import all_queries  # noqa: F401  (query tested via oracle)
+    import numpy as np
+    from monolith_spark.session import get_spark  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # drive the same window pipeline through the registry fn's shape on
+    # a controlled frame: odd and even counts, with one clear outlier
+    vals = {"s_odd": [1.0, 2.0, 3.0, 4.0, 100.0],
+            "s_even": [10.0, 12.0, 14.0, 16.0]}
+    rows = [(k, i, v) for k, vs in vals.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "signature string, ts_ms long, value double")
+
+    from pyspark.sql import Window
+    s = df.select("signature", "ts_ms", F.col("value").cast("decimal(28,6)").alias("v"))
+    w_all = Window.partitionBy("signature")
+    r1 = s.select("*",
+                  F.row_number().over(Window.partitionBy("signature").orderBy("v", "ts_ms")).alias("rn"),
+                  F.count("*").over(w_all).alias("cnt"))
+    m = r1.select("*",
+                  F.floor((F.col("cnt") + 1) / 2.0).cast("long").alias("lo"),
+                  (F.floor(F.col("cnt") / 2.0).cast("long") + 1).alias("hi"))
+    med = m.select("*", (F.sum(F.when(F.col("rn") == F.col("lo"), F.col("v"))).over(w_all)
+                         + F.sum(F.when(F.col("rn") == F.col("hi"), F.col("v"))).over(w_all)).alias("med2"))
+    d = med.select("*", F.abs(2 * F.col("v") - F.col("med2")).alias("dev"))
+    r2 = d.select("*", F.row_number().over(Window.partitionBy("signature").orderBy("dev", "ts_ms")).alias("rn2"))
+    mad = r2.select("*", (F.sum(F.when(F.col("rn2") == F.col("lo"), F.col("dev"))).over(w_all)
+                          + F.sum(F.when(F.col("rn2") == F.col("hi"), F.col("dev"))).over(w_all)).alias("dev2"))
+    out = mad.groupBy("signature").agg(
+        (F.max("med2").cast("double") / 2.0).alias("med"),
+        (F.max("dev2").cast("double") / 4.0).alias("mad"),
+        F.sum(F.when(2 * F.col("dev") > 3 * F.col("dev2"), 1).otherwise(0)).cast("long").alias("n_outliers"),
+    ).collect()
+    got = {r["signature"]: r for r in out}
+    for k, vs in vals.items():
+        a = np.array(vs)
+        med = np.median(a)
+        mad_v = np.median(np.abs(a - med))
+        n_out = int((np.abs(a - med) > 3 * mad_v).sum())
+        assert got[k]["med"] == med, (k, got[k]["med"], med)
+        assert got[k]["mad"] == mad_v, (k, got[k]["mad"], mad_v)
+        assert got[k]["n_outliers"] == n_out, k

@@ -383,3 +383,24 @@ def test_salted_assembly_two_stage_exchanges(spark, tmp_path):
     # both with map-side partials
     assert "partial_collect_list(struct(timestamp" in plan
     assert "partial_collect_list(partial" in plan
+
+
+def test_mad_outliers_single_exchange(spark, sf_dir):
+    # Every window (rank, count, median sums, MAD sums) and the final
+    # groupBy share hashpartitioning(signature) — one exchange total.
+    from monolith_spark.workload import all_queries
+
+    plan = _plan(all_queries()["ts_mad_outliers"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_keep_best_singletons_via_broadcast_anti(spark, sf_dir):
+    # The corpus-sized side must reach the singleton ANTI join as a
+    # broadcast probe, never a shuffle of the corpus.
+    from monolith_spark.workload import all_queries
+
+    plan = _plan(all_queries()["docs_dedup_keep_best"].spark_fn(spark, sf_dir))
+    anti = [l for l in plan.splitlines()
+            if "Join" in l and "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti), anti
