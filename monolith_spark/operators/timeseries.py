@@ -131,11 +131,18 @@ def detect_skewed_key(
         if total is not None and (total >= min_sample_rows or frac >= 1.0):
             return agg["top"] / total >= hot_frac
         if frac >= 1.0:
-            return False  # input genuinely tiny and empty-ish — no skew concern
+            return False  # input genuinely tiny and empty-ish — no shuffle concern
         # Sample too small for a confident verdict ⇒ the input itself is
-        # small, so escalating the fraction is cheap. 10× per step keeps
-        # the escalation O(log) jobs; a 100-TB input never escalates.
-        frac = min(1.0, frac * 10)
+        # small, so escalating is cheap. The first probe already gives a
+        # size estimate (total/frac), so jump STRAIGHT to the fraction
+        # that yields min_sample_rows (×1.5 margin) instead of stepping
+        # 10× per job — detection is ≤ 2 jobs total, and a 100-TB input
+        # never escalates at all.
+        if total:
+            est_rows = total / frac
+            frac = min(1.0, 1.5 * min_sample_rows / est_rows)
+        else:
+            frac = 1.0
 
 
 def downsample(
