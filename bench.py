@@ -46,6 +46,10 @@ WORKLOAD_NAMES = [
     "docs_bm25_search",
     "dedup_minhash_lsh",
     "sim_ivf_topk",
+    # round-2 additions
+    "docs_lm_score",
+    "docs_dedup_keep_best",
+    "ts_mad_outliers",
 ]
 
 
