@@ -119,13 +119,32 @@ def shingle_jaccard_pairs(
     """Exact n-gram Jaccard similar pairs via inverted shingle index.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|), doc_a < doc_b, >= threshold.
+
+    Postings-list form: ONE shuffle of the exploded shingle table
+    (groupBy shingle → sorted doc array), then ordered pairs explode
+    from each posting — vs the naive self-join, which shuffles the
+    shingle table TWICE on a wide string key and carries df=1
+    shingles (the bulk of any real corpus) through the shuffle even
+    though they can never produce a pair. Per-posting work is still
+    Σ df², identical output: shingles are distinct per doc (so each
+    posting holds a doc at most once) and array_sort gives the same
+    doc_a < doc_b ordering the join predicate did.
     """
     sh = doc_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    post = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("__ds"))
+        .filter(F.size("__ds") >= 2)
+        .select(F.array_sort("__ds").alias("d"))
+    )
+    ex = post.select(F.col("d"), F.posexplode("d").alias("i", "doc_a"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        ex.select(
+            "doc_a",
+            F.explode(F.slice("d", F.col("i") + 2, F.size("d"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     na, nb = sizes.alias("na"), sizes.alias("nb")
