@@ -130,8 +130,17 @@ def shingle_jaccard_pairs(
     posting holds a doc at most once) and array_sort gives the same
     doc_a < doc_b ordering the join predicate did.
     """
+    from monolith_spark.operators.text import tokens_expr
+
     sh = doc_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # |A| is computable map-side as the size of the distinct-shingle
+    # array — no groupBy shuffle before the broadcast (same tokenize
+    # path as doc_shingles so the count is the exploded row count).
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    sizes = toks.select(
+        "doc_id",
+        F.size(shingles_expr(F.col("__w"), n, pre_tokenized=True)).cast("long").alias("n_shingles"),
+    )
     post = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("__ds"))
