@@ -4328,6 +4328,54 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=_EMB_TAU)
 
 
+@_q(
+    "emb_dedup_keep_best",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    pf AS (SELECT id_a, id_b FROM p WHERE cosine >= {_EMB_TAU}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pf
+              UNION SELECT id_b, id_a FROM pf),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT g.src, r.label FROM edges g JOIN reach r ON g.dst = r.node),
+    cl AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    nm AS (SELECT vec_id,
+                  sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm
+           FROM e),
+    ranked AS (
+      SELECT cl.node AS vec_id, cl.cluster_id, nm.nrm,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY nm.nrm DESC, cl.node) AS rn
+      FROM cl JOIN nm ON cl.node = nm.vec_id)
+    SELECT vec_id, cluster_id, nrm FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT vec_id, vec_id AS cluster_id, nrm FROM nm t
+    WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.node = t.vec_id)
+    """,
+)
+def emb_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's last mile for the embedding family: exact-cosine
+    near-dup pairs → connected components → ONE canonical vector per
+    cluster (highest L2 norm, ties to lowest id) plus every
+    unclustered vector as its own singleton. Same materialization
+    contract as docs_dedup_keep_best; norm is the sequential-fold
+    double (bit-equal to the oracle's list_reduce)."""
+    embs = _embs(spark, sf_dir)
+    pairs = _sim.embedding_near_dup_pairs(embs, threshold=_EMB_TAU)
+    clusters = _dedup.cluster_pairs(pairs, a="id_a", b="id_b")
+    scored = embs.select(
+        "vec_id", _sim.norm_expr(_sim._dbl("embedding")).alias("nrm")
+    )
+    return _dedup.keep_best(scored, clusters, "nrm", id_col="vec_id").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+
+
 # Rows-only entries (no SQL oracle): LSH variants whose guarantees are
 # statistical; verified against their exact twins in tests/.
 
