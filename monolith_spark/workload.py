@@ -3590,6 +3590,7 @@ _DRIVER_GREEN: frozenset[str] = _load_driver_green()
 # explicit goal (VERDICT items) — pinned to the very front of the window.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_sessionize",
+    "emb_dedup_keep_best",
     "ts_matcher_degraded",
     "ts_matcher_extended",
     "multimodal_decode_stats",
