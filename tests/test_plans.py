@@ -404,3 +404,22 @@ def test_keep_best_singletons_via_broadcast_anti(spark, sf_dir):
     anti = [l for l in plan.splitlines()
             if "Join" in l and "LeftAnti" in l]
     assert anti and all("BroadcastHashJoin" in l for l in anti), anti
+
+
+def test_jaccard_pairs_single_shingle_shuffle_no_self_join(spark, sf_dir):
+    # Postings-list form: the exploded shingle table crosses exactly
+    # ONE hashpartitioning exchange (groupBy shingle); pair generation
+    # is an explode over each posting, so the plan has no sort-merge
+    # or nested-loop join anywhere and the per-doc size lookups arrive
+    # as broadcasts.
+    from monolith_spark.operators.dedup import shingle_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(shingle_jaccard_pairs(docs, threshold=0.5))
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    shingle_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(shingle" in l
+    ]
+    assert len(shingle_exchanges) == 1, shingle_exchanges
