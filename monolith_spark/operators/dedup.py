@@ -156,10 +156,25 @@ def shingle_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    return _attach_jaccard(inter, sizes, threshold)
+
+
+def _attach_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Join per-doc shingle counts onto (doc_a, doc_b, n_inter) and
+    compute/filter Jaccard.
+
+    NO forced broadcast here: ``sizes`` is O(corpus docs) — at 1e9+
+    docs a ``F.broadcast`` hint would force a multi-GB build side onto
+    the driver and every executor (OOM). The joins are plain equi-joins
+    and AQE converts them to broadcast-hash at runtime iff the measured
+    side is under spark.sql.autoBroadcastJoinThreshold — a size gate on
+    observed bytes rather than a hint on hoped-for bytes. (On small
+    corpora Catalyst's plan-time scan stats reach the same decision.)
+    """
     na, nb = sizes.alias("na"), sizes.alias("nb")
     return (
-        inter.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
-        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -280,18 +295,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    return (
-        inter.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
-        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("na.n_shingles") + F.col("nb.n_shingles") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _attach_jaccard(inter, sizes, threshold)
 
 
 def simhash_pairs(
@@ -301,6 +305,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     prefix_bits: int = 12,
     bits: int = 60,
+    max_block_size: int = 1024,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on each of several bit-prefixes
     (rotations) then verify Hamming distance <= max_hamming.
@@ -309,7 +314,22 @@ def simhash_pairs(
     cross join; with 4 rotations of 12 bits, any pair differing in
     <= 3 of the 4 non-overlapping 15-bit regions collides somewhere.
     Not exhaustive (standard LSH trade-off) — the guarantee is
-    per-rotation-block exactness.
+    per-rotation-block exactness up to the block-size cap.
+
+    Postings-list form (same shape as shingle_jaccard_pairs): ONE
+    shuffle groups members by (rot, block); ordered pairs then explode
+    from each sorted posting — no self-join, so no second shuffle of
+    the blocked table and no skew-prone join build sides.
+
+    ``max_block_size`` bounds per-block fan-out: a hot prefix (near-
+    identical boilerplate flooding one 12-bit block) would otherwise
+    cost |block|² in one task — the classic LSH straggler. Each
+    posting is truncated to its first ``max_block_size`` members (by
+    doc_id — deterministic, engine-independent), capping any single
+    block at max_block_size² pair checks. Docs beyond the cap in SOME
+    rotation usually still pair via their other 3 rotations; a block
+    that hot is near-identical boilerplate better handled by
+    exact_dedup first.
 
     Features are word 3-gram shingles, not tokens: on small-vocabulary
     corpora token sets are nearly identical across unrelated docs and
@@ -333,18 +353,25 @@ def simhash_pairs(
     blocked = blocks[0]
     for bdf in blocks[1:]:
         blocked = blocked.unionByName(bdf)
-    x, y = blocked.alias("x"), blocked.alias("y")
+    # Sorted posting per (rot, block); doc_id is unique within a block
+    # (one row per doc per rotation) so array_sort orders by doc_id and
+    # the slice keeps the cap deterministic.
+    post = (
+        blocked.groupBy("rot", "block")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("d"))
+        .filter(F.size("d") >= 2)
+        .select(F.slice("d", 1, max_block_size).alias("d"))
+    )
+    ex = post.select("d", F.posexplode("d").alias("i", "a"))
     return (
-        x.join(
-            y,
-            (F.col("x.rot") == F.col("y.rot"))
-            & (F.col("x.block") == F.col("y.block"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ex.select(
+            "a",
+            F.explode(F.slice("d", F.col("i") + 2, F.size("d"))).alias("b"),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").alias("hamming"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -423,11 +450,15 @@ def keep_best(
     (the reference stops at pair/cluster *detection*; this is the
     materialization step a training-data pipeline actually ships).
 
-    Scale shape: ``clusters`` holds near-dup nodes only (≪ corpus), so
-    the winner ranking windows over a small relation, and the
-    singleton path is a broadcast ANTI join against that same node
-    set — the corpus-sized side is never shuffled. ``docs`` must carry
-    (id_col, score_col) and is scanned once.
+    Scale shape: ``clusters`` holds near-dup nodes only, so the winner
+    ranking windows over a relation no bigger than the corpus, and the
+    singleton path is an ANTI join against that same node set. The
+    node set is NOT hint-broadcast: "near-dup nodes ≪ corpus" fails on
+    web-scale crawls where dup rates run 30-50%, and a forced
+    broadcast of an O(corpus) relation OOMs the driver. AQE converts
+    the anti join to broadcast at runtime iff the measured node set is
+    under autoBroadcastJoinThreshold — the gate is observed bytes.
+    ``docs`` must carry (id_col, score_col) and is scanned once.
     """
     scored = docs.select(F.col(id_col).alias("doc_id"), F.col(score_col))
     ranked = (
@@ -445,7 +476,7 @@ def keep_best(
         "doc_id", "cluster_id", score_col
     )
     singletons = scored.join(
-        F.broadcast(clusters.select(F.col("node").alias("doc_id"))),
+        clusters.select(F.col("node").alias("doc_id")),
         "doc_id",
         "left_anti",
     ).select("doc_id", F.col("doc_id").alias("cluster_id"), score_col)

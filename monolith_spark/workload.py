@@ -4449,10 +4449,15 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, simhash, r.rot,
              (simhash >> (CASE r.rot WHEN 0 THEN 48 WHEN 1 THEN 33
                                      WHEN 2 THEN 18 ELSE 3 END)) & 4095 AS block
-      FROM sig, range(4) r(rot))
+      FROM sig, range(4) r(rot)),
+    capped AS (
+      -- mirror of the Spark side's per-block cap: first 1024 members
+      -- of each (rot, block) posting, ordered by doc_id
+      SELECT doc_id, simhash, rot, block FROM blocks
+      QUALIFY row_number() OVER (PARTITION BY rot, block ORDER BY doc_id) <= 1024)
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-    FROM blocks x JOIN blocks y
+    FROM capped x JOIN capped y
       ON x.rot = y.rot AND x.block = y.block AND x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
     """,

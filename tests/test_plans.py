@@ -395,28 +395,68 @@ def test_mad_outliers_single_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_keep_best_singletons_via_broadcast_anti(spark, sf_dir):
-    # The corpus-sized side must reach the singleton ANTI join as a
-    # broadcast probe, never a shuffle of the corpus.
+def test_keep_best_singletons_anti_join_not_forced_broadcast(spark, sf_dir):
+    # The singleton path is an ANTI join against the cluster node set.
+    # It must NOT carry a forced broadcast hint (the node set is
+    # O(corpus) on high-dup-rate crawls — a hint OOMs at scale); the
+    # broadcast decision belongs to AQE's measured-size gate. At
+    # fixture scale that gate SHOULD fire: the final adaptive plan
+    # shows a BroadcastHashJoin anti, proving small-side perf is kept.
     from monolith_spark.workload import all_queries
 
-    plan = _plan(all_queries()["docs_dedup_keep_best"].spark_fn(spark, sf_dir))
-    anti = [l for l in plan.splitlines()
-            if "Join" in l and "LeftAnti" in l]
+    df = all_queries()["docs_dedup_keep_best"].spark_fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical, logical
+    # AdaptiveSparkPlan.toString appends the pre-adaptive "Initial
+    # Plan" — only the final section shows what actually ran.
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    anti = [l for l in plan.splitlines() if "Join" in l and "LeftAnti" in l]
     assert anti and all("BroadcastHashJoin" in l for l in anti), anti
+
+
+def test_dedup_plans_have_no_forced_broadcast(spark, sf_dir):
+    # dedup joins touch O(corpus) relations (per-doc shingle counts,
+    # cluster node sets) — none may be hint-broadcast; AQE decides from
+    # measured sizes (VERDICT r2 item 2).
+    from monolith_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for name, df in {
+        "jaccard": dedup.shingle_jaccard_pairs(docs, threshold=0.5),
+        "minhash_lsh": dedup.minhash_lsh_pairs(docs),
+        "simhash": dedup.simhash_pairs(docs),
+    }.items():
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical, (name, logical)
+
+
+def test_simhash_caps_flooded_block(spark):
+    # One hot block (identical boilerplate) must not produce |block|²
+    # pairs: with cap=4, ten identical docs pair only among the first
+    # four doc_ids — C(4,2)=6 pairs, all hamming 0.
+    from monolith_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for every document here")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = simhash_pairs(docs, max_block_size=4).collect()
+    assert len(rows) == 6, rows
+    assert all(r.hamming == 0 and r.doc_a < r.doc_b <= 3 for r in rows), rows
 
 
 def test_jaccard_pairs_single_shingle_shuffle_no_self_join(spark, sf_dir):
     # Postings-list form: the exploded shingle table crosses exactly
     # ONE hashpartitioning exchange (groupBy shingle); pair generation
-    # is an explode over each posting, so the plan has no sort-merge
-    # or nested-loop join anywhere and the per-doc size lookups arrive
-    # as broadcasts.
+    # is an explode over each posting, so the plan has no nested-loop
+    # join anywhere. The per-doc size joins are unhinted equi-joins
+    # (AQE broadcasts them at runtime when measured small).
     from monolith_spark.operators.dedup import shingle_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(shingle_jaccard_pairs(docs, threshold=0.5))
-    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     shingle_exchanges = [
         l for l in plan.splitlines()
