@@ -3483,34 +3483,86 @@ def events_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w1.subtract(w2)
 
 
-@_q("ts_approx_quantiles", None)
+@_q(
+    "ts_approx_quantiles",
+    f"""
+    SELECT {SIG_SQL} AS signature, count(*) AS n_points,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    """,
+)
 def ts_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch quantiles per series (GK summaries via percentile_approx):
     one mergeable aggregation, NO per-series sort — the scale path when
     ts_quantile's exact ordered statistic is too expensive (at 100 TB a
     full sort per series dwarfs the scan; the sketch is map-side
-    combinable and bounded-memory). Rows-only: the sketch's element
-    choice is engine-specific; accuracy is asserted against the exact
-    quantiles in tests/test_sketches.py."""
+    combinable and bounded-memory).
+
+    Hash-matchable formulation: the sketch VALUE is engine-specific,
+    so the query verifies the GK rank-error contract in-query and
+    emits booleans the oracle reproduces exactly — for each series,
+    the approx p50/p90 must sit within rank ±ε·n (ε = 1/accuracy, +1
+    slack for boundary ties) of the true ordered statistic, checked
+    by counting elements ≤/< the sketch output against the exact rank
+    window. A wrong sketch ⇒ FALSE ⇒ driver hash mismatch. Absolute
+    accuracy vs exact quantiles is additionally asserted in
+    tests/test_sketches.py."""
+    eps = 1.0 / 10_000
     s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
     agg = s.groupBy("signature").agg(
         F.percentile_approx("value", [0.5, 0.9], 10_000).alias("ap"),
+    )
+    j = s.join(agg, "signature")
+    checks = j.groupBy("signature").agg(
         F.count("*").alias("n_points"),
+        *[
+            c
+            for i, q in [(0, 0.5), (1, 0.9)]
+            for c in (
+                F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le{i}"),
+                F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"lt{i}"),
+            )
+        ],
     )
-    return agg.select(
+    def ok(i: int, q: float):
+        n = F.col("n_points")
+        lower = F.floor(F.lit(q - eps) * n) - F.lit(1)
+        upper = F.ceil(F.lit(q + eps) * n) + F.lit(1)
+        return (F.col(f"le{i}") >= lower) & (F.col(f"lt{i}") <= upper)
+    return checks.select(
         "signature",
-        F.col("ap")[0].alias("p50_approx"),
-        F.col("ap")[1].alias("p90_approx"),
         "n_points",
+        ok(0, 0.5).alias("p50_ok"),
+        ok(1, 0.9).alias("p90_ok"),
     )
 
 
-@_q("events_hll_daily_users", None)
+@_q(
+    "events_hll_daily_users",
+    f"""
+    SELECT epoch_ms(ts) // {DAY_MS} AS day,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS hll_within_rsd
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    """,
+)
 def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ daily active users: approx_count_distinct at 2%
     rsd — constant memory per group vs the exact distinct's shuffle of
-    every (day, user) pair, the right trade at 100 TB. Rows-only
-    (HLL++ estimates are engine-specific); error vs exact is asserted
+    every (day, user) pair, the right trade at 100 TB.
+
+    Hash-matchable formulation: the HLL++ estimate is engine-specific,
+    so the query emits the EXACT per-day distinct (both engines can
+    compute it) plus a boolean asserting the sketch landed within
+    5×rsd (=10%) of it — computed in the same aggregation, one pass.
+    A broken sketch ⇒ FALSE ⇒ driver hash mismatch. The exact-distinct
+    column is the verify-tier cost; production callers use the
+    sketch-only aggregation. Error vs exact is additionally asserted
     in tests/test_sketches.py."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -3520,8 +3572,18 @@ def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts_ms").between(JAN1, JAN20))
         .groupBy((F.col("ts_ms") / F.lit(DAY_MS)).cast("long").alias("day"))
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "day",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.lit(5 * 0.02) * F.col("exact_users")
+            ).alias("hll_within_rsd"),
         )
     )
 
@@ -3587,17 +3649,16 @@ _DRIVER_GREEN: frozenset[str] = _load_driver_green()
 
 
 # Round-priority names: queries whose driver verification is this round's
-# explicit goal (VERDICT items) — pinned to the very front of the window.
+# explicit goal (VERDICT r2 items 4+6: the reformulated hash-matchable
+# sketch/ANN verdicts and the ANN quality path) — pinned to the very
+# front of the window. The remaining unverified names follow
+# automatically via the fresh-first ordering below.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "ts_sessionize",
-    "emb_dedup_keep_best",
-    "ts_matcher_degraded",
-    "ts_matcher_extended",
-    "multimodal_decode_stats",
-    "multimodal_audio_stats",
-    "multimodal_video_stats",
-    "text_cms_heavy_hitters",
-    "ts_gorilla_roundtrip",
+    "ts_approx_quantiles",
+    "events_hll_daily_users",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_lsh_topk",
 )
 
 
@@ -4508,26 +4569,66 @@ def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("sim_ivf_topk", None)
-def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (spherical-k-means cells, nprobe probe +
-    exact re-rank); recall vs brute force checked in tests."""
+_ANN_RECALL_ORACLE = """
+    SELECT count(*) AS n_queries, CAST(10 AS BIGINT) AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """
+
+
+def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
+    """Hash-matchable ANN verdict: pooled recall@k of an approximate
+    index vs the in-query exact top-k, reduced to [n_queries, k,
+    recall_ok]. The approximate neighbor SET is driver-deterministic
+    (seeded k-means on an ordered sample / md5 planes) but not
+    SQL-expressible, so the oracle can't replay it — instead the
+    recall contract is evaluated IN-query against the brute-force
+    exact top-k (which both tests and the bf oracle tier cover) and
+    the boolean is what the driver hashes: recall below ``floor``
+    ⇒ FALSE ⇒ mismatch. Exact-side cost is O(corpus × 8 queries) —
+    the verify tier, not the serving path (sim_lsh/ivf/pq serve)."""
     embs = _embs(spark, sf_dir)
-    return _sim.ivf_topk(
-        embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
+    q = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    exact = _sim.brute_force_topk(embs, q, k=10).select("query_id", "neighbor_id")
+    approx = approx_fn(embs, q).select("query_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct(F.col("query_id")).alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                >= F.lit(floor) * F.count("*")
+            ).alias("recall_ok"),
+        )
+        .select("n_queries", F.lit(10).cast("long").alias("k"), "recall_ok")
     )
 
 
-@_q("sim_pq_topk", None)
+@_q("sim_ivf_topk", _ANN_RECALL_ORACLE)
+def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (spherical-k-means cells, nprobe probe +
+    exact re-rank), emitted as the pooled recall@10 verdict vs the
+    exact top-k (observed 0.69-0.80 across fixtures; floor 0.5). See
+    _ann_recall for why the verdict — not the neighbor list — is the
+    hash-matched surface; the full neighbor output is exercised in
+    tests/test_pipeline_ops.py."""
+    return _ann_recall(
+        spark, sf_dir, lambda e, q: _sim.ivf_topk(e, q, k=10), floor=0.5
+    )
+
+
+@_q("sim_pq_topk", _ANN_RECALL_ORACLE)
 def sim_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k: IVF cells bound candidates, product-
     quantization ADC (m code lookups per candidate instead of dim
     multiplies, ~32× index compression at rest) ranks them, exact
-    cosine re-ranks the shortlist; recall vs brute force checked in
-    tests (rows-only here — codebook k-means is driver-side)."""
-    embs = _embs(spark, sf_dir)
-    return _sim.ivfpq_topk(
-        embs, embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"), k=10
+    cosine re-ranks the shortlist. Emitted as the pooled recall@10
+    verdict vs the exact top-k (observed 0.55-0.59; floor 0.4) — see
+    _ann_recall; ADC fidelity + recall also in tests."""
+    return _ann_recall(
+        spark, sf_dir, lambda e, q: _sim.ivfpq_topk(e, q, k=10), floor=0.4
     )
 
 

