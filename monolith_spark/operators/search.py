@@ -86,6 +86,10 @@ def query_table(spark, queries: list[tuple[str, list[str]]]) -> DataFrame:
     literals through applySchemaToPythonRDD and spin Python worker
     processes for a handful of constants — measured at multiple
     seconds of cold-start in the bench."""
+    if not any(terms for _, terms in queries):
+        # F.array() with zero elements cannot star-expand; an empty
+        # query list is a caller bug, not an empty result.
+        raise ValueError("query_table needs at least one (query_id, terms) with terms")
     rows = F.array(*[
         F.struct(F.lit(qid).alias("query_id"), F.lit(t).alias("term"))
         for qid, terms in queries
