@@ -311,3 +311,51 @@ def bigram_lm_score(
         F.count("*").cast("long").alias("n_bigrams"),
         (F.sum("pr").cast("double") / F.count("*")).alias("avg_bigram_p"),
     )
+
+
+# PII patterns kept RE2-compatible (no backreferences/lookaround) so
+# DuckDB (RE2) and Spark (java.util.regex) match identically; each is
+# anchored on delimiters, not \b, because RE2 and Java disagree on
+# word-boundary semantics around '@' and '.' in some locales.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+",
+    "ipv4": r"(^|[^0-9.])([0-9]{1,3}\.){3}[0-9]{1,3}($|[^0-9.])",
+    "phone_e164": r"\+[0-9]{7,15}",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document PII signal + redaction: counts of email / IPv4 /
+    E.164-phone matches and the md5 fingerprint of the text with all
+    three classes replaced by class tags ("<EMAIL>"...). The pre-release
+    scrub step of every training-data pipeline (C4/RefinedWeb drop or
+    mask documents on these signals).
+
+    Returns [id_col, n_emails, n_ipv4, n_phones, redacted_fp].
+
+    Scale shape: pure per-row projections — zero shuffles, pipelined
+    into whichever scan feeds it; patterns are shared literals
+    (PII_PATTERNS) so an external auditor can replay the scrub.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS[k]), 0))
+        .cast("long")
+        .alias(a)
+        for k, a in (("email", "n_emails"), ("ipv4", "n_ipv4"), ("phone_e164", "n_phones"))
+    ]
+    red = t
+    for k, tag in (("email", "<EMAIL>"), ("phone_e164", "<PHONE>")):
+        red = F.regexp_replace(red, PII_PATTERNS[k], tag)
+    # ipv4's guard groups would swallow the delimiter char on replace;
+    # counts use the guarded form, the redaction replaces the bare
+    # dotted-quad (over-redacting version-like strings is the safe
+    # direction for a scrub).
+    red = F.regexp_replace(red, r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>")
+    return df.select(
+        F.col(id_col), *counts, F.md5(red).alias("redacted_fp")
+    )

@@ -4183,6 +4183,86 @@ def docs_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic PII injected deterministically over the (PII-free) fixture
+# text so the cross-engine regex parity check has real matches: ~14% of
+# docs get an email, ~9% an IP + E.164 phone. Mirrored verbatim in SQL.
+_PII_AUG = (
+    " CASE WHEN doc_id % 7 = 0 THEN"
+    " ' contact user' || CAST(doc_id AS VARCHAR) || '@corp.example.com now'"
+    " WHEN doc_id % 11 = 0 THEN"
+    " ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 call +15551234567'"
+    " ELSE '' END"
+)
+
+
+@_q(
+    "docs_pii_scan",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, text || {_PII_AUG} AS text FROM documents),
+    red AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '(^|[^0-9.])([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}($|[^0-9.])')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(text, '\\+[0-9]{{7,15}}')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+          '\\+[0-9]{{7,15}}', '<PHONE>', 'g'),
+          '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g')) AS redacted_fp
+      FROM aug)
+    SELECT doc_id, n_emails, n_ipv4, n_phones, redacted_fp FROM red
+    """,
+)
+def docs_pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub signal (operators/text.py:pii_scan): per-doc email /
+    IPv4 / E.164 counts + md5 of the class-tag-redacted text. The
+    fixture corpus is PII-free, so deterministic synthetic PII is
+    appended in-query (_PII_AUG, mirrored in the oracle) — the parity
+    check then proves both engines' regex dialects agree on matches
+    AND on the byte-exact redacted output. DuckDB's regexp_replace
+    needs the 'g' flag to match Spark's replace-all semantics."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.expr(_PII_AUG.replace("VARCHAR", "STRING")))
+    )
+    return _text.pii_scan(docs)
+
+
+@_q(
+    "docs_domain_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 15
+    """,
+)
+def docs_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap sampling: keep at most 15 docs per source, chosen
+    by md5-of-key order — the anti-over-representation step web-crawl
+    curation applies per domain (a hot domain must not dominate the
+    mix). Hash order makes the kept set reproducible on any engine /
+    partitioning, unlike TABLESAMPLE; doc_id tiebreak for md5 ties.
+
+    Scale shape: one shuffle on source + per-partition top-40 —
+    Spark's WindowGroupLimit pushes the rn<=15 filter into a partial
+    top-k BEFORE the exchange, so the shuffle carries at most 15 rows
+    per (source, map task), not the corpus."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "source")
+    )
+
+
 @_q(
     "docs_pack_sequences",
     f"""

@@ -54,12 +54,58 @@ def scaled_samples(spark, mult: int):
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def scaled_docs(spark, mult: int):
+    """documents × mult with disjoint per-copy vocabulary (every token
+    suffixed `_i`), so shingles never collide across copies: near-dup
+    structure — pair count, cluster sizes — scales linearly with the
+    multiplier instead of quadratically (10 exact copies of each doc
+    would measure an artificial dup-rate blow-up, not scaling)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = [d]
+    for i in range(1, mult):
+        parts.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            .withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1_{i}"))
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def dedup_probe(spark, mult: int) -> dict:
+    """Times the two round-2-flagged dedup paths post-broadcast-gate:
+    MinHash-LSH pair generation + the full keep-best materialization
+    (pairs → connected components → winner/singleton union)."""
+    from monolith_spark.operators import dedup
+
+    docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(docs)
+    pairs.write.format("noop").mode("overwrite").save()
+    lsh_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    clusters = dedup.cluster_pairs(dedup.minhash_lsh_pairs(docs))
+    scored = docs.select("doc_id", F.length("text").cast("double").alias("score"))
+    dedup.keep_best(scored, clusters, "score").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    keep_best_s = time.perf_counter() - t0
+    return {
+        "mult": mult,
+        "docs": docs.count(),
+        "minhash_lsh_sec": round(lsh_s, 3),
+        "keep_best_sec": round(keep_best_s, 3),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
     mults = [
         int(m) for m in os.environ.get("SCALE_PROBE_MULTS", "1,10").split(",")
     ]
+    if os.environ.get("SCALE_PROBE_TARGET", "engine") == "dedup":
+        for mult in mults:
+            print(json.dumps(dedup_probe(spark, mult)))
+        return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")
         try:

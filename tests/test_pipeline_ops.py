@@ -564,3 +564,61 @@ def test_mad_outliers_matches_numpy(spark):
         assert got[k]["med"] == med, (k, got[k]["med"], med)
         assert got[k]["mad"] == mad_v, (k, got[k]["mad"], mad_v)
         assert got[k]["n_outliers"] == n_out, k
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from monolith_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at alice.smith+x@corp.example.com or bob@ex.org thanks"),
+            (1, "server 10.0.3.7 and 192.168.001.255 replied"),
+            (2, "call +15551234567 urgently"),
+            (3, "nothing sensitive here 1.2 times over"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert rows[0]["n_emails"] == 2 and rows[0]["n_ipv4"] == 0
+    assert rows[1]["n_ipv4"] == 2 and rows[1]["n_emails"] == 0
+    assert rows[2]["n_phones"] == 1
+    assert rows[3]["n_emails"] == rows[3]["n_ipv4"] == rows[3]["n_phones"] == 0
+    # redaction is total: no original PII byte survives in the hashed text
+    from pyspark.sql import functions as F
+    from monolith_spark.operators.text import PII_PATTERNS
+
+    red = docs.select(
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("text"), PII_PATTERNS["email"], "<EMAIL>"
+                    ),
+                    PII_PATTERNS["phone_e164"],
+                    "<PHONE>",
+                ),
+                r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+                "<IP>",
+            )
+        ).alias("fp"),
+        "doc_id",
+    )
+    expect = {r["doc_id"]: r["fp"] for r in red.collect()}
+    assert all(rows[i]["redacted_fp"] == expect[i] for i in rows)
+
+
+def test_domain_cap_keeps_at_most_cap_per_source(spark, sf_dir):
+    from collections import Counter
+
+    from monolith_spark.workload import all_queries
+
+    rows = all_queries()["docs_domain_cap"].spark_fn(spark, sf_dir).collect()
+    per_src = Counter(r["source"] for r in rows)
+    assert per_src and max(per_src.values()) <= 15
+    # deterministic: same kept set on a different partitioning
+    again = (
+        all_queries()["docs_domain_cap"].spark_fn(spark, sf_dir).repartition(3).collect()
+    )
+    assert {(r["doc_id"], r["source"]) for r in rows} == {
+        (r["doc_id"], r["source"]) for r in again
+    }

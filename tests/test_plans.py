@@ -474,3 +474,13 @@ def test_jaccard_pairs_single_shingle_shuffle_no_self_join(spark, sf_dir):
         if "Exchange hashpartitioning(shingle" in l
     ]
     assert len(shingle_exchanges) == 1, shingle_exchanges
+
+
+def test_domain_cap_partial_window_group_limit(spark, sf_dir):
+    # The rn<=15 cap must push a partial WindowGroupLimit BELOW the
+    # source exchange: the shuffle then carries <=15 rows per (source,
+    # map task) instead of the corpus.
+    plan = _plan(all_queries()["docs_domain_cap"].spark_fn(spark, sf_dir))
+    lines = plan.splitlines()
+    first_exchange = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    assert any("WindowGroupLimit" in l for l in lines[first_exchange:]), plan[:2000]
