@@ -4377,6 +4377,50 @@ def docs_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_mix_temperature",
+    f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len({_W})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    sq AS (
+      SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,9)) AS sqv
+      FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST(sqv AS DOUBLE) / CAST((SELECT sum(sqv) FROM sq) AS DOUBLE)
+             AS mix_weight
+    FROM sq
+    """,
+)
+def docs_mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixing weights (the mC4/UniMax
+    recipe at α = 0.5): weight_i = tokens_i^α / Σ_j tokens_j^α, which
+    upsamples small domains relative to proportional mixing. α = 0.5
+    keeps the exponent IEEE-exact on both engines (sqrt is correctly
+    rounded; pow(x, 0.5) need not be), and each sqrt is narrowed to
+    DECIMAL(28,9) before the Σ so the denominator is order-independent
+    — then ONE double division per row, deterministic cross-engine.
+
+    Scale shape: per-source aggregation (mergeable) + a 1-row total
+    broadcast; the weights table is O(#domains) — megabytes at web
+    scale — feeding the downstream sampler as a broadcast dim."""
+    per = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_text.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    sq = per.withColumn(
+        "sqv", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,9)")
+    )
+    tot = sq.agg(F.sum("sqv").alias("tot"))
+    return sq.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("sqv").cast("double") / F.col("tot").cast("double")).alias("mix_weight"),
+    )
+
+
+@_q(
     "text_top_ngrams",
     f"""
     WITH t AS (SELECT unnest({_W}) AS tok FROM documents),

@@ -622,3 +622,14 @@ def test_domain_cap_keeps_at_most_cap_per_source(spark, sf_dir):
     assert {(r["doc_id"], r["source"]) for r in rows} == {
         (r["doc_id"], r["source"]) for r in again
     }
+
+
+def test_mix_temperature_weights_sum_to_one_and_upsample_small(spark, sf_dir):
+    from monolith_spark.workload import all_queries
+
+    rows = all_queries()["docs_mix_temperature"].spark_fn(spark, sf_dir).collect()
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-9
+    # α=0.5 must upsample the smallest domain vs proportional mixing
+    tot_tokens = sum(r["n_tokens"] for r in rows)
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    assert smallest["mix_weight"] > smallest["n_tokens"] / tot_tokens
