@@ -736,3 +736,93 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def sqdist_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double — same
+    order-deterministic shape as dot_expr, so the DuckDB oracle's
+    list_reduce reproduces the exact IEEE result."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FULLY DISTRIBUTED Lloyd k-means over an embedding column —
+    unlike train_ivf_centroids (the FAISS bounded-sample recipe, a
+    driver-side collect), every step here is a DataFrame op, so it
+    scales to corpora where even the per-cluster mean can't fit one
+    machine: assignment is a corpus × k broadcast join, the centroid
+    update is one (cid, pos) aggregation.
+
+    Returns the final assignment [vec_id, cluster_id, dist2].
+
+    Deterministic and cross-engine exact, by construction:
+    - seeds = the k lowest-id vectors (no RNG);
+    - assignment ties break to the lowest cluster id;
+    - per-component means sum in DECIMAL(38,18) (order-free) and
+      divide ONCE in double;
+    - distances are sequential folds (sqdist_expr ≡ list_reduce).
+    Empty clusters keep their previous centroid.
+
+    Scale shape per iteration: one broadcast of k·dim doubles, one
+    row_number window per vector (partition = vec id, k rows), one
+    posexplode shuffle of corpus × dim keyed (cid, pos) — all linear;
+    no iteration-over-collect, no driver state beyond the plan.
+    """
+    v = corpus.select(F.col(id_col).alias("vid"), _dbl(vec_col).alias("v"))
+    seed_w = Window.orderBy("vid")
+    cents = (
+        v.orderBy("vid")
+        .limit(k)
+        .select((F.row_number().over(seed_w) - 1).alias("cid"), F.col("v").alias("c"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = v.crossJoin(F.broadcast(centroids)).withColumn(
+            "d2", sqdist_expr(F.col("v"), F.col("c"))
+        )
+        aw = Window.partitionBy("vid").orderBy("d2", "cid")
+        return (
+            d.withColumn("__rn", F.row_number().over(aw))
+            .filter(F.col("__rn") == 1)
+            .select("vid", "cid", "v", "d2")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        comp = a.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = (
+            comp.groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
+            )
+        )
+        newc = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+        cents = (
+            cents.select("cid", F.col("c").alias("c_old"))
+            .join(newc, "cid", "left")
+            .select("cid", F.coalesce("c", "c_old").alias("c"))
+        )
+
+    return assign(cents).select(
+        F.col("vid").alias("vec_id"),
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("d2").alias("dist2"),
+    )

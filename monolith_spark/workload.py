@@ -4730,6 +4730,65 @@ def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-CTE mirror of similarity.py:kmeans_lloyd — one
+    assignment + centroid-update CTE pair per Lloyd iteration. Exact
+    cross-engine by the same three devices as the Spark side: lowest-id
+    seeds, (d2, cid) tie-break, DECIMAL(38,18) component sums with a
+    single double division."""
+    d2 = (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        " i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i])), (x,y) -> x+y)"
+    )
+    sql = f"""
+    WITH v AS (SELECT vec_id AS vid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS c
+           FROM (SELECT vid, v FROM v ORDER BY vid LIMIT {k}))"""
+    for t in range(iters):
+        sql += f""",
+    a{t} AS (
+      SELECT vid, cid, v FROM (
+        SELECT v.vid, c.cid, v.v,
+               row_number() OVER (PARTITION BY v.vid ORDER BY {d2}, c.cid) AS rn
+        FROM v, c{t} c) WHERE rn = 1),
+    m{t} AS (
+      SELECT cid, p.pos,
+             CAST(sum(CAST(v[CAST(p.pos AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*) AS m
+      FROM a{t}, range(1, {dim + 1}) p(pos) GROUP BY 1, 2),
+    n{t} AS (SELECT cid, list(m ORDER BY pos) AS c FROM m{t} GROUP BY 1),
+    c{t + 1} AS (SELECT c.cid, COALESCE(n.c, c.c) AS c
+                 FROM c{t} c LEFT JOIN n{t} n ON c.cid = n.cid)"""
+    sql += f"""
+    SELECT vid AS vec_id, cid AS cluster_id,
+           CAST(CAST(d2 AS DECIMAL(18,9)) AS DOUBLE) AS dist2 FROM (
+      SELECT v.vid, c.cid, {d2} AS d2,
+             row_number() OVER (PARTITION BY v.vid ORDER BY {d2}, c.cid) AS rn
+      FROM v, c{iters} c) WHERE rn = 1
+    """
+    return sql
+
+
+@_q("emb_kmeans_lloyd", _kmeans_oracle())
+def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means assignment (k=8, 2 iterations) over
+    the embeddings table — the iterative-algorithm companion to the
+    CC operator: per-round state lives in DataFrames, never the
+    driver (contrast train_ivf_centroids' bounded-sample collect).
+    See similarity.py:kmeans_lloyd for the determinism devices the
+    oracle replays. dist2 is narrowed to DECIMAL(18,9) at the surface:
+    the double→DECIMAL(38,18) narrowing inside the centroid mean can
+    round the 19th+ fractional digit differently per engine (a float's
+    exact decimal expansion runs ~27 digits), wiggling distances by
+    1 ulp — assignments are unaffected (margins ≫ ulp) and the 9-digit
+    surface absorbs it."""
+    return _sim.kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2).withColumn(
+        "dist2", F.col("dist2").cast("decimal(18,9)").cast("double")
+    )
+
+
 @_q("sim_ivf_topk", _ANN_RECALL_ORACLE)
 def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (spherical-k-means cells, nprobe probe +

@@ -633,3 +633,43 @@ def test_mix_temperature_weights_sum_to_one_and_upsample_small(spark, sf_dir):
     tot_tokens = sum(r["n_tokens"] for r in rows)
     smallest = min(rows, key=lambda r: r["n_tokens"])
     assert smallest["mix_weight"] > smallest["n_tokens"] / tot_tokens
+
+
+def test_kmeans_lloyd_recovers_planted_clusters(spark):
+    import random
+
+    from monolith_spark.operators.similarity import kmeans_lloyd
+
+    rng = random.Random(42)
+    centers = [[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_lloyd(embs, k=3, iters=2).collect()
+    assert len(got) == 90
+    # every planted cluster maps to exactly one k-means cluster
+    by_truth = {}
+    for r in got:
+        by_truth.setdefault(r["vec_id"] % 3, set()).add(r["cluster_id"])
+    assert all(len(s) == 1 for s in by_truth.values()), by_truth
+    assert len(set().union(*by_truth.values())) == 3
+    # tight assignment: within-cluster distance far below cross-center gap
+    assert all(r["dist2"] < 8 * 1.0 for r in got)
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_seed(spark):
+    # k=3 over 2 distinct points: one seed never wins a member; the
+    # operator must still return k-consistent assignments, not NULLs.
+    from monolith_spark.operators.similarity import kmeans_lloyd
+
+    embs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in kmeans_lloyd(embs, k=3, iters=2).collect()}
+    assert len(got) == 3
+    assert got[0]["cluster_id"] == got[1]["cluster_id"]
+    assert got[2]["cluster_id"] != got[0]["cluster_id"]
+    assert all(r["dist2"] is not None for r in got.values())
