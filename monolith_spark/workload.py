@@ -5598,6 +5598,44 @@ def docs_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_perplexity_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS head, w[i] || ' ' || w[i+1] AS bg
+           FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 1),
+    uni AS (SELECT tok, count(*) AS c1
+            FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+    c2t AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+    pr AS (SELECT doc_id,
+                  CAST(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                       AS DECIMAL(18,9)) AS pr
+           FROM bg JOIN c2t USING (bg) JOIN uni ON bg.head = uni.tok),
+    score AS (SELECT doc_id, CAST(sum(pr) AS DOUBLE) / count(*) AS s
+              FROM pr GROUP BY 1)
+    SELECT doc_id, s AS lm_score,
+           CAST(ntile(3) OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS bucket
+    FROM score
+    """,
+)
+def docs_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: docs bucketed into LM-quality
+    terciles (bucket 1 = most fluent under the corpus bigram LM). This
+    exact-parity formulation uses ntile over (score desc, doc_id) — a
+    global sort, fine for the oracle tier; the production path at
+    100 TB replaces it with two GK-sketch thresholds
+    (percentile_approx(s, [1/3, 2/3]) — mergeable, no global sort)
+    broadcast into a comparison, same output contract modulo sketch
+    rank error."""
+    scored = _text.bigram_lm_score(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("avg_bigram_p").alias("lm_score")
+    )
+    w = Window.orderBy(F.col("lm_score").desc(), "doc_id")
+    return scored.select(
+        "doc_id", "lm_score", F.ntile(3).over(w).cast("long").alias("bucket")
+    )
+
+
+@_q(
     "ts_mad_outliers",
     f"""
     WITH s AS (
