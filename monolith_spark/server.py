@@ -95,7 +95,9 @@ def _evaluate_hinted(db: MonolithDB, matchers, q: proto.Query) -> list[proto.Tim
         F.greatest(F.col("bucket_ms"), F.lit(q.start_timestamp_ms)),
     ).filter(F.col(f"{agg}_value").isNotNull())
     rows = (
-        ds.join(F.broadcast(db.series().select("series_id", "labels")), "series_id")
+        # J6 hydration reuses the engine's size-gated dim hint — a
+        # forced broadcast here would ship an unbounded dim at scale.
+        ds.join(db._dim_hint(db.series().select("series_id", "labels")), "series_id")
         .orderBy("signature", "bucket_ms")
         .collect()
     )

@@ -1308,7 +1308,7 @@ def ts_gorilla_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_series_df(keyed.select("series_id", "timestamp", "value"))
     )
     return (
-        decoded.join(F.broadcast(sig_map), "series_id")
+        decoded.join(sig_map, "series_id")
         .groupBy("signature")
         .agg(
             F.count("*").alias("n_points"),
@@ -1456,10 +1456,8 @@ def tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-                .select("o_orderkey")
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey")
@@ -1511,7 +1509,7 @@ def tpch_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.join(orders.select("o_orderkey", "o_custkey"),
                        per_order.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.sum("order_rev").cast("double").alias("revenue"),
@@ -1548,7 +1546,7 @@ def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
         .rollup("r_name", "n_name")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
@@ -1638,9 +1636,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -1847,7 +1845,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(12,2)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
-    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    agg = li.join(part, li.l_partkey == part.p_partkey).agg(
         F.sum(promo).cast("double").alias("promo_revenue"),
         F.sum(rev).cast("double").alias("total_revenue"),
     )
@@ -1921,7 +1919,7 @@ def tpch_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = F.col("l_returnflag") == "R"
     zero = F.lit(0).cast("decimal(12,2)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -2206,7 +2204,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA")
     ) | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
@@ -2284,8 +2282,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(12,2)")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
@@ -2344,8 +2342,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("yr"))
@@ -2492,7 +2490,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_supp.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
@@ -2531,7 +2529,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, F.col("l_partkey") == F.col("agg_partkey"))
         .filter(
             F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("cnt")
@@ -2593,7 +2591,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(clause)
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -2661,7 +2659,7 @@ def tpch_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("nsupp") >= 2)
             & (F.col("nsupp_r") == 1),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "s_name")
         .agg(F.count("*").alias("numwait"))
@@ -2715,7 +2713,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ec = cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    ec = cost.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
     mn = ec.groupBy(F.col("l_partkey").alias("mk")).agg(
         F.min("cost").alias("mincost")
     )
@@ -2725,7 +2723,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ec.join(mn, (F.col("l_partkey") == F.col("mk"))
                 & (F.col("cost") == F.col("mincost")))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey", "p_brand", "s_name", "n_name",
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
@@ -2770,7 +2768,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     val = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -2864,9 +2862,9 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
     ).select("p_partkey", "p_brand", "p_size")
     return (
-        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+        ps.join(bad, F.col("l_suppkey") == F.col("s_suppkey"),
                 "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -2905,7 +2903,7 @@ def tpch_q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
     qualified = (
-        li.join(F.broadcast(gp), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(gp, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
         .filter(F.col("sq") > 200)
