@@ -677,3 +677,59 @@ def test_continuous_hll_matches_exact_distinct(spark, tmp_path):
         spark.createDataFrame([("d1", "uNEW")], "day string, user string"), epoch_id=0
     )
     assert {r["day"]: r["n_distinct"] for r in hll.read().collect()} == got
+
+
+def test_streaming_minibatch_kmeans_matches_python_twin(spark, tmp_path):
+    import random
+
+    from monolith_spark.streaming.kmeans import (
+        StreamingKMeans,
+        minibatch_kmeans_batch,
+    )
+
+    rng = random.Random(7)
+    centers = [[5.0, 5.0, 5.0, 5.0], [-5.0, -5.0, -5.0, -5.0]]
+    slices = []
+    vid = 0
+    for _ in range(3):  # 3 micro-batches
+        sl = []
+        for _ in range(20):
+            c = centers[vid % 2]
+            sl.append((vid, [x + rng.uniform(-1, 1) for x in c]))
+            vid += 1
+        slices.append(sl)
+
+    src = str(tmp_path / "src")
+    for sl in slices:
+        spark.createDataFrame(
+            sl, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    seeds = [[0.0, 0.0, 0.0, 1.0], [0.0, 0.0, 0.0, -1.0]]
+    km = StreamingKMeans(spark, str(tmp_path / "km"), [list(s) for s in seeds])
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = km.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    # file-stream batch order = file write order; twin applies the same
+    # mini-batch rule over the same slices
+    want_c, want_n = minibatch_kmeans_batch(slices, [list(s) for s in seeds])
+    assert km._counts == want_n and sum(want_n) == 60
+    for got, want in zip(km.centroids, want_c):
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), (got, want)
+    # converged near the planted centers (order follows the seeds' sign)
+    for got, center in zip(km.centroids, centers):
+        assert all(abs(a - b) < 1.0 for a, b in zip(got, center)), (got, center)
+
+    # replaying a committed epoch is a no-op; assignments are queryable
+    state_before = [list(c) for c in km.centroids]
+    km.process_batch(spark.read.parquet(src), epoch_id=0)
+    assert km.centroids == state_before
+    assigned = spark.read.parquet(str(tmp_path / "km")).where("epoch_id >= 0")
+    assert assigned.count() == 60
+    assert set(r["cluster_id"] for r in assigned.collect()) == {0, 1}
