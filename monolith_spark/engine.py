@@ -438,6 +438,74 @@ class MonolithDB:
                 dropped += 1
         return dropped
 
+    def delete_series(self, matchers) -> int:
+        """Selective series deletion (GDPR / tombstone analog): remove
+        every series matching ``matchers`` — dict superset semantics or
+        a LabelMatcher list, same surface as query() — from BOTH
+        tables. Returns the number of series deleted.
+
+        The reference has no delete at all (chunks accumulate forever,
+        /root/reference/src/db.rs:22-32); this is the operational
+        companion to drop_chunks_before: retention deletes by TIME at
+        partition granularity, this deletes by IDENTITY and therefore
+        must rewrite fact partitions. Each chunk partition is rewritten
+        through the same staged-rename protocol as compact_chunk
+        (write tmp → swap → drop old; crash recovery via
+        _recover_compaction), anti-joined against the matched id set
+        under the usual dim-size broadcast gate; the dim is swapped
+        last, so a crash mid-delete can leave already-rewritten chunks
+        (points gone — deletes replay idempotently) but never a dim row
+        pointing at deleted points' series without its metadata.
+
+        At 100 TB: cost is one read+write of the fact table — the
+        honest price of identity-grain deletion on immutable storage;
+        a manifest format with per-file series-id stats would let
+        untouched files be skipped. Run in the same read-quiesced
+        window as compaction (same swap caveat). Not safe concurrently
+        with writers.
+        """
+        import shutil
+
+        sel = self._matched_series(matchers).select("series_id").persist()
+        try:
+            n = sel.count()
+            if n == 0:
+                return 0
+            self._recover_compaction()
+            staging = os.path.join(self.path, "_compact")
+            os.makedirs(staging, exist_ok=True)
+            if os.path.isdir(self.samples_path):
+                for name in sorted(os.listdir(self.samples_path)):
+                    if not name.startswith("chunk_id="):
+                        continue
+                    part = os.path.join(self.samples_path, name)
+                    cid = name.split("=", 1)[1]
+                    tmp = os.path.join(staging, f"chunk_{cid}.tmp")
+                    old = os.path.join(staging, f"chunk_{cid}.old")
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    shutil.rmtree(old, ignore_errors=True)
+                    kept = self.spark.read.parquet(part).join(
+                        self._dim_hint(sel), "series_id", "left_anti"
+                    )
+                    kept.write.mode("overwrite").parquet(tmp)
+                    os.rename(part, old)
+                    os.rename(tmp, part)
+                    shutil.rmtree(old)
+            if os.path.exists(self.series_path):
+                dim_tmp = os.path.join(staging, "series.tmp")
+                dim_old = os.path.join(staging, "series.old")
+                shutil.rmtree(dim_tmp, ignore_errors=True)
+                shutil.rmtree(dim_old, ignore_errors=True)
+                self.series().join(sel, "series_id", "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(dim_tmp)
+                os.rename(self.series_path, dim_old)
+                os.rename(dim_tmp, self.series_path)
+                shutil.rmtree(dim_old)
+            return n
+        finally:
+            sel.unpersist()
+
     def chunks(self) -> DataFrame:
         """Chunk inventory: [chunk_id, start_ms, end_ms, n_files,
         bytes] per sealed/live partition — the observability view of

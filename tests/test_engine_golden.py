@@ -611,3 +611,28 @@ def test_empty_batch_writes_never_poison_or_probe(spark, tmp_path):
     assert len(res) == 1
     assert [(p["timestamp"], p["value"]) for p in res[0]["points"]] == [(1000, 1.0)]
     assert db.series().count() == 1
+
+
+def test_delete_series_removes_identity_from_both_tables(spark, tmp_path):
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": "a", "user": "u1"}, t, 1.0) for t in (1_000, 61_000, 121_000)]
+        + [({"job": "b", "user": "u2"}, t, 2.0) for t in (1_000, 61_000)],
+        "labels map<string,string>, timestamp long, value double",
+    ))
+    assert db.delete_series({"user": "u1"}) == 1
+    # fact rows gone across every chunk; survivor untouched
+    left = db.query({}, 0, 10**9).collect()
+    assert [r["signature"] for r in left] == ["job=b,user=u2"]
+    assert len(left[0]["points"]) == 2
+    # dim row gone too
+    assert db.series().count() == 1
+    # idempotent replay + miss returns 0
+    assert db.delete_series({"user": "u1"}) == 0
+    # the identity can be re-created after deletion (content-hash ids)
+    db.write(spark.createDataFrame(
+        [({"job": "a", "user": "u1"}, 200_000, 9.0)],
+        "labels map<string,string>, timestamp long, value double",
+    ))
+    back = db.query({"user": "u1"}, 0, 10**9).collect()
+    assert len(back) == 1 and [p["value"] for p in back[0]["points"]] == [9.0]
