@@ -58,6 +58,7 @@ EXTRA_WORKLOAD_NAMES = [
     "docs_lm_score",
     "docs_dedup_keep_best",
     "ts_mad_outliers",
+    "emb_kmeans_lloyd",
 ]
 
 
