@@ -4037,6 +4037,36 @@ def multimodal_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_audio_spectrum",
+    """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                      64 + CAST(doc_id AS BIGINT) % 37 AS n
+               FROM documents),
+    s AS (SELECT media_id, n,
+                 (31 * k.k * k.k + 17 * (media_id % 89)) % 65536 - 32768 AS v
+          FROM d, range(0, 101) k(k) WHERE k.k < n)
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           TRUE AS parseval_ok
+    FROM s GROUP BY media_id, n
+    """,
+)
+def multimodal_audio_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features through the REAL byte path:
+    WAV decode → numpy rfft (operators/multimodal.py:audio_spectrum).
+    The spectrum itself is not SQL-expressible, so the driver-checked
+    surface is (exact integer signal energy, Parseval verdict): the
+    oracle recomputes Σs² arithmetically from the synthetic-signal
+    formula, and parseval_ok=TRUE requires Σ|X|²/N to equal it at
+    1e-9 relative — a skipped or broken transform cannot pass.
+    dominant_bin/Hz are exercised in tests with a planted sine."""
+    media = _mm.attach_synth_wav(_docs(spark, sf_dir))
+    return _mm.audio_spectrum(media).select(
+        "media_id", "n_samples", "energy", "parseval_ok"
+    )
+
+
+@_q(
     "multimodal_audio_stats",
     """
     WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,

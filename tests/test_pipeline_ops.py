@@ -673,3 +673,27 @@ def test_kmeans_lloyd_empty_cluster_keeps_seed(spark):
     assert got[0]["cluster_id"] == got[1]["cluster_id"]
     assert got[2]["cluster_id"] != got[0]["cluster_id"]
     assert all(r["dist2"] is not None for r in got.values())
+
+
+def test_audio_spectrum_finds_planted_sine(spark):
+    import numpy as np
+
+    from monolith_spark.operators.multimodal import audio_spectrum, encode_wav
+
+    rate, n = 8000, 256
+    rows = []
+    for mid, cycles in ((1, 8), (2, 32)):  # 8 cycles/256 → 250 Hz; 32 → 1000 Hz
+        t = np.arange(n)
+        s = (10_000 * np.sin(2 * np.pi * cycles * t / n)).astype(np.int16)
+        rows.append((mid, bytearray(encode_wav(s, rate))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_spectrum(media).collect()}
+    assert got[1]["dominant_bin"] == 8 and abs(got[1]["dominant_hz"] - 250.0) < 1e-9
+    assert got[2]["dominant_bin"] == 32 and abs(got[2]["dominant_hz"] - 1000.0) < 1e-9
+    assert all(r["parseval_ok"] for r in got.values())
+    # corrupt payload degrades to a NULL row, not a job failure
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not a wav"))], "media_id long, payload binary"
+    )
+    r = audio_spectrum(bad).collect()[0]
+    assert r["media_id"] == 9 and r["energy"] is None and r["parseval_ok"] is None
