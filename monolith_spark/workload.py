@@ -4036,6 +4036,50 @@ def multimodal_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.decode_resize_features(media, width=8, height=8)
 
 
+def _edge_oracle() -> str:
+    """Symbolic Sobel over the synthetic pixel formula
+    pixel(x,y,c) = (3x + 7y + 11·(id%97) + 29c) % 256 — the 2-D
+    convolution the Spark side computes on REAL decoded bytes,
+    replayed as closed-form integer arithmetic."""
+    def gray(dx: int, dy: int) -> str:
+        base = f"(3*(x+({dx})) + 7*(y+({dy})) + 11*(media_id % 97))"
+        return "(" + " + ".join(f"(({base} + {c}) % 256)" for c in (0, 29, 58)) + ")"
+
+    gx = (
+        f"(({gray(1, -1)} + 2*{gray(1, 0)} + {gray(1, 1)})"
+        f" - ({gray(-1, -1)} + 2*{gray(-1, 0)} + {gray(-1, 1)}))"
+    )
+    gy = (
+        f"(({gray(-1, 1)} + 2*{gray(0, 1)} + {gray(1, 1)})"
+        f" - ({gray(-1, -1)} + 2*{gray(0, -1)} + {gray(1, -1)}))"
+    )
+    return f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                      4 + CAST(doc_id AS BIGINT) % 5 AS w,
+                      4 + CAST(doc_id AS BIGINT) % 3 AS h
+               FROM documents),
+    px AS (SELECT media_id, w, h, i.i AS x, j.j AS y
+           FROM d, range(1, 8) i(i), range(1, 8) j(j)
+           WHERE i.i <= w - 2 AND j.j <= h - 2)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_interior,
+           CAST(sum(abs({gx}) + abs({gy})) AS BIGINT) AS edge_energy
+    FROM px GROUP BY 1, 2, 3
+    """
+
+
+@_q("multimodal_edge_energy", _edge_oracle())
+def multimodal_edge_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Sobel edge energy through the REAL byte path: PPM
+    payloads → decode → 3×3 gradient convolution
+    (operators/multimodal.py:image_edge_features). Pure integer
+    arithmetic end to end, so the oracle replays the convolution
+    symbolically over the synthetic pixel formula — any decode,
+    indexing, or border-handling bug changes the hash."""
+    media = _mm.attach_synth_ppm(_docs(spark, sf_dir))
+    return _mm.image_edge_features(media)
+
+
 @_q(
     "multimodal_audio_spectrum",
     """

@@ -697,3 +697,28 @@ def test_audio_spectrum_finds_planted_sine(spark):
     )
     r = audio_spectrum(bad).collect()[0]
     assert r["media_id"] == 9 and r["energy"] is None and r["parseval_ok"] is None
+
+
+def test_image_edge_features_vertical_step_edge(spark):
+    import numpy as np
+
+    from monolith_spark.operators.multimodal import encode_ppm, image_edge_features
+
+    # 4x4, left half black, right half white (all channels): the only
+    # nonzero gradient is Gx across the step. gray = 3*255 = 765;
+    # each interior pixel (2x2) sees Gx = 4*765, Gy = 0.
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:, 2:, :] = 255
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "media_id long, payload binary"
+    )
+    r = image_edge_features(media).collect()[0]
+    assert (r["width"], r["height"], r["n_interior"]) == (4, 4, 4)
+    assert r["edge_energy"] == 4 * 4 * 765  # 4 interior px x |Gx|=4*765
+    # too-small image: zero interior, zero energy, no crash
+    tiny = spark.createDataFrame(
+        [(2, bytearray(encode_ppm(np.zeros((2, 2, 3), np.uint8))))],
+        "media_id long, payload binary",
+    )
+    t = image_edge_features(tiny).collect()[0]
+    assert t["n_interior"] == 0 and t["edge_energy"] == 0
