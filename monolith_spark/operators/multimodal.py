@@ -714,3 +714,50 @@ def image_edge_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+def video_motion_energy(df: DataFrame) -> DataFrame:
+    """REAL temporal video feature: Y4M payload → decode → sum of
+    absolute luma differences between adjacent frames (the classic
+    motion/scene-change statistic) → [media_id, width, height,
+    n_frames, n_pairs, motion_energy]. Arrow narrow map, zero
+    shuffles; undecodable payloads degrade to NULL rows. All integer
+    arithmetic — exact, so an oracle can replay it symbolically.
+    Single-frame clips report 0 pairs / 0 energy.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("n_pairs", T.LongType(), True),
+            T.StructField("motion_energy", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = _decode_y4m(bytes(payload))
+                    energy = 0
+                    for a, b in zip(frames, frames[1:]):
+                        energy += int(
+                            np.abs(a.astype(np.int64) - b.astype(np.int64)).sum()
+                        )
+                    rows.append(
+                        (mid, w, h, len(frames), max(len(frames) - 1, 0), energy)
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "n_frames", "n_pairs", "motion_energy",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, out_schema)

@@ -4141,6 +4141,41 @@ def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_motion_energy",
+    """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                      CAST(8 + 2 * (CAST(doc_id AS BIGINT) % 3) AS INT) AS w,
+                      CAST(6 + 2 * (CAST(doc_id AS BIGINT) % 2) AS INT) AS h,
+                      2 + CAST(doc_id AS BIGINT) % 4 AS nf
+               FROM documents),
+    pairs AS (SELECT media_id, w, h, nf, fr.f AS f
+              FROM d, range(0, 5) fr(f) WHERE fr.f < nf - 1),
+    px AS (SELECT media_id, w, h, nf,
+                  abs(((5 * (i.i % w) + 3 * (i.i // w) + 11 * (f + 1)
+                        + 7 * (media_id % 83)) % 256)
+                      - ((5 * (i.i % w) + 3 * (i.i // w) + 11 * f
+                          + 7 * (media_id % 83)) % 256)) AS dy
+           FROM pairs, range(0, 96) i(i) WHERE i.i < w * h)
+    SELECT media_id, w AS width, h AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf - 1 AS BIGINT) AS n_pairs,
+           CAST(sum(dy) AS BIGINT) AS motion_energy
+    FROM px GROUP BY media_id, w, h, nf
+    """,
+)
+def multimodal_motion_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal motion energy through the REAL byte path: Y4M decode →
+    Σ|Y_{t+1}−Y_t| over adjacent frames
+    (operators/multimodal.py:video_motion_energy). Integer-exact, so
+    the oracle replays the frame-difference arithmetic symbolically
+    (each pixel delta is 11 or 245 depending on the mod-256 wrap —
+    a frame-order or plane-offset bug shifts the wrap set and breaks
+    the hash)."""
+    media = _mm.attach_synth_y4m(_docs(spark, sf_dir))
+    return _mm.video_motion_energy(media)
+
+
+@_q(
     "multimodal_video_stats",
     """
     WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,

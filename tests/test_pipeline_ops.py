@@ -722,3 +722,24 @@ def test_image_edge_features_vertical_step_edge(spark):
     )
     t = image_edge_features(tiny).collect()[0]
     assert t["n_interior"] == 0 and t["edge_energy"] == 0
+
+
+def test_video_motion_energy_planted_shift(spark):
+    import numpy as np
+
+    from monolith_spark.operators.multimodal import video_motion_energy
+
+    # hand-build a 2-frame y4m: 4x2, frame2 = frame1 + 10 everywhere
+    f1 = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    f2 = f1 + 10
+    w, h = 4, 2
+    uv = bytes((w // 2) * (h // 2) * 2)
+    payload = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+    for f in (f1, f2):
+        payload += b"FRAME\n" + f.tobytes() + uv
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = video_motion_energy(media).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"], r["n_pairs"]) == (4, 2, 2, 1)
+    assert r["motion_energy"] == 8 * 10  # 8 pixels x |delta|=10
