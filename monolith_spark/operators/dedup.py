@@ -481,3 +481,66 @@ def keep_best(
         "left_anti",
     ).select("doc_id", F.col("doc_id").alias("cluster_id"), score_col)
     return winners.unionByName(singletons)
+
+
+def pagerank(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair graph (e.g. near-dup pairs):
+    [node, rank] after ``iters`` power iterations — a centrality
+    signal for canonical-document selection (the most-linked doc in a
+    duplication neighborhood is usually the original; feed `rank` to
+    keep_best as score_col).
+
+    Fixed-iteration DataFrame power method: per round one equi-join
+    edges⋈ranks + one groupBy(dst) — shuffle volume O(edges), no
+    driver state (the same shape as cluster_pairs, but with fixed
+    rounds so an unrolled SQL oracle can replay it exactly).
+
+    Cross-engine exactness devices (the kmeans_lloyd recipe): per-edge
+    contributions rank/deg narrow to DECIMAL(38,18) before the
+    order-free Σ; the damping update is a fixed expression of that
+    exact sum; final ranks surface as doubles (callers wanting
+    hash-exact output should round via DECIMAL(18,9), see
+    docs_pagerank).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n_nodes = nodes.count()  # one job; the scalar parameterizes the plan
+    ranks = nodes.select(
+        "node", "deg", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
+    )
+    base = (1.0 - damping) / float(n_nodes)
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "deg", "rank"), "src"
+            )
+            .select(
+                "dst",
+                (F.col("rank") / F.col("deg")).cast("decimal(38,18)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            "deg",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", "rank")

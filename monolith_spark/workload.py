@@ -3843,6 +3843,57 @@ def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.shingle_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_TAU)
 
 
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-iteration mirror of dedup.py:pagerank over the
+    exact-Jaccard pair graph — one contribution+update CTE pair per
+    round; contributions DECIMAL(38,18)-summed, rank surfaced through
+    DECIMAL(18,9)→DOUBLE (the kmeans_lloyd exactness recipe)."""
+    sql = f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+      WHERE CAST(ni AS DOUBLE) / (x.ns + y.ns - ni) >= {_JACCARD_TAU}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, deg, 1.0 / (SELECT CAST(n AS DOUBLE) FROM nn) AS rank
+           FROM deg)"""
+    for t in range(iters):
+        sql += f""",
+    c{t} AS (
+      SELECT e.dst, sum(CAST(r.rank / r.deg AS DECIMAL(38,18))) AS s
+      FROM edges e JOIN r{t} r ON e.src = r.node GROUP BY 1),
+    r{t + 1} AS (
+      SELECT r.node, r.deg,
+             (1.0 - {damping}) / (SELECT CAST(n AS DOUBLE) FROM nn)
+             + {damping} * COALESCE(CAST(c.s AS DOUBLE), 0.0) AS rank
+      FROM r{t} r LEFT JOIN c{t} c ON r.node = c.dst)"""
+    sql += f"""
+    SELECT node, CAST(CAST(rank AS DECIMAL(18,9)) AS DOUBLE) AS rank
+    FROM r{iters}
+    """
+    return sql
+
+
+@_q("docs_pagerank", _pagerank_oracle())
+def docs_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact-Jaccard near-dup graph
+    (operators/dedup.py:pagerank, 3 power iterations) — the
+    canonical-document signal: within a duplication neighborhood the
+    most-linked doc is usually the original. The oracle unrolls the
+    iterations as CTE pairs and matches hash-exactly."""
+    pairs = _dedup.shingle_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_TAU)
+    return _dedup.pagerank(pairs).withColumn(
+        "rank", F.col("rank").cast("decimal(18,9)").cast("double")
+    )
+
+
 @_q(
     "dedup_clusters",
     f"""

@@ -743,3 +743,19 @@ def test_video_motion_energy_planted_shift(spark):
     r = video_motion_energy(media).collect()[0]
     assert (r["width"], r["height"], r["n_frames"], r["n_pairs"]) == (4, 2, 2, 1)
     assert r["motion_energy"] == 8 * 10  # 8 pixels x |delta|=10
+
+
+def test_pagerank_star_graph_centers_win(spark):
+    from monolith_spark.operators.dedup import pagerank
+
+    # star: node 0 linked to 1..4; plus an isolated pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(pairs, iters=5).collect()}
+    # hub outranks every leaf; leaves are symmetric; total mass ~1
+    assert all(got[0] > got[i] for i in range(1, 5))
+    assert len({round(got[i], 12) for i in range(1, 5)}) == 1
+    assert got[10] == got[11]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
