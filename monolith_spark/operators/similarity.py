@@ -826,3 +826,75 @@ def kmeans_lloyd(
         F.col("cid").cast("long").alias("cluster_id"),
         F.col("d2").alias("dist2"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    tau: float = 0.4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means-bounded cosine pruning. Cluster the
+    corpus with distributed Lloyd k-means, compare vectors pairwise
+    ONLY within their cluster, and greedily drop every vector that has
+    a near-duplicate (cosine >= tau) with a smaller id in the same
+    cluster.
+
+    Returns [vec_id, cluster_id, kept] for EVERY input vector — the
+    keep/drop decision is the product; callers filter kept for the
+    surviving corpus.
+
+    This is the embedding-family analog of the paper's recipe and the
+    scale path past embedding_near_dup_pairs' all-pairs join: the
+    pairwise stage is an equi-join on cluster_id, so total work is
+    Σ|cluster|² instead of n². At 100 TB you run k ≈ corpus/1k
+    clusters (the paper uses k=50k at 100M scale) and the per-cluster
+    quadratic term stays bounded; a pathological hot cluster is fixed
+    by raising k (the assignment step is linear in k via one broadcast
+    of k·dim doubles). Greedy lowest-id keep (not connected
+    components) matches docs_curation's pair rule: deterministic,
+    single-pass, and exactly SQL-replayable.
+    """
+    assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    base = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            _dbl(vec_col).alias("vec"),
+            norm_expr(_dbl(vec_col)).alias("nrm"),
+        )
+        .join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
+    )
+    a = base.select(
+        F.col("cluster_id"),
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("cluster_id"),
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= tau)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        base.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cluster_id"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -4888,12 +4888,13 @@ def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """Unrolled-CTE mirror of similarity.py:kmeans_lloyd — one
-    assignment + centroid-update CTE pair per Lloyd iteration. Exact
+    assignment + centroid-update CTE pair per Lloyd iteration, ending
+    in ``afin(vid, cid, v, d2)``, the final assignment. Exact
     cross-engine by the same three devices as the Spark side: lowest-id
     seeds, (d2, cid) tie-break, DECIMAL(38,18) component sums with a
-    single double division."""
+    single double division. Shared by the kmeans and semdedup oracles."""
     d2 = (
         f"list_reduce(list_transform(range(1, {dim + 1}),"
         " i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i])), (x,y) -> x+y)"
@@ -4919,14 +4920,47 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     n{t} AS (SELECT cid, list(m ORDER BY pos) AS c FROM m{t} GROUP BY 1),
     c{t + 1} AS (SELECT c.cid, COALESCE(n.c, c.c) AS c
                  FROM c{t} c LEFT JOIN n{t} n ON c.cid = n.cid)"""
-    sql += f"""
-    SELECT vid AS vec_id, cid AS cluster_id,
-           CAST(CAST(d2 AS DECIMAL(18,9)) AS DOUBLE) AS dist2 FROM (
-      SELECT v.vid, c.cid, {d2} AS d2,
-             row_number() OVER (PARTITION BY v.vid ORDER BY {d2}, c.cid) AS rn
-      FROM v, c{iters} c) WHERE rn = 1
-    """
+    sql += f""",
+    afin AS (
+      SELECT vid, cid, v, d2 FROM (
+        SELECT v.vid, c.cid, v.v, {d2} AS d2,
+               row_number() OVER (PARTITION BY v.vid ORDER BY {d2}, c.cid) AS rn
+        FROM v, c{iters} c) WHERE rn = 1)"""
     return sql
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    return (
+        _kmeans_ctes(k, iters, dim)
+        + """
+    SELECT vid AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           CAST(CAST(d2 AS DECIMAL(18,9)) AS DOUBLE) AS dist2 FROM afin
+    """
+    )
+
+
+def _semdedup_oracle(tau: float, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """k-means CTEs + within-cluster cosine pairs + greedy lowest-id
+    keep — the SQL replay of similarity.py:semdedup. Cosine is the
+    same sequential fold as _COS_SQL over afin's double vectors, so
+    the tau compare sees bit-identical values on both engines."""
+    cos = """
+      list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+      / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+         * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y)))
+    """
+    return (
+        _kmeans_ctes(k, iters, dim)
+        + f""",
+    dropped AS (
+      SELECT DISTINCT b.vid
+      FROM afin a JOIN afin b ON a.cid = b.cid AND a.vid < b.vid
+      WHERE {cos} >= {tau})
+    SELECT vid AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           vid NOT IN (SELECT vid FROM dropped) AS kept
+    FROM afin
+    """
+    )
 
 
 @_q("emb_kmeans_lloyd", _kmeans_oracle())
@@ -4945,6 +4979,18 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2).withColumn(
         "dist2", F.col("dist2").cast("decimal(18,9)").cast("double")
     )
+
+
+@_q("emb_semdedup", _semdedup_oracle(tau=_EMB_TAU))
+def emb_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): distributed-k-means clusters bound
+    the pairwise cosine join (equi-join on cluster_id → Σ|cluster|²
+    work, not n²), then greedy lowest-id keep inside each cluster.
+    The 100 TB semantic-dedup path: emb_dedup_keep_best's all-pairs
+    stage becomes per-cluster, and recall vs the exact pairs is a
+    function of k (tested in test_pipeline_ops). Emits the keep/drop
+    verdict for every vector."""
+    return _sim.semdedup(_embs(spark, sf_dir), tau=_EMB_TAU)
 
 
 @_q("sim_ivf_topk", _ANN_RECALL_ORACLE)

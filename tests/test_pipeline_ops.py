@@ -759,3 +759,52 @@ def test_pagerank_star_graph_centers_win(spark):
     assert len({round(got[i], 12) for i in range(1, 5)}) == 1
     assert got[10] == got[11]
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_semdedup_drops_planted_near_dups_and_keeps_one(spark):
+    import random
+
+    from monolith_spark.operators.similarity import semdedup
+
+    rng = random.Random(7)
+    # two tight semantic groups (near-identical members) + noise vectors
+    rows = []
+    g1 = [1.0] * 8
+    g2 = [-1.0] * 4 + [1.0] * 4
+    for i in range(5):
+        rows.append((i, [x + rng.uniform(-0.01, 0.01) for x in g1]))
+    for i in range(5, 10):
+        rows.append((i, [x + rng.uniform(-0.01, 0.01) for x in g2]))
+    for i in range(10, 30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in semdedup(embs, tau=0.99, k=4, iters=2).collect()}
+    assert len(got) == 30  # verdict for every vector
+    # greedy lowest-id keep: within each planted group, exactly the
+    # minimum id survives IF the group landed in one cluster (it must:
+    # intra-group distance << inter-group) — all higher ids are dropped
+    for group in (range(5), range(5, 10)):
+        cids = {got[i]["cluster_id"] for i in group}
+        assert len(cids) == 1
+        assert got[min(group)]["kept"] is True
+        assert all(got[i]["kept"] is False for i in group if i != min(group))
+    # kept set is deterministic across partitionings
+    again = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(embs.repartition(5), tau=0.99, k=4, iters=2).collect()
+    }
+    assert {i: r["kept"] for i, r in got.items()} == again
+
+
+def test_semdedup_pairwise_work_is_cluster_bounded(spark):
+    """The pairwise stage must be an equi-join on cluster_id (the
+    SemDeDup scale contract) — no cartesian/broadcast-nested-loop over
+    the corpus."""
+    from monolith_spark.operators.similarity import semdedup
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = semdedup(embs, tau=0.9, k=4, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
