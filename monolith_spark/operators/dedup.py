@@ -544,3 +544,74 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks.select("node", "rank")
+
+
+def span_dup_stats(
+    df: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the scalable
+    approximation of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): hash every ``window``-token span at ``stride``-
+    token steps, call a span duplicated when its hash occurs in >= 2
+    distinct documents, and report the per-document duplicated
+    fraction. (The paper's suffix array finds arbitrary >= 50-token
+    matches; strided fixed windows find any cross-doc match of
+    window+stride-1 tokens or longer while staying one explode + one
+    hash groupBy — shuffle-linear at any corpus size, where a
+    distributed suffix array is a multi-round sort.)
+
+    Returns [doc_id, n_spans, n_dup_spans, dup_frac] for EVERY input
+    doc; docs shorter than ``window`` tokens have zero spans and a
+    NULL fraction. The dup-hash side of the final join is NOT
+    hint-broadcast — boilerplate-heavy web crawls make it O(corpus),
+    AQE decides from measured bytes.
+    """
+    from monolith_spark.operators.text import tokens_expr
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    spans = (
+        toks.filter(F.size("__w") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__w") - (window - 1), F.lit(stride))
+            ).alias("__i"),
+            "__w",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("__w", F.col("__i"), window), " ")).alias("__h"),
+        )
+    )
+    dup_h = (
+        spans.groupBy("__h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    agg = (
+        spans.join(dup_h, "__h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+            ).alias("dup_frac"),
+        )
+    )

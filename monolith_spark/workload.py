@@ -4981,6 +4981,38 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "docs_span_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    s AS (SELECT doc_id,
+                 md5(array_to_string(list_transform(range(0, 20), k -> w[CAST(i + k AS INT)]), ' ')) AS h
+          FROM t, range(1, 2000) r(i)
+          WHERE (i - 1) % 10 = 0 AND i + 19 <= len(w)),
+    d AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    a AS (SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(CASE WHEN h IN (SELECT h FROM d) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans
+          FROM s GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN a.n_spans > 0
+                THEN CAST(a.n_dup_spans AS DOUBLE) / a.n_spans END AS dup_frac
+    FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+    """,
+)
+def docs_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span fractions (Lee et al. exact-substring dedup,
+    approximated by strided 20-token hashed windows): the signal a
+    curation pipeline thresholds to cut boilerplate-heavy docs. One
+    explode + one hash groupBy — see dedup.span_dup_stats for the
+    suffix-array contrast. Oracle unnests positions via the
+    range(1,2000) convention (FIXTURES.md: fixture docs < 2000
+    tokens)."""
+    return _dedup.span_dup_stats(_docs(spark, sf_dir))
+
+
 @_q("emb_semdedup", _semdedup_oracle(tau=_EMB_TAU))
 def emb_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): distributed-k-means clusters bound

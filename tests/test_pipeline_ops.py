@@ -808,3 +808,27 @@ def test_semdedup_pairwise_work_is_cluster_bounded(spark):
     )
     plan = semdedup(embs, tau=0.9, k=4, iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_span_dup_stats_flags_planted_cross_doc_span(spark):
+    from monolith_spark.operators.dedup import span_dup_stats
+
+    boiler = " ".join(f"b{i}" for i in range(25))  # 25 shared tokens
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq(0)),   # shares the 25-token prefix
+            (1, boiler + " " + uniq(1)),   # with doc 0
+            (2, uniq(2)),                  # all-unique, >= 20 tokens
+            (3, "short doc"),              # < window tokens -> no spans
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dup_stats(docs).collect()}
+    assert len(got) == 4
+    # windows at stride 10 starting inside the 25 shared tokens:
+    # start 1 covers tokens 1-20, fully shared between docs 0 and 1
+    assert got[0]["n_dup_spans"] >= 1 and got[1]["n_dup_spans"] >= 1
+    assert got[0]["dup_frac"] > 0
+    assert got[2]["n_dup_spans"] == 0 and got[2]["n_spans"] >= 1
+    assert got[3]["n_spans"] == 0 and got[3]["dup_frac"] is None
