@@ -615,3 +615,86 @@ def span_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def shingle_tf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    df_cap: int = 50,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-cosine near-dup pairs over word n-gram shingles:
+    [doc_a, doc_b, tf_cosine] with doc_a < doc_b and cosine >=
+    threshold, where each doc is the (implicit) shingle-count vector
+    and terms with document frequency > ``df_cap`` are dropped from
+    the feature space.
+
+    The frequency-weighted complement to shingle_jaccard_pairs (sets
+    ignore repetition; TF-cosine catches boilerplate-heavy near-dups
+    where one doc repeats the shared content). Same one-shuffle
+    postings shape as the Jaccard path — postings explode ordered
+    pairs, never a corpus self-join — plus the df cap the Jaccard path
+    lacks: per-posting pair work is Σ_{df<=cap} df² <= cap·Σdf, i.e.
+    LINEAR in corpus shingles with a constant cap, so one boilerplate
+    shingle can't produce a quadratic straggler. df=1 terms are
+    skipped in postings (they pair with nothing) but kept in norms;
+    dropping df>cap terms from BOTH dot and norms keeps it an exact
+    cosine over the capped vocabulary.
+
+    Exact cross-engine: dot and squared norms are BIGINT sums of
+    BIGINT products (order-free), then ONE sqrt·sqrt multiply and ONE
+    divide in double — bit-identical on any engine, no fold-order
+    caveat.
+    """
+    from monolith_spark.operators.text import shingles_expr, tokens_expr
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            shingles_expr(F.col("__w"), n, distinct=False, pre_tokenized=True)
+        ).alias("term"),
+    )
+    tf = sh.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    kept = tf.join(
+        dfq.filter(F.col("df") <= df_cap).select("term"), "term", "left_semi"
+    )
+    n2 = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    post = (
+        kept.join(
+            dfq.filter((F.col("df") >= 2) & (F.col("df") <= df_cap)).select("term"),
+            "term",
+            "left_semi",
+        )
+        .groupBy("term")
+        .agg(F.collect_list(F.struct("doc_id", "tf")).alias("__ds"))
+        .select(F.array_sort("__ds").alias("d"))
+    )
+    ex = post.select("d", F.posexplode("d").alias("i", "a"))
+    dot = (
+        ex.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.tf").alias("__tfa"),
+            F.explode(F.slice("d", F.col("i") + 2, F.size("d"))).alias("b"),
+        )
+        .groupBy("doc_a", F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("__tfa") * F.col("b.tf")).cast("long").alias("dot"))
+    )
+    x = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("__na"))
+    y = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("__nb"))
+    return (
+        dot.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn(
+            "tf_cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))),
+        )
+        .filter(F.col("tf_cosine") >= threshold)
+        .select("doc_a", "doc_b", "tf_cosine")
+    )

@@ -4982,6 +4982,39 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_tf_cosine_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+           FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 2),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    v AS (SELECT tf.doc_id, tf.term, tf.tf
+          FROM tf JOIN dfq USING (term) WHERE df <= 50),
+    n2 AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 FROM v GROUP BY 1),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+          FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE)/(sqrt(CAST(x.n2 AS DOUBLE))*sqrt(CAST(y.n2 AS DOUBLE)))
+             AS tf_cosine
+    FROM p JOIN n2 x ON doc_a = x.doc_id JOIN n2 y ON doc_b = y.doc_id
+    WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(x.n2 AS DOUBLE))*sqrt(CAST(y.n2 AS DOUBLE))) >= 0.3
+    """,
+)
+def docs_tf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted near-dup pairs: TF-cosine over 3-token
+    shingles with a df<=50 feature cap — catches repetition-heavy
+    near-dups Jaccard's set semantics miss, at a postings cost that
+    stays linear under the cap (see dedup.shingle_tf_cosine_pairs).
+    Integer dot/norms make the cosine bit-exact cross-engine. The
+    oracle's self-join form is the same math; the Spark side ships
+    the one-shuffle postings plan."""
+    return _dedup.shingle_tf_cosine_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+@_q(
     "docs_span_dedup",
     f"""
     WITH t AS (SELECT doc_id, {_W} AS w FROM documents),

@@ -832,3 +832,34 @@ def test_span_dup_stats_flags_planted_cross_doc_span(spark):
     assert got[0]["dup_frac"] > 0
     assert got[2]["n_dup_spans"] == 0 and got[2]["n_spans"] >= 1
     assert got[3]["n_spans"] == 0 and got[3]["dup_frac"] is None
+
+
+def test_shingle_tf_cosine_catches_repetition_and_caps_df(spark):
+    from monolith_spark.operators.dedup import shingle_tf_cosine_pairs
+
+    chunk = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, chunk),
+            (1, (chunk + " ") * 3),         # same content repeated 3x
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = shingle_tf_cosine_pairs(docs, threshold=0.3, df_cap=50).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["tf_cosine"] for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.8  # repetition-robust
+    assert all(2 not in p for p in pairs)
+    # a boilerplate shingle shared by MORE than df_cap docs must not
+    # produce pairs: 60 docs sharing one 3-token prefix, cap 50
+    many = spark.createDataFrame(
+        [(i, "common boiler plate u%d v%d w%d" % (i, i, i)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    assert shingle_tf_cosine_pairs(many, threshold=0.01, df_cap=50).count() == 0
+    # plan: postings shape, no corpus self-join
+    plan = (
+        shingle_tf_cosine_pairs(docs, threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
