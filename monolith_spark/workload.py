@@ -5719,6 +5719,44 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_dedup_window",
+    """
+    SELECT event_id, user_id, event_type, gap_ms,
+           (gap_ms IS NULL OR gap_ms >= 300000) AS kept
+    FROM (
+      SELECT event_id, user_id, event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_ms
+      FROM events)
+    """,
+)
+def events_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event dedup (debounce): flag every event that repeats
+    the same (user, event_type) within 5 minutes of the previous
+    occurrence — the standard at-least-once-delivery / double-click
+    scrub at the front of an event pipeline. One LAG window per
+    (user, type) partition, no self-join; the batch twin of
+    streaming/ingest.dedup_stream (watermark + dropDuplicates), with
+    the verdict emitted per event so downstream stages can filter or
+    audit. Ties (identical ts) break on event_id, making the kept set
+    deterministic on both engines."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ms = F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+    return (
+        ev.withColumn("gap_ms", ms - F.lag(ms).over(w))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "gap_ms",
+            (F.col("gap_ms").isNull() | (F.col("gap_ms") >= 300_000)).alias("kept"),
+        )
+    )
+
+
+@_q(
     "ts_time_weighted_avg",
     f"""
     WITH seg AS (

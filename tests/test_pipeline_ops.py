@@ -863,3 +863,31 @@ def test_shingle_tf_cosine_catches_repetition_and_caps_df(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_events_dedup_window_debounce_semantics(spark, tmp_path):
+    import datetime as dt
+
+    from monolith_spark.workload import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1, clicks at t=0s, 100s, 700s: the 100s one is a dupe
+        (0, base, 1, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(seconds=100), 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=700), 1, "click", 1.0, "{}"),
+        # different type same user: independent partition
+        (3, base + dt.timedelta(seconds=5), 1, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["event_id"]: r
+        for r in all_queries()["events_dedup_window"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["kept"] is True and got[0]["gap_ms"] is None
+    assert got[1]["kept"] is False and got[1]["gap_ms"] == 100_000
+    assert got[2]["kept"] is True and got[2]["gap_ms"] == 600_000
+    assert got[3]["kept"] is True
