@@ -359,3 +359,62 @@ def pii_scan(
     return df.select(
         F.col(id_col), *counts, F.md5(red).alias("redacted_fp")
     )
+
+
+def winnow_fingerprints_expr(
+    text: Column | str, k: int = 3, w: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS local fingerprinting scheme): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum, and dedupe by value. Guarantee (the paper's Thm. 2
+    adapted to word grams): any shared run of >= w + k - 1 tokens
+    between two docs yields at least one shared fingerprint, while
+    fingerprint density stays ~2/(w+1) of the grams — a robust,
+    storage-bounded sketch for copy detection.
+
+    Divergence from the paper: selection dedupes by VALUE (the set of
+    window minima), not by (value, position) with rightmost-min
+    tie-break — identical matching power for set-intersection use, and
+    expressible as one pure array projection (zero shuffles, zero
+    joins) on both engines. Docs with fewer than ``w`` grams get one
+    truncated window (min over all grams); docs with < k tokens get an
+    empty set. Returns a sorted array<bigint>.
+    """
+    toks = tokens_expr(text)
+
+    def _build(ws: Column) -> Column:
+        grams = shingles_expr(ws, k, distinct=False, pre_tokenized=True)
+        hashes = F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        )
+        mins = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        )
+        return F.when(F.size(hashes) >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    # bind the token array once (projection-collapse trap — see shingles_expr)
+    return F.element_at(F.transform(F.array(toks), _build), 1)
+
+
+def winnow_stats(
+    df: DataFrame, k: int = 3, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc winnowing fingerprint summary: [doc_id, n_fingerprints,
+    min_fp, max_fp, fp_digest] where fp_digest is the md5 of the
+    sorted fingerprint list — a scalar that pins the full set for
+    exact comparison/storage without shipping arrays."""
+    fps = winnow_fingerprints_expr(F.col(text_col), k, w)
+    base = df.select(F.col(id_col).alias("doc_id"), fps.alias("__fp"))
+    return base.select(
+        "doc_id",
+        F.size("__fp").cast("long").alias("n_fingerprints"),
+        F.array_min("__fp").alias("min_fp"),
+        F.array_max("__fp").alias("max_fp"),
+        F.md5(F.array_join(F.transform("__fp", lambda x: x.cast("string")), ",")).alias(
+            "fp_digest"
+        ),
+    )

@@ -4982,6 +4982,40 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_winnow_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 list(CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)
+                           AS BIGINT) ORDER BY i) AS hs
+          FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 2
+          GROUP BY doc_id),
+    f AS (SELECT doc_id,
+                 list_sort(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 3, 1) + 1),
+                   j -> list_aggregate(hs[CAST(j AS INT):CAST(j + 3 AS INT)], 'min')))) AS fp
+          FROM g)
+    SELECT t.doc_id,
+           CAST(COALESCE(len(f.fp), 0) AS BIGINT) AS n_fingerprints,
+           list_aggregate(f.fp, 'min') AS min_fp,
+           list_aggregate(f.fp, 'max') AS max_fp,
+           md5(COALESCE(array_to_string(list_transform(f.fp, x -> CAST(x AS VARCHAR)), ','), ''))
+             AS fp_digest
+    FROM t LEFT JOIN f ON t.doc_id = f.doc_id
+    """,
+)
+def docs_winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS scheme, k=3-gram hashes, w=4
+    window minima): the copy-detection sketch — any shared run of
+    >= w+k-1 = 6 tokens produces a shared fingerprint. Pure array
+    projection, ZERO shuffles (contrast span_dup_stats' explode+
+    groupBy: winnowing is the store-a-sketch side, spans are the
+    corpus-wide join side). Summary scalars + set digest keep the
+    surface hash-comparable."""
+    return _text.winnow_stats(_docs(spark, sf_dir))
+
+
+@_q(
     "docs_tf_cosine_pairs",
     f"""
     WITH t AS (SELECT doc_id, {_W} AS w FROM documents),

@@ -891,3 +891,35 @@ def test_events_dedup_window_debounce_semantics(spark, tmp_path):
     assert got[1]["kept"] is False and got[1]["gap_ms"] == 100_000
     assert got[2]["kept"] is True and got[2]["gap_ms"] == 600_000
     assert got[3]["kept"] is True
+
+
+def test_winnow_shared_run_guarantee_and_zero_shuffle(spark):
+    from monolith_spark.operators.text import winnow_fingerprints_expr, winnow_stats
+    import pyspark.sql.functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (0, "x0 y0 " + shared + " z0 q0"),
+            (1, "p1 " + shared + " r1 s1 t1"),
+            (2, "one two three four five six seven"),  # disjoint vocab
+            (3, "ab"),  # < k tokens -> empty set
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: set(r["fp"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints_expr(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # Schleimer et al. guarantee: a shared >= w+k-1 token run yields a
+    # shared fingerprint
+    assert rows[0] & rows[1]
+    assert not (rows[0] & rows[2]) and not (rows[1] & rows[2])
+    assert rows[3] == set()
+    # fingerprint density: selected <= grams (and at least 1 per w-window)
+    assert 1 <= len(rows[2]) <= 5
+    # winnow_stats is a pure projection: NO Exchange in the plan
+    plan = winnow_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
