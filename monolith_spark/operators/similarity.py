@@ -898,3 +898,56 @@ def semdedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def prototypicality(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group prototypicality ranking (the D4 recipe — Tirumala et
+    al. 2023, arXiv:2308.12284 — ranks SemDeDup-survivors by distance
+    to their cluster centroid and prunes the most prototypical as
+    redundant): cosine of every vector to its group's mean vector,
+    ranked within the group (rank 1 = most prototypical).
+
+    Returns [vec_id, <group_col>, proto_cosine, rank].
+
+    Scale shape: the centroid is ONE (group, pos) aggregation over a
+    posexplode of the corpus (same device as kmeans_lloyd's update
+    step — linear, map-combinable), and the scoring join is an
+    equi-join on the group key against a relation of |groups| rows.
+    Cross-engine exact by the kmeans devices: DECIMAL(38,18) component
+    sums with a single double division, sequential-fold dot/norms,
+    (cosine desc, id) rank tie-break.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), F.col(group_col).alias("grp"), _dbl(vec_col).alias("v")
+    )
+    comp = v.select("grp", F.posexplode("v").alias("pos", "x"))
+    cents = (
+        comp.groupBy("grp", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("grp", "pos", (F.col("s").cast("double") / F.col("n")).alias("m"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+    )
+    scored = v.join(cents, "grp").withColumn(
+        "proto_cosine",
+        dot_expr(F.col("v"), F.col("c")) / (norm_expr(F.col("v")) * norm_expr(F.col("c"))),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("proto_cosine").desc(), "vid")
+    return scored.select(
+        F.col("vid").alias("vec_id"),
+        F.col("grp").alias(group_col),
+        "proto_cosine",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -5080,6 +5080,48 @@ def docs_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.span_dup_stats(_docs(spark, sf_dir))
 
 
+@_q(
+    "emb_prototypicality",
+    """
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT label, p.pos,
+                 CAST(sum(CAST(v[CAST(p.pos AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+                   / count(*) AS m
+          FROM v, range(1, 65) p(pos) GROUP BY 1, 2),
+    c AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY 1),
+    s AS (SELECT vec_id, v.label,
+                 list_reduce(list_transform(range(1, len(v.v)+1), i -> v.v[i]*c.c[i]), (x,y) -> x+y)
+                 / (sqrt(list_reduce(list_transform(range(1, len(v.v)+1), i -> v.v[i]*v.v[i]), (x,y) -> x+y))
+                    * sqrt(list_reduce(list_transform(range(1, len(c.c)+1), i -> c.c[i]*c.c[i]), (x,y) -> x+y)))
+                   AS proto_cosine
+          FROM v JOIN c ON v.label = c.label)
+    SELECT vec_id, label,
+           CAST(CAST(proto_cosine AS DECIMAL(18,9)) AS DOUBLE) AS proto_cosine,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY proto_cosine DESC, vec_id) AS rank
+    FROM s
+    """,
+)
+def emb_prototypicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style prototypicality (arXiv:2308.12284): cosine of each
+    vector to its label-group centroid, ranked within the group — the
+    diversity-pruning signal applied after SemDeDup. Centroid = one
+    (label, pos) aggregation (kmeans-update device); scoring is an
+    equi-join on label. Uses the embeddings fixture's label column as
+    the grouping. proto_cosine is narrowed to DECIMAL(18,9) at the
+    surface (the emb_kmeans_lloyd device): the DECIMAL(38,18) centroid
+    mean can round the 19th+ fractional digit differently per engine,
+    wiggling the cosine by ~1 ulp; ranks are unaffected (margins ≫
+    ulp) and the 9-digit surface absorbs it. The rank is computed on
+    the UN-narrowed cosine on both sides, so narrowing-induced ties
+    can't flip it."""
+    return _sim.prototypicality(_embs(spark, sf_dir)).withColumn(
+        "proto_cosine", F.col("proto_cosine").cast("decimal(18,9)").cast("double")
+    )
+
+
 @_q("emb_semdedup", _semdedup_oracle(tau=_EMB_TAU))
 def emb_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): distributed-k-means clusters bound

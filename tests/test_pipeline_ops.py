@@ -923,3 +923,23 @@ def test_winnow_shared_run_guarantee_and_zero_shuffle(spark):
     # winnow_stats is a pure projection: NO Exchange in the plan
     plan = winnow_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_prototypicality_ranks_centroid_proximity(spark):
+    from monolith_spark.operators.similarity import prototypicality
+
+    # group 0: three vectors along +x with one outlier off-axis;
+    # the on-axis ones are more prototypical (closer to the mean)
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.1], 0),
+        (2, [1.5, -0.1], 0),
+        (3, [0.1, 3.0], 0),   # outlier
+        (4, [0.0, 1.0], 1),   # singleton group: rank 1, cosine 1
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["vec_id"]: r for r in prototypicality(embs).collect()}
+    assert got[3]["rank"] == 4  # outlier is least prototypical
+    assert got[4]["rank"] == 1 and abs(got[4]["proto_cosine"] - 1.0) < 1e-12
+    ranks = sorted(got[i]["rank"] for i in (0, 1, 2, 3))
+    assert ranks == [1, 2, 3, 4]
