@@ -4982,6 +4982,68 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_adaptive_length_gate",
+    f"""
+    WITH t AS (SELECT doc_id, source, len({_W}) AS n_tokens FROM documents),
+    r AS (SELECT doc_id, source, n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt
+          FROM t),
+    b AS (SELECT doc_id, source, n_tokens,
+                 max(CASE WHEN rn = greatest((cnt*5+99)//100, 1) THEN n_tokens END)
+                   OVER (PARTITION BY source) AS lo,
+                 max(CASE WHEN rn = (cnt*95+99)//100 THEN n_tokens END)
+                   OVER (PARTITION BY source) AS hi
+          FROM r)
+    SELECT doc_id, source, n_tokens, lo AS q05_tokens, hi AS q95_tokens,
+           n_tokens BETWEEN lo AND hi AS in_range
+    FROM b
+    """,
+)
+def docs_adaptive_length_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality gate: flag docs outside their OWN
+    source's [q05, q95] token-length band instead of one global
+    threshold (different sources have different length norms — the
+    CCNet/Gopher practice of per-domain calibration). Quantiles are
+    exact rank-at-position values (rn = ceil(p·n) via integer
+    arithmetic — no interpolation, no cross-engine percentile drift),
+    and the whole query is ONE exchange on source: the rank window,
+    the count, and both value-at-rank windows share the same
+    hashpartitioning."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "source", _text.token_count("text").cast("long").alias("n_tokens")
+    )
+    wp = Window.partitionBy("source")
+    r = t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    lo_rank = F.greatest(F.expr("(cnt*5+99) div 100"), F.lit(1))
+    hi_rank = F.expr("(cnt*95+99) div 100")
+    b = r.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.max(F.when(F.col("rn") == lo_rank, F.col("n_tokens"))).over(wp).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("n_tokens"))).over(wp).alias("hi"),
+    )
+    return b.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("lo").alias("q05_tokens"),
+        F.col("hi").alias("q95_tokens"),
+        F.col("n_tokens").between(F.col("lo"), F.col("hi")).alias("in_range"),
+    )
+
+
+@_q(
     "docs_winnow_fingerprint",
     f"""
     WITH t AS (SELECT doc_id, {_W} AS w FROM documents),

@@ -943,3 +943,25 @@ def test_prototypicality_ranks_centroid_proximity(spark):
     assert got[4]["rank"] == 1 and abs(got[4]["proto_cosine"] - 1.0) < 1e-12
     ranks = sorted(got[i]["rank"] for i in (0, 1, 2, 3))
     assert ranks == [1, 2, 3, 4]
+
+
+def test_adaptive_length_gate_single_exchange_and_exact_ranks(spark, sf_dir):
+    from monolith_spark.workload import all_queries
+
+    q = all_queries()["docs_adaptive_length_gate"]
+    df = q.spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the rank/count/value-at-rank windows must share ONE exchange on source
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = df.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    import math
+    for src, rs in by_src.items():
+        lens = sorted(x["n_tokens"] for x in rs)
+        n = len(lens)
+        lo = lens[max(math.ceil(0.05 * n), 1) - 1]
+        hi = lens[math.ceil(0.95 * n) - 1]
+        assert all(x["q05_tokens"] == lo and x["q95_tokens"] == hi for x in rs)
+        assert all(x["in_range"] == (lo <= x["n_tokens"] <= hi) for x in rs)
