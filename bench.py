@@ -59,6 +59,11 @@ EXTRA_WORKLOAD_NAMES = [
     "docs_dedup_keep_best",
     "ts_mad_outliers",
     "emb_kmeans_lloyd",
+    # round-3 additions: semantic dedup + span/fingerprint text ops
+    "emb_semdedup",
+    "docs_span_dedup",
+    "docs_tf_cosine_pairs",
+    "docs_winnow_fingerprint",
 ]
 
 

@@ -383,18 +383,26 @@ def winnow_fingerprints_expr(
     """
     toks = tokens_expr(text)
 
+    def _with_hashes(hs: Column) -> Column:
+        # hs is a bound lambda VARIABLE: the md5 transform beneath it
+        # runs once per row. Referencing the raw transform expression
+        # inside the per-window lambda instead would re-hash every
+        # gram per window — O(grams × windows) md5s (21.5 s vs ~1 s at
+        # sf0.1, measured).
+        mins = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+        return F.when(F.size(hs) >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
+            F.array().cast("array<long>")
+        )
+
     def _build(ws: Column) -> Column:
         grams = shingles_expr(ws, k, distinct=False, pre_tokenized=True)
         hashes = F.transform(
             grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
         )
-        mins = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))),
-            lambda j: F.array_min(F.slice(hashes, j, w)),
-        )
-        return F.when(F.size(hashes) >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
-            F.array().cast("array<long>")
-        )
+        return F.element_at(F.transform(F.array(hashes), _with_hashes), 1)
 
     # bind the token array once (projection-collapse trap — see shingles_expr)
     return F.element_at(F.transform(F.array(toks), _build), 1)

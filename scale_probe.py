@@ -96,15 +96,66 @@ def dedup_probe(spark, mult: int) -> dict:
     }
 
 
+def scaled_embs(spark, mult: int):
+    """embeddings × mult, each copy's components sign-flipped by a
+    per-copy parity pattern (exact ±1 multiply, so geometry is
+    reshuffled rather than duplicated): exact copies would pile every
+    clone into one k-means cell and measure an artificial per-cell
+    pair blow-up instead of scaling."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    parts = [e]
+    for i in range(1, mult):
+        parts.append(
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, j: x * (1 - 2 * (j * F.lit(i) % 2)).cast("float"),
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def pipeline3_probe(spark, mult: int) -> dict:
+    """Round-3 operators: SemDeDup (k scaled with the corpus — the
+    paper's recipe and the documented scale contract), strided span
+    dedup, df-capped TF-cosine pairs, winnowing fingerprints."""
+    from monolith_spark.operators import dedup, text
+    from monolith_spark.operators import similarity as sim
+
+    docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+    out: dict = {"mult": mult, "docs": docs.count()}
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    timed("span_dedup_sec", dedup.span_dup_stats(docs))
+    timed("tf_cosine_sec", dedup.shingle_tf_cosine_pairs(docs))
+    timed("winnow_sec", text.winnow_stats(docs))
+    embs = scaled_embs(spark, mult).localCheckpoint(eager=True)
+    out["vecs"] = embs.count()
+    timed("semdedup_sec", sim.semdedup(embs, k=8 * mult))
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
     mults = [
         int(m) for m in os.environ.get("SCALE_PROBE_MULTS", "1,10").split(",")
     ]
-    if os.environ.get("SCALE_PROBE_TARGET", "engine") == "dedup":
+    target = os.environ.get("SCALE_PROBE_TARGET", "engine")
+    if target == "dedup":
         for mult in mults:
             print(json.dumps(dedup_probe(spark, mult)))
+        return
+    if target == "pipeline3":
+        for mult in mults:
+            print(json.dumps(pipeline3_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")
