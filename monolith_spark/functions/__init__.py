@@ -36,6 +36,7 @@ from monolith_spark.operators.similarity import (
 )
 from monolith_spark.operators.text import (
     BPE_PATTERN,
+    winnow_fingerprints_expr,
     bpe_tokens_expr,
     fingerprint_md5,
     hash60_expr,
@@ -88,7 +89,7 @@ __all__ = [
     "tokens_expr", "token_count", "bpe_tokens_expr", "BPE_PATTERN",
     "stopword_count", "punct_count", "lang_id_expr", "fingerprint_md5",
     "shingles_expr", "min_shingle_fingerprint", "hash60_expr",
-    "dot_expr", "norm_expr", "cosine_expr",
+    "dot_expr", "norm_expr", "cosine_expr", "winnow_fingerprints_expr",
     "hyperplane_signature", "hyperplane_signature_offset",
     "pq_code_expr", "zvalue_expr",
     "range_func_by_step",

@@ -951,3 +951,91 @@ def prototypicality(
         "proto_cosine",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def d4_prune(
+    corpus: DataFrame,
+    tau: float = 0.4,
+    k: int = 8,
+    iters: int = 2,
+    prune_pct: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023, arXiv:2308.12284) — the composed
+    embedding-curation pipeline: SemDeDup drops semantic duplicates
+    (within-cluster cosine >= tau, greedy lowest-id keep), then the
+    ``prune_pct``% MOST prototypical survivors of each cluster (the
+    vectors nearest the cluster mean — the redundant "template"
+    examples) are pruned for diversity.
+
+    Returns a verdict for EVERY vector:
+    [vec_id, cluster_id, verdict in ('dup','proto_pruned','kept'),
+    proto_cosine (NULL for dups)].
+
+    Scale shape = the union of its parts: one distributed k-means
+    (linear per iteration), one within-cluster pair join
+    (Σ|cluster|², k-bounded), one (cluster, pos) centroid aggregation
+    over survivors, one rank window per cluster. The prune boundary
+    uses integer arithmetic (rank <= (n·prune_pct) div 100) so both
+    engines cut at the identical row.
+    """
+    assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    base = (
+        corpus.select(F.col(id_col).alias("vid"), _dbl(vec_col).alias("v"))
+        .join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
+    )
+    a = base.select("cluster_id", F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = base.select("cluster_id", F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot_expr(F.col("va"), F.col("vb"))
+            / (norm_expr(F.col("va")) * norm_expr(F.col("vb")))
+            >= tau
+        )
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    kept = base.join(dropped, "vid", "left_anti")
+    comp = kept.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+    cents = (
+        comp.groupBy("cluster_id", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("cluster_id", "pos", (F.col("s").cast("double") / F.col("n")).alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+    )
+    scored = kept.join(cents, "cluster_id").withColumn(
+        "pc",
+        dot_expr(F.col("v"), F.col("c")) / (norm_expr(F.col("v")) * norm_expr(F.col("c"))),
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(F.col("pc").desc(), "vid")
+    wn = Window.partitionBy("cluster_id")
+    ranked = scored.select(
+        "vid",
+        "cluster_id",
+        "pc",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    out = base.select("vid", "cluster_id").join(
+        ranked.select("vid", "pc", "rn", "n"), "vid", "left"
+    )
+    return out.select(
+        F.col("vid").alias("vec_id"),
+        "cluster_id",
+        F.when(F.col("rn").isNull(), F.lit("dup"))
+        .when(F.col("rn") <= F.expr(f"(n*{prune_pct}) div 100"), F.lit("proto_pruned"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+        F.col("pc").alias("proto_cosine"),
+    )

@@ -5196,6 +5196,59 @@ def emb_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.semdedup(_embs(spark, sf_dir), tau=_EMB_TAU)
 
 
+def _d4_oracle(tau: float, prune_pct: int = 20, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """k-means CTEs + semdedup drop + survivor-centroid cosine rank +
+    integer prune boundary — the SQL replay of similarity.py:d4_prune."""
+    def cos(l: str, r: str) -> str:
+        return f"""
+      list_reduce(list_transform(range(1, len({l})+1), i -> {l}[i]*{r}[i]), (x,y) -> x+y)
+      / (sqrt(list_reduce(list_transform(range(1, len({l})+1), i -> {l}[i]*{l}[i]), (x,y) -> x+y))
+         * sqrt(list_reduce(list_transform(range(1, len({r})+1), i -> {r}[i]*{r}[i]), (x,y) -> x+y)))
+    """
+
+    return (
+        _kmeans_ctes(k, iters, dim)
+        + f""",
+    dropped AS (
+      SELECT DISTINCT b.vid
+      FROM afin a JOIN afin b ON a.cid = b.cid AND a.vid < b.vid
+      WHERE {cos("a.v", "b.v")} >= {tau}),
+    kept AS (SELECT * FROM afin WHERE vid NOT IN (SELECT vid FROM dropped)),
+    km AS (SELECT cid, p.pos,
+                  CAST(sum(CAST(v[CAST(p.pos AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+                    / count(*) AS m
+           FROM kept, range(1, {dim + 1}) p(pos) GROUP BY 1, 2),
+    kc AS (SELECT cid, list(m ORDER BY pos) AS c FROM km GROUP BY 1),
+    s AS (SELECT a.vid, a.cid, {cos("a.v", "kc.c")} AS pc
+          FROM kept a JOIN kc ON a.cid = kc.cid),
+    r AS (SELECT vid, cid, pc,
+                 row_number() OVER (PARTITION BY cid ORDER BY pc DESC, vid) AS rn,
+                 count(*) OVER (PARTITION BY cid) AS n
+          FROM s)
+    SELECT a.vid AS vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+           CASE WHEN r.vid IS NULL THEN 'dup'
+                WHEN r.rn <= (r.n * {prune_pct}) // 100 THEN 'proto_pruned'
+                ELSE 'kept' END AS verdict,
+           CAST(CAST(r.pc AS DECIMAL(18,9)) AS DOUBLE) AS proto_cosine
+    FROM afin a LEFT JOIN r ON a.vid = r.vid
+    """
+    )
+
+
+@_q("emb_d4_prune", _d4_oracle(tau=_EMB_TAU))
+def emb_d4_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 end-to-end embedding curation (arXiv:2308.12284): SemDeDup
+    drops semantic duplicates, then the 20% most prototypical
+    survivors of each cluster are pruned for diversity — per-vector
+    verdicts ('dup'/'proto_pruned'/'kept'). The composed flagship of
+    the embedding family (semdedup + prototypicality in one dataflow);
+    proto_cosine narrowed to DECIMAL(18,9) at the surface (kmeans ulp
+    device), prune boundary integer-exact on both engines."""
+    return _sim.d4_prune(_embs(spark, sf_dir), tau=_EMB_TAU).withColumn(
+        "proto_cosine", F.col("proto_cosine").cast("decimal(18,9)").cast("double")
+    )
+
+
 @_q("sim_ivf_topk", _ANN_RECALL_ORACLE)
 def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (spherical-k-means cells, nprobe probe +

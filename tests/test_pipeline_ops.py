@@ -965,3 +965,47 @@ def test_adaptive_length_gate_single_exchange_and_exact_ranks(spark, sf_dir):
         hi = lens[math.ceil(0.95 * n) - 1]
         assert all(x["q05_tokens"] == lo and x["q95_tokens"] == hi for x in rs)
         assert all(x["in_range"] == (lo <= x["n_tokens"] <= hi) for x in rs)
+
+
+def test_d4_prune_stage_semantics(spark):
+    from monolith_spark.operators.similarity import d4_prune
+
+    import random
+    rng = random.Random(3)
+    rows = []
+    # 5 near-identical vectors (semantic dups: keep min id, drop 4)
+    g = [1.0] * 8
+    for i in range(5):
+        rows.append((i, [x + rng.uniform(-0.005, 0.005) for x in g]))
+    # 20 spread vectors
+    for i in range(5, 25):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in d4_prune(embs, tau=0.99, k=4, prune_pct=20).collect()}
+    assert len(got) == 25
+    verdicts = {v["verdict"] for v in got.values()}
+    assert verdicts == {"dup", "proto_pruned", "kept"}
+    # SemDeDup is WITHIN-cluster: per cluster, exactly the lowest id of
+    # the planted near-dup members survives, every higher id is a dup
+    # (near-identical seeds may split the group across cells — that is
+    # the algorithm's contract, recall is a function of k)
+    by_cluster = {}
+    for i in range(5):
+        by_cluster.setdefault(got[i]["cluster_id"], []).append(i)
+    assert sum(1 for v in (got[i] for i in range(5)) if v["verdict"] == "dup") >= 2
+    for cid, members in by_cluster.items():
+        keep = min(members)
+        assert got[keep]["verdict"] in ("kept", "proto_pruned")
+        assert all(
+            got[i]["verdict"] == "dup" and got[i]["proto_cosine"] is None
+            for i in members if i != keep
+        )
+    # prune boundary: per cluster, pruned count == (n_survivors*20)//100
+    from collections import Counter
+    per_cluster = {}
+    for v in got.values():
+        if v["verdict"] != "dup":
+            per_cluster.setdefault(v["cluster_id"], Counter())[v["verdict"]] += 1
+    for cid, c in per_cluster.items():
+        n = c["kept"] + c["proto_pruned"]
+        assert c["proto_pruned"] == (n * 20) // 100
