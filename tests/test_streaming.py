@@ -733,3 +733,49 @@ def test_streaming_minibatch_kmeans_matches_python_twin(spark, tmp_path):
     assigned = spark.read.parquet(str(tmp_path / "km")).where("epoch_id >= 0")
     assert assigned.count() == 60
     assert set(r["cluster_id"] for r in assigned.collect()) == {0, 1}
+
+
+def test_streaming_winnow_index_copy_detection(spark, tmp_path):
+    from monolith_spark.streaming.winnow import StreamingWinnowIndex
+
+    shared = "alpha beta gamma delta epsilon zeta"  # >= w+k-1 = 6 tokens
+    docs_schema = "doc_id long, text string"
+    src = str(tmp_path / "docs")
+    # slice 1: docs 1 and 2 share the run (within-batch); 10 unrelated
+    spark.createDataFrame(
+        [(1, "intro words " + shared + " outro"),
+         (2, shared + " trailing content here"),
+         (10, "one two three four five six seven eight")],
+        docs_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # slice 2: doc 3 copies the run (cross-batch); 11 unique
+    spark.createDataFrame(
+        [(3, "prefix " + shared + " suffix tokens"),
+         (11, "unrelated vocabulary entirely different from both batches")],
+        docs_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx = StreamingWinnowIndex(spark, str(tmp_path / "idx"))
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = idx.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = idx.matches().collect()
+    got = {(r["new_doc_id"], r["old_doc_id"]) for r in rows}
+    assert (2, 1) in got          # within-batch
+    assert (3, 1) in got and (3, 2) in got   # cross-batch
+    assert all(10 not in p and 11 not in p for p in got)
+    assert all(r["shared"] >= 1 and 0 < r["containment"] <= 1 for r in rows)
+
+    # completed-epoch replay is a no-op
+    before = sorted((r["new_doc_id"], r["old_doc_id"], r["shared"]) for r in rows)
+    idx.process_batch(spark.read.parquet(src), epoch_id=0)
+    after = sorted(
+        (r["new_doc_id"], r["old_doc_id"], r["shared"]) for r in idx.matches().collect()
+    )
+    assert after == before
