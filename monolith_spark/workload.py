@@ -4982,6 +4982,76 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_zipf_fit",
+    f"""
+    WITH tf AS (SELECT term, count(*) AS freq
+                FROM (SELECT unnest({_W}) AS term FROM documents)
+                GROUP BY 1),
+    r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+          FROM tf),
+    q AS (SELECT CAST(ln(rank) AS DECIMAL(18,12)) AS x,
+                 CAST(ln(freq) AS DECIMAL(18,12)) AS y
+          FROM r WHERE rank <= 1000),
+    s AS (SELECT count(*) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+          FROM q)
+    SELECT n AS n_ranks,
+           CAST(CAST((n*sxy - sx*sy) / (n*sxx - sx*sx) AS DECIMAL(18,9)) AS DOUBLE)
+             AS zipf_slope,
+           CAST(CAST((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS DECIMAL(18,9)) AS DOUBLE)
+             AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: least-squares
+    slope of ln(freq) vs ln(rank) over the top 1000 ranks — the
+    distribution-health check a corpus pipeline tracks (natural text
+    slopes near -1; synthetic/boilerplate corpora deviate). One
+    token-count aggregation + one rank window + the deriv-style exact
+    accumulator agg (no sort, map-combinable). Cross-engine device:
+    ln outputs are QUANTIZED to DECIMAL(18,12) before accumulating —
+    a 1-ulp libm difference vanishes at 12 decimals, and from there
+    both engines sum identical decimals (order-free) and run the same
+    double arithmetic; the (18,9) output narrowing is belt-and-braces."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(_text.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    r = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "term"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 1000)
+    q = r.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(18,12)").alias("x"),
+        F.log(F.col("freq").cast("double")).cast("decimal(18,12)").alias("y"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        slope.cast("decimal(18,9)").cast("double").alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("zipf_intercept"),
+    )
+
+
+@_q(
     "docs_adaptive_length_gate",
     f"""
     WITH t AS (SELECT doc_id, source, len({_W}) AS n_tokens FROM documents),

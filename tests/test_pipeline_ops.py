@@ -1009,3 +1009,17 @@ def test_d4_prune_stage_semantics(spark):
     for cid, c in per_cluster.items():
         n = c["kept"] + c["proto_pruned"]
         assert c["proto_pruned"] == (n * 20) // 100
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    from monolith_spark.workload import all_queries
+
+    # plant an exact Zipf corpus: term t_r appears round(1000/r) times
+    words = []
+    for r in range(1, 51):
+        words += [f"t{r:03d}"] * round(1000 / r)
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    row = all_queries()["text_zipf_fit"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_ranks"] == 50
+    assert abs(row["zipf_slope"] - (-1.0)) < 0.02   # slope ~ -1 by construction
