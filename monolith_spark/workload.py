@@ -4982,6 +4982,170 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_curation_full",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_W} AS w FROM documents),
+    feat AS (SELECT doc_id, source, text, len(w) AS n_tokens,
+                    CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                      / len(w) AS stop_ratio
+             FROM t),
+    band AS (SELECT doc_id,
+                    max(CASE WHEN rn = greatest((cnt*5+99)//100, 1) THEN n_tokens END)
+                      OVER (PARTITION BY source) AS lo,
+                    max(CASE WHEN rn = (cnt*95+99)//100 THEN n_tokens END)
+                      OVER (PARTITION BY source) AS hi
+             FROM (SELECT doc_id, source, n_tokens,
+                          row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+                          count(*) OVER (PARTITION BY source) AS cnt
+                   FROM feat)),
+    g AS (SELECT f.doc_id, f.text,
+                 (f.n_tokens BETWEEN band.lo AND band.hi AND f.stop_ratio >= 0.04)
+                   AS gate_ok
+          FROM feat f JOIN band ON f.doc_id = band.doc_id),
+    e AS (SELECT doc_id, text,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS exact_ok
+          FROM g WHERE gate_ok),
+    ek AS (SELECT doc_id, text FROM e WHERE exact_ok),
+    sh AS (SELECT doc_id, w3[i] || ' ' || w3[i+1] || ' ' || w3[i+2] AS term
+           FROM (SELECT doc_id, {_W} AS w3 FROM ek) z2, range(1, 2000) r(i)
+           WHERE i <= len(w3) - 2),
+    tf AS (SELECT doc_id, term, count(*) AS tfv FROM sh GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    v AS (SELECT tf.doc_id, tf.term, tf.tfv FROM tf JOIN dfq USING (term) WHERE df <= 50),
+    n2 AS (SELECT doc_id, CAST(sum(tfv*tfv) AS BIGINT) AS n2 FROM v GROUP BY 1),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.tfv*b.tfv) AS BIGINT) AS dot
+          FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    nd AS (SELECT DISTINCT doc_b FROM p
+           JOIN n2 x ON doc_a = x.doc_id JOIN n2 y ON doc_b = y.doc_id
+           WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(x.n2 AS DOUBLE))*sqrt(CAST(y.n2 AS DOUBLE))) >= 0.3),
+    nk AS (SELECT doc_id, text FROM ek
+           WHERE doc_id NOT IN (SELECT doc_b FROM nd)),
+    sp AS (SELECT doc_id,
+                  md5(array_to_string(list_transform(range(0, 20), kk -> w2[CAST(i + kk AS INT)]), ' ')) AS h
+           FROM (SELECT doc_id, {_W} AS w2 FROM nk) z,
+                range(1, 2000) r(i)
+           WHERE (i - 1) % 10 = 0 AND i + 19 <= len(w2)),
+    spd AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    spa AS (SELECT doc_id, count(*) AS n_spans,
+                   sum(CASE WHEN h IN (SELECT h FROM spd) THEN 1 ELSE 0 END) AS n_dup
+            FROM sp GROUP BY doc_id),
+    sv AS (SELECT nk.doc_id,
+                  COALESCE(CAST(spa.n_dup AS DOUBLE) / spa.n_spans, 0) <= 0.9 AS span_ok
+           FROM nk LEFT JOIN spa ON nk.doc_id = spa.doc_id)
+    SELECT t.doc_id,
+           CASE WHEN NOT COALESCE(g.gate_ok, FALSE) THEN 'gated'
+                WHEN NOT COALESCE(e.exact_ok, FALSE) THEN 'exact_dup'
+                WHEN t.doc_id IN (SELECT doc_b FROM nd) THEN 'near_dup'
+                WHEN NOT COALESCE(sv.span_ok, FALSE) THEN 'span_heavy'
+                ELSE 'kept' END AS verdict
+    FROM t
+    LEFT JOIN g ON t.doc_id = g.doc_id
+    LEFT JOIN e ON t.doc_id = e.doc_id
+    LEFT JOIN sv ON t.doc_id = sv.doc_id
+    """,
+)
+def docs_curation_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 end-to-end curation pipeline with a per-doc AUDIT
+    TRAIL (the docs twin of emb_d4_prune): adaptive per-source length
+    band + stopword gate -> exact dedup (keep min id per content hash)
+    -> df-capped TF-cosine near-dup drop (greedy lowest-id keep) ->
+    duplicated-span gate over the DEDUPED survivors (>90% duplicated
+    spans = template boilerplate; running span stats after dedup is
+    the Lee et al. order — before dedup the span signal is dominated
+    by the near-dup echo this pipeline just removed). Every doc gets
+    the verdict of the FIRST stage that rejected it ('gated'/
+    'exact_dup'/'near_dup'/'span_heavy'/'kept'), and each stage runs
+    only on the previous stage's survivors — true pipeline semantics,
+    not independent filters. Composes only already-verified operators,
+    so the composite inherits each stage's scale shape. (At sf0.01 the
+    fixture has no byte-identical docs and post-dedup span sharing is
+    empty, so 'exact_dup'/'span_heavy' fire only at other scales; both
+    stages are verified standalone by dedup_exact / docs_span_dedup.)"""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "source", "text", _text.tokens_expr("text").alias("__w")
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("__w").cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(F.col("__w"), lambda x: x.isin(_text.STOPWORDS))).cast(
+                "double"
+            )
+            / F.size("__w")
+        ).alias("stop_ratio"),
+    )
+    wp = Window.partitionBy("source")
+    r = t.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_tokens",
+        "stop_ratio",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    lo_rank = F.greatest(F.expr("(cnt*5+99) div 100"), F.lit(1))
+    hi_rank = F.expr("(cnt*95+99) div 100")
+    g = r.select(
+        "doc_id",
+        "text",
+        (
+            F.col("n_tokens").between(
+                F.max(F.when(F.col("rn") == lo_rank, F.col("n_tokens"))).over(wp),
+                F.max(F.when(F.col("rn") == hi_rank, F.col("n_tokens"))).over(wp),
+            )
+            & (F.col("stop_ratio") >= 0.04)
+        ).alias("gate_ok"),
+    )
+    e = g.filter("gate_ok").select(
+        "doc_id",
+        "text",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+            )
+        ).alias("exact_ok"),
+    )
+    ek = e.filter("exact_ok").select("doc_id", "text")
+    nd = (
+        _dedup.shingle_tf_cosine_pairs(ek, threshold=0.3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__nd", F.lit(True))
+    )
+    nk = ek.join(nd.select("doc_id"), "doc_id", "left_anti")
+    sv = nk.join(
+        _dedup.span_dup_stats(nk).select(
+            "doc_id", F.coalesce("dup_frac", F.lit(0.0)).alias("__df")
+        ),
+        "doc_id",
+    ).select("doc_id", (F.col("__df") <= 0.9).alias("span_ok"))
+    out = (
+        docs.select("doc_id")
+        .join(g.select("doc_id", "gate_ok"), "doc_id", "left")
+        .join(e.select("doc_id", "exact_ok"), "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .join(sv.select("doc_id", "span_ok"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.when(~F.coalesce(F.col("gate_ok"), F.lit(False)), F.lit("gated"))
+        .when(~F.coalesce(F.col("exact_ok"), F.lit(False)), F.lit("exact_dup"))
+        .when(F.coalesce(F.col("__nd"), F.lit(False)), F.lit("near_dup"))
+        .when(~F.coalesce(F.col("span_ok"), F.lit(False)), F.lit("span_heavy"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )
+
+
+@_q(
     "text_zipf_fit",
     f"""
     WITH tf AS (SELECT term, count(*) AS freq
