@@ -698,3 +698,67 @@ def shingle_tf_cosine_pairs(
         .filter(F.col("tf_cosine") >= threshold)
         .select("doc_a", "doc_b", "tf_cosine")
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the excerpt/quote
+    detector. Jaccard divides by the UNION, so a 50-token doc fully
+    contained in a 5000-token doc scores ~0.01 and is invisible;
+    containment scores it 1.0. Broder's resemblance-vs-containment
+    distinction (1997, "On the resemblance and containment of
+    documents").
+
+    Returns [inner_id, outer_id, containment] with containment(inner
+    in outer) >= threshold and inner_id != outer_id — each UNORDERED
+    candidate pair is scored in both directions and emitted once per
+    direction that clears the threshold (a pair of near-equal docs
+    yields two rows; an excerpt yields one).
+
+    Same one-shuffle postings shape as shingle_jaccard_pairs (df=1
+    shingles dropped before pair-gen, per-doc sizes joined unhinted —
+    AQE decides the build side); the only delta is the denominator.
+    """
+    from monolith_spark.operators.text import tokens_expr
+
+    sh = doc_shingles(df, id_col, text_col, n)
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    sizes = toks.select(
+        "doc_id",
+        F.size(shingles_expr(F.col("__w"), n, pre_tokenized=True)).cast("long").alias("n_shingles"),
+    )
+    post = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("__ds"))
+        .filter(F.size("__ds") >= 2)
+        .select(F.array_sort("__ds").alias("d"))
+    )
+    ex = post.select(F.col("d"), F.posexplode("d").alias("i", "doc_a"))
+    inter = (
+        ex.select(
+            "doc_a",
+            F.explode(F.slice("d", F.col("i") + 2, F.size("d"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("__nb"))
+    scored = inter.join(na, "doc_a").join(nb, "doc_b")
+    fwd = scored.select(
+        F.col("doc_a").alias("inner_id"),
+        F.col("doc_b").alias("outer_id"),
+        (F.col("n_inter").cast("double") / F.col("__na")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("inner_id"),
+        F.col("doc_a").alias("outer_id"),
+        (F.col("n_inter").cast("double") / F.col("__nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -4982,6 +4982,35 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_containment_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 2),
+    n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_a AS inner_id, doc_b AS outer_id,
+             CAST(ni AS DOUBLE) / x.ns AS containment
+      FROM p JOIN n x ON doc_a = x.doc_id
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(ni AS DOUBLE) / y.ns
+      FROM p JOIN n y ON doc_b = y.doc_id)
+    SELECT inner_id, outer_id, containment FROM bi WHERE containment >= 0.8
+    """,
+)
+def docs_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (Broder 1997): shingle-set
+    containment(inner in outer) >= 0.8 — the excerpt/quote case
+    Jaccard's union denominator hides. Same one-shuffle postings plan
+    as the Jaccard pair op; dot-count integers make the ratio
+    bit-exact. See dedup.shingle_containment_pairs."""
+    return _dedup.shingle_containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@_q(
     "docs_curation_full",
     f"""
     WITH t AS (SELECT doc_id, source, text, {_W} AS w FROM documents),

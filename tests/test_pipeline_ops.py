@@ -1086,3 +1086,27 @@ def test_curation_full_all_verdicts_on_planted_fixture(spark, tmp_path):
     # span stage; the shared fraction is small so they survive it
     assert got[103] == "kept" and got[104] == "kept"
     assert set(c) <= {"kept", "gated", "exact_dup", "span_heavy", "near_dup"}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from monolith_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    excerpt = " ".join(f"e{i}" for i in range(12))
+    big = excerpt + " " + " ".join(f"b{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, big), (3, "x y z unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in shingle_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert cont[(1, 2)] == 1.0          # excerpt fully contained
+    assert (2, 1) not in cont           # asymmetric: big doc not in excerpt
+    assert all(3 not in p for p in cont)
+    # Jaccard at any useful threshold misses the same pair
+    jac = {(r["doc_a"], r["doc_b"]) for r in shingle_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) not in jac
