@@ -1110,3 +1110,39 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     # Jaccard at any useful threshold misses the same pair
     jac = {(r["doc_a"], r["doc_b"]) for r in shingle_jaccard_pairs(docs, threshold=0.5).collect()}
     assert (1, 2) not in jac
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+        "docs_span_dedup", "docs_tf_cosine_pairs", "docs_winnow_fingerprint",
+        "docs_containment_pairs", "docs_adaptive_length_gate",
+        "docs_curation_full", "text_stats", "text_zipf_fit",
+        "emb_semdedup", "emb_prototypicality", "emb_d4_prune",
+        "sim_topk_cosine", "events_dedup_window",
+    ],
+)
+def test_queries_survive_empty_tables(spark, tmp_path_factory, name):
+    """Empty partitions are routine at 100 TB (a fresh source, a
+    filtered branch) — every operator must plan and execute on
+    zero-row inputs instead of raising (the bm25 empty-query class of
+    bug). Zero rows out is the expected result."""
+    from monolith_spark.workload import all_queries
+
+    base = tmp_path_factory.mktemp("empty_fixture")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{base}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{base}/embeddings.parquet")
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+    ).write.parquet(f"{base}/events.parquet")
+    rows = all_queries()[name].spark_fn(spark, str(base)).collect()
+    if name == "text_zipf_fit":        # global agg: one row of nulls/zero
+        assert len(rows) <= 1
+    else:
+        assert rows == []
