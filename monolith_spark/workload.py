@@ -3660,15 +3660,34 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries added in round 3 (not in the round-2 registry): within the
+# unverified block they sort AFTER the round-2-era names, because the
+# r2 verdict's explicit ask is a green row for every query that
+# existed then — when unverified count exceeds the driver's 50-row
+# window, the spill must be the newest additions, never the
+# verdict-named backlog.
+_ROUND3_NAMES: frozenset[str] = frozenset({
+    "docs_pagerank", "multimodal_edge_energy", "multimodal_audio_spectrum",
+    "multimodal_motion_energy", "docs_pii_scan", "docs_domain_cap",
+    "docs_mix_temperature", "emb_kmeans_lloyd", "docs_containment_pairs",
+    "docs_curation_full", "text_zipf_fit", "docs_adaptive_length_gate",
+    "docs_winnow_fingerprint", "docs_tf_cosine_pairs", "docs_span_dedup",
+    "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
+    "events_dedup_window", "docs_perplexity_buckets",
+})
+
+
 def _ordered_registry() -> list[WorkloadQuery]:
     """Registry ordered for the driver's 50-query check window:
-    priority names first, then driver-unverified, then already-green."""
+    priority names first, then driver-unverified (round-2-era backlog
+    before round-3 additions), then already-green."""
     by_name = {q.name: q for q in _REGISTRY}
     prio = [by_name[n] for n in _DRIVER_PRIORITY if n in by_name]
     fresh = [
         q for q in _REGISTRY
         if q.name not in _DRIVER_GREEN and q.name not in _DRIVER_PRIORITY
     ]
+    fresh.sort(key=lambda q: q.name in _ROUND3_NAMES)  # stable: r2-era first
     done = [q for q in _REGISTRY if q.name in _DRIVER_GREEN]
     return prio + fresh + done
 
