@@ -484,3 +484,34 @@ def test_domain_cap_partial_window_group_limit(spark, sf_dir):
     lines = plan.splitlines()
     first_exchange = next(i for i, l in enumerate(lines) if "Exchange" in l)
     assert any("WindowGroupLimit" in l for l in lines[first_exchange:]), plan[:2000]
+
+
+def test_round3_pipeline_plans_avoid_cartesian(spark, sf_dir):
+    """Round-3 operators' scale contracts at the plan level: every
+    pair/probe stage is equi-join blocking — no cartesian, no
+    broadcast-nested-loop anywhere in the composed plans."""
+    from pyspark.sql import functions as F
+
+    from monolith_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # kmeans-based plans contain ONE intentional bounded nested-loop:
+    # the corpus x k-row centroid broadcast (k·dim literal doubles —
+    # kmeans_lloyd's documented assignment shape). Everything else
+    # must be pure equi-join blocking.
+    kmeans_based = {"semdedup", "d4_prune"}
+    plans = {
+        "span_dedup": dedup.span_dup_stats(docs),
+        "tf_cosine": dedup.shingle_tf_cosine_pairs(docs),
+        "containment": dedup.shingle_containment_pairs(docs),
+        "semdedup": similarity.semdedup(embs, k=4, iters=1),
+        "d4_prune": similarity.d4_prune(embs, k=4, iters=1),
+        "prototypicality": similarity.prototypicality(embs),
+        "curation_full": all_queries()["docs_curation_full"].spark_fn(spark, sf_dir),
+    }
+    for name, df in plans.items():
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        if name not in kmeans_based:
+            assert "BroadcastNestedLoopJoin" not in plan, name
