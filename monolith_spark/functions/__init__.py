@@ -53,6 +53,9 @@ from monolith_spark.operators.similarity import (
 )
 from monolith_spark.operators.sketches import (
     cms_bucket_expr,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
     cms_estimate,
     cms_merge,
     cms_sketch,
@@ -94,5 +97,6 @@ __all__ = [
     "pq_code_expr", "zvalue_expr",
     "range_func_by_step",
     "cms_sketch", "cms_estimate", "cms_merge", "cms_bucket_expr",
+    "kmv_sketch", "kmv_merge", "kmv_estimate",
     "decode_image", "encode_ppm", "encode_wav", "encode_y4m", "resize_image",
 ]

@@ -20,7 +20,7 @@ Spark-private, forcing rows-only checks).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from monolith_spark.operators.text import hash60_expr
@@ -99,3 +99,71 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("d", "bucket").agg(F.sum("n").alias("n"))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 unbiased form): per group, the ``k`` smallest
+    DISTINCT 60-bit key hashes — rows [*group_cols, h].
+
+    The KMV estimate D̂ = (k−1)/U_(k) (U_(k) = k-th smallest hash
+    normalized to [0,1)) has rsd ≈ 1/√(k−2); with fewer than k
+    distinct keys the sketch holds every hash and the count is exact.
+    Unlike HLL++ the whole construction is order-free and engine-
+    portable (md5-derived hashes + a rank window), so the ESTIMATE
+    itself is exactly reproducible cross-engine — the sketch entry
+    with a full-strength value oracle, not a bound-check.
+
+    Mergeable: union the [group, h] rows of partial sketches and
+    re-take the k smallest per group (``kmv_merge``) — the result is
+    exactly the sketch of the union, the property that lets partial
+    sketches roll up across partitions/days at 100 TB. Scale shape:
+    one distinct + one rank window per group (one exchange); sketch
+    size is k rows per group regardless of cardinality.
+    """
+    d = df.select(
+        *group_cols, hash60_expr(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Union partial KMV sketches and re-take the k smallest per
+    group — exactly the sketch of the unioned key sets."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    d = u.distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """[*group_cols, kmv_est] from a kmv_sketch: exact count below k,
+    else (k−1)/U_(k). Two double divisions, bit-identical on any
+    IEEE engine."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"), F.max("h").alias("__hk")
+    )
+    est = (
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            / (F.col("__hk").cast("double") / F.lit(float(1 << 60)))
+        )
+    )
+    return agg.select(*group_cols, est.alias("kmv_est"))

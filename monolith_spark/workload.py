@@ -3586,6 +3586,52 @@ def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_kmv_daily_users",
+    f"""
+    WITH e AS (SELECT epoch_ms(ts) // {DAY_MS} AS day, user_id
+               FROM events WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}),
+    du AS (SELECT DISTINCT day, user_id FROM e),
+    d AS (SELECT day,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          FROM du),
+    r AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+          FROM (SELECT DISTINCT day, h FROM d)),
+    s AS (SELECT day, count(*) AS n_h, max(h) AS hk FROM r WHERE rn <= 64 GROUP BY 1),
+    x AS (SELECT day, count(*) AS exact_users FROM du GROUP BY 1)
+    SELECT x.day, x.exact_users,
+           CASE WHEN s.n_h < 64 THEN CAST(s.n_h AS DOUBLE)
+                ELSE 63.0 / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0)
+           END AS kmv_users
+    FROM x JOIN s ON x.day = s.day
+    """,
+)
+def events_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values daily distinct users — the sketch entry whose
+    ESTIMATE is itself the hash-matched oracle surface (md5-derived
+    hashes + a rank window are engine-portable), unlike HLL++ where
+    only a bound-check is replayable (events_hll_daily_users). k=64
+    ⇒ rsd ≈ 1/√62 ≈ 13%; below 64 distinct the count is exact.
+    Mergeability (partial-sketch union == union sketch) is asserted
+    in tests/test_sketches.py. exact_users is the verify tier;
+    production rolls up sketches only."""
+    from monolith_spark.operators import sketches as _sk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms")
+    )
+    e = ev.filter(F.col("ts_ms").between(JAN1, JAN20)).select(
+        F.floor(F.col("ts_ms") / F.lit(DAY_MS)).cast("long").alias("day"), "user_id"
+    )
+    sk = _sk.kmv_sketch(e, "user_id", ["day"], k=64)
+    est = _sk.kmv_estimate(sk, ["day"], k=64)
+    exact = e.distinct().groupBy("day").agg(F.count("*").alias("exact_users"))
+    return exact.join(est, "day").select(
+        "day", "exact_users", F.col("kmv_est").alias("kmv_users")
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 def _load_driver_green() -> frozenset[str]:

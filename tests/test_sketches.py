@@ -93,3 +93,36 @@ def test_cms_upper_bound_and_merge(spark, sf_dir):
     merged = {(r["d"], r["bucket"]): r["n"] for r in sk.cms_merge(a, b).collect()}
     whole = {(r["d"], r["bucket"]): r["n"] for r in sketch.collect()}
     assert merged == whole
+
+
+def test_kmv_estimate_accuracy_and_exact_below_k(spark):
+    from monolith_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    rows = [("g1", f"user{i}") for i in range(1000)] + [
+        ("g2", f"u{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    sk = kmv_sketch(df, "key", ["grp"], k=64)
+    est = {r["grp"]: r["kmv_est"] for r in kmv_estimate(sk, ["grp"], k=64).collect()}
+    assert est["g2"] == 20.0                         # below k: exact
+    assert abs(est["g1"] - 1000) / 1000 < 0.4        # ~3x rsd at k=64
+    # sketch is k rows per group regardless of cardinality
+    sizes = {r["grp"]: r["n"] for r in sk.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"g1": 64, "g2": 20}
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    from monolith_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = spark.createDataFrame([("g", f"x{i}") for i in range(300)], "grp string, key string")
+    b = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(200, 500)], "grp string, key string"
+    )
+    merged = kmv_merge(
+        kmv_sketch(a, "key", ["grp"]), kmv_sketch(b, "key", ["grp"]),
+        group_cols=["grp"],
+    )
+    direct = kmv_sketch(a.unionByName(b), "key", ["grp"])
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
