@@ -3719,7 +3719,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "docs_curation_full", "text_zipf_fit", "docs_adaptive_length_gate",
     "docs_winnow_fingerprint", "docs_tf_cosine_pairs", "docs_span_dedup",
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
-    "events_dedup_window", "docs_perplexity_buckets",
+    "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
 })
 
 
