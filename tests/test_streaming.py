@@ -779,3 +779,39 @@ def test_streaming_winnow_index_copy_detection(spark, tmp_path):
         (r["new_doc_id"], r["old_doc_id"], r["shared"]) for r in idx.matches().collect()
     )
     assert after == before
+
+
+def test_continuous_kmv_matches_batch_sketch(spark, tmp_path):
+    from monolith_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from monolith_spark.streaming.kmv import ContinuousKMV
+
+    schema = "grp string, key string"
+    src = str(tmp_path / "keys")
+    spark.createDataFrame(
+        [("g", f"x{i}") for i in range(300)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("g", f"x{i}") for i in range(200, 500)] + [("h", "solo")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    kmv = ContinuousKMV(spark, str(tmp_path / "kmv"), key_col="key", group_cols=["grp"])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = kmv.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    # streamed merge == one-shot batch sketch over all data
+    batch = kmv_sketch(spark.read.parquet(src), "key", ["grp"])
+    assert sorted(
+        (r["grp"], r["h"]) for r in kmv.sketch().collect()
+    ) == sorted((r["grp"], r["h"]) for r in batch.collect())
+    est = {r["grp"]: r["kmv_est"] for r in kmv.estimate().collect()}
+    assert est["h"] == 1.0
+    assert abs(est["g"] - 500) / 500 < 0.4
+    # replayed epoch is a no-op
+    kmv.process_batch(spark.read.parquet(src), epoch_id=0)
+    assert sorted(
+        (r["grp"], r["h"]) for r in kmv.sketch().collect()
+    ) == sorted((r["grp"], r["h"]) for r in batch.collect())
