@@ -426,3 +426,89 @@ def winnow_stats(
             "fp_digest"
         ),
     )
+
+
+BPE_TRAIN_SCHEMA = "step long, merge_left string, merge_right string, pair_count long"
+
+
+def bpe_train_merges(
+    df: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """DISTRIBUTED BPE vocabulary training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn ``n_merges`` byte-pair merge rules from
+    the corpus — returns [step, merge_left, merge_right, pair_count], the merge
+    table a tokenizer ships.
+
+    The scale design is the real one: the corpus is scanned ONCE into
+    a (word, freq) vocabulary table (words restricted to ^[a-z0-9]+$
+    so the symbol delimiters below can't collide), and every merge
+    round then works on the compact vocab — pair counting is one
+    freq-weighted groupBy over adjacent symbol pairs, the argmax is a
+    1-row driver collect (the IVF-centroid pattern), and the merge is
+    applied with a literal string replace. At 100 TB the corpus scan
+    dominates and rounds are O(vocab), exactly how production BPE
+    trainers behave.
+
+    Determinism devices (the oracle replays them verbatim):
+    - words are symbol strings "(a)(b)(c)" — parenthesis-delimited so
+      multi-char symbols can never produce false pair matches;
+    - merge apply = replace(w, "(a)(b)", "(ab)"), whose left-to-right
+      non-overlapping semantics (identical in Spark and DuckDB) equal
+      BPE's leftmost-first merge order for repeated pairs;
+    - argmax ties break (count desc, left, right) — binary string
+      compare on both engines.
+    """
+    words = (
+        df.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w_df = words.select(
+        "freq",
+        F.concat(
+            F.lit("("),
+            F.concat_ws(
+                ")(",
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+            ),
+            F.lit(")"),
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    rules: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        base = w_df.select(
+            "freq", F.split(F.expr("substring(w, 2, length(w)-2)"), r"\)\(").alias("s")
+        ).filter(F.size("s") >= 2)
+        pr = (
+            base.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s)-1),"
+                        " i -> struct(s[i-1] AS a, s[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pr.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        best = top[0]
+        rules.append((step, best["a"], best["b"], best["cnt"]))
+        w_df = w_df.withColumn(
+            "w",
+            F.replace(
+                F.col("w"),
+                F.lit(f"({best['a']})({best['b']})"),
+                F.lit(f"({best['a']}{best['b']})"),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(rules, BPE_TRAIN_SCHEMA)

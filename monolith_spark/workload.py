@@ -3720,6 +3720,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "docs_winnow_fingerprint", "docs_tf_cosine_pairs", "docs_span_dedup",
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
+    "text_bpe_train",
 })
 
 
@@ -5044,6 +5045,100 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2).withColumn(
         "dist2", F.col("dist2").cast("decimal(18,9)").cast("double")
     )
+
+
+@_q(
+    "text_bpe_train",
+    f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest({_W}) AS word FROM documents)
+      WHERE regexp_full_match(word, '^[a-z0-9]+$')
+      GROUP BY 1),
+    w1 AS MATERIALIZED (SELECT freq,
+                  '(' || array_to_string(list_transform(range(1, length(word)+1),
+                                                        i -> substr(word, CAST(i AS INT), 1)), ')(') || ')' AS w
+           FROM words),
+    p1 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w1) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS step, a, b, cnt
+             FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b1) || ')(' || (SELECT b FROM b1) || ')',
+                                 '(' || (SELECT a FROM b1) || (SELECT b FROM b1) || ')') AS w
+               FROM w1),
+    p2 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w2) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b2 AS MATERIALIZED (SELECT CAST(2 AS BIGINT) AS step, a, b, cnt
+             FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    w3 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b2) || ')(' || (SELECT b FROM b2) || ')',
+                                 '(' || (SELECT a FROM b2) || (SELECT b FROM b2) || ')') AS w
+               FROM w2),
+    p3 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w3) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b3 AS MATERIALIZED (SELECT CAST(3 AS BIGINT) AS step, a, b, cnt
+             FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+    w4 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b3) || ')(' || (SELECT b FROM b3) || ')',
+                                 '(' || (SELECT a FROM b3) || (SELECT b FROM b3) || ')') AS w
+               FROM w3),
+    p4 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w4) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b4 AS MATERIALIZED (SELECT CAST(4 AS BIGINT) AS step, a, b, cnt
+             FROM p4 ORDER BY cnt DESC, a, b LIMIT 1),
+    w5 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b4) || ')(' || (SELECT b FROM b4) || ')',
+                                 '(' || (SELECT a FROM b4) || (SELECT b FROM b4) || ')') AS w
+               FROM w4),
+    p5 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w5) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b5 AS MATERIALIZED (SELECT CAST(5 AS BIGINT) AS step, a, b, cnt
+             FROM p5 ORDER BY cnt DESC, a, b LIMIT 1),
+    w6 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b5) || ')(' || (SELECT b FROM b5) || ')',
+                                 '(' || (SELECT a FROM b5) || (SELECT b FROM b5) || ')') AS w
+               FROM w5),
+    p6 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w6) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b6 AS MATERIALIZED (SELECT CAST(6 AS BIGINT) AS step, a, b, cnt
+             FROM p6 ORDER BY cnt DESC, a, b LIMIT 1)
+    SELECT step, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b1
+    UNION ALL SELECT step, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b2
+    UNION ALL SELECT step, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b3
+    UNION ALL SELECT step, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b4
+    UNION ALL SELECT step, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b5
+    UNION ALL SELECT step, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b6
+    """,
+)
+def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016): the
+    first 6 learned merge rules over the corpus — corpus scanned ONCE
+    into a (word, freq) vocab, each round one freq-weighted pair
+    aggregation + a literal-replace merge (see text.bpe_train_merges
+    for the determinism devices: paren-delimited symbols, replace's
+    left-to-right semantics ≡ BPE leftmost merge, (cnt, left, right)
+    tie-break). The oracle unrolls all 6 rounds as CTEs and replays
+    the identical construction."""
+    return _text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6)
 
 
 @_q(

@@ -1146,3 +1146,24 @@ def test_queries_survive_empty_tables(spark, tmp_path_factory, name):
         assert len(rows) <= 1
     else:
         assert rows == []
+
+
+def test_bpe_train_learns_planted_merges(spark):
+    from monolith_spark.operators.text import bpe_train_merges
+
+    # corpus dominated by "abab": BPE must learn (a,b) then (ab,ab)
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab abab xyz"), (1, "abab abab qrs")],
+        "doc_id long, text string",
+    )
+    rules = bpe_train_merges(docs, n_merges=2).collect()
+    assert (rules[0]["merge_left"], rules[0]["merge_right"]) == ("a", "b")
+    assert (rules[1]["merge_left"], rules[1]["merge_right"]) == ("ab", "ab")
+    # pair_count is freq-weighted: "abab" occurs 6 times x 2 (a,b) pairs
+    assert rules[0]["pair_count"] == 12
+    # leftmost-merge semantics: "aaa" with pair (a,a) yields [aa, a],
+    # so the second round sees pair (aa, a), not (a, aa)
+    docs2 = spark.createDataFrame([(0, "aaa aaa aaa")], "doc_id long, text string")
+    r2 = bpe_train_merges(docs2, n_merges=2).collect()
+    assert (r2[0]["merge_left"], r2[0]["merge_right"]) == ("a", "a")
+    assert (r2[1]["merge_left"], r2[1]["merge_right"]) == ("aa", "a")
