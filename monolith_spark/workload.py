@@ -3720,7 +3720,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "docs_winnow_fingerprint", "docs_tf_cosine_pairs", "docs_span_dedup",
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
-    "text_bpe_train",
+    "text_bpe_train", "orders_market_basket",
 })
 
 
@@ -5044,6 +5044,65 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface absorbs it."""
     return _sim.kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2).withColumn(
         "dist2", F.col("dist2").cast("decimal(18,9)").cast("double")
+    )
+
+
+@_q(
+    "orders_market_basket",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+    isup AS (SELECT p, count(*) AS sup FROM b GROUP BY 1),
+    psup AS (SELECT a.p AS part_a, b2.p AS part_b, count(*) AS support_pair
+             FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+             GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT part_a, part_b, support_pair,
+           x.sup AS support_a, y.sup AS support_b,
+           CAST(support_pair AS DOUBLE) / x.sup AS conf_a_to_b,
+           CAST(support_pair AS DOUBLE) / y.sup AS conf_b_to_a,
+           CAST(n.n_orders * support_pair AS DOUBLE) / (x.sup * y.sup) AS lift
+    FROM psup JOIN isup x ON part_a = x.p JOIN isup y ON part_b = y.p, n
+    """,
+)
+def orders_market_basket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: co-occurrence support,
+    directional confidence, and lift for part pairs bought together in
+    >= 3 orders — the market-basket genre (Agrawal-Srikant A-priori's
+    k=2 stage, which at web scale IS the workhorse: higher-k itemsets
+    prune from these pairs). Scale shape: the self-join is keyed on
+    orderkey, so pair fan-out is Σ per-order items² — bounded by
+    basket size (13 here), never corpus². All metrics derive from
+    BIGINT supports with single double divisions — bit-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    n_orders = b.select(F.count_distinct("o").alias("n_orders"))
+    isup = b.groupBy("p").agg(F.count("*").alias("sup"))
+    x, y = b.alias("x"), b.alias("y")
+    psup = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
+        .agg(F.count("*").alias("support_pair"))
+        .filter(F.col("support_pair") >= 3)
+    )
+    sa = isup.select(F.col("p").alias("part_a"), F.col("sup").alias("support_a"))
+    sb = isup.select(F.col("p").alias("part_b"), F.col("sup").alias("support_b"))
+    return (
+        psup.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support_pair",
+            "support_a",
+            "support_b",
+            (F.col("support_pair").cast("double") / F.col("support_a")).alias("conf_a_to_b"),
+            (F.col("support_pair").cast("double") / F.col("support_b")).alias("conf_b_to_a"),
+            (
+                (F.col("n_orders") * F.col("support_pair")).cast("double")
+                / (F.col("support_a") * F.col("support_b"))
+            ).alias("lift"),
+        )
     )
 
 

@@ -1167,3 +1167,27 @@ def test_bpe_train_learns_planted_merges(spark):
     r2 = bpe_train_merges(docs2, n_merges=2).collect()
     assert (r2[0]["merge_left"], r2[0]["merge_right"]) == ("a", "a")
     assert (r2[1]["merge_left"], r2[1]["merge_right"]) == ("aa", "a")
+
+
+def test_market_basket_metrics_on_planted_baskets(spark, tmp_path):
+    from monolith_spark.workload import all_queries
+
+    # parts 1,2 co-occur in 3 of 6 orders; part 3 appears alone
+    rows = []
+    for o in range(3):
+        rows += [(o, 1), (o, 2)]
+    rows += [(3, 1), (4, 2), (5, 3)]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01") for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = all_queries()["orders_market_basket"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["part_a"], r["part_b"]) == (1, 2)
+    assert r["support_pair"] == 3 and r["support_a"] == 4 and r["support_b"] == 4
+    assert r["conf_a_to_b"] == 0.75 and r["conf_b_to_a"] == 0.75
+    assert r["lift"] == 6 * 3 / (4 * 4)  # n*sup_ab/(sup_a*sup_b)
