@@ -3137,6 +3137,78 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_seasonal_decompose",
+    f"""
+    WITH d AS (
+      SELECT {_BY_KEY_SQL} AS series,
+             (epoch_ms(ts) - {JAN1}) // {DAY_MS} AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS dsum
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2),
+    w AS (
+      SELECT series, day, CAST(dsum AS DOUBLE) AS daily,
+             CAST(sum(dsum) OVER (PARTITION BY series) AS DOUBLE)
+               / count(*) OVER (PARTITION BY series) AS mu,
+             CAST(sum(dsum) OVER (PARTITION BY series, day % 7) AS DOUBLE)
+               / count(*) OVER (PARTITION BY series, day % 7) AS dow_mu
+      FROM d)
+    SELECT series, day, daily,
+           dow_mu - mu AS seasonal,
+           daily - dow_mu AS resid
+    FROM w
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition (classical additive, fixed 7-day
+    period): per series, daily totals split into overall level +
+    day-of-week seasonal offset + residual — the detrended residual is
+    what an alerting pipeline thresholds so Monday peaks don't page
+    (contrast ts_anomaly's trailing window, which absorbs seasonality
+    slowly). All components derive from DECIMAL(18,2) daily sums
+    (order-free) with single double divisions/subtractions —
+    bit-exact cross-engine. Shape: one (series, day) aggregation, then
+    level/seasonal windows; at 100 TB the daily table is tiny relative
+    to points, so the windows are nearly free."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        _events.ts_range_pred(JAN1, JAN20)
+    )
+    exprs = _events.label_exprs()
+    key = F.concat(
+        F.lit("event_type="), exprs["event_type"], F.lit(",kb="), exprs["kb"]
+    )
+    d = (
+        ev.select(
+            key.alias("series"),
+            F.floor(
+                (F.expr("unix_millis(CAST(ts AS TIMESTAMP))") - F.lit(JAN1))
+                / F.lit(DAY_MS)
+            ).cast("long").alias("day"),
+            "value",
+        )
+        .groupBy("series", "day")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("dsum"))
+    )
+    ws = Window.partitionBy("series")
+    wd = Window.partitionBy("series", F.expr("day % 7"))
+    w = d.select(
+        "series",
+        "day",
+        F.col("dsum").cast("double").alias("daily"),
+        (F.sum("dsum").over(ws).cast("double") / F.count("*").over(ws)).alias("mu"),
+        (F.sum("dsum").over(wd).cast("double") / F.count("*").over(wd)).alias("dow_mu"),
+    )
+    return w.select(
+        "series",
+        "day",
+        "daily",
+        (F.col("dow_mu") - F.col("mu")).alias("seasonal"),
+        (F.col("daily") - F.col("dow_mu")).alias("resid"),
+    )
+
+
+@_q(
     "ts_histogram_quantile",
     f"""
     WITH h AS (
@@ -3720,7 +3792,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "docs_winnow_fingerprint", "docs_tf_cosine_pairs", "docs_span_dedup",
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
-    "text_bpe_train", "orders_market_basket",
+    "text_bpe_train", "orders_market_basket", "ts_seasonal_decompose",
 })
 
 

@@ -1191,3 +1191,23 @@ def test_market_basket_metrics_on_planted_baskets(spark, tmp_path):
     assert r["support_pair"] == 3 and r["support_a"] == 4 and r["support_b"] == 4
     assert r["conf_a_to_b"] == 0.75 and r["conf_b_to_a"] == 0.75
     assert r["lift"] == 6 * 3 / (4 * 4)  # n*sup_ab/(sup_a*sup_b)
+
+
+def test_seasonal_decompose_identity_and_seasonal_sums(spark, sf_dir):
+    from collections import defaultdict
+
+    from monolith_spark.workload import all_queries
+
+    rows = all_queries()["ts_seasonal_decompose"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    by_series = defaultdict(list)
+    for r in rows:
+        by_series[r["series"]].append(r)
+    for series, rs in by_series.items():
+        # additive identity: daily == mu + seasonal + resid, i.e.
+        # (daily - resid) - seasonal is constant (= mu) per series
+        mus = {round((r["daily"] - r["resid"]) - r["seasonal"], 6) for r in rs}
+        assert len(mus) == 1, series
+        # seasonal offsets are mean-centered: Σ over days of seasonal,
+        # weighted by day count, is ~0
+        assert abs(sum(r["seasonal"] for r in rs)) / len(rs) < 1e-6, series
