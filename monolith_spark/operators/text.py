@@ -512,3 +512,37 @@ def bpe_train_merges(
             ),
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(rules, BPE_TRAIN_SCHEMA)
+
+
+def bpe_symbol_count_expr(text: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """Tokens-after-BPE count for a document under a learned merge
+    table (bpe_train_merges output): each ^[a-z0-9]+$ word is split
+    to characters, the merges are applied IN ORDER via the same
+    paren-delimited literal replaces the trainer used (left-to-right
+    replace ≡ BPE leftmost merge), and the word contributes its final
+    symbol count; any other token contributes 1. Pure Column
+    expression — applying a trained tokenizer is a narrow map, the
+    property that lets encode run corpus-parallel at 100 TB while
+    training touched only the compact vocab."""
+    toks = tokens_expr(text)
+
+    def per_word(w: Column) -> Column:
+        sym = F.concat(
+            F.lit("("),
+            F.concat_ws(
+                ")(",
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: w.substr(i, F.lit(1)),
+                ),
+            ),
+            F.lit(")"),
+        )
+        for left, right in merges:
+            sym = F.replace(sym, F.lit(f"({left})({right})"), F.lit(f"({left}{right})"))
+        n = F.length(sym) - F.length(F.replace(sym, F.lit("("), F.lit("")))
+        return F.when(w.rlike("^[a-z0-9]+$"), n).otherwise(F.lit(1))
+
+    return F.aggregate(
+        F.transform(toks, per_word), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")

@@ -3792,7 +3792,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "docs_winnow_fingerprint", "docs_tf_cosine_pairs", "docs_span_dedup",
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
-    "text_bpe_train", "orders_market_basket", "ts_seasonal_decompose",
+    "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
 })
 
 
@@ -5116,6 +5116,107 @@ def emb_kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface absorbs it."""
     return _sim.kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2).withColumn(
         "dist2", F.col("dist2").cast("decimal(18,9)").cast("double")
+    )
+
+
+@_q(
+    "text_bpe_encode",
+    f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest({_W}) AS word FROM documents)
+      WHERE regexp_full_match(word, '^[a-z0-9]+$')
+      GROUP BY 1),
+    w1 AS MATERIALIZED (SELECT freq,
+                  '(' || array_to_string(list_transform(range(1, length(word)+1),
+                                                        i -> substr(word, CAST(i AS INT), 1)), ')(') || ')' AS w
+           FROM words),
+    p1 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w1) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS step, a, b, cnt
+             FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b1) || ')(' || (SELECT b FROM b1) || ')',
+                                 '(' || (SELECT a FROM b1) || (SELECT b FROM b1) || ')') AS w
+               FROM w1),
+    p2 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w2) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b2 AS MATERIALIZED (SELECT CAST(2 AS BIGINT) AS step, a, b, cnt
+             FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    w3 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b2) || ')(' || (SELECT b FROM b2) || ')',
+                                 '(' || (SELECT a FROM b2) || (SELECT b FROM b2) || ')') AS w
+               FROM w2),
+    p3 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w3) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b3 AS MATERIALIZED (SELECT CAST(3 AS BIGINT) AS step, a, b, cnt
+             FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+    w4 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b3) || ')(' || (SELECT b FROM b3) || ')',
+                                 '(' || (SELECT a FROM b3) || (SELECT b FROM b3) || ')') AS w
+               FROM w3),
+    p4 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w4) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b4 AS MATERIALIZED (SELECT CAST(4 AS BIGINT) AS step, a, b, cnt
+             FROM p4 ORDER BY cnt DESC, a, b LIMIT 1),
+    w5 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b4) || ')(' || (SELECT b FROM b4) || ')',
+                                 '(' || (SELECT a FROM b4) || (SELECT b FROM b4) || ')') AS w
+               FROM w4),
+    p5 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w5) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b5 AS MATERIALIZED (SELECT CAST(5 AS BIGINT) AS step, a, b, cnt
+             FROM p5 ORDER BY cnt DESC, a, b LIMIT 1),
+    w6 AS MATERIALIZED (SELECT freq,
+                      replace(w, '(' || (SELECT a FROM b5) || ')(' || (SELECT b FROM b5) || ')',
+                                 '(' || (SELECT a FROM b5) || (SELECT b FROM b5) || ')') AS w
+               FROM w5),
+    p6 AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, string_split(substr(w, 2, length(w)-2), ')(') AS s
+                   FROM w6) z, range(1, 2000) r(i)
+             WHERE i < len(s)
+             GROUP BY 1, 2),
+    b6 AS MATERIALIZED (SELECT CAST(6 AS BIGINT) AS step, a, b, cnt
+             FROM p6 ORDER BY cnt DESC, a, b LIMIT 1),
+    toks AS (SELECT doc_id, unnest({_W}) AS w FROM documents),
+    perw AS (SELECT doc_id,
+                    CASE WHEN regexp_full_match(w, '^[a-z0-9]+$')
+                         THEN length(replace(replace(replace(replace(replace(replace('(' || array_to_string(list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1)), ')(') || ')', '(' || (SELECT a FROM b1) || ')(' || (SELECT b FROM b1) || ')', '(' || (SELECT a FROM b1) || (SELECT b FROM b1) || ')'), '(' || (SELECT a FROM b2) || ')(' || (SELECT b FROM b2) || ')', '(' || (SELECT a FROM b2) || (SELECT b FROM b2) || ')'), '(' || (SELECT a FROM b3) || ')(' || (SELECT b FROM b3) || ')', '(' || (SELECT a FROM b3) || (SELECT b FROM b3) || ')'), '(' || (SELECT a FROM b4) || ')(' || (SELECT b FROM b4) || ')', '(' || (SELECT a FROM b4) || (SELECT b FROM b4) || ')'), '(' || (SELECT a FROM b5) || ')(' || (SELECT b FROM b5) || ')', '(' || (SELECT a FROM b5) || (SELECT b FROM b5) || ')'), '(' || (SELECT a FROM b6) || ')(' || (SELECT b FROM b6) || ')', '(' || (SELECT a FROM b6) || (SELECT b FROM b6) || ')')) - length(replace(replace(replace(replace(replace(replace(replace('(' || array_to_string(list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1)), ')(') || ')', '(' || (SELECT a FROM b1) || ')(' || (SELECT b FROM b1) || ')', '(' || (SELECT a FROM b1) || (SELECT b FROM b1) || ')'), '(' || (SELECT a FROM b2) || ')(' || (SELECT b FROM b2) || ')', '(' || (SELECT a FROM b2) || (SELECT b FROM b2) || ')'), '(' || (SELECT a FROM b3) || ')(' || (SELECT b FROM b3) || ')', '(' || (SELECT a FROM b3) || (SELECT b FROM b3) || ')'), '(' || (SELECT a FROM b4) || ')(' || (SELECT b FROM b4) || ')', '(' || (SELECT a FROM b4) || (SELECT b FROM b4) || ')'), '(' || (SELECT a FROM b5) || ')(' || (SELECT b FROM b5) || ')', '(' || (SELECT a FROM b5) || (SELECT b FROM b5) || ')'), '(' || (SELECT a FROM b6) || ')(' || (SELECT b FROM b6) || ')', '(' || (SELECT a FROM b6) || (SELECT b FROM b6) || ')'), '(', ''))
+                         ELSE 1 END AS n
+             FROM toks)
+    SELECT doc_id, count(*) AS n_tokens, CAST(sum(n) AS BIGINT) AS n_bpe_symbols
+    FROM perw GROUP BY doc_id
+    """,
+)
+def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table corpus-wide: per doc, token
+    count and symbol count after the 6 learned merges — the encode
+    half of the tokenizer loop (train touches the compact vocab,
+    encode is a narrow corpus-parallel map with the merges as
+    literals). Oracle re-learns the identical merges (same CTE chain
+    as text_bpe_train) and replays the replace cascade per word."""
+    rules = _text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6).collect()
+    merges = [(r["merge_left"], r["merge_right"]) for r in rules]
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(_text.tokens_expr("text")).cast("long").alias("n_tokens"),
+        _text.bpe_symbol_count_expr(F.col("text"), merges).alias("n_bpe_symbols"),
     )
 
 

@@ -1211,3 +1211,23 @@ def test_seasonal_decompose_identity_and_seasonal_sums(spark, sf_dir):
         # seasonal offsets are mean-centered: Σ over days of seasonal,
         # weighted by day count, is ~0
         assert abs(sum(r["seasonal"] for r in rs)) / len(rs) < 1e-6, series
+
+
+def test_bpe_encode_merges_reduce_symbols(spark):
+    from monolith_spark.operators.text import bpe_symbol_count_expr
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame([(0, "abab cd Ab!")], "doc_id long, text string")
+    # no merges: every clean word counts its chars; "Ab!" counts 1
+    n0 = docs.select(bpe_symbol_count_expr(F.col("text"), []).alias("n")).head()["n"]
+    assert n0 == 4 + 2 + 1
+    # merge (a,b): "abab" -> [ab, ab] (2), "cd" unchanged (2)
+    n1 = docs.select(
+        bpe_symbol_count_expr(F.col("text"), [("a", "b")]).alias("n")
+    ).head()["n"]
+    assert n1 == 2 + 2 + 1
+    # then (ab,ab): "abab" -> [abab] (1)
+    n2 = docs.select(
+        bpe_symbol_count_expr(F.col("text"), [("a", "b"), ("ab", "ab")]).alias("n")
+    ).head()["n"]
+    assert n2 == 1 + 2 + 1
