@@ -606,3 +606,80 @@ def test_resize_matches_floor_sampling_model(w, h, ow, oh, seed):
     for j in (0, oh - 1):
         for i in (0, ow - 1):
             assert out[j, i].tolist() == img[(j * h) // oh, (i * w) // ow].tolist()
+
+
+# ------------------------------------------------------------------
+# Round-3 text operators vs pure-python models
+
+
+def _py_bpe_train(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str, int]]:
+    """Reference BPE trainer (Sennrich alg. 1): pair counts weighted by
+    word freq, argmax with (count desc, left, right) tie-break,
+    leftmost-first merge application."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    rules = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return rules
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=30
+    )
+)
+def test_bpe_train_matches_python_model(spark, words):
+    from collections import Counter
+
+    from monolith_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=3).collect()
+    ]
+    assert got == _py_bpe_train(dict(Counter(words)), 3)
+
+
+def _py_winnow(tokens: list[str], k: int = 3, w: int = 4) -> set[int]:
+    import hashlib
+
+    grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if not hs:
+        return set()
+    return {min(hs[j:j + w]) for j in range(max(len(hs) - w + 1, 1))}
+
+
+@settings(max_examples=15, **_SETTINGS)
+@given(st.lists(st.text(alphabet="pq", min_size=1, max_size=2), min_size=0, max_size=24))
+def test_winnow_matches_python_model(spark, tokens):
+    import pyspark.sql.functions as F
+
+    from monolith_spark.operators.text import winnow_fingerprints_expr
+
+    docs = spark.createDataFrame([(0, " ".join(tokens))], "doc_id long, text string")
+    got = set(
+        docs.select(winnow_fingerprints_expr(F.col("text")).alias("fp")).head()["fp"]
+    )
+    assert got == _py_winnow([t for t in " ".join(tokens).split()])
