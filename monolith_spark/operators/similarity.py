@@ -1039,3 +1039,115 @@ def d4_prune(
         .alias("verdict"),
         F.col("pc").alias("proto_cosine"),
     )
+
+
+def pca_top_component(
+    corpus: DataFrame,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA, top principal component by fixed-round power
+    iteration: mean-center, accumulate the d×d covariance as ONE
+    (p, q) aggregation over per-vector outer products, then iterate
+    v ← Cv/||Cv|| from the e₁ basis vector for ``iters`` rounds.
+
+    Returns one row per dimension:
+    [pos, mu, pc1, lambda1, explained_frac] — the whitening/projection
+    vector an embedding pipeline applies before quantization or ANN,
+    plus the variance-explained diagnostic.
+
+    Scale shape: the corpus is touched twice (mean, covariance), both
+    map-combinable aggregations; every power round then works on the
+    d² covariance table (4096 rows at d=64) with the current vector as
+    d literals (driver collect of d doubles/round — the bounded
+    IVF-centroid pattern). Determinism: covariance, every matvec, the
+    norm, trace, and the Rayleigh quotient all sum in DECIMAL(38,18)
+    (order-free) IN-ENGINE, and the only driver-side math is IEEE
+    element division — the whole iteration is bit-reproducible
+    cross-engine, so the oracle replays it exactly (fixed rounds, not
+    a convergence test — the kmeans/pagerank convention)."""
+    spark = corpus.sparkSession
+    if corpus.isEmpty():
+        return spark.createDataFrame(
+            [], "pos long, mu double, pc1 double, lambda1 double, explained_frac double"
+        )
+    d = _infer_dim(corpus, vec_col)
+    v = corpus.select(_dbl(vec_col).alias("v"))
+    comp = v.select(F.posexplode("v").alias("pos", "x"))
+    mu = comp.groupBy("pos").agg(
+        (F.sum(F.col("x").cast("decimal(38,18)")).cast("double") / F.count("*")).alias(
+            "mu"
+        )
+    )
+    mu_rows = {r["pos"]: r["mu"] for r in mu.collect()}
+    mu_arr = F.array(*[F.lit(mu_rows.get(i, 0.0)) for i in range(d)])
+    n = v.count()
+    cov = (
+        v.withColumn("__mu", mu_arr)
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {d - 1}), p ->"
+                    f" transform(sequence(0, {d - 1}), q -> struct(p AS p, q AS q,"
+                    " (v[p] - element_at(__mu, p+1)) * (v[q] - element_at(__mu, q+1)) AS t))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.p").alias("p"), F.col("e.q").alias("q"))
+        .agg(
+            (F.sum(F.col("e.t").cast("decimal(38,18)")).cast("double") / F.lit(n)).alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _matvec(vec: list[float]) -> DataFrame:
+        v_arr = F.array(*[F.lit(x) for x in vec])
+        return (
+            cov.withColumn("__v", v_arr)
+            .groupBy("p")
+            .agg(
+                F.sum(
+                    (F.col("c") * F.expr("element_at(__v, CAST(q AS INT) + 1)")).cast(
+                        "decimal(38,18)"
+                    )
+                )
+                .cast("double")
+                .alias("m")
+            )
+        )
+
+    vec = [1.0] + [0.0] * (d - 1)
+    for _ in range(iters):
+        mv = _matvec(vec)
+        nrm = mv.agg(
+            F.sqrt(F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)")).cast("double")).alias(
+                "n"
+            )
+        ).collect()[0]["n"]
+        rows = {r["p"]: r["m"] for r in mv.collect()}
+        if not nrm or nrm <= 0:
+            break
+        vec = [rows.get(i, 0.0) / nrm for i in range(d)]
+    v_arr = F.array(*[F.lit(x) for x in vec])
+    lam = (
+        cov.withColumn("__v", v_arr)
+        .select(
+            (
+                F.col("c")
+                * F.expr("element_at(__v, CAST(p AS INT) + 1)")
+                * F.expr("element_at(__v, CAST(q AS INT) + 1)")
+            ).cast("decimal(38,18)").alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("lam"))
+        .collect()[0]["lam"]
+    )
+    trace = (
+        cov.filter(F.col("p") == F.col("q"))
+        .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("tr"))
+        .collect()[0]["tr"]
+    )
+    return spark.createDataFrame(
+        [(i, mu_rows.get(i, 0.0), vec[i], lam, lam / trace) for i in range(d)],
+        "pos long, mu double, pc1 double, lambda1 double, explained_frac double",
+    )

@@ -3793,6 +3793,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
     "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
+    "emb_pca_top_component",
 })
 
 
@@ -5837,6 +5838,113 @@ def emb_prototypicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.prototypicality(_embs(spark, sf_dir)).withColumn(
         "proto_cosine", F.col("proto_cosine").cast("decimal(18,9)").cast("double")
     )
+
+
+@_q(
+    "emb_pca_top_component",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM v),
+    mu AS MATERIALIZED (
+      SELECT i - 1 AS pos,
+             CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mu
+      FROM v, range(1, 65) r(i) GROUP BY 1),
+    mua AS MATERIALIZED (SELECT list(mu ORDER BY pos) AS m FROM mu),
+    cov AS MATERIALIZED (
+      SELECT p, q,
+             CAST(sum(CAST((v[CAST(p + 1 AS INT)] - m[CAST(p + 1 AS INT)])
+                           * (v[CAST(q + 1 AS INT)] - m[CAST(q + 1 AS INT)])
+                           AS DECIMAL(38,18))) AS DOUBLE) / (SELECT n FROM nn) AS c
+      FROM v, mua, range(0, 64) rp(p), range(0, 64) rq(q)
+      GROUP BY 1, 2),
+    v0 AS MATERIALIZED (
+      SELECT list_transform(range(0, 64), i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS x),
+    m1 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v0 GROUP BY 1),
+    n1 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m1),
+    v1 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n1) ORDER BY p) AS x FROM m1),
+    m2 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v1 GROUP BY 1),
+    n2 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m2),
+    v2 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n2) ORDER BY p) AS x FROM m2),
+    m3 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v2 GROUP BY 1),
+    n3 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m3),
+    v3 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n3) ORDER BY p) AS x FROM m3),
+    m4 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v3 GROUP BY 1),
+    n4 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m4),
+    v4 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n4) ORDER BY p) AS x FROM m4),
+    m5 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v4 GROUP BY 1),
+    n5 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m5),
+    v5 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n5) ORDER BY p) AS x FROM m5),
+    m6 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v5 GROUP BY 1),
+    n6 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m6),
+    v6 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n6) ORDER BY p) AS x FROM m6),
+    m7 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v6 GROUP BY 1),
+    n7 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m7),
+    v7 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n7) ORDER BY p) AS x FROM m7),
+    m8 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v7 GROUP BY 1),
+    n8 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m8),
+    v8 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n8) ORDER BY p) AS x FROM m8),
+    lam AS MATERIALIZED (
+      SELECT CAST(sum(CAST(c * x[CAST(p + 1 AS INT)] * x[CAST(q + 1 AS INT)]
+                           AS DECIMAL(38,18))) AS DOUBLE) AS lam
+      FROM cov, v8),
+    tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS tr FROM cov WHERE p = q)
+    SELECT mu.pos,
+           CAST(CAST(mu.mu AS DECIMAL(18,9)) AS DOUBLE) AS mu,
+           CAST(CAST(x[CAST(mu.pos + 1 AS INT)] AS DECIMAL(18,9)) AS DOUBLE) AS pc1,
+           CAST(CAST(lam.lam AS DECIMAL(18,9)) AS DOUBLE) AS lambda1,
+           CAST(CAST(lam.lam / tr.tr AS DECIMAL(18,9)) AS DOUBLE) AS explained_frac
+    FROM mu, v8, lam, tr
+    """,
+)
+def emb_pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (top component by 8-round power iteration from
+    e1): the whitening/projection step of an embedding pipeline, plus
+    the explained-variance diagnostic. See similarity.pca_top_component
+    for the determinism devices (DECIMAL-summed covariance, matvec,
+    norm, Rayleigh quotient — bit-reproducible, oracle replays the
+    identical fixed-round construction). All value columns are
+    narrowed to DECIMAL(18,9) at the surface (the kmeans ulp device):
+    the double→DECIMAL(38,18) accumulator narrowing rounds half-up vs
+    half-even differently per engine at the 19th digit, drifting
+    results by ~1e-16 over the rounds — the 9-digit surface absorbs
+    it."""
+    out = _sim.pca_top_component(_embs(spark, sf_dir))
+    for c in ("mu", "pc1", "lambda1", "explained_frac"):
+        out = out.withColumn(c, F.col(c).cast("decimal(18,9)").cast("double"))
+    return out
 
 
 @_q("emb_semdedup", _semdedup_oracle(tau=_EMB_TAU))

@@ -1231,3 +1231,29 @@ def test_bpe_encode_merges_reduce_symbols(spark):
         bpe_symbol_count_expr(F.col("text"), [("a", "b"), ("ab", "ab")]).alias("n")
     ).head()["n"]
     assert n2 == 1 + 2 + 1
+
+
+def test_pca_recovers_planted_principal_axis(spark):
+    import random
+
+    from monolith_spark.operators.similarity import pca_top_component
+
+    rng = random.Random(11)
+    # variance concentrated along (1,1,0,0)/sqrt(2); small noise elsewhere
+    rows = []
+    for i in range(200):
+        t = rng.uniform(-5, 5)
+        rows.append(
+            (i, [t + rng.gauss(0, 0.1), t + rng.gauss(0, 0.1),
+                 rng.gauss(0, 0.1), rng.gauss(0, 0.1)])
+        )
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["pos"]: r for r in pca_top_component(embs, iters=8).collect()}
+    import math
+    pc = [out[i]["pc1"] for i in range(4)]
+    # unit norm, dominated by dims 0 and 1 with equal sign/weight
+    assert abs(sum(x * x for x in pc) - 1.0) < 1e-9
+    assert abs(abs(pc[0]) - 1 / math.sqrt(2)) < 0.05
+    assert abs(abs(pc[1]) - 1 / math.sqrt(2)) < 0.05
+    assert abs(pc[2]) < 0.05 and abs(pc[3]) < 0.05
+    assert out[0]["explained_frac"] > 0.95
