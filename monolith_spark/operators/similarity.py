@@ -1151,3 +1151,40 @@ def pca_top_component(
         [(i, mu_rows.get(i, 0.0), vec[i], lam, lam / trace) for i in range(d)],
         "pos long, mu double, pc1 double, lambda1 double, explained_frac double",
     )
+
+
+def pca_project(
+    corpus: DataFrame,
+    mu: list[float],
+    pc: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto a principal component: score =
+    (x−mu)·pc and reconstruction error ‖(x−mu) − score·pc‖ — the
+    corpus-parallel encode half of the PCA pair (pca_top_component
+    trains on aggregates; this is a narrow map with mu/pc as
+    literals, the bpe_train/bpe_encode split). Sequential folds in
+    ascending dimension order (zip_with + aggregate ≡ list_reduce),
+    bit-reproducible cross-engine."""
+    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
+    pc_arr = F.array(*[F.lit(float(x)) for x in pc])
+    v = corpus.select(F.col(id_col), _dbl(vec_col).alias("v")).withColumn(
+        "__c", F.zip_with(F.col("v"), mu_arr, lambda x, m: x - m)
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("__c"), pc_arr, lambda c, p: c * p),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.withColumn("score", score)
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__c"), pc_arr, lambda c, p: (c - F.col("score") * p) * (c - F.col("score") * p)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return scored.select(F.col(id_col), F.col("score"), err.alias("recon_err"))

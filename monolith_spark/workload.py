@@ -3793,7 +3793,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
     "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
-    "emb_pca_top_component",
+    "emb_pca_top_component", "emb_pca_project",
 })
 
 
@@ -5838,6 +5838,121 @@ def emb_prototypicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.prototypicality(_embs(spark, sf_dir)).withColumn(
         "proto_cosine", F.col("proto_cosine").cast("decimal(18,9)").cast("double")
     )
+
+
+@_q(
+    "emb_pca_project",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM v),
+    mu AS MATERIALIZED (
+      SELECT i - 1 AS pos,
+             CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mu
+      FROM v, range(1, 65) r(i) GROUP BY 1),
+    mua AS MATERIALIZED (SELECT list(mu ORDER BY pos) AS m FROM mu),
+    cov AS MATERIALIZED (
+      SELECT p, q,
+             CAST(sum(CAST((v[CAST(p + 1 AS INT)] - m[CAST(p + 1 AS INT)])
+                           * (v[CAST(q + 1 AS INT)] - m[CAST(q + 1 AS INT)])
+                           AS DECIMAL(38,18))) AS DOUBLE) / (SELECT n FROM nn) AS c
+      FROM v, mua, range(0, 64) rp(p), range(0, 64) rq(q)
+      GROUP BY 1, 2),
+    v0 AS MATERIALIZED (
+      SELECT list_transform(range(0, 64), i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS x),
+    m1 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v0 GROUP BY 1),
+    n1 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m1),
+    v1 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n1) ORDER BY p) AS x FROM m1),
+    m2 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v1 GROUP BY 1),
+    n2 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m2),
+    v2 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n2) ORDER BY p) AS x FROM m2),
+    m3 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v2 GROUP BY 1),
+    n3 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m3),
+    v3 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n3) ORDER BY p) AS x FROM m3),
+    m4 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v3 GROUP BY 1),
+    n4 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m4),
+    v4 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n4) ORDER BY p) AS x FROM m4),
+    m5 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v4 GROUP BY 1),
+    n5 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m5),
+    v5 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n5) ORDER BY p) AS x FROM m5),
+    m6 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v5 GROUP BY 1),
+    n6 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m6),
+    v6 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n6) ORDER BY p) AS x FROM m6),
+    m7 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v6 GROUP BY 1),
+    n7 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m7),
+    v7 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n7) ORDER BY p) AS x FROM m7),
+    m8 AS MATERIALIZED (
+      SELECT p, CAST(sum(CAST(c * x[CAST(q + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM cov, v7 GROUP BY 1),
+    n8 AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM m8),
+    v8 AS MATERIALIZED (
+      SELECT list(m / (SELECT nrm FROM n8) ORDER BY p) AS x FROM m8),
+    lam AS MATERIALIZED (
+      SELECT CAST(sum(CAST(c * x[CAST(p + 1 AS INT)] * x[CAST(q + 1 AS INT)]
+                           AS DECIMAL(38,18))) AS DOUBLE) AS lam
+      FROM cov, v8),
+    tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS tr FROM cov WHERE p = q),
+    pj AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+    sc AS MATERIALIZED (
+      SELECT vec_id, vv,
+             list_reduce(list_transform(range(1, 65),
+               i -> (vv[CAST(i AS INT)] - m[CAST(i AS INT)]) * x[CAST(i AS INT)]),
+               (a, b) -> a + b) AS score
+      FROM pj, mua, v8)
+    SELECT vec_id,
+           CAST(CAST(score AS DECIMAL(18,9)) AS DOUBLE) AS score,
+           CAST(CAST(sqrt(list_reduce(list_transform(range(1, 65),
+             i -> ((vv[CAST(i AS INT)] - m[CAST(i AS INT)]) - score * x[CAST(i AS INT)])
+                  * ((vv[CAST(i AS INT)] - m[CAST(i AS INT)]) - score * x[CAST(i AS INT)])),
+             (a, b) -> a + b)) AS DECIMAL(18,9)) AS DOUBLE) AS recon_err
+    FROM sc, mua, v8
+    """,
+)
+def emb_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PCA projection under the trained top component:
+    per-vector score and reconstruction error — the encode half of
+    the PCA pair (training aggregates the covariance; projection is a
+    narrow map with mu/pc1 as literals). Oracle re-derives the
+    identical component (same CTE chain as emb_pca_top_component) and
+    replays the sequential-fold projections; (18,9) surface narrowing
+    absorbs the accumulator-rounding ulp drift."""
+    comp = _sim.pca_top_component(_embs(spark, sf_dir)).orderBy("pos").collect()
+    mu = [r["mu"] for r in comp]
+    pc = [r["pc1"] for r in comp]
+    out = _sim.pca_project(_embs(spark, sf_dir), mu, pc)
+    for c in ("score", "recon_err"):
+        out = out.withColumn(c, F.col(c).cast("decimal(18,9)").cast("double"))
+    return out
 
 
 @_q(

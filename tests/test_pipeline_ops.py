@@ -1257,3 +1257,25 @@ def test_pca_recovers_planted_principal_axis(spark):
     assert abs(abs(pc[1]) - 1 / math.sqrt(2)) < 0.05
     assert abs(pc[2]) < 0.05 and abs(pc[3]) < 0.05
     assert out[0]["explained_frac"] > 0.95
+
+
+def test_pca_project_identities(spark):
+    import math
+    import random
+
+    from monolith_spark.operators.similarity import pca_project
+
+    rng = random.Random(5)
+    mu = [0.5, -0.5, 0.0]
+    pc = [1 / math.sqrt(2), 1 / math.sqrt(2), 0.0]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(50)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in pca_project(embs, mu, pc).collect()}
+    for i, v in rows:
+        c = [v[j] - mu[j] for j in range(3)]
+        score = sum(c[j] * pc[j] for j in range(3))
+        err = math.sqrt(sum((c[j] - score * pc[j]) ** 2 for j in range(3)))
+        assert abs(got[i]["score"] - score) < 1e-12
+        assert abs(got[i]["recon_err"] - err) < 1e-12
+        # Pythagoras: ||c||^2 == score^2 + err^2 for unit pc
+        assert abs(sum(x * x for x in c) - (score**2 + got[i]["recon_err"] ** 2)) < 1e-9
