@@ -3442,6 +3442,157 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_markov_steady_state",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM events),
+    tr0 AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    src AS MATERIALIZED (
+      SELECT prev_type AS t, row_number() OVER (ORDER BY prev_type) - 1 AS i
+      FROM (SELECT DISTINCT prev_type FROM tr0)),
+    k AS (SELECT count(*) AS k FROM src),
+    tr AS MATERIALIZED (
+      SELECT s1.i AS i, s2.i AS j, tr0.n
+      FROM tr0 JOIN src s1 ON tr0.prev_type = s1.t
+               JOIN src s2 ON tr0.next_type = s2.t),
+    pm AS MATERIALIZED (
+      SELECT i, j, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY i) AS p
+      FROM tr),
+    pi0 AS MATERIALIZED (
+      SELECT i, 1.0 / (SELECT k FROM k) AS pi FROM src),
+    pi1 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi0.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi0 ON pm.i = pi0.i
+      GROUP BY 1),
+    pi2 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi1.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi1 ON pm.i = pi1.i
+      GROUP BY 1),
+    pi3 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi2.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi2 ON pm.i = pi2.i
+      GROUP BY 1),
+    pi4 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi3.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi3 ON pm.i = pi3.i
+      GROUP BY 1),
+    pi5 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi4.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi4 ON pm.i = pi4.i
+      GROUP BY 1),
+    pi6 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi5.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi5 ON pm.i = pi5.i
+      GROUP BY 1),
+    pi7 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi6.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi6 ON pm.i = pi6.i
+      GROUP BY 1),
+    pi8 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi7.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi7 ON pm.i = pi7.i
+      GROUP BY 1),
+    pi9 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi8.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi8 ON pm.i = pi8.i
+      GROUP BY 1),
+    pi10 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi9.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi9 ON pm.i = pi9.i
+      GROUP BY 1),
+    pi11 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi10.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi10 ON pm.i = pi10.i
+      GROUP BY 1),
+    pi12 AS MATERIALIZED (
+      SELECT pm.j AS i,
+             CAST(sum(CAST(pm.p * pi11.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+      FROM pm JOIN pi11 ON pm.i = pi11.i
+      GROUP BY 1)
+    SELECT src.t AS event_type,
+           CAST(CAST(COALESCE(pi12.pi, 0.0) AS DECIMAL(18,9)) AS DOUBLE)
+             AS steady_prob
+    FROM src LEFT JOIN pi12 ON src.i = pi12.i
+    """,
+)
+def events_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state distribution of the behavioral Markov chain: the
+    events_type_transitions matrix row-normalized over source types,
+    iterated pi <- pi P for 12 fixed rounds from uniform — where user
+    behavior concentrates in the long run (the chain analog of
+    docs_pagerank, same fixed-round/DECIMAL-matvec devices). The heavy
+    step is the transitions reduction (events -> |types|^2 rows); the
+    solve runs on the tiny matrix with the iterate as literals."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    tr0 = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    types = sorted(r["prev_type"] for r in tr0.select("prev_type").distinct().collect())
+    idx = {t: i for i, t in enumerate(types)}
+    kk = len(types)
+    pm = (
+        tr0.filter(F.col("next_type").isin(types))
+        .select(
+            F.col("prev_type"), F.col("next_type"), F.col("n"),
+            F.sum("n").over(Window.partitionBy("prev_type")).alias("__rs"),
+        )
+        .select(
+            F.col("prev_type"), F.col("next_type"),
+            (F.col("n").cast("double") / F.col("__rs")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pi = {t: 1.0 / kk for t in types}
+    for _ in range(12):
+        pi_map = F.create_map(
+            *[x for t in types for x in (F.lit(t), F.lit(pi[t]))]
+        )
+        nxt = (
+            pm.withColumn("__pi", pi_map)
+            .groupBy("next_type")
+            .agg(
+                F.sum(
+                    (F.col("p") * F.expr("try_element_at(__pi, prev_type)")).cast(
+                        "decimal(38,18)"
+                    )
+                )
+                .cast("double")
+                .alias("pi")
+            )
+            .collect()
+        )
+        got = {r["next_type"]: r["pi"] for r in nxt}
+        pi = {t: got.get(t, 0.0) for t in types}
+    return spark.createDataFrame(
+        [(t, pi[t]) for t in types], "event_type string, steady_prob double"
+    ).withColumn("steady_prob", F.col("steady_prob").cast("decimal(18,9)").cast("double"))
+
+
+@_q(
     "events_funnel_steps",
     """
     WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS t_signup
@@ -3793,7 +3944,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "emb_prototypicality", "emb_semdedup", "emb_d4_prune",
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
     "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
-    "emb_pca_top_component", "emb_pca_project",
+    "emb_pca_top_component", "emb_pca_project", "events_markov_steady_state",
 })
 
 

@@ -1279,3 +1279,29 @@ def test_pca_project_identities(spark):
         assert abs(got[i]["recon_err"] - err) < 1e-12
         # Pythagoras: ||c||^2 == score^2 + err^2 for unit pc
         assert abs(sum(x * x for x in c) - (score**2 + got[i]["recon_err"] ** 2)) < 1e-9
+
+
+def test_markov_steady_state_planted_chain(spark, tmp_path):
+    import datetime as dt
+
+    from monolith_spark.workload import all_queries
+
+    # one user cycling a -> b -> a -> b ... : steady state = (0.5, 0.5)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, base + dt.timedelta(minutes=i), 1, "a" if i % 2 == 0 else "b", 1.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["event_type"]: r["steady_prob"]
+        for r in all_queries()["events_markov_steady_state"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert abs(got["a"] - 0.5) < 0.02 and abs(got["b"] - 0.5) < 0.02
+    # probabilities ~sum to 1 (chain restricted to source types)
+    assert abs(sum(got.values()) - 1.0) < 0.01
