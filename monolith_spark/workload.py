@@ -3945,6 +3945,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
     "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
     "emb_pca_top_component", "emb_pca_project", "events_markov_steady_state",
+    "docs_keywords",
 })
 
 
@@ -5715,6 +5716,64 @@ def docs_curation_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.coalesce(F.col("span_ok"), F.lit(False)), F.lit("span_heavy"))
         .otherwise(F.lit("kept"))
         .alias("verdict"),
+    )
+
+
+@_q(
+    "docs_keywords",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_W}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE NOT list_contains({_STOP_SQL}, term)
+           GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents),
+    sc AS (SELECT tf.doc_id, tf.term,
+                  CAST((((SELECT n FROM nn) - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf
+                       AS DECIMAL(18,9)) AS s
+           FROM tf JOIN dfq USING (term)),
+    r AS (SELECT doc_id, term, s,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank
+          FROM sc)
+    SELECT doc_id, term, rank, CAST(s AS DOUBLE) AS tfidf
+    FROM r WHERE rank <= 3
+    """,
+)
+def docs_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 non-stopword terms by
+    tf·idf, with the BM25 odds-form idf ((N−df+0.5)/(df+0.5) — a
+    monotone transform of log-idf that needs no ln, the engine-parity
+    device from docs_bm25_search) and scores compared in DECIMAL(18,9)
+    (the SCORE_DEC ranking convention). One explode + two tiny
+    aggregations + one per-doc rank window."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_text.tokens_expr("text")).alias("term"))
+    tf = (
+        tok.filter(~F.col("term").isin(_text.STOPWORDS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nn = docs.agg(F.count("*").alias("n"))
+    sc = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * F.col("tf")
+            )
+            .cast("decimal(18,9)")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), "term")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", F.col("s").cast("double").alias("tfidf"))
     )
 
 

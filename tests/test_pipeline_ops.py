@@ -1305,3 +1305,31 @@ def test_markov_steady_state_planted_chain(spark, tmp_path):
     assert abs(got["a"] - 0.5) < 0.02 and abs(got["b"] - 0.5) < 0.02
     # probabilities ~sum to 1 (chain restricted to source types)
     assert abs(sum(got.values()) - 1.0) < 0.01
+
+
+def test_keywords_rank_rare_terms_over_common(spark, tmp_path):
+    from monolith_spark.workload import all_queries
+
+    docs = [
+        (0, "rareword common common common filler0 the of"),
+        (1, "common filler1 filler1 other1 the of"),
+        (2, "common other2 other2 other2 the of"),
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = all_queries()["docs_keywords"].spark_fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # doc 0: "rareword" (df=1) must outrank "common" (df=3) despite tf 1 vs 3?
+    # idf(1)=(3-1+.5)/1.5=1.667 vs idf(3)=0.5/3.5=0.143*3=0.43 -> rareword wins
+    top0 = [t for _, t in sorted(by_doc[0])]
+    # both df=1 terms (tie broken lexicographically) outrank common (df=3)
+    assert top0[:2] == ["filler0", "rareword"] and top0[2] == "common"
+    # stopwords never appear
+    assert all(t not in ("the", "of") for rs in by_doc.values() for _, t in rs)
+    # at most 3 per doc, ranks contiguous from 1
+    for rs in by_doc.values():
+        assert sorted(r for r, _ in rs) == list(range(1, len(rs) + 1))
