@@ -64,6 +64,9 @@ EXTRA_WORKLOAD_NAMES = [
     "docs_span_dedup",
     "docs_tf_cosine_pairs",
     "docs_winnow_fingerprint",
+    "events_kmv_daily_users",
+    "docs_keywords",
+    "text_bpe_train",
 ]
 
 
