@@ -5563,19 +5563,19 @@ def docs_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
                       / len(w) AS stop_ratio
              FROM t),
-    band AS (SELECT doc_id,
-                    max(CASE WHEN rn = greatest((cnt*5+99)//100, 1) THEN n_tokens END)
-                      OVER (PARTITION BY source) AS lo,
-                    max(CASE WHEN rn = (cnt*95+99)//100 THEN n_tokens END)
-                      OVER (PARTITION BY source) AS hi
-             FROM (SELECT doc_id, source, n_tokens,
-                          row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
-                          count(*) OVER (PARTITION BY source) AS cnt
-                   FROM feat)),
+    band AS (SELECT source,
+                    min(CASE WHEN cum >= greatest((cnt*5+99)//100, 1) THEN v END) AS lo,
+                    min(CASE WHEN cum >= (cnt*95+99)//100 THEN v END) AS hi
+             FROM (SELECT source, v,
+                          sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                          sum(c) OVER (PARTITION BY source) AS cnt
+                   FROM (SELECT source, n_tokens AS v, count(*) AS c
+                         FROM feat GROUP BY 1, 2))
+             GROUP BY source),
     g AS (SELECT f.doc_id, f.text,
                  (f.n_tokens BETWEEN band.lo AND band.hi AND f.stop_ratio >= 0.04)
                    AS gate_ok
-          FROM feat f JOIN band ON f.doc_id = band.doc_id),
+          FROM feat f JOIN band ON f.source = band.source),
     e AS (SELECT doc_id, text,
                  doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS exact_ok
           FROM g WHERE gate_ok),
@@ -5652,28 +5652,24 @@ def docs_curation_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("__w")
         ).alias("stop_ratio"),
     )
-    wp = Window.partitionBy("source")
-    r = t.select(
-        "doc_id",
+    h = t.groupBy("source", F.col("n_tokens").alias("v")).agg(F.count("*").alias("c"))
+    ch = h.select(
         "source",
-        "text",
-        "n_tokens",
-        "stop_ratio",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
-        .alias("rn"),
-        F.count("*").over(wp).alias("cnt"),
+        "v",
+        F.sum("c").over(Window.partitionBy("source").orderBy("v")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("cnt"),
     )
     lo_rank = F.greatest(F.expr("(cnt*5+99) div 100"), F.lit(1))
     hi_rank = F.expr("(cnt*95+99) div 100")
-    g = r.select(
+    band = ch.groupBy("source").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("hi"),
+    )
+    g = t.join(band, "source").select(
         "doc_id",
         "text",
         (
-            F.col("n_tokens").between(
-                F.max(F.when(F.col("rn") == lo_rank, F.col("n_tokens"))).over(wp),
-                F.max(F.when(F.col("rn") == hi_rank, F.col("n_tokens"))).over(wp),
-            )
+            F.col("n_tokens").between(F.col("lo"), F.col("hi"))
             & (F.col("stop_ratio") >= 0.04)
         ).alias("gate_ok"),
     )
@@ -5851,19 +5847,18 @@ def text_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_adaptive_length_gate",
     f"""
     WITH t AS (SELECT doc_id, source, len({_W}) AS n_tokens FROM documents),
-    r AS (SELECT doc_id, source, n_tokens,
-                 row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
-                 count(*) OVER (PARTITION BY source) AS cnt
-          FROM t),
-    b AS (SELECT doc_id, source, n_tokens,
-                 max(CASE WHEN rn = greatest((cnt*5+99)//100, 1) THEN n_tokens END)
-                   OVER (PARTITION BY source) AS lo,
-                 max(CASE WHEN rn = (cnt*95+99)//100 THEN n_tokens END)
-                   OVER (PARTITION BY source) AS hi
-          FROM r)
-    SELECT doc_id, source, n_tokens, lo AS q05_tokens, hi AS q95_tokens,
-           n_tokens BETWEEN lo AND hi AS in_range
-    FROM b
+    h AS (SELECT source, n_tokens AS v, count(*) AS c FROM t GROUP BY 1, 2),
+    ch AS (SELECT source, v,
+                  sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS cnt
+           FROM h),
+    b AS (SELECT source,
+                 min(CASE WHEN cum >= greatest((cnt*5+99)//100, 1) THEN v END) AS lo,
+                 min(CASE WHEN cum >= (cnt*95+99)//100 THEN v END) AS hi
+          FROM ch GROUP BY source)
+    SELECT t.doc_id, t.source, t.n_tokens, b.lo AS q05_tokens, b.hi AS q95_tokens,
+           t.n_tokens BETWEEN b.lo AND b.hi AS in_range
+    FROM t JOIN b ON t.source = b.source
     """,
 )
 def docs_adaptive_length_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5871,35 +5866,34 @@ def docs_adaptive_length_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's [q05, q95] token-length band instead of one global
     threshold (different sources have different length norms — the
     CCNet/Gopher practice of per-domain calibration). Quantiles are
-    exact rank-at-position values (rn = ceil(p·n) via integer
-    arithmetic — no interpolation, no cross-engine percentile drift),
-    and the whole query is ONE exchange on source: the rank window,
-    the count, and both value-at-rank windows share the same
-    hashpartitioning."""
+    exact rank-at-position values — q = min length whose cumulative
+    count reaches ceil(p·n), integer arithmetic, no interpolation —
+    computed over the COMPACT (source, n_tokens) histogram, not the
+    corpus: a per-source window over raw docs would funnel each
+    source's entire doc set through one sort task at 100 TB (few
+    sources = few partitions), while the histogram is |distinct
+    lengths| rows per source and the thresholds join back broadcast-
+    small. Same outputs as the sorted-multiset definition."""
     docs = _docs(spark, sf_dir)
     t = docs.select(
         "doc_id", "source", _text.token_count("text").cast("long").alias("n_tokens")
     )
-    wp = Window.partitionBy("source")
-    r = t.select(
-        "doc_id",
+    h = t.groupBy("source", F.col("n_tokens").alias("v")).agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("source").orderBy("v")
+    ws = Window.partitionBy("source")
+    ch = h.select(
         "source",
-        "n_tokens",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
-        .alias("rn"),
-        F.count("*").over(wp).alias("cnt"),
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(ws).alias("cnt"),
     )
     lo_rank = F.greatest(F.expr("(cnt*5+99) div 100"), F.lit(1))
     hi_rank = F.expr("(cnt*95+99) div 100")
-    b = r.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.max(F.when(F.col("rn") == lo_rank, F.col("n_tokens"))).over(wp).alias("lo"),
-        F.max(F.when(F.col("rn") == hi_rank, F.col("n_tokens"))).over(wp).alias("hi"),
+    b = ch.groupBy("source").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("hi"),
     )
-    return b.select(
+    return t.join(b, "source").select(
         "doc_id",
         "source",
         "n_tokens",

@@ -951,8 +951,13 @@ def test_adaptive_length_gate_single_exchange_and_exact_ranks(spark, sf_dir):
     q = all_queries()["docs_adaptive_length_gate"]
     df = q.spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the rank/count/value-at-rank windows must share ONE exchange on source
-    assert plan.count("Exchange hashpartitioning") == 1
+    # quantiles come from the COMPACT (source, n_tokens) histogram: the
+    # cumulative window sorts aggregate output, never raw docs (a
+    # per-source sort of the corpus would bottleneck on |sources|
+    # partitions at scale), and nothing goes cartesian
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
+    win_sort = plan.index("Sort ")
+    assert "HashAggregate" in plan[win_sort:], "window sort must feed from the histogram aggregate"
     rows = df.collect()
     by_src = {}
     for r in rows:
