@@ -5813,12 +5813,17 @@ def text_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
-    r = tf.select(
+    # distributed top-k (TakeOrderedAndProject), NOT a global rank
+    # window: a web-scale vocabulary (billions of noise tokens) would
+    # funnel through one sort task; limit-by-total-order selects the
+    # identical 1000 rows, then the rank window runs on 1000 rows.
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(1000)
+    r = top.select(
         "freq",
         F.row_number()
         .over(Window.orderBy(F.col("freq").desc(), "term"))
         .alias("rank"),
-    ).filter(F.col("rank") <= 1000)
+    )
     q = r.select(
         F.log(F.col("rank").cast("double")).cast("decimal(18,12)").alias("x"),
         F.log(F.col("freq").cast("double")).cast("decimal(18,12)").alias("y"),
