@@ -3945,7 +3945,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
     "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
     "emb_pca_top_component", "emb_pca_project", "events_markov_steady_state",
-    "docs_keywords",
+    "docs_keywords", "docs_source_copy_matrix",
 })
 
 
@@ -5553,6 +5553,54 @@ def docs_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the Jaccard pair op; dot-count integers make the ratio
     bit-exact. See dedup.shingle_containment_pairs."""
     return _dedup.shingle_containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@_q(
+    "docs_source_copy_matrix",
+    f"""
+    WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 2),
+    n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_a AS inner_id, doc_b AS outer_id,
+             CAST(ni AS DOUBLE) / x.ns AS containment
+      FROM p JOIN n x ON doc_a = x.doc_id
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(ni AS DOUBLE) / y.ns
+      FROM p JOIN n y ON doc_b = y.doc_id),
+    f AS (SELECT inner_id, outer_id FROM bi WHERE containment >= 0.8)
+    SELECT si.source AS inner_source, so.source AS outer_source,
+           count(*) AS n_contained_pairs,
+           count(DISTINCT f.inner_id) AS n_inner_docs
+    FROM f JOIN documents si ON f.inner_id = si.doc_id
+           JOIN documents so ON f.outer_id = so.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def docs_source_copy_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source copy-flow matrix: containment pairs (inner doc
+    >= 80% contained in outer) rolled up by (inner_source,
+    outer_source) — which sources' content is duplicated where, the
+    dashboard a crawl-curation team watches for mirror/scraper sites.
+    Shares the containment postings plan; the rollup adds two dim
+    joins (doc -> source) and a |sources|²-bounded aggregation."""
+    pairs = _dedup.shingle_containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    si = src.select(F.col("doc_id").alias("inner_id"), F.col("source").alias("inner_source"))
+    so = src.select(F.col("doc_id").alias("outer_id"), F.col("source").alias("outer_source"))
+    return (
+        pairs.join(si, "inner_id")
+        .join(so, "outer_id")
+        .groupBy("inner_source", "outer_source")
+        .agg(
+            F.count("*").alias("n_contained_pairs"),
+            F.count_distinct("inner_id").alias("n_inner_docs"),
+        )
+    )
 
 
 @_q(

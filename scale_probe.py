@@ -136,6 +136,11 @@ def pipeline3_probe(spark, mult: int) -> dict:
     timed("span_dedup_sec", dedup.span_dup_stats(docs))
     timed("tf_cosine_sec", dedup.shingle_tf_cosine_pairs(docs))
     timed("winnow_sec", text.winnow_stats(docs))
+    from monolith_spark.workload import all_queries as _aq
+    import os as _os, tempfile as _tf
+    tmp = _tf.mkdtemp(prefix="probe_gate_")
+    docs.write.parquet(_os.path.join(tmp, "documents.parquet"))
+    timed("adaptive_gate_sec", _aq()["docs_adaptive_length_gate"].spark_fn(spark, tmp))
     embs = scaled_embs(spark, mult).localCheckpoint(eager=True)
     out["vecs"] = embs.count()
     timed("semdedup_sec", sim.semdedup(embs, k=8 * mult))

@@ -1338,3 +1338,24 @@ def test_keywords_rank_rare_terms_over_common(spark, tmp_path):
     # at most 3 per doc, ranks contiguous from 1
     for rs in by_doc.values():
         assert sorted(r for r, _ in rs) == list(range(1, len(rs) + 1))
+
+
+def test_source_copy_matrix_directionality(spark, tmp_path):
+    from monolith_spark.workload import all_queries
+
+    excerpt = " ".join(f"e{i}" for i in range(12))
+    big = excerpt + " " + " ".join(f"b{i}" for i in range(100))
+    docs = [
+        (0, "mirror", excerpt),          # contained in src 'orig' doc
+        (1, "orig", big),
+        (2, "orig", "p q r unrelated content words here"),
+    ]
+    spark.createDataFrame(
+        [(d, s_, t, "en", len(t)) for d, s_, t in docs],
+        "doc_id long, source string, text string, lang string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = all_queries()["docs_source_copy_matrix"].spark_fn(spark, str(tmp_path)).collect()
+    m = {(r["inner_source"], r["outer_source"]): r for r in rows}
+    assert ("mirror", "orig") in m
+    assert m[("mirror", "orig")]["n_inner_docs"] == 1
+    assert ("orig", "mirror") not in m  # asymmetric: big doc not inside excerpt
