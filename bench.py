@@ -67,6 +67,9 @@ EXTRA_WORKLOAD_NAMES = [
     "events_kmv_daily_users",
     "docs_keywords",
     "text_bpe_train",
+    # composite flagships (audit-trail curation; SemDeDup + D4 prune)
+    "docs_curation_full",
+    "emb_d4_prune",
 ]
 
 
