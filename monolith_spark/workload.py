@@ -5731,7 +5731,10 @@ def docs_curation_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("exact_ok"),
     )
-    ek = e.filter("exact_ok").select("doc_id", "text")
+    # survivors feed TWO tokenizing stages (tf-cosine and span stats)
+    # plus the final verdict joins — materialize once so the gate/
+    # dedup lineage doesn't re-tokenize per consumer
+    ek = e.filter("exact_ok").select("doc_id", "text").localCheckpoint(eager=True)
     nd = (
         _dedup.shingle_tf_cosine_pairs(ek, threshold=0.3)
         .select(F.col("doc_b").alias("doc_id"))
