@@ -3945,7 +3945,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
     "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
     "emb_pca_top_component", "emb_pca_project", "events_markov_steady_state",
-    "docs_keywords", "docs_source_copy_matrix",
+    "docs_keywords", "docs_source_copy_matrix", "text_vocab_coverage",
 })
 
 
@@ -5821,6 +5821,59 @@ def docs_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "rank", F.col("s").cast("double").alias("tfidf"))
+    )
+
+
+@_q(
+    "text_vocab_coverage",
+    f"""
+    WITH tf AS (SELECT term, count(*) AS freq
+                FROM (SELECT unnest({_W}) AS term FROM documents)
+                GROUP BY 1),
+    r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+          FROM tf),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t, count(*) AS n_types FROM tf)
+    SELECT tot.n_types,
+           tot.t AS n_tokens,
+           CAST((SELECT sum(freq) FROM r WHERE rank <= 10) AS DOUBLE) / tot.t
+             AS cov_top10,
+           CAST((SELECT sum(freq) FROM r WHERE rank <= 100) AS DOUBLE) / tot.t
+             AS cov_top100,
+           CAST((SELECT sum(freq) FROM r WHERE rank <= 1000) AS DOUBLE) / tot.t
+             AS cov_top1000
+    FROM tot
+    """,
+)
+def text_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of corpus tokens covered
+    by the top-10/100/1000 types — the OOV-rate planning number behind
+    vocab-size choices (pairs with text_zipf_fit's slope and
+    text_bpe_train's merges). Exact integer sums over the
+    TakeOrdered'd head; at web scale the head selection is the
+    distributed top-k, never a global vocabulary sort."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(_text.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = tf.agg(
+        F.count("*").alias("n_types"), F.sum("freq").cast("long").alias("n_tokens")
+    )
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(1000)
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = top.select("freq", F.row_number().over(w).alias("rank"))
+    heads = ranked.agg(
+        F.sum(F.when(F.col("rank") <= 10, F.col("freq"))).alias("h10"),
+        F.sum(F.when(F.col("rank") <= 100, F.col("freq"))).alias("h100"),
+        F.sum(F.when(F.col("rank") <= 1000, F.col("freq"))).alias("h1000"),
+    )
+    return tot.crossJoin(F.broadcast(heads)).select(
+        "n_types",
+        "n_tokens",
+        (F.col("h10").cast("double") / F.col("n_tokens")).alias("cov_top10"),
+        (F.col("h100").cast("double") / F.col("n_tokens")).alias("cov_top100"),
+        (F.col("h1000").cast("double") / F.col("n_tokens")).alias("cov_top1000"),
     )
 
 

@@ -1359,3 +1359,19 @@ def test_source_copy_matrix_directionality(spark, tmp_path):
     assert ("mirror", "orig") in m
     assert m[("mirror", "orig")]["n_inner_docs"] == 1
     assert ("orig", "mirror") not in m  # asymmetric: big doc not inside excerpt
+
+
+def test_vocab_coverage_monotone_and_exact(spark, tmp_path):
+    from monolith_spark.workload import all_queries
+
+    # 3 types: a x6, b x3, c x1 -> top10 covers everything
+    spark.createDataFrame(
+        [(0, "a a a b b c", "en", "s", 11), (1, "a a a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    r = all_queries()["text_vocab_coverage"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_types"] == 3 and r["n_tokens"] == 10
+    assert r["cov_top10"] == r["cov_top100"] == r["cov_top1000"] == 1.0
+    # real fixture: monotone non-decreasing coverage
+    r2 = all_queries()["text_vocab_coverage"].spark_fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 < r2["cov_top10"] <= r2["cov_top100"] <= r2["cov_top1000"] <= 1.0
