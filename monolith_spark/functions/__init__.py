@@ -36,6 +36,7 @@ from monolith_spark.operators.similarity import (
 )
 from monolith_spark.operators.text import (
     BPE_PATTERN,
+    bpe_symbol_count_expr,
     winnow_fingerprints_expr,
     bpe_tokens_expr,
     fingerprint_md5,
@@ -97,6 +98,6 @@ __all__ = [
     "pq_code_expr", "zvalue_expr",
     "range_func_by_step",
     "cms_sketch", "cms_estimate", "cms_merge", "cms_bucket_expr",
-    "kmv_sketch", "kmv_merge", "kmv_estimate",
+    "kmv_sketch", "kmv_merge", "kmv_estimate", "bpe_symbol_count_expr",
     "decode_image", "encode_ppm", "encode_wav", "encode_y4m", "resize_image",
 ]
