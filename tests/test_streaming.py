@@ -815,3 +815,31 @@ def test_continuous_kmv_matches_batch_sketch(spark, tmp_path):
     assert sorted(
         (r["grp"], r["h"]) for r in kmv.sketch().collect()
     ) == sorted((r["grp"], r["h"]) for r in batch.collect())
+
+
+def test_streaming_winnow_crash_replay_is_idempotent(spark, tmp_path):
+    import os
+
+    from monolith_spark.streaming.winnow import StreamingWinnowIndex
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs_schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, "aa bb " + shared)], docs_schema)
+    b2 = spark.createDataFrame([(2, shared + " cc dd")], docs_schema)
+    idx = StreamingWinnowIndex(spark, str(tmp_path / "idx"))
+    idx.process_batch(b1, epoch_id=0)
+    idx.process_batch(b2, epoch_id=1)
+    before = sorted(
+        (r["new_doc_id"], r["old_doc_id"], r["shared"]) for r in idx.matches().collect()
+    )
+    assert before, "cross-batch match expected"
+    # crash between epoch-1's writes and its ledger mark: the rerun
+    # must overwrite epoch 1's partitions — no self-matches against its
+    # own half-persisted fingerprints, no duplicate match rows
+    os.remove(os.path.join(idx._epochs_dir, "1.done"))
+    idx.process_batch(b2, epoch_id=1)
+    after = sorted(
+        (r["new_doc_id"], r["old_doc_id"], r["shared"]) for r in idx.matches().collect()
+    )
+    assert after == before
+    assert all(n != o for n, o, _ in after)
