@@ -843,3 +843,21 @@ def test_streaming_winnow_crash_replay_is_idempotent(spark, tmp_path):
     )
     assert after == before
     assert all(n != o for n, o, _ in after)
+
+
+def test_continuous_kmv_crash_replay_overwrites_epoch(spark, tmp_path):
+    import os
+
+    from monolith_spark.streaming.kmv import ContinuousKMV
+
+    schema = "grp string, key string"
+    b1 = spark.createDataFrame([("g", f"x{i}") for i in range(100)], schema)
+    b2 = spark.createDataFrame([("g", f"y{i}") for i in range(100)], schema)
+    kmv = ContinuousKMV(spark, str(tmp_path / "kmv"), key_col="key", group_cols=["grp"])
+    kmv.process_batch(b1, epoch_id=0)
+    kmv.process_batch(b2, epoch_id=1)
+    before = sorted(r["h"] for r in kmv.sketch().collect())
+    # crash after epoch-1's parquet write, before the ledger mark
+    os.remove(os.path.join(kmv._epochs_dir, "1.done"))
+    kmv.process_batch(b2, epoch_id=1)
+    assert sorted(r["h"] for r in kmv.sketch().collect()) == before
