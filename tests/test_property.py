@@ -683,3 +683,34 @@ def test_winnow_matches_python_model(spark, tokens):
         docs.select(winnow_fingerprints_expr(F.col("text")).alias("fp")).head()["fp"]
     )
     assert got == _py_winnow([t for t in " ".join(tokens).split()])
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(st.text(alphabet="mn", min_size=1, max_size=3), min_size=0, max_size=40),
+    st.lists(st.text(alphabet="mn", min_size=1, max_size=3), min_size=0, max_size=40),
+)
+def test_kmv_merge_equals_union_property(spark, keys_a, keys_b):
+    from monolith_spark.operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    schema = "grp string, key string"
+    a = spark.createDataFrame([("g", k) for k in keys_a] or [("__empty", "x")], schema)
+    b = spark.createDataFrame([("g", k) for k in keys_b] or [("__empty", "x")], schema)
+    merged = kmv_merge(
+        kmv_sketch(a, "key", ["grp"], k=8),
+        kmv_sketch(b, "key", ["grp"], k=8),
+        group_cols=["grp"], k=8,
+    )
+    direct = kmv_sketch(a.unionByName(b), "key", ["grp"], k=8)
+    assert sorted((r["grp"], r["h"]) for r in merged.collect()) == sorted(
+        (r["grp"], r["h"]) for r in direct.collect()
+    )
+    # below-k exactness
+    n_distinct = len(set(keys_a) | set(keys_b))
+    if 0 < n_distinct < 8:
+        est = {
+            r["grp"]: r["kmv_est"]
+            for r in kmv_estimate(direct, ["grp"], k=8).collect()
+        }
+        if "g" in est:
+            assert est["g"] == float(n_distinct)
