@@ -549,21 +549,25 @@ def pagerank(
 def span_dup_stats(
     df: DataFrame,
     window: int = 20,
-    stride: int = 10,
+    stride: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the scalable
     approximation of exact-substring training-data dedup (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better",
-    arXiv:2107.06499): hash every ``window``-token span at ``stride``-
-    token steps, call a span duplicated when its hash occurs in >= 2
-    distinct documents, and report the per-document duplicated
-    fraction. (The paper's suffix array finds arbitrary >= 50-token
-    matches; strided fixed windows find any cross-doc match of
-    window+stride-1 tokens or longer while staying one explode + one
-    hash groupBy — shuffle-linear at any corpus size, where a
-    distributed suffix array is a multi-round sort.)
+    arXiv:2107.06499): hash every ``window``-token span, call a span
+    duplicated when its hash occurs in >= 2 distinct documents, and
+    report the per-document duplicated fraction. At the default
+    stride=1 every offset is hashed, so ANY shared run of >= window
+    tokens is detected regardless of where it sits in each doc — the
+    paper's guarantee at fixed length, one explode + one hash groupBy
+    (shuffle-linear; a distributed suffix array is a multi-round
+    sort). stride>1 cuts the explode by that factor but detects only
+    POSITION-ALIGNED duplication (a single prepended token shifts
+    every phase and hides the copy) — use it for exact-copy/prefix
+    scans only; content-defined selection for unaligned matches at
+    sub-linear density is winnowing's job (winnow_fingerprints_expr).
 
     Returns [doc_id, n_spans, n_dup_spans, dup_frac] for EVERY input
     doc; docs shorter than ``window`` tokens have zero spans and a

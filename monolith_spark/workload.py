@@ -5648,7 +5648,7 @@ def docs_source_copy_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   md5(array_to_string(list_transform(range(0, 20), kk -> w2[CAST(i + kk AS INT)]), ' ')) AS h
            FROM (SELECT doc_id, {_W} AS w2 FROM nk) z,
                 range(1, 2000) r(i)
-           WHERE (i - 1) % 10 = 0 AND i + 19 <= len(w2)),
+           WHERE i + 19 <= len(w2)),
     spd AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
     spa AS (SELECT doc_id, count(*) AS n_spans,
                    sum(CASE WHEN h IN (SELECT h FROM spd) THEN 1 ELSE 0 END) AS n_dup
@@ -6086,7 +6086,7 @@ def docs_tf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT doc_id,
                  md5(array_to_string(list_transform(range(0, 20), k -> w[CAST(i + k AS INT)]), ' ')) AS h
           FROM t, range(1, 2000) r(i)
-          WHERE (i - 1) % 10 = 0 AND i + 19 <= len(w)),
+          WHERE i + 19 <= len(w)),
     d AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
     a AS (SELECT doc_id, count(*) AS n_spans,
                  CAST(sum(CASE WHEN h IN (SELECT h FROM d) THEN 1 ELSE 0 END) AS BIGINT)
@@ -6102,7 +6102,7 @@ def docs_tf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span fractions (Lee et al. exact-substring dedup,
-    approximated by strided 20-token hashed windows): the signal a
+    approximated by rolling 20-token hashed windows): the signal a
     curation pipeline thresholds to cut boilerplate-heavy docs. One
     explode + one hash groupBy — see dedup.span_dup_stats for the
     suffix-array contrast. Oracle unnests positions via the

@@ -1375,3 +1375,24 @@ def test_vocab_coverage_monotone_and_exact(spark, tmp_path):
     # real fixture: monotone non-decreasing coverage
     r2 = all_queries()["text_vocab_coverage"].spark_fn(spark, "/root/testdata/sf0.01").collect()[0]
     assert 0 < r2["cov_top10"] <= r2["cov_top100"] <= r2["cov_top1000"] <= 1.0
+
+
+def test_span_dup_detects_unaligned_copy(spark):
+    """stride=1 guarantee: a >= window-token shared run is detected
+    even when its position differs between docs (the case stride>1
+    misses — one prepended token shifts every phase)."""
+    from monolith_spark.operators.dedup import span_dup_stats
+
+    run = " ".join(f"r{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, run + " " + " ".join(f"a{i}" for i in range(15))),
+            (1, "shift " + " ".join(f"b{i}" for i in range(8)) + " " + run),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dup_stats(docs).collect()}
+    assert got[0]["n_dup_spans"] >= 1 and got[1]["n_dup_spans"] >= 1
+    # the aligned-only mode misses exactly this case
+    aligned = {r["doc_id"]: r for r in span_dup_stats(docs, stride=10).collect()}
+    assert aligned[0]["n_dup_spans"] == 0 or aligned[1]["n_dup_spans"] == 0
