@@ -21,7 +21,7 @@ construction (see workload.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from monolith_spark.operators.text import fingerprint_md5, shingles_expr, simhash
@@ -61,12 +61,20 @@ def passage_dup_stats(
     acceptable for a *statistic*; exact_dedup-style md5 would be used
     for destructive removal.
     """
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_pass = F.floor(F.size(w) / k).cast("long")
-    passages = F.transform(
-        F.sequence(F.lit(1), n_pass.cast("int")),
-        lambda i: F.xxhash64(F.array_join(F.slice(w, (i - 1) * k + 1, k), " ")),
-    )
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _passages(w: Column) -> Column:
+        # w is a bound lambda VARIABLE: the split runs once per row.
+        # Referencing the raw split inside the per-passage lambda would
+        # re-split per passage — O(tokens²/k) per doc (the winnowing
+        # re-evaluation trap, SCALE traps memo).
+        return F.transform(
+            F.sequence(F.lit(1), F.floor(F.size(w) / k).cast("int")),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, (i - 1) * k + 1, k), " ")),
+        )
+
+    passages = F.element_at(F.transform(F.array(raw), _passages), 1)
+    n_pass = F.floor(F.size(raw) / k).cast("long")
     base = df.select(
         F.col(id_col), n_pass.alias("n_passages"), passages.alias("__ph")
     ).filter(F.col("n_passages") >= 1)
