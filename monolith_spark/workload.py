@@ -3949,17 +3949,42 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
 })
 
 
+# Within the round-3 tier, flagship operators first: when the window
+# can't hold every round-3 addition, the driver should verify the
+# headline dedup/curation/linear-algebra work before diagnostics.
+_ROUND3_FLAGSHIP_ORDER: tuple[str, ...] = (
+    "emb_semdedup", "emb_d4_prune", "docs_curation_full",
+    "docs_span_dedup", "docs_tf_cosine_pairs", "docs_winnow_fingerprint",
+    "docs_adaptive_length_gate", "emb_prototypicality",
+    "emb_pca_top_component", "emb_pca_project",
+    "text_bpe_train", "text_bpe_encode",
+    "events_dedup_window", "events_kmv_daily_users",
+    "docs_containment_pairs", "orders_market_basket",
+    "text_zipf_fit", "text_vocab_coverage", "docs_keywords",
+    "docs_source_copy_matrix", "ts_seasonal_decompose",
+    "events_markov_steady_state",
+)
+
+
 def _ordered_registry() -> list[WorkloadQuery]:
     """Registry ordered for the driver's 50-query check window:
     priority names first, then driver-unverified (round-2-era backlog
-    before round-3 additions), then already-green."""
+    before round-3 additions, flagships first within round 3), then
+    already-green."""
     by_name = {q.name: q for q in _REGISTRY}
     prio = [by_name[n] for n in _DRIVER_PRIORITY if n in by_name]
     fresh = [
         q for q in _REGISTRY
         if q.name not in _DRIVER_GREEN and q.name not in _DRIVER_PRIORITY
     ]
-    fresh.sort(key=lambda q: q.name in _ROUND3_NAMES)  # stable: r2-era first
+    r3_rank = {n: i for i, n in enumerate(_ROUND3_FLAGSHIP_ORDER)}
+
+    def _key(q: WorkloadQuery) -> tuple[int, int]:
+        if q.name not in _ROUND3_NAMES:
+            return (0, 0)
+        return (1, r3_rank.get(q.name, len(_ROUND3_FLAGSHIP_ORDER)))
+
+    fresh.sort(key=_key)  # stable: r2-era first, then ranked round-3
     done = [q for q in _REGISTRY if q.name in _DRIVER_GREEN]
     return prio + fresh + done
 
