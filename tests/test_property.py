@@ -714,3 +714,76 @@ def test_kmv_merge_equals_union_property(spark, keys_a, keys_b):
         }
         if "g" in est:
             assert est["g"] == float(n_distinct)
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    w = text.strip().split()
+    return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="uv", min_size=1, max_size=2), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_tf_cosine_matches_python_model(spark, docs_tokens):
+    import math
+    from collections import Counter
+
+    from monolith_spark.operators.dedup import shingle_tf_cosine_pairs
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["tf_cosine"]
+        for r in shingle_tf_cosine_pairs(sdf, threshold=0.0, df_cap=50).collect()
+    }
+    # python model: df-capped shingle tf vectors, integer dot/norms
+    tfs = {i: Counter(_py_shingles(t)) for i, t in docs}
+    df_cnt = Counter(term for tf in tfs.values() for term in tf)
+    kept = {i: {t: c for t, c in tf.items() if df_cnt[t] <= 50} for i, tf in tfs.items()}
+    expect = {}
+    for a in kept:
+        for b in kept:
+            if a < b and kept[a] and kept[b]:
+                dot = sum(kept[a][t] * kept[b][t] for t in kept[a].keys() & kept[b].keys())
+                if dot > 0:
+                    na = math.sqrt(sum(c * c for c in kept[a].values()))
+                    nb = math.sqrt(sum(c * c for c in kept[b].values()))
+                    expect[(a, b)] = dot / (na * nb)
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-12
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="uv", min_size=1, max_size=2), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_containment_matches_python_model(spark, docs_tokens):
+    from monolith_spark.operators.dedup import shingle_containment_pairs
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in shingle_containment_pairs(sdf, threshold=0.0).collect()
+    }
+    sets = {i: set(_py_shingles(t)) for i, t in docs}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter > 0:
+                    expect[(a, b)] = inter / len(sets[a])
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-12
