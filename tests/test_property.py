@@ -787,3 +787,34 @@ def test_containment_matches_python_model(spark, docs_tokens):
     assert set(got) == set(expect)
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-12
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="pq", min_size=1, max_size=2), min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_span_dup_stats_matches_python_model(spark, docs_tokens):
+    from monolith_spark.operators.dedup import span_dup_stats
+
+    W = 5  # small window so short random docs produce spans
+    docs = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dup_stats(sdf, window=W, stride=1).collect()
+    }
+    spans = {
+        i: [" ".join(t.split()[j:j + W]) for j in range(len(t.split()) - W + 1)]
+        for i, t in docs
+    }
+    by_span: dict[str, set[int]] = {}
+    for i, ss in spans.items():
+        for s_ in ss:
+            by_span.setdefault(s_, set()).add(i)
+    for i, ss in spans.items():
+        n_dup = sum(1 for s_ in ss if len(by_span[s_]) >= 2)
+        assert got[i] == (len(ss), n_dup)
