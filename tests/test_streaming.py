@@ -861,3 +861,41 @@ def test_continuous_kmv_crash_replay_overwrites_epoch(spark, tmp_path):
     os.remove(os.path.join(kmv._epochs_dir, "1.done"))
     kmv.process_batch(b2, epoch_id=1)
     assert sorted(r["h"] for r in kmv.sketch().collect()) == before
+
+
+def test_continuous_length_gate_matches_batch_thresholds(spark, tmp_path):
+    from monolith_spark.streaming.gates import ContinuousLengthGate
+    from monolith_spark.workload import all_queries
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = []
+    did = 0
+    for src, lens in (("a", range(5, 45)), ("b", range(60, 80))):
+        for n in lens:
+            rows.append((did, " ".join(f"w{j}" for j in range(n)), "en", src, n * 3))
+            did += 1
+    src_dir = str(tmp_path / "docs")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    gate = ContinuousLengthGate(spark, str(tmp_path / "gate"))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = gate.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["source"]: (r["q05_tokens"], r["q95_tokens"]) for r in gate.thresholds().collect()}
+    # batch gate over the same corpus must produce identical bands
+    spark.read.parquet(src_dir).write.parquet(f"{tmp_path}/fix/documents.parquet")
+    batch = all_queries()["docs_adaptive_length_gate"].spark_fn(spark, str(tmp_path / "fix"))
+    expect = {
+        r["source"]: (r["q05_tokens"], r["q95_tokens"])
+        for r in batch.select("source", "q05_tokens", "q95_tokens").distinct().collect()
+    }
+    assert got == expect
+    # replayed epoch is a no-op
+    gate.process_batch(spark.read.parquet(src_dir), epoch_id=0)
+    assert {
+        r["source"]: (r["q05_tokens"], r["q95_tokens"]) for r in gate.thresholds().collect()
+    } == expect
