@@ -1148,7 +1148,7 @@ def pca_top_component(
         .collect()[0]["tr"]
     )
     return spark.createDataFrame(
-        [(i, mu_rows.get(i, 0.0), vec[i], lam, lam / trace) for i in range(d)],
+        [(i, mu_rows.get(i, 0.0), vec[i], lam, (lam / trace) if trace else None) for i in range(d)],
         "pos long, mu double, pc1 double, lambda1 double, explained_frac double",
     )
 

@@ -183,7 +183,7 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         n_toks.cast("long").alias("n_tokens"),
         (total_tok_len.cast("double") / n_toks).alias("avg_token_len"),
         (stopword_count(text_col).cast("double") / n_toks).alias("stopword_ratio"),
-        (punct_count(text_col).cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),
+        F.try_divide(punct_count(text_col).cast("double"), F.length(F.col(text_col))).alias("punct_ratio"),
     )
 
 

@@ -5964,13 +5964,14 @@ def text_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return s.select(
         F.col("n").alias("n_ranks"),
         slope.cast("decimal(18,9)").cast("double").alias("zipf_slope"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n"))
         .cast("decimal(18,9)")
         .cast("double")
         .alias("zipf_intercept"),

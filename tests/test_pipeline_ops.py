@@ -1396,3 +1396,30 @@ def test_span_dup_detects_unaligned_copy(spark):
     # the aligned-only mode misses exactly this case
     aligned = {r["doc_id"]: r for r in span_dup_stats(docs, stride=10).collect()}
     assert aligned[0]["n_dup_spans"] == 0 or aligned[1]["n_dup_spans"] == 0
+
+
+def test_text_ops_survive_null_and_empty_docs(spark):
+    """100 TB corpora contain NULL and empty-string docs; no text
+    operator may crash the job on them (ANSI divide-by-zero class).
+    NULL-propagating stats match DuckDB's x/0 -> NULL semantics."""
+    from monolith_spark.operators import dedup, text
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    assert stats[0]["punct_ratio"] == 0.0
+    assert stats[1]["n_tokens"] is None          # NULL text propagates
+    assert stats[2]["punct_ratio"] is None       # 0-length: NULL, not a crash
+    assert text.winnow_stats(docs).count() == 3
+    assert dedup.span_dup_stats(docs).count() == 3
+    dedup.shingle_tf_cosine_pairs(docs, threshold=0.0).collect()
+    # degenerate zipf corpus (single distinct token): NULL slope, no throw
+    one = spark.createDataFrame([(0, "tok tok tok")], "doc_id long, text string")
+    from monolith_spark.workload import all_queries
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    one.write.parquet(os.path.join(d, "documents.parquet"))
+    r = all_queries()["text_zipf_fit"].spark_fn(spark, d).collect()[0]
+    assert r["n_ranks"] == 1 and r["zipf_slope"] is None
