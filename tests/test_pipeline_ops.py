@@ -1423,3 +1423,16 @@ def test_text_ops_survive_null_and_empty_docs(spark):
     one.write.parquet(os.path.join(d, "documents.parquet"))
     r = all_queries()["text_zipf_fit"].spark_fn(spark, d).collect()[0]
     assert r["n_ranks"] == 1 and r["zipf_slope"] is None
+
+
+def test_embedding_ops_survive_null_vectors(spark):
+    from monolith_spark.operators import similarity as sim
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0]), (3, [1.0, 0.01])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = sim.embedding_near_dup_pairs(embs, threshold=0.4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 3)}  # nulls never pair
+    assert sim.semdedup(embs, tau=0.9, k=2, iters=1).count() == 4
+    assert sim.prototypicality(embs.withColumn("label", embs.vec_id % 2)).count() == 4
