@@ -895,3 +895,81 @@ def cusum(
         st["mn"].alias("max_neg"),
         F.nullif(st["cross"], F.lit(0)).alias("first_cross_ms"),
     )
+
+
+def holt_winters_backtest(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "timestamp",
+    value: str = "value",
+    sf: float = 0.25,
+    tf: float = 0.5,
+) -> DataFrame:
+    """One-step-ahead forecast backtest: per series, walk the
+    holt_winters recurrence and score each forecast ŷᵢ = s1 + b
+    against the realized vᵢ, alongside the naive persistence forecast
+    (ŷᵢ = vᵢ₋₁) — MAE of both plus the skill ratio, the number an
+    alerting/capacity pipeline tracks to decide whether the smoother
+    earns its keep (skill < 1 ⇒ beats persistence).
+
+    Same Spark-first shape as holt_winters: one shuffle on the series
+    key, the whole scored recurrence inside a codegen'd F.aggregate
+    fold (state gains prev/err/count fields). Steps are scored from
+    the third point on (the second is fit by construction: with
+    b₀ = v₂ − v₁ the i=1 forecast IS v₂). Fixed fold order → the
+    recursive-CTE oracle is bit-equal. Series need ≥ 3 points.
+    """
+    key_cols = key_cols or ["series_id"]
+    pts = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))
+            ).alias("__pts")
+        )
+        .filter(F.size("__pts") >= 3)
+    )
+    vals = F.transform(F.col("__pts"), lambda p: p["v"])
+    sfl, tfl = F.lit(float(sf)), F.lit(float(tf))
+    one = F.lit(1.0)
+    init = F.struct(
+        F.lit(0.0).alias("s0"),
+        F.element_at(vals, 1).alias("s1"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        F.lit(1).alias("i"),
+        F.element_at(vals, 1).alias("prev"),
+        F.lit(0.0).alias("e_hw"),
+        F.lit(0.0).alias("e_nv"),
+        F.lit(0).alias("k"),
+    )
+
+    def step(acc, v):
+        b2 = F.when(acc["i"] == 1, acc["b"]).otherwise(
+            tfl * (acc["s1"] - acc["s0"]) + (one - tfl) * acc["b"]
+        )
+        scored = acc["i"] >= 2
+        return F.struct(
+            acc["s1"].alias("s0"),
+            (sfl * v + (one - sfl) * (acc["s1"] + b2)).alias("s1"),
+            b2.alias("b"),
+            (acc["i"] + 1).alias("i"),
+            v.alias("prev"),
+            (acc["e_hw"] + F.when(scored, F.abs(v - (acc["s1"] + b2))).otherwise(F.lit(0.0))).alias("e_hw"),
+            (acc["e_nv"] + F.when(scored, F.abs(v - acc["prev"])).otherwise(F.lit(0.0))).alias("e_nv"),
+            (acc["k"] + F.when(scored, F.lit(1)).otherwise(F.lit(0))).alias("k"),
+        )
+
+    res = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        init,
+        step,
+        lambda a: F.struct(a["e_hw"].alias("e_hw"), a["e_nv"].alias("e_nv"), a["k"].alias("k")),
+    )
+    return pts.withColumn("__r", res).select(
+        *key_cols,
+        F.size("__pts").cast("long").alias("n_points"),
+        F.col("__r")["k"].cast("long").alias("n_scored"),
+        F.try_divide(F.col("__r")["e_hw"], F.col("__r")["k"]).alias("mae_hw"),
+        F.try_divide(F.col("__r")["e_nv"], F.col("__r")["k"]).alias("mae_naive"),
+        F.try_divide(F.col("__r")["e_hw"], F.col("__r")["e_nv"]).alias("skill"),
+    )

@@ -848,6 +848,69 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("signature", "n_points", "smoothed")
 
 
+@_q(
+    "ts_forecast_backtest",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT {SIG_SQL} AS signature,
+             row_number() OVER (PARTITION BY {SIG_SQL}
+                                ORDER BY epoch_ms(ts), value) AS i,
+             count(*) OVER (PARTITION BY {SIG_SQL}) AS n,
+             value AS v
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    hw AS (
+      SELECT p1.signature, 1 AS i, p1.n,
+             CAST(0 AS DOUBLE) AS s0, p1.v AS s1, p2.v - p1.v AS b,
+             p1.v AS prev,
+             CAST(0 AS DOUBLE) AS e_hw, CAST(0 AS DOUBLE) AS e_nv, 0 AS k
+      FROM pts p1 JOIN pts p2 ON p1.signature = p2.signature
+                             AND p1.i = 1 AND p2.i = 2
+      WHERE p1.n >= 3
+      UNION ALL
+      SELECT h.signature, h.i + 1, h.n,
+             h.s1,
+             CAST({_HW_SF} AS DOUBLE) * p.v
+               + (1 - CAST({_HW_SF} AS DOUBLE)) *
+                 (h.s1 + CASE WHEN h.i = 1 THEN h.b
+                              ELSE CAST({_HW_TF} AS DOUBLE) * (h.s1 - h.s0)
+                                   + (1 - CAST({_HW_TF} AS DOUBLE)) * h.b END),
+             CASE WHEN h.i = 1 THEN h.b
+                  ELSE CAST({_HW_TF} AS DOUBLE) * (h.s1 - h.s0)
+                       + (1 - CAST({_HW_TF} AS DOUBLE)) * h.b END,
+             p.v,
+             h.e_hw + CASE WHEN h.i >= 2
+                           THEN abs(p.v - (h.s1 +
+                                CASE WHEN h.i = 1 THEN h.b
+                                     ELSE CAST({_HW_TF} AS DOUBLE) * (h.s1 - h.s0)
+                                          + (1 - CAST({_HW_TF} AS DOUBLE)) * h.b END))
+                           ELSE 0 END,
+             h.e_nv + CASE WHEN h.i >= 2 THEN abs(p.v - h.prev) ELSE 0 END,
+             h.k + CASE WHEN h.i >= 2 THEN 1 ELSE 0 END
+      FROM hw h JOIN pts p ON p.signature = h.signature AND p.i = h.i + 1
+    )
+    SELECT signature, n AS n_points, CAST(k AS BIGINT) AS n_scored,
+           e_hw / k AS mae_hw, e_nv / k AS mae_naive, e_hw / e_nv AS skill
+    FROM hw WHERE i = n
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest: holt_winters MAE vs naive
+    persistence MAE + skill ratio per series — the forecast-quality
+    number an alerting/capacity pipeline tracks (skill < 1 ⇒ the
+    smoother beats persistence). Same codegen'd fold + recursive-CTE
+    oracle device as ts_holt_winters, with scored-error accumulators
+    in the recurrence state. See timeseries.holt_winters_backtest."""
+    s = events_samples(
+        spark, sf_dir, matchers={"event_type": "purchase"}, ts_range=(JAN1, JAN20)
+    )
+    return _tsops.holt_winters_backtest(
+        s, key_cols=["signature"], sf=_HW_SF, tf=_HW_TF
+    )
+
+
+
 _PRED_AT = JAN20 + 7 * DAY_MS - JAN1  # extrapolate one week past range end
 
 
@@ -3945,6 +4008,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "events_dedup_window", "docs_perplexity_buckets", "events_kmv_daily_users",
     "text_bpe_train", "text_bpe_encode", "orders_market_basket", "ts_seasonal_decompose",
     "emb_pca_top_component", "emb_pca_project", "events_markov_steady_state",
+    "ts_forecast_backtest",
     "docs_keywords", "docs_source_copy_matrix", "text_vocab_coverage",
 })
 

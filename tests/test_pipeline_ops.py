@@ -1436,3 +1436,35 @@ def test_embedding_ops_survive_null_vectors(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 3)}  # nulls never pair
     assert sim.semdedup(embs, tau=0.9, k=2, iters=1).count() == 4
     assert sim.prototypicality(embs.withColumn("label", embs.vec_id % 2)).count() == 4
+
+
+def test_hw_backtest_matches_python_recurrence(spark):
+    from monolith_spark.operators.timeseries import holt_winters_backtest
+
+    vals = [10.0, 12.0, 11.0, 14.0, 13.5, 15.0]
+    df = spark.createDataFrame(
+        [("s", i * 1000, v) for i, v in enumerate(vals)],
+        "series_id string, timestamp long, value double",
+    )
+    r = holt_winters_backtest(df, sf=0.25, tf=0.5).collect()[0]
+    # python twin of the scored recurrence
+    sf, tf = 0.25, 0.5
+    s0, s1, b, prev = 0.0, vals[0], vals[1] - vals[0], vals[0]
+    e_hw = e_nv = 0.0
+    k = 0
+    for i, v in enumerate(vals[1:], start=1):
+        b2 = b if i == 1 else tf * (s1 - s0) + (1 - tf) * b
+        if i >= 2:
+            e_hw += abs(v - (s1 + b2))
+            e_nv += abs(v - prev)
+            k += 1
+        s0, s1, b, prev = s1, sf * v + (1 - sf) * (s1 + b2), b2, v
+    assert r["n_points"] == 6 and r["n_scored"] == k == 4
+    assert abs(r["mae_hw"] - e_hw / k) < 1e-12
+    assert abs(r["mae_naive"] - e_nv / k) < 1e-12
+    assert abs(r["skill"] - e_hw / e_nv) < 1e-12
+    # series below 3 points are dropped
+    short = spark.createDataFrame(
+        [("t", 0, 1.0), ("t", 1, 2.0)], "series_id string, timestamp long, value double"
+    )
+    assert holt_winters_backtest(short).count() == 0
