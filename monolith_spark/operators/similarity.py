@@ -190,6 +190,14 @@ def embedding_near_dup_pairs(
     Norms are computed once per VECTOR before the join and reused per
     pair (the join boundary materializes them) — bit-identical to
     recomputing inside cosine_expr, ~3× less per-pair work.
+
+    NO forced broadcast on the right side: it is O(corpus vectors), so
+    a ``F.broadcast`` hint would force the whole table onto every
+    executor at any size (the dedup.py:174 bug class). Under the
+    stats-based autoBroadcastJoinThreshold Spark still picks
+    BroadcastNestedLoopJoin for small corpora on its own; past it the
+    theta-join degrades to a partitioned cartesian — slow but bounded
+    memory, which is the right failure mode for a verify-tier scan.
     """
     base = df.select(
         F.col(id_col).alias("vid"),
@@ -199,7 +207,7 @@ def embedding_near_dup_pairs(
     a = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )

@@ -429,13 +429,18 @@ def test_dedup_plans_have_no_forced_broadcast(spark, sf_dir):
     # dedup joins touch O(corpus) relations (per-doc shingle counts,
     # cluster node sets) — none may be hint-broadcast; AQE decides from
     # measured sizes (VERDICT r2 item 2).
-    from monolith_spark.operators import dedup
+    from monolith_spark.operators import dedup, similarity
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     for name, df in {
         "jaccard": dedup.shingle_jaccard_pairs(docs, threshold=0.5),
         "minhash_lsh": dedup.minhash_lsh_pairs(docs),
         "simhash": dedup.simhash_pairs(docs),
+        # all-pairs cosine baseline: the theta-join side is O(corpus
+        # vectors) — auto-broadcast under the stats threshold is fine,
+        # a forced hint is not.
+        "embedding_pairs": similarity.embedding_near_dup_pairs(embs),
     }.items():
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         assert "ResolvedHint" not in logical, (name, logical)
