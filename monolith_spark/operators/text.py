@@ -313,6 +313,88 @@ def bigram_lm_score(
     )
 
 
+def nb_quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 90,
+    min_stopword_ratio: float = 0.04,
+) -> DataFrame:
+    """Distill the cheap heuristic quality gate into a trained
+    token-level Naive Bayes scorer — the CCNet/fastText
+    quality-classifier recipe, self-supervised: the Gopher-style gate
+    (length band + stopword density) labels every document, token
+    occurrences are counted per class, and each document is re-scored
+    by the mean Laplace-smoothed class-likelihood ratio of its tokens
+
+        r(t) = ((c_pos(t)+1) · (N_neg+V)) / ((c_neg(t)+1) · (N_pos+V))
+
+    in odds form: no ln() anywhere (IEEE log is not exactly-rounded
+    and engine-dependent — see bm25's odds-form idf), each occurrence
+    quantized to DECIMAL(18,9) and DECIMAL-summed so the per-doc
+    reduction is exact in any partition order. nb_odds_mean > 1 reads
+    "tokens look more like gate-passing text"; the value of the
+    classifier over the gate itself is that the token model generalizes
+    to documents the length-band heuristic mislabels.
+
+    Scale shape: tokenize once per scan, one groupBy(token) shuffle
+    for the model (vocab-sized, map-side combinable), the (N_pos,
+    N_neg, V) totals a 1-row broadcast, then one token equi-join and
+    one groupBy(doc) — all linear in corpus size, no driver state.
+    Zipf-skewed token heads are what AQE skew-join splitting is for.
+    Returns [doc_id, n_tokens, gate_pass, nb_odds_mean, nb_pass].
+    """
+    w = tokens_expr(text_col)
+    n_tok = F.size(w)
+    stop_ratio = _count_in(w, STOPWORDS).cast("double") / n_tok
+    lab = df.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("__w"),
+        (
+            n_tok.between(min_tokens, max_tokens)
+            & (stop_ratio >= min_stopword_ratio)
+        ).alias("pos"),
+    )
+    tok = lab.select("doc_id", "pos", F.explode("__w").alias("tok"))
+    counts = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count("*").alias("v"),
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            (
+                (F.col("c_pos") + 1).cast("double")
+                * (F.col("n_neg") + F.col("v")).cast("double")
+            )
+            / (
+                (F.col("c_neg") + 1).cast("double")
+                * (F.col("n_pos") + F.col("v")).cast("double")
+            )
+        ).alias("r"),
+    )
+    scored = (
+        tok.join(weights, "tok")
+        .select("doc_id", "pos", F.col("r").cast("decimal(18,9)").alias("r_dec"))
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("r_dec").alias("s"), F.count("*").alias("n_tok"))
+    )
+    mean = F.col("s").cast("double") / F.col("n_tok")
+    return scored.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.col("pos").alias("gate_pass"),
+        mean.alias("nb_odds_mean"),
+        (mean > 1.0).alias("nb_pass"),
+    )
+
+
 # PII patterns kept RE2-compatible (no backreferences/lookaround) so
 # DuckDB (RE2) and Spark (java.util.regex) match identically; each is
 # anchored on delimiters, not \b, because RE2 and Java disagree on

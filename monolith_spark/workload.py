@@ -4010,6 +4010,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "emb_pca_top_component", "emb_pca_project", "events_markov_steady_state",
     "ts_forecast_backtest",
     "docs_keywords", "docs_source_copy_matrix", "text_vocab_coverage",
+    "docs_quality_classifier",
 })
 
 
@@ -7347,6 +7348,49 @@ def docs_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = _dedup.cluster_pairs(pairs)
     stats = _text.text_stats(docs).select("doc_id", "n_tokens")
     return _dedup.keep_best(stats, clusters, "n_tokens")
+
+
+@_q(
+    "docs_quality_classifier",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, w,
+             (len(w) BETWEEN 25 AND 90)
+             AND (CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                       AS DOUBLE) / len(w) >= 0.04) AS pos
+      FROM (SELECT doc_id, {_W} AS w FROM documents)),
+    tok AS (SELECT doc_id, pos, unnest(w) AS tok FROM lab),
+    counts AS (
+      SELECT tok,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+      FROM tok GROUP BY 1),
+    tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                   count(*) AS v
+            FROM counts),
+    wts AS (
+      SELECT tok,
+             (CAST(c_pos + 1 AS DOUBLE) * CAST(n_neg + v AS DOUBLE))
+             / (CAST(c_neg + 1 AS DOUBLE) * CAST(n_pos + v AS DOUBLE)) AS r
+      FROM counts, tot),
+    sc AS (
+      SELECT doc_id, pos, CAST(r AS DECIMAL(18,9)) AS r_dec
+      FROM tok JOIN wts USING (tok))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           pos AS gate_pass,
+           CAST(sum(r_dec) AS DOUBLE) / count(*) AS nb_odds_mean,
+           CAST(sum(r_dec) AS DOUBLE) / count(*) > 1.0 AS nb_pass
+    FROM sc GROUP BY doc_id, pos
+    """,
+)
+def docs_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised NB quality classifier (CCNet/fastText recipe):
+    the heuristic gate labels the corpus, token-level class odds are
+    learned in one vocab aggregation, every doc re-scored by its mean
+    smoothed likelihood ratio — odds form, DECIMAL-summed, no ln().
+    See operators/text.py:nb_quality_classifier for the 100 TB shape."""
+    return _text.nb_quality_classifier(_docs(spark, sf_dir))
 
 
 @_q(

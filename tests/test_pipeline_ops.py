@@ -522,6 +522,58 @@ def test_bigram_lm_score_matches_python_model(spark):
         assert abs(out[d][1] - p) < 1e-12, (d, out[d], p)
 
 
+def test_nb_quality_classifier_matches_python_model_and_generalizes(spark):
+    from monolith_spark.operators.text import nb_quality_classifier, STOPWORDS
+
+    good_body = ("the quick brown fox of the meadow and the hill ran to "
+                 "the river in the morning and drank of the cool water "
+                 "then slept in the shade of a tall tree")  # 36 tokens, stopword-rich
+    corpus = [
+        (1, good_body),
+        (2, good_body.replace("quick", "lazy")),
+        (3, "zx9 qq7 blob blob zx9 junk junk qq7"),        # 8 tokens, gate fails
+        (4, "asdf jkl zx9 qq7 blob junk asdf jkl"),
+        # doc 5: pos-flavored tokens but only 10 of them — the length
+        # gate mislabels it; the token model should still score it > 1
+        (5, "the fox drank of the cool river water and slept"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in nb_quality_classifier(docs).collect()}
+
+    from decimal import Decimal, ROUND_HALF_UP
+    toks = {d: t.split() for d, t in corpus}
+    lab = {
+        d: (25 <= len(w) <= 90)
+        and sum(x in STOPWORDS for x in w) / len(w) >= 0.04
+        for d, w in toks.items()
+    }
+    c_pos, c_neg = {}, {}
+    for d, w in toks.items():
+        for t in w:
+            (c_pos if lab[d] else c_neg)[t] = (c_pos if lab[d] else c_neg).get(t, 0) + 1
+    vocab = set(c_pos) | set(c_neg)
+    n_pos, n_neg, v = sum(c_pos.values()), sum(c_neg.values()), len(vocab)
+
+    def model(d):
+        s = Decimal(0)
+        for t in toks[d]:
+            r = ((c_pos.get(t, 0) + 1) * float(n_neg + v)) / (
+                (c_neg.get(t, 0) + 1) * float(n_pos + v))
+            s += Decimal(repr(r)).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+        return float(s) / len(toks[d])
+
+    assert set(out) == {1, 2, 3, 4, 5}
+    for d in out:
+        assert out[d]["gate_pass"] == lab[d]
+        assert out[d]["n_tokens"] == len(toks[d])
+        assert abs(out[d]["nb_odds_mean"] - model(d)) < 1e-12, (d, out[d])
+        assert out[d]["nb_pass"] == (model(d) > 1.0)
+    # the classifier generalizes where the heuristic cannot:
+    assert not out[5]["gate_pass"] and out[5]["nb_pass"]
+    assert not out[3]["nb_pass"] and not out[4]["nb_pass"]
+
+
 def test_mad_outliers_matches_numpy(spark):
     from monolith_spark.workload import all_queries  # noqa: F401  (query tested via oracle)
     import numpy as np
