@@ -781,10 +781,11 @@ def kmeans_lloyd(
     - distances are sequential folds (sqdist_expr ≡ list_reduce).
     Empty clusters keep their previous centroid.
 
-    Scale shape per iteration: one broadcast of k·dim doubles, one
-    row_number window per vector (partition = vec id, k rows), one
-    posexplode shuffle of corpus × dim keyed (cid, pos) — all linear;
-    no iteration-over-collect, no driver state beyond the plan.
+    Scale shape per iteration: one broadcast of k·dim doubles (the
+    centroids collapsed to a single array row), assignment as a
+    zero-shuffle narrow map (array_min over per-centroid distances),
+    one posexplode shuffle of corpus × dim keyed (cid, pos) — all
+    linear; no iteration-over-collect, no driver state beyond the plan.
     """
     v = corpus.select(F.col(id_col).alias("vid"), _dbl(vec_col).alias("v"))
     seed_w = Window.orderBy("vid")
@@ -795,14 +796,34 @@ def kmeans_lloyd(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        d = v.crossJoin(F.broadcast(centroids)).withColumn(
-            "d2", sqdist_expr(F.col("v"), F.col("c"))
+        # Assignment is a pure NARROW map: the k centroids collapse to
+        # ONE array row (sorted by cid — collect_list order is not
+        # deterministic), broadcast once, and each vector takes
+        # array_min over (d2, cid) structs. Lexicographic struct min ==
+        # the orderBy(d2, cid) row_number()==1 it replaces,
+        # bit-identically — but with no corpus×k row multiplication and
+        # no per-iteration exchange+sort (the window form hash-shuffled
+        # corpus×k rows every iteration; measured 2.3× slower at sf0.1).
+        carr = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
         )
-        aw = Window.partitionBy("vid").orderBy("d2", "cid")
+        dists = F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                sqdist_expr(F.col("v"), s["c"]).alias("d2"),
+                s["cid"].alias("cid"),
+            ),
+        )
         return (
-            d.withColumn("__rn", F.row_number().over(aw))
-            .filter(F.col("__rn") == 1)
-            .select("vid", "cid", "v", "d2")
+            v.crossJoin(F.broadcast(carr))
+            # Generate is a projection-collapse barrier: `best` lands as
+            # a real attribute, so the k sqdists run once per row even
+            # though two fields are read below (the transform
+            # re-evaluation trap — SCALE traps memo).
+            .select("vid", "v", F.explode(F.array(F.array_min(dists))).alias("best"))
+            .select(
+                "vid", F.col("best.cid").alias("cid"), "v", F.col("best.d2").alias("d2")
+            )
         )
 
     for _ in range(iters):
@@ -948,9 +969,9 @@ def prototypicality(
             ).alias("c")
         )
     )
-    scored = v.join(cents, "grp").withColumn(
+    scored = v.join(cents.withColumn("cn", norm_expr(F.col("c"))), "grp").withColumn(
         "proto_cosine",
-        dot_expr(F.col("v"), F.col("c")) / (norm_expr(F.col("v")) * norm_expr(F.col("c"))),
+        dot_expr(F.col("v"), F.col("c")) / (norm_expr(F.col("v")) * F.col("cn")),
     )
     w = Window.partitionBy("grp").orderBy(F.col("proto_cosine").desc(), "vid")
     return scored.select(
@@ -990,18 +1011,33 @@ def d4_prune(
     """
     assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     base = (
-        corpus.select(F.col(id_col).alias("vid"), _dbl(vec_col).alias("v"))
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            _dbl(vec_col).alias("v"),
+            # norms once per VECTOR before the pair join (the semdedup
+            # device) — recomputing them per PAIR inside the filter is
+            # |cluster|× more fold work for bit-identical doubles
+            norm_expr(_dbl(vec_col)).alias("nrm"),
+        )
         .join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
     )
-    a = base.select("cluster_id", F.col("vid").alias("id_a"), F.col("v").alias("va"))
-    b = base.select("cluster_id", F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    a = base.select(
+        "cluster_id",
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        "cluster_id",
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     dropped = (
         a.join(b, ["cluster_id"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            dot_expr(F.col("va"), F.col("vb"))
-            / (norm_expr(F.col("va")) * norm_expr(F.col("vb")))
-            >= tau
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau
         )
         .select(F.col("id_b").alias("vid"))
         .distinct()
@@ -1022,9 +1058,10 @@ def d4_prune(
             ).alias("c")
         )
     )
-    scored = kept.join(cents, "cluster_id").withColumn(
-        "pc",
-        dot_expr(F.col("v"), F.col("c")) / (norm_expr(F.col("v")) * norm_expr(F.col("c"))),
+    scored = kept.join(
+        cents.withColumn("cn", norm_expr(F.col("c"))), "cluster_id"
+    ).withColumn(
+        "pc", dot_expr(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("cn"))
     )
     wr = Window.partitionBy("cluster_id").orderBy(F.col("pc").desc(), "vid")
     wn = Window.partitionBy("cluster_id")
