@@ -70,6 +70,7 @@ EXTRA_WORKLOAD_NAMES = [
     # composite flagships (audit-trail curation; SemDeDup + D4 prune)
     "docs_curation_full",
     "emb_d4_prune",
+    "docs_quality_classifier",
 ]
 
 

@@ -929,6 +929,69 @@ def semdedup(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    tau: float = 0.4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    vector, the most-similar OTHER vector in its k-means cell whose
+    cosine is BELOW the near-duplicate threshold ``tau`` — similar
+    enough to be a hard example, not similar enough to be a duplicate
+    (the DPR/SimCSE in-batch-negative recipe, mined corpus-wide
+    against the same cells SemDeDup prunes with instead of per batch).
+
+    Returns [vec_id, negative_id, cosine]; a vector whose cell holds
+    no eligible peer produces no row. Deterministic: argmax by
+    (cosine desc, id asc); cosine involves only ORIGINAL vectors (no
+    centroid values), so the sequential folds are bit-identical
+    cross-engine with no narrowing needed.
+
+    Scale shape: one k-means (assignment is a zero-shuffle narrow
+    map), one within-cell pair join (Σ|cell|², k-bounded — the
+    semdedup term, both directions), one per-vector argmax window.
+    """
+    assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        _dbl(vec_col).alias("v"),
+        norm_expr(_dbl(vec_col)).alias("nrm"),
+    ).join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
+    a = base.select(
+        "cluster_id",
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        "cluster_id",
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cand = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") < tau)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), "id_b")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("negative_id"),
+            "cosine",
+        )
+    )
+
+
 def prototypicality(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -4010,7 +4010,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "emb_pca_top_component", "emb_pca_project", "events_markov_steady_state",
     "ts_forecast_backtest",
     "docs_keywords", "docs_source_copy_matrix", "text_vocab_coverage",
-    "docs_quality_classifier",
+    "docs_quality_classifier", "emb_hard_negatives",
 })
 
 
@@ -5342,6 +5342,42 @@ def _semdedup_oracle(tau: float, k: int = 8, iters: int = 2, dim: int = 64) -> s
     FROM afin
     """
     )
+
+
+def _hard_negatives_oracle(tau: float, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """k-means CTEs + both-direction within-cell pairs + per-vector
+    argmax below tau — the SQL replay of similarity.py:hard_negatives.
+    Cosine touches only original vectors (no centroid values), so the
+    folds are bit-identical and the output needs no narrowing."""
+    cos = """
+      list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+      / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+         * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y)))
+    """
+    return (
+        _kmeans_ctes(k, iters, dim)
+        + f""",
+    cand AS (
+      SELECT a.vid AS vec_id, b.vid AS negative_id, {cos} AS cosine
+      FROM afin a JOIN afin b ON a.cid = b.cid AND a.vid <> b.vid),
+    below AS (SELECT * FROM cand WHERE cosine < {tau}),
+    r AS (SELECT vec_id, negative_id, cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, negative_id) AS rn
+          FROM below)
+    SELECT vec_id, negative_id, cosine FROM r WHERE rn = 1
+    """
+    )
+
+
+@_q("emb_hard_negatives", _hard_negatives_oracle(tau=_EMB_TAU))
+def emb_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide hard-negative mining (the contrastive-training
+    companion to emb_semdedup, sharing its k-means cells): per vector,
+    the most-similar in-cell peer whose cosine stays below the dup
+    threshold. See similarity.py:hard_negatives for the scale shape
+    and determinism devices."""
+    return _sim.hard_negatives(_embs(spark, sf_dir), tau=_EMB_TAU, k=8, iters=2)
 
 
 @_q("emb_kmeans_lloyd", _kmeans_oracle())

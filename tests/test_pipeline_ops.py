@@ -522,6 +522,39 @@ def test_bigram_lm_score_matches_python_model(spark):
         assert abs(out[d][1] - p) < 1e-12, (d, out[d], p)
 
 
+def test_hard_negatives_matches_brute_force_within_cells(spark):
+    from monolith_spark.operators.similarity import hard_negatives, kmeans_lloyd
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    vecs[3] = vecs[2] * 1.001        # a near-dup pair (cosine ~1 > tau)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tau, k = 0.4, 4
+    out = {r["vec_id"]: (r["negative_id"], r["cosine"])
+           for r in hard_negatives(embs, tau=tau, k=k, iters=2).collect()}
+    cells = {r["vec_id"]: r["cluster_id"]
+             for r in kmeans_lloyd(embs, k=k, iters=2).collect()}
+
+    v = vecs.astype("float64")
+    nrm = np.sqrt((v * v).sum(axis=1))
+    for i in range(40):
+        elig = [
+            (float(v[i] @ v[j] / (nrm[i] * nrm[j])), j)
+            for j in range(40)
+            if j != i and cells[j] == cells[i]
+            and v[i] @ v[j] / (nrm[i] * nrm[j]) < tau
+        ]
+        if not elig:
+            assert i not in out
+            continue
+        best = max(elig, key=lambda t: (t[0], -t[1]))
+        assert out[i][0] == best[1], (i, out.get(i), best)
+        assert abs(out[i][1] - best[0]) < 1e-9
+        assert out[i][1] < tau
+
+
 def test_nb_quality_classifier_matches_python_model_and_generalizes(spark):
     from monolith_spark.operators.text import nb_quality_classifier, STOPWORDS
 
