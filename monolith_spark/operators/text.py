@@ -345,6 +345,24 @@ def nb_quality_classifier(
     Zipf-skewed token heads are what AQE skew-join splitting is for.
     Returns [doc_id, n_tokens, gate_pass, nb_odds_mean, nb_pass].
     """
+    counts = nb_token_counts(
+        df, id_col, text_col, min_tokens, max_tokens, min_stopword_ratio
+    )
+    return nb_score(
+        df, counts, id_col, text_col, min_tokens, max_tokens, min_stopword_ratio
+    )
+
+
+def _nb_labeled_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    max_tokens: int,
+    min_stopword_ratio: float,
+) -> DataFrame:
+    """[doc_id, pos, tok] — one row per token occurrence, labeled by
+    the heuristic gate of the doc it came from."""
     w = tokens_expr(text_col)
     n_tok = F.size(w)
     stop_ratio = _count_in(w, STOPWORDS).cast("double") / n_tok
@@ -356,10 +374,47 @@ def nb_quality_classifier(
             & (stop_ratio >= min_stopword_ratio)
         ).alias("pos"),
     )
-    tok = lab.select("doc_id", "pos", F.explode("__w").alias("tok"))
-    counts = tok.groupBy("tok").agg(
+    return lab.select("doc_id", "pos", F.explode("__w").alias("tok"))
+
+
+def nb_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 90,
+    min_stopword_ratio: float = 0.04,
+) -> DataFrame:
+    """The NB model state: [tok, c_pos, c_neg] class occurrence counts
+    under the heuristic gate labels. Additive — counts from disjoint
+    corpus slices sum to the whole-corpus model, which is what makes
+    the classifier a continuous aggregate (streaming/nbmodel.py)."""
+    tok = _nb_labeled_tokens(
+        df, id_col, text_col, min_tokens, max_tokens, min_stopword_ratio
+    )
+    return tok.groupBy("tok").agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("c_neg"),
+    )
+
+
+def nb_score(
+    df: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 90,
+    min_stopword_ratio: float = 0.04,
+) -> DataFrame:
+    """Score ``df`` against a trained NB model (``counts`` from
+    nb_token_counts — same corpus for the self-supervised classifier,
+    or a streamed/persisted model). Smoothing totals are derived from
+    the counts, so scoring a corpus against its own counts is exactly
+    nb_quality_classifier. Unseen tokens drop out of the join — their
+    smoothed ratio would be a constant prior carrying no signal."""
+    tok = _nb_labeled_tokens(
+        df, id_col, text_col, min_tokens, max_tokens, min_stopword_ratio
     )
     totals = counts.agg(
         F.sum("c_pos").alias("n_pos"),

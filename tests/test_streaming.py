@@ -606,6 +606,55 @@ def test_continuous_cms_matches_batch_sketch(spark, tmp_path):
     assert {(r["d"], r["bucket"]): r["n"] for r in cms.sketch().collect()} == batch
 
 
+def test_continuous_nb_model_matches_batch_classifier(spark, tmp_path):
+    """Per-epoch NB count partials must merge to exactly the batch
+    model; scoring the streamed corpus against the merged model must
+    equal the one-shot self-supervised classifier; replays no-op."""
+    from monolith_spark.operators.text import nb_quality_classifier, nb_token_counts
+    from monolith_spark.streaming.nbmodel import ContinuousNBModel
+
+    body = ("the quick brown fox of the meadow and the hill ran to the "
+            "river in the morning and drank of the cool water then slept "
+            "in the shade of a tall tree")  # gate-passing
+    rows = [
+        (1, body), (2, body.replace("quick", "lazy")),
+        (3, "zx9 qq7 blob blob zx9 junk junk qq7"),
+        (4, "the fox drank of the cool river water and slept"),
+        (5, "asdf jkl zx9 qq7 blob junk asdf jkl"),
+        (6, body.replace("fox", "owl")),
+    ]
+    src = str(tmp_path / "docs")
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        spark.createDataFrame(rows[lo:hi], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    model = ContinuousNBModel(spark, str(tmp_path / "nb"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = model.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    all_docs = spark.read.parquet(src)
+    batch_counts = {r["tok"]: (r["c_pos"], r["c_neg"])
+                    for r in nb_token_counts(all_docs).collect()}
+    streamed = {r["tok"]: (r["c_pos"], r["c_neg"])
+                for r in model.counts().collect()}
+    assert streamed == batch_counts
+
+    want = sorted(map(tuple, nb_quality_classifier(all_docs).collect()))
+    got = sorted(map(tuple, model.score(all_docs).collect()))
+    assert got == want
+
+    # replayed epoch is a no-op
+    model.process_batch(
+        spark.createDataFrame([(99, body)], "doc_id long, text string"), epoch_id=0)
+    assert {r["tok"]: (r["c_pos"], r["c_neg"])
+            for r in model.counts().collect()} == batch_counts
+
+
 def test_rollup_tiering_survives_raw_retention(spark, tmp_path):
     """The classic TSDB tiering lifecycle: continuous rollup keeps the
     downsampled history while raw-chunk retention deletes old
