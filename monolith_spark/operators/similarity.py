@@ -952,7 +952,9 @@ def hard_negatives(
 
     Scale shape: one k-means (assignment is a zero-shuffle narrow
     map), one within-cell pair join (Σ|cell|², k-bounded — the
-    semdedup term, both directions), one per-vector argmax window.
+    semdedup term; each unordered pair folds its cosine ONCE and a
+    2-element explode emits both orientations), one per-vector argmax
+    as a map-side-combinable struct-max aggregation.
     """
     assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     base = corpus.select(
@@ -972,23 +974,39 @@ def hard_negatives(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cand = (
+    # Each UNORDERED pair folds its cosine once (the dot fold is the
+    # dominant cost — it runs interpreted, dim multiplies per pair);
+    # a cheap 2-element explode then emits both orientations. Joining
+    # both directions directly would double the fold work.
+    half = (
         a.join(b, ["cluster_id"])
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("cosine") < tau)
     )
-    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), "id_b")
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("negative_id"),
-            "cosine",
-        )
+    cand = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("x"), F.col("id_b").alias("y")),
+                F.struct(F.col("id_b").alias("x"), F.col("id_a").alias("y")),
+            )
+        ).alias("p"),
+        "cosine",
+    )
+    # argmax as a struct MAX, not a rank window: lexicographic max of
+    # (cosine, -id) picks the same winner as orderBy(cosine desc, id)
+    # rn=1 (deterministic on ties, unlike max_by), and the hash
+    # aggregate partially combines the Σ|cell|² candidate rows
+    # map-side — the window form exchanged and sorted all of them.
+    best = cand.groupBy("p.x").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("p.y")).alias("nid"))).alias("b")
+    )
+    return best.select(
+        F.col("x").alias("vec_id"),
+        (-F.col("b.nid")).alias("negative_id"),
+        F.col("b.cosine").alias("cosine"),
     )
 
 
