@@ -1,0 +1,84 @@
+"""Privacy-preserving aggregate release: k-anonymity / l-diversity.
+
+The export side of a training-data pipeline: before event aggregates
+leave the platform (dashboards, partner feeds, public datasets), every
+released row must be backed by enough distinct users that no
+individual is identifiable from the quasi-identifier combination
+(Sweeney's k-anonymity), and optionally by enough distinct sensitive
+values that the group doesn't reveal everyone's attribute by
+uniformity (Machanavajjhala's l-diversity).
+
+Complements text.pii_scan (row-level redaction) with group-level
+suppression. Pure aggregation — one groupBy over the quasi-identifier
+columns, map-side combinable, linear at any event volume; the
+suppression predicate is a post-aggregation filter on counts, so
+Catalyst keeps the whole release plan in one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymous_release(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    user_col: str = "user_id",
+    k: int = 5,
+    sensitive_col: str | Column | None = None,
+    l_diversity: int | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Aggregate ``df`` by ``quasi_cols`` and release ONLY groups with
+    at least ``k`` distinct ``user_col`` values; when ``sensitive_col``
+    (a column name or derived expression) and ``l_diversity`` are
+    given, additionally require that many distinct sensitive values in
+    the group.
+
+    Returns the released groups with [*quasi_cols, n_users, n_events,
+    (n_sensitive,) *aggs] — suppressed groups are absent, which is the
+    point: no row, no leak. Extra released statistics ride along via
+    ``aggs`` (already-aliased aggregate Columns).
+    """
+    if sensitive_col is not None:
+        sens = sensitive_col if isinstance(sensitive_col, Column) else F.col(sensitive_col)
+        extra = [F.count_distinct(sens).alias("n_sensitive")]
+    else:
+        extra = []
+    g = df.groupBy(*quasi_cols).agg(
+        F.count_distinct(F.col(user_col)).alias("n_users"),
+        F.count("*").alias("n_events"),
+        *extra,
+        *(aggs or []),
+    )
+    cond = F.col("n_users") >= k
+    if sensitive_col is not None and l_diversity is not None:
+        cond = cond & (F.col("n_sensitive") >= l_diversity)
+    return g.filter(cond)
+
+
+def suppression_report(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    user_col: str = "user_id",
+    k: int = 5,
+) -> DataFrame:
+    """One row auditing what a k-anonymous release withholds:
+    [n_groups, n_released, n_suppressed, suppressed_event_frac] — the
+    coverage cost of the privacy bound, computable without ever
+    materializing the suppressed rows downstream."""
+    g = df.groupBy(*quasi_cols).agg(
+        F.count_distinct(F.col(user_col)).alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    rel = F.col("n_users") >= k
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_released"),
+        F.sum(F.when(rel, 0).otherwise(1)).cast("long").alias("n_suppressed"),
+        (
+            F.sum(F.when(~rel, F.col("n_events")).otherwise(0)).cast("double")
+            / F.sum("n_events")
+        ).alias("suppressed_event_frac"),
+    )

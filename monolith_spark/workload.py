@@ -3120,6 +3120,92 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_k_anonymity",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('day', ts)) AS day_ms,
+             CAST(json_extract_string(props, 'k') AS BIGINT) % 10 AS k_mod,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             count(*) AS n_events,
+             CAST(count(DISTINCT CAST(floor(value / 5) AS BIGINT)) AS BIGINT)
+               AS n_sensitive,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                  AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, day_ms, k_mod, n_users, n_events, n_sensitive, sum_value
+    FROM g WHERE n_users >= 5 AND n_sensitive >= 3
+    """,
+)
+def events_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-bounded aggregate release: (event_type, day, prop-key
+    band) groups leave the platform only with >= 5 distinct users
+    (k-anonymity) and >= 3 distinct value bands (l-diversity) —
+    suppressed groups emit NO row. See operators/privacy.py for the
+    one-shuffle release shape; at sf0.01 the k clause suppresses 340
+    of 1499 groups and the l clause one more, so both bounds bite."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.expr("unix_millis(CAST(ts AS TIMESTAMP))") - (
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP))") % F.lit(DAY_MS)
+        )).alias("day_ms"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+        "user_id",
+        "value",
+    )
+    return _privacy.k_anonymous_release(
+        ev,
+        ["event_type", "day_ms", "k_mod"],
+        user_col="user_id",
+        k=5,
+        sensitive_col=F.floor(F.col("value") / 5).cast("long"),
+        l_diversity=3,
+        aggs=[
+            F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias("sum_value")
+        ],
+    )
+
+
+@_q(
+    "events_k_suppression_audit",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('day', ts)) AS day_ms,
+             CAST(json_extract_string(props, 'k') AS BIGINT) % 10 AS k_mod,
+             count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2, 3)
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN n_users >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_released,
+           CAST(sum(CASE WHEN n_users >= 5 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_suppressed,
+           CAST(sum(CASE WHEN n_users < 5 THEN n_events ELSE 0 END) AS DOUBLE)
+             / sum(n_events) AS suppressed_event_frac
+    FROM g
+    """,
+)
+def events_k_suppression_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage cost of the k=5 release: how many quasi-identifier
+    groups (and what fraction of events) the privacy bound withholds —
+    the audit row a release pipeline logs next to every export."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.expr("unix_millis(CAST(ts AS TIMESTAMP))") - (
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP))") % F.lit(DAY_MS)
+        )).alias("day_ms"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+        "user_id",
+    )
+    return _privacy.suppression_report(
+        ev, ["event_type", "day_ms", "k_mod"], user_col="user_id", k=5
+    )
+
+
+@_q(
     "ts_value_histogram",
     f"""
     SELECT {SIG_SQL} AS signature,
@@ -4011,6 +4097,7 @@ _ROUND3_NAMES: frozenset[str] = frozenset({
     "ts_forecast_backtest",
     "docs_keywords", "docs_source_copy_matrix", "text_vocab_coverage",
     "docs_quality_classifier", "emb_hard_negatives",
+    "events_k_anonymity", "events_k_suppression_audit",
 })
 
 
@@ -4071,6 +4158,7 @@ def oracle_sql() -> dict[str, str]:
 
 from monolith_spark.operators import dedup as _dedup  # noqa: E402
 from monolith_spark.operators import multimodal as _mm  # noqa: E402
+from monolith_spark.operators import privacy as _privacy  # noqa: E402
 from monolith_spark.operators import search as _search  # noqa: E402
 from monolith_spark.operators import skew as _skew  # noqa: E402
 from monolith_spark.operators import similarity as _sim  # noqa: E402

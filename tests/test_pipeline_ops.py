@@ -522,6 +522,32 @@ def test_bigram_lm_score_matches_python_model(spark):
         assert abs(out[d][1] - p) < 1e-12, (d, out[d], p)
 
 
+def test_k_anonymous_release_suppresses_small_and_uniform_groups(spark):
+    from monolith_spark.operators.privacy import (
+        k_anonymous_release, suppression_report)
+
+    rows = []
+    # group A: 3 users, diverse values -> suppressed by k=4
+    rows += [("A", u, float(u)) for u in range(3)]
+    # group B: 5 users but every event the same sensitive value -> l=2 fails
+    rows += [("B", u, 7.0) for u in range(5)]
+    # group C: 5 users, 3 distinct values -> released
+    rows += [("C", u, float(u % 3)) for u in range(5)]
+    df = spark.createDataFrame(rows, "grp string, user_id long, value double")
+
+    rel = k_anonymous_release(
+        df, ["grp"], k=4, sensitive_col="value", l_diversity=2
+    ).collect()
+    assert [r["grp"] for r in rel] == ["C"]
+    assert rel[0]["n_users"] == 5 and rel[0]["n_events"] == 5
+    assert rel[0]["n_sensitive"] == 3
+
+    rep = suppression_report(df, ["grp"], k=4).collect()[0]
+    assert rep["n_groups"] == 3 and rep["n_released"] == 2  # k-only: B passes
+    assert rep["n_suppressed"] == 1
+    assert abs(rep["suppressed_event_frac"] - 3 / 13) < 1e-12
+
+
 def test_hard_negatives_matches_brute_force_within_cells(spark):
     from monolith_spark.operators.similarity import hard_negatives, kmeans_lloyd
     import numpy as np
