@@ -520,3 +520,53 @@ def test_round3_pipeline_plans_avoid_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in kmeans_based:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_registry_plan_red_flag_sweep(spark, sf_dir):
+    """EVERY registry query's physical plan, swept for the 100 TB
+    red flags: CartesianProduct, row-at-a-time Python UDFs
+    (BatchEvalPython — the only sanctioned Python paths are Arrow
+    mapInPandas for media decode), and any BroadcastNestedLoopJoin
+    whose build side is more than a 1-row global aggregate. The two
+    documented all-pairs baselines and the bounded-query-set ANN
+    probes are the only named exemptions; everything else must stay
+    equi-join blocking. This is the regression guard for the bug class
+    VERDICT r2 flagged (forced O(corpus) broadcasts)."""
+    # build sides that are legitimately larger than one row:
+    #  - dedup_embedding_pairs / sim_topk_cosine: documented all-pairs
+    #    verify/baseline tier (corpus side, auto- not hint-broadcast)
+    #  - sim_ivf_topk / sim_pq_topk: the bounded query set (q rows)
+    bnlj_exempt = {
+        "dedup_embedding_pairs", "sim_topk_cosine", "sim_ivf_topk", "sim_pq_topk",
+    }
+
+    def bnlj_build_sides_not_one_row(plan: str) -> list[str]:
+        lines = plan.splitlines()
+        bad = []
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange IdentityBroadcastMode" not in ln:
+                continue
+            indent = len(ln) - len(ln.rstrip()) + ln.index("BroadcastExchange")
+            sub = []
+            for j in range(i + 1, len(lines)):
+                stripped = lines[j].lstrip(" :+-")
+                ind_j = len(lines[j]) - len(stripped)
+                if ind_j <= indent:
+                    break
+                sub.append(lines[j])
+            if not any("HashAggregate(keys=[]" in s for s in sub):
+                bad.append(ln.strip()[:100])
+        return bad
+
+    failures = []
+    for name, q in all_queries().items():
+        df = q.spark_fn(spark, sf_dir)
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            failures.append((name, "BatchEvalPython (row-wise Python UDF)"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_exempt:
+            for side in bnlj_build_sides_not_one_row(plan):
+                failures.append((name, f"BNLJ build side not a 1-row aggregate: {side}"))
+    assert not failures, failures
