@@ -71,6 +71,8 @@ EXTRA_WORKLOAD_NAMES = [
     "docs_curation_full",
     "emb_d4_prune",
     "docs_quality_classifier",
+    "emb_hard_negatives",
+    "events_k_anonymity",
 ]
 
 

@@ -655,6 +655,50 @@ def test_continuous_nb_model_matches_batch_classifier(spark, tmp_path):
             for r in model.counts().collect()} == batch_counts
 
 
+def test_continuous_k_anonymity_matches_batch_release(spark, tmp_path):
+    """The streamed release must equal the batch k_anonymous_release
+    over the concatenated stream: exact distinct users per group (a
+    privacy bound may never ride an approximate distinct), additive
+    event counts, idempotent replays."""
+    from monolith_spark.operators.privacy import k_anonymous_release
+    from monolith_spark.streaming.privacy import ContinuousKAnonymity
+
+    slices = [
+        [("click", 1), ("click", 2), ("view", 1)],
+        [("click", 3), ("click", 1), ("view", 1)],   # user 1 repeats
+        [("click", 4), ("click", 5), ("view", 2)],
+    ]
+    src = str(tmp_path / "ev")
+    for s in slices:
+        spark.createDataFrame(s, "event_type string, user_id long") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    ka = ContinuousKAnonymity(
+        spark, str(tmp_path / "ka"), quasi_cols=["event_type"], k=4)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ka.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    all_ev = spark.read.parquet(src)
+    want = sorted(map(tuple, k_anonymous_release(
+        all_ev, ["event_type"], k=4).collect()))
+    got = sorted(map(tuple, ka.release().collect()))
+    assert got == want
+    # 'click' has 5 distinct users -> released; 'view' only 2 -> absent
+    assert [r[0] for r in got] == ["click"]
+    assert got[0][1] == 5 and got[0][2] == 6
+
+    # replayed epoch is a no-op
+    ka.process_batch(
+        spark.createDataFrame([("view", 9)], "event_type string, user_id long"),
+        epoch_id=0)
+    assert sorted(map(tuple, ka.release().collect())) == want
+
+
 def test_rollup_tiering_survives_raw_retention(spark, tmp_path):
     """The classic TSDB tiering lifecycle: continuous rollup keeps the
     downsampled history while raw-chunk retention deletes old
