@@ -818,3 +818,53 @@ def test_span_dup_stats_matches_python_model(spark, docs_tokens):
     for i, ss in spans.items():
         n_dup = sum(1 for s_ in ss if len(by_span[s_]) >= 2)
         assert got[i] == (len(ss), n_dup)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "of", "and", "zx", "qq", "blob", "w1", "w2"]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_nb_quality_classifier_matches_python_model(spark, docs_tokens):
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from monolith_spark.operators.text import STOPWORDS, nb_quality_classifier
+
+    # gate band chosen inside the generated length range so examples
+    # land on BOTH sides of it
+    lo, hi, sw = 5, 20, 0.2
+    docs = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in nb_quality_classifier(
+        sdf, min_tokens=lo, max_tokens=hi, min_stopword_ratio=sw).collect()}
+
+    toks = {i: t for (i, _), t in zip(docs, docs_tokens)}
+    lab = {i: (lo <= len(t) <= hi)
+           and sum(x in STOPWORDS for x in t) / len(t) >= sw
+           for i, t in toks.items()}
+    c_pos, c_neg = {}, {}
+    for i, t in toks.items():
+        for x in t:
+            d = c_pos if lab[i] else c_neg
+            d[x] = d.get(x, 0) + 1
+    v = len(set(c_pos) | set(c_neg))
+    n_pos, n_neg = sum(c_pos.values()), sum(c_neg.values())
+    for i, t in toks.items():
+        s = Decimal(0)
+        for x in t:
+            r = ((c_pos.get(x, 0) + 1) * float(n_neg + v)) / (
+                (c_neg.get(x, 0) + 1) * float(n_pos + v))
+            s += Decimal(repr(r)).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+        mean = float(s) / len(t)
+        assert got[i]["gate_pass"] == lab[i]
+        assert got[i]["n_tokens"] == len(t)
+        assert abs(got[i]["nb_odds_mean"] - mean) < 1e-12, (i, got[i], mean)
+        assert got[i]["nb_pass"] == (mean > 1.0)
