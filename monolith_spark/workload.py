@@ -4159,6 +4159,7 @@ def oracle_sql() -> dict[str, str]:
 from monolith_spark.operators import dedup as _dedup  # noqa: E402
 from monolith_spark.operators import multimodal as _mm  # noqa: E402
 from monolith_spark.operators import privacy as _privacy  # noqa: E402
+from monolith_spark import pipeline as _pipeline  # noqa: E402
 from monolith_spark.operators import search as _search  # noqa: E402
 from monolith_spark.operators import skew as _skew  # noqa: E402
 from monolith_spark.operators import similarity as _sim  # noqa: E402
@@ -5898,86 +5899,10 @@ def docs_curation_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the composite inherits each stage's scale shape. (At sf0.01 the
     fixture has no byte-identical docs and post-dedup span sharing is
     empty, so 'exact_dup'/'span_heavy' fire only at other scales; both
-    stages are verified standalone by dedup_exact / docs_span_dedup.)"""
-    docs = _docs(spark, sf_dir)
-    t = docs.select(
-        "doc_id", "source", "text", _text.tokens_expr("text").alias("__w")
-    ).select(
-        "doc_id",
-        "source",
-        "text",
-        F.size("__w").cast("long").alias("n_tokens"),
-        (
-            F.size(F.filter(F.col("__w"), lambda x: x.isin(_text.STOPWORDS))).cast(
-                "double"
-            )
-            / F.size("__w")
-        ).alias("stop_ratio"),
-    )
-    h = t.groupBy("source", F.col("n_tokens").alias("v")).agg(F.count("*").alias("c"))
-    ch = h.select(
-        "source",
-        "v",
-        F.sum("c").over(Window.partitionBy("source").orderBy("v")).alias("cum"),
-        F.sum("c").over(Window.partitionBy("source")).alias("cnt"),
-    )
-    lo_rank = F.greatest(F.expr("(cnt*5+99) div 100"), F.lit(1))
-    hi_rank = F.expr("(cnt*95+99) div 100")
-    band = ch.groupBy("source").agg(
-        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("lo"),
-        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("hi"),
-    )
-    g = t.join(band, "source").select(
-        "doc_id",
-        "text",
-        (
-            F.col("n_tokens").between(F.col("lo"), F.col("hi"))
-            & (F.col("stop_ratio") >= 0.04)
-        ).alias("gate_ok"),
-    )
-    e = g.filter("gate_ok").select(
-        "doc_id",
-        "text",
-        (
-            F.col("doc_id")
-            == F.min("doc_id").over(
-                Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
-            )
-        ).alias("exact_ok"),
-    )
-    # survivors feed TWO tokenizing stages (tf-cosine and span stats)
-    # plus the final verdict joins — materialize once so the gate/
-    # dedup lineage doesn't re-tokenize per consumer
-    ek = e.filter("exact_ok").select("doc_id", "text").localCheckpoint(eager=True)
-    nd = (
-        _dedup.shingle_tf_cosine_pairs(ek, threshold=0.3)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("__nd", F.lit(True))
-    )
-    nk = ek.join(nd.select("doc_id"), "doc_id", "left_anti")
-    sv = nk.join(
-        _dedup.span_dup_stats(nk).select(
-            "doc_id", F.coalesce("dup_frac", F.lit(0.0)).alias("__df")
-        ),
-        "doc_id",
-    ).select("doc_id", (F.col("__df") <= 0.9).alias("span_ok"))
-    out = (
-        docs.select("doc_id")
-        .join(g.select("doc_id", "gate_ok"), "doc_id", "left")
-        .join(e.select("doc_id", "exact_ok"), "doc_id", "left")
-        .join(nd, "doc_id", "left")
-        .join(sv.select("doc_id", "span_ok"), "doc_id", "left")
-    )
-    return out.select(
-        "doc_id",
-        F.when(~F.coalesce(F.col("gate_ok"), F.lit(False)), F.lit("gated"))
-        .when(~F.coalesce(F.col("exact_ok"), F.lit(False)), F.lit("exact_dup"))
-        .when(F.coalesce(F.col("__nd"), F.lit(False)), F.lit("near_dup"))
-        .when(~F.coalesce(F.col("span_ok"), F.lit(False)), F.lit("span_heavy"))
-        .otherwise(F.lit("kept"))
-        .alias("verdict"),
-    )
+    stages are verified standalone by dedup_exact / docs_span_dedup.)
+    Implementation shared with pipeline.py:curation_verdicts — the
+    materializing export (curate_and_export) runs the identical plan."""
+    return _pipeline.curation_verdicts(_docs(spark, sf_dir))
 
 
 @_q(

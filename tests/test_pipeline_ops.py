@@ -522,6 +522,36 @@ def test_bigram_lm_score_matches_python_model(spark):
         assert abs(out[d][1] - p) < 1e-12, (d, out[d], p)
 
 
+def test_curate_and_export_materializes_corpus_and_manifest(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from monolith_spark.pipeline import curate_and_export, curation_verdicts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "snapshot")
+    manifest = curate_and_export(docs, out)
+
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    on_disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert on_disk == manifest
+
+    # manifest counts match the materialized frames
+    assert manifest["input_docs"] == docs.count() == verdicts.count()
+    assert manifest["kept_docs"] == corpus.count()
+    by = {r["verdict"]: r["n"]
+          for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+    assert manifest["verdicts"] == by
+    # corpus is exactly the kept set, with the input schema
+    kept_ids = {r["doc_id"] for r in verdicts.filter("verdict = 'kept'").collect()}
+    assert {r["doc_id"] for r in corpus.collect()} == kept_ids
+    assert corpus.columns == docs.columns
+    # the export ran the identical plan as the registry query
+    reg = {(r["doc_id"], r["verdict"]) for r in curation_verdicts(docs).collect()}
+    assert {(r["doc_id"], r["verdict"]) for r in verdicts.collect()} == reg
+
+
 def test_k_anonymous_release_suppresses_small_and_uniform_groups(spark):
     from monolith_spark.operators.privacy import (
         k_anonymous_release, suppression_report)
