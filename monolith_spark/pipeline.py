@@ -131,6 +131,52 @@ def curation_verdicts(
     )
 
 
+def prune_and_export(
+    embs: DataFrame,
+    out_dir: str,
+    tau: float = 0.4,
+    k: int = 8,
+    iters: int = 2,
+    prune_pct: int = 20,
+) -> dict:
+    """The embedding-side snapshot: run D4 (SemDeDup + prototypicality
+    pruning — similarity.py:d4_prune), materialize the surviving
+    vectors and the per-vector verdict trail, and write the manifest.
+
+    Layout mirrors curate_and_export: ``verdicts/`` (vec_id,
+    cluster_id, verdict, proto_cosine), ``corpus/`` (surviving input
+    rows, all columns), ``manifest.json``. The manifest is written
+    LAST — it is the snapshot's commit marker; a crashed export leaves
+    parquet dirs but no manifest, so consumers keyed on the manifest
+    never read a partial snapshot.
+    """
+    from monolith_spark.operators.similarity import d4_prune
+
+    verdicts = d4_prune(
+        embs, tau=tau, k=k, iters=iters, prune_pct=prune_pct
+    ).localCheckpoint(eager=True)
+    verdicts.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
+    corpus = embs.join(
+        verdicts.filter(F.col("verdict") == "kept").select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    corpus.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+    by_verdict = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        "input_vectors": sum(by_verdict.values()),
+        "kept_vectors": by_verdict.get("kept", 0),
+        "verdicts": dict(sorted(by_verdict.items())),
+        "d4": {"tau": tau, "k": k, "iters": iters, "prune_pct": prune_pct},
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
 def curate_and_export(docs: DataFrame, out_dir: str, **curation_kwargs: Any) -> dict:
     """Run the audit-trail curation and materialize the dataset
     snapshot a training run consumes:
@@ -143,7 +189,10 @@ def curate_and_export(docs: DataFrame, out_dir: str, **curation_kwargs: Any) -> 
 
     Returns the manifest dict. The verdict frame is checkpointed once
     and feeds the write, the count collect (5 rows), and the survivor
-    semi-join without re-running the pipeline per consumer.
+    semi-join without re-running the pipeline per consumer. The
+    manifest is written LAST — it is the snapshot's commit marker; a
+    crashed export leaves parquet dirs but no manifest, so consumers
+    keyed on the manifest never read a partial snapshot.
     """
     verdicts = curation_verdicts(docs, **curation_kwargs).localCheckpoint(eager=True)
     verdicts.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))

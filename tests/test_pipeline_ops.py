@@ -552,6 +552,30 @@ def test_curate_and_export_materializes_corpus_and_manifest(spark, sf_dir, tmp_p
     assert {(r["doc_id"], r["verdict"]) for r in verdicts.collect()} == reg
 
 
+def test_prune_and_export_matches_d4_verdicts(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from monolith_spark.operators.similarity import d4_prune
+    from monolith_spark.pipeline import prune_and_export
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "emb_snapshot")
+    manifest = prune_and_export(embs, out, k=4, iters=1)
+
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert json.load(open(os.path.join(out, "manifest.json"))) == manifest
+    assert manifest["input_vectors"] == embs.count() == verdicts.count()
+    assert manifest["kept_vectors"] == corpus.count()
+    kept = {r["vec_id"] for r in verdicts.filter("verdict = 'kept'").collect()}
+    assert {r["vec_id"] for r in corpus.collect()} == kept
+    assert corpus.columns == embs.columns
+    want = {(r["vec_id"], r["verdict"])
+            for r in d4_prune(embs, k=4, iters=1).collect()}
+    assert {(r["vec_id"], r["verdict"]) for r in verdicts.collect()} == want
+
+
 def test_k_anonymous_release_suppresses_small_and_uniform_groups(spark):
     from monolith_spark.operators.privacy import (
         k_anonymous_release, suppression_report)
