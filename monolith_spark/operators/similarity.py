@@ -887,7 +887,13 @@ def semdedup(
     components) matches docs_curation's pair rule: deterministic,
     single-pass, and exactly SQL-replayable.
     """
-    assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # the thin (vec_id, cluster_id) assignment feeds several lineage
+    # references below; checkpoint it once so the per-vector k-distance
+    # assignment map (and the k-means rounds under it) never re-run per
+    # consumer — O(corpus) ids+cells on local disk, not vectors
+    assign = kmeans_lloyd(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
     base = (
         corpus.select(
             F.col(id_col).alias("vid"),
@@ -956,7 +962,13 @@ def hard_negatives(
     2-element explode emits both orientations), one per-vector argmax
     as a map-side-combinable struct-max aggregation.
     """
-    assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # the thin (vec_id, cluster_id) assignment feeds several lineage
+    # references below; checkpoint it once so the per-vector k-distance
+    # assignment map (and the k-means rounds under it) never re-run per
+    # consumer — O(corpus) ids+cells on local disk, not vectors
+    assign = kmeans_lloyd(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
     base = corpus.select(
         F.col(id_col).alias("vid"),
         _dbl(vec_col).alias("v"),
@@ -1090,7 +1102,13 @@ def d4_prune(
     uses integer arithmetic (rank <= (n·prune_pct) div 100) so both
     engines cut at the identical row.
     """
-    assign = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # the thin (vec_id, cluster_id) assignment feeds several lineage
+    # references below; checkpoint it once so the per-vector k-distance
+    # assignment map (and the k-means rounds under it) never re-run per
+    # consumer — O(corpus) ids+cells on local disk, not vectors
+    assign = kmeans_lloyd(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
     base = (
         corpus.select(
             F.col(id_col).alias("vid"),
