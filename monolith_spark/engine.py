@@ -165,6 +165,11 @@ class MonolithDB:
     # ------------------------------------------------------------------- read
 
     def _series_raw(self) -> DataFrame | None:
+        # Self-heal first: a delete_series crash between its dim renames
+        # leaves the live dim staged as _compact/series.old — without
+        # this, every dim consumer (queries AND a replayed delete)
+        # would see an empty dim and silently act on it.
+        self._recover_compaction()
         # Existence check first: letting spark.read throw prints a JVM
         # stack trace to stderr even when caught.
         if not os.path.exists(self.series_path):
@@ -195,6 +200,19 @@ class MonolithDB:
             return
         for name in os.listdir(staging):
             if not name.endswith(".old"):
+                continue
+            if name == "series.old":
+                # delete_series crashed between its two dim renames: the
+                # live dim is the staged .old — restore it, never treat
+                # it as a chunk (parsing it as one would rename dim rows
+                # into samples/"chunk_id=" and lose the series table).
+                if not os.path.isdir(self.series_path):
+                    try:
+                        os.rename(os.path.join(staging, name), self.series_path)
+                    except OSError:
+                        pass  # another reader won the race
+                continue
+            if not name.startswith("chunk_"):
                 continue
             chunk = name[len("chunk_"):-len(".old")]
             part = os.path.join(self.samples_path, f"chunk_id={chunk}")

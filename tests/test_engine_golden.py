@@ -636,3 +636,55 @@ def test_delete_series_removes_identity_from_both_tables(spark, tmp_path):
     ))
     back = db.query({"user": "u1"}, 0, 10**9).collect()
     assert len(back) == 1 and [p["value"] for p in back[0]["points"]] == [9.0]
+
+
+def test_delete_series_crash_mid_dim_swap_recovers(spark, tmp_path, monkeypatch):
+    """Kill delete_series at its WORST crash point — between the two
+    dim renames (series→series.old done, series.tmp→series not) — and
+    prove the documented contract: the staged dim is restored to
+    series_path on the next read, the fact table never gains a bogus
+    'chunk_id=' partition from the dim files, and a replayed delete
+    completes instead of returning 0 against an empty dim."""
+    import os as _os
+
+    import pytest as _pytest
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": "a", "user": "u1"}, t, 1.0) for t in (1_000, 61_000)]
+        + [({"job": "b", "user": "u2"}, t, 2.0) for t in (1_000, 61_000)],
+        "labels map<string,string>, timestamp long, value double",
+    ))
+
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst == db.series_path:  # the second dim rename: tmp→series
+            raise OSError("injected crash between dim swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("monolith_spark.engine.os.rename", crashing_rename)
+    with _pytest.raises(OSError, match="injected crash"):
+        db.delete_series({"user": "u1"})
+    monkeypatch.setattr("monolith_spark.engine.os.rename", real_rename)
+
+    # crashed state: live dim absent, .old staged
+    assert not _os.path.isdir(db.series_path)
+    assert _os.path.isdir(_os.path.join(db.path, "_compact", "series.old"))
+
+    # a FRESH reader restores the dim and never misparses series.old as
+    # a chunk — no samples/"chunk_id=" dir, survivor query intact
+    db2 = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    left = db2.query({"user": "u2"}, 0, 10**9).collect()
+    assert len(left) == 1 and len(left[0]["points"]) == 2
+    assert "chunk_id=" not in _os.listdir(db2.samples_path)
+    assert _os.path.isdir(db2.series_path)
+    assert not _os.path.exists(_os.path.join(db2.path, "_compact", "series.old"))
+
+    # the restored dim still carries u1 (facts already rewritten — the
+    # documented idempotent-replay window), so the replay deletes it
+    db3 = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    assert db3.delete_series({"user": "u1"}) == 1
+    assert db3.series().count() == 1
+    final = db3.query({}, 0, 10**9).collect()
+    assert [r["signature"] for r in final] == ["job=b,user=u2"]
