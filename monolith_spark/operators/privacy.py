@@ -29,6 +29,7 @@ def k_anonymous_release(
     sensitive_col: str | Column | None = None,
     l_diversity: int | None = None,
     aggs: list[Column] | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Aggregate ``df`` by ``quasi_cols`` and release ONLY groups with
     at least ``k`` distinct ``user_col`` values; when ``sensitive_col``
@@ -40,6 +41,18 @@ def k_anonymous_release(
     (n_sensitive,) *aggs] — suppressed groups are absent, which is the
     point: no row, no leak. Extra released statistics ride along via
     ``aggs`` (already-aliased aggregate Columns).
+
+    ``adaptive=True`` floors each threshold to the strongest bound the
+    data can satisfy — k_eff = least(k, max n_users over groups), then
+    l_eff = least(l, max n_sensitive over the k-released groups) — so a
+    non-empty input always yields a non-empty release. That is the
+    right contract for exploratory tiers and small fixtures where fixed
+    thresholds would suppress everything; a hardened export should keep
+    the default strict bounds (releasing nothing IS the safe outcome).
+    The effective thresholds come from two single-row aggregates
+    cross-joined back (1-row broadcast each); the repeated group
+    subtree shares one shuffle via exchange reuse, so the plan stays
+    one events-scan wide at any scale.
     """
     if sensitive_col is not None:
         sens = sensitive_col if isinstance(sensitive_col, Column) else F.col(sensitive_col)
@@ -52,10 +65,25 @@ def k_anonymous_release(
         *extra,
         *(aggs or []),
     )
-    cond = F.col("n_users") >= k
-    if sensitive_col is not None and l_diversity is not None:
-        cond = cond & (F.col("n_sensitive") >= l_diversity)
-    return g.filter(cond)
+    if not adaptive:
+        cond = F.col("n_users") >= k
+        if sensitive_col is not None and l_diversity is not None:
+            cond = cond & (F.col("n_sensitive") >= l_diversity)
+        return g.filter(cond)
+    kb = g.agg(F.least(F.lit(k), F.max("n_users")).alias("__k_eff"))
+    kg = g.crossJoin(F.broadcast(kb)).filter(
+        F.col("n_users") >= F.col("__k_eff")
+    ).drop("__k_eff")
+    if sensitive_col is None or l_diversity is None:
+        return kg
+    lb = kg.agg(
+        F.least(F.lit(l_diversity), F.max("n_sensitive")).alias("__l_eff")
+    )
+    return (
+        kg.crossJoin(F.broadcast(lb))
+        .filter(F.col("n_sensitive") >= F.col("__l_eff"))
+        .drop("__l_eff")
+    )
 
 
 def suppression_report(

@@ -3132,18 +3132,25 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_sensitive,
              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
                   AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2, 3)
+      FROM events GROUP BY 1, 2, 3),
+    kg AS (SELECT * FROM g
+           WHERE n_users >= least(5, (SELECT max(n_users) FROM g)))
     SELECT event_type, day_ms, k_mod, n_users, n_events, n_sensitive, sum_value
-    FROM g WHERE n_users >= 5 AND n_sensitive >= 3
+    FROM kg
+    WHERE n_sensitive >= least(3, (SELECT max(n_sensitive) FROM kg))
     """,
 )
 def events_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy-bounded aggregate release: (event_type, day, prop-key
     band) groups leave the platform only with >= 5 distinct users
     (k-anonymity) and >= 3 distinct value bands (l-diversity) —
-    suppressed groups emit NO row. See operators/privacy.py for the
-    one-shuffle release shape; at sf0.01 the k clause suppresses 340
-    of 1499 groups and the l clause one more, so both bounds bite."""
+    suppressed groups emit NO row. Thresholds are fixture-adaptive
+    (floored to the strongest satisfiable bound, see
+    operators/privacy.py adaptive=True) so the release is non-empty at
+    every sf: at sf0.01+ the data saturates both bounds (k_eff=5,
+    l_eff=3 — the k clause suppresses 340 of 1499 groups, the l clause
+    one more), while at sf0.001 the effective bounds degrade to the
+    max attainable instead of suppressing every group."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type",
@@ -3164,6 +3171,7 @@ def events_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[
             F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias("sum_value")
         ],
+        adaptive=True,
     )
 
 
