@@ -1,0 +1,147 @@
+"""Exact distributed ranking — global row_number / ntile / running sums
+WITHOUT a single-partition window.
+
+`Window.orderBy(...)` with no partitionBy plans `Exchange SinglePartition`:
+the entire relation funnels through ONE sort task, which is the worst
+remaining scale-killer class in this repo's plan audits (VERDICT r3/r4).
+This module replaces that shape with the exact two-pass histogram-offset
+device:
+
+  1. bin every row by a deterministic monotone compaction of the sort
+     key (``nbins`` equal-width bins over the key's [min, max], computed
+     by one 1-row aggregate);
+  2. aggregate one (bin → count [, sum(value)]) histogram — ``nbins``
+     rows, driver-collected (the bounded IVF-centroid pattern);
+  3. turn the histogram into per-bin rank/prefix-sum offsets and
+     broadcast them back;
+  4. rank within each bin with Window.partitionBy(bin) — shuffle-
+     parallel across bins — and add the bin's offset.
+
+The result is bit-identical to the global window (ranks are exact
+integers; prefix sums re-associate an exact DECIMAL addition), but the
+plan has no SinglePartition exchange: the only full-relation operators
+are one histogram aggregation and one hash-partitioned window, both
+map-combinable / parallel. Worst case (every key equal) degrades to one
+bin = the old plan; real score/revenue/recency keys spread fine.
+
+The input is localCheckpoint'ed eagerly: the device scans it 2-3 times
+(stats, histogram, final rank) and re-deriving an expensive upstream
+aggregate per pass would triple the real work at 100 TB.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_exact_rank", "ntile_expr"]
+
+_DEC = "decimal(38,6)"
+
+
+def _bin_expr(key: str, kmin: float, kmax: float, nbins: int) -> Column:
+    """Deterministic monotone (non-decreasing in the key) bin id in
+    [0, nbins-1]. Equal-width over the observed [min, max]; monotone
+    even under double rounding because x -> floor(a·(x-m)) is, and the
+    within-bin window re-sorts by the ORIGINAL key so bin collisions
+    cost parallelism, never correctness."""
+    if kmax <= kmin:
+        return F.lit(0)
+    kd = F.col(key).cast("double")
+    raw = F.floor((kd - F.lit(kmin)) / F.lit(kmax - kmin) * F.lit(nbins))
+    return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw)).cast("int")
+
+
+def with_exact_rank(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    rank_col: str,
+    *,
+    descending: bool = True,
+    value_col: str | None = None,
+    cum_col: str | None = None,
+    nbins: int = 512,
+) -> tuple[DataFrame, int, Decimal | None]:
+    """Add the exact global ``row_number() over (order by key
+    [desc], *tiebreaks)`` as ``rank_col`` — and, when ``value_col`` /
+    ``cum_col`` are given, the exact running ``sum(value_col)`` over
+    the same order (DECIMAL(38,6), ``rows unbounded preceding``) —
+    with no single-partition exchange in the plan.
+
+    Returns (df, n_rows, grand_total): ``n_rows`` is the exact input
+    count (free from the histogram; ntile needs it) and ``grand_total``
+    the exact DECIMAL sum of ``value_col`` (None when not requested).
+    NULL keys are not supported (callers rank aggregates, which never
+    produce them)."""
+    df = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    key_order = F.col(key).desc() if descending else F.col(key).asc()
+    order = [key_order, *[F.col(t).asc() for t in tiebreaks]]
+
+    stats = df.agg(
+        F.min(F.col(key).cast("double")).alias("lo"),
+        F.max(F.col(key).cast("double")).alias("hi"),
+    ).collect()[0]
+    if stats["lo"] is None:  # empty input
+        out = df.withColumn(rank_col, F.lit(None).cast("long"))
+        if cum_col is not None:
+            out = out.withColumn(cum_col, F.lit(None).cast(_DEC))
+        return out, 0, (Decimal(0) if value_col is not None else None)
+
+    b = _bin_expr(key, stats["lo"], stats["hi"], nbins)
+    binned = df.withColumn("__b", b)
+    aggs = [F.count("*").alias("__c")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast(_DEC)).alias("__s"))
+    hist = {
+        r["__b"]: r
+        for r in binned.groupBy("__b").agg(*aggs).collect()  # <= nbins rows
+    }
+
+    # Offsets accumulate over bins that precede a bin IN SORT ORDER:
+    # bins are monotone ascending in the key, so descending order walks
+    # them high-to-low.
+    bins_in_order = sorted(hist, reverse=descending)
+    rows = []
+    run_c, run_s = 0, Decimal(0)
+    for bb in bins_in_order:
+        rows.append((bb, run_c, str(run_s)))
+        run_c += hist[bb]["__c"]
+        if value_col is not None:
+            run_s += hist[bb]["__s"]
+    n_rows = run_c
+    total = run_s if value_col is not None else None
+
+    off = spark.createDataFrame(
+        rows, "__b int, __off long, __soff string"
+    ).withColumn("__soff", F.col("__soff").cast(_DEC))
+    w = Window.partitionBy("__b").orderBy(*order)
+    out = binned.join(F.broadcast(off), "__b").withColumn(
+        rank_col, (F.col("__off") + F.row_number().over(w)).cast("long")
+    )
+    if cum_col is not None:
+        cum = F.sum(F.col(value_col).cast(_DEC)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(cum_col, (F.col("__soff") + cum).cast(_DEC))
+    return out.drop("__b", "__off", "__soff"), n_rows, total
+
+
+def ntile_expr(rank_col: str, n_rows: int, n: int) -> Column:
+    """``ntile(n)`` from an exact 1-based global rank — the closed-form
+    SQL-standard tile assignment (first ``n_rows mod n`` tiles get one
+    extra row), so callers replace the global-window ntile without any
+    behavior change."""
+    q, r = divmod(n_rows, n)
+    rnk = F.col(rank_col)
+    if q == 0:  # fewer rows than tiles: tile == rank
+        return rnk.cast("long")
+    big = (q + 1) * r  # rows living in the r larger tiles
+    return (
+        F.when(rnk <= F.lit(big), F.expr(f"({rank_col} - 1) div {q + 1}") + 1)
+        .otherwise(F.lit(r) + F.expr(f"({rank_col} - {big} - 1) div {q}") + 1)
+        .cast("long")
+    )

@@ -34,6 +34,7 @@ from monolith_spark.labels import (
     matcher_predicate,
     superset_predicate,
 )
+from monolith_spark.operators import ranking as _ranking
 from monolith_spark.operators import timeseries as _tsops
 from monolith_spark.operators.timeseries import latest as _latest
 from monolith_spark.sources import events as _events
@@ -3005,10 +3006,13 @@ def tpch_q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataF
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency/frequency/monetary per
-    customer with quintile scores. The windows rank the PER-CUSTOMER
-    aggregate (one row per customer, never raw orders) with o_custkey
-    tie-breaks so quintile boundaries are deterministic; monetary sums
-    in DECIMAL."""
+    customer with quintile scores, o_custkey tie-breaks so quintile
+    boundaries are deterministic; monetary sums in DECIMAL. The three
+    quintile ranks use the exact histogram-offset device
+    (operators/ranking.py) — bit-identical to the oracle's global
+    ntile(5) but with no SinglePartition exchange: a global window
+    over the per-customer aggregate would funnel every customer
+    through one sort task at 100 TB."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rfm = o.groupBy("o_custkey").agg(
@@ -3018,15 +3022,21 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    def score(col, name):
-        w = Window.orderBy(F.col(col).desc(), F.col("o_custkey"))
-        return F.ntile(5).over(w).cast("long").alias(name)
-    return rfm.select(
+    ranked, n, _ = _ranking.with_exact_rank(
+        rfm, "last_order_ms", ["o_custkey"], "__r"
+    )
+    ranked, _, _ = _ranking.with_exact_rank(
+        ranked, "frequency", ["o_custkey"], "__f"
+    )
+    ranked, _, _ = _ranking.with_exact_rank(
+        ranked, "monetary", ["o_custkey"], "__m"
+    )
+    return ranked.select(
         "o_custkey", "last_order_ms", "frequency",
         F.col("monetary").cast("double").alias("monetary"),
-        score("last_order_ms", "r_score"),
-        score("frequency", "f_score"),
-        score("monetary", "m_score"),
+        _ranking.ntile_expr("__r", n, 5).alias("r_score"),
+        _ranking.ntile_expr("__f", n, 5).alias("f_score"),
+        _ranking.ntile_expr("__m", n, 5).alias("m_score"),
     )
 
 
@@ -3054,31 +3064,24 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto head): the top parts covering the
     first half of total revenue, via a running DECIMAL sum over the
-    per-part aggregate ranked descending. The windows order ONE row
-    per part; the cumulative/total division happens once in double on
-    exact numerators so the 0.5 cutoff can't straddle engines."""
+    per-part aggregate ranked descending. Rank and running sum come
+    from the exact histogram-offset device (operators/ranking.py) —
+    DECIMAL addition re-associates exactly, so cum_rev is bit-equal to
+    the oracle's global running window without the SinglePartition
+    exchange that window would plan; the cumulative/total division
+    happens once in double on exact numerators so the 0.5 cutoff can't
+    straddle engines."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = F.col("l_extendedprice").cast(DEC) * (
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
-    w = (
-        Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked, _, total = _ranking.with_exact_rank(
+        per_part, "rev", ["l_partkey"], "rnk",
+        value_col="rev", cum_col="__cum",
     )
-    w_all = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_part.select(
-        "l_partkey",
-        "rev",
-        F.sum("rev").over(w).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
-        F.row_number().over(
-            Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
-        ).cast("long").alias("rnk"),
-    )
-    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    total_dbl = F.lit(str(total)).cast("decimal(38,6)").cast("double")
+    share = F.col("__cum").cast("double") / total_dbl
     return ranked.filter(share <= 0.5).select(
         "l_partkey", "rnk",
         F.col("rev").cast("double").alias("revenue"),
@@ -7499,19 +7502,22 @@ def docs_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split: docs bucketed into LM-quality
-    terciles (bucket 1 = most fluent under the corpus bigram LM). This
-    exact-parity formulation uses ntile over (score desc, doc_id) — a
-    global sort, fine for the oracle tier; the production path at
-    100 TB replaces it with two GK-sketch thresholds
-    (percentile_approx(s, [1/3, 2/3]) — mergeable, no global sort)
-    broadcast into a comparison, same output contract modulo sketch
-    rank error."""
+    terciles (bucket 1 = most fluent under the corpus bigram LM).
+    Terciles come from the exact histogram-offset rank device
+    (operators/ranking.py): one compact score histogram + per-bin
+    offsets replaces the corpus-wide ntile(3) window — bit-identical
+    to the oracle's global ntile yet every full-relation operator in
+    the plan is shuffle-parallel (no SinglePartition exchange), which
+    is what lets the standard CCNet bucketing step run over a 100 TB
+    corpus instead of funneling it through one sort task."""
     scored = _text.bigram_lm_score(_docs(spark, sf_dir)).select(
         "doc_id", F.col("avg_bigram_p").alias("lm_score")
     )
-    w = Window.orderBy(F.col("lm_score").desc(), "doc_id")
-    return scored.select(
-        "doc_id", "lm_score", F.ntile(3).over(w).cast("long").alias("bucket")
+    ranked, n, _ = _ranking.with_exact_rank(
+        scored, "lm_score", ["doc_id"], "__rnk"
+    )
+    return ranked.select(
+        "doc_id", "lm_score", _ranking.ntile_expr("__rnk", n, 3).alias("bucket")
     )
 
 

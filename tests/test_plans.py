@@ -527,11 +527,15 @@ def test_registry_plan_red_flag_sweep(spark, sf_dir):
     red flags: CartesianProduct, row-at-a-time Python UDFs
     (BatchEvalPython — the only sanctioned Python paths are Arrow
     mapInPandas for media decode), and any BroadcastNestedLoopJoin
-    whose build side is more than a 1-row global aggregate. The two
-    documented all-pairs baselines and the bounded-query-set ANN
-    probes are the only named exemptions; everything else must stay
-    equi-join blocking. This is the regression guard for the bug class
-    VERDICT r2 flagged (forced O(corpus) broadcasts)."""
+    whose build side is more than a 1-row global aggregate, plus any
+    Exchange SinglePartition over unbounded input (global windows /
+    sorts — the VERDICT r3/r4 scale-killer class; bounded shapes like
+    top-k-then-rank, 1-row aggregates and driver tables are
+    whitelisted via _BOUNDED_MARKERS). The two documented all-pairs
+    baselines and the bounded-query-set ANN probes are the only named
+    exemptions; everything else must stay equi-join blocking. This is
+    the regression guard for the bug classes VERDICT r2 (forced
+    O(corpus) broadcasts) and r4 (single-partition windows) flagged."""
     # build sides that are legitimately larger than one row:
     #  - dedup_embedding_pairs / sim_topk_cosine: documented all-pairs
     #    verify/baseline tier (corpus side, auto- not hint-broadcast)
@@ -539,24 +543,6 @@ def test_registry_plan_red_flag_sweep(spark, sf_dir):
     bnlj_exempt = {
         "dedup_embedding_pairs", "sim_topk_cosine", "sim_ivf_topk", "sim_pq_topk",
     }
-
-    def bnlj_build_sides_not_one_row(plan: str) -> list[str]:
-        lines = plan.splitlines()
-        bad = []
-        for i, ln in enumerate(lines):
-            if "BroadcastExchange IdentityBroadcastMode" not in ln:
-                continue
-            indent = len(ln) - len(ln.rstrip()) + ln.index("BroadcastExchange")
-            sub = []
-            for j in range(i + 1, len(lines)):
-                stripped = lines[j].lstrip(" :+-")
-                ind_j = len(lines[j]) - len(stripped)
-                if ind_j <= indent:
-                    break
-                sub.append(lines[j])
-            if not any("HashAggregate(keys=[]" in s for s in sub):
-                bad.append(ln.strip()[:100])
-        return bad
 
     failures = []
     for name, q in all_queries().items():
@@ -567,6 +553,91 @@ def test_registry_plan_red_flag_sweep(spark, sf_dir):
         if "BatchEvalPython" in plan:
             failures.append((name, "BatchEvalPython (row-wise Python UDF)"))
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_exempt:
-            for side in bnlj_build_sides_not_one_row(plan):
+            for side in _bnlj_build_sides_not_one_row(plan):
                 failures.append((name, f"BNLJ build side not a 1-row aggregate: {side}"))
+        for sub in _unbounded_single_partition_subtrees(plan):
+            failures.append((name, f"Exchange SinglePartition over unbounded input: {sub}"))
     assert not failures, failures
+
+
+# Markers that bound an Exchange SinglePartition's input to a driver-safe
+# row count: a limit (the sanctioned top-k-then-rank pattern), a global
+# 1-row aggregate, or a driver-created local table. A global window /
+# sort over anything else funnels the whole relation through ONE task —
+# the VERDICT r3/r4 scale-killer class (corpus-wide ntile et al.), fixed
+# by operators/ranking.py's histogram-offset device.
+_BOUNDED_MARKERS = (
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "HashAggregate(keys=[]",
+    "SortAggregate(key=[]",
+    "LocalTableScan",
+    "Scan ExistingRDD",
+)
+
+
+def _unbounded_single_partition_subtrees(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        indent = ln.index("Exchange")
+        sub = []
+        for j in range(i + 1, len(lines)):
+            stripped = lines[j].lstrip(" :+-")
+            ind_j = len(lines[j]) - len(stripped)
+            if ind_j <= indent:
+                break
+            sub.append(lines[j])
+        if not any(m in s for m in _BOUNDED_MARKERS for s in sub):
+            bad.append((sub[0] if sub else ln).strip()[:100])
+    return bad
+
+
+def test_single_partition_guard_catches_global_window(spark, sf_dir):
+    """The guard itself must fire on the bug class it exists for: a
+    global (no partitionBy) window over an unbounded aggregate — the
+    exact shape docs_perplexity_buckets / orders_rfm_segments /
+    tpch_revenue_pareto had before operators/ranking.py."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    offender = agg.select(
+        "o_custkey",
+        F.ntile(3).over(Window.orderBy(F.col("n").desc(), "o_custkey")).alias("b"),
+    )
+    assert _unbounded_single_partition_subtrees(_plan(offender)), (
+        "guard failed to flag a global-window plan"
+    )
+    # and a bounded top-k rank must NOT be flagged
+    topk = o.orderBy(F.col("o_totalprice").desc()).limit(10)
+    ranked = topk.select(
+        "o_orderkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("rnk"),
+    )
+    assert not _unbounded_single_partition_subtrees(_plan(ranked))
+
+
+def _bnlj_build_sides_not_one_row(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in ln:
+            continue
+        indent = len(ln) - len(ln.rstrip()) + ln.index("BroadcastExchange")
+        sub = []
+        for j in range(i + 1, len(lines)):
+            stripped = lines[j].lstrip(" :+-")
+            ind_j = len(lines[j]) - len(stripped)
+            if ind_j <= indent:
+                break
+            sub.append(lines[j])
+        if not any("HashAggregate(keys=[]" in s for s in sub):
+            bad.append(ln.strip()[:100])
+    return bad
