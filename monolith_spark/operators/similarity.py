@@ -1321,14 +1321,26 @@ def pca_project(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = v.withColumn("score", score)
-    err = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("__c"), pc_arr, lambda c, p: (c - F.col("score") * p) * (c - F.col("score") * p)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+    # Bind the score fold as a LAMBDA VARIABLE before the recon_err
+    # fold references it: a plain withColumn alias gets inlined by
+    # projection collapse into EVERY element of the zip_with lambda —
+    # the d-term fold re-evaluated d times per row, O(d²) arithmetic
+    # (the winnowing/kmeans re-evaluation trap, VERDICT r4).
+    def _with_score(s: Column) -> Column:
+        err = F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("__c"), pc_arr, lambda c, p: (c - s * p) * (c - s * p)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
+        return F.struct(s.alias("score"), err.alias("recon_err"))
+
+    out = v.withColumn(
+        "__o", F.element_at(F.transform(F.array(score), _with_score), 1)
     )
-    return scored.select(F.col(id_col), F.col("score"), err.alias("recon_err"))
+    return out.select(
+        F.col(id_col), F.col("__o.score").alias("score"),
+        F.col("__o.recon_err").alias("recon_err"),
+    )

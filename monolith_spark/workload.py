@@ -4843,15 +4843,16 @@ _PII_AUG = (
       SELECT doc_id,
         CAST(len(regexp_extract_all(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS BIGINT) AS n_emails,
-        CAST(len(regexp_extract_all(text,
-          '(^|[^0-9.])([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}($|[^0-9.])')) AS BIGINT) AS n_ipv4,
         CAST(len(regexp_extract_all(text, '\\+[0-9]{{7,15}}')) AS BIGINT) AS n_phones,
-        md5(regexp_replace(regexp_replace(regexp_replace(text,
+        regexp_replace(regexp_replace(regexp_replace(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
           '\\+[0-9]{{7,15}}', '<PHONE>', 'g'),
-          '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g')) AS redacted_fp
+          '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS rt
       FROM aug)
-    SELECT doc_id, n_emails, n_ipv4, n_phones, redacted_fp FROM red
+    SELECT doc_id, n_emails,
+           CAST((len(rt) - len(replace(rt, '<IP>', ''))) // 4 AS BIGINT) AS n_ipv4,
+           n_phones, md5(rt) AS redacted_fp
+    FROM red
     """,
 )
 def docs_pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -772,6 +772,53 @@ def test_pii_scan_counts_and_redaction(spark):
     assert all(rows[i]["redacted_fp"] == expect[i] for i in rows)
 
 
+def test_pii_scan_count_agrees_with_scrub_on_adjacent_ips(spark):
+    """VERDICT r4 'what's wrong' #3: the guarded count regex consumed
+    the delimiter, so space-adjacent IPs counted 1 while the scrub
+    tagged both. n_ipv4 now derives from the redacted text — count
+    and scrub agree by construction."""
+    from monolith_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "pair 1.2.3.4 5.6.7.8 end"),           # space-adjacent
+            (1, "triple 1.1.1.1 2.2.2.2 3.3.3.3"),
+            (2, "glued 1.2.3.4,10.0.0.1;8.8.8.8"),      # punct-adjacent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert rows[0]["n_ipv4"] == 2
+    assert rows[1]["n_ipv4"] == 3
+    assert rows[2]["n_ipv4"] == 3
+
+
+def test_nb_score_total_over_all_oov_docs(spark):
+    """VERDICT r4 'what's wrong' #4: scoring fresh docs against a
+    streamed/stale model must not lose rows — a doc with zero
+    vocabulary hits gets n_tokens=0 and NULL odds, not silence."""
+    from monolith_spark.operators.text import nb_score, nb_token_counts
+
+    filler = " ".join(f"tok{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(0, filler), (1, filler + " extra words beyond any band " * 20)],
+        "doc_id long, text string",
+    )
+    counts = nb_token_counts(train)
+    fresh = spark.createDataFrame(
+        [
+            (10, filler),                                   # fully in-vocab
+            (11, " ".join(f"zz{i}" for i in range(30))),    # all-OOV
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in nb_score(fresh, counts).collect()}
+    assert set(rows) == {10, 11}, "all-OOV doc dropped"
+    assert rows[10]["n_tokens"] == 30 and rows[10]["nb_odds_mean"] is not None
+    assert rows[11]["n_tokens"] == 0
+    assert rows[11]["nb_odds_mean"] is None and rows[11]["nb_pass"] is None
+
+
 def test_domain_cap_keeps_at_most_cap_per_source(spark, sf_dir):
     from collections import Counter
 
@@ -1449,6 +1496,50 @@ def test_pca_project_identities(spark):
         assert abs(got[i]["recon_err"] - err) < 1e-12
         # Pythagoras: ||c||^2 == score^2 + err^2 for unit pc
         assert abs(sum(x * x for x in c) - (score**2 + got[i]["recon_err"] ** 2)) < 1e-9
+
+
+def _balanced(s: str, open_idx: int) -> str:
+    """Substring inside the paren opening at s[open_idx]."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : i]
+    return s[open_idx + 1 :]
+
+
+def test_pca_project_score_fold_not_reevaluated_per_element(spark):
+    """VERDICT r4 'what's wrong' #1: a plain withColumn alias of the
+    score fold gets inlined by projection collapse into EVERY element
+    of the recon_err zip_with lambda — the d-term fold re-evaluated d
+    times per row, O(d²) arithmetic at 100 TB. The fix binds score as
+    a lambda variable; this guard asserts no aggregate() fold ever
+    appears inside a zip_with element lambda in the optimized plan."""
+    from monolith_spark.operators.similarity import pca_project
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        pca_project(embs, [0.0] * 3, [1.0, 0.0, 0.0])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    i = 0
+    while True:
+        i = plan.find("zip_with(", i)
+        if i == -1:
+            break
+        body = _balanced(plan, i + len("zip_with"))
+        lf = body.find("lambdafunction")
+        if lf != -1:
+            lam = _balanced(body, lf + len("lambdafunction"))
+            assert "aggregate(" not in lam, (
+                "fold re-evaluated per zip_with element:\n" + lam[:200]
+            )
+        i += len("zip_with(")
 
 
 def test_markov_steady_state_planted_chain(spark, tmp_path):
