@@ -4081,6 +4081,17 @@ _DRIVER_GREEN: frozenset[str] = _load_driver_green()
 # front of the window. The remaining unverified names follow
 # automatically via the fresh-first ordering below.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-5 reworked queries first: the driver must re-verify the
+    # de-globalized ranking device, the pii count/scrub reconciliation,
+    # the total nb_score, the pca_project barrier fix and the new
+    # scalable BPE trainer against fresh oracle runs.
+    "docs_perplexity_buckets",
+    "orders_rfm_segments",
+    "tpch_revenue_pareto",
+    "docs_pii_scan",
+    "docs_quality_classifier",
+    "emb_pca_project",
+    "text_bpe_train_scale",
     "ts_approx_quantiles",
     "events_hll_daily_users",
     "sim_ivf_topk",
@@ -5751,6 +5762,35 @@ def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break). The oracle unrolls all 6 rounds as CTEs and replays
     the identical construction."""
     return _text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6)
+
+
+@_q("text_bpe_train_scale", None)
+def text_bpe_train_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at real vocab sizes (text.bpe_train_merges_scalable):
+    ONE corpus scan → capped (word, freq) table → driver-side
+    incremental merge loop — cluster job count independent of
+    n_merges, unlike text_bpe_train's job-per-round unrolling (fine at
+    6 merges, 32k serialized jobs at a production vocab). The fixture
+    corpus has ~31 distinct words, so each doc's text is augmented
+    with two md5-hex fingerprints (deterministic 32-char hex words)
+    to give the trainer a real vocabulary; 1000 merges. Rows-only
+    check: a 1000-round iterative argmax is not SQL-expressible (the
+    6-round unrolled-CTE oracle on text_bpe_train covers the shared
+    semantics, and tests assert the scalable trainer is rule-for-rule
+    identical to the distributed one whenever the cap does not
+    bind)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.col("text"), F.lit("1"))),
+        ).alias("text"),
+    )
+    return _text.bpe_train_merges_scalable(
+        docs, n_merges=1000, max_vocab_words=20_000
+    )
 
 
 @_q(

@@ -98,10 +98,13 @@ def dedup_probe(spark, mult: int) -> dict:
 
 def scaled_embs(spark, mult: int):
     """embeddings × mult, each copy's components sign-flipped by a
-    per-copy parity pattern (exact ±1 multiply, so geometry is
+    per-copy hash(i, j) pattern (exact ±1 multiply, so geometry is
     reshuffled rather than duplicated): exact copies would pile every
     clone into one k-means cell and measure an artificial per-cell
-    pair blow-up instead of scaling."""
+    pair blow-up instead of scaling. Hash-of-(copy, position) — the
+    earlier (j*i) % 2 parity was identically 0 for even i, so copies
+    2, 4, ... duplicated the originals and the mult>2 probe timings
+    measured a clone pile-up, not scaling (VERDICT r4)."""
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     parts = [e]
     for i in range(1, mult):
@@ -111,7 +114,8 @@ def scaled_embs(spark, mult: int):
                 "embedding",
                 F.transform(
                     "embedding",
-                    lambda x, j: x * (1 - 2 * (j * F.lit(i) % 2)).cast("float"),
+                    lambda x, j: x
+                    * (1 - 2 * F.pmod(F.hash(j, F.lit(i)), F.lit(2))).cast("float"),
                 ),
             )
         )
