@@ -207,20 +207,34 @@ class MonolithDB:
                 # it as a chunk (parsing it as one would rename dim rows
                 # into samples/"chunk_id=" and lose the series table).
                 if not os.path.isdir(self.series_path):
+                    src = os.path.join(staging, name)
                     try:
-                        os.rename(os.path.join(staging, name), self.series_path)
+                        os.rename(src, self.series_path)
                     except OSError:
-                        pass  # another reader won the race
+                        # Benign only if another reader won the race
+                        # (source consumed or destination restored). A
+                        # still-staged source means the rename REALLY
+                        # failed (EACCES/EXDEV...) and swallowing it
+                        # would leave the db with no visible series
+                        # table and no diagnostic.
+                        if os.path.exists(src) and not os.path.isdir(
+                            self.series_path
+                        ):
+                            raise
                 continue
             if not name.startswith("chunk_"):
                 continue
             chunk = name[len("chunk_"):-len(".old")]
             part = os.path.join(self.samples_path, f"chunk_id={chunk}")
             if not os.path.isdir(part):
+                src = os.path.join(staging, name)
                 try:
-                    os.rename(os.path.join(staging, name), part)
+                    os.rename(src, part)
                 except OSError:
-                    pass  # another reader/compactor won the race
+                    # see the series.old branch: re-raise unless a
+                    # concurrent reader/compactor demonstrably won
+                    if os.path.exists(src) and not os.path.isdir(part):
+                        raise
 
     def samples(self) -> DataFrame:
         self._recover_compaction()
@@ -480,7 +494,12 @@ class MonolithDB:
         a manifest format with per-file series-id stats would let
         untouched files be skipped. Run in the same read-quiesced
         window as compaction (same swap caveat). Not safe concurrently
-        with writers.
+        with writers — NOR with readers: a concurrent reader's
+        _recover_compaction can restore the staged _compact/series.old
+        while this delete sits between its two dim renames, making the
+        final rename fail because the destination reappeared (the
+        recovery path cannot tell a crashed delete from a live one
+        without a lock file). Single-process use is unaffected.
         """
         import shutil
 

@@ -17,6 +17,8 @@ Catalyst keeps the whole release plan in one shuffle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,9 @@ def k_anonymous_release(
     l_diversity: int | None = None,
     aggs: list[Column] | None = None,
     adaptive: bool = False,
+    min_k: int = 1,
+    min_l: int = 1,
+    reveal_thresholds: bool = False,
 ) -> DataFrame:
     """Aggregate ``df`` by ``quasi_cols`` and release ONLY groups with
     at least ``k`` distinct ``user_col`` values; when ``sensitive_col``
@@ -53,6 +58,16 @@ def k_anonymous_release(
     cross-joined back (1-row broadcast each); the repeated group
     subtree shares one shuffle via exchange reuse, so the plan stays
     one events-scan wide at any scale.
+
+    Adaptive flooring can silently degrade all the way to k_eff=1
+    (per-user groups) with nothing in the output marking it — so:
+    ``min_k`` / ``min_l`` put a hard floor under the adaptive bounds
+    (k_eff never drops below min_k even if the release comes back
+    empty — set min_k=k to turn adaptive into strict), and
+    ``reveal_thresholds=True`` keeps the ``__k_eff`` (and ``__l_eff``)
+    columns in the released rows so a consumer can distinguish an
+    exploratory release from a hardened one. A static warning is
+    logged whenever adaptive mode is active.
     """
     if sensitive_col is not None:
         sens = sensitive_col if isinstance(sensitive_col, Column) else F.col(sensitive_col)
@@ -70,20 +85,35 @@ def k_anonymous_release(
         if sensitive_col is not None and l_diversity is not None:
             cond = cond & (F.col("n_sensitive") >= l_diversity)
         return g.filter(cond)
-    kb = g.agg(F.least(F.lit(k), F.max("n_users")).alias("__k_eff"))
+    logging.getLogger(__name__).warning(
+        "k_anonymous_release(adaptive=True): effective thresholds may "
+        "floor below k=%d/l=%s on sparse data (hard floor min_k=%d/"
+        "min_l=%d); pass reveal_thresholds=True to carry __k_eff/"
+        "__l_eff in the release, or use the strict default for "
+        "hardened exports.",
+        k, l_diversity, min_k, min_l,
+    )
+    kb = g.agg(
+        F.greatest(F.lit(min_k), F.least(F.lit(k), F.max("n_users"))).alias(
+            "__k_eff"
+        )
+    )
     kg = g.crossJoin(F.broadcast(kb)).filter(
         F.col("n_users") >= F.col("__k_eff")
-    ).drop("__k_eff")
+    )
+    if not reveal_thresholds:
+        kg = kg.drop("__k_eff")
     if sensitive_col is None or l_diversity is None:
         return kg
     lb = kg.agg(
-        F.least(F.lit(l_diversity), F.max("n_sensitive")).alias("__l_eff")
+        F.greatest(
+            F.lit(min_l), F.least(F.lit(l_diversity), F.max("n_sensitive"))
+        ).alias("__l_eff")
     )
-    return (
-        kg.crossJoin(F.broadcast(lb))
-        .filter(F.col("n_sensitive") >= F.col("__l_eff"))
-        .drop("__l_eff")
+    out = kg.crossJoin(F.broadcast(lb)).filter(
+        F.col("n_sensitive") >= F.col("__l_eff")
     )
+    return out if reveal_thresholds else out.drop("__l_eff")
 
 
 def suppression_report(

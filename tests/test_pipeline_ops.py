@@ -602,6 +602,28 @@ def test_k_anonymous_release_suppresses_small_and_uniform_groups(spark):
     assert abs(rep["suppressed_event_frac"] - 3 / 13) < 1e-12
 
 
+def test_adaptive_release_floor_and_threshold_surfacing(spark):
+    """ADVICE r4: adaptive=True could silently floor k_eff to 1 with
+    nothing marking the degraded bound. min_k puts a hard floor under
+    it (empty release rather than per-user groups) and
+    reveal_thresholds carries __k_eff in the released rows."""
+    from monolith_spark.operators.privacy import k_anonymous_release
+
+    # every group has exactly ONE user: adaptive would floor k_eff to 1
+    df = spark.createDataFrame(
+        [(f"g{i}", i, 1.0) for i in range(4)],
+        "grp string, user_id long, value double",
+    )
+    floored = k_anonymous_release(df, ["grp"], k=5, adaptive=True)
+    assert floored.count() == 4  # default min_k=1: everything released
+    hard = k_anonymous_release(df, ["grp"], k=5, adaptive=True, min_k=2)
+    assert hard.count() == 0  # floor holds: empty beats per-user leak
+    revealed = k_anonymous_release(
+        df, ["grp"], k=5, adaptive=True, reveal_thresholds=True
+    ).collect()
+    assert all(r["__k_eff"] == 1 for r in revealed)  # degradation visible
+
+
 def test_hard_negatives_matches_brute_force_within_cells(spark):
     from monolith_spark.operators.similarity import hard_negatives, kmeans_lloyd
     import numpy as np
