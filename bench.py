@@ -73,6 +73,11 @@ EXTRA_WORKLOAD_NAMES = [
     "docs_quality_classifier",
     "emb_hard_negatives",
     "events_k_anonymity",
+    # round-5: the de-globalized ranking queries (exact histogram-offset
+    # device replacing corpus-wide ntile / running-sum windows)
+    "docs_perplexity_buckets",
+    "orders_rfm_segments",
+    "tpch_revenue_pareto",
 ]
 
 

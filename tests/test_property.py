@@ -868,3 +868,58 @@ def test_nb_quality_classifier_matches_python_model(spark, docs_tokens):
         assert got[i]["n_tokens"] == len(t)
         assert abs(got[i]["nb_odds_mean"] - mean) < 1e-12, (i, got[i], mean)
         assert got[i]["nb_pass"] == (mean > 1.0)
+
+
+@settings(max_examples=12, **_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # key (dense: ties)
+            st.integers(min_value=0, max_value=10**6),  # value (cents)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_exact_rank_device_matches_global_window_model(spark, rows):
+    """operators/ranking.py drives three registry queries in place of
+    global windows — its ranks, ntiles and DECIMAL running sums must
+    equal the sorted-sequence definition on arbitrary (tied, skewed)
+    keys, including the all-equal-keys single-bin degenerate case."""
+    from decimal import Decimal
+
+    from monolith_spark.operators.ranking import ntile_expr, with_exact_rank
+
+    data = [(i, k, Decimal(v) / 100) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "rid long, key long, val decimal(18,2)"
+    )
+    out, n, total = with_exact_rank(
+        df, "key", ["rid"], "rnk",
+        value_col="val", cum_col="cum", nbins=7,  # small: force collisions
+    )
+    got = {
+        r["rid"]: (r["rnk"], r["cum"], ntile)
+        for r, ntile in (
+            (r, r["t"])
+            for r in out.withColumn("t", ntile_expr("rnk", n, 3)).collect()
+        )
+    }
+    # pure-python model of row_number / running sum over (key desc, rid)
+    order = sorted(data, key=lambda t: (-t[1], t[0]))
+    run = Decimal(0)
+    q, rmd = divmod(len(order), 3)
+    for pos, (rid, _, val) in enumerate(order, start=1):
+        run += val
+        rnk, cum, tile = got[rid]
+        assert rnk == pos
+        assert cum == run
+        if q == 0:
+            want_tile = pos
+        elif pos <= (q + 1) * rmd:
+            want_tile = (pos - 1) // (q + 1) + 1
+        else:
+            want_tile = rmd + (pos - (q + 1) * rmd - 1) // q + 1
+        assert tile == want_tile
+    assert n == len(order)
+    assert total == sum(v for _, _, v in data)
