@@ -64,6 +64,7 @@ def with_exact_rank(
     value_col: str | None = None,
     cum_col: str | None = None,
     nbins: int = 512,
+    domain: tuple[float, float] | None = None,
 ) -> tuple[DataFrame, int, Decimal | None]:
     """Add the exact global ``row_number() over (order by key
     [desc], *tiebreaks)`` as ``rank_col`` — and, when ``value_col`` /
@@ -75,23 +76,31 @@ def with_exact_rank(
     count (free from the histogram; ntile needs it) and ``grand_total``
     the exact DECIMAL sum of ``value_col`` (None when not requested).
     NULL keys are not supported (callers rank aggregates, which never
-    produce them)."""
+    produce them). Pass ``domain=(lo, hi)`` when the key's range is
+    known statically (a probability, a bounded score) to skip the
+    min/max pass — one fewer scan of the input; keys outside the
+    stated domain still rank correctly (bins clamp; within-bin sort is
+    on the true key), only bin balance suffers."""
     df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     key_order = F.col(key).desc() if descending else F.col(key).asc()
     order = [key_order, *[F.col(t).asc() for t in tiebreaks]]
 
-    stats = df.agg(
-        F.min(F.col(key).cast("double")).alias("lo"),
-        F.max(F.col(key).cast("double")).alias("hi"),
-    ).collect()[0]
-    if stats["lo"] is None:  # empty input
-        out = df.withColumn(rank_col, F.lit(None).cast("long"))
-        if cum_col is not None:
-            out = out.withColumn(cum_col, F.lit(None).cast(_DEC))
-        return out, 0, (Decimal(0) if value_col is not None else None)
+    if domain is not None:
+        lo, hi = float(domain[0]), float(domain[1])
+    else:
+        stats = df.agg(
+            F.min(F.col(key).cast("double")).alias("lo"),
+            F.max(F.col(key).cast("double")).alias("hi"),
+        ).collect()[0]
+        if stats["lo"] is None:  # empty input
+            out = df.withColumn(rank_col, F.lit(None).cast("long"))
+            if cum_col is not None:
+                out = out.withColumn(cum_col, F.lit(None).cast(_DEC))
+            return out, 0, (Decimal(0) if value_col is not None else None)
+        lo, hi = stats["lo"], stats["hi"]
 
-    b = _bin_expr(key, stats["lo"], stats["hi"], nbins)
+    b = _bin_expr(key, lo, hi, nbins)
     binned = df.withColumn("__b", b)
     aggs = [F.count("*").alias("__c")]
     if value_col is not None:

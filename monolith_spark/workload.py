@@ -7555,7 +7555,8 @@ def docs_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("avg_bigram_p").alias("lm_score")
     )
     ranked, n, _ = _ranking.with_exact_rank(
-        scored, "lm_score", ["doc_id"], "__rnk"
+        scored, "lm_score", ["doc_id"], "__rnk",
+        domain=(0.0, 1.0),  # avg bigram probability — skip the min/max pass
     )
     return ranked.select(
         "doc_id", "lm_score", _ranking.ntile_expr("__rnk", n, 3).alias("bucket")
