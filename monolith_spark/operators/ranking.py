@@ -36,7 +36,7 @@ from decimal import Decimal
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_exact_rank", "ntile_expr"]
+__all__ = ["with_exact_rank", "with_exact_ranks", "ntile_expr"]
 
 _DEC = "decimal(38,6)"
 
@@ -137,6 +137,71 @@ def with_exact_rank(
         )
         out = out.withColumn(cum_col, (F.col("__soff") + cum).cast(_DEC))
     return out.drop("__b", "__off", "__soff"), n_rows, total
+
+
+def with_exact_ranks(
+    df: DataFrame,
+    specs: list[tuple[str, list[str], str]],
+    *,
+    descending: bool = True,
+    nbins: int = 512,
+) -> tuple[DataFrame, int]:
+    """Exact global ranks over SEVERAL sort keys of the same relation
+    (the RFM shape: quintile rank per recency/frequency/monetary) with
+    ONE materialization: the input is checkpointed once, every key's
+    histogram is a column-pruned scan of that checkpoint, and the rank
+    columns chain as bin-join + per-bin window — versus calling
+    with_exact_rank per key, which re-checkpoints each intermediate
+    (k-1 extra full-table materializations).
+
+    ``specs``: (key, tiebreaks, rank_col) triples. Returns
+    (df_with_rank_cols, n_rows)."""
+    base = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    out = base
+    n_rows = 0
+    for i, (key, tiebreaks, rank_col) in enumerate(specs):
+        order = [
+            F.col(key).desc() if descending else F.col(key).asc(),
+            *[F.col(t).asc() for t in tiebreaks],
+        ]
+        stats = base.agg(
+            F.min(F.col(key).cast("double")).alias("lo"),
+            F.max(F.col(key).cast("double")).alias("hi"),
+        ).collect()[0]
+        if stats["lo"] is None:  # empty input
+            return (
+                out.select(
+                    "*",
+                    *[F.lit(None).cast("long").alias(rc) for _, _, rc in specs],
+                ),
+                0,
+            )
+        b = _bin_expr(key, stats["lo"], stats["hi"], nbins)
+        bcol, ocol = f"__b{i}", f"__off{i}"
+        hist = {
+            r[bcol]: r["__c"]
+            for r in base.groupBy(b.alias(bcol))
+            .agg(F.count("*").alias("__c"))
+            .collect()
+        }
+        run_c = 0
+        rows = []
+        for bb in sorted(hist, reverse=descending):
+            rows.append((bb, run_c))
+            run_c += hist[bb]
+        n_rows = run_c
+        off = spark.createDataFrame(rows, f"{bcol} int, {ocol} long")
+        w = Window.partitionBy(bcol).orderBy(*order)
+        out = (
+            out.withColumn(bcol, b)
+            .join(F.broadcast(off), bcol)
+            .withColumn(
+                rank_col, (F.col(ocol) + F.row_number().over(w)).cast("long")
+            )
+            .drop(bcol, ocol)
+        )
+    return out, n_rows
 
 
 def ntile_expr(rank_col: str, n_rows: int, n: int) -> Column:

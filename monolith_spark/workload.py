@@ -3022,14 +3022,13 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    ranked, n, _ = _ranking.with_exact_rank(
-        rfm, "last_order_ms", ["o_custkey"], "__r"
-    )
-    ranked, _, _ = _ranking.with_exact_rank(
-        ranked, "frequency", ["o_custkey"], "__f"
-    )
-    ranked, _, _ = _ranking.with_exact_rank(
-        ranked, "monetary", ["o_custkey"], "__m"
+    ranked, n = _ranking.with_exact_ranks(
+        rfm,
+        [
+            ("last_order_ms", ["o_custkey"], "__r"),
+            ("frequency", ["o_custkey"], "__f"),
+            ("monetary", ["o_custkey"], "__m"),
+        ],
     )
     return ranked.select(
         "o_custkey", "last_order_ms", "frequency",
