@@ -1591,6 +1591,45 @@ def _balanced(s: str, open_idx: int) -> str:
     return s[open_idx + 1 :]
 
 
+def test_exact_rank_device_edge_cases(spark):
+    """Degenerate inputs for operators/ranking.py: empty relation,
+    all-equal keys (single-bin fallback), negative keys, multi-key
+    variant — ranks must match the sorted-sequence definition and the
+    empty case must keep the rank-column contract instead of raising."""
+    from monolith_spark.operators.ranking import (
+        ntile_expr,
+        with_exact_rank,
+        with_exact_ranks,
+    )
+
+    empty = spark.createDataFrame([], "rid long, key long")
+    out, n, tot = with_exact_rank(empty, "key", ["rid"], "rnk")
+    assert n == 0 and tot is None and out.count() == 0
+    assert "rnk" in out.columns
+    mout, mn = with_exact_ranks(empty, [("key", ["rid"], "r1")])
+    assert mn == 0 and "r1" in mout.columns and mout.count() == 0
+
+    # all-equal keys: one bin, tie-break order decides everything
+    eq = spark.createDataFrame([(i, 7) for i in range(9)], "rid long, key long")
+    out, n, _ = with_exact_rank(eq, "key", ["rid"], "rnk")
+    got = {r["rid"]: r["rnk"] for r in out.collect()}
+    assert got == {i: i + 1 for i in range(9)} and n == 9
+    tiles = {
+        r["rid"]: r["t"]
+        for r in out.withColumn("t", ntile_expr("rnk", n, 4)).collect()
+    }
+    assert tiles == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+    # negative + positive keys across bins
+    neg = spark.createDataFrame(
+        [(i, k) for i, k in enumerate([-50, -1, 0, 3, 50, -50])],
+        "rid long, key long",
+    )
+    out, n, _ = with_exact_rank(neg, "key", ["rid"], "rnk", nbins=4)
+    got = {r["rid"]: r["rnk"] for r in out.collect()}
+    assert got == {4: 1, 3: 2, 2: 3, 1: 4, 0: 5, 5: 6}
+
+
 def test_pca_project_score_fold_not_reevaluated_per_element(spark):
     """VERDICT r4 'what's wrong' #1: a plain withColumn alias of the
     score fold gets inlined by projection collapse into EVERY element
