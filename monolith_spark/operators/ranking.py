@@ -158,6 +158,24 @@ def with_exact_ranks(
     (df_with_rank_cols, n_rows)."""
     base = df.localCheckpoint(eager=True)
     spark = df.sparkSession
+    # one stats pass for ALL keys (not one 1-row job per key)
+    stats = base.agg(
+        *[
+            a
+            for i, (key, _, _) in enumerate(specs)
+            for a in (
+                F.min(F.col(key).cast("double")).alias(f"lo{i}"),
+                F.max(F.col(key).cast("double")).alias(f"hi{i}"),
+            )
+        ]
+    ).collect()[0]
+    if stats["lo0"] is None:  # empty input
+        return (
+            base.select(
+                "*", *[F.lit(None).cast("long").alias(rc) for _, _, rc in specs]
+            ),
+            0,
+        )
     out = base
     n_rows = 0
     for i, (key, tiebreaks, rank_col) in enumerate(specs):
@@ -165,19 +183,7 @@ def with_exact_ranks(
             F.col(key).desc() if descending else F.col(key).asc(),
             *[F.col(t).asc() for t in tiebreaks],
         ]
-        stats = base.agg(
-            F.min(F.col(key).cast("double")).alias("lo"),
-            F.max(F.col(key).cast("double")).alias("hi"),
-        ).collect()[0]
-        if stats["lo"] is None:  # empty input
-            return (
-                out.select(
-                    "*",
-                    *[F.lit(None).cast("long").alias(rc) for _, _, rc in specs],
-                ),
-                0,
-            )
-        b = _bin_expr(key, stats["lo"], stats["hi"], nbins)
+        b = _bin_expr(key, stats[f"lo{i}"], stats[f"hi{i}"], nbins)
         bcol, ocol = f"__b{i}", f"__off{i}"
         hist = {
             r[bcol]: r["__c"]
