@@ -36,7 +36,13 @@ from decimal import Decimal
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_exact_rank", "with_exact_ranks", "ntile_expr"]
+__all__ = [
+    "with_exact_rank",
+    "with_exact_ranks",
+    "grouped_exact_rank",
+    "ntile_expr",
+    "ntile_col_expr",
+]
 
 _DEC = "decimal(38,6)"
 
@@ -208,6 +214,89 @@ def with_exact_ranks(
             .drop(bcol, ocol)
         )
     return out, n_rows
+
+
+def grouped_exact_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    tiebreaks: list[str],
+    rank_col: str,
+    *,
+    descending: bool = True,
+    nbins: int = 512,
+    domain: tuple[float, float] | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group ``row_number() over (partition by group order by
+    key [desc], *tiebreaks)`` — the per-language/per-domain rank a
+    CCNet-style pipeline needs — WITHOUT per-group corpus sorts: a
+    plain ``Window.partitionBy(source)`` funnels each group's entire
+    doc set through one task when groups are few (the few-partition
+    window trap).
+
+    Fully declarative (no driver collect, unlike with_exact_rank): the
+    (group, bin) histogram is compact (≤ nbins rows per group), its
+    per-group running sum over ``bin`` IS the rank offset table, and
+    the offsets join back on (group, bin) — unhinted, so AQE
+    broadcasts while the histogram measures small. The final window
+    partitions by (group, bin): parallelism = groups × occupied bins.
+    ``count_col`` additionally attaches the exact per-group row count
+    (ntile needs it). Keys must be non-null; bins come from the global
+    [min, max] (or static ``domain``) — per-group key ranges only
+    affect bin balance, never correctness."""
+    df = df.localCheckpoint(eager=True)
+    if domain is not None:
+        lo, hi = float(domain[0]), float(domain[1])
+    else:
+        stats = df.agg(
+            F.min(F.col(key).cast("double")).alias("lo"),
+            F.max(F.col(key).cast("double")).alias("hi"),
+        ).collect()[0]
+        if stats["lo"] is None:  # empty input
+            out = df.withColumn(rank_col, F.lit(None).cast("long"))
+            if count_col is not None:
+                out = out.withColumn(count_col, F.lit(None).cast("long"))
+            return out
+        lo, hi = stats["lo"], stats["hi"]
+    b = _bin_expr(key, lo, hi, nbins)
+    binned = df.withColumn("__b", b)
+    h = binned.groupBy(*group_cols, "__b").agg(F.count("*").alias("__c"))
+    wb = Window.partitionBy(*group_cols).orderBy(
+        F.col("__b").desc() if descending else F.col("__b").asc()
+    )
+    offs = h.select(
+        *group_cols,
+        "__b",
+        (F.sum("__c").over(wb) - F.col("__c")).alias("__off"),
+        F.sum("__c").over(Window.partitionBy(*group_cols)).alias("__grp_n"),
+    )
+    w = Window.partitionBy(*group_cols, "__b").orderBy(
+        F.col(key).desc() if descending else F.col(key).asc(),
+        *[F.col(t).asc() for t in tiebreaks],
+    )
+    out = binned.join(offs, [*group_cols, "__b"]).withColumn(
+        rank_col, (F.col("__off") + F.row_number().over(w)).cast("long")
+    )
+    if count_col is not None:
+        out = out.withColumn(count_col, F.col("__grp_n").cast("long"))
+    return out.drop("__b", "__off", "__grp_n")
+
+
+def ntile_col_expr(rank_col: str, n_col: str, n: int) -> Column:
+    """``ntile(n)`` from an exact 1-based rank and a RUNTIME row-count
+    column (per-group counts from grouped_exact_rank) — the SQL-standard
+    closed-form tile assignment in pure integer arithmetic."""
+    return F.expr(
+        f"CAST(CASE"
+        f" WHEN {n_col} div {n} = 0 THEN {rank_col}"
+        f" WHEN {rank_col} <= ({n_col} div {n} + 1) * ({n_col} % {n})"
+        f"   THEN ({rank_col} - 1) div ({n_col} div {n} + 1) + 1"
+        f" ELSE ({n_col} % {n})"
+        f"   + ({rank_col} - ({n_col} div {n} + 1) * ({n_col} % {n}) - 1)"
+        f"     div ({n_col} div {n}) + 1"
+        f" END AS BIGINT)"
+    )
 
 
 def ntile_expr(rank_col: str, n_rows: int, n: int) -> Column:

@@ -4085,6 +4085,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # the total nb_score, the pca_project barrier fix and the new
     # scalable BPE trainer against fresh oracle runs.
     "docs_perplexity_buckets",
+    "docs_perplexity_buckets_by_source",
     "orders_rfm_segments",
     "tpch_revenue_pareto",
     "docs_pii_scan",
@@ -7559,6 +7560,56 @@ def docs_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "doc_id", "lm_score", _ranking.ntile_expr("__rnk", n, 3).alias("bucket")
+    )
+
+
+@_q(
+    "docs_perplexity_buckets_by_source",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_W} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS head, w[i] || ' ' || w[i+1] AS bg
+           FROM t, range(1, 2000) r(i) WHERE i <= len(w) - 1),
+    uni AS (SELECT tok, count(*) AS c1
+            FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+    c2t AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+    pr AS (SELECT doc_id,
+                  CAST(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                       AS DECIMAL(18,9)) AS pr
+           FROM bg JOIN c2t USING (bg) JOIN uni ON bg.head = uni.tok),
+    score AS (SELECT doc_id, CAST(sum(pr) AS DOUBLE) / count(*) AS s
+              FROM pr GROUP BY 1)
+    SELECT t.doc_id, t.source, s AS lm_score,
+           CAST(ntile(3) OVER (PARTITION BY t.source
+                               ORDER BY s DESC, t.doc_id) AS BIGINT) AS bucket
+    FROM score JOIN t ON score.doc_id = t.doc_id
+    """,
+)
+def docs_perplexity_buckets_by_source_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet's head/middle/tail split computed PER SOURCE (the paper
+    buckets per language; per-domain calibration is the same move as
+    docs_adaptive_length_gate): LM-quality terciles within each
+    source's own score distribution. Uses grouped_exact_rank
+    (operators/ranking.py) — per-(source, bin) windows with offsets
+    from a running sum over the compact histogram, fully declarative
+    (no driver collect) — because a Window.partitionBy(source) over
+    the raw corpus funnels each source's whole doc set through one
+    task when sources are few. Bit-equal to the oracle's per-source
+    ntile(3)."""
+    docs = _docs(spark, sf_dir)
+    scored = (
+        _text.bigram_lm_score(docs)
+        .select("doc_id", F.col("avg_bigram_p").alias("lm_score"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    ranked = _ranking.grouped_exact_rank(
+        scored, ["source"], "lm_score", ["doc_id"], "__rnk",
+        domain=(0.0, 1.0), count_col="__n",
+    )
+    return ranked.select(
+        "doc_id", "source", "lm_score",
+        _ranking.ntile_col_expr("__rnk", "__n", 3).alias("bucket"),
     )
 
 

@@ -1630,6 +1630,52 @@ def test_exact_rank_device_edge_cases(spark):
     assert got == {4: 1, 3: 2, 2: 3, 1: 4, 0: 5, 5: 6}
 
 
+def test_grouped_exact_rank_matches_per_group_window_model(spark):
+    """grouped_exact_rank must equal per-group row_number/ntile over
+    (key desc, tiebreak) — including tied keys, groups of wildly
+    different sizes, and a singleton group — while keeping every
+    window partitioned by (group, bin)."""
+    import random
+
+    from monolith_spark.operators.ranking import (
+        grouped_exact_rank,
+        ntile_col_expr,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    rid = 0
+    for grp, size in (("a", 37), ("b", 5), ("c", 1)):
+        for _ in range(size):
+            rows.append((rid, grp, rng.randint(0, 9) / 10.0))
+            rid += 1
+    df = spark.createDataFrame(rows, "rid long, grp string, key double")
+    out = grouped_exact_rank(
+        df, ["grp"], "key", ["rid"], "rnk",
+        domain=(0.0, 1.0), count_col="n", nbins=8,
+    )
+    got = {
+        r["rid"]: (r["rnk"], r["n"], r["t"])
+        for r in out.withColumn("t", ntile_col_expr("rnk", "n", 3)).collect()
+    }
+    for grp in ("a", "b", "c"):
+        members = sorted(
+            (r for r in rows if r[1] == grp), key=lambda r: (-r[2], r[0])
+        )
+        n = len(members)
+        q, rmd = divmod(n, 3)
+        for pos, (rid_, _, _) in enumerate(members, start=1):
+            rnk, n_got, tile = got[rid_]
+            assert (rnk, n_got) == (pos, n), (grp, rid_)
+            if q == 0:
+                want = pos
+            elif pos <= (q + 1) * rmd:
+                want = (pos - 1) // (q + 1) + 1
+            else:
+                want = rmd + (pos - (q + 1) * rmd - 1) // q + 1
+            assert tile == want, (grp, rid_, tile, want)
+
+
 def test_pca_project_score_fold_not_reevaluated_per_element(spark):
     """VERDICT r4 'what's wrong' #1: a plain withColumn alias of the
     score fold gets inlined by projection collapse into EVERY element
