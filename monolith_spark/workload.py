@@ -7614,6 +7614,43 @@ def docs_perplexity_buckets_by_source_q(
 
 
 @_q(
+    "docs_curriculum_order",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+             AS ordinal,
+           CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS DOUBLE)
+             / CAST(count(*) OVER () AS DOUBLE) AS sched_pct
+    FROM t
+    """,
+)
+def docs_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for the training export: every document gets
+    a global schedule ordinal (short-to-long — sequence length as the
+    difficulty proxy, the standard length-based curriculum) plus its
+    schedule percentile, so a trainer can stream the corpus
+    easy-to-hard or cut at any progress fraction. The ordinal is the
+    exact histogram-offset rank (operators/ranking.py, ascending
+    path), bit-equal to a global row_number window but with every
+    full-relation operator shuffle-parallel — a total order over a
+    100 TB corpus without funneling it through one sort task; the
+    downstream ordered write is then repartitionByRange(ordinal) +
+    sortWithinPartitions, which stays parallel too."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", _text.token_count("text").cast("long").alias("n_tokens")
+    )
+    ranked, n, _ = _ranking.with_exact_rank(
+        t, "n_tokens", ["doc_id"], "ordinal", descending=False
+    )
+    return ranked.select(
+        "doc_id", "n_tokens", "ordinal",
+        (F.col("ordinal").cast("double") / F.lit(float(n))).alias("sched_pct"),
+    )
+
+
+@_q(
     "ts_mad_outliers",
     f"""
     WITH s AS (
