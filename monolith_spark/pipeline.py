@@ -218,3 +218,56 @@ def curate_and_export(docs: DataFrame, out_dir: str, **curation_kwargs: Any) -> 
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def export_curriculum(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    key_col: str | None = None,
+    descending: bool = False,
+) -> dict:
+    """Materialize the corpus in CURRICULUM ORDER: every document gets
+    a global schedule ordinal (default key: token count ascending —
+    the short-to-long length curriculum; pass ``key_col`` for an
+    LM-score or custom difficulty column), and the export is written
+    so a trainer consuming shards in filename order, rows in row
+    order, reads the exact global schedule.
+
+    The ordinal comes from the exact histogram-offset rank device
+    (operators/ranking.py) and the layout from
+    ``repartitionByRange(n_shards, ordinal)`` +
+    ``sortWithinPartitions(ordinal)`` — a total order over the corpus
+    in which EVERY operator is shuffle-parallel: the range exchange
+    samples boundaries instead of funneling rows through one sort
+    task, so the same plan stands at 100 TB where a global
+    ``orderBy`` write would not. Manifest written LAST
+    (commit-marker idiom, as curate_and_export).
+    """
+    from monolith_spark.operators.ranking import with_exact_rank
+
+    if key_col is None:
+        key_col = "__n_tokens"
+        docs = docs.withColumn(key_col, _text.token_count("text").cast("long"))
+    ranked, n, _ = with_exact_rank(
+        docs, key_col, ["doc_id"], "ordinal", descending=descending
+    )
+    out = ranked.withColumn(
+        "sched_pct", F.col("ordinal").cast("double") / F.lit(float(n))
+    )
+    if key_col == "__n_tokens":
+        out = out.drop(key_col)
+    (
+        out.repartitionByRange(n_shards, "ordinal")
+        .sortWithinPartitions("ordinal")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "corpus"))
+    )
+    manifest = {
+        "input_docs": n,
+        "n_shards": n_shards,
+        "order": f"{key_col} {'desc' if descending else 'asc'}, doc_id",
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

@@ -151,6 +151,47 @@ def pipeline3_probe(spark, mult: int) -> dict:
     return out
 
 
+def ranking_probe(spark, mult: int) -> dict:
+    """Round-5 exact-rank device (operators/ranking.py) under the three
+    queries it de-globalized: corpus-tercile bucketing, RFM quintiles,
+    revenue Pareto. Orders/lineitem copies shift o_custkey / l_partkey
+    into disjoint ranges so the RANKED relation (customers, parts)
+    scales with the multiplier — the device's histogram stays <=nbins
+    rows at any scale, so time should grow ~linearly with data (the
+    single-task global sort it replaced would concentrate the growth
+    in one straggler)."""
+    from monolith_spark.workload import all_queries as _aq
+
+    tmp = tempfile.mkdtemp(prefix="probe_rank_")
+    scaled_docs(spark, mult).write.parquet(os.path.join(tmp, "documents.parquet"))
+    for tbl, keys in (
+        ("orders", [("o_orderkey", 10**9), ("o_custkey", 10**8)]),
+        ("lineitem", [("l_orderkey", 10**9), ("l_partkey", 10**8)]),
+    ):
+        t = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
+        parts = [t]
+        for i in range(1, mult):
+            c = t
+            for col, stride in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            parts.append(c)
+        reduce(lambda a, b: a.unionByName(b), parts).write.parquet(
+            os.path.join(tmp, f"{tbl}.parquet")
+        )
+    out: dict = {"mult": mult}
+    qs = _aq()
+    for name in (
+        "docs_perplexity_buckets", "orders_rfm_segments", "tpch_revenue_pareto"
+    ):
+        t0 = time.perf_counter()
+        qs[name].spark_fn(spark, tmp).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
@@ -165,6 +206,10 @@ def main() -> None:
     if target == "pipeline3":
         for mult in mults:
             print(json.dumps(pipeline3_probe(spark, mult)))
+        return
+    if target == "ranking":
+        for mult in mults:
+            print(json.dumps(ranking_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")

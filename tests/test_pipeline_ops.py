@@ -1889,3 +1889,53 @@ def test_hw_backtest_matches_python_recurrence(spark):
         [("t", 0, 1.0), ("t", 1, 2.0)], "series_id string, timestamp long, value double"
     )
     assert holt_winters_backtest(short).count() == 0
+
+
+def test_export_curriculum_shards_read_in_global_schedule_order(
+    spark, sf_dir, tmp_path
+):
+    """Consuming shards in filename order, rows in row order, must
+    yield the exact global curriculum: ordinals 1..n, key ascending
+    with doc_id tie-break — across shard boundaries (the
+    repartitionByRange + sortWithinPartitions layout claim)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from monolith_spark.operators.text import token_count
+    from monolith_spark.pipeline import export_curriculum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "curriculum")
+    manifest = export_curriculum(docs, out, n_shards=4)
+
+    on_disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert on_disk == manifest
+    assert manifest["input_docs"] == docs.count()
+    assert manifest["order"] == "__n_tokens asc, doc_id"
+
+    ordinals, keys = [], []
+    for f in sorted(glob.glob(os.path.join(out, "corpus", "part-*.parquet"))):
+        t = pq.read_table(f).to_pandas()
+        ordinals.extend(t["ordinal"].tolist())
+        keys.extend(t["doc_id"].tolist())
+    n = manifest["input_docs"]
+    assert ordinals == list(range(1, n + 1))
+
+    want = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", token_count("text").cast("long").alias("k")
+        )
+        .orderBy("k", "doc_id")
+        .collect()
+    ]
+    assert keys == want
+
+    # sched_pct covers (0, 1] and ends exactly at 1.0
+    last = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "corpus", "part-*.parquet")))[-1]
+    ).to_pandas()
+    assert last["sched_pct"].iloc[-1] == 1.0
