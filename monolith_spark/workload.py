@@ -7148,6 +7148,91 @@ def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_correlated_series",
+    f"""
+    WITH y AS (
+      SELECT {SIG_SQL} AS signature,
+             CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS yv
+      FROM events WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2),
+    x AS (
+      SELECT CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS xv
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1),
+    c AS (
+      SELECT signature,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xv) AS DOUBLE) AS sx,
+             CAST(sum(yv) AS DOUBLE) AS sy,
+             CAST(sum(xv * xv) AS DOUBLE) AS sxx,
+             CAST(sum(yv * yv) AS DOUBLE) AS syy,
+             CAST(sum(xv * yv) AS DOUBLE) AS sxy
+      FROM y JOIN x USING (day) GROUP BY 1)
+    SELECT signature, n_days,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+    FROM c
+    WHERE n_days >= 3
+      AND (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+    """,
+)
+def ts_correlated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation search — "which series track the
+    overall purchase trend": Pearson correlation of every series'
+    daily volume against the corpus-wide daily purchase volume (the
+    monitoring move behind 'find metrics correlated with this
+    incident signal'). Both sides reduce to day grain BEFORE the
+    join, the ≤31-row target vector broadcasts, and the five Pearson
+    sufficient statistics accumulate as exact DECIMAL products per
+    series (order-independent), converting to double once for the
+    closed-form correlation — one events scan, two map-combinable
+    aggregations, no window. Constant-valued series (zero variance)
+    and thin overlaps (<3 shared days) are excluded where the
+    formula is undefined or meaningless."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    day = F.floor((F.col("timestamp") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
+    d = F.col("value").cast(DEC)
+    y = s.groupBy("signature", day.alias("day")).agg(
+        F.sum(d).cast(DEC).alias("yv")
+    )
+    x = (
+        s.filter(F.try_element_at("labels", F.lit("event_type")) == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(F.sum(d).cast(DEC).alias("xv"))
+    )
+    c = (
+        y.join(F.broadcast(x), "day")
+        .groupBy("signature")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.count("*").cast("double").alias("n"),
+            F.sum("xv").cast("double").alias("sx"),
+            F.sum("yv").cast("double").alias("sy"),
+            F.sum(F.col("xv") * F.col("xv")).cast("double").alias("sxx"),
+            F.sum(F.col("yv") * F.col("yv")).cast("double").alias("syy"),
+            F.sum(F.col("xv") * F.col("yv")).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    return (
+        c.filter(
+            (F.col("n_days") >= 3) & (varx > 0.0) & (vary > 0.0)
+        )
+        .select(
+            "signature",
+            "n_days",
+            ((n * F.col("sxy") - sx * sy) / F.sqrt(varx * vary)).alias("corr"),
+        )
+    )
+
+
+@_q(
     "events_type_pivot",
     f"""
     SELECT CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
