@@ -7233,6 +7233,107 @@ def ts_correlated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_leading_indicator",
+    f"""
+    WITH y AS (
+      SELECT {SIG_SQL} AS signature,
+             CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS yv
+      FROM events WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2),
+    x AS (
+      SELECT CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS xv
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1),
+    yl AS (
+      SELECT y.*, l.lag FROM y, (SELECT unnest([0, 1, 2, 3]) AS lag) l),
+    c AS (
+      SELECT signature, lag,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xv) AS DOUBLE) AS sx,
+             CAST(sum(yv) AS DOUBLE) AS sy,
+             CAST(sum(xv * xv) AS DOUBLE) AS sxx,
+             CAST(sum(yv * yv) AS DOUBLE) AS syy,
+             CAST(sum(xv * yv) AS DOUBLE) AS sxy
+      FROM yl JOIN x ON x.day = yl.day + yl.lag GROUP BY 1, 2),
+    k AS (
+      SELECT signature, lag, n_days,
+             (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+      FROM c
+      WHERE n_days >= 3
+        AND (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0)
+    SELECT signature, CAST(lag AS BIGINT) AS best_lag, n_days, corr
+    FROM (SELECT *, row_number() OVER (PARTITION BY signature
+                                       ORDER BY abs(corr) DESC, lag) AS rn
+          FROM k)
+    WHERE rn = 1
+    """,
+)
+def ts_leading_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-indicator search — lagged cross-correlation: for each
+    series, the lag in 0..3 days at which its daily volume best
+    correlates (by |r|) with the corpus purchase trend lag days LATER
+    ('which metrics move before revenue moves'). The lag fan-out is an
+    explode over a 4-element literal array (narrow — no join, no
+    Cartesian), the shifted equi-join hits the same broadcast ≤31-row
+    target vector, and the per-series argmax is a row_number window
+    partitioned by signature — series-cardinality parallelism. Same
+    DECIMAL-exact Pearson sufficient statistics as
+    ts_correlated_series."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    day = F.floor((F.col("timestamp") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
+    d = F.col("value").cast(DEC)
+    y = s.groupBy("signature", day.alias("day")).agg(
+        F.sum(d).cast(DEC).alias("yv")
+    )
+    x = (
+        s.filter(F.try_element_at("labels", F.lit("event_type")) == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(F.sum(d).cast(DEC).alias("xv"))
+        .withColumnRenamed("day", "xday")
+    )
+    yl = y.withColumn(
+        "lag", F.explode(F.array(*[F.lit(i).cast("long") for i in range(4)]))
+    )
+    c = (
+        yl.join(F.broadcast(x), F.col("xday") == F.col("day") + F.col("lag"))
+        .groupBy("signature", "lag")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.count("*").cast("double").alias("n"),
+            F.sum("xv").cast("double").alias("sx"),
+            F.sum("yv").cast("double").alias("sy"),
+            F.sum(F.col("xv") * F.col("xv")).cast("double").alias("sxx"),
+            F.sum(F.col("yv") * F.col("yv")).cast("double").alias("syy"),
+            F.sum(F.col("xv") * F.col("yv")).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    k = c.filter(
+        (F.col("n_days") >= 3) & (varx > 0.0) & (vary > 0.0)
+    ).select(
+        "signature",
+        "lag",
+        "n_days",
+        ((n * F.col("sxy") - sx * sy) / F.sqrt(varx * vary)).alias("corr"),
+    )
+    w = Window.partitionBy("signature").orderBy(
+        F.abs(F.col("corr")).desc(), F.col("lag").asc()
+    )
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("signature", F.col("lag").alias("best_lag"), "n_days", "corr")
+    )
+
+
+@_q(
     "events_type_pivot",
     f"""
     SELECT CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
