@@ -992,3 +992,43 @@ def test_continuous_length_gate_matches_batch_thresholds(spark, tmp_path):
     assert {
         r["source"]: (r["q05_tokens"], r["q95_tokens"]) for r in gate.thresholds().collect()
     } == expect
+
+
+def test_continuous_correlation_matches_batch_query(spark, tmp_path):
+    from monolith_spark.sources.events import events_samples
+    from monolith_spark.streaming.correlation import ContinuousCorrelation
+    from monolith_spark.workload import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    samples = events_samples(spark, sf_dir)  # includes signature
+    # two deterministic micro-batch slices of the same corpus
+    src_dir = str(tmp_path / "slices")
+    for half in (0, 1):
+        (
+            samples.filter(F.pmod(F.xxhash64("timestamp", "value"), F.lit(2)) == half)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+    cc = ContinuousCorrelation(spark, str(tmp_path / "corr"))
+    stream = (
+        spark.readStream.schema(samples.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = cc.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["signature"]: (r["n_days"], r["corr"]) for r in cc.correlations().collect()}
+    batch = all_queries()["ts_correlated_series"].spark_fn(spark, sf_dir)
+    expect = {r["signature"]: (r["n_days"], r["corr"]) for r in batch.collect()}
+    assert got == expect  # bit-exact: DECIMAL partials re-associate
+    assert len(got) > 0
+
+    # replayed epoch is a no-op
+    cc.process_batch(samples, epoch_id=0)
+    assert {
+        r["signature"]: (r["n_days"], r["corr"]) for r in cc.correlations().collect()
+    } == expect
