@@ -97,15 +97,11 @@ class ContinuousCorrelation:
             .start()
         )
 
-    def correlations(self) -> DataFrame:
-        """[signature, n_days, corr] over everything streamed so far —
-        identical to the batch ts_correlated_series construction: merge
-        the DECIMAL partials (exact re-association), then the one
-        double conversion and closed-form Pearson."""
+    def _merged(self) -> tuple[DataFrame, DataFrame] | None:
+        """Whole-stream day-grain sums (exact DECIMAL re-association
+        of the epoch partials)."""
         if not (os.path.exists(self.y_path) and os.path.exists(self.x_path)):
-            return self.spark.createDataFrame(
-                [], "signature string, n_days long, corr double"
-            )
+            return None
         y = (
             self.spark.read.parquet(self.y_path)
             .groupBy("signature", "day")
@@ -116,31 +112,73 @@ class ContinuousCorrelation:
             .groupBy("day")
             .agg(F.sum("xv").cast(_DEC).alias("xv"))
         )
-        c = (
-            y.join(F.broadcast(x), "day")
-            .groupBy("signature")
-            .agg(
-                F.count("*").alias("n_days"),
-                F.count("*").cast("double").alias("n"),
-                F.sum("xv").cast("double").alias("sx"),
-                F.sum("yv").cast("double").alias("sy"),
-                F.sum(F.col("xv") * F.col("xv")).cast("double").alias("sxx"),
-                F.sum(F.col("yv") * F.col("yv")).cast("double").alias("syy"),
-                F.sum(F.col("xv") * F.col("yv")).cast("double").alias("sxy"),
-            )
+        return y, x
+
+    def _corr_over(self, joined: DataFrame, group_cols: list[str]) -> DataFrame:
+        """Pearson over the day-matched pairs per group — the batch
+        queries' exact construction (DECIMAL statistics, one double
+        conversion, closed form)."""
+        c = joined.groupBy(*group_cols).agg(
+            F.count("*").alias("n_days"),
+            F.count("*").cast("double").alias("n"),
+            F.sum("xv").cast("double").alias("sx"),
+            F.sum("yv").cast("double").alias("sy"),
+            F.sum(F.col("xv") * F.col("xv")).cast("double").alias("sxx"),
+            F.sum(F.col("yv") * F.col("yv")).cast("double").alias("syy"),
+            F.sum(F.col("xv") * F.col("yv")).cast("double").alias("sxy"),
         )
         n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
         varx = n * F.col("sxx") - sx * sx
         vary = n * F.col("syy") - sy * sy
+        return c.filter(
+            (F.col("n_days") >= self.min_days) & (varx > 0.0) & (vary > 0.0)
+        ).select(
+            *group_cols,
+            "n_days",
+            ((n * F.col("sxy") - sx * sy) / F.sqrt(varx * vary)).alias("corr"),
+        )
+
+    def correlations(self) -> DataFrame:
+        """[signature, n_days, corr] over everything streamed so far —
+        identical to the batch ts_correlated_series construction."""
+        m = self._merged()
+        if m is None:
+            return self.spark.createDataFrame(
+                [], "signature string, n_days long, corr double"
+            )
+        y, x = m
+        return self._corr_over(y.join(F.broadcast(x), "day"), ["signature"])
+
+    def leading_indicators(self, max_lag: int = 3) -> DataFrame:
+        """[signature, best_lag, n_days, corr] — the batch
+        ts_leading_indicator over everything streamed so far, derived
+        from the SAME persisted state: lags are a read-time shift of
+        the day join (explode over a small literal array), so the
+        stream never keeps per-lag state."""
+        from pyspark.sql import Window
+
+        m = self._merged()
+        if m is None:
+            return self.spark.createDataFrame(
+                [], "signature string, best_lag long, n_days long, corr double"
+            )
+        y, x = m
+        yl = y.withColumn(
+            "lag",
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in range(max_lag + 1)])
+            ),
+        )
+        joined = yl.join(
+            F.broadcast(x.withColumnRenamed("day", "xday")),
+            F.col("xday") == F.col("day") + F.col("lag"),
+        )
+        k = self._corr_over(joined, ["signature", "lag"])
+        w = Window.partitionBy("signature").orderBy(
+            F.abs(F.col("corr")).desc(), F.col("lag").asc()
+        )
         return (
-            c.filter(
-                (F.col("n_days") >= self.min_days) & (varx > 0.0) & (vary > 0.0)
-            )
-            .select(
-                "signature",
-                "n_days",
-                ((n * F.col("sxy") - sx * sy) / F.sqrt(varx * vary)).alias(
-                    "corr"
-                ),
-            )
+            k.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("signature", F.col("lag").alias("best_lag"), "n_days", "corr")
         )

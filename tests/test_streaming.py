@@ -1027,6 +1027,18 @@ def test_continuous_correlation_matches_batch_query(spark, tmp_path):
     assert got == expect  # bit-exact: DECIMAL partials re-associate
     assert len(got) > 0
 
+    # the lagged argmax derives from the SAME state, == batch
+    got_lead = {
+        r["signature"]: (r["best_lag"], r["n_days"], r["corr"])
+        for r in cc.leading_indicators().collect()
+    }
+    lead = all_queries()["ts_leading_indicator"].spark_fn(spark, sf_dir)
+    expect_lead = {
+        r["signature"]: (r["best_lag"], r["n_days"], r["corr"])
+        for r in lead.collect()
+    }
+    assert got_lead == expect_lead
+
     # replayed epoch is a no-op
     cc.process_batch(samples, epoch_id=0)
     assert {
