@@ -4524,6 +4524,65 @@ def sim_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_semantic_search",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ok AS (SELECT doc_id, source FROM documents
+           WHERE lang = 'en' AND n_chars >= 200),
+    c AS (SELECT e.vec_id, e.v FROM e JOIN ok ON ok.doc_id = e.vec_id),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 4),
+    scored AS (
+      SELECT a.query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM q a JOIN c b ON b.vec_id <> a.query_id),
+    r AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id AS doc_id, ok.source,
+           CAST(rank AS BIGINT) AS rank, cosine
+    FROM r JOIN ok ON ok.doc_id = r.neighbor_id
+    WHERE rank <= 5
+    """,
+)
+def docs_semantic_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered semantic retrieval (the filtered-ANN pattern
+    every production vector store implements): top-5 cosine neighbors
+    per query, restricted to English documents of useful length, with
+    the document metadata attached to each hit. The metadata predicate
+    semi-join prunes the CANDIDATE set before any distance arithmetic
+    — at 100 TB the filter reaches the embedding scan as a semi-join
+    on the pushdown-pruned documents table, so a 1 %-selective filter
+    does 1 % of the fold work (post-filtering top-k instead would both
+    waste 99 % of the distance math and under-fill k). Brute-force
+    scoring here is the exact baseline; the IVF/LSH variants
+    (sim_ivf_topk, sim_lsh_topk) are the corresponding scale paths and
+    compose with the same semi-join."""
+    docs = _docs(spark, sf_dir)
+    ok = docs.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select("doc_id", "source")
+    embs = _embs(spark, sf_dir)
+    cands = embs.join(
+        ok.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    queries = embs.filter(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    topk = _sim.brute_force_topk(cands, queries, k=5)
+    return topk.join(
+        F.broadcast(ok.withColumnRenamed("doc_id", "neighbor_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        "source",
+        "rank",
+        "cosine",
+    )
+
+
+@_q(
     "multimodal_payloads",
     """
     SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -539,9 +539,11 @@ def test_registry_plan_red_flag_sweep(spark, sf_dir):
     # build sides that are legitimately larger than one row:
     #  - dedup_embedding_pairs / sim_topk_cosine: documented all-pairs
     #    verify/baseline tier (corpus side, auto- not hint-broadcast)
-    #  - sim_ivf_topk / sim_pq_topk: the bounded query set (q rows)
+    #  - sim_ivf_topk / sim_pq_topk / docs_semantic_search: the
+    #    bounded query set (q rows)
     bnlj_exempt = {
         "dedup_embedding_pairs", "sim_topk_cosine", "sim_ivf_topk", "sim_pq_topk",
+        "docs_semantic_search",
     }
 
     failures = []
