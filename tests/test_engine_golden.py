@@ -688,3 +688,44 @@ def test_delete_series_crash_mid_dim_swap_recovers(spark, tmp_path, monkeypatch)
     assert db3.series().count() == 1
     final = db3.query({}, 0, 10**9).collect()
     assert [r["signature"] for r in final] == ["job=b,user=u2"]
+
+
+def test_recovery_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch):
+    """_recover_compaction must NOT swallow a rename failure that is
+    not a lost race: with the staged .old still present and the live
+    partition still absent, an EACCES/EXDEV-style OSError means the
+    restore REALLY failed and silently passing would leave the db
+    with missing data and no diagnostic (ADVICE r4)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"m": "a"}, 1000, 1.0), ({"m": "b"}, 2000, 2.0)], SAMPLES_SCHEMA))
+
+    # stage a crashed-compaction layout by hand: live partition moved
+    # to _compact/chunk_0.old
+    staging = _os.path.join(db.path, "_compact")
+    _os.makedirs(staging, exist_ok=True)
+    part = _os.path.join(db.samples_path, "chunk_id=0")
+    _os.rename(part, _os.path.join(staging, "chunk_0.old"))
+
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        raise OSError(13, "Permission denied (injected)")
+
+    monkeypatch.setattr("monolith_spark.engine.os.rename", failing_rename)
+    with _pytest.raises(OSError, match="injected"):
+        db.samples()  # read path runs _recover_compaction
+
+    # the benign-race shape (source already consumed by a concurrent
+    # winner) still passes silently: finish the restore for real, then
+    # re-run recovery with rename still failing — nothing staged, no raise
+    monkeypatch.setattr("monolith_spark.engine.os.rename", real_rename)
+    db.samples()
+    monkeypatch.setattr("monolith_spark.engine.os.rename", failing_rename)
+    assert db.query({"m": "a"}, 0, 100_000).count() == 1
