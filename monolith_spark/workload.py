@@ -5039,6 +5039,86 @@ def docs_dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_distribution_drift",
+    f"""
+    WITH t AS (SELECT source, CAST(len({_W}) AS BIGINT) // 10 AS bin
+               FROM documents),
+    sb AS (SELECT source, bin, CAST(count(*) AS DECIMAL(19,0)) AS s
+           FROM t GROUP BY 1, 2),
+    cb AS (SELECT bin, CAST(sum(s) AS DECIMAL(19,0)) AS c FROM sb GROUP BY 1),
+    st AS (SELECT source, CAST(sum(s) AS DECIMAL(19,0)) AS stot
+           FROM sb GROUP BY 1),
+    ct AS (SELECT CAST(sum(s) AS DECIMAL(19,0)) AS ctot FROM sb),
+    j AS (SELECT sb.source,
+                 abs(sb.s * ct.ctot - cb.c * st.stot) AS term,
+                 cb.c
+          FROM sb JOIN cb USING (bin) JOIN st USING (source) CROSS JOIN ct),
+    a AS (SELECT source, sum(term) AS t1, sum(c) AS cov FROM j GROUP BY 1)
+    SELECT a.source, CAST(st.stot AS BIGINT) AS n_docs,
+           CAST(a.t1 + st.stot * (ct.ctot - a.cov) AS DOUBLE)
+             / (2.0 * CAST(st.stot AS DOUBLE) * CAST(ct.ctot AS DOUBLE))
+             AS tv_dist
+    FROM a JOIN st USING (source) CROSS JOIN ct
+    """,
+)
+def docs_distribution_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-source total-variation distance
+    between the source's token-length histogram and the corpus-wide
+    one — the curation dashboard signal for 'this feed's length
+    profile is diverging' (TV chosen over PSI/KL because it needs no
+    ln, so cross-engine parity is exact). The whole statistic reduces
+    to INTEGER arithmetic: TV = Σ|s_b/S − c_b/C|/2 is computed as
+    Σ|s_b·C − c_b·S| over the source's occupied bins plus S·(C − cov)
+    for its empty bins (cov = corpus mass on occupied bins), all in
+    DECIMAL(38,0) products of counts — order-independent, one double
+    division at the end. Scale shape: two shrinking groupBys
+    ((source, bin) → bin/source), 1-row corpus total broadcast, and
+    an equi-join on bin over histogram-sized relations — the corpus
+    is scanned once and nothing larger than the histogram shuffles."""
+    t = _docs(spark, sf_dir).select(
+        "source",
+        (_text.token_count("text").cast("long") / F.lit(10)).cast("long").alias("bin"),
+    )
+    d19 = "decimal(19,0)"
+    sb = t.groupBy("source", "bin").agg(F.count("*").cast(d19).alias("s"))
+    cb = sb.groupBy("bin").agg(F.sum("s").cast(d19).alias("c"))
+    st = sb.groupBy("source").agg(F.sum("s").cast(d19).alias("stot"))
+    ct = sb.agg(F.sum("s").cast(d19).alias("ctot"))
+    j = (
+        sb.join(cb, "bin")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.abs(F.col("s") * F.col("ctot") - F.col("c") * F.col("stot")).alias(
+                "term"
+            ),
+            "c",
+        )
+    )
+    a = j.groupBy("source").agg(
+        F.sum("term").alias("t1"), F.sum("c").alias("cov")
+    )
+    return (
+        a.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.col("stot").cast("long").alias("n_docs"),
+            (
+                (F.col("t1") + F.col("stot") * (F.col("ctot") - F.col("cov")))
+                .cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("stot").cast("double")
+                    * F.col("ctot").cast("double")
+                )
+            ).alias("tv_dist"),
+        )
+    )
+
+
+@_q(
     "docs_budget_sample",
     f"""
     WITH t AS (SELECT doc_id, lang, CAST(len({_W}) AS BIGINT) AS n_tokens
