@@ -1939,3 +1939,37 @@ def test_export_curriculum_shards_read_in_global_schedule_order(
         sorted(glob.glob(os.path.join(out, "corpus", "part-*.parquet")))[-1]
     ).to_pandas()
     assert last["sched_pct"].iloc[-1] == 1.0
+
+
+def test_snapshot_diff_classifies_added_removed_changed(spark, sf_dir, tmp_path):
+    from monolith_spark.pipeline import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.write.parquet(old_dir)
+    # new snapshot: drop ids % 7 == 0, rewrite text for % 5 == 1,
+    # append fresh ids above the old range
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    changed = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    added = docs.limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    changed.unionByName(added).write.parquet(new_dir)
+
+    st = {r["doc_id"]: r["status"] for r in snapshot_diff(spark, old_dir, new_dir).collect()}
+    n_docs = docs.count()
+    assert len(st) == n_docs + 3
+    for did, s in st.items():
+        if did >= 1_000_000:
+            assert s == "added"
+        elif did % 7 == 0:
+            assert s == "removed"
+        elif did % 5 == 1:
+            assert s == "changed"
+        else:
+            assert s == "unchanged"
