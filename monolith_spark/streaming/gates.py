@@ -96,3 +96,61 @@ class ContinuousLengthGate:
             F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("q05_tokens"),
             F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("q95_tokens"),
         )
+
+    def drift(self) -> DataFrame:
+        """[source, n_docs, tv_dist] — the batch
+        docs_distribution_drift statistic (per-source total-variation
+        distance from the corpus length distribution) derived from the
+        SAME persisted histogram state: histogram partials add exactly,
+        the TV numerator is pure integer arithmetic over the merged
+        (source, bin) counts, so the streamed statistic equals the
+        batch query over everything streamed so far (asserted in
+        tests). This is the live curation dashboard pairing for the
+        thresholds() gate — drift tells you WHEN a source's profile
+        moved; thresholds() re-baselines the gate after it has."""
+        d19 = "decimal(19,0)"
+        sb = (
+            self.histogram()
+            .groupBy(
+                "source",
+                (F.col("v") / F.lit(10)).cast("long").alias("bin"),
+            )
+            .agg(F.sum("c").cast(d19).alias("s"))
+        )
+        cb = sb.groupBy("bin").agg(F.sum("s").cast(d19).alias("c"))
+        st = sb.groupBy("source").agg(F.sum("s").cast(d19).alias("stot"))
+        ct = sb.agg(F.sum("s").cast(d19).alias("ctot"))
+        j = (
+            sb.join(cb, "bin")
+            .join(F.broadcast(st), "source")
+            .crossJoin(F.broadcast(ct))
+            .select(
+                "source",
+                F.abs(
+                    F.col("s") * F.col("ctot") - F.col("c") * F.col("stot")
+                ).alias("term"),
+                "c",
+            )
+        )
+        a = j.groupBy("source").agg(
+            F.sum("term").alias("t1"), F.sum("c").alias("cov")
+        )
+        return (
+            a.join(F.broadcast(st), "source")
+            .crossJoin(F.broadcast(ct))
+            .select(
+                "source",
+                F.col("stot").cast("long").alias("n_docs"),
+                (
+                    (
+                        F.col("t1")
+                        + F.col("stot") * (F.col("ctot") - F.col("cov"))
+                    ).cast("double")
+                    / (
+                        F.lit(2.0)
+                        * F.col("stot").cast("double")
+                        * F.col("ctot").cast("double")
+                    )
+                ).alias("tv_dist"),
+            )
+        )

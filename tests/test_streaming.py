@@ -1044,3 +1044,35 @@ def test_continuous_correlation_matches_batch_query(spark, tmp_path):
     assert {
         r["signature"]: (r["n_days"], r["corr"]) for r in cc.correlations().collect()
     } == expect
+
+
+def test_continuous_gate_drift_matches_batch_query(spark, tmp_path):
+    from monolith_spark.streaming.gates import ContinuousLengthGate
+    from monolith_spark.workload import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = str(tmp_path / "slices")
+    for half in (0, 1):
+        (
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == half)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+    gate = ContinuousLengthGate(spark, str(tmp_path / "gate"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = gate.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["source"]: (r["n_docs"], r["tv_dist"]) for r in gate.drift().collect()}
+    batch = all_queries()["docs_distribution_drift"].spark_fn(spark, sf_dir)
+    expect = {r["source"]: (r["n_docs"], r["tv_dist"]) for r in batch.collect()}
+    assert got == expect  # integer statistics: streamed == batch exactly
+    assert len(got) > 1
