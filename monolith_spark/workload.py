@@ -7372,6 +7372,108 @@ def ts_correlated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_correlation_matrix",
+    f"""
+    WITH s AS (
+      SELECT event_type || '|' ||
+               substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1)
+               AS metric,
+             CAST((epoch_ms(ts) - {JAN1}) // {DAY_MS} AS BIGINT) AS day,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}),
+    top AS (
+      SELECT metric FROM (
+        SELECT metric, sum(v) AS t FROM s GROUP BY 1
+        ORDER BY t DESC, metric LIMIT 12)),
+    d AS (
+      SELECT s.metric, day, CAST(sum(v) AS DECIMAL(18,2)) AS dv
+      FROM s JOIN top USING (metric) GROUP BY 1, 2),
+    p AS (
+      SELECT a.metric AS sig_a, b.metric AS sig_b,
+             a.dv AS xv, b.dv AS yv
+      FROM d a JOIN d b ON a.day = b.day AND a.metric < b.metric),
+    c AS (
+      SELECT sig_a, sig_b,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xv) AS DOUBLE) AS sx,
+             CAST(sum(yv) AS DOUBLE) AS sy,
+             CAST(sum(xv * xv) AS DOUBLE) AS sxx,
+             CAST(sum(yv * yv) AS DOUBLE) AS syy,
+             CAST(sum(xv * yv) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1, 2)
+    SELECT sig_a, sig_b, n_days,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+    FROM c
+    WHERE n_days >= 3
+      AND (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+    """,
+)
+def ts_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of the top-volume metrics (the 'top
+    movers' incident dashboard): series are first aggregated to
+    (event_type, kb) metric grain — `sum by (event_type, kb)` in
+    PromQL terms, the grain a dashboard actually correlates — then
+    the 12 metrics with the largest exact DECIMAL totals pair up.
+    The top-k cut bounds the quadratic pair term BEFORE any pairing
+    (the day-grain relation is ≤12·|days| rows, the matrix 66 pairs
+    at any corpus size); Pearson per pair uses the same DECIMAL-exact
+    sufficient statistics as ts_correlated_series. The top-k is a
+    size-12 TakeOrdered on exact DECIMAL totals (deterministic cut,
+    no full sort); the self-join keys on day with sig_a < sig_b
+    deduplicating the symmetric pairs."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    metric = F.concat(
+        F.try_element_at("labels", F.lit("event_type")),
+        F.lit("|"),
+        F.try_element_at("labels", F.lit("kb")),
+    ).alias("metric")
+    day = F.floor((F.col("timestamp") - F.lit(JAN1)) / F.lit(DAY_MS)).cast("long")
+    dec = F.col("value").cast(DEC)
+    sm = s.select(metric, day.alias("day"), F.col("value"))
+    top = (
+        sm.groupBy("metric")
+        .agg(F.sum(dec).alias("__t"))
+        .orderBy(F.col("__t").desc(), "metric")
+        .limit(12)
+        .select("metric")
+    )
+    d = (
+        sm.join(F.broadcast(top), "metric", "left_semi")
+        .groupBy("metric", "day")
+        .agg(F.sum(dec).cast(DEC).alias("dv"))
+    )
+    a = d.select(F.col("metric").alias("sig_a"), "day", F.col("dv").alias("xv"))
+    b = d.select(F.col("metric").alias("sig_b"), "day", F.col("dv").alias("yv"))
+    c = (
+        a.join(b, "day")
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .groupBy("sig_a", "sig_b")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.count("*").cast("double").alias("n"),
+            F.sum("xv").cast("double").alias("sx"),
+            F.sum("yv").cast("double").alias("sy"),
+            F.sum(F.col("xv") * F.col("xv")).cast("double").alias("sxx"),
+            F.sum(F.col("yv") * F.col("yv")).cast("double").alias("syy"),
+            F.sum(F.col("xv") * F.col("yv")).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    return c.filter(
+        (F.col("n_days") >= 3) & (varx > 0.0) & (vary > 0.0)
+    ).select(
+        "sig_a",
+        "sig_b",
+        "n_days",
+        ((n * F.col("sxy") - sx * sy) / F.sqrt(varx * vary)).alias("corr"),
+    )
+
+
+@_q(
     "ts_leading_indicator",
     f"""
     WITH y AS (
