@@ -152,6 +152,83 @@ def kmv_merge(*sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataF
     )
 
 
+def kmv_pairwise_overlap(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise set algebra on KMV sketches (Beyer et al. 2007 §5):
+    for every unordered group pair (a < b), estimate |A∪B|, |A∩B| and
+    the Jaccard similarity — from the sketches alone, never touching
+    the raw keys again.
+
+    The device: the k smallest hashes of A∪B are exactly the k
+    smallest of sketch(A) ∪ sketch(B) (any union-hash below the cut
+    is below its own group's cut too, so it IS in that group's
+    sketch — membership flags read off the truncated sketches are
+    exact). With ρ = |{h in merged-k : h ∈ A and h ∈ B}| / k:
+    union ≈ (k−1)/U_(k), jaccard ≈ ρ, intersection ≈ ρ · union.
+    Below k distinct union hashes everything is exact.
+
+    Scale shape: inputs are ≤ k rows per group however large the key
+    sets, so the pair stage is |groups|²·k rows of window + groupBy —
+    negligible; the only corpus-scale work is building the sketches
+    (one distinct + one WindowGroupLimit top-k). Sketches roll up
+    across days/partitions first (kmv_merge), so the pairwise
+    overlap of two 100 TB cohorts costs two sketch scans + this.
+    All arithmetic is the same IEEE expression tree on any engine —
+    the estimates themselves are exactly reproducible."""
+    # Pairing T groups without a CartesianProduct (the registry plan
+    # sweep forbids one, and Catalyst folds a constant equi-join key
+    # back into a nested loop): collapse the group list to ONE array
+    # row, broadcast it (the whitelisted 1-row BNLJ build, same device
+    # as the k-means centroid row), and explode it next to each sketch
+    # row — T output rows per sketch row, no join on the sketches.
+    tys = sketch.groupBy().agg(
+        F.sort_array(F.collect_set(F.col(group_col))).alias("__tys")
+    )
+    expanded = (
+        sketch.select(F.col(group_col).alias("g"), "h")
+        .crossJoin(F.broadcast(tys))
+        .select("g", "h", F.explode("__tys").alias("o"))
+    )
+    a = expanded.filter(F.col("g") < F.col("o")).select(
+        F.col("g").alias("ga"), F.col("o").alias("gb"), "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    b = expanded.filter(F.col("o") < F.col("g")).select(
+        F.col("o").alias("ga"), F.col("g").alias("gb"), "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    tagged = a.unionByName(b)
+    merged = tagged.groupBy("ga", "gb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    agg = topk.groupBy("ga", "gb").agg(
+        F.count("*").alias("__n"),
+        F.max("h").alias("__hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("__both"),
+    )
+    exact = F.col("__n") < k
+    union_est = F.when(exact, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("__hk").cast("double") / F.lit(float(1 << 60)))
+    )
+    jaccard = F.when(exact, F.col("__both").cast("double") / F.col("__n")).otherwise(
+        F.col("__both").cast("double") / F.lit(float(k))
+    )
+    return agg.select(
+        F.col("ga").alias(f"{group_col}_a"),
+        F.col("gb").alias(f"{group_col}_b"),
+        union_est.alias("union_est"),
+        (jaccard * union_est).alias("inter_est"),
+        jaccard.alias("jaccard_est"),
+    )
+
+
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
     """[*group_cols, kmv_est] from a kmv_sketch: exact count below k,
     else (k−1)/U_(k). Two double divisions, bit-identical on any

@@ -8182,3 +8182,163 @@ def ts_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("dev") > 3 * F.col("dev2"), 1).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+@_q(
+    "events_kmv_overlap",
+    """
+    WITH d AS (SELECT DISTINCT event_type,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+               FROM events),
+    sk AS (SELECT event_type, h
+           FROM (SELECT event_type, h,
+                        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                 FROM d)
+           WHERE rn <= 128),
+    ty AS (SELECT DISTINCT event_type FROM sk),
+    t AS (
+      SELECT s.event_type AS ga, ty.event_type AS gb, s.h, 1 AS in_a, 0 AS in_b
+      FROM sk s, ty WHERE s.event_type < ty.event_type
+      UNION ALL
+      SELECT ty.event_type, s.event_type, s.h, 0, 1
+      FROM sk s, ty WHERE ty.event_type < s.event_type),
+    m AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+          FROM t GROUP BY 1, 2, 3),
+    r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM m),
+    agg AS (SELECT ga, gb, count(*) AS n, max(h) AS hk,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS nboth
+            FROM r WHERE rn <= 128 GROUP BY 1, 2),
+    est AS (SELECT ga, gb,
+                   CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                        ELSE 127.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                   END AS union_est,
+                   CASE WHEN n < 128 THEN CAST(nboth AS DOUBLE) / n
+                        ELSE CAST(nboth AS DOUBLE) / 128.0
+                   END AS jaccard_est
+            FROM agg)
+    SELECT ga AS event_type_a, gb AS event_type_b,
+           union_est, jaccard_est * union_est AS inter_est, jaccard_est
+    FROM est
+    """,
+)
+def events_kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set algebra from sketches alone: pairwise |A∪B|, |A∩B|
+    and Jaccard between every event-type pair's user sets, computed
+    from k=128 KMV sketches (operators/sketches.py:kmv_pairwise_overlap)
+    — 'how much do the click and purchase audiences overlap' without
+    ever joining the raw user sets. The estimates are IEEE-identical
+    cross-engine (md5 hashes + one division tree), so the oracle
+    hash-checks the ESTIMATOR itself, not a tolerance band. Scale
+    shape: the only corpus-scale work is one distinct + one
+    WindowGroupLimit top-k per type; the pair stage handles ≤ T·k
+    sketch rows via a broadcast of the T-row type list."""
+    from monolith_spark.operators import sketches as _sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    sk = _sk.kmv_sketch(ev, "user_id", ["event_type"], k=128)
+    return _sk.kmv_pairwise_overlap(sk, "event_type", k=128)
+
+
+@_q(
+    "docs_weighted_sample",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens FROM documents),
+    k AS (SELECT doc_id, n_tokens, least(n_tokens, 64) AS w
+          FROM t WHERE n_tokens > 0),
+    tick AS (SELECT doc_id, n_tokens,
+               list_min(list_transform(range(1, CAST(w AS INT) + 1),
+                 i -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                              CAST(i AS VARCHAR)), 1, 15) AS BIGINT)))
+                 AS ticket
+             FROM k)
+    SELECT doc_id, n_tokens, ticket
+    FROM tick ORDER BY ticket, doc_id LIMIT 200
+    """,
+)
+def docs_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, integer-exact A-ES
+    (Efraimidis–Spirakis 2006): doc weight w = min(n_tokens, 64); each
+    doc draws w deterministic 60-bit ticket hashes and keeps the MIN;
+    the global 200 smallest tickets are the sample. min of w uniforms
+    ~ Beta(1, w), so P(selected) rises ∝ w for k ≪ N — the same
+    inclusion law as exponential-key A-ES, but in pure integer hashes
+    (no ln/pow, so cross-engine parity is exact, not quantized).
+    Scale shape: O(w) JVM array fold per row (bounded by the 64-ticket
+    cap), then TakeOrdered partial top-k per partition — no shuffle of
+    the corpus, ~200 rows cross the wire. The mixture-sampling step of
+    training-data curation (longer/higher-weight docs favored), fully
+    reproducible on any engine or partitioning."""
+    docs = _docs(spark, sf_dir)
+    n = F.size(_text.tokens_expr("text")).cast("long")
+    d = docs.select("doc_id", n.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    w = F.least(F.col("n_tokens"), F.lit(64)).cast("int")
+    ticket = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda i: _text.hash60_expr(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", "n_tokens", ticket.alias("ticket"))
+        .orderBy("ticket", "doc_id")
+        .limit(200)
+    )
+
+
+@_q(
+    "text_fertility_by_lang",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_W} AS w,
+                      regexp_extract_all(text, '{_text.BPE_PATTERN}') AS bt
+               FROM documents),
+    s AS (SELECT length(text) AS n_chars, len(w) AS n_ws, len(bt) AS n_bpe,
+            len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS s_en,
+            len(list_filter(w, x -> list_contains(['der','die','und','ist'], x))) AS s_de,
+            len(list_filter(w, x -> list_contains(['el','la','que','los'], x))) AS s_es,
+            len(list_filter(w, x -> list_contains(['le','les','et','des'], x))) AS s_fr
+          FROM t),
+    l AS (SELECT n_chars, n_ws, n_bpe,
+            CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM s)
+    SELECT lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+           CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe,
+           CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws
+    FROM l GROUP BY 1
+    """,
+)
+def text_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by detected language: chars per
+    BPE-ish token and BPE tokens per whitespace word, per langid
+    bucket — the standard multilingual-tokenizer health check (a
+    language whose fertility is 2× English's pays 2× the context
+    budget per word). Integer sums only (exact cross-engine), two
+    double divisions at the surface; one corpus scan + a 4-row
+    map-combinable groupBy, no window, no join."""
+    docs = _docs(spark, sf_dir)
+    w = _text.tokens_expr("text")
+    bt = _text.bpe_tokens_expr("text")
+    per_doc = docs.select(
+        _text.lang_id_expr("text").alias("lang_pred"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_ws"),
+        F.size(bt).cast("long").alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_ws").alias("sum_ws_tokens"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
+        (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias("chars_per_bpe"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("bpe_per_ws"),
+    )

@@ -126,3 +126,41 @@ def test_kmv_merge_equals_union_sketch(spark):
     assert sorted(r["h"] for r in merged.collect()) == sorted(
         r["h"] for r in direct.collect()
     )
+
+
+def test_kmv_pairwise_overlap_exact_below_k_and_estimate(spark):
+    from monolith_spark.operators.sketches import kmv_pairwise_overlap, kmv_sketch
+
+    # Small groups (below k): union/intersection/jaccard are exact.
+    rows = (
+        [("A", f"x{i}") for i in range(30)]          # A = x0..x29
+        + [("B", f"x{i}") for i in range(20, 50)]    # B = x20..x49, |A∩B|=10
+        + [("C", f"y{i}") for i in range(5)]         # C disjoint from both
+    )
+    df = spark.createDataFrame(rows, "grp string, key string")
+    sk = kmv_sketch(df, "key", ["grp"], k=64)
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_pairwise_overlap(sk, "grp", k=64).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab["union_est"] == 50.0
+    assert abs(ab["inter_est"] - 10.0) < 1e-9
+    assert abs(ab["jaccard_est"] - 0.2) < 1e-12
+    assert out[("A", "C")]["inter_est"] == 0.0
+    assert out[("B", "C")]["jaccard_est"] == 0.0
+
+    # Above k: the estimate tracks the true union within sketch rsd,
+    # and the membership flags stay exact (the k smallest union hashes
+    # are always inside their own group's k-truncated sketch).
+    big = (
+        [("P", f"k{i}") for i in range(2000)]
+        + [("Q", f"k{i}") for i in range(1000, 3000)]
+    )
+    bsk = kmv_sketch(spark.createDataFrame(big, "grp string, key string"),
+                     "key", ["grp"], k=64)
+    pq = kmv_pairwise_overlap(bsk, "grp", k=64).collect()[0]
+    assert abs(pq["union_est"] - 3000) / 3000 < 0.5   # ~4x rsd at k=64
+    true_j = 1000 / 3000
+    assert abs(pq["jaccard_est"] - true_j) < 0.2
