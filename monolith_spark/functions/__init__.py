@@ -68,7 +68,9 @@ from monolith_spark.operators.timeseries import (
     valid_points,
 )
 from monolith_spark.operators.multimodal import (
+    ahash64,
     decode_image,
+    dhash64,
     encode_ppm,
     encode_wav,
     encode_y4m,
@@ -100,4 +102,5 @@ __all__ = [
     "cms_sketch", "cms_estimate", "cms_merge", "cms_bucket_expr",
     "kmv_sketch", "kmv_merge", "kmv_estimate", "bpe_symbol_count_expr",
     "decode_image", "encode_ppm", "encode_wav", "encode_y4m", "resize_image",
+    "ahash64", "dhash64",
 ]

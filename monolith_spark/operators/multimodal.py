@@ -761,3 +761,194 @@ def video_motion_energy(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash / dHash) + near-duplicate fixtures.
+#
+# Image dedup is a first-class curation step in multimodal training
+# pipelines (LAION-style dedup runs on perceptual hashes before any
+# embedding model touches the corpus). aHash/dHash are the public
+# imagehash-library constructions (average hash: bit = cell >= mean;
+# difference hash: bit = cell < right neighbor), computed here over the
+# REAL byte path — decode → nearest-neighbor resample → integer
+# comparisons — so the whole hash is exact integer arithmetic that an
+# SQL oracle can replay symbolically (same device as the Sobel
+# edge-energy oracle above). Mean comparison is cross-multiplied
+# (gray*64 >= total) to stay in integers; classic aHash's float mean
+# would differ in the last bit across engines.
+# ---------------------------------------------------------------------------
+
+
+def synth_image_varied(seed: int, width: int, height: int) -> np.ndarray:
+    """Deterministic synthetic RGB image with seed-dependent spatial
+    frequencies: pixel[y, x, c] =
+    ((3 + seed%5)·x + (5 + seed%7)·y + (seed%11)·x·y + 11·seed + 29·c) % 256.
+    Unlike synth_image (whose seeds differ only by an additive offset,
+    so perceptual hashes collide heavily), varying the x/y/xy
+    coefficients gives each seed a distinct texture. Pure integer
+    arithmetic — expressible in ANSI SQL for oracles."""
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return (
+        ((3 + seed % 5) * x + (5 + seed % 7) * y + (seed % 11) * x * y
+         + 11 * seed + 29 * c) % 256
+    ).astype(np.uint8)
+
+
+def invert_corner_block(img: np.ndarray) -> np.ndarray:
+    """Near-duplicate perturbation: invert the top-left h//4 × w//4
+    pixel block (pixel → 255 − pixel per channel). A small localized
+    edit — the canonical 'same image, small retouch' near-dup case."""
+    out = img.copy()
+    h, w = out.shape[:2]
+    out[: h // 4, : w // 4] = 255 - out[: h // 4, : w // 4]
+    return out
+
+
+def attach_phash_media(
+    df: DataFrame, id_col: str = "doc_id", n_images: int = 40
+) -> DataFrame:
+    """Media table of REAL PPM bytes for the perceptual-hash queries:
+    image content repeats with period ``n_images`` (seed = id %
+    n_images, size (8 + seed%5) × (8 + seed%3)) so exact duplicate
+    groups exist by construction, and every id % 4 == 0 row carries
+    the corner-inverted variant of its seed image — a near-duplicate
+    of the base, not an exact one."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                seed = int(i) % n_images
+                img = synth_image_varied(seed, 8 + seed % 5, 8 + seed % 3)
+                if int(i) % 4 == 0:
+                    img = invert_corner_block(img)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, out_schema
+    )
+
+
+def _pack_bits_signed(bits: np.ndarray) -> int:
+    """64 bits (MSB first) → signed two's-complement int64."""
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash: NN-resample to 8×8, gray = r+g+b (0..765), bit =
+    gray·64 >= Σgray (integer cross-multiplied mean), packed row-major
+    MSB-first into a signed int64."""
+    g = resize_image(img, 8, 8).astype(np.int64).sum(axis=2)
+    return _pack_bits_signed((g.flatten() * 64 >= g.sum()).astype(np.uint8))
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash: NN-resample to 9×8, bit = gray[r,c] <
+    gray[r,c+1] (8 gradient bits × 8 rows), packed like ahash64."""
+    g = resize_image(img, 9, 8).astype(np.int64).sum(axis=2)
+    return _pack_bits_signed((g[:, :-1] < g[:, 1:]).flatten().astype(np.uint8))
+
+
+def image_hashes(df: DataFrame) -> DataFrame:
+    """Perceptual hashes over the real byte path: payload → decode
+    (PPM/BMP) → aHash + dHash. Narrow Arrow-batched map, zero
+    shuffles; undecodable payloads yield NULL hashes (corrupt-sample
+    policy), so a bad file can't fail a 100 TB dedup scan."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("ahash", T.LongType(), True),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    rows.append((mid, ahash64(img), dhash64(img)))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid, None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash", "dhash"])
+
+    return df.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "ahash",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Banded Hamming self-join at the DISTINCT-HASH grain: pairs of
+    hash values within ``max_hamming`` bits of each other.
+
+    Scale shape (the LSH-for-Hamming classic): split the 64-bit hash
+    into ``max_hamming + 1`` equal bands — by pigeonhole, any pair
+    within max_hamming MUST agree exactly on at least one band, so
+    band-equality equi-joins produce a complete candidate set and
+    bit_count(xor) filters it exactly. No CartesianProduct at any
+    corpus size, and the join runs over distinct hash values (each
+    with its doc count), not over documents — the signature-grain
+    trick every dedup operator in this repo uses. 64 must be
+    divisible by the band count: max_hamming=7 → 8 bands of 8 bits.
+
+    Returns [hash_a, hash_b, hamming, n_docs_a, n_docs_b, rep_a,
+    rep_b] with hash_a < hash_b."""
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError(f"64 not divisible by {n_bands} bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = hashes.filter(F.col(hash_col).isNotNull()).groupBy(
+        F.col(hash_col).alias("h")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("media_id").alias("rep"),
+    )
+    banded = sigs.select(
+        "h", "n_docs", "rep",
+        F.posexplode(
+            F.array(*[
+                F.expr(f"shiftrightunsigned(h, {width * b}) & {mask}")
+                for b in range(n_bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.select(
+        F.col("h").alias("hash_a"), F.col("n_docs").alias("n_docs_a"),
+        F.col("rep").alias("rep_a"), "band_id", "band_val",
+    )
+    b = banded.select(
+        F.col("h").alias("hash_b"), F.col("n_docs").alias("n_docs_b"),
+        F.col("rep").alias("rep_b"), "band_id", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("hash_a") < F.col("hash_b"))
+        .select("hash_a", "hash_b", "n_docs_a", "n_docs_b", "rep_a", "rep_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.expr("hash_a ^ hash_b")).cast("long")
+    ).filter(
+        (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+    ).select(
+        "hash_a", "hash_b", "hamming",
+        "n_docs_a", "n_docs_b", "rep_a", "rep_b",
+    )

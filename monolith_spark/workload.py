@@ -4810,6 +4810,131 @@ def multimodal_video_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.video_frame_stats(media, every_n=2)
 
 
+def _phash_cte() -> str:
+    """Shared symbolic-replay CTE chain for the perceptual-hash pair:
+    recompute aHash/dHash of every fixture image (seed-varied synthetic
+    pixels, corner-inverted near-dup variants) as closed-form integer
+    arithmetic — nearest-neighbor sampling, cross-multiplied mean
+    comparison, MSB-first two's-complement packing — exactly what the
+    Spark side computes from REAL decoded PPM bytes. Packing builds two
+    32-bit halves in BIGINT and wraps the sign manually (no HUGEINT
+    shifts needed)."""
+    def g3(xe: str, ye: str) -> str:
+        base = f"((3 + seed%5)*({xe}) + (5 + seed%7)*({ye}) + (seed%11)*({xe})*({ye}) + 11*seed)"
+        return "(" + " + ".join(f"(({base} + {c}) % 256)" for c in (0, 29, 58)) + ")"
+
+    gray = (
+        f"CASE WHEN pert AND x < w // 4 AND y < h // 4 "
+        f"THEN 765 - {g3('x', 'y')} ELSE {g3('x', 'y')} END"
+    )
+    pack = (
+        "CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo "
+        "ELSE hi * 4294967296 + lo END"
+    )
+
+    def halves(bit_cond: str) -> str:
+        # CAST the sums: DuckDB sum(BIGINT) → HUGEINT, which would turn
+        # the packed hash into DECIMAL (and break xor/bit_count parity).
+        return (
+            f"CAST(sum(CASE WHEN {bit_cond} AND idx < 32"
+            f" THEN (CAST(1 AS BIGINT) << (31 - CAST(idx AS INT))) ELSE 0 END) AS BIGINT) AS hi,\n"
+            f"       CAST(sum(CASE WHEN {bit_cond} AND idx >= 32"
+            f" THEN (CAST(1 AS BIGINT) << (63 - CAST(idx AS INT))) ELSE 0 END) AS BIGINT) AS lo"
+        )
+
+    return f"""
+    d AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+    m AS (SELECT media_id, media_id % 40 AS seed,
+                 (media_id % 4 = 0) AS pert FROM d),
+    v AS (SELECT DISTINCT seed, pert FROM m),
+    dim AS (SELECT seed, pert, 8 + seed % 5 AS w, 8 + seed % 3 AS h FROM v),
+    ac0 AS (SELECT seed, pert, w, h, j.j*8 + i.i AS idx,
+                   (i.i * w) // 8 AS x, (j.j * h) // 8 AS y
+            FROM dim, range(8) i(i), range(8) j(j)),
+    ac AS (SELECT seed, pert, idx, {gray} AS gray FROM ac0),
+    at AS (SELECT seed, pert, sum(gray) AS total FROM ac GROUP BY 1, 2),
+    ab AS (SELECT ac.seed, ac.pert,
+       {halves('gray * 64 >= total')}
+       FROM ac JOIN at USING (seed, pert) GROUP BY 1, 2),
+    ah AS (SELECT seed, pert, {pack} AS ahash FROM ab),
+    dc0 AS (SELECT seed, pert, w, h, i.i AS i, j.j AS j,
+                   (i.i * w) // 9 AS x, (j.j * h) // 8 AS y
+            FROM dim, range(9) i(i), range(8) j(j)),
+    dc AS (SELECT seed, pert, i, j, {gray} AS gray FROM dc0),
+    dpair AS (SELECT l.seed, l.pert, l.j*8 + l.i AS idx,
+                     CAST(l.gray < r.gray AS BIGINT) AS bit
+              FROM dc l JOIN dc r ON l.seed = r.seed AND l.pert = r.pert
+                                 AND l.j = r.j AND r.i = l.i + 1
+              WHERE l.i < 8),
+    db AS (SELECT seed, pert,
+       {halves('bit = 1')}
+       FROM dpair GROUP BY 1, 2),
+    dh AS (SELECT seed, pert, {pack} AS dhash FROM db)
+    """
+
+
+@_q(
+    "multimodal_phash_dupes",
+    f"""
+    WITH {_phash_cte()}
+    SELECT ahash, dhash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(media_id) AS group_rep,
+           CAST(sum(media_id) AS BIGINT) AS doc_sum
+    FROM m JOIN ah USING (seed, pert) JOIN dh USING (seed, pert)
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_phash_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash (the LAION-style pre-embedding
+    dedup pass): REAL PPM bytes → decode → aHash + dHash
+    (operators/multimodal.py) → hash-grain duplicate groups. The
+    whole hash is exact integer arithmetic (nearest-neighbor sampling,
+    cross-multiplied mean, two's-complement packing), so the oracle
+    replays every bit symbolically from the synthetic pixel formula —
+    any decode, resample, threshold, or packing bug flips hash bits
+    and breaks the match. One narrow Arrow map + one map-combinable
+    groupBy: payloads never hit the driver or a shuffle, which is the
+    only shape that survives a 100 TB image corpus."""
+    media = _mm.attach_phash_media(_docs(spark, sf_dir))
+    return _mm.image_hashes(media).groupBy("ahash", "dhash").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("media_id").alias("group_rep"),
+        F.sum("media_id").cast("long").alias("doc_sum"),
+    )
+
+
+@_q(
+    "multimodal_phash_near_dupes",
+    f"""
+    WITH {_phash_cte()},
+    sig AS (SELECT ahash AS h, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(media_id) AS rep
+            FROM m JOIN ah USING (seed, pert) GROUP BY 1)
+    SELECT a.h AS hash_a, b.h AS hash_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming,
+           a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+           a.rep AS rep_a, b.rep AS rep_b
+    FROM sig a, sig b
+    WHERE a.h < b.h AND bit_count(xor(a.h, b.h)) BETWEEN 1 AND 7
+    """,
+)
+def multimodal_phash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs by banded Hamming join over aHash
+    (multimodal.phash_near_dup_pairs): the corner-inverted fixture
+    variants land within a few bits of their base image, and the
+    8-band pigeonhole blocking finds every pair within Hamming 7 with
+    equi-joins only — over DISTINCT hash values (each carrying its doc
+    count), never over documents, so the join side is |unique images|
+    at any corpus size. The oracle brute-forces all hash pairs from
+    the symbolically recomputed hashes — it independently verifies
+    BOTH the bit-exact hashes AND that the banding device loses no
+    pair vs exhaustive comparison."""
+    media = _mm.attach_phash_media(_docs(spark, sf_dir))
+    return _mm.phash_near_dup_pairs(
+        _mm.image_hashes(media), hash_col="ahash", max_hamming=7
+    )
+
+
 _EMB_TAU = 0.4  # synthetic embeddings are random: max pair cosine ~0.6
 
 

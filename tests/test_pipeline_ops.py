@@ -1973,3 +1973,81 @@ def test_snapshot_diff_classifies_added_removed_changed(spark, sf_dir, tmp_path)
             assert s == "changed"
         else:
             assert s == "unchanged"
+
+
+def test_image_phash_end_to_end(spark):
+    """Perceptual hashes through the REAL byte path: equal fixture
+    images hash equal, the golden bit layout is locked, corrupt
+    payloads degrade to NULL, and the banded Hamming join finds
+    exactly the brute-force pair set."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(160)], "doc_id long, text string"
+    )
+    media = multimodal.attach_phash_media(docs)
+    hashes = multimodal.image_hashes(media).toPandas()
+    assert len(hashes) == 160
+
+    # same (seed, pert) class => identical payload => identical hashes
+    cls = {}
+    for _, r in hashes.iterrows():
+        key = (int(r.media_id) % 40, int(r.media_id) % 4 == 0)
+        cls.setdefault(key, set()).add((int(r.ahash), int(r.dhash)))
+    assert all(len(v) == 1 for v in cls.values())
+
+    # golden values: python reimplementation of the packed bit layout
+    def pack(bits):
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    seed = 7
+    img = multimodal.synth_image_varied(seed, 8 + seed % 5, 8 + seed % 3)
+    g8 = multimodal.resize_image(img, 8, 8).astype("int64").sum(axis=2)
+    exp_a = pack((g8.flatten() * 64 >= g8.sum()).astype("uint8"))
+    g9 = multimodal.resize_image(img, 9, 8).astype("int64").sum(axis=2)
+    exp_d = pack((g9[:, :-1] < g9[:, 1:]).flatten().astype("uint8"))
+    row7 = hashes[hashes.media_id == 7].iloc[0]  # 7 % 4 != 0: base image
+    assert (int(row7.ahash), int(row7.dhash)) == (exp_a, exp_d)
+    assert multimodal.ahash64(img) == exp_a and multimodal.dhash64(img) == exp_d
+
+    # corrupt payload => NULL hashes, not a job failure
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "payload": [b"not an image"]})
+    )
+    nulls = multimodal.image_hashes(bad).collect()
+    assert nulls[0]["ahash"] is None and nulls[0]["dhash"] is None
+
+    # banded join == brute force over the distinct-hash signature set
+    hdf = multimodal.image_hashes(media)
+    pairs = multimodal.phash_near_dup_pairs(hdf, max_hamming=7).toPandas()
+    sig = {}
+    for _, r in hashes.iterrows():
+        sig.setdefault(int(r.ahash), []).append(int(r.media_id))
+    expected = set()
+    uniq = sorted(sig)
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if 1 <= d <= 7:
+                expected.add((a, b, d, len(sig[a]), len(sig[b])))
+    got = {
+        (int(r.hash_a), int(r.hash_b), int(r.hamming),
+         int(r.n_docs_a), int(r.n_docs_b))
+        for _, r in pairs.iterrows()
+    }
+    assert got == expected and len(got) > 0
+
+    # the perturbed variant of at least one seed lands near its base
+    reps = {(int(r.rep_a), int(r.rep_b)) for _, r in pairs.iterrows()}
+    assert reps  # sanity: pair reps materialized
+
+
+def test_phash_band_count_validation():
+    """64 must divide evenly into max_hamming+1 bands."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.phash_near_dup_pairs(None, max_hamming=4)  # 5 bands
