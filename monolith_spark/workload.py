@@ -4935,6 +4935,64 @@ def multimodal_phash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_q(
+    "multimodal_audio_fp_dupes",
+    """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+    m AS (SELECT media_id, media_id % 32 AS seed FROM d),
+    v AS (SELECT DISTINCT seed FROM m),
+    samp AS (SELECT seed, t.t AS t, k.k AS k,
+                    ((31*k.k*k.k + 17*(seed % 89)) % 65536) - 32768 AS s
+             FROM v, range(16) t(t), range(128) k(k)
+             WHERE k.k >= (t.t * (64 + seed % 37)) // 16
+               AND k.k <  ((t.t + 1) * (64 + seed % 37)) // 16),
+    fr AS (SELECT seed, t, k, s,
+                  lag(s) OVER (PARTITION BY seed, t ORDER BY k) AS prev
+           FROM samp),
+    st AS (SELECT seed, t,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(abs(s)) AS BIGINT) AS e,
+                  CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                                         THEN abs(s - prev) END), 0) AS BIGINT) AS dd,
+                  CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                                          AND ((s < 0) <> (prev < 0))
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS z
+           FROM fr GROUP BY 1, 2),
+    bits AS (SELECT a.seed, a.t,
+                    CAST(a.e  * b.cnt > b.e  * a.cnt AS BIGINT) AS be,
+                    CAST(a.dd * b.cnt > b.dd * a.cnt AS BIGINT) AS bd,
+                    CAST(a.z  * b.cnt > b.z  * a.cnt AS BIGINT) AS bz
+             FROM st a JOIN st b ON a.seed = b.seed AND b.t = a.t + 1
+             WHERE a.t < 15),
+    fpc AS (SELECT seed,
+                   CAST(sum((be << (44 - (t*3))) + (bd << (44 - (t*3+1)))
+                            + (bz << (44 - (t*3+2)))) AS BIGINT) AS fp
+            FROM bits GROUP BY 1)
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
+           min(media_id) AS group_rep, CAST(sum(media_id) AS BIGINT) AS clip_sum
+    FROM m JOIN fpc USING (seed)
+    GROUP BY 1
+    """,
+)
+def multimodal_audio_fp_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup by acoustic fingerprint — completes the modality
+    triple (text winnowing, image aHash/dHash, audio fingerprint):
+    REAL WAV bytes → decode → 45-bit chromaprint-style fingerprint
+    (adjacent-frame comparisons of integer energy / roughness /
+    zero-crossing stats, multimodal.audio_fingerprint45) → hash-grain
+    duplicate groups. Every fingerprint bit is exact integer
+    arithmetic, so the oracle replays the framing, the lag-difference
+    stats, and the cross-multiplied comparisons symbolically from the
+    synthetic signal formula — decode, framing, and packing bugs all
+    break the hash. One narrow Arrow map + one map-combinable groupBy."""
+    media = _mm.attach_audio_fp_media(_docs(spark, sf_dir))
+    return _mm.audio_fingerprints(media).groupBy("fp").agg(
+        F.count("*").cast("long").alias("n_clips"),
+        F.min("media_id").alias("group_rep"),
+        F.sum("media_id").cast("long").alias("clip_sum"),
+    )
+
+
 _EMB_TAU = 0.4  # synthetic embeddings are random: max pair cosine ~0.6
 
 

@@ -2051,3 +2051,43 @@ def test_phash_band_count_validation():
 
     with _pytest.raises(ValueError):
         multimodal.phash_near_dup_pairs(None, max_hamming=4)  # 5 bands
+
+
+def test_audio_fingerprint_end_to_end(spark):
+    """Acoustic fingerprints through the REAL WAV path: equal clips
+    hash equal, the golden bit layout matches the numpy
+    reimplementation, short/corrupt clips degrade to NULL."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(96)], "doc_id long, text string"
+    )
+    media = multimodal.attach_audio_fp_media(docs)
+    fps = multimodal.audio_fingerprints(media).toPandas()
+    assert len(fps) == 96
+    # same seed class => identical payload => identical fingerprint
+    cls = {}
+    for _, r in fps.iterrows():
+        cls.setdefault(int(r.media_id) % 32, set()).add(int(r.fp))
+    assert all(len(v) == 1 for v in cls.values())
+    # fingerprints are 45-bit non-negative values with real diversity
+    vals = {v.pop() for v in cls.values()}
+    assert all(0 <= f < (1 << 45) for f in vals) and len(vals) >= 20
+
+    # golden: the Spark value equals the direct numpy computation
+    seed = 9
+    s = multimodal.synth_audio(seed, 64 + seed % 37)
+    exp = multimodal.audio_fingerprint45(s)
+    got = int(fps[fps.media_id == 9].iloc[0].fp)  # 9 % 32 == 9
+    assert got == exp
+
+    # too-short clip and corrupt payload => NULL, not a job failure
+    assert multimodal.audio_fingerprint45(np.zeros(10, dtype=np.int16)) is None
+    bad = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2],
+        "payload": [b"not a wav",
+                    multimodal.encode_wav(multimodal.synth_audio(1, 8), 8000)],
+    }))
+    out = {r["media_id"]: r["fp"] for r in multimodal.audio_fingerprints(bad).collect()}
+    assert out[1] is None and out[2] is None
