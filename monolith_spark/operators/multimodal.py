@@ -890,6 +890,29 @@ def image_hashes(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, out_schema)
 
 
+def with_hash_bands(
+    df: DataFrame, hash_col: str, max_hamming: int = 7
+) -> DataFrame:
+    """Explode a 64-bit hash column into ``max_hamming + 1`` equal
+    bands [band_id, band_val] (pigeonhole: any pair within max_hamming
+    bits agrees exactly on at least one band). Shared by the batch
+    near-dup join and the streaming image-dedup index."""
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError(f"64 not divisible by {n_bands} bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(*[
+                F.expr(f"shiftrightunsigned({hash_col}, {width * b}) & {mask}")
+                for b in range(n_bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+
+
 def phash_near_dup_pairs(
     hashes: DataFrame,
     hash_col: str = "ahash",
@@ -910,26 +933,15 @@ def phash_near_dup_pairs(
 
     Returns [hash_a, hash_b, hamming, n_docs_a, n_docs_b, rep_a,
     rep_b] with hash_a < hash_b."""
-    n_bands = max_hamming + 1
-    if 64 % n_bands:
-        raise ValueError(f"64 not divisible by {n_bands} bands")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    if 64 % (max_hamming + 1):
+        raise ValueError(f"64 not divisible by {max_hamming + 1} bands")
     sigs = hashes.filter(F.col(hash_col).isNotNull()).groupBy(
         F.col(hash_col).alias("h")
     ).agg(
         F.count("*").alias("n_docs"),
         F.min("media_id").alias("rep"),
     )
-    banded = sigs.select(
-        "h", "n_docs", "rep",
-        F.posexplode(
-            F.array(*[
-                F.expr(f"shiftrightunsigned(h, {width * b}) & {mask}")
-                for b in range(n_bands)
-            ])
-        ).alias("band_id", "band_val"),
-    )
+    banded = with_hash_bands(sigs, "h", max_hamming)
     a = banded.select(
         F.col("h").alias("hash_a"), F.col("n_docs").alias("n_docs_a"),
         F.col("rep").alias("rep_a"), "band_id", "band_val",

@@ -1076,3 +1076,65 @@ def test_continuous_gate_drift_matches_batch_query(spark, tmp_path):
     expect = {r["source"]: (r["n_docs"], r["tv_dist"]) for r in batch.collect()}
     assert got == expect  # integer statistics: streamed == batch exactly
     assert len(got) > 1
+
+
+def test_streaming_image_dedup_index(spark, tmp_path):
+    """Online image dedup: within-batch near-dup, cross-batch exact
+    re-upload and near-dup, uniques match nothing, replay idempotence.
+    Fixture seeds (3, 4, 5) are verified geometry: each base↔inverted
+    pair is within Hamming 6–7, all cross-seed distances exceed the
+    threshold."""
+    import os
+
+    from monolith_spark.operators import multimodal as mm
+    from monolith_spark.streaming.phashdup import StreamingImageDedupIndex
+
+    def img(seed, pert=False):
+        base = mm.synth_image_varied(seed, 8 + seed % 5, 8 + seed % 3)
+        return mm.encode_ppm(mm.invert_corner_block(base) if pert else base)
+
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "media")
+    # slice 1: 2 is a near-dup of 1 (same seed, inverted corner); 10 unique
+    spark.createDataFrame(
+        [(1, img(3)), (2, img(3, pert=True)), (10, img(4))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # slice 2: 3 re-uploads image 1 exactly; 4 is a near-dup of 10; 11 unique
+    spark.createDataFrame(
+        [(3, img(3)), (4, img(4, pert=True)), (11, img(5))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx = StreamingImageDedupIndex(spark, str(tmp_path / "idx"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = idx.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["new_media_id"], r["old_media_id"]): r["hamming"]
+           for r in idx.matches().collect()}
+    assert got[(2, 1)] in range(1, 8)       # within-batch near-dup
+    assert got[(3, 1)] == 0                 # cross-batch exact re-upload
+    assert (3, 2) in got                    # cross-batch near-dup (pert side)
+    assert got[(4, 10)] in range(1, 8)      # cross-batch near-dup
+    assert set(got) == {(2, 1), (3, 1), (3, 2), (4, 10)}
+
+    # replaying a completed epoch is a no-op (ledger fast path)
+    slice2 = spark.createDataFrame(
+        [(3, img(3)), (4, img(4, pert=True)), (11, img(5))], schema
+    )
+    idx.process_batch(slice2, epoch_id=1)
+    assert {(r["new_media_id"], r["old_media_id"]) for r in idx.matches().collect()} \
+        == {(2, 1), (3, 1), (3, 2), (4, 10)}
+
+    # crash-replay: epoch 1's writes landed but the ledger mark didn't;
+    # the rerun overwrites epoch 1's partitions without double-matching
+    os.remove(os.path.join(str(tmp_path / "idx"), "_epochs", "1.done"))
+    idx.process_batch(slice2, epoch_id=1)
+    rows = idx.matches().collect()
+    assert len(rows) == 4
+    assert {(r["new_media_id"], r["old_media_id"]) for r in rows} \
+        == {(2, 1), (3, 1), (3, 2), (4, 10)}
