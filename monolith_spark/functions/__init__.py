@@ -70,6 +70,7 @@ from monolith_spark.operators.timeseries import (
 from monolith_spark.operators.multimodal import (
     ahash64,
     audio_fingerprint45,
+    video_fingerprint,
     decode_image,
     dhash64,
     encode_ppm,
@@ -103,5 +104,5 @@ __all__ = [
     "cms_sketch", "cms_estimate", "cms_merge", "cms_bucket_expr",
     "kmv_sketch", "kmv_merge", "kmv_estimate", "bpe_symbol_count_expr",
     "decode_image", "encode_ppm", "encode_wav", "encode_y4m", "resize_image",
-    "ahash64", "dhash64", "audio_fingerprint45",
+    "ahash64", "dhash64", "audio_fingerprint45", "video_fingerprint",
 ]

@@ -1071,3 +1071,115 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "fp"])
 
     return df.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprint dedup — the fourth modality (text winnowing, image
+# aHash/dHash, audio fingerprint, video spatio-temporal signature). Per
+# frame a 16-bit spatial average-hash (4×4 NN grid, cross-multiplied mean
+# comparison — the ahash64 device at clip scale); the clip fingerprint
+# packs the frame count with the first three frames' spatial hashes, so
+# both content and duration participate. All integer arithmetic over the
+# decoded luma plane — SQL-replayable bit for bit.
+# ---------------------------------------------------------------------------
+
+
+def _frame_spatial16(frame: np.ndarray) -> int:
+    """16-bit average-hash of one luma frame: NN-sample a 4×4 grid,
+    bit = v·16 >= Σv, packed row-major MSB-first."""
+    h, w = frame.shape[:2]
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(4) * w) // 4
+    g = frame[np.ix_(ys, xs)].astype(np.int64)
+    bits = (g.flatten() * 16 >= g.sum()).astype(np.uint8)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def video_fingerprint(frames: list[np.ndarray]) -> int | None:
+    """Spatio-temporal clip fingerprint (non-negative, < 2⁶³):
+    (n_frames << 48) | s₀ << 32 | s₁ << 16 | s₂, where s_f is frame
+    f's 16-bit spatial hash and s₂ = 0 for 2-frame clips. Empty clips
+    return None."""
+    if not frames:
+        return None
+    fp = len(frames) << 48
+    for f in range(min(3, len(frames))):
+        fp |= _frame_spatial16(frames[f]) << (32 - 16 * f)
+    return fp
+
+
+def synth_video_varied(
+    seed: int, width: int, height: int, n_frames: int
+) -> list[np.ndarray]:
+    """Deterministic luma frames with seed-dependent spatial texture
+    (the synth_image_varied device — synth_video's seeds differ only
+    by an additive offset, which mean-comparison hashes cancel):
+    frame f pixel (y, x) =
+    ((3 + seed%5)·x + (5 + seed%7)·y + (seed%11)·x·y + 11f + 7·seed) % 256."""
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    return [
+        (((3 + seed % 5) * x + (5 + seed % 7) * y + (seed % 11) * x * y
+          + 11 * f + 7 * seed) % 256).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+
+
+def attach_video_fp_media(
+    df: DataFrame, id_col: str = "doc_id", n_clips: int = 24
+) -> DataFrame:
+    """Media table of REAL Y4M bytes for the fingerprint-dedup query:
+    clip content repeats with period ``n_clips`` (seed = id % n_clips,
+    (8 + 2·(seed%3)) × (6 + 2·(seed%2)) seed-textured luma,
+    2 + seed%4 frames). The 24 fixture clips map to 24 distinct
+    fingerprints (unit-tested)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                seed = int(i) % n_clips
+                w, h = 8 + 2 * (seed % 3), 6 + 2 * (seed % 2)
+                payloads.append(
+                    encode_y4m(synth_video_varied(seed, w, h, 2 + seed % 4), w, h)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        batches, out_schema
+    )
+
+
+def video_fingerprints(df: DataFrame) -> DataFrame:
+    """Fingerprints over the real byte path: Y4M payload → spec-based
+    decode → video_fingerprint. Narrow Arrow-batched map; undecodable
+    payloads yield NULL."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("fp", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _, _, frames = _decode_y4m(bytes(payload))
+                    rows.append((mid, video_fingerprint(frames)))
+                except ValueError:
+                    rows.append((mid, None))
+            yield pd.DataFrame(rows, columns=["media_id", "fp"])
+
+    return df.select("media_id", "payload").mapInPandas(batches, out_schema)

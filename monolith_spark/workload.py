@@ -4993,6 +4993,55 @@ def multimodal_audio_fp_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "multimodal_video_fp_dupes",
+    """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+    m AS (SELECT media_id, media_id % 24 AS seed FROM d),
+    v AS (SELECT DISTINCT seed FROM m),
+    dim AS (SELECT seed, 8 + 2*(seed % 3) AS w, 6 + 2*(seed % 2) AS h,
+                   2 + seed % 4 AS nf FROM v),
+    cell AS (SELECT seed, nf, f.f AS f, j.j*4 + i.i AS idx,
+                    ((3 + seed%5) * ((i.i * w) // 4)
+                     + (5 + seed%7) * ((j.j * h) // 4)
+                     + (seed%11) * ((i.i * w) // 4) * ((j.j * h) // 4)
+                     + 11*f.f + 7*seed) % 256 AS luma
+             FROM dim, range(3) f(f), range(4) i(i), range(4) j(j)
+             WHERE f.f < nf),
+    tot AS (SELECT seed, f, sum(luma) AS total FROM cell GROUP BY 1, 2),
+    sb AS (SELECT cell.seed, cell.f,
+                  CAST(coalesce(sum(CASE WHEN luma * 16 >= total
+                        THEN (CAST(1 AS BIGINT) << (15 - CAST(idx AS INT)))
+                        ELSE 0 END), 0) AS BIGINT) AS s
+           FROM cell JOIN tot USING (seed, f) GROUP BY 1, 2),
+    fpc AS (SELECT sb.seed,
+                   CAST(any_value(nf) << 48 AS BIGINT)
+                     + CAST(sum(s << (32 - 16 * CAST(f AS INT))) AS BIGINT) AS fp
+            FROM sb JOIN dim USING (seed) GROUP BY 1)
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
+           min(media_id) AS group_rep, CAST(sum(media_id) AS BIGINT) AS clip_sum
+    FROM m JOIN fpc USING (seed)
+    GROUP BY 1
+    """,
+)
+def multimodal_video_fp_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup by spatio-temporal fingerprint — the fourth
+    modality (text winnowing, image aHash, audio fingerprint, video
+    signature): REAL Y4M bytes → decode → per-frame 16-bit spatial
+    average-hash over a 4×4 luma grid, packed with the frame count
+    (multimodal.video_fingerprint) → hash-grain duplicate groups. The
+    24 fixture clips give 24 distinct fingerprints; every bit is
+    integer arithmetic and the oracle replays the sampling, the
+    cross-multiplied mean threshold, and the packing symbolically.
+    One narrow Arrow map + one map-combinable groupBy."""
+    media = _mm.attach_video_fp_media(_docs(spark, sf_dir))
+    return _mm.video_fingerprints(media).groupBy("fp").agg(
+        F.count("*").cast("long").alias("n_clips"),
+        F.min("media_id").alias("group_rep"),
+        F.sum("media_id").cast("long").alias("clip_sum"),
+    )
+
+
 _EMB_TAU = 0.4  # synthetic embeddings are random: max pair cosine ~0.6
 
 

@@ -2091,3 +2091,38 @@ def test_audio_fingerprint_end_to_end(spark):
     }))
     out = {r["media_id"]: r["fp"] for r in multimodal.audio_fingerprints(bad).collect()}
     assert out[1] is None and out[2] is None
+
+
+def test_video_fingerprint_end_to_end(spark):
+    """Video fingerprints through the REAL Y4M path: equal clips hash
+    equal, 24 fixture seeds -> 24 distinct fingerprints, the golden
+    packing matches numpy, corrupt payloads degrade to NULL."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(72)], "doc_id long, text string"
+    )
+    media = multimodal.attach_video_fp_media(docs)
+    fps = multimodal.video_fingerprints(media).toPandas()
+    assert len(fps) == 72
+    cls = {}
+    for _, r in fps.iterrows():
+        cls.setdefault(int(r.media_id) % 24, set()).add(int(r.fp))
+    assert all(len(v) == 1 for v in cls.values())
+    vals = {v.pop() for v in cls.values()}
+    assert len(vals) == 24                       # all clips distinct
+    assert all(0 <= f < (1 << 63) for f in vals)
+
+    # golden: frame count in the top bits, spatial hashes below
+    seed = 7
+    w, h, nf = 8 + 2 * (seed % 3), 6 + 2 * (seed % 2), 2 + seed % 4
+    frames = multimodal.synth_video_varied(seed, w, h, nf)
+    exp = multimodal.video_fingerprint(frames)
+    got = int(fps[fps.media_id == 7].iloc[0].fp)
+    assert got == exp and (exp >> 48) == nf
+
+    assert multimodal.video_fingerprint([]) is None
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [5], "payload": [b"not a y4m"]})
+    )
+    assert multimodal.video_fingerprints(bad).collect()[0]["fp"] is None
