@@ -4936,6 +4936,65 @@ def multimodal_phash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "multimodal_phash_resolve",
+    f"""
+    WITH RECURSIVE {_phash_cte()},
+    hs AS (SELECT DISTINCT ahash AS h FROM ah),
+    p AS (SELECT a.h AS ha, b.h AS hb FROM hs a, hs b
+          WHERE a.h < b.h AND bit_count(xor(a.h, b.h)) BETWEEN 1 AND 7),
+    edges AS (SELECT ha AS src, hb AS dst FROM p
+              UNION SELECT hb, ha FROM p),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+    cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY 1),
+    hc AS (SELECT h, coalesce(cluster, h) AS cluster
+           FROM hs LEFT JOIN cl ON h = node),
+    doc AS (SELECT media_id, cluster
+            FROM m JOIN ah USING (seed, pert) JOIN hc ON ah.ahash = hc.h),
+    rep AS (SELECT cluster, min(media_id) AS cluster_rep FROM doc GROUP BY 1)
+    SELECT media_id, cluster_rep, media_id = cluster_rep AS keep
+    FROM doc JOIN rep USING (cluster)
+    """,
+)
+def multimodal_phash_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup RESOLUTION — detect → group → keep one: connected
+    components (dedup.cluster_pairs, the same min-label CC every text
+    dedup uses) over the banded-Hamming pair graph at the
+    distinct-hash grain, exact duplicates joining their group through
+    the shared hash value, then a per-cluster keep-best verdict (min
+    media_id wins) for every document. CC runs over |unique images|
+    nodes — never documents — so the iterative part is tiny even when
+    each image repeats millions of times; the doc-grain work is two
+    equi-joins. The oracle recomputes the hashes symbolically,
+    brute-forces the edge set, and replays the components with a
+    recursive CTE. Undecodable media (NULL hash) can't be duplicates
+    and are excluded upstream."""
+    media = _mm.attach_phash_media(_docs(spark, sf_dir))
+    hashes = (
+        _mm.image_hashes(media)
+        .filter(F.col("ahash").isNotNull())
+        .select("media_id", "ahash")
+    )
+    pairs = _mm.phash_near_dup_pairs(hashes, hash_col="ahash", max_hamming=7)
+    labels = _dedup.cluster_pairs(
+        pairs.select("hash_a", "hash_b"), a="hash_a", b="hash_b"
+    )
+    hc = (
+        hashes.select(F.col("ahash").alias("h")).distinct()
+        .join(labels, F.col("h") == F.col("node"), "left")
+        .select("h", F.coalesce(F.col("cluster_id"), F.col("h")).alias("cluster"))
+    )
+    doc = hashes.join(hc, hashes.ahash == hc.h).select("media_id", "cluster")
+    rep = doc.groupBy("cluster").agg(F.min("media_id").alias("cluster_rep"))
+    return doc.join(rep, "cluster").select(
+        "media_id", "cluster_rep",
+        (F.col("media_id") == F.col("cluster_rep")).alias("keep"),
+    )
+
+
+@_q(
     "multimodal_audio_fp_dupes",
     """
     WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),

@@ -2126,3 +2126,19 @@ def test_video_fingerprint_end_to_end(spark):
         pd.DataFrame({"media_id": [5], "payload": [b"not a y4m"]})
     )
     assert multimodal.video_fingerprints(bad).collect()[0]["fp"] is None
+
+
+def test_phash_resolve_keep_one_per_cluster(spark):
+    """Image dedup resolution: exactly one keeper per cluster, every
+    doc with the same hash shares its cluster, and the keeper is the
+    min media_id."""
+    from monolith_spark import workload
+
+    out = workload.all_queries()["multimodal_phash_resolve"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) > 0
+    by_rep = out.groupby("cluster_rep")
+    for rep, g in by_rep:
+        assert g["keep"].sum() == 1            # exactly one keeper
+        assert g[g["keep"]]["media_id"].iloc[0] == rep == g["media_id"].min()
