@@ -1344,3 +1344,52 @@ def pca_project(
         F.col(id_col), F.col("__o.score").alias("score"),
         F.col("__o.recon_err").alias("recon_err"),
     )
+
+
+def jl_project(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: dense sign-matrix
+    dimensionality reduction y_j = (Σ_d x_d·s(j,d)) / sqrt(out_dim)
+    with s(j,d) ∈ {±1} from the parity of an md5-derived hash of
+    (j, d) — the same seedless-plane device as hyperplane_signature,
+    so any engine with md5 reproduces the projection bit for bit
+    (Achlioptas 2003: ±1 entries satisfy the JL distance-preservation
+    lemma; the denser Gaussian matrix buys nothing).
+
+    The 100 TB role: shrink embeddings before ANN/dedup — a narrow
+    zero-shuffle map, O(dim·out_dim) flops per row, no trained state
+    to ship (unlike PCA, no covariance pass). Each output component
+    is ONE sequential ascending-dim fold referenced exactly once in
+    the array constructor — no lambda re-evaluation (the pca_project
+    trap).
+
+    Returns [id_col, jl: array<double>(out_dim)]."""
+    v = _dbl(vec_col)
+
+    def _sign_array(prefix: str) -> Column:
+        def body(d: Column) -> Column:
+            return F.when(
+                hash60_expr(F.concat(F.lit(prefix), d.cast("string"))) % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), body)
+
+    scale = F.sqrt(F.lit(float(out_dim)))
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(v, _sign_array(f"jl{j}:"), lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / scale
+        )
+        for j in range(out_dim)
+    ]
+    return corpus.select(F.col(id_col), F.array(*comps).alias("jl"))

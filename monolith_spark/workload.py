@@ -4523,6 +4523,82 @@ def sim_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_SIGN_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5('jl' || CAST(j AS VARCHAR) || ':' "
+    "|| CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+@_q(
+    "emb_jl_distortion",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 40),
+    p AS (SELECT vec_id, v,
+                 list_transform(range(0, 16), j ->
+                   list_reduce(list_transform(range(0, 64),
+                       d -> v[d+1] * {_JL_SIGN_SQL}),
+                     (x, y) -> x + y) / sqrt(16.0)) AS jl
+          FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, jl AS qjl FROM p WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, v AS cv, jl AS cjl
+          FROM p WHERE vec_id >= 8)
+    SELECT query_id, cand_id,
+           list_reduce(list_transform(range(0, 64),
+               d -> (qv[d+1] - cv[d+1]) * (qv[d+1] - cv[d+1])), (x,y) -> x+y)
+             AS d2_orig,
+           list_reduce(list_transform(range(0, 16),
+               j -> (qjl[j+1] - cjl[j+1]) * (qjl[j+1] - cjl[j+1])), (x,y) -> x+y)
+             AS d2_proj,
+           list_reduce(list_transform(range(0, 16),
+               j -> (qjl[j+1] - cjl[j+1]) * (qjl[j+1] - cjl[j+1])), (x,y) -> x+y)
+             / list_reduce(list_transform(range(0, 64),
+               d -> (qv[d+1] - cv[d+1]) * (qv[d+1] - cv[d+1])), (x,y) -> x+y)
+             AS distortion
+    FROM q, c
+    """,
+)
+def emb_jl_distortion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection with its distance-preservation
+    audit: 64-dim embeddings projected to 16 dims by the seedless
+    md5-sign matrix (similarity.jl_project — a zero-shuffle narrow
+    map, the cheap dim-reduction step before ANN/dedup at 100 TB),
+    then squared L2 distances before vs after over a bounded
+    query×candidate probe set (8×32 pairs — the verify tier, same
+    category as the ANN recall probes). Every distance is a
+    sequential ascending-dim double fold, so the oracle reproduces
+    projection AND distortion ratios bit for bit."""
+    base = _embs(spark, sf_dir).filter(F.col("vec_id") < 40).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    proj = _sim.jl_project(base, out_dim=16, dim=64, vec_col="v")
+    base = base.join(proj, "vec_id")
+    q = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"), F.col("jl").alias("qjl"),
+    )
+    c = base.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"), F.col("jl").alias("cjl"),
+    )
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "cand_id",
+            sq("qv", "cv").alias("d2_orig"),
+            sq("qjl", "cjl").alias("d2_proj"),
+            (sq("qjl", "cjl") / sq("qv", "cv")).alias("distortion"),
+        )
+    )
+
+
 @_q(
     "docs_semantic_search",
     f"""

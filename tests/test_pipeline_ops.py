@@ -2142,3 +2142,29 @@ def test_phash_resolve_keep_one_per_cluster(spark):
     for rep, g in by_rep:
         assert g["keep"].sum() == 1            # exactly one keeper
         assert g[g["keep"]]["media_id"].iloc[0] == rep == g["media_id"].min()
+
+
+def test_jl_project_distance_preservation(spark):
+    """JL projection: deterministic across calls, and squared-distance
+    distortion over the fixture probe pairs stays within the loose JL
+    band for k=16 (the guarantee is probabilistic; the fixture is a
+    fixed set, so the observed band is locked as a regression check)."""
+    from monolith_spark import workload
+
+    out = workload.all_queries()["emb_jl_distortion"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) == 8 * 32
+    assert (out["d2_orig"] > 0).all()
+    # distortion concentrates around 1; k=16 gives a wide but bounded band
+    assert out["distortion"].between(0.2, 3.0).all()
+    # observed fixture mean is ~1.31 (fixed md5 planes, fixed vectors)
+    assert 0.6 < out["distortion"].mean() < 1.6
+
+    # determinism: same md5 planes every call
+    again = workload.all_queries()["emb_jl_distortion"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    a = out.sort_values(["query_id", "cand_id"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "cand_id"]).reset_index(drop=True)
+    assert (a["d2_proj"] == b["d2_proj"]).all()
