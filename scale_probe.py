@@ -192,6 +192,45 @@ def ranking_probe(spark, mult: int) -> dict:
     return out
 
 
+def multimodal_probe(spark, mult: int) -> dict:
+    """Times the perceptual-hash dedup family at docs × mult with the
+    unique-image count scaled by the same multiplier (n_images =
+    40·mult): the hash map is linear in documents, the near-dup banded
+    join is keyed on distinct hashes — both sides of the scaling claim
+    get exercised. A fixed n_images would hold the join side constant
+    and measure only the narrow map."""
+    from monolith_spark.operators import multimodal as mm
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    parts = [d]
+    for i in range(1, mult):
+        parts.append(d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)))
+    docs = reduce(lambda a, b: a.unionByName(b), parts)
+    media = mm.attach_phash_media(docs, n_images=40 * mult).localCheckpoint(
+        eager=True
+    )
+    t0 = time.perf_counter()
+    hashes = mm.image_hashes(media).localCheckpoint(eager=True)
+    hash_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hashes.groupBy("ahash", "dhash").agg(
+        F.count("*").alias("n"), F.min("media_id").alias("rep")
+    ).write.format("noop").mode("overwrite").save()
+    group_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs = mm.phash_near_dup_pairs(hashes).count()
+    pair_s = time.perf_counter() - t0
+    return {
+        "mult": mult,
+        "n_media": media.count(),
+        "n_unique_hashes": hashes.select("ahash").distinct().count(),
+        "hash_sec": round(hash_s, 3),
+        "dup_groups_sec": round(group_s, 3),
+        "neardup_join_sec": round(pair_s, 3),
+        "n_near_pairs": n_pairs,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
@@ -199,6 +238,10 @@ def main() -> None:
         int(m) for m in os.environ.get("SCALE_PROBE_MULTS", "1,10").split(",")
     ]
     target = os.environ.get("SCALE_PROBE_TARGET", "engine")
+    if target == "multimodal":
+        for mult in mults:
+            print(json.dumps(multimodal_probe(spark, mult)))
+        return
     if target == "dedup":
         for mult in mults:
             print(json.dumps(dedup_probe(spark, mult)))
