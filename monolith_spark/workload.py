@@ -4599,6 +4599,73 @@ def emb_jl_distortion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_PROJ_LIST = (
+    "list_transform(range(0, 16), j -> "
+    "list_reduce(list_transform(range(0, 64), d -> v[d+1] * "
+    f"{_JL_SIGN_SQL}), (x, y) -> x + y) / sqrt(16.0))"
+)
+
+_RANKED_TOPK = (
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank"
+)
+
+
+@_q(
+    "emb_jl_ann",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    p AS (SELECT vec_id, {_JL_PROJ_LIST} AS v FROM e),
+    q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id < 8),
+    scored AS (SELECT a.query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+               FROM q a JOIN p b ON b.vec_id <> a.query_id),
+    jl AS (SELECT query_id, neighbor_id, rank, cosine
+           FROM ({_RANKED_TOPK} FROM scored) WHERE rank <= 10),
+    fq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+    fscored AS (SELECT a.query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+                FROM fq a JOIN e b ON b.vec_id <> a.query_id),
+    fk AS (SELECT query_id, neighbor_id
+           FROM ({_RANKED_TOPK} FROM fscored) WHERE rank <= 10)
+    SELECT jl.query_id, jl.neighbor_id, jl.rank, jl.cosine,
+           fk.neighbor_id IS NOT NULL AS in_full_topk
+    FROM jl LEFT JOIN fk
+      ON jl.query_id = fk.query_id AND jl.neighbor_id = fk.neighbor_id
+    """,
+)
+def emb_jl_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN in the JL-projected space — the payoff of jl_project:
+    exact top-10 cosine neighbors computed over 16-dim projections
+    (4× less arithmetic and index footprint than the 64-dim space),
+    each row flagged with whether it also appears in the full-space
+    exact top-10 (the recall signal, per row rather than pooled).
+    Projection, cosine, and ranking are all deterministic sequential
+    folds, so the oracle reproduces the ENTIRE result bit for bit —
+    including which neighbors the projection gets wrong. Verify-tier
+    probe (8 queries), same category as sim_topk_cosine."""
+    embs = _embs(spark, sf_dir)
+    base = embs.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    proj = _sim.jl_project(base, out_dim=16, dim=64, vec_col="v")
+    jl_topk = _sim.brute_force_topk(
+        proj,
+        proj.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"),
+        k=10,
+        vec_col="jl",
+    )
+    full_topk = _sim.brute_force_topk(
+        embs,
+        embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id"),
+        k=10,
+    ).select("query_id", "neighbor_id", F.lit(True).alias("__hit"))
+    return jl_topk.join(full_topk, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "neighbor_id", "rank", "cosine",
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("in_full_topk"),
+    )
+
+
 @_q(
     "docs_semantic_search",
     f"""

@@ -545,7 +545,7 @@ def test_registry_plan_red_flag_sweep(spark, sf_dir):
         "dedup_embedding_pairs", "sim_topk_cosine", "sim_ivf_topk", "sim_pq_topk",
         "docs_semantic_search",
         # bounded 8×32 probe-pair set (verify tier, like the ANN probes)
-        "emb_jl_distortion",
+        "emb_jl_distortion", "emb_jl_ann",
     }
 
     failures = []
