@@ -4642,7 +4642,13 @@ def emb_jl_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Projection, cosine, and ranking are all deterministic sequential
     folds, so the oracle reproduces the ENTIRE result bit for bit —
     including which neighbors the projection gets wrong. Verify-tier
-    probe (8 queries), same category as sim_topk_cosine."""
+    probe (8 queries), same category as sim_topk_cosine. Note on the
+    fixture: the synthetic embeddings are isotropic random vectors, so
+    pairwise cosines are nearly equidistant and top-10 membership is
+    maximally rank-fragile — observed recall ~0.2 is a property of
+    that geometry (distortion stays within the JL band, see
+    emb_jl_distortion); clustered real embeddings, where neighbor
+    gaps are wide, retain far more of their top-k."""
     embs = _embs(spark, sf_dir)
     base = embs.select(
         "vec_id",

@@ -2168,3 +2168,19 @@ def test_jl_project_distance_preservation(spark):
     a = out.sort_values(["query_id", "cand_id"]).reset_index(drop=True)
     b = again.sort_values(["query_id", "cand_id"]).reset_index(drop=True)
     assert (a["d2_proj"] == b["d2_proj"]).all()
+
+
+def test_jl_ann_recall_flags_deterministic(spark):
+    """emb_jl_ann: per-row full-space membership flags are a fixed
+    deterministic quantity on the fixture (md5 planes + fixed
+    vectors); lock the observed recall as a regression check. Low
+    absolute recall is expected — isotropic random vectors make
+    top-10 membership maximally rank-fragile under projection."""
+    from monolith_spark import workload
+
+    out = workload.all_queries()["emb_jl_ann"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) == 80
+    assert out["in_full_topk"].mean() == 0.2
+    assert sorted(out["rank"].unique()) == list(range(1, 11))
