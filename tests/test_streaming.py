@@ -1138,3 +1138,79 @@ def test_streaming_image_dedup_index(spark, tmp_path):
     assert len(rows) == 4
     assert {(r["new_media_id"], r["old_media_id"]) for r in rows} \
         == {(2, 1), (3, 1), (3, 2), (4, 10)}
+
+
+def test_continuous_bigram_lm_matches_batch(spark, tmp_path):
+    """Per-epoch unigram/bigram count partials must merge to exactly
+    the batch tables; scoring and bucketing the streamed corpus
+    against the merged model must equal the one-shot batch operator;
+    replays no-op."""
+    from monolith_spark.operators.ranking import ntile_expr, with_exact_rank
+    from monolith_spark.operators.text import (
+        bigram_lm_score,
+        doc_bigrams,
+        tokens_expr,
+    )
+    from monolith_spark.streaming.bigramlm import ContinuousBigramLM
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps under the tall tree"),
+        (3, "a slow green turtle walks past the lazy dog"),
+        (4, "the lazy dog sleeps and the quick fox jumps"),
+        (5, "rivers run cold in the deep green valley every morning"),
+        (6, "every morning the valley wakes to cold rivers and fog"),
+    ]
+    src = str(tmp_path / "docs")
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        spark.createDataFrame(rows[lo:hi], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    model = ContinuousBigramLM(spark, str(tmp_path / "lm"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = model.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    docs = spark.read.parquet(src)
+    # merged count tables == batch tables
+    from pyspark.sql import functions as F
+
+    batch_uni = {
+        r["tok"]: r["c"]
+        for r in docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c")).collect()
+    }
+    got_uni = {r["tok"]: r["c1"] for r in model.unigrams().collect()}
+    assert got_uni == batch_uni
+    batch_bi = {
+        r["bg"]: r["c"]
+        for r in doc_bigrams(docs).groupBy("bg").agg(F.count("*").alias("c")).collect()
+    }
+    got_bi = {r["bg"]: r["c2"] for r in model.bigrams().collect()}
+    assert got_bi == batch_bi
+
+    # streamed-model scores == batch self-scores (bit-exact)
+    batch_scores = {r["doc_id"]: (r["n_bigrams"], r["avg_bigram_p"])
+                    for r in bigram_lm_score(docs).collect()}
+    got_scores = {r["doc_id"]: (r["n_bigrams"], r["avg_bigram_p"])
+                  for r in model.score(docs).collect()}
+    assert got_scores == batch_scores
+
+    # streamed-model terciles == the batch bucket construction
+    scored = bigram_lm_score(docs).select(
+        "doc_id", F.col("avg_bigram_p").alias("lm_score"))
+    ranked, cnt, _ = with_exact_rank(
+        scored, "lm_score", ["doc_id"], "__rnk", domain=(0.0, 1.0))
+    batch_buckets = {r["doc_id"]: r["bucket"] for r in ranked.select(
+        "doc_id", ntile_expr("__rnk", cnt, 3).alias("bucket")).collect()}
+    got_buckets = {r["doc_id"]: r["bucket"] for r in model.buckets(docs).collect()}
+    assert got_buckets == batch_buckets
+    assert set(got_buckets.values()) == {1, 2, 3}
+
+    # replaying a completed epoch is a no-op
+    model.process_batch(docs, epoch_id=0)
+    assert {r["tok"]: r["c1"] for r in model.unigrams().collect()} == batch_uni
