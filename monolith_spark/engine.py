@@ -470,6 +470,138 @@ class MonolithDB:
                 dropped += 1
         return dropped
 
+    def _rollup(self, raw: DataFrame, step_ms: int) -> DataFrame:
+        """The tiering aggregate shared by write-time rollups and the
+        on-the-fly path in query_downsampled — using ONE construction
+        on both sides makes rolled and raw chunks bit-identical under
+        every served aggregate: [series_id, bucket_ms, n_points,
+        sum_value (DECIMAL — order-free), min/max_value, last struct
+        (max by (ts, value) — deterministic under duplicate ts)]."""
+        bucket = (
+            (F.floor(F.col("timestamp") / F.lit(step_ms)) * F.lit(step_ms))
+            .cast("long")
+            .alias("bucket_ms")
+        )
+        return raw.groupBy("series_id", bucket).agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max(F.struct(F.col("timestamp"), F.col("value"))).alias("last"),
+        )
+
+    def _rollup_dir(self, step_ms: int) -> str:
+        return os.path.join(self.path, "rollups", f"step_ms={step_ms}")
+
+    def downsample_retention(
+        self, cutoff_ms: int, step_ms: int
+    ) -> tuple[int, int]:
+        """Resolution-tiering retention (the Thanos/Prometheus
+        downsampling story — keep raw data hot, keep only step-grain
+        aggregates beyond the horizon): for every chunk whose range
+        ends before ``cutoff_ms``, (1) write its per-(series, bucket)
+        rollup into ``rollups/step_ms=<s>/chunk_id=<cid>`` —
+        mode=overwrite, so replays are idempotent — then (2) delete
+        the raw partition. A crash between the two leaves BOTH tiers
+        for that chunk; query_downsampled prefers the rollup for any
+        rolled chunk, so the window never double-counts, and a retried
+        pass converges (re-rollup of a deleted raw partition is
+        skipped; re-delete of remaining raw completes the tiering).
+        Lossy by design — raw points are gone; use
+        export_chunk_gorilla for the lossless cold archive. Returns
+        (chunks_rolled, chunks_dropped)."""
+        import shutil
+
+        if not os.path.isdir(self.samples_path):
+            return (0, 0)
+        base = self._rollup_dir(step_ms)
+        rolled = dropped = 0
+        for name in sorted(os.listdir(self.samples_path)):
+            if not name.startswith("chunk_id="):
+                continue
+            try:
+                cid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if (cid + 1) * self.chunk_size_ms - 1 >= cutoff_ms:
+                continue
+            raw = self.spark.read.parquet(os.path.join(self.samples_path, name))
+            self._rollup(raw, step_ms).write.mode("overwrite").parquet(
+                os.path.join(base, f"chunk_id={cid}")
+            )
+            rolled += 1
+            shutil.rmtree(os.path.join(self.samples_path, name))
+            dropped += 1
+        return (rolled, dropped)
+
+    def _rolled_chunk_ids(self, step_ms: int) -> list[int]:
+        base = self._rollup_dir(step_ms)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for name in os.listdir(base):
+            if name.startswith("chunk_id="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def query_downsampled(
+        self,
+        matchers,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        agg: str = "avg",
+    ) -> DataFrame:
+        """Step-grain query across BOTH retention tiers: rolled chunks
+        served from their stored aggregates, still-raw chunks
+        downsampled on the fly with the identical construction, one
+        union + semi-join against the matched dim. ``agg`` ∈ {avg,
+        sum, min, max, last, count}. Rolled buckets are whole-bucket
+        aggregates, so the query range snaps outward to the step grid
+        on rolled data (the standard tiered-TSDB caveat); raw chunks
+        honor it too for tier-equality. Returns [series_id, bucket_ms,
+        n_points, value] ordered within series time-ascending by the
+        caller's choice."""
+        rolled = self._rolled_chunk_ids(step_ms)
+        lo = (start_ms // step_ms) * step_ms
+        parts = []
+        if rolled:
+            ro = (
+                self.spark.read.parquet(self._rollup_dir(step_ms))
+                .filter(
+                    (F.col("bucket_ms") >= lo) & (F.col("bucket_ms") <= end_ms)
+                )
+                .drop("chunk_id")
+            )
+            parts.append(ro)
+        raw = self.samples().filter(
+            chunk_pred(lo, end_ms, self.chunk_size_ms)
+            & (F.col("timestamp") >= lo)
+            & (F.col("timestamp") <= end_ms)
+        )
+        if rolled:
+            raw = raw.filter(~F.col("chunk_id").isin(rolled))
+        parts.append(self._rollup(raw, step_ms))
+        tiers = parts[0]
+        for p in parts[1:]:
+            tiers = tiers.unionByName(p)
+        sel = self._matched_series(matchers).select("series_id")
+        tiers = tiers.join(self._dim_hint(sel), "series_id", "left_semi")
+        value = {
+            "avg": F.col("sum_value").cast("double") / F.col("n_points"),
+            "sum": F.col("sum_value").cast("double"),
+            "min": F.col("min_value"),
+            "max": F.col("max_value"),
+            "last": F.col("last.value"),
+            "count": F.col("n_points").cast("double"),
+        }[agg]
+        return tiers.select(
+            "series_id", "bucket_ms", "n_points", value.alias("value")
+        )
+
     def delete_series(self, matchers) -> int:
         """Selective series deletion (GDPR / tombstone analog): remove
         every series matching ``matchers`` — dict superset semantics or

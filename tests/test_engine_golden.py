@@ -729,3 +729,64 @@ def test_recovery_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch):
     db.samples()
     monkeypatch.setattr("monolith_spark.engine.os.rename", failing_rename)
     assert db.query({"m": "a"}, 0, 100_000).count() == 1
+
+
+def test_downsample_retention_tiers_serve_identically(spark, tmp_path):
+    """Resolution-tiering retention: rolled chunks must serve every
+    aggregate bit-identically to the raw data they replaced, raw
+    partitions beyond the horizon are gone, a crash between rollup
+    write and raw delete never double-counts, and a retried pass
+    converges."""
+    import os
+    import shutil
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    rows = [
+        ({"job": "api", "dc": "eu"}, t, float(v))
+        for t, v in [
+            (1_000, 5.0), (2_500, 1.0), (9_000, 7.0),     # chunk 0
+            (11_000, 2.0), (15_000, 9.0),                 # chunk 1
+            (21_000, 4.0), (29_000, 6.0),                 # chunk 2
+            (31_000, 8.0),                                # chunk 3 (stays raw)
+        ]
+    ] + [({"job": "db"}, 3_000, 100.0), ({"job": "db"}, 12_000, 50.0)]
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+
+    def snap(agg):
+        return sorted(
+            (r["series_id"], r["bucket_ms"], r["n_points"], r["value"])
+            for r in db.query_downsampled(
+                {"job": "api"}, 0, 40_000, step_ms=5_000, agg=agg
+            ).collect()
+        )
+
+    before = {a: snap(a) for a in ("avg", "sum", "min", "max", "last", "count")}
+    assert len(before["avg"]) > 0
+
+    # crash injection: rollup for chunk 0 lands, raw survives — the
+    # query must prefer the rollup and not double-count
+    raw0 = spark.read.parquet(os.path.join(db.samples_path, "chunk_id=0"))
+    db._rollup(raw0, 5_000).write.mode("overwrite").parquet(
+        os.path.join(db._rollup_dir(5_000), "chunk_id=0")
+    )
+    assert {a: snap(a) for a in before} == before
+
+    # the retried pass converges: chunks 0-2 tier, chunk 3 stays raw
+    rolled, dropped = db.downsample_retention(cutoff_ms=30_000, step_ms=5_000)
+    assert (rolled, dropped) == (3, 3)
+    left = {d for d in os.listdir(db.samples_path) if d.startswith("chunk_id=")}
+    assert left == {"chunk_id=3"}
+    assert sorted(db._rolled_chunk_ids(5_000)) == [0, 1, 2]
+
+    # every aggregate identical across the tier boundary
+    assert {a: snap(a) for a in before} == before
+
+    # the other series was tiered too but stays invisible to this matcher
+    other = db.query_downsampled({"job": "db"}, 0, 40_000, 5_000).collect()
+    assert {r["bucket_ms"] for r in other} == {0, 10_000}
+
+    # idempotent: nothing left to roll at the same cutoff
+    assert db.downsample_retention(cutoff_ms=30_000, step_ms=5_000) == (0, 0)
+    shutil.rmtree(str(tmp_path / "db"), ignore_errors=True)
