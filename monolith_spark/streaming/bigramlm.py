@@ -82,7 +82,10 @@ class ContinuousBigramLM:
 
     def unigrams(self) -> DataFrame:
         """Merged whole-stream unigram table [tok, c1] — counts add, so
-        this IS the batch table over everything streamed so far."""
+        this IS the batch table over everything streamed so far (empty
+        before the first epoch lands)."""
+        if not os.path.exists(self.uni_path):
+            return self.spark.createDataFrame([], "tok string, c1 long")
         return (
             self.spark.read.parquet(self.uni_path)
             .groupBy("tok")
@@ -91,6 +94,8 @@ class ContinuousBigramLM:
 
     def bigrams(self) -> DataFrame:
         """Merged whole-stream bigram table [bg, c2]."""
+        if not os.path.exists(self.bi_path):
+            return self.spark.createDataFrame([], "bg string, c2 long")
         return (
             self.spark.read.parquet(self.bi_path)
             .groupBy("bg")
