@@ -170,6 +170,17 @@ def main() -> None:
                 timed(name, _ivf_serving, runs=2)
             else:
                 timed(name, lambda n=name: _force(queries[n].spark_fn(spark, SF_DIR)), runs=2)
+
+        # Resolution-tiering retention (mutates the main db — keep LAST):
+        # roll chunks past a mid-January horizon into 1h rollups, then a
+        # step-grain query served across both tiers.
+        JAN11 = JAN1 + 10 * 86_400_000
+        timed("retention_tiering",
+              lambda: db.downsample_retention(JAN11, 3_600_000))
+        timed("query_downsampled_tiered", lambda: _force(
+            db.query_downsampled(
+                {"event_type": "click"}, 0, 4_000_000_000_000, 3_600_000
+            )), runs=2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
