@@ -192,6 +192,60 @@ def ts_downsample_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_retention_rollup",
+    f"""
+    WITH r AS (
+      SELECT {SIG_SQL} AS signature,
+             (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+             epoch_ms(ts) AS t, value
+      FROM events WHERE event_type = 'click'),
+    a AS (SELECT signature, bucket_ms,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+                 min(value) AS min_value, max(value) AS max_value
+          FROM r GROUP BY 1, 2),
+    l AS (SELECT signature, bucket_ms, value AS last_value
+          FROM (SELECT signature, bucket_ms, value,
+                       row_number() OVER (PARTITION BY signature, bucket_ms
+                                          ORDER BY t DESC, value DESC) AS rn
+                FROM r) WHERE rn = 1)
+    SELECT a.signature, a.bucket_ms, a.n_points, a.sum_value,
+           a.min_value, a.max_value, l.last_value
+    FROM a JOIN l USING (signature, bucket_ms)
+    """,
+)
+def ts_retention_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiering aggregate of MonolithDB.downsample_retention
+    (engine._rollup), grounded cross-engine at hour grain over the
+    events fixture: DECIMAL(28,6) sums (order-free), min/max, and the
+    deterministic last point — max by (timestamp, value), so duplicate
+    timestamps can't make the rolled tier engine-dependent. The oracle
+    picks the same point via a (t DESC, value DESC) row_number. One
+    map-combinable groupBy; this is the exact shape every rolled chunk
+    serves after the raw data is gone."""
+    s = events_samples(spark, sf_dir, matchers={"event_type": "click"})
+    bucket = (
+        (F.floor(F.col("timestamp") / F.lit(3_600_000)) * F.lit(3_600_000))
+        .cast("long")
+        .alias("bucket_ms")
+    )
+    return (
+        s.groupBy("signature", bucket)
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max(F.struct(F.col("timestamp"), F.col("value"))).alias("__l"),
+        )
+        .select(
+            "signature", "bucket_ms", "n_points", "sum_value",
+            "min_value", "max_value", F.col("__l.value").alias("last_value"),
+        )
+    )
+
+
+@_q(
     "ts_rollup_cascade",
     f"""
     WITH h AS (

@@ -645,3 +645,25 @@ def _bnlj_build_sides_not_one_row(plan: str) -> list[str]:
         if not any("HashAggregate(keys=[]" in s for s in sub):
             bad.append(ln.strip()[:100])
     return bad
+
+
+def test_query_downsampled_prunes_and_broadcasts(spark, tmp_path):
+    """The cross-tier step query: the raw side keeps chunk partition
+    pruning, the matched dim semi-join broadcasts, no sort-merge join
+    and no single-partition exchange anywhere."""
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    rows = [({"j": "a"}, t, 1.0) for t in (1_000, 11_000, 21_000, 31_000)]
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+    db.downsample_retention(cutoff_ms=20_000, step_ms=5_000)
+
+    q = db.query_downsampled({"j": "a"}, 0, 40_000, step_ms=5_000)
+    plan = _plan(q)
+    assert "PartitionFilters: [isnotnull(chunk_id" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert not _unbounded_single_partition_subtrees(plan)
+    # and the result crosses the tier boundary
+    got = {(r["bucket_ms"], r["n_points"]) for r in q.collect()}
+    assert got == {(0, 1), (10_000, 1), (20_000, 1), (30_000, 1)}
