@@ -333,6 +333,51 @@ def ts_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_cardinality_report",
+    f"""
+    WITH s AS (SELECT {SIG_SQL} AS signature, event_type,
+                      substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+                      CAST(user_id AS VARCHAR) AS usr
+               FROM events),
+    kv AS (SELECT signature, 'event_type' AS label_key, event_type AS label_value FROM s
+           UNION ALL SELECT signature, 'kb', kb FROM s
+           UNION ALL SELECT signature, 'user', usr FROM s),
+    r AS (SELECT label_key, label_value,
+                 CAST(count(DISTINCT signature) AS BIGINT) AS n_series,
+                 count(*) AS n_points
+          FROM kv GROUP BY 1, 2)
+    SELECT label_key, label_value, n_series, n_points
+    FROM r
+    ORDER BY n_series DESC, n_points DESC, label_key, label_value
+    LIMIT 20
+    """,
+)
+def ts_cardinality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality report — the Prometheus /api/v1/status/tsdb
+    operational tool the reference's indexer implies but never exposes
+    (its LR<k>=<v> posting keyspace IS this table,
+    /root/reference/src/indexer/sled_indexer.rs:23-25): the top label
+    (key, value) pairs by the number of series carrying them, the
+    first thing an operator checks when a TSDB's series count
+    explodes. One explode of the label map + one map-combinable
+    distinct-aggregate; the top-20 cut is a TakeOrdered with a total
+    (n_series, n_points, key, value) order, so the cut is
+    deterministic cross-engine."""
+    s = events_samples(spark, sf_dir)
+    kv = s.select(
+        "signature", F.explode("labels").alias("label_key", "label_value")
+    )
+    rep = kv.groupBy("label_key", "label_value").agg(
+        F.count_distinct("signature").cast("long").alias("n_series"),
+        F.count("*").alias("n_points"),
+    )
+    return rep.orderBy(
+        F.col("n_series").desc(), F.col("n_points").desc(),
+        "label_key", "label_value",
+    ).limit(20)
+
+
+@_q(
     "ts_neq_matcher",
     f"""
     SELECT {SIG_SQL} AS signature,
