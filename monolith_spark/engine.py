@@ -470,19 +470,27 @@ class MonolithDB:
                 dropped += 1
         return dropped
 
-    def _rollup(self, raw: DataFrame, step_ms: int) -> DataFrame:
+    def _rollup(
+        self, raw: DataFrame, step_ms: int, extra_keys: tuple[str, ...] = ()
+    ) -> DataFrame:
         """The tiering aggregate shared by write-time rollups and the
         on-the-fly path in query_downsampled — using ONE construction
         on both sides makes rolled and raw chunks bit-identical under
         every served aggregate: [series_id, bucket_ms, n_points,
         sum_value (DECIMAL — order-free), min/max_value, last struct
-        (max by (ts, value) — deterministic under duplicate ts)]."""
+        (max by (ts, value) — deterministic under duplicate ts)].
+        Every stored stat is MERGEABLE (sum/sum/min/max/struct-max), so
+        partials split across chunk boundaries re-merge losslessly —
+        query_downsampled relies on this. ``extra_keys`` prepends group
+        keys (the batched retention pass groups by chunk_id too, so a
+        bucket straddling two chunks stays a per-chunk partial and each
+        partial lands in its own rollup partition)."""
         bucket = (
             (F.floor(F.col("timestamp") / F.lit(step_ms)) * F.lit(step_ms))
             .cast("long")
             .alias("bucket_ms")
         )
-        return raw.groupBy("series_id", bucket).agg(
+        return raw.groupBy(*extra_keys, "series_id", bucket).agg(
             F.count("*").alias("n_points"),
             F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
             F.min("value").alias("min_value"),
@@ -498,24 +506,33 @@ class MonolithDB:
     ) -> tuple[int, int]:
         """Resolution-tiering retention (the Thanos/Prometheus
         downsampling story — keep raw data hot, keep only step-grain
-        aggregates beyond the horizon): for every chunk whose range
-        ends before ``cutoff_ms``, (1) write its per-(series, bucket)
-        rollup into ``rollups/step_ms=<s>/chunk_id=<cid>`` —
-        mode=overwrite, so replays are idempotent — then (2) delete
-        the raw partition. A crash between the two leaves BOTH tiers
-        for that chunk; query_downsampled prefers the rollup for any
-        rolled chunk, so the window never double-counts, and a retried
-        pass converges (re-rollup of a deleted raw partition is
-        skipped; re-delete of remaining raw completes the tiering).
-        Lossy by design — raw points are gone; use
-        export_chunk_gorilla for the lossless cold archive. Returns
-        (chunks_rolled, chunks_dropped)."""
+        aggregates beyond the horizon): ONE filtered scan of every
+        chunk whose range ends before ``cutoff_ms`` → one grouped
+        rollup keyed by (chunk_id, series, bucket) → one
+        dynamic-partition-overwrite write into
+        ``rollups/step_ms=<s>/chunk_id=<cid>`` — then delete the raw
+        partitions. Job count is O(1) per pass, independent of the
+        number of expired chunks (a years-deep backlog of 2-day chunks
+        is one Spark job, not thousands of serialized read→write
+        jobs); dynamic overwrite replaces exactly the partitions
+        present in this pass's data, so replays are idempotent and
+        previously rolled chunks are never touched. Grouping includes
+        chunk_id, so a step bucket straddling a chunk boundary stays a
+        per-chunk PARTIAL in its own partition — query_downsampled
+        re-merges partials (every stored stat is mergeable). A crash
+        between write and delete leaves BOTH tiers for a chunk;
+        query_downsampled prefers the rollup for any rolled chunk, so
+        the window never double-counts, and a retried pass converges
+        (fully tiered chunks are absent from the raw listing → absent
+        from the scan → their rollup partitions untouched). Lossy by
+        design — raw points are gone; use export_chunk_gorilla for the
+        lossless cold archive. Returns (chunks_rolled, chunks_dropped).
+        """
         import shutil
 
         if not os.path.isdir(self.samples_path):
             return (0, 0)
-        base = self._rollup_dir(step_ms)
-        rolled = dropped = 0
+        expired = []
         for name in sorted(os.listdir(self.samples_path)):
             if not name.startswith("chunk_id="):
                 continue
@@ -523,16 +540,25 @@ class MonolithDB:
                 cid = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if (cid + 1) * self.chunk_size_ms - 1 >= cutoff_ms:
-                continue
-            raw = self.spark.read.parquet(os.path.join(self.samples_path, name))
-            self._rollup(raw, step_ms).write.mode("overwrite").parquet(
-                os.path.join(base, f"chunk_id={cid}")
+            if (cid + 1) * self.chunk_size_ms - 1 < cutoff_ms:
+                expired.append(cid)
+        if not expired:
+            return (0, 0)
+        raw = self.samples().filter(F.col("chunk_id").isin(expired))
+        (
+            self._rollup(raw, step_ms, extra_keys=("chunk_id",))
+            .repartition("chunk_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk_id")
+            .parquet(self._rollup_dir(step_ms))
+        )
+        for cid in expired:
+            shutil.rmtree(
+                os.path.join(self.samples_path, f"chunk_id={cid}"),
+                ignore_errors=True,
             )
-            rolled += 1
-            shutil.rmtree(os.path.join(self.samples_path, name))
-            dropped += 1
-        return (rolled, dropped)
+        return (len(expired), len(expired))
 
     def _rolled_chunk_ids(self, step_ms: int) -> list[int]:
         base = self._rollup_dir(step_ms)
@@ -558,15 +584,25 @@ class MonolithDB:
         """Step-grain query across BOTH retention tiers: rolled chunks
         served from their stored aggregates, still-raw chunks
         downsampled on the fly with the identical construction, one
-        union + semi-join against the matched dim. ``agg`` ∈ {avg,
-        sum, min, max, last, count}. Rolled buckets are whole-bucket
-        aggregates, so the query range snaps outward to the step grid
-        on rolled data (the standard tiered-TSDB caveat); raw chunks
-        honor it too for tier-equality. Returns [series_id, bucket_ms,
-        n_points, value] ordered within series time-ascending by the
-        caller's choice."""
+        union + semi-join against the matched dim, then a partial
+        MERGE on (series_id, bucket_ms). ``agg`` ∈ {avg, sum, min,
+        max, last, count}. Rolled buckets are whole-bucket aggregates,
+        so the query range snaps outward to the step grid on rolled
+        data (the standard tiered-TSDB caveat); raw chunks honor the
+        SAME outward snap at both ends (timestamp bounds cover every
+        bucket whose start lands in [lo, end_ms]) so a chunk serves
+        identical values whichever tier it is in. The merge step is
+        load-bearing, not belt-and-braces: when step_ms does not
+        divide chunk_size_ms, a bucket straddling a chunk boundary
+        arrives as per-chunk partials (one per rolled partition, plus
+        possibly a raw-tier partial) — every stored stat is mergeable
+        (sum/sum/min/max/struct-max), so the grouped merge
+        reconstructs the exact whole-bucket aggregate. Returns
+        [series_id, bucket_ms, n_points, value] ordered within series
+        time-ascending by the caller's choice."""
         rolled = self._rolled_chunk_ids(step_ms)
         lo = (start_ms // step_ms) * step_ms
+        hi = (end_ms // step_ms + 1) * step_ms - 1  # end of end_ms's bucket
         parts = []
         if rolled:
             ro = (
@@ -578,18 +614,29 @@ class MonolithDB:
             )
             parts.append(ro)
         raw = self.samples().filter(
-            chunk_pred(lo, end_ms, self.chunk_size_ms)
+            chunk_pred(lo, hi, self.chunk_size_ms)
             & (F.col("timestamp") >= lo)
-            & (F.col("timestamp") <= end_ms)
+            & (F.col("timestamp") <= hi)
         )
         if rolled:
             raw = raw.filter(~F.col("chunk_id").isin(rolled))
         parts.append(self._rollup(raw, step_ms))
         tiers = parts[0]
         for p in parts[1:]:
-            tiers = tiers.unionByName(p)
+            tiers = tiers.unionByName(p, allowMissingColumns=False)
         sel = self._matched_series(matchers).select("series_id")
         tiers = tiers.join(self._dim_hint(sel), "series_id", "left_semi")
+        # Merge partials: map-combinable, runs AFTER the semi-join
+        # prunes to matched series. sum over DECIMAL(28,6) partials
+        # widens to (38,6) — exact; struct-max of struct-max picks the
+        # same deterministic last point.
+        tiers = tiers.groupBy("series_id", "bucket_ms").agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.max("last").alias("last"),
+        )
         value = {
             "avg": F.col("sum_value").cast("double") / F.col("n_points"),
             "sum": F.col("sum_value").cast("double"),
