@@ -4819,8 +4819,12 @@ def docs_semantic_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "query_id"
     )
     topk = _sim.brute_force_topk(cands, queries, k=5)
-    return topk.join(
-        F.broadcast(ok.withColumnRenamed("doc_id", "neighbor_id")), "neighbor_id"
+    # Metadata attach: broadcast the q×k TOP-K side (20 rows), never
+    # the corpus-proportional filtered-docs side — at 100 TB `ok` is
+    # most of the corpus and force-shipping it to every executor is
+    # the OOM class VERDICT r2's guard exists for (ADVICE r5).
+    return F.broadcast(topk).join(
+        ok.withColumnRenamed("doc_id", "neighbor_id"), "neighbor_id"
     ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),

@@ -647,6 +647,28 @@ def _bnlj_build_sides_not_one_row(plan: str) -> list[str]:
     return bad
 
 
+def test_semantic_search_broadcasts_topk_not_corpus(spark, sf_dir):
+    """ADVICE r5: the metadata-attach join must build on the q×k top-k
+    relation, never the corpus-proportional filtered-docs relation —
+    a forced O(corpus) broadcast is the r2-guard class."""
+    q = all_queries()["docs_semantic_search"].spark_fn(spark, sf_dir)
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    meta_joins = [
+        ln for ln in opt.splitlines()
+        if "Join Inner, (neighbor_id" in ln
+    ]
+    assert len(meta_joins) == 1
+    # left subtree = top-k (holds the rank window); the ONLY forced
+    # hint on this join is a LEFT broadcast
+    assert "leftHint=(strategy=broadcast)" in meta_joins[0]
+    assert "rightHint" not in meta_joins[0]
+    phys = [
+        ln for ln in _plan(q).splitlines()
+        if "BroadcastHashJoin [neighbor_id" in ln
+    ]
+    assert phys and all("BuildLeft" in ln for ln in phys)
+
+
 def test_query_downsampled_prunes_and_broadcasts(spark, tmp_path):
     """The cross-tier step query: the raw side keeps chunk partition
     pruning, the matched dim semi-join broadcasts, no sort-merge join
