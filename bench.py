@@ -5,8 +5,16 @@
 Workload shape follows BASELINE.md: bulk ingest through the write path,
 conjunctive label queries spanning one / several / all chunk
 partitions, an exact-signature lookup, plus the analytic workload
-queries. Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+queries. The WHOLE workload runs $SPARK_GRAFT_BENCH_REPS times
+(default 3) in one process and every reported number is the per-row
+MEDIAN across repetitions, with all raw samples carried in the JSON —
+single-recording artifacts were dominated by VM-neighbor/JIT state
+twice in five rounds (VERDICT r2, r5: a committed 1.6× "regression"
+that re-ran at 0.96×), and the median across whole-run repetitions is
+the cheapest estimator that survives one bad window. Prints ONE JSON
+line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "samples": [{...}, ...], "sf": ...}
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -27,6 +36,7 @@ from monolith_spark.workload import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # Events span 2024-01-01..2024-01-31; 2-day chunks → ~15 partitions.
 CHUNK_MS = 2 * 86_400_000
@@ -83,20 +93,29 @@ EXTRA_WORKLOAD_NAMES = [
     "multimodal_phash_near_dupes",
 ]
 
+R01_ROWS = {
+    "ingest", "query_1chunk", "query_multichunk", "query_allchunks",
+    "exact_lookup", "ts_superset_eq", "ts_series_agg", "ts_downsample_1d",
+    "ts_latest", "ts_delta_stats", "tpch_q1", "tpch_q3_top10",
+    "tpch_nation_revenue", "topk_orders_per_customer",
+}
+
 
 def _force(df) -> None:
     """Execute the full plan without driver-side materialization."""
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    spark = get_spark(app_name="monolith-spark-bench", cpus=CPUS)
+def run_once(spark) -> dict[str, float]:
+    """One full pass of the workload against fresh db dirs; returns
+    per-row seconds. Mutating rows (ingest, retention) get their own
+    tmp state every pass, so repetitions are independent."""
     timings: dict[str, float] = {}
 
     def timed(name: str, fn, runs: int = 1) -> None:
-        # Read-only rows run best-of-2 (VERDICT r2: single-run rows at
-        # this scale are dominated by JIT/GC state, not the plan);
-        # mutation rows (ingest) stay single-run.
+        # Read-only rows run best-of-2 within a pass (VERDICT r2:
+        # single-run rows at this scale are dominated by JIT/GC state,
+        # not the plan); mutation rows (ingest) stay single-run.
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -104,9 +123,6 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-
-    # Warm the JVM/session so timings measure the engine, not startup.
-    spark.range(1000).count()
 
     tmp = tempfile.mkdtemp(prefix="monolith_bench_")
     db = MonolithDB(spark, os.path.join(tmp, "db"), chunk_size_ms=CHUNK_MS)
@@ -183,6 +199,20 @@ def main() -> None:
             )), runs=2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    return timings
+
+
+def main() -> None:
+    spark = get_spark(app_name="monolith-spark-bench", cpus=CPUS)
+    # Warm the JVM/session so timings measure the engine, not startup.
+    spark.range(1000).count()
+
+    samples = [run_once(spark) for _ in range(max(1, REPS))]
+    rows = list(samples[0])
+    med = {
+        name: round(statistics.median(s[name] for s in samples), 3)
+        for name in rows
+    }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -192,23 +222,20 @@ def main() -> None:
     # Rows present since round 1 — "core_sec" keeps a like-for-like
     # number against BENCH_r01 (16.345 s at sf0.1); rows added later
     # (skew stress + pipeline operators) widen coverage, not the
-    # baseline workload.
-    r01_rows = {
-        "ingest", "query_1chunk", "query_multichunk", "query_allchunks",
-        "exact_lookup", "ts_superset_eq", "ts_series_agg", "ts_downsample_1d",
-        "ts_latest", "ts_delta_stats", "tpch_q1", "tpch_q3_top10",
-        "tpch_nation_revenue", "topk_orders_per_customer",
-    }
+    # baseline workload. All medians across the whole-run repetitions;
+    # "samples" carries every raw pass for drift forensics.
     print(
         json.dumps(
             {
                 "metric": "monolith_spark_e2e_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(med.values()), 3),
                 "unit": "sec",
                 "core_sec": round(
-                    sum(v for k, v in timings.items() if k in r01_rows), 3
+                    sum(v for k, v in med.items() if k in R01_ROWS), 3
                 ),
-                "queries": timings,
+                "reps": len(samples),
+                "queries": med,
+                "samples": samples,
                 "sf": sf_val,
             }
         )

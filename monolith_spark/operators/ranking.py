@@ -52,10 +52,13 @@ def _bin_expr(key: str, kmin: float, kmax: float, nbins: int) -> Column:
     [0, nbins-1]. Equal-width over the observed [min, max]; monotone
     even under double rounding because x -> floor(a·(x-m)) is, and the
     within-bin window re-sorts by the ORIGINAL key so bin collisions
-    cost parallelism, never correctness."""
-    if kmax <= kmin:
-        return F.lit(0)
+    cost parallelism, never correctness. NULL keys map to a NULL bin
+    (never silently to bin 0 — the degenerate equal-range path used
+    to constant-fold them there), so callers can detect and reject
+    them from the histogram."""
     kd = F.col(key).cast("double")
+    if kmax <= kmin:
+        return F.when(kd.isNotNull(), F.lit(0)).cast("int")
     raw = F.floor((kd - F.lit(kmin)) / F.lit(kmax - kmin) * F.lit(nbins))
     return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw)).cast("int")
 
@@ -106,6 +109,12 @@ def with_exact_rank(
             return out, 0, (Decimal(0) if value_col is not None else None)
         lo, hi = stats["lo"], stats["hi"]
 
+    if lo != lo or hi != hi:  # NaN min/max — no total order to rank by
+        raise ValueError(
+            f"with_exact_rank: sort key {key!r} contains NaN; "
+            "a NaN key has no rank in a total order — filter or "
+            "impute before ranking"
+        )
     b = _bin_expr(key, lo, hi, nbins)
     binned = df.withColumn("__b", b)
     aggs = [F.count("*").alias("__c")]
@@ -115,17 +124,25 @@ def with_exact_rank(
         r["__b"]: r
         for r in binned.groupBy("__b").agg(*aggs).collect()  # <= nbins rows
     }
+    if None in hist:  # NULL sort key binned to NULL
+        raise ValueError(
+            f"with_exact_rank: sort key {key!r} contains NULLs; "
+            "NULL keys are unsupported (callers rank aggregates) — "
+            "filter them or coalesce to a sentinel first"
+        )
 
     # Offsets accumulate over bins that precede a bin IN SORT ORDER:
     # bins are monotone ascending in the key, so descending order walks
-    # them high-to-low.
+    # them high-to-low. A bin whose value_col is entirely NULL sums to
+    # SQL NULL — it contributes 0 to downstream offsets (matching the
+    # running window, which skips NULL addends).
     bins_in_order = sorted(hist, reverse=descending)
     rows = []
     run_c, run_s = 0, Decimal(0)
     for bb in bins_in_order:
         rows.append((bb, run_c, str(run_s)))
         run_c += hist[bb]["__c"]
-        if value_col is not None:
+        if value_col is not None and hist[bb]["__s"] is not None:
             run_s += hist[bb]["__s"]
     n_rows = run_c
     total = run_s if value_col is not None else None
@@ -189,7 +206,13 @@ def with_exact_ranks(
             F.col(key).desc() if descending else F.col(key).asc(),
             *[F.col(t).asc() for t in tiebreaks],
         ]
-        b = _bin_expr(key, stats[f"lo{i}"], stats[f"hi{i}"], nbins)
+        lo_i, hi_i = stats[f"lo{i}"], stats[f"hi{i}"]
+        if lo_i != lo_i or hi_i != hi_i:  # NaN
+            raise ValueError(
+                f"with_exact_ranks: sort key {key!r} contains NaN; "
+                "a NaN key has no rank in a total order"
+            )
+        b = _bin_expr(key, lo_i, hi_i, nbins)
         bcol, ocol = f"__b{i}", f"__off{i}"
         hist = {
             r[bcol]: r["__c"]
@@ -197,6 +220,11 @@ def with_exact_ranks(
             .agg(F.count("*").alias("__c"))
             .collect()
         }
+        if None in hist:
+            raise ValueError(
+                f"with_exact_ranks: sort key {key!r} contains NULLs; "
+                "NULL keys are unsupported — filter or coalesce first"
+            )
         run_c = 0
         rows = []
         for bb in sorted(hist, reverse=descending):

@@ -1629,6 +1629,41 @@ def test_exact_rank_device_edge_cases(spark):
     got = {r["rid"]: r["rnk"] for r in out.collect()}
     assert got == {4: 1, 3: 2, 2: 3, 1: 4, 0: 5, 5: 6}
 
+    # ADVICE r5 low: an all-NULL value_col bin must contribute 0 to the
+    # running offsets (not TypeError on None), matching the window's
+    # NULL-skipping sum; the cum column stays exact past the NULL bin
+    nv = spark.createDataFrame(
+        [(0, 1, None), (1, 1, None), (2, 5, 10.0), (3, 9, 2.5)],
+        "rid long, key long, v double",
+    )
+    out, n, tot = with_exact_rank(
+        nv, "key", ["rid"], "rnk", value_col="v", cum_col="cum", nbins=4
+    )
+    rowsd = {r["rid"]: (r["rnk"], r["cum"]) for r in out.collect()}
+    assert n == 4 and float(tot) == 12.5
+    assert rowsd[3][0] == 1 and float(rowsd[3][1]) == 2.5
+    assert rowsd[2][0] == 2 and float(rowsd[2][1]) == 12.5
+
+    # NULL / NaN sort keys fail with a clear diagnostic, not TypeError
+    import math
+
+    import pytest as _pytest
+
+    nullk = spark.createDataFrame(
+        [(0, 1.0), (1, None)], "rid long, key double"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        with_exact_rank(nullk, "key", ["rid"], "rnk")
+    with _pytest.raises(ValueError, match="NULL"):
+        with_exact_ranks(nullk, [("key", ["rid"], "r1")])
+    nank = spark.createDataFrame(
+        [(0, 1.0), (1, math.nan)], "rid long, key double"
+    )
+    with _pytest.raises(ValueError, match="NaN"):
+        with_exact_rank(nank, "key", ["rid"], "rnk")
+    with _pytest.raises(ValueError, match="NaN"):
+        with_exact_ranks(nank, [("key", ["rid"], "r1")])
+
 
 def test_grouped_exact_rank_matches_per_group_window_model(spark):
     """grouped_exact_rank must equal per-group row_number/ntile over
