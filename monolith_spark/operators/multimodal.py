@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The container has no image/audio codec LIBRARIES (PIL/cv2/ffmpeg), so
-decode is implemented here from the public file-format specs for two
-uncompressed formats — PPM "P6" (netpbm) and 24-bit BMP
-(BITMAPINFOHEADER, BI_RGB) — giving a real decode → resize → feature
-pipeline over genuine image bytes. Compressed formats (JPEG/PNG/...)
-still raise: they need a codec library.
+decode is implemented here from the public file-format specs: PPM "P6"
+(netpbm), 24-bit BMP (BITMAPINFOHEADER, BI_RGB), and PNG (RFC 2083 /
+the W3C PNG spec — stdlib-zlib inflate + per-scanline un-filter, bit
+depth 8, color types 0/2/3/4/6, all five filter types) — giving a real
+decode → resize → feature pipeline over genuine image bytes including
+the format every real-world image corpus actually ships. Baseline JPEG
+remains out (needs a DCT codec) and raises.
 
 At 100 TB the shape matters more than the codec: payloads stay in
 executor-side Arrow batches end-to-end (never driver-collected),
@@ -115,18 +117,213 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length(4,BE) + type + data + CRC32(type+data)."""
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (spec §6.6): nearest of (left, up,
+    upper-left) to a+b−c, ties broken left → up → upper-left."""
+    a = a.astype(np.int32)
+    b = b.astype(np.int32)
+    c = c.astype(np.int32)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG (public W3C spec) to (H, W, 3) uint8 RGB with
+    stdlib zlib: signature → chunk walk with CRC verification → IDAT
+    inflate → per-scanline un-filter (all five filter types) →
+    color-type expansion (gray replicate, palette lookup, alpha
+    dropped). Bit depth 8, non-interlaced only — 16-bit and Adam7
+    raise with a clear message rather than decode wrong."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if (zlib.crc32(typ + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8:
+        raise ValueError(f"only bit depth 8 supported (got {depth})")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    bpp = _PNG_CHANNELS[color]
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} != {(stride + 1) * height}"
+        )
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — a
+            # per-channel running sum, so cumsum mod 256 along pixels
+            cur = (
+                line.reshape(width, bpp)
+                .astype(np.uint32)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            cur = line + prev
+        elif f == 3:  # Average: sequential in x (recon feeds left)
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: sequential in x
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, bpp)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if color == 6:
+        return px[:, :, :3].copy()
+    return px.copy()  # color type 2 (RGB)
+
+
+def encode_png(
+    img: np.ndarray, *, filter_type: int = 0, grayscale: bool = False
+) -> bytes:
+    """Serialize an (H, W, 3) uint8 RGB array (or (H, W) with
+    ``grayscale=True``) as a genuine PNG: IHDR + one zlib IDAT + IEND,
+    every scanline filtered with ``filter_type`` (0-4 — encoding is
+    fully vectorizable because the predictors read original bytes).
+    Deterministic for a given input (single zlib stream, level 6)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if grayscale:
+        if img.ndim != 2:
+            raise ValueError("grayscale encode expects (H, W)")
+        h, w = img.shape
+        bpp, color = 1, 0
+        flat = img.reshape(h, w)
+    else:
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("RGB encode expects (H, W, 3)")
+        h, w = img.shape[:2]
+        bpp, color = 3, 2
+        flat = img.reshape(h, w * 3)
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        line = flat[y]
+        left = np.zeros_like(line)
+        left[bpp:] = line[:-bpp]
+        if filter_type == 0:
+            pred = np.zeros_like(line)
+        elif filter_type == 1:
+            pred = left
+        elif filter_type == 2:
+            pred = prev
+        elif filter_type == 3:
+            pred = ((left.astype(np.int32) + prev) >> 1).astype(np.uint8)
+        else:
+            upleft = np.zeros_like(prev)
+            upleft[bpp:] = prev[:-bpp]
+            pred = _png_paeth_vec(left, prev, upleft)
+        raw.append(filter_type)
+        raw += (line - pred).tobytes()  # uint8 subtraction wraps mod 256
+        prev = line
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
     Real decoders (from the public format specs, no codec library):
-    PPM P6 and uncompressed 24-bit BMP. Anything else needs a codec
-    library absent from this container and raises."""
+    PPM P6, uncompressed 24-bit BMP, and PNG (stdlib-zlib inflate +
+    per-scanline un-filter). Anything else (JPEG, WebP, ...) needs a
+    codec library absent from this container and raises."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only PPM(P6)/BMP(24-bit) decode in this environment; compressed "
+        "only PPM(P6)/BMP(24-bit)/PNG decode in this environment; other "
         "formats require an image codec library not present here"
     )
 
@@ -808,14 +1005,20 @@ def invert_corner_block(img: np.ndarray) -> np.ndarray:
 
 
 def attach_phash_media(
-    df: DataFrame, id_col: str = "doc_id", n_images: int = 40
+    df: DataFrame, id_col: str = "doc_id", n_images: int = 40,
+    fmt: str = "ppm",
 ) -> DataFrame:
-    """Media table of REAL PPM bytes for the perceptual-hash queries:
+    """Media table of REAL image bytes for the perceptual-hash queries:
     image content repeats with period ``n_images`` (seed = id %
     n_images, size (8 + seed%5) × (8 + seed%3)) so exact duplicate
     groups exist by construction, and every id % 4 == 0 row carries
     the corner-inverted variant of its seed image — a near-duplicate
-    of the base, not an exact one."""
+    of the base, not an exact one. ``fmt``: "ppm" (P6) or "png"
+    (zlib-compressed, filter type = seed % 5 so every un-filter path
+    in the decoder is exercised by the oracle-checked rows — decode is
+    lossless, so the perceptual hashes are format-independent)."""
+    if fmt not in ("ppm", "png"):
+        raise ValueError(f"unknown media fmt {fmt!r}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -832,7 +1035,10 @@ def attach_phash_media(
                 img = synth_image_varied(seed, 8 + seed % 5, 8 + seed % 3)
                 if int(i) % 4 == 0:
                     img = invert_corner_block(img)
-                payloads.append(encode_ppm(img))
+                if fmt == "png":
+                    payloads.append(encode_png(img, filter_type=seed % 5))
+                else:
+                    payloads.append(encode_ppm(img))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(

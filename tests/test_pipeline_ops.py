@@ -204,6 +204,73 @@ def test_bmp_golden_bottom_up_padded():
     assert out.tolist() == [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]]
 
 
+def test_png_roundtrip_all_filters_and_color_types():
+    """PNG codec (public W3C spec, stdlib zlib): RGB round-trip under
+    every filter type 0-4, grayscale replication, palette / gray+alpha
+    / RGBA expansion via hand-built chunk streams, and loud failures
+    on CRC damage, 16-bit depth, interlace, and truncation."""
+    import zlib
+
+    import numpy as np
+
+    img = multimodal.synth_image(11, 7, 5)  # non-square, w≠h
+    for ft in range(5):
+        png = multimodal.encode_png(img, filter_type=ft)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        got = multimodal.decode_image(png)
+        assert got.tolist() == img.tolist(), f"filter {ft}"
+
+    # grayscale (color type 0) → channel-replicated RGB
+    g = multimodal.synth_image(3, 6, 4)[:, :, 0]
+    out = multimodal.decode_image(multimodal.encode_png(g, grayscale=True))
+    assert out.tolist() == np.repeat(g[:, :, None], 3, axis=2).tolist()
+
+    def build(ihdr, raster, plte=None):
+        chunks = multimodal._png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += multimodal._png_chunk(b"PLTE", plte)
+        chunks += multimodal._png_chunk(b"IDAT", zlib.compress(raster))
+        chunks += multimodal._png_chunk(b"IEND", b"")
+        return b"\x89PNG\r\n\x1a\n" + chunks
+
+    def ihdr(w, h, depth, color, interlace=0):
+        return (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, interlace])
+        )
+
+    # palette (color type 3): 2x1, indices 1,0 into a 2-entry palette
+    pal = bytes([10, 20, 30, 200, 210, 220])
+    p3 = build(ihdr(2, 1, 8, 3), b"\x00\x01\x00", plte=pal)
+    assert multimodal.decode_image(p3).tolist() == [
+        [[200, 210, 220], [10, 20, 30]]
+    ]
+    # gray+alpha (4): alpha dropped, gray replicated
+    p4 = build(ihdr(2, 1, 8, 4), b"\x00\x09\xff\x0a\x80")
+    assert multimodal.decode_image(p4).tolist() == [[[9, 9, 9], [10, 10, 10]]]
+    # RGBA (6): alpha dropped
+    p6 = build(ihdr(1, 1, 8, 6), b"\x00\x01\x02\x03\xff")
+    assert multimodal.decode_image(p6).tolist() == [[[1, 2, 3]]]
+
+    png = multimodal.encode_png(img)
+    # CRC damage must be detected (flip a raster byte inside IDAT)
+    corrupt = bytearray(png)
+    corrupt[len(png) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_image(bytes(corrupt))
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_image(build(ihdr(1, 1, 16, 2), b"\x00\x00\x00\x00\x00\x00\x00"))
+    with pytest.raises(ValueError, match="interlace"):
+        multimodal.decode_image(build(ihdr(1, 1, 8, 2, interlace=1), b"\x00\x00\x00\x00"))
+    with pytest.raises(ValueError, match="size mismatch"):
+        multimodal.decode_image(build(ihdr(3, 2, 8, 2), b"\x00\x00"))
+    with pytest.raises(ValueError, match="palette index"):
+        multimodal.decode_image(build(ihdr(1, 1, 8, 3), b"\x00\x05", plte=pal))
+    # JPEG magic still raises NotImplementedError (needs a codec lib)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")
+
+
 def test_wav_roundtrip_and_golden():
     import numpy as np
 
@@ -2078,6 +2145,28 @@ def test_image_phash_end_to_end(spark):
     # the perturbed variant of at least one seed lands near its base
     reps = {(int(r.rep_a), int(r.rep_b)) for _, r in pairs.iterrows()}
     assert reps  # sanity: pair reps materialized
+
+
+def test_image_phash_png_matches_ppm_end_to_end(spark):
+    """Format independence through the full Spark path: the phash
+    pipeline over genuine PNG payloads (every filter type exercised
+    via seed % 5) must produce exactly the per-media hashes of the PPM
+    fixture — decode is lossless, so any divergence is a PNG
+    decoder bug."""
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(80)], "doc_id long, text string"
+    )
+    ppm = multimodal.image_hashes(
+        multimodal.attach_phash_media(docs, fmt="ppm")
+    ).toPandas().set_index("media_id").sort_index()
+    png = multimodal.image_hashes(
+        multimodal.attach_phash_media(docs, fmt="png")
+    ).toPandas().set_index("media_id").sort_index()
+    assert ppm["ahash"].tolist() == png["ahash"].tolist()
+    assert ppm["dhash"].tolist() == png["dhash"].tolist()
+    assert not png["ahash"].isna().any()  # nothing degraded to NULL
+    with pytest.raises(ValueError, match="fmt"):
+        multimodal.attach_phash_media(docs, fmt="jpeg")
 
 
 def test_phash_band_count_validation():
