@@ -64,6 +64,37 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact
 
 
+def test_jl_ivf_topk_recall_exhaustive_and_exact_rerank(spark, sf_dir):
+    """JL→IVF composition: recall vs brute force holds, probing every
+    cell is exhaustive (== exact — re-rank is full-space, so covering
+    all cells erases the projection entirely), and every surfaced
+    cosine equals the exact full-space cosine (the re-rank never uses
+    projected distances)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    bf = similarity.brute_force_topk(embs, queries, k=10).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.brute_force_topk(embs, queries, k=10**9).collect()
+    }
+    got = similarity.jl_ivf_topk(embs, queries, k=10, nlist=8, nprobe=4).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(hits & exact) / len(exact)
+    assert recall >= 0.3, f"JL-IVF recall {recall}"
+    # surfaced cosines are the exact full-space values
+    for r in got:
+        assert r["cosine"] == exact_cos[(r["query_id"], r["neighbor_id"])]
+    # per-query contract: ranks are 1..n_q without gaps
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    # nprobe == nlist probes every cell → exhaustive → exact
+    full = similarity.jl_ivf_topk(embs, queries, k=10, nlist=8, nprobe=8).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact
+
+
 def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
