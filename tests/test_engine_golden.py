@@ -731,6 +731,64 @@ def test_recovery_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch):
     assert db.query({"m": "a"}, 0, 100_000).count() == 1
 
 
+def test_delete_recovery_lock_distinguishes_live_from_crashed(spark, tmp_path):
+    """The reader-vs-delete race (ADVICE r4 low, closed r6): recovery
+    must leave a LIVE delete's staged dim swap alone (lock pid
+    running), restore after a CRASHED delete (dead pid → stale lock
+    removed), and the end-to-end delete still works under the lock
+    protocol."""
+    import os
+    import shutil
+    import subprocess
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    rows = [({"m": "a"}, 1_000, 1.0), ({"m": "b"}, 2_000, 2.0)]
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+    staging = os.path.join(db.path, "_compact")
+    os.makedirs(staging, exist_ok=True)
+    old = os.path.join(staging, "series.old")
+    lock = os.path.join(staging, "series.lock")
+
+    # LIVE delete mid-swap (lock pid = us, alive): recovery must not
+    # restore the staged dim or remove the lock
+    os.rename(db.series_path, old)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    db._recover_compaction()
+    assert not os.path.isdir(db.series_path)
+    assert os.path.isdir(old) and os.path.exists(lock)
+    # the live writer completes its swap; the db serves again
+    os.rename(old, db.series_path)
+    os.remove(lock)
+    assert db.query({"m": "a"}, 0, 100_000).count() == 1
+
+    # CRASHED delete (lock pid dead): next read restores + clears lock
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    os.rename(db.series_path, old)
+    with open(lock, "w") as f:
+        f.write(str(p.pid))
+    assert db.query({"m": "b"}, 0, 100_000).count() == 1  # self-healed
+    assert os.path.isdir(db.series_path)
+    assert not os.path.exists(lock) and not os.path.exists(old)
+
+    # a garbage lock is treated as stale, never wedges recovery
+    os.rename(db.series_path, old)
+    with open(lock, "w") as f:
+        f.write("not-a-pid")
+    db._recover_compaction()
+    assert os.path.isdir(db.series_path) and not os.path.exists(lock)
+
+    # end-to-end: delete under the lock protocol leaves no staging
+    assert db.delete_series({"m": "a"}) == 1
+    assert db.query({"m": "a"}, 0, 100_000).count() == 0
+    assert db.query({"m": "b"}, 0, 100_000).count() == 1
+    assert not os.path.exists(lock) and not os.path.exists(old)
+    shutil.rmtree(str(tmp_path / "db"), ignore_errors=True)
+
+
 def test_downsample_retention_tiers_serve_identically(spark, tmp_path):
     """Resolution-tiering retention: rolled chunks must serve every
     aggregate bit-identically to the raw data they replaced, raw
