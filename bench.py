@@ -91,6 +91,11 @@ EXTRA_WORKLOAD_NAMES = [
     # perceptual-hash image dedup (real PPM decode -> aHash/dHash ->
     # banded-Hamming near-dup join at the distinct-hash grain)
     "multimodal_phash_near_dupes",
+    # round-6: genuine PNG payloads through zlib inflate + un-filter
+    # (times the real-world image decode path, not just PPM memcpy)
+    "multimodal_phash_dupes_png",
+    # round-6: JL-space IVF serving (quantize in 16-dim, re-rank full)
+    "sim_jl_ivf_serving",
 ]
 
 R01_ROWS = {
@@ -181,9 +186,18 @@ def run_once(spark) -> dict[str, float]:
             qv = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
             _force(_sim.ivf_topk(embs, qv, k=10))
 
+        def _jl_ivf_serving() -> None:
+            from monolith_spark.operators import similarity as _sim
+
+            embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            qv = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+            _force(_sim.jl_ivf_topk(embs, qv, k=10))
+
         for name in EXTRA_WORKLOAD_NAMES:
             if name == "sim_ivf_serving":
                 timed(name, _ivf_serving, runs=2)
+            elif name == "sim_jl_ivf_serving":
+                timed(name, _jl_ivf_serving, runs=2)
             else:
                 timed(name, lambda n=name: _force(queries[n].spark_fn(spark, SF_DIR)), runs=2)
 
