@@ -2,12 +2,14 @@
 
 The container has no image/audio codec LIBRARIES (PIL/cv2/ffmpeg), so
 decode is implemented here from the public file-format specs: PPM "P6"
-(netpbm), 24-bit BMP (BITMAPINFOHEADER, BI_RGB), and PNG (RFC 2083 /
-the W3C PNG spec — stdlib-zlib inflate + per-scanline un-filter, bit
-depth 8, color types 0/2/3/4/6, all five filter types) — giving a real
-decode → resize → feature pipeline over genuine image bytes including
-the format every real-world image corpus actually ships. Baseline JPEG
-remains out (needs a DCT codec) and raises.
+(netpbm), 24-bit BMP (BITMAPINFOHEADER, BI_RGB), PNG (the W3C PNG
+spec — stdlib-zlib inflate + per-scanline un-filter, bit depth 8,
+color types 0/2/3/4/6, all five filter types), and baseline JPEG
+(ITU-T T.81 sequential DCT: canonical Huffman decode with byte
+unstuffing and restart markers, dequantize + 8×8 IDCT, 4:4:4/4:2:0/
+4:2:2 chroma upsampling, YCbCr→RGB) — a real decode → resize →
+feature pipeline over the formats real-world image corpora actually
+ship. Progressive JPEG / 12-bit / arithmetic coding raise clearly.
 
 At 100 TB the shape matters more than the codec: payloads stay in
 executor-side Arrow batches end-to-end (never driver-collected),
@@ -309,22 +311,490 @@ def encode_png(
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec) — pure numpy + stdlib. The
+# decoder handles any baseline/extended-sequential stream (8-bit, Huffman):
+# DQT/SOF0/SOF1/DHT/DRI/SOS marker walk, canonical Huffman per spec C.2,
+# entropy decode with 0xFF00 unstuffing and RSTn restarts (F.2), dequantize
+# + separable 8×8 IDCT, general (h,v) sampling-factor upsampling, BT.601
+# YCbCr→RGB. The encoder (Annex K typical tables, 4:4:4 or 4:2:0) exists to
+# round-trip the decoder in tests and fixtures. Progressive (SOF2) and
+# 12-bit raise — they are different codecs, not parameter tweaks.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K quantization matrices (natural row-major order)
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+])
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# Annex K typical Huffman tables: (BITS[1..16], HUFFVAL)
+_JPEG_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_JPEG_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = np.where(u == 0, 1 / np.sqrt(2), 1.0)
+    return 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+
+
+_JPEG_C = _jpeg_dct_basis()
+
+
+def _jpeg_huff_decode_table(bits, vals):
+    """Canonical code assignment per spec C.2: {(length, code): symbol}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitReader:
+    """Entropy-coded segment reader: 0xFF00 unstuffing; a real marker
+    stops consumption (zero-padded reads past it, spec F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bitbuf, self.nbits = data, pos, 0, 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf <<= 8
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                self.bitbuf <<= 8  # real marker: pad, leave pos on it
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table) -> int:
+        length, code = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (spec F.2.1.3.1)."""
+        self.bitbuf = self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Spec F.2.2.1: t-bit magnitude → signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        m = payload[pos + 1]
+        if m == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables not supported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(seg[i : i + 64], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 64
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for ci in range(seg[5]):
+                hv = seg[7 + ci * 3]
+                comps.append(
+                    {"id": seg[6 + ci * 3], "h": hv >> 4, "v": hv & 0xF,
+                     "tq": seg[8 + ci * 3]}
+                )
+            sof = (h, w, comps)
+        elif m == 0xC2:
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG SOF marker 0x{m:02X}")
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                tbl = _jpeg_huff_decode_table(bits, list(seg[i + 17 : i + 17 + n]))
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                i += 17 + n
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            scomp = [
+                {"id": seg[1 + si * 2], "td": seg[2 + si * 2] >> 4,
+                 "ta": seg[2 + si * 2] & 0xF}
+                for si in range(seg[0])
+            ]
+            return _jpeg_decode_scan(
+                payload, pos + 2 + seg_len, sof, scomp, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no scan")
+
+
+def _jpeg_decode_scan(payload, pos, sof, scomp, qt, huff_dc, huff_ac, dri):
+    h, w, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for s in scomp:
+        c = by_id[s["id"]]
+        c["td"], c["ta"] = s["td"], s["ta"]
+        c["plane"] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        c["dcpred"] = 0
+        order.append(c)
+    br = _JpegBitReader(payload, pos)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                br.restart()
+                for c in order:
+                    c["dcpred"] = 0
+            for c in order:
+                hdc, hac, q = huff_dc[c["td"]], huff_ac[c["ta"]], qt[c["tq"]]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.float64)
+                        t = br.decode_huff(hdc)
+                        c["dcpred"] += _jpeg_extend(br.receive(t), t)
+                        coef[0] = c["dcpred"]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(hac)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.receive(s), s)
+                            k += 1
+                        blk = _JPEG_C.T @ (coef.reshape(8, 8) * q) @ _JPEG_C
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hh) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu += 1
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0] + 128), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    Y, Cb, Cr = planes[0] + 128, planes[1], planes[2]
+    rgb = np.stack(
+        [Y + 1.402 * Cr,
+         Y - 0.344136 * Cb - 0.714136 * Cr,
+         Y + 1.772 * Cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize an (H, W, 3) uint8 RGB array as a genuine baseline
+    JPEG: Annex K quantization tables scaled by ``quality`` (IJG
+    convention), Annex K typical Huffman tables, 4:4:4 or
+    (``subsample=True``) 4:2:0 with box-mean chroma downsampling,
+    optional DRI/RSTn restart markers. Exists to round-trip the
+    decoder on genuine lossy streams; deterministic per input."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (H, W, 3)")
+    h, w = img.shape[:2]
+    R, G, B = (img[:, :, i].astype(np.float64) for i in range(3))
+    Y = 0.299 * R + 0.587 * G + 0.114 * B - 128
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B
+
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JPEG_QL.astype(np.int64) * s + 50) // 100, 1, 255).reshape(8, 8)
+    qc = np.clip((_JPEG_QC.astype(np.int64) * s + 50) // 100, 1, 255).reshape(8, 8)
+
+    def enc_table(bits_vals):
+        dec = _jpeg_huff_decode_table(*bits_vals)
+        return {sym: (code, length) for (length, code), sym in dec.items()}
+
+    e_dc = [enc_table(_JPEG_DC_L), enc_table(_JPEG_DC_C)]
+    e_ac = [enc_table(_JPEG_AC_L), enc_table(_JPEG_AC_C)]
+
+    hY = vY = 2 if subsample else 1
+    mcux = -(-w // (8 * hY))
+    mcuy = -(-h // (8 * vY))
+
+    def pad_plane(p, ph, pw):
+        out = np.zeros((ph, pw))
+        out[: p.shape[0], : p.shape[1]] = p
+        if p.shape[0] < ph:  # edge-extend, not zero-pad (less ringing)
+            out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        if p.shape[1] < pw:
+            out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    Yp = pad_plane(Y, mcuy * vY * 8, mcux * hY * 8)
+    if subsample:
+        def down(p):
+            pp = pad_plane(p, -(-h // 2) * 2, -(-w // 2) * 2)
+            return (
+                pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]
+            ) / 4
+        Cbp = pad_plane(down(Cb), mcuy * 8, mcux * 8)
+        Crp = pad_plane(down(Cr), mcuy * 8, mcux * 8)
+    else:
+        Cbp = pad_plane(Cb, mcuy * 8, mcux * 8)
+        Crp = pad_plane(Cr, mcuy * 8, mcux * 8)
+
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(plane, y0, x0, q, tsel, ci):
+        blk = _JPEG_C @ plane[y0 : y0 + 8, x0 : x0 + 8] @ _JPEG_C.T
+        zz = np.round(blk / q).astype(np.int64).flatten()[_JPEG_ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = abs(diff).bit_length()
+        code, ln = e_dc[tsel][t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        nz = np.nonzero(zz[1:])[0]
+        last = (nz[-1] + 1) if len(nz) else 0
+        run = 0
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = e_ac[tsel][0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            v = int(zz[k])
+            sz = abs(v).bit_length()
+            code, ln = e_ac[tsel][(run << 4) | sz]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << sz) - 1, sz)
+            run = 0
+        if last < 63:
+            code, ln = e_ac[tsel][0x00]  # EOB
+            bw.write(code, ln)
+
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                pred[0] = pred[1] = pred[2] = 0
+            for v in range(vY):
+                for hh in range(hY):
+                    put_block(Yp, (my * vY + v) * 8, (mx * hY + hh) * 8, ql, 0, 0)
+            put_block(Cbp, my * 8, mx * 8, qc, 1, 1)
+            put_block(Crp, my * 8, mx * 8, qc, 1, 2)
+            mcu += 1
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tq, tbl):
+        return seg(
+            0xDB, bytes([tq]) + bytes(tbl.flatten()[_JPEG_ZIGZAG].astype(np.uint8))
+        )
+
+    def dht(tc, th, bits_vals):
+        bits, vals = bits_vals
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = b"\xff\xd8" + dqt(0, ql) + dqt(1, qc)
+    out += seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+        + bytes([1, (hY << 4) | vY, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    out += dht(0, 0, _JPEG_DC_L) + dht(1, 0, _JPEG_AC_L)
+    out += dht(0, 1, _JPEG_DC_C) + dht(1, 1, _JPEG_AC_C)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return out + bytes(bw.out) + b"\xff\xd9"
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
     Real decoders (from the public format specs, no codec library):
-    PPM P6, uncompressed 24-bit BMP, and PNG (stdlib-zlib inflate +
-    per-scanline un-filter). Anything else (JPEG, WebP, ...) needs a
-    codec library absent from this container and raises."""
+    PPM P6, uncompressed 24-bit BMP, PNG (stdlib-zlib inflate +
+    per-scanline un-filter), and baseline JPEG (Huffman + IDCT).
+    Anything else (WebP, AVIF, ...) needs a codec library absent from
+    this container and raises."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM(P6)/BMP(24-bit)/PNG decode in this environment; other "
-        "formats require an image codec library not present here"
+        "only PPM(P6)/BMP(24-bit)/PNG/baseline-JPEG decode in this "
+        "environment; other formats require an image codec library not "
+        "present here"
     )
 
 
@@ -352,6 +822,73 @@ def synth_image(seed: int, width: int, height: int) -> np.ndarray:
     y = np.arange(height)[:, None, None]
     c = np.arange(3)[None, None, :]
     return ((3 * x + 7 * y + 11 * (seed % 97) + 29 * c) % 256).astype(np.uint8)
+
+
+def synth_smooth_image(seed: int, width: int, height: int) -> np.ndarray:
+    """Deterministic CONTINUOUS synthetic RGB image (triangle wave —
+    |Δ| ≤ 7 between adjacent pixels, range [96, 160], per-channel phase
+    shift): the lossy-codec test fixture. synth_image's mod-256 wraps
+    are step edges that a DCT codec legitimately rings on; a round-trip
+    contract needs content without discontinuities."""
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    t = (3 * x + 7 * y + 11 * (seed % 97) + 17 * c) % 128
+    return (96 + np.where(t < 64, t, 128 - t)).astype(np.uint8)
+
+
+def jpeg_roundtrip_stats(
+    df: DataFrame, quality: int = 95, max_err: int = 24, mean_err: float = 4.0
+) -> DataFrame:
+    """Lossy-codec contract scan: per media row, build the smooth
+    deterministic fixture, encode it as a genuine baseline JPEG
+    (subsampling and restart-interval vary by id so 4:4:4, 4:2:0, and
+    RSTn paths are all exercised), decode it back, and emit
+    [media_id, width, height, roundtrip_ok] where roundtrip_ok bounds
+    the reconstruction error (max |err| ≤ max_err, mean ≤ mean_err).
+    The DCT/Huffman math is not SQL-expressible, so the driver-checked
+    surface is exact geometry + the boolean (the parseval_ok device):
+    a skipped or broken codec path cannot return TRUE. Narrow Arrow
+    map, zero shuffles."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("roundtrip_ok", T.BooleanType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"].astype("int64"):
+                i = int(mid)
+                w, h = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+                img = synth_smooth_image(i, w, h)
+                try:
+                    dec = decode_image(
+                        encode_jpeg(
+                            img,
+                            quality=quality,
+                            subsample=(i % 2 == 1),
+                            restart_interval=i % 3,
+                        )
+                    )
+                    err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+                    ok = (
+                        dec.shape == img.shape
+                        and int(err.max()) <= max_err
+                        and float(err.mean()) <= mean_err
+                    )
+                    rows.append((i, dec.shape[1], dec.shape[0], bool(ok)))
+                except (ValueError, NotImplementedError):
+                    rows.append((i, None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "roundtrip_ok"]
+            )
+
+    return df.select("media_id").mapInPandas(batches, out_schema)
 
 
 def decode_resize_features(

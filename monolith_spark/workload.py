@@ -4835,6 +4835,55 @@ def docs_semantic_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_semantic_search_ivf",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 4
+    """,
+)
+def docs_semantic_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN at the 100 TB serving shape: the SAME metadata
+    semi-join prune as docs_semantic_search, but candidates are served
+    by the JL→IVF index (similarity.py:jl_ivf_topk) instead of brute
+    force — predicate pruning composes with approximate search because
+    both are candidate-set operations (prune first, quantize the
+    survivors). Emitted as the pooled recall@5 verdict vs the exact
+    brute-force FILTERED search (floor 0.4; observed ~0.55-0.8 on the
+    isotropic fixture — rank-fragile geometry, see emb_jl_ann). The
+    quantizer isn't SQL-expressible, hence the verdict surface (the
+    _ann_recall device)."""
+    docs = _docs(spark, sf_dir)
+    ok = docs.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select(F.col("doc_id").alias("vec_id"))
+    embs = _embs(spark, sf_dir)
+    cands = embs.join(ok, "vec_id", "left_semi")
+    queries = embs.filter(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = _sim.brute_force_topk(cands, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        _sim.jl_ivf_topk(cands, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct(F.col("query_id")).alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                >= F.lit(0.4) * F.count("*")
+            ).alias("recall_ok"),
+        )
+        .select("n_queries", F.lit(5).cast("long").alias("k"), "recall_ok")
+    )
+
+
+@_q(
     "multimodal_payloads",
     """
     SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -4920,6 +4969,34 @@ def _edge_oracle() -> str:
            CAST(sum(abs({gx}) + abs({gy})) AS BIGINT) AS edge_energy
     FROM px GROUP BY 1, 2, 3
     """
+
+
+@_q(
+    "multimodal_jpeg_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(16 + (CAST(doc_id AS BIGINT) % 3) * 8 AS INT) AS width,
+           CAST(16 + (CAST(doc_id AS BIGINT) % 2) * 8 AS INT) AS height,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG through the REAL byte path (round-6: the last
+    real-world image format): per document, a smooth deterministic
+    fixture → genuine ITU-T T.81 encode (4:4:4 / 4:2:0 and restart
+    intervals rotating by id) → full Huffman+IDCT decode → exact
+    geometry + a reconstruction-error verdict (max ≤ 24, mean ≤ 4.0 —
+    observed envelope 17 / 2.5 at q95 across the fixture space). The
+    DCT isn't SQL-expressible, so the oracle pins geometry and
+    requires roundtrip_ok = TRUE (the parseval_ok device): a decoder
+    that skips chroma upsampling, mis-walks restarts, or breaks
+    Huffman decode cannot return TRUE. Narrow Arrow map, zero
+    shuffles — the canonical lossy-decode scan shape at 100 TB."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+    return _mm.jpeg_roundtrip_stats(media)
 
 
 @_q("multimodal_edge_energy", _edge_oracle())

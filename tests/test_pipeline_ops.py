@@ -302,6 +302,51 @@ def test_png_roundtrip_all_filters_and_color_types():
         multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")
 
 
+def test_jpeg_roundtrip_444_420_restarts_and_failures():
+    """Baseline JPEG codec (public ITU-T T.81 spec): round-trips at
+    4:4:4 and 4:2:0 with and without restart markers stay inside the
+    quantization-error envelope on smooth content, geometry is exact
+    at non-multiple-of-8 (and -16) sizes, chroma actually survives
+    subsampling, and progressive/truncated/non-JPEG inputs fail with
+    clear errors."""
+    import numpy as np
+
+    for (h, w) in [(8, 8), (13, 11), (24, 31), (16, 16)]:
+        img = multimodal.synth_smooth_image(h * 31 + w, w, h)
+        for sub in (False, True):
+            for dri in (0, 2):
+                jp = multimodal.encode_jpeg(
+                    img, quality=95, subsample=sub, restart_interval=dri
+                )
+                assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
+                dec = multimodal.decode_image(jp)
+                assert dec.shape == img.shape
+                err = np.abs(dec.astype(int) - img.astype(int))
+                assert err.max() <= 24 and err.mean() <= 4.0, (h, w, sub, dri)
+
+    # chroma must survive 4:2:0 (a luma-only decoder would flatten it)
+    img = multimodal.synth_smooth_image(3, 16, 16).copy()
+    img[:, :8] = [200, 60, 60]
+    img[:, 8:] = [60, 60, 200]
+    dec = multimodal.decode_image(
+        multimodal.encode_jpeg(img, quality=95, subsample=True)
+    )
+    assert int(dec[4, 2, 0]) > int(dec[4, 2, 2]) + 60   # left: red >> blue
+    assert int(dec[4, 13, 2]) > int(dec[4, 13, 0]) + 60  # right: blue >> red
+
+    # progressive SOF2 refuses; truncation and garbage fail loudly
+    jp = multimodal.encode_jpeg(multimodal.synth_smooth_image(1, 16, 16))
+    prog = bytearray(jp)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        multimodal.decode_image(bytes(prog))
+    with pytest.raises(ValueError):
+        multimodal.decode_image(jp[:20])
+    with pytest.raises(ValueError, match="not a JPEG"):
+        multimodal._decode_jpeg(b"RIFFxxxxWAVE")
+
+
 def test_wav_roundtrip_and_golden():
     import numpy as np
 
