@@ -297,8 +297,9 @@ def test_png_roundtrip_all_filters_and_color_types():
         multimodal.decode_image(build(ihdr(3, 2, 8, 2), b"\x00\x00"))
     with pytest.raises(ValueError, match="palette index"):
         multimodal.decode_image(build(ihdr(1, 1, 8, 3), b"\x00\x05", plte=pal))
-    # JPEG magic still raises NotImplementedError (needs a codec lib)
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now routes to the real baseline codec; a headers-only
+    # stub with no scan fails loudly there, not as "unsupported format"
+    with pytest.raises(ValueError, match="no scan"):
         multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")
 
 
