@@ -818,3 +818,67 @@ def bpe_symbol_count_expr(text: Column | str, merges: list[tuple[str, str]]) -> 
     return F.aggregate(
         F.transform(toks, per_word), F.lit(0), lambda acc, x: acc + x
     ).cast("long")
+
+
+def dsir_scores(
+    df: DataFrame,
+    is_target: Column,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights — Data Selection via Importance
+    Resampling (Xie et al., NeurIPS 2023, arXiv:2302.03169; own
+    formulation from the public paper). Hashed-unigram bag-of-words
+    models are estimated for a target slice and for the rest of the
+    corpus (add-one smoothing over ``n_buckets`` hash buckets); each
+    document then scores the mean log-likelihood ratio of its tokens,
+    log p_target(w)/p_raw(w). Docs with positive scores look more like
+    the target domain than like the raw corpus — keeping them
+    importance-resamples the corpus toward the target.
+
+    Scale shape: two corpus scans (a bucket-count pass and a scoring
+    pass), each a single map-combinable groupBy; the log-ratio table is
+    at most ``n_buckets`` rows and rides a broadcast join into the
+    scoring pass, so no shuffle ever carries more than token-grain
+    partial aggregates. Cross-engine exactness: totals ride integer
+    sums; the smoothed ratio is one fixed double expression tree;
+    ln() is quantized to DECIMAL(18,12) before the per-doc decimal sum
+    (absorbing 1-ulp libm differences); one double division per doc at
+    the surface.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("is_t"),
+        F.explode(tokens_expr(text_col)).alias("w"),
+    ).withColumn("b", hash60_expr(F.col("w")) % n_buckets)
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("t_b"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("r_b"),
+    )
+    totals = counts.agg(
+        F.sum("t_b").cast("long").alias("t_tot"),
+        F.sum("r_b").cast("long").alias("r_tot"),
+    )
+    bkt = F.lit(n_buckets)
+    ratio = (
+        (F.col("t_b") + 1).cast("double") * (F.col("r_tot") + bkt).cast("double")
+    ) / (
+        (F.col("r_b") + 1).cast("double") * (F.col("t_tot") + bkt).cast("double")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b", F.log(ratio).cast("decimal(18,12)").alias("lr")
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr").alias("_lr_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_lr_sum").cast("double") / F.col("n_tokens")).alias("dsir_score"),
+        )
+    )

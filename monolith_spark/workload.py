@@ -9008,3 +9008,138 @@ def text_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias("chars_per_bpe"),
         (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("bpe_per_ws"),
     )
+
+
+# DSIR target slice: two sources standing in for the "high-quality
+# domain" (in production: wiki/books); everything else is the raw pool.
+_DSIR_TARGET = ("src7", "src18")
+_DSIR_B = 512
+
+
+@_q(
+    "docs_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % {_DSIR_B} AS b
+      FROM (SELECT doc_id, source IN ('src7','src18') AS is_t,
+                   unnest({_W}) AS w
+            FROM documents)
+    ),
+    counts AS (
+      SELECT b,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+             CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS r_b
+      FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS t_tot,
+                   CAST(sum(r_b) AS BIGINT) AS r_tot FROM counts),
+    lr AS (
+      SELECT b,
+             CAST(ln((CAST(t_b + 1 AS DOUBLE) * CAST(r_tot + {_DSIR_B} AS DOUBLE))
+                     / (CAST(r_b + 1 AS DOUBLE) * CAST(t_tot + {_DSIR_B} AS DOUBLE)))
+                  AS DECIMAL(18,12)) AS lr
+      FROM counts CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lr) AS DOUBLE) / count(*) AS dsir_score
+    FROM toks JOIN lr USING (b)
+    GROUP BY 1
+    """,
+)
+def docs_dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/text.py:dsir_scores — Xie et
+    al. NeurIPS 2023): hashed-unigram target/raw LM ratio scored as each
+    doc's mean token log-likelihood-ratio vs the target slice — the
+    resampling weight (downstream selection = docs_weighted_sample's
+    job; on this synthetic corpus all sources share one vocabulary, so
+    absolute scores hug zero and hashing every weight is the stronger
+    check).
+    Two corpus scans, one <=512-row broadcast log-ratio table, one
+    doc-grain groupBy; the oracle replays bucket hashing, add-one
+    smoothing, the exact double ratio tree, and the DECIMAL-quantized
+    ln accumulation bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    return _text.dsir_scores(
+        docs, F.col("source").isin(*_DSIR_TARGET), n_buckets=_DSIR_B
+    )
+
+
+# PromQL subquery durations: rate() per 5-day inner window, max_over_time
+# across a 15-day outer window — max_over_time(rate(m[5d])[15d:5d]).
+_SUBQ_SUB_MS = 432_000_000
+_SUBQ_OUT_MS = 3 * _SUBQ_SUB_MS
+_JAN31 = JAN1 + 2_592_000_000  # exclusive-ish upper bound (Jan 31 00:00)
+
+
+@_q(
+    "ts_subquery_max_rate",
+    f"""
+    WITH pts AS (
+      SELECT {SIG_SQL} AS signature,
+             (epoch_ms(ts) - {JAN1}) // {_SUBQ_SUB_MS} AS sb,
+             epoch_ms(ts) AS ts_ms,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {_JAN31}
+    ),
+    steps AS (
+      SELECT signature, sb,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END AS step
+      FROM (SELECT signature, sb, v,
+                   lag(v) OVER (PARTITION BY signature, sb
+                                ORDER BY ts_ms, v) AS prev
+            FROM pts)
+    ),
+    subrates AS (
+      SELECT signature, sb,
+             CAST(sum(step) AS DOUBLE) / 432000.0 AS rate_per_sec
+      FROM steps WHERE step IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT signature,
+           CAST({JAN1} + (sb // 3) * {_SUBQ_OUT_MS} AS BIGINT) AS win_start_ms,
+           max(rate_per_sec) AS max_rate_per_sec,
+           CAST(count(*) AS BIGINT) AS n_subwindows
+    FROM subrates
+    GROUP BY 1, 2
+    """,
+)
+def ts_subquery_max_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery composition — max_over_time(rate(m[5d])[15d:5d]):
+    reset-corrected rate() evaluated independently per 5-day inner
+    window, then the max rate per series per 15-day outer window.
+    The inner lag window partitions by (series, inner-bucket) so a
+    counter reset at a window edge never leaks a step across windows —
+    exactly PromQL's per-evaluation isolation. One (series, bucket)
+    sort shuffle + two map-combinable groupBys; DECIMAL steps keep the
+    inner sums order-independent, the /432000.0 and max() then ride
+    identical doubles on both engines."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, _JAN31))
+    sb = F.floor((F.col("timestamp") - F.lit(JAN1)) / F.lit(_SUBQ_SUB_MS)).alias("sb")
+    pts = s.select("signature", sb, F.col("timestamp").alias("ts_ms"),
+                   F.col("value").cast("decimal(28,6)").alias("v"))
+    w = Window.partitionBy("signature", "sb").orderBy("ts_ms", "v")
+    prev = F.lag("v").over(w)
+    step = F.when(prev.isNull(), F.lit(None)).when(
+        F.col("v") >= prev, F.col("v") - prev
+    ).otherwise(F.col("v"))
+    subrates = (
+        pts.select("signature", "sb", step.alias("step"))
+        .filter(F.col("step").isNotNull())
+        .groupBy("signature", "sb")
+        .agg((F.sum("step").cast("double") / F.lit(432000.0)).alias("rate_per_sec"))
+    )
+    return (
+        subrates.groupBy(
+            "signature",
+            (F.lit(JAN1) + F.floor(F.col("sb") / F.lit(3)) * F.lit(_SUBQ_OUT_MS))
+            .cast("long").alias("win_start_ms"),
+        )
+        .agg(
+            F.max("rate_per_sec").alias("max_rate_per_sec"),
+            F.count("*").cast("long").alias("n_subwindows"),
+        )
+    )

@@ -2385,3 +2385,56 @@ def test_jl_ann_recall_flags_deterministic(spark):
     assert len(out) == 80
     assert out["in_full_topk"].mean() == 0.2
     assert sorted(out["rank"].unique()) == list(range(1, 11))
+
+
+def test_dsir_scores_discriminate_target_vocab(spark):
+    """DSIR (text.dsir_scores): docs written in the target slice's
+    vocabulary must outscore docs written in the raw pool's, with the
+    pure-target doc strictly positive and the pure-raw doc strictly
+    negative — the importance-resampling direction the paper defines."""
+    rows = (
+        [(i, "alpha " * 20, True) for i in range(3)]
+        + [(10 + i, "beta " * 20, False) for i in range(5)]
+        + [(99, "alpha beta", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in text.dsir_scores(df, F.col("is_t")).collect()
+    }
+    assert got[0] > 0 > got[10]
+    assert got[0] > got[99] > got[10]
+    # mean-LLR normalization: same-vocab docs score identically
+    assert got[0] == got[1] == got[2]
+
+
+def test_ts_subquery_rate_windows_are_isolated(spark, tmp_path):
+    """ts_subquery_max_rate: a counter reset straddling an inner-window
+    boundary must NOT leak a lag across windows — the second window's
+    rate comes only from its own points (PromQL per-evaluation
+    isolation), and the outer window maxes over per-window rates."""
+    import datetime
+
+    from monolith_spark.workload import JAN1, _SUBQ_SUB_MS, all_queries
+
+    def ts(ms):
+        return datetime.datetime.fromtimestamp(ms / 1000, datetime.timezone.utc)
+
+    # one series: window 0 climbs 10->12 (rate 2); window 1 restarts low
+    # 5->8 (rate 3, the max). A lag leaked across the boundary would call
+    # v=5 a reset and add a phantom step 5, inflating window 1 to 8.
+    pts = [(JAN1 + 1_000, 10.0), (JAN1 + 2_000, 12.0),
+           (JAN1 + _SUBQ_SUB_MS + 1_000, 5.0), (JAN1 + _SUBQ_SUB_MS + 2_000, 8.0)]
+    rows = [(i, ts(t), 7, "click", v, '{"k": 3}') for i, (t, v) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = all_queries()["ts_subquery_max_rate"].spark_fn(spark, d).collect()
+    assert len(out) == 1  # both inner windows land in one outer window
+    r = out[0]
+    assert r["n_subwindows"] == 2
+    # isolated window 1 wins with 3/432000; a leak would make it 8/432000
+    assert r["max_rate_per_sec"] == 3.0 / 432000.0
