@@ -96,6 +96,10 @@ EXTRA_WORKLOAD_NAMES = [
     "multimodal_phash_dupes_png",
     # round-6: JL-space IVF serving (quantize in 16-dim, re-rank full)
     "sim_jl_ivf_serving",
+    # round-6 late: DSIR importance weights (two corpus scans + a
+    # broadcast log-ratio table) and the PromQL nested subquery
+    "docs_dsir_weights",
+    "ts_subquery_max_rate",
 ]
 
 R01_ROWS = {

@@ -1381,22 +1381,29 @@ def jl_expr(vec_col: Column | str, out_dim: int = 16, dim: int = 64) -> Column:
     vector + JL twin through one select, no self-join). Each component
     is one sequential fold referenced exactly once (no lambda
     re-evaluation)."""
+    import hashlib
+
     v = _dbl(vec_col)
 
-    def _sign_array(prefix: str) -> Column:
-        def body(d: Column) -> Column:
-            return F.when(
-                hash60_expr(F.concat(F.lit(prefix), d.cast("string"))) % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-
-        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), body)
+    # Sign planes depend only on the constants (j, d) — derive them
+    # driver-side with the same md5→first-15-hex→%2 formula hash60_expr
+    # evaluates (so the SQL oracles that replay the derivation stay
+    # bit-identical) and embed them as literals. The earlier in-plan
+    # hash60_expr ran 1024 md5+conv calls PER ROW (16 comps × 64 dims)
+    # and made JL-IVF serving ~10× slower than plain IVF.
+    def _sign(prefix: str, d: int) -> float:
+        h = int(hashlib.md5(f"{prefix}{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
 
     scale = F.sqrt(F.lit(float(out_dim)))
     comps = [
         (
             F.aggregate(
-                F.zip_with(v, _sign_array(f"jl{j}:"), lambda x, s: x * s),
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(_sign(f"jl{j}:", d)) for d in range(dim)]),
+                    lambda x, s: x * s,
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -1444,15 +1451,24 @@ def jl_ivf_topk(
             id_col,
             "jl",
         )
+    # Bind the projected vector as a LAMBDA VARIABLE before the
+    # per-centroid dots reference it: a plain c_jl alias is inlined by
+    # projection collapse into EVERY centroid's zip_with — the 16-fold
+    # JL projection re-evaluated nlist times per row (the pca_project
+    # re-evaluation trap; measured 3× on the sf0.1 serving path).
+    cell = F.element_at(
+        F.transform(
+            F.array(jl_expr(vec_col, out_dim, dim)),
+            lambda j: F.array_max(_cell_sims(j, centroids))["cid"],
+        ),
+        1,
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _dbl(vec_col).alias("c_vec"),
         norm_expr(_dbl(vec_col)).alias("cn"),
-        jl_expr(vec_col, out_dim, dim).alias("c_jl"),
+        cell.alias("cell"),
     )
-    c = c.withColumn(
-        "cell", F.array_max(_cell_sims("c_jl", centroids))["cid"]
-    ).drop("c_jl")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _dbl(vec_col).alias("q_vec"),

@@ -820,12 +820,38 @@ def bpe_symbol_count_expr(text: Column | str, merges: list[tuple[str, str]]) -> 
     ).cast("long")
 
 
-def dsir_scores(
+def dsir_bucket_counts(
     df: DataFrame,
     is_target: Column,
     n_buckets: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """[b, t_b, r_b] hashed-unigram counts for the DSIR target/raw
+    models. ADDITIVE — sums over shards/epochs equal the whole-corpus
+    table — so this is also the streaming state for ContinuousDSIR
+    (streaming/dsir.py), exactly as the NB classifier's class counts
+    and the bigram LM's count tables stream."""
+    return (
+        df.select(
+            is_target.alias("is_t"),
+            F.explode(tokens_expr(text_col)).alias("w"),
+        )
+        .withColumn("b", hash60_expr(F.col("w")) % n_buckets)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("t_b"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("r_b"),
+        )
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    is_target: Column | None = None,
+    n_buckets: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights — Data Selection via Importance
     Resampling (Xie et al., NeurIPS 2023, arXiv:2302.03169; own
@@ -846,19 +872,25 @@ def dsir_scores(
     ln() is quantized to DECIMAL(18,12) before the per-doc decimal sum
     (absorbing 1-ulp libm differences); one double division per doc at
     the surface.
+
+    When ``counts`` is injected (a [b, t_b, r_b] table, e.g. the merged
+    streaming state), ``df`` is scored against THAT model; tokens whose
+    bucket the model never saw fall back to the fully-smoothed ratio
+    ln((R+B)/(T+B)) — on the self-derived batch path every scored
+    bucket exists, so the fallback never fires and results are
+    bit-identical to the closed two-pass form.
     """
+    if counts is None:
+        if is_target is None:
+            raise ValueError("dsir_scores needs is_target or counts")
+        counts = dsir_bucket_counts(df, is_target, n_buckets, text_col)
     toks = df.select(
         F.col(id_col),
-        is_target.alias("is_t"),
         F.explode(tokens_expr(text_col)).alias("w"),
     ).withColumn("b", hash60_expr(F.col("w")) % n_buckets)
-    counts = toks.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("t_b"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("r_b"),
-    )
     totals = counts.agg(
-        F.sum("t_b").cast("long").alias("t_tot"),
-        F.sum("r_b").cast("long").alias("r_tot"),
+        F.coalesce(F.sum("t_b"), F.lit(0)).cast("long").alias("t_tot"),
+        F.coalesce(F.sum("r_b"), F.lit(0)).cast("long").alias("r_tot"),
     )
     bkt = F.lit(n_buckets)
     ratio = (
@@ -869,12 +901,21 @@ def dsir_scores(
     lr = counts.crossJoin(F.broadcast(totals)).select(
         "b", F.log(ratio).cast("decimal(18,12)").alias("lr")
     )
+    lr0 = totals.select(
+        F.log(
+            (F.col("r_tot") + bkt).cast("double")
+            / (F.col("t_tot") + bkt).cast("double")
+        )
+        .cast("decimal(18,12)")
+        .alias("lr0")
+    )
     return (
-        toks.join(F.broadcast(lr), "b")
+        toks.join(F.broadcast(lr), "b", "left")
+        .crossJoin(F.broadcast(lr0))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.sum("lr").alias("_lr_sum"),
+            F.sum(F.coalesce("lr", "lr0")).alias("_lr_sum"),
         )
         .select(
             id_col,

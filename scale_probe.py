@@ -151,6 +151,37 @@ def pipeline3_probe(spark, mult: int) -> dict:
     return out
 
 
+def round6_probe(spark, mult: int) -> dict:
+    """Round-6 late additions: DSIR importance weighting (two corpus
+    scans + a ≤512-row broadcast log-ratio table — time should track
+    the corpus linearly; the model tables are bucket-bounded at any
+    scale) and JL→IVF ANN serving (centroids/cells in 16-dim JL space,
+    exact re-rank of candidates only). scaled_docs keeps per-copy
+    vocabularies disjoint, so the DSIR bucket histogram fills rather
+    than duplicates; scaled_embs reshuffles geometry so IVF cells
+    don't clone-pile."""
+    from monolith_spark.operators import similarity as sim
+    from monolith_spark.operators import text
+
+    docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+    out: dict = {"mult": mult, "docs": docs.count()}
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    timed(
+        "dsir_sec",
+        text.dsir_scores(docs, F.col("source").isin("src7", "src18")),
+    )
+    embs = scaled_embs(spark, mult).localCheckpoint(eager=True)
+    out["vecs"] = embs.count()
+    qv = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    timed("jl_ivf_serving_sec", sim.jl_ivf_topk(embs, qv, k=10))
+    return out
+
+
 def ranking_probe(spark, mult: int) -> dict:
     """Round-5 exact-rank device (operators/ranking.py) under the three
     queries it de-globalized: corpus-tercile bucketing, RFM quintiles,
@@ -253,6 +284,10 @@ def main() -> None:
     if target == "ranking":
         for mult in mults:
             print(json.dumps(ranking_probe(spark, mult)))
+        return
+    if target == "round6":
+        for mult in mults:
+            print(json.dumps(round6_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")
