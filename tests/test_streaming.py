@@ -1214,3 +1214,67 @@ def test_continuous_bigram_lm_matches_batch(spark, tmp_path):
     # replaying a completed epoch is a no-op
     model.process_batch(docs, epoch_id=0)
     assert {r["tok"]: r["c1"] for r in model.unigrams().collect()} == batch_uni
+
+
+def test_continuous_dsir_matches_batch(spark, tmp_path):
+    """Per-epoch DSIR bucket-count partials must merge to exactly the
+    batch table; scoring the streamed corpus against the merged model
+    must equal the one-shot batch dsir_scores bit-for-bit; an unseen-
+    vocabulary doc takes the smoothed fallback, not a dropped token;
+    replays no-op (idempotent epoch markers)."""
+    from pyspark.sql import functions as F
+
+    from monolith_spark.operators.text import dsir_bucket_counts, dsir_scores
+    from monolith_spark.streaming.dsir import ContinuousDSIR
+
+    rows = [
+        (1, "alpha alpha beta", "wiki"),
+        (2, "beta beta gamma", "crawl"),
+        (3, "alpha gamma gamma delta", "wiki"),
+        (4, "delta beta beta alpha", "crawl"),
+        (5, "gamma delta alpha", "crawl"),
+        (6, "beta alpha delta delta", "wiki"),
+    ]
+    src = str(tmp_path / "docs")
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        spark.createDataFrame(rows[lo:hi], "doc_id long, text string, source string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    model = ContinuousDSIR(spark, str(tmp_path / "dsir"), "source = 'wiki'")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = model.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    docs = spark.read.parquet(src)
+    batch_counts = {
+        r["b"]: (r["t_b"], r["r_b"])
+        for r in dsir_bucket_counts(docs, F.col("source") == "wiki").collect()
+    }
+    got_counts = {r["b"]: (r["t_b"], r["r_b"]) for r in model.bucket_counts().collect()}
+    assert got_counts == batch_counts
+
+    batch_scores = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in dsir_scores(docs, F.col("source") == "wiki").collect()
+    }
+    got_scores = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in model.score(docs).collect()
+    }
+    assert got_scores == batch_scores
+
+    # unseen vocabulary scores via the smoothed fallback (never NULL,
+    # never token-dropped) and replay is a no-op
+    unseen = spark.createDataFrame(
+        [(99, "zeta zeta", "crawl")], "doc_id long, text string, source string"
+    )
+    r = model.score(unseen).collect()[0]
+    assert r["n_tokens"] == 2 and r["dsir_score"] is not None
+
+    model.process_batch(spark.read.parquet(src), epoch_id=0)  # marker hit
+    assert {r["b"]: (r["t_b"], r["r_b"]) for r in model.bucket_counts().collect()} \
+        == batch_counts
