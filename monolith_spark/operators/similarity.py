@@ -106,27 +106,27 @@ def hyperplane_signature_offset(
 ) -> Column:
     """hyperplane_signature with globally-numbered planes (for
     multi-table LSH: table t uses planes [t*planes, (t+1)*planes))."""
+    import hashlib
+
     v = _dbl(vec_col)
     bits = []
 
-    def _sign_array(prefix: str) -> Column:
-        # MUST be a single-argument lambda: F.transform passes the
-        # element index as a second argument when the callable accepts
-        # two, so a `lambda d, p=p` capture receives the index Column
-        # as `p` — the f-string then bakes in the Column repr (whose
-        # internal counter varies with session history), silently
-        # turning the seedless md5 planes session-dependent.
-        def body(d: Column) -> Column:
-            return F.when(
-                hash60_expr(F.concat(F.lit(prefix), d.cast("string"))) % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-
-        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), body)
+    # Plane components depend only on the constants (p, d): derive them
+    # driver-side with the exact md5→first-15-hex→%2 formula hash60_expr
+    # evaluates (the SQL oracles replaying the derivation stay
+    # bit-identical) and embed literals — the in-plan version ran
+    # planes×dim md5+conv calls per row (same trap as jl_expr).
+    def _sign(prefix: str, d: int) -> float:
+        h = int(hashlib.md5(f"{prefix}{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
 
     for p in range(plane_offset, plane_offset + planes):
         proj = F.aggregate(
-            F.zip_with(v, _sign_array(f"plane{p}:"), lambda x, s: x * s),
+            F.zip_with(
+                v,
+                F.array(*[F.lit(_sign(f"plane{p}:", d)) for d in range(dim)]),
+                lambda x, s: x * s,
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
