@@ -757,12 +757,120 @@ def sqdist_expr(a: Column, b: Column) -> Column:
     )
 
 
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int = 8,
+    l: int | None = None,
+    rounds: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """k-means|| scalable initialization (Bahmani et al., VLDB 2012 —
+    the init Spark MLlib itself ships): instead of k sequential
+    k-means++ passes over the corpus, oversample ~l candidates per
+    round for O(rounds) passes, weight each candidate by the corpus
+    mass it attracts, and solve the tiny weighted problem driver-side.
+    Feed the result to kmeans_lloyd(init_centers=...) — good centers
+    in a FIXED number of corpus scans regardless of k, where
+    k-means++ needs k scans (a non-starter at k ≈ corpus/1k, the
+    SemDeDup recipe).
+
+    Deterministic without RNG, per repo convention: the paper's coin
+    flip P(pick x) = min(1, l·d²(x,C)/φ) keeps x iff
+    md5-uniform(vid, round) < that probability (hash60/2⁶⁰ — the same
+    seedless device as the JL/LSH planes); φ accumulates in DECIMAL so
+    the threshold is partition-order-free. The driver-side recluster
+    is greedy weighted farthest-point (max weight·d²) + weighted Lloyd
+    in numpy — deterministic, O((l·rounds)²·k) flops on ≤ a few
+    hundred candidates.
+
+    Scale shape per round: candidates broadcast as literals (≤ l·round
+    entries), one narrow-map d² pass feeding a 1-row DECIMAL agg (φ),
+    one narrow-map filter whose survivors (expected l) are collected —
+    no corpus-grain shuffle anywhere. The weighting pass is one argmin
+    map + one ≤|C|-row groupBy."""
+    import numpy as np
+
+    if l is None:
+        l = 2 * k
+    v = corpus.select(F.col(id_col).alias("vid"), _dbl(vec_col).alias("v"))
+
+    first = v.orderBy("vid").limit(1).collect()[0]
+    cands: list[list[float]] = [[float(x) for x in first["v"]]]
+    cand_ids = {first["vid"]}
+
+    def _cents_lit(cs: list[list[float]]) -> Column:
+        return F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cs]
+        )
+
+    for r in range(rounds):
+        d2 = F.array_min(
+            F.transform(_cents_lit(cands), lambda c: sqdist_expr(F.col("v"), c))
+        )
+        phi = v.select(
+            F.sum(d2.cast("decimal(38,12)")).alias("phi")
+        ).collect()[0]["phi"]
+        if phi is None or float(phi) == 0.0:
+            break
+        u = hash60_expr(
+            F.concat(F.lit(f"kmpar{r}:"), F.col("vid").cast("string"))
+        ).cast("double") / F.lit(float(1 << 60))
+        picked = (
+            v.filter(u * F.lit(float(phi)) < F.lit(float(l)) * d2)
+            .orderBy("vid")
+            .collect()
+        )
+        for row in picked:
+            if row["vid"] not in cand_ids:
+                cand_ids.add(row["vid"])
+                cands.append([float(x) for x in row["v"]])
+
+    # Weight every candidate by the corpus mass it attracts (one pass).
+    dists = F.transform(
+        _cents_lit(cands),
+        lambda c, i: F.struct(
+            sqdist_expr(F.col("v"), c).alias("d2"), i.alias("ci")
+        ),
+    )
+    wrows = (
+        v.select(F.array_min(dists)["ci"].cast("int").alias("ci"))
+        .groupBy("ci")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    W = np.zeros(len(cands))
+    for row in wrows:
+        W[row["ci"]] = row["w"]
+    X = np.array(cands)
+
+    if len(cands) <= k:
+        return [[float(x) for x in c] for c in cands]
+
+    # Greedy weighted farthest-point seeding + weighted Lloyd (numpy).
+    chosen = [int(W.argmax())]
+    d2x = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int((W * d2x).argmax())
+        chosen.append(nxt)
+        d2x = np.minimum(d2x, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(10):
+        a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if W[m].sum() > 0:
+                C[j] = (X[m] * W[m, None]).sum(axis=0) / W[m].sum()
+    return [[float(x) for x in c] for c in C]
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """FULLY DISTRIBUTED Lloyd k-means over an embedding column —
     unlike train_ivf_centroids (the FAISS bounded-sample recipe, a
@@ -788,12 +896,23 @@ def kmeans_lloyd(
     linear; no iteration-over-collect, no driver state beyond the plan.
     """
     v = corpus.select(F.col(id_col).alias("vid"), _dbl(vec_col).alias("v"))
-    seed_w = Window.orderBy("vid")
-    cents = (
-        v.orderBy("vid")
-        .limit(k)
-        .select((F.row_number().over(seed_w) - 1).alias("cid"), F.col("v").alias("c"))
-    )
+    if init_centers is not None:
+        # e.g. kmeans_parallel_init's output — k-means|| seeding
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(init_centers)],
+            "cid int, c array<double>",
+        )
+    else:
+        seed_w = Window.orderBy("vid")
+        cents = (
+            v.orderBy("vid")
+            .limit(k)
+            .select(
+                (F.row_number().over(seed_w) - 1).alias("cid"),
+                F.col("v").alias("c"),
+            )
+        )
 
     def assign(centroids: DataFrame) -> DataFrame:
         # Assignment is a pure NARROW map: the k centroids collapse to

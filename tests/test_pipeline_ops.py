@@ -2438,3 +2438,41 @@ def test_ts_subquery_rate_windows_are_isolated(spark, tmp_path):
     assert r["n_subwindows"] == 2
     # isolated window 1 wins with 3/432000; a leak would make it 8/432000
     assert r["max_rate_per_sec"] == 3.0 / 432000.0
+
+
+def test_kmeans_parallel_init_seeds_every_blob(spark):
+    """k-means|| init (similarity.kmeans_parallel_init): on four
+    well-separated blobs it must return one center inside each blob —
+    the failure mode it exists to fix is min-id/random seeding putting
+    several seeds in one blob — and Lloyd from that init must reach a
+    cost no worse than Lloyd from min-id seeds. Deterministic: the
+    hash-coin sampling has no RNG, so the whole assertion is exact."""
+    import numpy as np
+
+    dim, per = 8, 40
+    rows = []
+    for b in range(4):
+        for i in range(per):
+            base = [0.0] * dim
+            base[2 * b] = 50.0  # blob centers 50*e0, 50*e2, 50*e4, 50*e6
+            # deterministic per-point jitter, small vs separation
+            noise = [((hash((b, i, d)) % 1000) / 1000.0 - 0.5) for d in range(dim)]
+            rows.append((b * per + i, [base[d] + noise[d] for d in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = similarity.kmeans_parallel_init(df, k=4, rounds=4)
+    assert len(cents) == 4
+    C = np.array(cents)
+    blob_axis = C.argmax(axis=1)  # dominant coordinate identifies the blob
+    assert sorted(blob_axis.tolist()) == [0, 2, 4, 6]
+    assert (C.max(axis=1) > 25).all()  # inside a blob, not between blobs
+
+    def cost(assign_df):
+        return sum(r["dist2"] for r in assign_df.collect())
+
+    cost_par = cost(similarity.kmeans_lloyd(df, k=4, iters=2, init_centers=cents))
+    cost_minid = cost(similarity.kmeans_lloyd(df, k=4, iters=2))
+    assert cost_par <= cost_minid
+    # with one seed per blob, 2 Lloyd iters must essentially converge:
+    # every point within its own blob's radius
+    assert cost_par / len(rows) < 1.0
