@@ -50,6 +50,7 @@ from monolith_spark.operators.text import (
     tokens_expr,
 )
 from monolith_spark.operators.similarity import (
+    jl_expr,
     pq_code_expr,
 )
 from monolith_spark.operators.sketches import (
@@ -73,6 +74,8 @@ from monolith_spark.operators.multimodal import (
     video_fingerprint,
     decode_image,
     dhash64,
+    encode_jpeg,
+    encode_png,
     encode_ppm,
     encode_wav,
     encode_y4m,
@@ -99,10 +102,11 @@ __all__ = [
     "shingles_expr", "min_shingle_fingerprint", "hash60_expr",
     "dot_expr", "norm_expr", "cosine_expr", "winnow_fingerprints_expr",
     "hyperplane_signature", "hyperplane_signature_offset",
-    "pq_code_expr", "zvalue_expr",
+    "pq_code_expr", "jl_expr", "zvalue_expr",
     "range_func_by_step",
     "cms_sketch", "cms_estimate", "cms_merge", "cms_bucket_expr",
     "kmv_sketch", "kmv_merge", "kmv_estimate", "bpe_symbol_count_expr",
-    "decode_image", "encode_ppm", "encode_wav", "encode_y4m", "resize_image",
+    "decode_image", "encode_ppm", "encode_png", "encode_jpeg",
+    "encode_wav", "encode_y4m", "resize_image",
     "ahash64", "dhash64", "audio_fingerprint45", "video_fingerprint",
 ]

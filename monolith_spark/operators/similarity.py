@@ -983,6 +983,7 @@ def semdedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means-bounded cosine pruning. Cluster the
@@ -1000,7 +1001,9 @@ def semdedup(
     pairwise stage is an equi-join on cluster_id, so total work is
     Σ|cluster|² instead of n². At 100 TB you run k ≈ corpus/1k
     clusters (the paper uses k=50k at 100M scale) and the per-cluster
-    quadratic term stays bounded; a pathological hot cluster is fixed
+    quadratic term stays bounded; seed those k centers with
+    kmeans_parallel_init(...) via ``init_centers`` — min-id seeding
+    needs luck at k=50k, and k-means++ would need k corpus scans; a pathological hot cluster is fixed
     by raising k (the assignment step is linear in k via one broadcast
     of k·dim doubles). Greedy lowest-id keep (not connected
     components) matches docs_curation's pair rule: deterministic,
@@ -1011,7 +1014,8 @@ def semdedup(
     # assignment map (and the k-means rounds under it) never re-run per
     # consumer — O(corpus) ids+cells on local disk, not vectors
     assign = kmeans_lloyd(
-        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        init_centers=init_centers,
     ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
     base = (
         corpus.select(
@@ -1061,6 +1065,7 @@ def hard_negatives(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every
     vector, the most-similar OTHER vector in its k-means cell whose
@@ -1086,7 +1091,8 @@ def hard_negatives(
     # assignment map (and the k-means rounds under it) never re-run per
     # consumer — O(corpus) ids+cells on local disk, not vectors
     assign = kmeans_lloyd(
-        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        init_centers=init_centers,
     ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
     base = corpus.select(
         F.col(id_col).alias("vid"),
@@ -1202,6 +1208,7 @@ def d4_prune(
     prune_pct: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """D4 (Tirumala et al. 2023, arXiv:2308.12284) — the composed
     embedding-curation pipeline: SemDeDup drops semantic duplicates
@@ -1226,7 +1233,8 @@ def d4_prune(
     # assignment map (and the k-means rounds under it) never re-run per
     # consumer — O(corpus) ids+cells on local disk, not vectors
     assign = kmeans_lloyd(
-        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        init_centers=init_centers,
     ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
     base = (
         corpus.select(

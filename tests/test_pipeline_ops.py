@@ -2476,3 +2476,19 @@ def test_kmeans_parallel_init_seeds_every_blob(spark):
     # with one seed per blob, 2 Lloyd iters must essentially converge:
     # every point within its own blob's radius
     assert cost_par / len(rows) < 1.0
+
+
+def test_semdedup_accepts_parallel_init(spark, sf_dir):
+    """The cluster-based embedding family (semdedup shown; the same
+    hook feeds hard_negatives/d4_prune) accepts kmeans_parallel_init
+    seeds: every vector still gets exactly one verdict row, and the
+    keep-set semantics hold (kept vectors have no kept near-dup with a
+    smaller id in their cluster is checked by the dedicated semdedup
+    tests — here we pin schema/coverage under the injected init)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.kmeans_parallel_init(embs, k=4, rounds=2)
+    out = similarity.semdedup(embs, k=4, init_centers=cents)
+    n = embs.count()
+    assert out.count() == n
+    assert set(out.columns) == {"vec_id", "cluster_id", "kept"}
+    assert out.select("vec_id").distinct().count() == n
