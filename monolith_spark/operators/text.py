@@ -884,6 +884,11 @@ def dsir_scores(
         if is_target is None:
             raise ValueError("dsir_scores needs is_target or counts")
         counts = dsir_bucket_counts(df, is_target, n_buckets, text_col)
+    # totals, lr and lr0 each reference counts: checkpoint the <=
+    # n_buckets-row table once so the token-grain count pass doesn't
+    # re-run per lineage reference (it ran 3x — three full corpus
+    # scans — before this; the semdedup assignment-checkpoint device)
+    counts = counts.localCheckpoint(eager=False)
     toks = df.select(
         F.col(id_col),
         F.explode(tokens_expr(text_col)).alias("w"),
