@@ -516,10 +516,17 @@ def pagerank(
     hash-exact output should round via DECIMAL(18,9), see
     docs_pagerank).
     """
+    # pairs usually comes from an expensive pair-generation join, and
+    # deg/nodes/count plus EVERY power iteration reference edges —
+    # checkpoint it once, and cut the ranks lineage per round, or each
+    # job replays the whole chain (the sf0.01 docs_pagerank plan
+    # re-scanned the corpus 42× before this; cluster_pairs already
+    # applies the same device).
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
@@ -550,7 +557,7 @@ def pagerank(
                 + F.lit(damping)
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("rank"),
-        )
+        ).localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
