@@ -7507,9 +7507,15 @@ def docs_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates = _text.text_stats(docs).filter(
         F.col("n_tokens").between(25, 90) & (F.col("stopword_ratio") >= 0.04)
     )
-    q = docs.join(gates.select("doc_id", "n_tokens"), "doc_id")
+    # q feeds exact-dedup AND the semi-join; e feeds pair-gen AND the
+    # final anti — checkpoint each once or every consumer re-derives
+    # docs + text_stats (16 corpus scans in the audited plan; the same
+    # device docs_curation_full already applies)
+    q = docs.join(gates.select("doc_id", "n_tokens"), "doc_id").localCheckpoint(
+        eager=False
+    )
     canon = _dedup.exact_dedup(q).select(F.col("canonical_id").alias("doc_id"))
-    e = q.join(canon, "doc_id", "semi")
+    e = q.join(canon, "doc_id", "semi").localCheckpoint(eager=False)
     pairs = _dedup.shingle_jaccard_pairs(e, threshold=_JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return e.join(drop, "doc_id", "left_anti").select("doc_id", "n_tokens")
