@@ -561,7 +561,31 @@ def test_registry_plan_red_flag_sweep(spark, sf_dir):
                 failures.append((name, f"BNLJ build side not a 1-row aggregate: {side}"))
         for sub in _unbounded_single_partition_subtrees(plan):
             failures.append((name, f"Exchange SinglePartition over unbounded input: {sub}"))
+        mx = _max_same_file_scans(plan)
+        if mx > _MAX_SAME_FILE_SCANS:
+            failures.append(
+                (name, f"same source scanned {mx}x — duplicate-lineage"
+                       " recomputation (checkpoint the shared stage)")
+            )
     assert not failures, failures
+
+
+# Highest legitimate same-source scan multiplicity in the registry:
+# fixed-round unrolled iterations (emb_kmeans_lloyd: 2 Lloyd rounds ×
+# assign+means) and multi-feature passes (docs_source_copy_matrix) top
+# out at 8. Anything above is the duplicate-lineage class this guard
+# exists for — docs_pagerank re-scanned the corpus 42× and
+# docs_curation/the LSH blockers 16× before the round-6 checkpoint /
+# one-scan fixes.
+_MAX_SAME_FILE_SCANS = 8
+
+
+def _max_same_file_scans(plan: str) -> int:
+    import re
+    from collections import Counter
+
+    locs = re.findall(r"Location: InMemoryFileIndex\(\d+ paths?\)\[([^\]]*)", plan)
+    return max(Counter(locs).values(), default=0)
 
 
 # Markers that bound an Exchange SinglePartition's input to a driver-safe
@@ -689,3 +713,16 @@ def test_query_downsampled_prunes_and_broadcasts(spark, tmp_path):
     # and the result crosses the tier boundary
     got = {(r["bucket_ms"], r["n_points"]) for r in q.collect()}
     assert got == {(0, 1), (10_000, 1), (20_000, 1), (30_000, 1)}
+
+
+def test_scan_multiplicity_guard_catches_duplicate_lineage(spark, sf_dir):
+    """The scan-multiplicity guard must fire on the class it exists
+    for: an N-way union of re-reads of the same source (the shape the
+    per-table LSH blocking and uncheckpointed pagerank iterations
+    produced) counts as N scans of one file."""
+    from functools import reduce
+
+    base = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df = reduce(lambda a, b: a.unionByName(b),
+                [base.selectExpr("r_regionkey") for _ in range(_MAX_SAME_FILE_SCANS + 1)])
+    assert _max_same_file_scans(_plan(df)) == _MAX_SAME_FILE_SCANS + 1
