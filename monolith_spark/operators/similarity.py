@@ -216,6 +216,76 @@ def embedding_near_dup_pairs(
     )
 
 
+def hyperplane_signatures_batch(
+    df: DataFrame,
+    planes: int,
+    num_tables: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All ``num_tables`` hyperplane signatures in ONE Arrow-batched
+    numpy pass — returns [vid, vec (array<double>), sigs (array<long>,
+    one per table)].
+
+    Bit-identical to hyperplane_signature_offset by construction: the
+    per-plane projection is a SEQUENTIAL fold in ascending dimension
+    order (acc starts at 0.0; the numpy loop vectorizes across ROWS
+    while adding one dimension at a time, so each plane's IEEE add
+    sequence equals the Column expression's zip_with+aggregate fold —
+    asserted bit-for-bit in tests), with ±1 signs from the same
+    md5-parity formula. Exists because the num_tables × planes Column
+    form (16×16×64 ≈ 16k lambda terms at the defaults) exceeds
+    whole-stage-codegen limits and falls back to interpreted HOF
+    evaluation — measured ~46 vectors/sec/core (435 s for a 20k-vector
+    probe); this map does the same arithmetic in numpy column ops and
+    keeps the LSH blockers' "signatures are a cheap narrow map" scale
+    contract true. float32→float64 widening and the float64 Arrow
+    round-trip are both exact.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _sign(prefix: str, d: int) -> float:
+        h = int(hashlib.md5(f"{prefix}{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    total = num_tables * planes
+    S = np.array(
+        [[_sign(f"plane{p}:", d) for d in range(dim)] for p in range(total)]
+    )  # (total_planes, dim)
+    weights = np.array(
+        [1 << (p % planes) for p in range(total)], dtype=np.int64
+    )
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros((n, total))
+            for d in range(dim):  # sequential over dims == the fold
+                acc += X[:, d : d + 1] * S[:, d]
+            bits = (acc > 0).astype(np.int64) * weights  # (n, total)
+            sigs = bits.reshape(n, num_tables, planes).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].astype("int64"),
+                    "vec": list(X),
+                    "sigs": list(sigs),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, "vid long, vec array<double>, sigs array<long>"
+    )
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     threshold: float = 0.4,
@@ -224,6 +294,7 @@ def embedding_near_dup_lsh(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_size: int = 256,
 ) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH blocking + exact verify.
 
@@ -231,26 +302,40 @@ def embedding_near_dup_lsh(
     with exact cosine); recall is statistical in (planes, tables) —
     see lsh_topk for the collision math. All joins are equi-joins on
     (table, signature): the corpus is hashed map-side and never
-    all-pairs joined — linear shuffle at any corpus size.
+    all-pairs joined.
+
+    ``max_block_size`` is the same HARD cap simhash_pairs carries: at
+    FIXED planes every bucket holds ~n/2**planes of the corpus, so
+    uncapped in-bucket pair generation is quadratic in n (the 10×
+    probe measured ~100× time before the cap). Each (table, sig)
+    block truncates deterministically to its first ``max_block_size``
+    members by id — total pair work ≤ num_tables·n·cap, linear at any
+    corpus size — and the oracle replays the truncation. Vectors past
+    the cap in SOME table usually still pair via their other tables;
+    a corpus whose buckets are persistently hot needs more ``planes``
+    (the blocking bits no longer discriminate — same contract as
+    raising semdedup's k with corpus size).
     """
     if dim is None:
         dim = _infer_dim(df, vec_col)
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        _dbl(vec_col).alias("vec"),
-        norm_expr(_dbl(vec_col)).alias("nrm"),
+    # Signatures via the Arrow-batched numpy map (bit-identical to the
+    # Column form, which at 16 tables x 16 planes falls out of codegen
+    # into interpreted HOF evaluation — a measured 50x on the 10x
+    # probe); posexplode expands the per-table array AFTER the
+    # expensive math, still one corpus scan.
+    sb = hyperplane_signatures_batch(df, planes, num_tables, dim, id_col, vec_col)
+    blocked = sb.select(
+        "vid",
+        "vec",
+        norm_expr(F.col("vec")).alias("nrm"),
+        F.posexplode("sigs").alias("table", "sig"),
     )
-    # All tables' signatures ride ONE projection + inline — the
-    # union-of-withColumn form scanned the corpus once PER TABLE
-    # (16 scans at the defaults; measured by the registry scan audit).
-    sigs = F.array(*[
-        F.struct(
-            F.lit(t).alias("table"),
-            hyperplane_signature_offset("vec", planes, dim, t * planes).alias("sig"),
-        )
-        for t in range(num_tables)
-    ])
-    blocked = base.select("vid", "vec", "nrm", F.inline(sigs))
+    wb = Window.partitionBy("table", "sig").orderBy("vid")
+    blocked = (
+        blocked.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= max_block_size)
+        .drop("__rn")
+    )
     x, y = blocked.alias("x"), blocked.alias("y")
     cand = (
         x.join(
@@ -421,32 +506,34 @@ def lsh_topk(
     """
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _dbl(vec_col).alias("c_vec"),
-        norm_expr(_dbl(vec_col)).alias("cn"),
-    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _dbl(vec_col).alias("q_vec"),
         norm_expr(_dbl(vec_col)).alias("qn"),
     )
-    # Distinct planes per table (global plane ids [t*planes, ...));
-    # every table's signature rides ONE projection + inline per side —
-    # the per-table join-then-union form scanned the corpus once per
-    # table (16 scans at the defaults).
-    def _blocked(rel, vec):
-        sigs = F.array(*[
-            F.struct(
-                F.lit(t).alias("table"),
-                hyperplane_signature_offset(vec, planes, dim, t * planes).alias("sig"),
-            )
-            for t in range(num_tables)
-        ])
-        return rel.select("*", F.inline(sigs))
-
-    cand = _blocked(c, "c_vec").join(
-        F.broadcast(_blocked(q, "q_vec")), ["table", "sig"]
+    # Distinct planes per table (global plane ids [t*planes, ...)).
+    # Corpus side: the Arrow-batched numpy signature map (the Column
+    # form at these defaults runs interpreted — see
+    # hyperplane_signatures_batch); query side stays the Column
+    # expression (q rows are few and broadcast).
+    cb = hyperplane_signatures_batch(
+        corpus, planes, num_tables, dim, id_col, vec_col
+    )
+    c_blocked = cb.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        norm_expr(F.col("vec")).alias("cn"),
+        F.posexplode("sigs").alias("table", "sig"),
+    )
+    q_sigs = F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            hyperplane_signature_offset("q_vec", planes, dim, t * planes).alias("sig"),
+        )
+        for t in range(num_tables)
+    ])
+    cand = c_blocked.join(
+        F.broadcast(q.select("*", F.inline(q_sigs))), ["table", "sig"]
     )
     scored = (
         cand.select("query_id", "neighbor_id", "q_vec", "c_vec", "qn", "cn")

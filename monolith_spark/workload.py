@@ -6027,9 +6027,14 @@ _LSH_SIG_SQL = " + ".join(
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    blk AS (
+    blk0 AS (
       SELECT vec_id, t.tbl AS tbl, {_LSH_SIG_SQL} AS sig
       FROM e, range(8) t(tbl)),
+    blk AS (
+      -- mirror of the Spark side's per-block cap: first 256 members
+      -- of each (tbl, sig) block, ordered by vec_id
+      SELECT vec_id, tbl, sig FROM blk0
+      QUALIFY row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) <= 256),
     cand AS (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
       FROM blk x JOIN blk y

@@ -179,6 +179,12 @@ def round6_probe(spark, mult: int) -> dict:
     out["vecs"] = embs.count()
     qv = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
     timed("jl_ivf_serving_sec", sim.jl_ivf_topk(embs, qv, k=10))
+    # capped LSH blocking: at fixed planes every bucket holds a
+    # constant FRACTION of the corpus (n/2^planes), so uncapped
+    # in-bucket pair-gen is quadratic — this probe measured 7.9s → 788s
+    # at 10× before max_block_size; capped, pair work ≤ tables·n·cap
+    # and the row must stay flat
+    timed("near_dup_lsh_sec", sim.embedding_near_dup_lsh(embs))
     return out
 
 

@@ -2492,3 +2492,54 @@ def test_semdedup_accepts_parallel_init(spark, sf_dir):
     assert out.count() == n
     assert set(out.columns) == {"vec_id", "cluster_id", "kept"}
     assert out.select("vec_id").distinct().count() == n
+
+
+def test_hyperplane_batch_sigs_match_column_expression(spark, sf_dir):
+    """hyperplane_signatures_batch must equal hyperplane_signature_offset
+    bit-for-bit on real data — the numpy path vectorizes across rows
+    but adds dimensions in the same sequential order as the Column
+    fold, so every projection (and therefore every sign bit) is the
+    identical IEEE result."""
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes, tables, dim = 16, 16, 64
+    got = {
+        r["vid"]: list(r["sigs"])
+        for r in similarity.hyperplane_signatures_batch(
+            embs, planes, tables, dim
+        ).collect()
+    }
+    base = embs.select(
+        F.col("vec_id").alias("vid"), similarity._dbl("embedding").alias("vec")
+    )
+    for t in (0, 7, 15):  # spot-check three tables across the plane range
+        exp = {
+            r["vid"]: r["sig"]
+            for r in base.select(
+                "vid",
+                similarity.hyperplane_signature_offset(
+                    "vec", planes, dim, t * planes
+                ).alias("sig"),
+            ).collect()
+        }
+        assert {v: s[t] for v, s in got.items()} == exp, f"table {t}"
+
+
+def test_embedding_lsh_caps_flooded_block(spark):
+    """embedding_near_dup_lsh's max_block_size: a clone-flooded bucket
+    (identical vectors land in one (table, sig) block in EVERY table)
+    must truncate deterministically to the first cap members by id —
+    pair count C(cap,2), ids the lowest — instead of the |block|²
+    blow-up the 10x probe measured before the cap."""
+    rows = [(i, [1.0] * 8) for i in range(40)]  # 40 clones, one bucket
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dup_lsh(
+        df, threshold=0.9, planes=4, num_tables=2, dim=8, max_block_size=5
+    ).collect()
+    # first 5 ids by vec_id survive in every table -> C(5,2) = 10 pairs
+    assert len(pairs) == 10
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == {0, 1, 2, 3, 4}
+    # sqrt(8)*sqrt(8) = 8.000000000000002: cosine is 1.0 up to 2 ulp
+    assert all(abs(r["cosine"] - 1.0) < 1e-12 for r in pairs)
