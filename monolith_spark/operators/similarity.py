@@ -262,6 +262,10 @@ def hyperplane_signatures_batch(
 
     def batches(it):
         for pdf in it:
+            # NULL vectors: the Column form yields a NULL signature that
+            # never equi-joins — dropping the row here is the same
+            # observable behavior (and np.stack would crash on None)
+            pdf = pdf[pdf[vec_col].notna()]
             n = len(pdf)
             if n == 0:
                 continue
