@@ -9154,3 +9154,95 @@ def ts_subquery_max_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_subwindows"),
         )
     )
+
+
+# Prometheus le-bucket bounds for the latency-SLO quantile; +Inf is the
+# implicit last bucket (total count). Chosen to straddle the fixture's
+# per-series p95 range (29..335) so BOTH the in-bucket interpolation
+# and the +Inf highest-finite-bound clamp branches execute.
+_SLO_LE = (10.0, 25.0, 50.0, 100.0, 250.0)
+
+
+@_q(
+    "ts_latency_slo_p95",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CASE
+             WHEN CAST(sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  < CAST(0.95 AS DOUBLE) * count(*) THEN 250.0
+             WHEN CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  >= CAST(0.95 AS DOUBLE) * count(*) THEN
+               0.0 + 10.0 * (CAST(0.95 AS DOUBLE) * count(*))
+                 / CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             WHEN CAST(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  >= CAST(0.95 AS DOUBLE) * count(*) THEN
+               10.0 + 15.0 * (CAST(0.95 AS DOUBLE) * count(*)
+                 - CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE))
+                 / CAST(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             WHEN CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  >= CAST(0.95 AS DOUBLE) * count(*) THEN
+               25.0 + 25.0 * (CAST(0.95 AS DOUBLE) * count(*)
+                 - CAST(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE))
+                 / CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             WHEN CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  >= CAST(0.95 AS DOUBLE) * count(*) THEN
+               50.0 + 50.0 * (CAST(0.95 AS DOUBLE) * count(*)
+                 - CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE))
+                 / CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             ELSE
+               100.0 + 150.0 * (CAST(0.95 AS DOUBLE) * count(*)
+                 - CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE))
+                 / CAST(sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE)
+           END AS p95_le
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    """,
+)
+def ts_latency_slo_p95_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile over cumulative le-buckets — THE
+    production latency-SLO query (p95 from +Inf-terminated bucket
+    counters), distinct from ts_histogram_quantile's fixed-width value
+    bins: explicit le bounds, linear interpolation between BOUNDS
+    (lower bound 0 for the first bucket), and Prometheus's clamp to
+    the highest finite bound when the rank lands in +Inf. The whole
+    query is ONE map-combinable conditional aggregation per series —
+    no window, no join, no second pass; counts are integers so the
+    interpolation's double arithmetic is an identical expression tree
+    cross-engine."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    les = _SLO_LE
+    cums = [
+        F.sum(F.when(F.col("value") <= F.lit(le), 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, le in enumerate(les)
+    ]
+    g = s.groupBy("signature").agg(
+        F.count("*").cast("long").alias("n_obs"), *cums
+    )
+    rank = F.lit(0.95) * F.col("n_obs")
+    expr = F.lit(float(les[-1]))  # +Inf rank -> highest finite bound
+    # build the CASE chain from the last finite bucket down so the
+    # first-match-wins order equals the SQL text above
+    branches = []
+    for i, le in enumerate(les):
+        lower = 0.0 if i == 0 else les[i - 1]
+        prev = F.lit(0.0) if i == 0 else F.col(f"c{i-1}").cast("double")
+        width = le - lower
+        est = (
+            F.lit(lower)
+            + F.lit(width)
+            * (rank - prev)
+            / (F.col(f"c{i}").cast("double") - (F.lit(0.0) if i == 0 else F.col(f"c{i-1}").cast("double")))
+        )
+        branches.append((F.col(f"c{i}") >= rank, est))
+    case = F.when(F.col(f"c{len(les)-1}") < rank, F.lit(float(les[-1])))
+    for cond, est in branches:
+        case = case.when(cond, est)
+    return g.select("signature", "n_obs", case.alias("p95_le"))
