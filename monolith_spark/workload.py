@@ -9246,3 +9246,44 @@ def ts_latency_slo_p95_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cond, est in branches:
         case = case.when(cond, est)
     return g.select("signature", "n_obs", case.alias("p95_le"))
+
+
+@_q(
+    "ts_resets",
+    f"""
+    SELECT signature,
+           CAST(sum(CASE WHEN v < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM (
+      SELECT {SIG_SQL} AS signature,
+             CAST(value AS DECIMAL(28,6)) AS v,
+             lag(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+             ) AS prev
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    )
+    GROUP BY 1
+    """,
+)
+def ts_resets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL resets(): per-series count of counter decreases over the
+    range — the companion diagnostic to rate()/increase()'s reset
+    correction (a counter that resets often is restarting or being
+    scraped from rotating replicas). Same single (series, time) sort
+    shuffle as ts_counter_increase; DECIMAL comparison keeps the
+    decrease test exact cross-engine."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN20))
+    w = Window.partitionBy("signature").orderBy("timestamp", "value")
+    dec = F.col("value").cast("decimal(28,6)")
+    prev = F.lag(dec).over(w)
+    return (
+        s.select("signature", dec.alias("v"), prev.alias("prev"))
+        .groupBy("signature")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("prev"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_resets"),
+            F.count("*").cast("long").alias("n_points"),
+        )
+    )
