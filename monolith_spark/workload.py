@@ -9287,3 +9287,66 @@ def ts_resets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_points"),
         )
     )
+
+
+# Alert rule: value >= _ALERT_TAU sustained for >= _ALERT_MIN_PTS
+# consecutive scrapes (Prometheus `expr > bool FOR <scrape interval>`:
+# pending on the first breach, firing from the second).
+_ALERT_TAU = 30.0
+_ALERT_MIN_PTS = 2
+
+
+@_q(
+    "ts_alert_firing",
+    f"""
+    WITH m AS (
+      SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value,
+             value >= {_ALERT_TAU} AS hi,
+             row_number() OVER (
+               PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value) AS rn,
+             row_number() OVER (
+               PARTITION BY {SIG_SQL}, (value >= {_ALERT_TAU})
+               ORDER BY epoch_ms(ts), value) AS rnc
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {_JAN31}
+    )
+    SELECT signature,
+           CAST(min(ts_ms) AS BIGINT) AS alert_start_ms,
+           CAST(max(ts_ms) AS BIGINT) AS alert_end_ms,
+           CAST(count(*) AS BIGINT) AS n_breaches,
+           max(value) AS peak_value
+    FROM m WHERE hi
+    GROUP BY signature, rn - rnc
+    HAVING count(*) >= {_ALERT_MIN_PTS}
+    """,
+)
+def ts_alert_firing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style alert rule evaluation: value >= tau sustained
+    across consecutive scrapes (pending on the first breach, FIRING
+    from the second) — each firing interval reported with its span,
+    breach count and peak. Gaps-and-islands via the row_number
+    difference device: two per-series sort windows (key-parallel, no
+    self-join, no sessionize shuffle-explosion), one groupBy on the
+    island id. Ties on (ts, value) are identical rows, so the island
+    partition is order-invariant and the oracle replays it exactly."""
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, _JAN31))
+    hi = F.col("value") >= F.lit(_ALERT_TAU)
+    w_all = Window.partitionBy("signature").orderBy("timestamp", "value")
+    w_cond = Window.partitionBy("signature", hi).orderBy("timestamp", "value")
+    m = s.select(
+        "signature", F.col("timestamp").alias("ts_ms"), "value", hi.alias("hi"),
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_cond).alias("rnc"),
+    )
+    return (
+        m.filter("hi")
+        .groupBy("signature", (F.col("rn") - F.col("rnc")).alias("__isl"))
+        .agg(
+            F.min("ts_ms").cast("long").alias("alert_start_ms"),
+            F.max("ts_ms").cast("long").alias("alert_end_ms"),
+            F.count("*").cast("long").alias("n_breaches"),
+            F.max("value").alias("peak_value"),
+        )
+        .filter(F.col("n_breaches") >= _ALERT_MIN_PTS)
+        .drop("__isl")
+    )

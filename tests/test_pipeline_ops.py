@@ -2543,3 +2543,38 @@ def test_embedding_lsh_caps_flooded_block(spark):
     assert ids == {0, 1, 2, 3, 4}
     # sqrt(8)*sqrt(8) = 8.000000000000002: cosine is 1.0 up to 2 ulp
     assert all(abs(r["cosine"] - 1.0) < 1e-12 for r in pairs)
+
+
+def test_alert_firing_islands_semantics(spark, tmp_path):
+    """ts_alert_firing: a single breach stays pending (no row), a
+    sustained run fires once with the exact span/count/peak, and a dip
+    below the threshold splits runs into separate alerts."""
+    import datetime
+
+    from monolith_spark.workload import JAN1, all_queries
+
+    def ts(ms):
+        return datetime.datetime.fromtimestamp(ms / 1000, datetime.timezone.utc)
+
+    # series: [35, 40, 50] fire (3 breaches), dip 10, [31, 32] fire,
+    # then isolated 99 stays pending
+    vals = [35.0, 40.0, 50.0, 10.0, 31.0, 32.0, 5.0, 99.0]
+    rows = [(i, ts(JAN1 + (i + 1) * 60_000), 3, "click", v, '{"k": 1}')
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = sorted(
+        all_queries()["ts_alert_firing"].spark_fn(spark, d).collect(),
+        key=lambda r: r["alert_start_ms"],
+    )
+    assert len(out) == 2
+    a, b = out
+    assert (a["n_breaches"], a["peak_value"]) == (3, 50.0)
+    assert a["alert_start_ms"] == JAN1 + 60_000
+    assert a["alert_end_ms"] == JAN1 + 3 * 60_000
+    assert (b["n_breaches"], b["peak_value"]) == (2, 32.0)
+    assert b["alert_start_ms"] == JAN1 + 5 * 60_000

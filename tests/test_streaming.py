@@ -1278,3 +1278,58 @@ def test_continuous_dsir_matches_batch(spark, tmp_path):
     model.process_batch(spark.read.parquet(src), epoch_id=0)  # marker hit
     assert {r["b"]: (r["t_b"], r["r_b"]) for r in model.bucket_counts().collect()} \
         == batch_counts
+
+
+def test_streaming_alerts_fire_across_batches(spark, tmp_path):
+    """streaming/alerts.py: a breach run SPLIT ACROSS micro-batches
+    must fire once with the full span (state carries), a run that
+    closes below min_pts resolves silently (pending only), and the
+    final open run is reported — closed firings + final open runs
+    equal the batch gaps-and-islands semantics on the same points."""
+    from monolith_spark.labels import signature_expr
+    from monolith_spark.streaming.alerts import streaming_alerts
+
+    src = str(tmp_path / "src")
+    # series a: run of 3 split across slices 1|2 (35,40 | 50), dip,
+    #   then an isolated breach (pending, never fires)
+    # series b: single breach then clear (pending resolved), then an
+    #   OPEN 2-run at stream end
+    _write_slice(spark, src, [({"m": "a"}, 1000, 35.0), ({"m": "a"}, 2000, 40.0),
+                              ({"m": "b"}, 1000, 90.0)])
+    _write_slice(spark, src, [({"m": "a"}, 3000, 50.0), ({"m": "b"}, 2000, 3.0)])
+    _write_slice(spark, src, [({"m": "a"}, 4000, 9.0), ({"m": "a"}, 5000, 77.0),
+                              ({"m": "b"}, 3000, 44.0), ({"m": "b"}, 4000, 61.0)])
+
+    stream = samples_file_stream(spark, src, max_files_per_trigger=1)
+    keyed = stream.select(
+        signature_expr("labels").alias("signature"), "timestamp", "value"
+    )
+    q = (
+        streaming_alerts(keyed, tau=30.0, min_pts=2)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("alerts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM alerts").collect()
+    fired = [(r["signature"], r["alert_start_ms"], r["alert_end_ms"],
+              r["n_breaches"], r["peak_value"])
+             for r in rows if r["kind"] == "firing"]
+    # exactly one firing: series a's 3-run spanning the batch boundary
+    assert fired == [("m=a", 1000, 3000, 3, 50.0)]
+    # latest open run per series (update mode re-emits per batch)
+    latest_open = {}
+    for r in rows:
+        if r["kind"] == "open":
+            prev = latest_open.get(r["signature"])
+            if prev is None or r["alert_end_ms"] > prev["alert_end_ms"]:
+                latest_open[r["signature"]] = r
+    a, b = latest_open["m=a"], latest_open["m=b"]
+    # a's trailing isolated 77 is pending (n=1); b's 2-run is open at
+    # >= min_pts — would fire on the next clear point
+    assert (a["n_breaches"], a["alert_start_ms"]) == (1, 5000)
+    assert (b["n_breaches"], b["alert_start_ms"], b["peak_value"]) == (2, 3000, 61.0)
