@@ -645,10 +645,19 @@ class MonolithDB:
         hi = (end_ms // step_ms + 1) * step_ms - 1  # end of end_ms's bucket
         parts = []
         if rolled:
+            # chunk_id pruning on the rollup tier too: a bucket partial
+            # stored in chunk c only aggregates points inside c's range,
+            # so partials for buckets starting in [lo, end_ms] (points
+            # in [lo, hi]) live only in chunk partitions overlapping
+            # [lo, hi]. Without this the rolled tier — which grows
+            # unboundedly with retention age — scans every historical
+            # rollup partition per query.
             ro = (
                 self.spark.read.parquet(self._rollup_dir(step_ms))
                 .filter(
-                    (F.col("bucket_ms") >= lo) & (F.col("bucket_ms") <= end_ms)
+                    chunk_pred(lo, hi, self.chunk_size_ms)
+                    & (F.col("bucket_ms") >= lo)
+                    & (F.col("bucket_ms") <= end_ms)
                 )
                 .drop("chunk_id")
             )

@@ -706,13 +706,28 @@ def test_query_downsampled_prunes_and_broadcasts(spark, tmp_path):
 
     q = db.query_downsampled({"j": "a"}, 0, 40_000, step_ms=5_000)
     plan = _plan(q)
-    assert "PartitionFilters: [isnotnull(chunk_id" in plan
+    # BOTH tiers must prune on chunk_id: the raw-samples scan AND the
+    # rollup-store scan (the rolled tier grows unboundedly with
+    # retention age — an unpruned scan there reads every historical
+    # rollup partition's footers per query).
+    pruned_scans = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters: [isnotnull(chunk_id" in ln
+        and "(chunk_id" in ln.split("isnotnull(chunk_id", 1)[1]
+    ]
+    assert len(pruned_scans) >= 2, plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert not _unbounded_single_partition_subtrees(plan)
     # and the result crosses the tier boundary
     got = {(r["bucket_ms"], r["n_points"]) for r in q.collect()}
     assert got == {(0, 1), (10_000, 1), (20_000, 1), (30_000, 1)}
+    # a window past the rolled history must prune the rolled tier to
+    # zero partitions (no false drop of in-range rolled data either:
+    # the first window above already crossed both tiers)
+    q2 = db.query_downsampled({"j": "a"}, 25_000, 40_000, step_ms=5_000)
+    got2 = {(r["bucket_ms"], r["n_points"]) for r in q2.collect()}
+    assert got2 == {(30_000, 1)}
 
 
 def test_scan_multiplicity_guard_catches_duplicate_lineage(spark, sf_dir):
