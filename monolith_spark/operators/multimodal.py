@@ -483,11 +483,24 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
     sof = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them before reading the marker id
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         m = payload[pos + 1]
         if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD8:
+            # standalone markers carry NO length segment: TEM (0x01),
+            # RSTn (spec-illegal outside a scan — tolerate), SOI
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         seg = payload[pos + 4 : pos + 2 + seg_len]

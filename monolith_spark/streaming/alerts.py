@@ -11,9 +11,14 @@ Prometheus `for:` semantics) — and every micro-batch also reports the
 series' current open run so dashboards can show pending/firing-now.
 
 Streamed ≡ batch by construction: closed firing rows plus the final
-open runs (at >= min_pts) equal the batch island set on the same data,
-asserted in tests/test_streaming.py. State is partitioned on the
-series key, checkpointed in the state store, O(1) per series.
+open runs (at >= min_pts) equal the batch island set on the same
+points IN PROCESSED ORDER, asserted in tests/test_streaming.py. Points
+are sorted within a micro-batch; ACROSS batches, a sample arriving
+with timestamp <= the series' last processed point is dropped (state
+carries `last_seen`) — the same late-data policy as the ingest path —
+so out-of-order arrival can never extend or close a run retroactively.
+State is partitioned on the series key, checkpointed in the state
+store, O(1) per series.
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("run_start", T.LongType()),
         T.StructField("last_breach", T.LongType()),
         T.StructField("peak", T.DoubleType()),
+        T.StructField("last_seen", T.LongType()),
     ]
 )
 
@@ -56,9 +62,9 @@ def _make_update(tau: float, min_pts: int):
     ) -> Iterator[pd.DataFrame]:
         sig = key[0]
         if state.exists:
-            run_n, run_start, last_breach, peak = state.get
+            run_n, run_start, last_breach, peak, last_seen = state.get
         else:
-            run_n, run_start, last_breach, peak = 0, -1, -1, 0.0
+            run_n, run_start, last_breach, peak, last_seen = 0, -1, -1, 0.0, -1
         out: list[tuple] = []
         chunks = list(pdfs)
         if chunks:
@@ -70,6 +76,15 @@ def _make_update(tau: float, min_pts: int):
             )
             for ts, v in zip(pdf["timestamp"], pdf["value"]):
                 ts, v = int(ts), float(v)
+                if ts <= last_seen:
+                    # cross-batch ordering guard (ADVICE r6): a sample
+                    # landing in a later micro-batch with ts <= the
+                    # last processed point would extend/close runs out
+                    # of order and break streamed ≡ batch. Drop it —
+                    # the same late-data policy as the engine's ingest
+                    # window (streaming/ingest.py late-data drop).
+                    continue
+                last_seen = ts
                 if v >= tau:
                     if run_n == 0:
                         run_start, peak = ts, v
@@ -83,7 +98,7 @@ def _make_update(tau: float, min_pts: int):
                             (sig, "firing", run_start, last_breach, run_n, peak)
                         )
                     run_n, run_start, last_breach, peak = 0, -1, -1, 0.0
-        state.update((run_n, run_start, last_breach, peak))
+        state.update((run_n, run_start, last_breach, peak, last_seen))
         if run_n >= 1:
             out.append((sig, "open", run_start, last_breach, run_n, peak))
         if out:

@@ -4870,15 +4870,23 @@ def docs_semantic_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("__hit", F.lit(1))
     )
+    # n_queries is anchored to the QUERY relation, not the exact top-k
+    # rows: if the metadata prune empties the candidate corpus (small
+    # sf, tight filter), exact has zero rows — count_distinct there
+    # would diverge from the oracle's embeddings count and the sum/count
+    # ratio would go NULL. recall over an empty exact set is vacuously
+    # TRUE (ADVICE r6). Both sides are 1-row global aggregates, so the
+    # join is the documented 1-row-broadcast baseline.
+    verdict = exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            >= F.lit(0.4) * F.count("*"),
+            F.lit(True),
+        ).alias("recall_ok")
+    )
     return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count_distinct(F.col("query_id")).alias("n_queries"),
-            (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                >= F.lit(0.4) * F.count("*")
-            ).alias("recall_ok"),
-        )
+        queries.agg(F.count_distinct("query_id").alias("n_queries"))
+        .join(F.broadcast(verdict))
         .select("n_queries", F.lit(5).cast("long").alias("k"), "recall_ok")
     )
 

@@ -335,6 +335,15 @@ def test_jpeg_roundtrip_444_420_restarts_and_failures():
     assert int(dec[4, 2, 0]) > int(dec[4, 2, 2]) + 60   # left: red >> blue
     assert int(dec[4, 13, 2]) > int(dec[4, 13, 0]) + 60  # right: blue >> red
 
+    # T.81 B.1.1.2: 0xFF fill bytes before a marker id and standalone
+    # markers (TEM 0x01) are legal in the header walk — real-world
+    # writers emit both; the decode must be byte-identical
+    jp0 = multimodal.encode_jpeg(multimodal.synth_smooth_image(2, 16, 16))
+    padded = jp0[:2] + b"\xff\xff\xff" + b"\xff\x01" + jp0[2:]
+    ref = multimodal.decode_image(jp0)
+    got = multimodal.decode_image(padded)
+    assert (got == ref).all()
+
     # progressive SOF2 refuses; truncation and garbage fail loudly
     jp = multimodal.encode_jpeg(multimodal.synth_smooth_image(1, 16, 16))
     prog = bytearray(jp)

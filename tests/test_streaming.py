@@ -1299,6 +1299,10 @@ def test_streaming_alerts_fire_across_batches(spark, tmp_path):
     _write_slice(spark, src, [({"m": "a"}, 3000, 50.0), ({"m": "b"}, 2000, 3.0)])
     _write_slice(spark, src, [({"m": "a"}, 4000, 9.0), ({"m": "a"}, 5000, 77.0),
                               ({"m": "b"}, 3000, 44.0), ({"m": "b"}, 4000, 61.0)])
+    # series b: a LATE out-of-order breach (ts 2500 < last processed
+    # 4000) in a later batch must be dropped by the last_seen guard —
+    # unguarded it would extend b's open run to n=3 / peak 90
+    _write_slice(spark, src, [({"m": "b"}, 2500, 90.0)])
 
     stream = samples_file_stream(spark, src, max_files_per_trigger=1)
     keyed = stream.select(
