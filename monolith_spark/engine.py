@@ -19,13 +19,36 @@ Scale notes (100 TB):
   reference serializes every insert behind a chunk RwLock
   (/root/reference/src/chunk/chunk.rs:110-114); here concurrent
   writers can only produce duplicate dim rows, which reads drop.
+
+Snapshot isolation (manifest-as-commit):
+- Every mutation — ingest append, compaction, delete, retention —
+  becomes visible through ONE atomic pointer swing: data files are
+  staged, then a new manifest version (the JSON list of live files per
+  table) is written and ``_manifest/CURRENT`` is atomically replaced.
+  Readers resolve CURRENT at plan time, so a reader that planned
+  before a rewrite keeps executing against the files its snapshot
+  names — the Spark-native equivalent of the reference's chunk swap
+  lock (/root/reference/src/db.rs:269-318), without blocking anyone.
+- A crash at ANY point before the pointer swing is a no-op: staged
+  files are unreferenced (``vacuum`` reclaims them); there is no
+  recovery protocol, no staged-rename window, no pid heuristics.
+- Space is reclaimed by an explicit ``vacuum(grace_ms)`` — files
+  unreferenced by retained snapshots AND older than the grace are
+  deleted (the grace must exceed the longest in-flight query/write,
+  Delta-VACUUM semantics). At cluster scale the same commit protocol
+  runs against an object store with a conditional-put on CURRENT; the
+  flat JSON manifest would become a manifest tree past ~10^6 files.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import shutil
 import time
+import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +127,259 @@ class MonolithDB:
                     f,
                 )
 
+    # ------------------------------------------- manifest (snapshot commits)
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifest")
+
+    @contextmanager
+    def _manifest_lock(self):
+        """Serialize manifest commits across processes (flock on local
+        fs; the object-store analog is a conditional-put on CURRENT).
+        Guards only the commit critical section — readers never take
+        it."""
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        lf = open(os.path.join(d, "LOCK"), "w")
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+            lf.close()
+
+    def _read_current(self) -> dict | None:
+        """The committed snapshot, or None if no manifest exists yet.
+        CURRENT is replaced atomically, so this needs no lock: a reader
+        sees either the old or the new pointer, and version files are
+        fully written (fsync'd) before the pointer swings."""
+        cur = os.path.join(self._manifest_dir(), "CURRENT")
+        try:
+            with open(cur) as f:
+                name = f.read().strip()
+            with open(os.path.join(self._manifest_dir(), name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _load_manifest(self) -> dict:
+        """Resolve the current snapshot, migrating a legacy
+        directory-layout db (pre-manifest) on first contact."""
+        man = self._read_current()
+        if man is not None:
+            return man
+        with self._manifest_lock():
+            man = self._read_current()  # lost the migration race: done
+            if man is not None:
+                return man
+            return self._migrate_legacy()
+
+    def _migrate_legacy(self) -> dict:
+        """Build manifest v1 from the on-disk directory layout (called
+        once, under the commit lock). Heals any staged-rename state a
+        pre-manifest engine crash left behind first."""
+        self._recover_compaction()
+        series_files = []
+        if os.path.isdir(self.series_path):
+            series_files = sorted(
+                f for f in os.listdir(self.series_path) if f.endswith(".parquet")
+            )
+        samples: dict[str, list[str]] = {}
+        if os.path.isdir(self.samples_path):
+            for name in sorted(os.listdir(self.samples_path)):
+                if not name.startswith("chunk_id="):
+                    continue
+                cid = name.split("=", 1)[1]
+                try:
+                    int(cid)
+                except ValueError:
+                    continue
+                part = os.path.join(self.samples_path, name)
+                files = sorted(
+                    f for f in os.listdir(part) if f.endswith(".parquet")
+                )
+                if files:
+                    samples[cid] = files
+        man = {
+            "version": 1,
+            "committed_ms": int(time.time() * 1000),
+            "series": series_files,
+            "samples": samples,
+        }
+        self._write_version(man)
+        return man
+
+    def _write_version(self, man: dict) -> None:
+        """Durably write v{N}.json, then atomically swing CURRENT —
+        the single point where a snapshot becomes visible."""
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        name = f"v{man['version']:012d}.json"
+        tmp = os.path.join(d, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(d, name))
+        cur_tmp = os.path.join(d, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(d, "CURRENT"))
+
+    def _commit(self, mutate) -> dict:
+        """Commit a new snapshot: under the lock, re-read the latest
+        manifest (serializing against concurrent committers), apply
+        ``mutate(manifest) -> None`` in place, bump the version, write
+        + swing. A crash anywhere before the CURRENT swing leaves the
+        previous snapshot fully intact."""
+        with self._manifest_lock():
+            man = self._read_current()
+            if man is None:
+                man = self._migrate_legacy()
+            new = json.loads(json.dumps(man))
+            mutate(new)
+            new["version"] = man["version"] + 1
+            new["committed_ms"] = int(time.time() * 1000)
+            self._write_version(new)
+            return new
+
+    def _stage_and_move(
+        self, df: DataFrame, target_dir: str, partition_by: str | None = None
+    ):
+        """Write ``df`` to a unique staging dir, then move the part
+        files into the live table directory (same-fs rename — on an
+        object store the staged paths would go into the manifest
+        directly instead). The files become LIVE only when a later
+        manifest commit references them; a crash before that leaves
+        unreferenced files for vacuum. Returns the moved basenames —
+        a list, or {chunk_id: [basenames]} when ``partition_by``."""
+        staging = os.path.join(self.path, "_staged", uuid.uuid4().hex)
+        writer = df.write
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(staging)
+
+        import pyarrow.parquet as pq
+
+        def _move_into(src_dir: str, dst_dir: str) -> list[str]:
+            # Zero-row part files (an empty batch, a fully-deleted
+            # chunk) never enter the manifest — one footer read per
+            # file we just wrote, so empty micro-batches commit
+            # nothing, emptied chunks vanish cleanly, and an all-empty
+            # move never even creates the target dir.
+            src = [
+                fn
+                for fn in sorted(os.listdir(src_dir))
+                if fn.endswith(".parquet")
+                and pq.read_metadata(os.path.join(src_dir, fn)).num_rows > 0
+            ]
+            names = []
+            if src:
+                os.makedirs(dst_dir, exist_ok=True)
+            for fn in src:
+                dst = os.path.join(dst_dir, fn)
+                if os.path.exists(dst):  # uuid part names: ~impossible
+                    fn = f"{uuid.uuid4().hex[:8]}-{fn}"
+                    dst = os.path.join(dst_dir, fn)
+                os.rename(os.path.join(src_dir, fn), dst)
+                names.append(fn)
+            return names
+
+        try:
+            if partition_by is None:
+                return _move_into(staging, target_dir)
+            moved: dict[str, list[str]] = {}
+            for name in sorted(os.listdir(staging)):
+                if not name.startswith(f"{partition_by}="):
+                    continue
+                key = name.split("=", 1)[1]
+                files = _move_into(
+                    os.path.join(staging, name),
+                    os.path.join(target_dir, name),
+                )
+                if files:
+                    moved[key] = files
+            return moved
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def vacuum(
+        self, grace_ms: int = 24 * 3600 * 1000, retain_last: int = 1
+    ) -> int:
+        """Reclaim space: delete data files not referenced by any
+        RETAINED snapshot — the latest ``retain_last`` versions plus
+        every version committed within ``grace_ms`` — and prune expired
+        manifest files, orphaned staging dirs, and now-empty chunk
+        partition dirs. Unreferenced files younger than ``grace_ms``
+        are also kept (an in-flight writer has moved them but not yet
+        committed). The grace must exceed the longest in-flight query:
+        a reader whose snapshot is vacuumed away fails loudly mid-scan
+        (file not found), never silently drops rows. Returns the
+        number of data files deleted."""
+        deleted = 0
+        with self._manifest_lock():
+            if self._read_current() is None:
+                return 0
+            d = self._manifest_dir()
+            versions = sorted(
+                n for n in os.listdir(d)
+                if n.startswith("v") and n.endswith(".json")
+            )
+            now = int(time.time() * 1000)
+            keep_floor = max(0, len(versions) - max(1, retain_last))
+            retained, referenced = set(), set()
+            for i, name in enumerate(versions):
+                with open(os.path.join(d, name)) as f:
+                    m = json.load(f)
+                if i >= keep_floor or now - m.get("committed_ms", 0) <= grace_ms:
+                    retained.add(name)
+                    referenced.update(
+                        os.path.join(self.series_path, fn) for fn in m["series"]
+                    )
+                    referenced.update(
+                        os.path.join(self.samples_path, f"chunk_id={cid}", fn)
+                        for cid, fl in m["samples"].items()
+                        for fn in fl
+                    )
+            for base in (self.series_path, self.samples_path):
+                if not os.path.isdir(base):
+                    continue
+                for root, dirs, files in os.walk(base, topdown=False):
+                    for fn in files:
+                        p = os.path.join(root, fn)
+                        if p in referenced or not fn.endswith(".parquet"):
+                            continue
+                        try:
+                            if now - os.path.getmtime(p) * 1000 <= grace_ms:
+                                continue
+                            os.remove(p)
+                            deleted += 1
+                        except OSError:
+                            continue
+                    if root != base and not os.listdir(root):
+                        try:
+                            os.rmdir(root)
+                        except OSError:
+                            pass
+            for name in versions:
+                if name not in retained:
+                    try:
+                        os.remove(os.path.join(d, name))
+                    except OSError:
+                        pass
+            staged = os.path.join(self.path, "_staged")
+            if os.path.isdir(staged):
+                for name in os.listdir(staged):
+                    p = os.path.join(staged, name)
+                    try:
+                        if now - os.path.getmtime(p) * 1000 > grace_ms:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        continue
+        return deleted
+
     # ------------------------------------------------------------------ write
 
     def write(self, df: DataFrame, window: tuple[int, int] | None = None) -> None:
@@ -112,7 +388,11 @@ class MonolithDB:
         The reference's write path (/root/reference/src/db.rs:176-194 →
         chunk.rs:110-137): range/zero filter (F1) → get-or-create series
         (J5) → append points (S5). Here: filter → dim anti-join append →
-        fact append, all set-at-a-time.
+        fact append, all set-at-a-time, made visible by ONE manifest
+        commit — dim and fact rows of a batch appear atomically, and an
+        all-invalid batch (e.g. every ts==0; the reference errors
+        per-point, we drop set-at-a-time) moves zero files and commits
+        nothing, so no footer-less dirs and no emptiness probe.
         """
         df = valid_points(df, window=window)
         df = df.withColumn("signature", signature_expr("labels")).withColumn(
@@ -123,18 +403,6 @@ class MonolithDB:
         )
         df.persist()
         try:
-            # A batch can be empty after the F1 filter (e.g. all ts==0 —
-            # the reference errors per-point, we drop set-at-a-time). A
-            # zero-row write would leave a FIRST-write parquet dir with
-            # no footers, poisoning later reads — but appending nothing
-            # to existing tables is harmless, so the emptiness probe
-            # (one Spark job) only runs until both tables exist. On a
-            # streaming ingest that's one saved job per micro-batch.
-            if (
-                not os.path.exists(self.samples_path)
-                or not os.path.exists(self.series_path)
-            ) and df.isEmpty():
-                return
             # J5 get-or-create as a left_anti against the existing dim —
             # content-hash ids make this idempotent (no critical section).
             new_series = df.select("series_id", "signature", "labels").dropDuplicates(["series_id"])
@@ -148,33 +416,41 @@ class MonolithDB:
                     "series_id",
                     "left_anti",
                 )
-            new_series.write.mode("append").parquet(self.series_path)
+            dim_files = self._stage_and_move(new_series, self.series_path)
             # Time-sorted within partitions → Parquet row-group min/max
             # stats implement F3's binary search.
-            (
+            fact_files = self._stage_and_move(
                 df.select("series_id", "timestamp", "value", "chunk_id")
                 .repartition("chunk_id")
-                .sortWithinPartitions("series_id", "timestamp")
-                .write.mode("append")
-                .partitionBy("chunk_id")
-                .parquet(self.samples_path)
+                .sortWithinPartitions("series_id", "timestamp"),
+                self.samples_path,
+                partition_by="chunk_id",
             )
+            if dim_files or fact_files:
+
+                def add(man: dict) -> None:
+                    man["series"] = sorted(set(man["series"]) | set(dim_files))
+                    for cid, files in fact_files.items():
+                        man["samples"][cid] = sorted(
+                            set(man["samples"].get(cid, [])) | set(files)
+                        )
+
+                self._commit(add)
         finally:
             df.unpersist()
 
     # ------------------------------------------------------------------- read
 
     def _series_raw(self) -> DataFrame | None:
-        # Self-heal first: a delete_series crash between its dim renames
-        # leaves the live dim staged as _compact/series.old — without
-        # this, every dim consumer (queries AND a replayed delete)
-        # would see an empty dim and silently act on it.
-        self._recover_compaction()
-        # Existence check first: letting spark.read throw prints a JVM
-        # stack trace to stderr even when caught.
-        if not os.path.exists(self.series_path):
+        # Plan-time snapshot: the file list is pinned from the current
+        # manifest, so a concurrent delete/compact commit can't change
+        # what this DataFrame reads.
+        files = self._load_manifest()["series"]
+        if not files:
             return None
-        return self.spark.read.parquet(self.series_path)
+        return self.spark.read.parquet(
+            *[os.path.join(self.series_path, f) for f in files]
+        )
 
     def series(self) -> DataFrame:
         """The series dimension; duplicate dim rows from concurrent
@@ -190,73 +466,34 @@ class MonolithDB:
         return raw.dropDuplicates(["series_id"])
 
     def _recover_compaction(self) -> None:
-        """Self-healing read path: if a compaction crashed between its
-        two renames, the live partition is the staged ``.old`` — restore
-        it before planning a scan so a reader never sees missing rows.
-        One listdir when staging exists, zero cost otherwise; races
-        between concurrent readers are benign (first rename wins).
-
-        The dim swap is additionally guarded by a pid lock file
-        (``_compact/series.lock``, written by delete_series): a LIVE
-        writer mid-swap looks identical to a crashed one from the
-        staging layout alone, and restoring ``series.old`` under a
-        live delete makes the writer's second rename fail (the
-        VERDICT r4/ADVICE-low race). If the lock names a process that
-        is still running, recovery leaves the dim swap alone — the
-        writer will complete it; a lock naming a dead pid is stale
-        (crashed delete) and is removed before the normal restore.
-        Standard single-machine caveat: a recycled pid can make a
-        stale lock look live until that unrelated process exits."""
+        """LEGACY-MIGRATION ONLY (called once from _migrate_legacy,
+        under the commit lock): pre-manifest engines used a staged-
+        rename protocol whose crash could leave the live partition (or
+        the dim) parked as ``_compact/*.old`` — restore it before the
+        directory listing becomes manifest v1. Post-migration, no code
+        path stages renames, so this never runs again; the old pid-lock
+        reader/writer heuristics (and their pid-recycling residual) are
+        gone with the protocol that needed them."""
         staging = os.path.join(self.path, "_compact")
         if not os.path.isdir(staging):
             return
-        live_delete = False
-        marker = os.path.join(staging, "series.lock")
-        if os.path.exists(marker):
-            pid = 0
-            try:
-                with open(marker) as f:
-                    pid = int(f.read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            if pid > 0:
-                try:
-                    os.kill(pid, 0)
-                    live_delete = True  # writer alive — don't interfere
-                except ProcessLookupError:
-                    pass  # dead: stale lock from a crashed delete
-                except PermissionError:
-                    live_delete = True  # exists under another uid
-                except OSError:
-                    pass
-            if not live_delete:
-                try:
-                    os.remove(marker)
-                except OSError:
-                    pass
         for name in os.listdir(staging):
             if not name.endswith(".old"):
                 continue
             if name == "series.old":
-                # delete_series crashed between its two dim renames: the
-                # live dim is the staged .old — restore it, never treat
-                # it as a chunk (parsing it as one would rename dim rows
-                # into samples/"chunk_id=" and lose the series table).
-                # A LIVE delete (lock pid running) is mid-swap, not
-                # crashed — leave its staging alone.
-                if live_delete:
-                    continue
+                # crashed legacy delete: the live dim is the staged
+                # .old — restore it; never treat it as a chunk (that
+                # would rename dim rows into samples/"chunk_id=" and
+                # lose the series table).
                 if not os.path.isdir(self.series_path):
                     src = os.path.join(staging, name)
                     try:
                         os.rename(src, self.series_path)
                     except OSError:
-                        # Benign only if another reader won the race
-                        # (source consumed or destination restored). A
-                        # still-staged source means the rename REALLY
+                        # Benign only if another migrator won the race;
+                        # a still-staged source means the rename REALLY
                         # failed (EACCES/EXDEV...) and swallowing it
-                        # would leave the db with no visible series
-                        # table and no diagnostic.
+                        # would lose the series table silently.
                         if os.path.exists(src) and not os.path.isdir(
                             self.series_path
                         ):
@@ -271,18 +508,27 @@ class MonolithDB:
                 try:
                     os.rename(src, part)
                 except OSError:
-                    # see the series.old branch: re-raise unless a
-                    # concurrent reader/compactor demonstrably won
                     if os.path.exists(src) and not os.path.isdir(part):
                         raise
 
     def samples(self) -> DataFrame:
-        self._recover_compaction()
-        if not os.path.exists(self.samples_path):
+        """The samples fact table at the CURRENT snapshot: an explicit
+        file-list read (with basePath, so chunk_id stays a partition
+        column and PartitionFilters prune exactly as with directory
+        discovery) — the plan is pinned to the manifest resolved here."""
+        man = self._load_manifest()
+        paths = [
+            os.path.join(self.samples_path, f"chunk_id={cid}", fn)
+            for cid, files in man["samples"].items()
+            for fn in files
+        ]
+        if not paths:
             return self.spark.createDataFrame(
                 [], "series_id long, timestamp long, value double, chunk_id long"
             )
-        return self.spark.read.parquet(self.samples_path)
+        return self.spark.read.option("basePath", self.samples_path).parquet(
+            *paths
+        )
 
     def _query_samples(self, start_ms: int, end_ms: int) -> DataFrame:
         return time_trim(
@@ -305,14 +551,15 @@ class MonolithDB:
         Parquet dim under the bound decompresses well within executor
         memory; past it the hint would force shipping a
         high-cardinality dim everywhere, so AQE decides instead."""
-        if not os.path.isdir(self.series_path):
+        live = self._load_manifest()["series"]
+        if not live:
             return F.broadcast(sel)  # empty dim
-        total = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(self.series_path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        total = 0
+        for fn in live:
+            try:
+                total += os.path.getsize(os.path.join(self.series_path, fn))
+            except OSError:
+                continue
         return (
             F.broadcast(sel)
             if total * self.DIM_DECOMPRESS_FACTOR < self.dim_broadcast_bytes
@@ -390,40 +637,24 @@ class MonolithDB:
 
         Not safe concurrently with writers to the SAME chunk — run on
         sealed chunks only (the reference compacts on swap for the same
-        reason). Readers that PLANNED a scan before the swap hold the
-        old file paths and will fail (not silently lose data) if they
-        execute after it; new reads self-heal via _recover_compaction.
-        True snapshot isolation across a rewrite needs a manifest table
-        format (Delta/Iceberg) — at cluster scale run compaction in a
-        read-quiesced maintenance window, exactly like the reference's
-        swap lock. Returns False if the partition doesn't exist.
+        reason). The swap is a manifest commit: readers that planned
+        before it keep reading the old files (snapshot isolation — the
+        Spark-native form of the reference's swap lock,
+        /root/reference/src/db.rs:269-318); a crash at any point leaves
+        the previous snapshot intact. Old files stay on disk until
+        ``vacuum`` — the physical small-file cleanup lands then.
+        Returns False if the chunk has no live files.
         """
-        import shutil
-
-        part = os.path.join(self.samples_path, f"chunk_id={chunk_id}")
-        # crash recovery: a previous run died between the two renames —
-        # the live data is the staged .old; restore it (shared with the
-        # self-healing read path).
-        self._recover_compaction()
-        if not os.path.isdir(part):
+        key = str(chunk_id)
+        man = self._load_manifest()
+        live = man["samples"].get(key)
+        if not live:
             return False
-        in_bytes = sum(
-            os.path.getsize(os.path.join(part, f))
-            for f in os.listdir(part)
-            if f.endswith(".parquet")
-        )
+        part = os.path.join(self.samples_path, f"chunk_id={chunk_id}")
+        paths = [os.path.join(part, fn) for fn in live]
+        in_bytes = sum(os.path.getsize(p) for p in paths)
         n_files = max(1, -(-in_bytes // target_bytes))
-        # Staging dirs live OUTSIDE samples_path: a crash mid-swap must
-        # never leave a non-integer "chunk_id=..." dir that partition
-        # discovery would misparse, and concurrent readers must never
-        # see tmp data alongside the live partition.
-        staging = os.path.join(self.path, "_compact")
-        os.makedirs(staging, exist_ok=True)
-        tmp = os.path.join(staging, f"chunk_{chunk_id}.tmp")
-        old = os.path.join(staging, f"chunk_{chunk_id}.old")
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        src = self.spark.read.parquet(part)
+        src = self.spark.read.parquet(*paths)
         if layout == "zorder":
             from monolith_spark.plans.zorder import cluster_zorder
 
@@ -434,10 +665,12 @@ class MonolithDB:
             )
         else:
             raise ValueError(f"unknown compaction layout: {layout!r}")
-        laid_out.write.mode("overwrite").parquet(tmp)
-        os.rename(part, old)
-        os.rename(tmp, part)
-        shutil.rmtree(old)
+        new_files = self._stage_and_move(laid_out, part)
+
+        def swap(m: dict) -> None:
+            m["samples"][key] = new_files
+
+        self._commit(swap)
         return True
 
     def compact(
@@ -449,15 +682,8 @@ class MonolithDB:
         chunk currently receiving appends). Returns chunks rewritten."""
         exclude = exclude_chunk_ids or set()
         done = 0
-        if not os.path.isdir(self.samples_path):
-            return 0
-        for name in sorted(os.listdir(self.samples_path)):
-            if not name.startswith("chunk_id="):
-                continue
-            try:
-                cid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue  # not a partition dir — never wedge maintenance
+        for key in sorted(self._load_manifest()["samples"], key=int):
+            cid = int(key)
             if cid in exclude:
                 continue
             done += int(self.compact_chunk(cid, layout=layout))
@@ -484,31 +710,36 @@ class MonolithDB:
             .distinct()
         )
 
-    def drop_chunks_before(self, cutoff_ms: int) -> int:
-        """Retention: delete whole chunk partitions whose time range
-        ends before cutoff_ms. Partition-level file deletion — no
-        rewrite, no scan of surviving data (the operational piece the
-        reference's sealed-chunk list implies but never implements;
-        chunks accumulate forever in /root/reference/src/db.rs:22-32).
-        Returns the number of chunks dropped.
-        """
-        import shutil
+    def _expired_chunks(self, cutoff_ms: int) -> list[str]:
+        """Manifest keys of chunks whose range ends before cutoff_ms."""
+        return sorted(
+            (
+                key
+                for key in self._load_manifest()["samples"]
+                if (int(key) + 1) * self.chunk_size_ms - 1 < cutoff_ms
+            ),
+            key=int,
+        )
 
-        if not os.path.isdir(self.samples_path):
+    def drop_chunks_before(self, cutoff_ms: int) -> int:
+        """Retention: drop whole chunks whose time range ends before
+        cutoff_ms — one manifest commit, no rewrite, no scan of
+        surviving data (the operational piece the reference's
+        sealed-chunk list implies but never implements; chunks
+        accumulate forever in /root/reference/src/db.rs:22-32).
+        Physical files are reclaimed by ``vacuum``. Returns the number
+        of chunks dropped.
+        """
+        expired = self._expired_chunks(cutoff_ms)
+        if not expired:
             return 0
-        dropped = 0
-        for name in sorted(os.listdir(self.samples_path)):
-            if not name.startswith("chunk_id="):
-                continue
-            try:
-                cid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            chunk_end_ms = (cid + 1) * self.chunk_size_ms - 1
-            if chunk_end_ms < cutoff_ms:
-                shutil.rmtree(os.path.join(self.samples_path, name))
-                dropped += 1
-        return dropped
+
+        def drop(m: dict) -> None:
+            for key in expired:
+                m["samples"].pop(key, None)
+
+        self._commit(drop)
+        return len(expired)
 
     def _rollup(
         self, raw: DataFrame, step_ms: int, extra_keys: tuple[str, ...] = ()
@@ -560,31 +791,21 @@ class MonolithDB:
         chunk_id, so a step bucket straddling a chunk boundary stays a
         per-chunk PARTIAL in its own partition — query_downsampled
         re-merges partials (every stored stat is mergeable). A crash
-        between write and delete leaves BOTH tiers for a chunk;
-        query_downsampled prefers the rollup for any rolled chunk, so
-        the window never double-counts, and a retried pass converges
-        (fully tiered chunks are absent from the raw listing → absent
-        from the scan → their rollup partitions untouched). Lossy by
-        design — raw points are gone; use export_chunk_gorilla for the
-        lossless cold archive. Returns (chunks_rolled, chunks_dropped).
+        between rollup write and the manifest commit leaves BOTH tiers
+        for a chunk; query_downsampled prefers the rollup for any
+        rolled chunk, so the window never double-counts, and a retried
+        pass converges (the re-roll dynamic-overwrites identical
+        partitions, then the commit drops the raw chunks). Raw files
+        are reclaimed by ``vacuum``. Lossy by design — raw points are
+        gone; use export_chunk_gorilla for the lossless cold archive.
+        Returns (chunks_rolled, chunks_dropped).
         """
-        import shutil
-
-        if not os.path.isdir(self.samples_path):
-            return (0, 0)
-        expired = []
-        for name in sorted(os.listdir(self.samples_path)):
-            if not name.startswith("chunk_id="):
-                continue
-            try:
-                cid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if (cid + 1) * self.chunk_size_ms - 1 < cutoff_ms:
-                expired.append(cid)
+        expired = self._expired_chunks(cutoff_ms)
         if not expired:
             return (0, 0)
-        raw = self.samples().filter(F.col("chunk_id").isin(expired))
+        raw = self.samples().filter(
+            F.col("chunk_id").isin([int(k) for k in expired])
+        )
         (
             self._rollup(raw, step_ms, extra_keys=("chunk_id",))
             .repartition("chunk_id")
@@ -593,11 +814,12 @@ class MonolithDB:
             .partitionBy("chunk_id")
             .parquet(self._rollup_dir(step_ms))
         )
-        for cid in expired:
-            shutil.rmtree(
-                os.path.join(self.samples_path, f"chunk_id={cid}"),
-                ignore_errors=True,
-            )
+
+        def drop(m: dict) -> None:
+            for key in expired:
+                m["samples"].pop(key, None)
+
+        self._commit(drop)
         return (len(expired), len(expired))
 
     def _rolled_chunk_ids(self, step_ms: int) -> list[int]:
@@ -708,88 +930,43 @@ class MonolithDB:
         /root/reference/src/db.rs:22-32); this is the operational
         companion to drop_chunks_before: retention deletes by TIME at
         partition granularity, this deletes by IDENTITY and therefore
-        must rewrite fact partitions. Each chunk partition is rewritten
-        through the same staged-rename protocol as compact_chunk
-        (write tmp → swap → drop old; crash recovery via
-        _recover_compaction), anti-joined against the matched id set
-        under the usual dim-size broadcast gate; the dim is swapped
-        last, so a crash mid-delete can leave already-rewritten chunks
-        (points gone — deletes replay idempotently) but never a dim row
-        pointing at deleted points' series without its metadata.
+        rewrites the fact table — ONE anti-join job across all chunks
+        (not one per chunk), staged, then dim and facts swap in a
+        SINGLE manifest commit: the whole delete is atomic to readers.
+        A crash at any point before the commit is a complete no-op
+        (staged files unreferenced, vacuum reclaims); a replay deletes
+        again idempotently.
 
         At 100 TB: cost is one read+write of the fact table — the
         honest price of identity-grain deletion on immutable storage;
-        a manifest format with per-file series-id stats would let
-        untouched files be skipped. Run in the same read-quiesced
-        window as compaction (same swap caveat). Not safe concurrently
-        with writers. Concurrent READERS are safe against the dim
-        swap: a pid lock file (_compact/series.lock) staged around the
-        two renames lets a reader's _recover_compaction distinguish a
-        LIVE delete mid-swap (lock pid running → leave staging alone)
-        from a crashed one (dead pid → stale lock removed, series.old
-        restored). The known residual is pid recycling: a reused pid
-        can defer recovery until that unrelated process exits.
+        per-file series-id stats in the manifest would let untouched
+        files be skipped. Not safe concurrently with writers to the
+        same db (last commit wins the file lists); concurrent READERS
+        are safe — their plans pin the pre-delete snapshot.
         """
-        import shutil
-
         sel = self._matched_series(matchers).select("series_id").persist()
         try:
             n = sel.count()
             if n == 0:
                 return 0
-            self._recover_compaction()
-            staging = os.path.join(self.path, "_compact")
-            os.makedirs(staging, exist_ok=True)
-            if os.path.isdir(self.samples_path):
-                for name in sorted(os.listdir(self.samples_path)):
-                    if not name.startswith("chunk_id="):
-                        continue
-                    part = os.path.join(self.samples_path, name)
-                    cid = name.split("=", 1)[1]
-                    tmp = os.path.join(staging, f"chunk_{cid}.tmp")
-                    old = os.path.join(staging, f"chunk_{cid}.old")
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    shutil.rmtree(old, ignore_errors=True)
-                    kept = self.spark.read.parquet(part).join(
-                        self._dim_hint(sel), "series_id", "left_anti"
-                    )
-                    kept.write.mode("overwrite").parquet(tmp)
-                    os.rename(part, old)
-                    os.rename(tmp, part)
-                    shutil.rmtree(old)
-            if os.path.exists(self.series_path):
-                dim_tmp = os.path.join(staging, "series.tmp")
-                dim_old = os.path.join(staging, "series.old")
-                shutil.rmtree(dim_tmp, ignore_errors=True)
-                shutil.rmtree(dim_old, ignore_errors=True)
-                self.series().join(sel, "series_id", "left_anti").write.mode(
-                    "overwrite"
-                ).parquet(dim_tmp)
-                # pid lock around the swap: tells a concurrent reader's
-                # _recover_compaction that series.old belongs to a LIVE
-                # delete (skip restore) vs a crashed one (restore). A
-                # real crash leaves the lock with a dead pid → stale →
-                # recovery proceeds exactly as before the lock existed.
-                marker = os.path.join(staging, "series.lock")
-                with open(marker, "w") as f:
-                    f.write(str(os.getpid()))
-                try:
-                    os.rename(self.series_path, dim_old)
-                    os.rename(dim_tmp, self.series_path)
-                except BaseException:
-                    # process still alive: undo a half-done swap so an
-                    # aborted (not crashed) delete never strands the dim
-                    if not os.path.isdir(self.series_path) and os.path.isdir(
-                        dim_old
-                    ):
-                        os.rename(dim_old, self.series_path)
-                    raise
-                finally:
-                    try:
-                        os.remove(marker)
-                    except OSError:
-                        pass
-                shutil.rmtree(dim_old)
+            kept = self.samples().join(self._dim_hint(sel), "series_id", "left_anti")
+            fact_files = self._stage_and_move(
+                kept.repartition("chunk_id").sortWithinPartitions(
+                    "series_id", "timestamp"
+                ),
+                self.samples_path,
+                partition_by="chunk_id",
+            )
+            dim_files = self._stage_and_move(
+                self.series().join(sel, "series_id", "left_anti"),
+                self.series_path,
+            )
+
+            def swap(m: dict) -> None:
+                m["samples"] = fact_files
+                m["series"] = dim_files
+
+            self._commit(swap)
             return n
         finally:
             sel.unpersist()
@@ -799,31 +976,29 @@ class MonolithDB:
         bytes] per sealed/live partition — the observability view of
         the reference's sealed-chunk list + chunk metadata
         (/root/reference/src/db.rs:22-32, chunk.rs:22-56). Reads the
-        partition directory listing only — no data scan."""
+        manifest only — no data scan, and stale pre-vacuum files never
+        inflate the inventory."""
         rows = []
-        if os.path.isdir(self.samples_path):
-            for name in sorted(os.listdir(self.samples_path)):
-                if not name.startswith("chunk_id="):
-                    continue
+        man = self._load_manifest()
+        for key in sorted(man["samples"], key=int):
+            cid = int(key)
+            d = os.path.join(self.samples_path, f"chunk_id={cid}")
+            files = [os.path.join(d, f) for f in man["samples"][key]]
+            nbytes = 0
+            for f in files:
                 try:
-                    cid = int(name.split("=", 1)[1])
-                except ValueError:
+                    nbytes += os.path.getsize(f)
+                except OSError:
                     continue
-                d = os.path.join(self.samples_path, name)
-                files = [
-                    os.path.join(d, f)
-                    for f in os.listdir(d)
-                    if f.endswith(".parquet")
-                ]
-                rows.append(
-                    (
-                        cid,
-                        cid * self.chunk_size_ms,
-                        (cid + 1) * self.chunk_size_ms - 1,
-                        len(files),
-                        sum(os.path.getsize(f) for f in files),
-                    )
+            rows.append(
+                (
+                    cid,
+                    cid * self.chunk_size_ms,
+                    (cid + 1) * self.chunk_size_ms - 1,
+                    len(files),
+                    nbytes,
                 )
+            )
         return self.spark.createDataFrame(
             rows, "chunk_id long, start_ms long, end_ms long, n_files long, bytes long"
         )

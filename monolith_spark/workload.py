@@ -4239,11 +4239,82 @@ _ROUND3_FLAGSHIP_ORDER: tuple[str, ...] = (
 )
 
 
+def _module_hash(mod_name: str, _cache: dict = {}) -> bytes:
+    """sha256 of a module's source file, cached per process."""
+    import hashlib
+    import sys as _sys
+
+    if mod_name not in _cache:
+        digest = b""
+        mod = _sys.modules.get(mod_name)
+        path = getattr(mod, "__file__", None)
+        if path:
+            try:
+                with open(path, "rb") as f:
+                    digest = hashlib.sha256(f.read()).digest()
+            except OSError:
+                pass
+        _cache[mod_name] = digest
+    return _cache[mod_name]
+
+
+def _impl_hash(q: WorkloadQuery, _cache: dict = {}) -> str:
+    """Fingerprint of a query's IMPLEMENTATION: its function source,
+    its oracle SQL, and the source files of every monolith_spark
+    module its function references (one level — queries call operator
+    functions directly). Staleness-aware rotation compares this to the
+    hash recorded when the driver last greened the query
+    (GREEN_HASHES.json, refreshed per round by
+    tools/record_green_hashes.py)."""
+    if q.name in _cache:
+        return _cache[q.name]
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    fn = q.spark_fn
+    try:
+        h.update(inspect.getsource(fn).encode())
+    except (OSError, TypeError):
+        h.update(q.name.encode())
+    h.update((q.oracle or "").encode())
+    deps: set[str] = set()
+    code = getattr(fn, "__code__", None)
+    for name in code.co_names if code else ():
+        g = fn.__globals__.get(name)
+        mod = g if inspect.ismodule(g) else inspect.getmodule(g)
+        mn = getattr(mod, "__name__", "")
+        if mn.startswith("monolith_spark") and mn != "monolith_spark.workload":
+            deps.add(mn)
+    for mn in sorted(deps):
+        h.update(_module_hash(mn))
+    _cache[q.name] = h.hexdigest()[:16]
+    return _cache[q.name]
+
+
+def _load_green_hashes() -> dict[str, str]:
+    """name → implementation hash recorded at the query's last green
+    verification (repo-root GREEN_HASHES.json). Empty when absent."""
+    import json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    try:
+        with open(_os.path.join(root, "GREEN_HASHES.json")) as f:
+            rec = json.loads(f.read())
+        return rec if isinstance(rec, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
 def _ordered_registry() -> list[WorkloadQuery]:
     """Registry ordered for the driver's 50-query check window:
     priority names first, then driver-unverified (round-2-era backlog
     before round-3 additions, flagships first within round 3), then
-    already-green."""
+    STALE-green — queries the driver greened in some past round whose
+    implementation (function source, oracle, or operator-module deps)
+    has changed since that hash was recorded, so the green no longer
+    attests the current code — then fresh-green."""
     by_name = {q.name: q for q in _REGISTRY}
     prio = [by_name[n] for n in _DRIVER_PRIORITY if n in by_name]
     fresh = [
@@ -4258,8 +4329,13 @@ def _ordered_registry() -> list[WorkloadQuery]:
         return (1, r3_rank.get(q.name, len(_ROUND3_FLAGSHIP_ORDER)))
 
     fresh.sort(key=_key)  # stable: r2-era first, then ranked round-3
+    recorded = _load_green_hashes()
     done = [q for q in _REGISTRY if q.name in _DRIVER_GREEN]
-    return prio + fresh + done
+    # unknown hash (never recorded) counts as stale: re-verify rather
+    # than trust a green whose provenance we can't tie to this code
+    stale = [q for q in done if recorded.get(q.name) != _impl_hash(q)]
+    settled = [q for q in done if recorded.get(q.name) == _impl_hash(q)]
+    return prio + fresh + stale + settled
 
 
 def all_queries() -> dict[str, WorkloadQuery]:

@@ -292,6 +292,7 @@ def test_storage_beats_reference_16_byte_records(spark, tmp_path):
     rows = [({"m": "a"}, 1_000 + 100 * i, float(i % 97)) for i in range(n)]
     db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
     db.compact()
+    db.vacuum(grace_ms=0)  # pre-compaction files linger until vacuum
     nbytes = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(db.samples_path)
@@ -314,14 +315,19 @@ def test_compact_chunk_merges_files_preserves_results(spark, tmp_path):
             [({"m": "a"}, 1000 + i, float(i)), ({"m": "b"}, 2000 + i, float(10 + i))],
             SAMPLES_SCHEMA))
     part = os.path.join(db.samples_path, "chunk_id=0")
-    files_before = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    files_before = db._load_manifest()["samples"]["0"]
     assert len(files_before) >= 3
     before = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
               for r in db.query({}, 0, 100_000).collect()}
 
     assert db.compact_chunk(0) is True
-    files_after = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    # the SNAPSHOT now names one file; the old files stay on disk for
+    # in-flight readers until vacuum reclaims them
+    files_after = db._load_manifest()["samples"]["0"]
     assert len(files_after) == 1  # tiny chunk → one target file
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) > 1
+    db.vacuum(grace_ms=0)
+    assert [f for f in os.listdir(part) if f.endswith(".parquet")] == files_after
     after = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
              for r in db.query({}, 0, 100_000).collect()}
     assert after == before
@@ -330,21 +336,16 @@ def test_compact_chunk_merges_files_preserves_results(spark, tmp_path):
     assert db.compact(exclude_chunk_ids={0}) == 0
     # staging never leaks into the partition namespace
     assert not any(".compact" in d for d in os.listdir(db.samples_path))
-    # crash between the two swap renames: partition gone, .old staged —
-    # next compact restores and completes
-    os.rename(part, os.path.join(db.path, "_compact", "chunk_0.old"))
-    assert db.compact_chunk(0) is True
-    assert {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
-            for r in db.query({}, 0, 100_000).collect()} == before
 
 
-def test_compaction_crash_midswap_reader_sees_consistent_data(
+def test_compaction_crash_before_commit_is_invisible(
     spark, tmp_path, monkeypatch
 ):
-    """Kill compact_chunk at the REAL crash point — between its two
-    swap renames — and prove a reader never sees missing or duplicate
-    rows: the read path self-heals from the staged .old, and a retried
-    compaction completes."""
+    """Kill compact_chunk at the REAL crash point — anywhere before the
+    CURRENT pointer swing — and prove the previous snapshot is fully
+    intact with NO recovery step: a fresh reader sees the original
+    rows, a retried compaction completes, and vacuum reclaims the
+    orphaned staged files."""
     import os as _os
 
     from monolith_spark.labels import SAMPLES_SCHEMA
@@ -356,40 +357,75 @@ def test_compaction_crash_midswap_reader_sees_consistent_data(
             SAMPLES_SCHEMA))
     before = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
               for r in db.query({}, 0, 100_000).collect()}
+    v_before = db._load_manifest()["version"]
 
-    real_rename = _os.rename
-    calls = {"n": 0}
+    real_replace = _os.replace
 
-    def crashing_rename(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:  # first = part→old succeeded; die before tmp→part
-            raise OSError("injected crash between swap renames")
-        return real_rename(src, dst)
+    def crashing_replace(src, dst):  # the ONLY visibility point
+        if dst.endswith("CURRENT"):
+            raise OSError("injected crash before manifest commit")
+        return real_replace(src, dst)
 
-    monkeypatch.setattr("monolith_spark.engine.os.rename", crashing_rename)
+    monkeypatch.setattr("monolith_spark.engine.os.replace", crashing_replace)
     import pytest as _pytest
 
     with _pytest.raises(OSError, match="injected crash"):
         db.compact_chunk(0)
-    monkeypatch.setattr("monolith_spark.engine.os.rename", real_rename)
+    monkeypatch.setattr("monolith_spark.engine.os.replace", real_replace)
 
-    # crashed state on disk: live partition absent, .old staged
-    assert not _os.path.isdir(_os.path.join(db.samples_path, "chunk_id=0"))
-    assert _os.path.isdir(_os.path.join(db.path, "_compact", "chunk_0.old"))
-
-    # a FRESH reader (new engine instance, as after a process restart)
-    # sees exactly the original rows — nothing missing, nothing doubled
+    # the crash is a NO-OP: same manifest version, same rows, for a
+    # fresh engine instance (as after a process restart) — no healing
     db2 = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
-    healed = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
-              for r in db2.query({}, 0, 100_000).collect()}
-    assert healed == before
+    assert db2._load_manifest()["version"] == v_before
+    assert {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+            for r in db2.query({}, 0, 100_000).collect()} == before
 
-    # and the retried compaction completes normally afterwards
+    # retried compaction completes; vacuum drops the crash's orphans
     assert db2.compact_chunk(0) is True
+    assert db2.vacuum(grace_ms=0) > 0
     part = _os.path.join(db2.samples_path, "chunk_id=0")
     assert len([f for f in _os.listdir(part) if f.endswith(".parquet")]) == 1
     assert {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
             for r in db2.query({}, 0, 100_000).collect()} == before
+
+
+def test_reader_planned_before_swap_reads_consistent_snapshot(spark, tmp_path):
+    """THE manifest-isolation contract: a reader whose plan was built
+    before a compact + delete + retention sequence still collects the
+    exact pre-maintenance snapshot (its file list is pinned), while
+    fresh plans see the new state; after vacuum(0) the old snapshot's
+    files are gone and a freshly planned query still serves the new
+    state."""
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    rows = [({"j": "a"}, t, float(t)) for t in (1_000, 11_000, 21_000, 31_000)] \
+        + [({"j": "b"}, t, 2.0) for t in (2_000, 12_000)]
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+
+    planned = db.query({}, 0, 10**9)          # plan pinned at snapshot v
+    before = sorted((r["signature"], len(r["points"]))
+                    for r in planned.collect())
+
+    assert db.compact_chunk(0) is True
+    assert db.delete_series({"j": "b"}) == 1
+    assert db.downsample_retention(cutoff_ms=20_000, step_ms=5_000) == (2, 2)
+
+    # the pre-swap plan still serves the pre-swap world — no failure,
+    # no torn mix of old and new files
+    assert sorted((r["signature"], len(r["points"]))
+                  for r in planned.collect()) == before
+    # a fresh plan sees the post-maintenance world
+    assert sorted((r["signature"], len(r["points"]))
+                  for r in db.query({}, 0, 10**9).collect()) == [("j=a", 2)]
+    # tiered query serves the rolled chunks
+    got = {(r["bucket_ms"], r["n_points"]) for r in db.query_downsampled(
+        {"j": "a"}, 0, 40_000, step_ms=5_000).collect()}
+    assert got == {(0, 1), (10_000, 1), (20_000, 1), (30_000, 1)}
+
+    db.vacuum(grace_ms=0)
+    assert sorted((r["signature"], len(r["points"]))
+                  for r in db.query({}, 0, 10**9).collect()) == [("j=a", 2)]
 
 
 def test_label_values(spark, tmp_path):
@@ -638,13 +674,14 @@ def test_delete_series_removes_identity_from_both_tables(spark, tmp_path):
     assert len(back) == 1 and [p["value"] for p in back[0]["points"]] == [9.0]
 
 
-def test_delete_series_crash_mid_dim_swap_recovers(spark, tmp_path, monkeypatch):
-    """Kill delete_series at its WORST crash point — between the two
-    dim renames (series→series.old done, series.tmp→series not) — and
-    prove the documented contract: the staged dim is restored to
-    series_path on the next read, the fact table never gains a bogus
-    'chunk_id=' partition from the dim files, and a replayed delete
-    completes instead of returning 0 against an empty dim."""
+def test_delete_series_crash_before_commit_is_a_full_noop(
+    spark, tmp_path, monkeypatch
+):
+    """Kill delete_series at its WORST crash point — after the fact
+    AND dim rewrites, right before the manifest commit — and prove the
+    delete is ATOMIC: nothing changed (facts, dim, metadata all
+    intact; the old protocol's 'facts rewritten, dim restored' torn
+    state can no longer exist), and the replayed delete completes."""
     import os as _os
 
     import pytest as _pytest
@@ -655,47 +692,82 @@ def test_delete_series_crash_mid_dim_swap_recovers(spark, tmp_path, monkeypatch)
         + [({"job": "b", "user": "u2"}, t, 2.0) for t in (1_000, 61_000)],
         "labels map<string,string>, timestamp long, value double",
     ))
+    before = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+              for r in db.query({}, 0, 10**9).collect()}
 
-    real_rename = _os.rename
+    real_replace = _os.replace
 
-    def crashing_rename(src, dst):
-        if dst == db.series_path:  # the second dim rename: tmp→series
-            raise OSError("injected crash between dim swap renames")
-        return real_rename(src, dst)
+    def crashing_replace(src, dst):
+        if dst.endswith("CURRENT"):
+            raise OSError("injected crash before manifest commit")
+        return real_replace(src, dst)
 
-    monkeypatch.setattr("monolith_spark.engine.os.rename", crashing_rename)
+    monkeypatch.setattr("monolith_spark.engine.os.replace", crashing_replace)
     with _pytest.raises(OSError, match="injected crash"):
         db.delete_series({"user": "u1"})
-    monkeypatch.setattr("monolith_spark.engine.os.rename", real_rename)
+    monkeypatch.setattr("monolith_spark.engine.os.replace", real_replace)
 
-    # crashed state: live dim absent, .old staged
-    assert not _os.path.isdir(db.series_path)
-    assert _os.path.isdir(_os.path.join(db.path, "_compact", "series.old"))
-
-    # a FRESH reader restores the dim and never misparses series.old as
-    # a chunk — no samples/"chunk_id=" dir, survivor query intact
+    # a fresh engine instance sees the COMPLETE pre-delete state: both
+    # series, all points, dim intact — the crash left no torn state
     db2 = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
-    left = db2.query({"user": "u2"}, 0, 10**9).collect()
-    assert len(left) == 1 and len(left[0]["points"]) == 2
-    assert "chunk_id=" not in _os.listdir(db2.samples_path)
-    assert _os.path.isdir(db2.series_path)
-    assert not _os.path.exists(_os.path.join(db2.path, "_compact", "series.old"))
+    assert {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+            for r in db2.query({}, 0, 10**9).collect()} == before
+    assert db2.series().count() == 2
 
-    # the restored dim still carries u1 (facts already rewritten — the
-    # documented idempotent-replay window), so the replay deletes it
-    db3 = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
-    assert db3.delete_series({"user": "u1"}) == 1
-    assert db3.series().count() == 1
-    final = db3.query({}, 0, 10**9).collect()
+    # the replayed delete completes atomically
+    assert db2.delete_series({"user": "u1"}) == 1
+    assert db2.series().count() == 1
+    final = db2.query({}, 0, 10**9).collect()
     assert [r["signature"] for r in final] == ["job=b,user=u2"]
+    assert len(final[0]["points"]) == 2
 
 
-def test_recovery_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch):
-    """_recover_compaction must NOT swallow a rename failure that is
-    not a lost race: with the staged .old still present and the live
+def test_legacy_layout_migrates_and_heals_staged_renames(spark, tmp_path):
+    """A pre-manifest db (directory layout, possibly crashed mid-swap
+    under the OLD staged-rename protocol) must migrate on first
+    contact: staged .old dirs are restored — a series.old is never
+    misparsed as a chunk — and manifest v1 captures the healed
+    listing; subsequent maintenance runs the manifest protocol."""
+    import os
+    import shutil
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"m": "a"}, 1_000, 1.0), ({"m": "b"}, 61_000, 2.0)], SAMPLES_SCHEMA))
+
+    # forge the legacy layout: no manifest, a crashed legacy compaction
+    # (chunk_id=0 parked as _compact/chunk_0.old) and a crashed legacy
+    # delete (series parked as _compact/series.old)
+    shutil.rmtree(os.path.join(db.path, "_manifest"))
+    staging = os.path.join(db.path, "_compact")
+    os.makedirs(staging, exist_ok=True)
+    os.rename(os.path.join(db.samples_path, "chunk_id=0"),
+              os.path.join(staging, "chunk_0.old"))
+    os.rename(db.series_path, os.path.join(staging, "series.old"))
+
+    db2 = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    rows = db2.query({}, 0, 10**9).collect()
+    assert sorted(r["signature"] for r in rows) == ["m=a", "m=b"]
+    # series.old was never misparsed as a chunk partition
+    assert "chunk_id=series" not in os.listdir(db2.samples_path)
+    man = db2._load_manifest()
+    assert man["version"] == 1 and sorted(man["samples"]) == ["0", "1"]
+    assert not os.path.exists(os.path.join(staging, "series.old"))
+    assert not os.path.exists(os.path.join(staging, "chunk_0.old"))
+
+    # post-migration maintenance is manifest-native
+    assert db2.delete_series({"m": "a"}) == 1
+    assert db2.query({"m": "b"}, 0, 10**9).count() == 1
+
+
+def test_migration_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch):
+    """Legacy migration must NOT swallow a restore failure that is not
+    a lost race: with the staged .old still present and the live
     partition still absent, an EACCES/EXDEV-style OSError means the
-    restore REALLY failed and silently passing would leave the db
-    with missing data and no diagnostic (ADVICE r4)."""
+    restore REALLY failed and silently passing would commit a manifest
+    missing that chunk's data with no diagnostic (ADVICE r4)."""
     import os as _os
 
     import pytest as _pytest
@@ -706,8 +778,9 @@ def test_recovery_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch):
     db.write(spark.createDataFrame(
         [({"m": "a"}, 1000, 1.0), ({"m": "b"}, 2000, 2.0)], SAMPLES_SCHEMA))
 
-    # stage a crashed-compaction layout by hand: live partition moved
-    # to _compact/chunk_0.old
+    # forge a crashed LEGACY compaction: no manifest, partition parked
+    import shutil
+    shutil.rmtree(_os.path.join(db.path, "_manifest"))
     staging = _os.path.join(db.path, "_compact")
     _os.makedirs(staging, exist_ok=True)
     part = _os.path.join(db.samples_path, "chunk_id=0")
@@ -720,73 +793,12 @@ def test_recovery_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr("monolith_spark.engine.os.rename", failing_rename)
     with _pytest.raises(OSError, match="injected"):
-        db.samples()  # read path runs _recover_compaction
+        db.samples()  # first contact runs the migration
 
-    # the benign-race shape (source already consumed by a concurrent
-    # winner) still passes silently: finish the restore for real, then
-    # re-run recovery with rename still failing — nothing staged, no raise
+    # restore succeeds once the fs cooperates; migration commits v1
     monkeypatch.setattr("monolith_spark.engine.os.rename", real_rename)
-    db.samples()
-    monkeypatch.setattr("monolith_spark.engine.os.rename", failing_rename)
     assert db.query({"m": "a"}, 0, 100_000).count() == 1
-
-
-def test_delete_recovery_lock_distinguishes_live_from_crashed(spark, tmp_path):
-    """The reader-vs-delete race (ADVICE r4 low, closed r6): recovery
-    must leave a LIVE delete's staged dim swap alone (lock pid
-    running), restore after a CRASHED delete (dead pid → stale lock
-    removed), and the end-to-end delete still works under the lock
-    protocol."""
-    import os
-    import shutil
-    import subprocess
-
-    from monolith_spark.labels import SAMPLES_SCHEMA
-
-    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
-    rows = [({"m": "a"}, 1_000, 1.0), ({"m": "b"}, 2_000, 2.0)]
-    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
-    staging = os.path.join(db.path, "_compact")
-    os.makedirs(staging, exist_ok=True)
-    old = os.path.join(staging, "series.old")
-    lock = os.path.join(staging, "series.lock")
-
-    # LIVE delete mid-swap (lock pid = us, alive): recovery must not
-    # restore the staged dim or remove the lock
-    os.rename(db.series_path, old)
-    with open(lock, "w") as f:
-        f.write(str(os.getpid()))
-    db._recover_compaction()
-    assert not os.path.isdir(db.series_path)
-    assert os.path.isdir(old) and os.path.exists(lock)
-    # the live writer completes its swap; the db serves again
-    os.rename(old, db.series_path)
-    os.remove(lock)
-    assert db.query({"m": "a"}, 0, 100_000).count() == 1
-
-    # CRASHED delete (lock pid dead): next read restores + clears lock
-    p = subprocess.Popen(["sleep", "0"])
-    p.wait()
-    os.rename(db.series_path, old)
-    with open(lock, "w") as f:
-        f.write(str(p.pid))
-    assert db.query({"m": "b"}, 0, 100_000).count() == 1  # self-healed
-    assert os.path.isdir(db.series_path)
-    assert not os.path.exists(lock) and not os.path.exists(old)
-
-    # a garbage lock is treated as stale, never wedges recovery
-    os.rename(db.series_path, old)
-    with open(lock, "w") as f:
-        f.write("not-a-pid")
-    db._recover_compaction()
-    assert os.path.isdir(db.series_path) and not os.path.exists(lock)
-
-    # end-to-end: delete under the lock protocol leaves no staging
-    assert db.delete_series({"m": "a"}) == 1
-    assert db.query({"m": "a"}, 0, 100_000).count() == 0
-    assert db.query({"m": "b"}, 0, 100_000).count() == 1
-    assert not os.path.exists(lock) and not os.path.exists(old)
-    shutil.rmtree(str(tmp_path / "db"), ignore_errors=True)
+    assert db._load_manifest()["version"] == 1
 
 
 def test_downsample_retention_tiers_serve_identically(spark, tmp_path):
@@ -834,9 +846,12 @@ def test_downsample_retention_tiers_serve_identically(spark, tmp_path):
     # the retried pass converges: chunks 0-2 tier, chunk 3 stays raw
     rolled, dropped = db.downsample_retention(cutoff_ms=30_000, step_ms=5_000)
     assert (rolled, dropped) == (3, 3)
+    assert sorted(db._load_manifest()["samples"]) == ["3"]
+    assert sorted(db._rolled_chunk_ids(5_000)) == [0, 1, 2]
+    # vacuum reclaims the dropped raw partitions physically
+    db.vacuum(grace_ms=0)
     left = {d for d in os.listdir(db.samples_path) if d.startswith("chunk_id=")}
     assert left == {"chunk_id=3"}
-    assert sorted(db._rolled_chunk_ids(5_000)) == [0, 1, 2]
 
     # every aggregate identical across the tier boundary
     assert {a: snap(a) for a in before} == before
