@@ -1,0 +1,1097 @@
+"""PromQL text front-end: parse → evaluate on Spark DataFrames.
+
+The reference is a Prometheus REMOTE-STORAGE backend: PromQL itself is
+evaluated by the Prometheus client, the reference only serves raw
+matcher+range reads (/root/reference/README.md:7, src/server.rs:76-113;
+the func/step ReadHints are parsed but unread,
+/root/reference/src/proto/types.rs:1248-1257). This engine already
+evaluates the function surface server-side (workload.py ts_* rows,
+operators/timeseries.py builders); this module adds the missing text
+entry so the surface is self-serve: a query string goes in, a
+DataFrame comes out.
+
+Scope and semantics (documented divergences from Prometheus, chosen to
+match this repo's established, oracle-verified conventions):
+
+- Single-point INSTANT evaluation at ``eval_ms``: selectors, range
+  functions, aggregations, scalar arithmetic. (A step-range API is one
+  loop above this; range_func_by_step covers the hinted remote-read.)
+- Range windows are INCLUSIVE on both ends — ``m[5m]`` at T reads
+  ts ∈ [T-5m, T] — matching the engine's F3 inclusive trim
+  (SURVEY §7.2 M1), where Prometheus uses a left-open window.
+- rate() follows this repo's covered-span form (reset-corrected step
+  sum over [first-step ts, last ts], ts_rate), not Prometheus's
+  boundary extrapolation.
+- Ordering ties break by (timestamp, value) everywhere, so duplicate
+  timestamps evaluate identically on Spark and the DuckDB oracle.
+- Vector-vector binary ops (and on/ignoring/group_* matching) are NOT
+  supported — ValueError, never a wrong answer. Subqueries are
+  supported for range-function inners (``max_over_time(rate(m[5d])
+  [15d:5d])``), the shape ts_subquery_max_rate pins: the outer range
+  is tiled by step-width windows anchored at the range start, the
+  inner function runs isolated per window (counter resets never leak
+  across evaluations).
+
+Functions: rate increase delta idelta irate resets changes deriv
+predict_linear holt_winters <agg>_over_time quantile_over_time
+histogram_quantile abs ceil floor exp ln log2 log10 sqrt round clamp
+clamp_min clamp_max absent label_replace label_join; aggregation
+operators sum avg min max count stddev topk bottomk quantile with
+by/without. Matchers: EQ/NEQ/RE/NRE; ``offset`` on selectors.
+
+Scale shape: every range function is one (series, time)-sorted window
+or one map-combinable aggregation per series; aggregations re-key by
+the grouped label subset's signature; nothing collects to the driver.
+Builder-backed functions (irate/deriv/predict_linear/holt_winters/
+resets/changes) re-attach labels via a broadcast self-join on the
+per-series dim (small by construction — one row per matched series).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from monolith_spark.labels import LabelMatcher, matcher_predicate, signature_expr
+from monolith_spark.operators import timeseries as _tsops
+
+DEFAULT_LOOKBACK_MS = 300_000
+_DEC = "decimal(28,6)"
+
+# --------------------------------------------------------------------- AST
+
+
+@dataclass(frozen=True)
+class Number:
+    value: float
+
+
+@dataclass(frozen=True)
+class StringLit:
+    value: str
+
+
+@dataclass(frozen=True)
+class Selector:
+    name: str | None
+    matchers: tuple[LabelMatcher, ...]
+    range_ms: int | None = None  # None → instant selector
+    offset_ms: int = 0
+
+
+@dataclass(frozen=True)
+class Subquery:
+    expr: Any
+    range_ms: int
+    step_ms: int
+    offset_ms: int = 0
+
+
+@dataclass(frozen=True)
+class Call:
+    func: str
+    args: tuple[Any, ...]
+
+
+@dataclass(frozen=True)
+class Agg:
+    op: str
+    expr: Any
+    param: Any = None  # k for topk/bottomk, φ for quantile
+    by: tuple[str, ...] | None = None
+    without: tuple[str, ...] | None = None
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str
+    lhs: Any
+    rhs: Any
+    bool_mode: bool = False
+
+
+@dataclass(frozen=True)
+class Unary:
+    op: str
+    expr: Any
+
+
+# ------------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<DURATION>(?:\d+(?:ms|s|m|h|d|w|y))+)
+  | (?P<NUMBER>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_:]*)
+  | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<OP>=~|!~|!=|==|>=|<=|[-+*/%^(){}\[\],=<>:])
+    """,
+    re.VERBOSE,
+)
+
+_DUR_UNIT_MS = {
+    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+    "d": 86_400_000, "w": 604_800_000, "y": 31_536_000_000,
+}
+
+_KEYWORDS = {"by", "without", "offset", "bool", "and", "or", "unless",
+             "on", "ignoring", "group_left", "group_right"}
+
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev",
+            "topk", "bottomk", "quantile"}
+
+
+def parse_duration_ms(text: str) -> int:
+    total, pos = 0, 0
+    for m in re.finditer(r"(\d+)(ms|s|m|h|d|w|y)", text):
+        if m.start() != pos:
+            raise ValueError(f"bad duration: {text!r}")
+        total += int(m.group(1)) * _DUR_UNIT_MS[m.group(2)]
+        pos = m.end()
+    if pos != len(text) or total == 0:
+        raise ValueError(f"bad duration: {text!r}")
+    return total
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise ValueError(f"PromQL lex error at {text[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append((kind, m.group()))
+    out.append(("EOF", ""))
+    return out
+
+
+# ------------------------------------------------------------------ parser
+
+_CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
+# precedence: higher binds tighter; ^ is right-associative
+_BIN_PREC = {"or": 1, "and": 2, "unless": 2,
+             "==": 3, "!=": 3, ">": 3, "<": 3, ">=": 3, "<=": 3,
+             "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "^": 6}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        k, v = self.next()
+        if v != text:
+            raise ValueError(f"expected {text!r}, got {v!r}")
+
+    def parse(self):
+        e = self.parse_binary(0)
+        if self.peek()[0] != "EOF":
+            raise ValueError(f"trailing input at {self.peek()[1]!r}")
+        return e
+
+    def parse_binary(self, min_prec: int):
+        lhs = self.parse_unary()
+        while True:
+            k, v = self.peek()
+            op = v if v in _BIN_PREC and (k == "OP" or k == "IDENT") else None
+            if op is None or _BIN_PREC[op] < min_prec:
+                return lhs
+            self.next()
+            bool_mode = False
+            if op in _CMP_OPS and self.peek() == ("IDENT", "bool"):
+                self.next()
+                bool_mode = True
+            nxt = _BIN_PREC[op] + (0 if op == "^" else 1)
+            rhs = self.parse_binary(nxt)
+            lhs = BinOp(op, lhs, rhs, bool_mode)
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if k == "OP" and v in ("-", "+"):
+            self.next()
+            return Unary(v, self.parse_unary())
+        return self.parse_postfix(self.parse_atom())
+
+    def parse_postfix(self, e):
+        while True:
+            k, v = self.peek()
+            if v == "[":
+                self.next()
+                dk, dv = self.next()
+                if dk != "DURATION":
+                    raise ValueError(f"expected duration, got {dv!r}")
+                rng = parse_duration_ms(dv)
+                if self.peek()[1] == ":":
+                    self.next()
+                    sk, sv = self.next()
+                    if sk != "DURATION":
+                        raise ValueError(f"expected step duration, got {sv!r}")
+                    self.expect("]")
+                    e = Subquery(e, rng, parse_duration_ms(sv))
+                else:
+                    self.expect("]")
+                    if not isinstance(e, Selector) or e.range_ms is not None:
+                        raise ValueError("range suffix only valid on a selector")
+                    e = Selector(e.name, e.matchers, rng, e.offset_ms)
+            elif (k, v) == ("IDENT", "offset"):
+                self.next()
+                dk, dv = self.next()
+                if dk != "DURATION":
+                    raise ValueError(f"expected duration after offset, got {dv!r}")
+                off = parse_duration_ms(dv)
+                if isinstance(e, Selector):
+                    e = Selector(e.name, e.matchers, e.range_ms, e.offset_ms + off)
+                elif isinstance(e, Subquery):
+                    e = Subquery(e.expr, e.range_ms, e.step_ms, e.offset_ms + off)
+                else:
+                    raise ValueError("offset only valid on a selector/subquery")
+            else:
+                return e
+
+    def parse_atom(self):
+        k, v = self.next()
+        if k == "NUMBER":
+            return Number(float(v))
+        if k == "STRING":
+            return StringLit(_unquote(v))
+        if v == "(":
+            e = self.parse_binary(0)
+            self.expect(")")
+            return e
+        if v == "{":
+            return Selector(None, self.parse_matchers_body())
+        if k == "IDENT":
+            if v in ("by", "without", "offset", "bool"):
+                raise ValueError(f"unexpected keyword {v!r}")
+            if v in _AGG_OPS:
+                return self.parse_agg(v)
+            nk, nv = self.peek()
+            if nv == "(":
+                self.next()
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.parse_binary(0))
+                    while self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.parse_binary(0))
+                self.expect(")")
+                return Call(v, tuple(args))
+            if nv == "{":
+                self.next()
+                return Selector(v, self.parse_matchers_body())
+            # bare metric name
+            return Selector(v, ())
+        raise ValueError(f"unexpected token {v!r}")
+
+    def parse_matchers_body(self) -> tuple[LabelMatcher, ...]:
+        ms: list[LabelMatcher] = []
+        if self.peek()[1] != "}":
+            while True:
+                nk, name = self.next()
+                if nk != "IDENT":
+                    raise ValueError(f"expected label name, got {name!r}")
+                _, op = self.next()
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise ValueError(f"bad matcher op {op!r}")
+                sk, sv = self.next()
+                if sk != "STRING":
+                    raise ValueError(f"expected quoted value, got {sv!r}")
+                mtype = {"=": "EQ", "!=": "NEQ", "=~": "RE", "!~": "NRE"}[op]
+                ms.append(LabelMatcher(name, _unquote(sv), mtype))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+        self.expect("}")
+        return tuple(ms)
+
+    def parse_agg(self, op: str):
+        by = without = None
+        param = None
+
+        def clause():
+            nonlocal by, without
+            k, v = self.peek()
+            if (k, v) == ("IDENT", "by") or (k, v) == ("IDENT", "without"):
+                self.next()
+                self.expect("(")
+                names = []
+                if self.peek()[1] != ")":
+                    while True:
+                        ik, iv = self.next()
+                        if ik != "IDENT":
+                            raise ValueError(f"expected label, got {iv!r}")
+                        names.append(iv)
+                        if self.peek()[1] == ",":
+                            self.next()
+                            continue
+                        break
+                self.expect(")")
+                if v == "by":
+                    by = tuple(names)
+                else:
+                    without = tuple(names)
+
+        clause()
+        self.expect("(")
+        first = self.parse_binary(0)
+        if op in ("topk", "bottomk", "quantile"):
+            self.expect(",")
+            expr = self.parse_binary(0)
+            param = first
+        else:
+            expr = first
+        self.expect(")")
+        clause()
+        return Agg(op, expr, param, by, without)
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(
+        r"\\(.)",
+        lambda m: {"n": "\n", "t": "\t", "\\": "\\", '"': '"', "'": "'"}.get(
+            m.group(1), m.group(1)
+        ),
+        body,
+    )
+
+
+def parse(text: str):
+    """Parse a PromQL expression to its AST (raises ValueError)."""
+    return _Parser(text).parse()
+
+
+# --------------------------------------------------------------- evaluator
+
+
+@dataclass
+class _Ctx:
+    samples: DataFrame  # [labels map, timestamp long ms, value double]
+    eval_ms: int
+    lookback_ms: int
+
+
+def eval_instant(
+    samples: DataFrame,
+    expr,
+    eval_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Evaluate ``expr`` (AST or text) as an instant query at
+    ``eval_ms`` over a [labels, timestamp, value] DataFrame. Returns
+    [signature, labels, value] — one row per output series."""
+    if isinstance(expr, str):
+        expr = parse(expr)
+    ctx = _Ctx(samples, eval_ms, lookback_ms)
+    kind, v = _eval(expr, ctx)
+    if kind == "scalar":
+        spark = samples.sparkSession
+        return spark.range(1).select(
+            F.lit("").alias("signature"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            ).alias("labels"),
+            F.lit(float(v)).cast("double").alias("value"),
+        )
+    return v
+
+
+def _eval(node, ctx: _Ctx):
+    if isinstance(node, Number):
+        return ("scalar", node.value)
+    if isinstance(node, StringLit):
+        raise ValueError("string literal outside a function argument")
+    if isinstance(node, Unary):
+        kind, v = _eval(node.expr, ctx)
+        if node.op == "+":
+            return (kind, v)
+        if kind == "scalar":
+            return ("scalar", -v)
+        return ("vector", v.withColumn("value", -F.col("value")))
+    if isinstance(node, Selector):
+        if node.range_ms is not None:
+            raise ValueError("range vector where an instant value is expected")
+        return ("vector", _instant_selector(node, ctx))
+    if isinstance(node, Subquery):
+        raise ValueError("subquery only supported inside *_over_time functions")
+    if isinstance(node, Call):
+        return _eval_call(node, ctx)
+    if isinstance(node, Agg):
+        return _eval_agg(node, ctx)
+    if isinstance(node, BinOp):
+        return _eval_binop(node, ctx)
+    raise ValueError(f"cannot evaluate {node!r}")
+
+
+# -- selectors ----------------------------------------------------------
+
+
+def _base(node: Selector, ctx: _Ctx) -> DataFrame:
+    df = ctx.samples
+    ms = list(node.matchers)
+    if node.name is not None:
+        ms = [LabelMatcher("__name__", node.name, "EQ"), *ms]
+    if ms:
+        df = df.filter(matcher_predicate("labels", ms))
+    if "signature" not in df.columns:
+        df = df.withColumn("signature", signature_expr("labels"))
+    return df
+
+
+def _range_df(node: Selector, ctx: _Ctx) -> tuple[DataFrame, int, int]:
+    end = ctx.eval_ms - node.offset_ms
+    start = end - (node.range_ms or 0)
+    df = _base(node, ctx).filter(
+        (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+    )
+    return df.select("signature", "labels", "timestamp", "value"), start, end
+
+
+def _instant_selector(node: Selector, ctx: _Ctx) -> DataFrame:
+    end = ctx.eval_ms - node.offset_ms
+    start = end - ctx.lookback_ms
+    df = _base(node, ctx).filter(
+        (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+    )
+    # struct-max gives the (ts desc, value desc) deterministic pick with
+    # map-side partials; labels ride separately (maps aren't orderable)
+    return (
+        df.groupBy("signature")
+        .agg(
+            F.max(F.struct("timestamp", "value")).alias("__top"),
+            F.first("labels").alias("labels"),
+        )
+        .select("signature", "labels", F.col("__top.value").alias("value"))
+    )
+
+
+def _attach_labels(out: DataFrame, src: DataFrame, value_col: str) -> DataFrame:
+    """Re-attach the labels map to a builder result keyed by signature
+    (builders group by signature only — maps aren't groupable). The
+    per-series dim is one row per matched series → broadcast join."""
+    dim = src.select("signature", "labels").dropDuplicates(["signature"])
+    return out.join(F.broadcast(dim), "signature").select(
+        "signature", "labels", F.col(value_col).cast("double").alias("value")
+    )
+
+
+# -- range-function machinery --------------------------------------------
+
+
+def _steps(df: DataFrame) -> DataFrame:
+    """Reset-corrected consecutive increases per series (the shared
+    core of rate/increase — ts_rate's exact construction)."""
+    w = Window.partitionBy("signature").orderBy("timestamp", "value")
+    dec = F.col("value").cast(_DEC)
+    prev = F.lag(dec).over(w)
+    step = (
+        F.when(prev.isNull(), F.lit(None))
+        .when(dec >= prev, dec - prev)
+        .otherwise(dec)
+    )
+    return df.select(
+        "signature", "labels", F.col("timestamp").alias("ts_ms"), step.alias("step")
+    ).filter(F.col("step").isNotNull())
+
+
+def _per_series(df: DataFrame, *aggs) -> DataFrame:
+    return df.groupBy("signature").agg(F.first("labels").alias("labels"), *aggs)
+
+
+def _rate(df, start, end, per_second=True):
+    agg = _per_series(
+        _steps(df),
+        F.sum("step").cast("double").alias("__s"),
+        F.min("ts_ms").alias("__mn"),
+        F.max("ts_ms").alias("__mx"),
+    )
+    if per_second:
+        agg = agg.filter(F.col("__mx") > F.col("__mn"))
+        val = F.col("__s") / (F.col("__mx") - F.col("__mn")) * F.lit(1000.0)
+    else:
+        val = F.col("__s")
+    return agg.select("signature", "labels", val.alias("value"))
+
+
+def _delta(df):
+    agg = _per_series(
+        df,
+        F.max(F.struct("timestamp", "value")).alias("__last"),
+        F.min(F.struct("timestamp", "value")).alias("__first"),
+        F.count("*").alias("__n"),
+    ).filter(F.col("__n") >= 2)
+    return agg.select(
+        "signature",
+        "labels",
+        (F.col("__last.value") - F.col("__first.value")).alias("value"),
+    )
+
+
+def _idelta(df):
+    w = Window.partitionBy("signature").orderBy(
+        F.col("timestamp").desc(), F.col("value").desc()
+    )
+    ranked = df.select(
+        "signature", "labels", "value", F.row_number().over(w).alias("__rn")
+    ).filter(F.col("__rn") <= 2)
+    agg = (
+        ranked.groupBy("signature")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.max(F.when(F.col("__rn") == 1, F.col("value"))).alias("__v1"),
+            F.max(F.when(F.col("__rn") == 2, F.col("value"))).alias("__v2"),
+        )
+        .filter(F.col("__v2").isNotNull())
+    )
+    return agg.select(
+        "signature", "labels", (F.col("__v1") - F.col("__v2")).alias("value")
+    )
+
+
+def _over_time(df, op: str, param: float | None = None):
+    if op == "avg":
+        a = [F.sum(F.col("value").cast(_DEC)).cast("double").alias("__s"),
+             F.count("*").alias("__n")]
+        val = F.col("__s") / F.col("__n")
+    elif op == "sum":
+        a = [F.sum(F.col("value").cast(_DEC)).cast("double").alias("__s")]
+        val = F.col("__s")
+    elif op == "min":
+        a = [F.min("value").alias("__s")]
+        val = F.col("__s")
+    elif op == "max":
+        a = [F.max("value").alias("__s")]
+        val = F.col("__s")
+    elif op == "count":
+        a = [F.count("*").alias("__s")]
+        val = F.col("__s").cast("double")
+    elif op == "last":
+        a = [F.max(F.struct("timestamp", "value")).alias("__t")]
+        val = F.col("__t.value")
+    elif op == "stddev":
+        # population stddev from exact DECIMAL accumulators (ts_stddev)
+        y = F.col("value").cast("decimal(18,2)")
+        a = [F.count("*").alias("__n"),
+             F.sum(y).cast("double").alias("__sy"),
+             F.sum(y * y).cast("double").alias("__syy")]
+        val = F.sqrt(
+            F.greatest(
+                (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n"))
+                / F.col("__n"),
+                F.lit(0.0),
+            )
+        )
+    elif op == "quantile":
+        a = [F.sort_array(F.collect_list("value")).alias("__a")]
+        n = F.size("__a")
+        rank = F.lit(float(param)) * (n - F.lit(1)).cast("double")
+        lo = F.floor(rank).cast("int")
+        frac = rank - lo.cast("double")
+        v_lo = F.element_at("__a", lo + 1)
+        v_hi = F.element_at("__a", F.least(lo + 2, n))
+        val = v_lo + (v_hi - v_lo) * frac
+    else:  # pragma: no cover
+        raise ValueError(f"unknown over_time op {op!r}")
+    agg = _per_series(df, *a)
+    return agg.select("signature", "labels", val.cast("double").alias("value"))
+
+
+_RANGE_FUNCS = {
+    "rate", "increase", "delta", "idelta", "irate", "resets", "changes",
+    "deriv", "predict_linear", "holt_winters",
+    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "stddev_over_time",
+    "quantile_over_time",
+}
+
+_MATH_FUNCS = {
+    "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
+    "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
+}
+
+
+def _scalar_arg(node, ctx, func: str) -> float:
+    kind, v = _eval(node, ctx)
+    if kind != "scalar":
+        raise ValueError(f"{func}() expects a scalar argument")
+    return float(v)
+
+
+def _eval_call(node: Call, ctx: _Ctx):
+    f = node.func
+    if f in _RANGE_FUNCS:
+        return ("vector", _eval_range_func(node, ctx))
+    if f in _MATH_FUNCS:
+        (kind, v) = _eval(node.args[0], ctx)
+        if kind == "scalar":
+            import math
+
+            py = {"abs": abs, "ceil": math.ceil, "floor": math.floor,
+                  "exp": math.exp, "ln": math.log, "log2": math.log2,
+                  "log10": math.log10, "sqrt": math.sqrt}[f]
+            return ("scalar", float(py(v)))
+        fn = _MATH_FUNCS[f]
+        return ("vector", v.withColumn("value", fn(F.col("value")).cast("double")))
+    if f == "round":
+        (kind, v) = _eval(node.args[0], ctx)
+        to = _scalar_arg(node.args[1], ctx, f) if len(node.args) > 1 else 1.0
+        # Prometheus: nearest multiple of `to`, ties round UP
+        expr = F.floor(F.col("value") / F.lit(to) + F.lit(0.5)) * F.lit(to)
+        return ("vector", v.withColumn("value", expr.cast("double")))
+    if f in ("clamp", "clamp_min", "clamp_max"):
+        (kind, v) = _eval(node.args[0], ctx)
+        if f == "clamp":
+            lo = _scalar_arg(node.args[1], ctx, f)
+            hi = _scalar_arg(node.args[2], ctx, f)
+            expr = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+        elif f == "clamp_min":
+            expr = F.greatest(F.col("value"), F.lit(_scalar_arg(node.args[1], ctx, f)))
+        else:
+            expr = F.least(F.col("value"), F.lit(_scalar_arg(node.args[1], ctx, f)))
+        return ("vector", v.withColumn("value", expr.cast("double")))
+    if f == "absent":
+        kind, v = _eval(node.args[0], ctx)
+        marker = (
+            v.groupBy()
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") == 0)
+            .select(
+                F.lit("").alias("signature"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<string>"),
+                ).alias("labels"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+        return ("vector", marker)
+    if f == "label_replace":
+        return ("vector", _label_replace(node, ctx))
+    if f == "label_join":
+        return ("vector", _label_join(node, ctx))
+    if f == "histogram_quantile":
+        phi = _scalar_arg(node.args[0], ctx, f)
+        kind, v = _eval(node.args[1], ctx)
+        return ("vector", _histogram_quantile(phi, v))
+    raise ValueError(f"unsupported PromQL function {f!r}")
+
+
+def _eval_range_func(node: Call, ctx: _Ctx) -> DataFrame:
+    f = node.func
+    if f == "quantile_over_time":
+        # PromQL argument order: quantile_over_time(φ, m[range])
+        phi = _scalar_arg(node.args[0], ctx, f)
+        sel = node.args[1]
+        if not isinstance(sel, Selector) or sel.range_ms is None:
+            raise ValueError("quantile_over_time expects (φ, m[range])")
+        df, _, _ = _range_df(sel, ctx)
+        return _over_time(df, "quantile", phi)
+    sel_arg = node.args[0]
+    if isinstance(sel_arg, Subquery):
+        return _eval_subquery_func(f, sel_arg, node, ctx)
+    if not isinstance(sel_arg, Selector) or sel_arg.range_ms is None:
+        raise ValueError(f"{f}() expects a range selector, e.g. m[5m]")
+    df, start, end = _range_df(sel_arg, ctx)
+    if f == "rate":
+        return _rate(df, start, end, per_second=True)
+    if f == "increase":
+        return _rate(df, start, end, per_second=False)
+    if f == "delta":
+        return _delta(df)
+    if f == "idelta":
+        return _idelta(df)
+    if f == "irate":
+        out = _tsops.irate(df, key_cols=["signature"], out="__v")
+        return _attach_labels(out, df, "__v")
+    if f in ("resets", "changes"):
+        out = _tsops.changes_resets(df, key_cols=["signature"])
+        col = "n_resets" if f == "resets" else "n_changes"
+        return _attach_labels(out, df, col)
+    if f == "deriv":
+        out = _tsops.linreg_slope(df, key_cols=["signature"], t0=start, out="__v")
+        return _attach_labels(out, df, "__v")
+    if f == "predict_linear":
+        t_sec = _scalar_arg(node.args[1], ctx, f)
+        at_ms = (end - start) + int(t_sec * 1000)  # relative to t0=start
+        out = _tsops.predict_linear(
+            df, key_cols=["signature"], t0=start, at_ms=at_ms, out="__v"
+        )
+        return _attach_labels(out, df, "__v")
+    if f == "holt_winters":
+        sf = _scalar_arg(node.args[1], ctx, f)
+        tf = _scalar_arg(node.args[2], ctx, f)
+        out = _tsops.holt_winters(
+            df, key_cols=["signature"], sf=sf, tf=tf, out="__v"
+        )
+        return _attach_labels(out, df, "__v")
+    if f.endswith("_over_time"):
+        return _over_time(df, f[: -len("_over_time")])
+    raise ValueError(f"unsupported range function {f!r}")
+
+
+def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFrame:
+    """``<agg>_over_time(inner[R:step])`` where inner is rate/increase/
+    delta of a range selector. The outer range is tiled by step-width
+    windows anchored at (eval - offset - R); the inner function runs
+    isolated per window — a lag partitioned on (series, window) — so
+    counter state never leaks across evaluations
+    (ts_subquery_max_rate's pinned semantics). Window duplication is
+    ceil(inner_range/step) ≤ the tiling factor; with inner == step
+    (the common dashboard shape) it is exactly 1 — one sort shuffle."""
+    if not (f.endswith("_over_time") and f[: -len("_over_time")] in
+            ("avg", "sum", "min", "max", "count", "last")):
+        raise ValueError(f"subquery argument not supported for {f}()")
+    op = f[: -len("_over_time")]
+    inner = sq.expr
+    if not (
+        isinstance(inner, Call)
+        and inner.func in ("rate", "increase", "delta")
+        and len(inner.args) == 1
+        and isinstance(inner.args[0], Selector)
+        and inner.args[0].range_ms is not None
+    ):
+        raise ValueError(
+            "subquery inner must be rate/increase/delta of a range selector"
+        )
+    sel = inner.args[0]
+    if sel.range_ms != sq.step_ms:
+        raise ValueError(
+            "subquery support requires inner range == step (tiled windows); "
+            f"got {sel.range_ms}ms vs {sq.step_ms}ms"
+        )
+    end = ctx.eval_ms - sq.offset_ms - sel.offset_ms
+    start = end - sq.range_ms
+    df = _base(sel, ctx).filter(
+        (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+    )
+    win = F.floor((F.col("timestamp") - F.lit(start)) / F.lit(sq.step_ms)).alias("__w")
+    # a point at exactly ts == end would index one past the tiling
+    # (floor(R/step)) — clamp it out rather than opening a spurious
+    # single-instant window
+    n_tiles = -(-sq.range_ms // sq.step_ms)
+    pts = df.select("signature", "labels", win, "timestamp", "value").filter(
+        F.col("__w") < n_tiles
+    )
+    w = Window.partitionBy("signature", "__w").orderBy("timestamp", "value")
+    dec = F.col("value").cast(_DEC)
+    prev = F.lag(dec).over(w)
+    if inner.func == "delta":
+        step = F.when(prev.isNull(), F.lit(None)).otherwise(dec - prev)
+    else:
+        step = (
+            F.when(prev.isNull(), F.lit(None))
+            .when(dec >= prev, dec - prev)
+            .otherwise(dec)
+        )
+    stepped = pts.select(
+        "signature", "labels", "__w", step.alias("__step")
+    ).filter(F.col("__step").isNotNull())
+    per_win = stepped.groupBy("signature", "__w").agg(
+        F.first("labels").alias("labels"),
+        F.sum("__step").cast("double").alias("__v"),
+    )
+    if inner.func == "rate":
+        per_win = per_win.withColumn(
+            "__v", F.col("__v") / F.lit(sq.step_ms / 1000.0)
+        )
+    inner_vals = per_win.select(
+        "signature", "labels", F.col("__v").alias("value"),
+        F.col("__w").alias("timestamp"),  # window index as pseudo-time
+    )
+    return _over_time(inner_vals, op)
+
+
+# -- label manipulation ---------------------------------------------------
+
+
+def _resign(df: DataFrame, new_labels) -> DataFrame:
+    return df.select(
+        new_labels.alias("labels"), "value"
+    ).withColumn("signature", signature_expr("labels")).select(
+        "signature", "labels", "value"
+    )
+
+
+def _map_set(labels, key: str, value) -> Any:
+    cleaned = F.map_filter(labels, lambda k, _: k != F.lit(key))
+    return F.map_concat(cleaned, F.create_map(F.lit(key), value))
+
+
+def _str_args(args, ctx, func, n) -> list[str]:
+    out = []
+    for a in args:
+        if not isinstance(a, StringLit):
+            raise ValueError(f"{func}() expects string literals")
+        out.append(a.value)
+    if len(out) < n:
+        raise ValueError(f"{func}() needs {n} string arguments")
+    return out
+
+
+def _label_replace(node: Call, ctx: _Ctx) -> DataFrame:
+    kind, v = _eval(node.args[0], ctx)
+    dst, repl, src, regex = _str_args(node.args[1:5], ctx, "label_replace", 4)
+    if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+        raise ValueError(f"label_replace: invalid destination label {dst!r}")
+    anchored = f"^(?:{regex})$"
+    src_val = F.coalesce(F.try_element_at("labels", F.lit(src)), F.lit(""))
+    matched = src_val.rlike(anchored)
+    newval = F.regexp_replace(src_val, anchored, repl)
+    labels = F.col("labels")
+    new_labels = (
+        F.when(matched & (newval != ""), _map_set(labels, dst, newval))
+        .when(matched, F.map_filter(labels, lambda k, _: k != F.lit(dst)))
+        .otherwise(labels)
+    )
+    return _resign(v, new_labels)
+
+
+def _label_join(node: Call, ctx: _Ctx) -> DataFrame:
+    kind, v = _eval(node.args[0], ctx)
+    strs = _str_args(node.args[1:], ctx, "label_join", 3)
+    dst, sep, srcs = strs[0], strs[1], strs[2:]
+    if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+        raise ValueError(f"label_join: invalid destination label {dst!r}")
+    parts = [
+        F.coalesce(F.try_element_at("labels", F.lit(s)), F.lit("")) for s in srcs
+    ]
+    joined = F.concat_ws(sep, *parts)
+    labels = F.col("labels")
+    new_labels = F.when(
+        joined != "", _map_set(labels, dst, joined)
+    ).otherwise(F.map_filter(labels, lambda k, _: k != F.lit(dst)))
+    return _resign(v, new_labels)
+
+
+# -- histogram_quantile ---------------------------------------------------
+
+
+def _histogram_quantile(phi: float, vec: DataFrame) -> DataFrame:
+    """Prometheus histogram_quantile over cumulative le-bucket series:
+    group by labels-minus-le, order buckets by le, pick the first
+    bucket whose cumulative count reaches φ·total, interpolate
+    linearly inside it (lower bound 0 for the first bucket; the +Inf
+    bucket clamps to the highest finite le) — the same branch
+    structure ts_latency_slo_p95 pins against its oracle. One groupBy;
+    bucket counts per series are the le-grid size (tiny)."""
+    le_raw = F.coalesce(F.try_element_at("labels", F.lit("le")), F.lit(""))
+    le_val = (
+        F.when(le_raw.isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
+        .otherwise(le_raw.try_cast("double"))  # ANSI-safe: bad le → null → dropped
+    )
+    rest = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("le"))
+    pre = vec.filter(le_val.isNotNull()).select(
+        signature_expr(rest).alias("signature"),
+        rest.alias("labels"),
+        le_val.alias("__le"),
+        F.col("value").alias("__c"),
+    )
+    g = pre.groupBy("signature").agg(
+        F.first("labels").alias("labels"),
+        F.sort_array(F.collect_list(F.struct("__le", "__c"))).alias("__b"),
+    )
+    b = F.col("__b")
+    n = F.size(b)
+    total = F.element_at(b, n)["__c"]
+    target = F.lit(phi) * total
+    # first bucket index reaching the target count
+    hits = F.filter(b, lambda x: x["__c"] >= target)
+    first_hit = F.element_at(hits, 1)
+    idx = F.array_position(b, first_hit).cast("int")
+    cur_le = first_hit["__le"]
+    cur_c = first_hit["__c"]
+    prev_le = F.when(idx > 1, F.element_at(b, idx - 1)["__le"]).otherwise(F.lit(0.0))
+    prev_c = F.when(idx > 1, F.element_at(b, idx - 1)["__c"]).otherwise(F.lit(0.0))
+    # highest finite le (for the +Inf clamp)
+    finite = F.filter(b, lambda x: ~F.isnan(x["__le"]) & (x["__le"] != float("inf")))
+    hi_fin = F.element_at(finite, F.size(finite))["__le"]
+    interp = prev_le + (cur_le - prev_le) * (target - prev_c) / (cur_c - prev_c)
+    val = (
+        F.when(total <= 0, F.lit(None))
+        .when(cur_le == float("inf"), hi_fin)
+        .otherwise(interp)
+    )
+    return g.select(
+        "signature", "labels", val.cast("double").alias("value")
+    ).filter(F.col("value").isNotNull())
+
+
+# -- aggregation operators -------------------------------------------------
+
+
+def _group_map(by, without):
+    labels = F.col("labels")
+    if by is not None:
+        keys = [F.lit(k) for k in by]
+        return F.map_filter(
+            labels, lambda k, _: F.array_contains(F.array(*keys), k)
+        ) if keys else F.map_filter(labels, lambda k, _: F.lit(False))
+    if without is not None:
+        keys = [F.lit(k) for k in without]
+        return F.map_filter(
+            labels, lambda k, _: ~F.array_contains(F.array(*keys), k)
+        ) if keys else labels
+    # plain sum(...) aggregates everything into one group
+    return F.map_filter(labels, lambda k, _: F.lit(False))
+
+
+def _eval_agg(node: Agg, ctx: _Ctx):
+    kind, vec = _eval(node.expr, ctx)
+    if kind != "vector":
+        raise ValueError(f"{node.op} expects an instant vector")
+    gmap = _group_map(node.by, node.without)
+    keyed = vec.select(
+        signature_expr(gmap).alias("__gsig"),
+        gmap.alias("__glabels"),
+        "signature",
+        "labels",
+        "value",
+    )
+    if node.op in ("topk", "bottomk"):
+        k = int(_scalar_arg(node.param, ctx, node.op))
+        order = (
+            [F.col("value").desc(), F.col("signature")]
+            if node.op == "topk"
+            else [F.col("value").asc(), F.col("signature")]
+        )
+        w = Window.partitionBy("__gsig").orderBy(*order)
+        out = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("signature", "labels", "value")
+        )
+        return ("vector", out)
+    if node.op == "quantile":
+        phi = _scalar_arg(node.param, ctx, node.op)
+        agg = keyed.groupBy("__gsig").agg(
+            F.first("__glabels").alias("labels"),
+            F.sort_array(F.collect_list("value")).alias("__a"),
+        )
+        n = F.size("__a")
+        rank = F.lit(phi) * (n - F.lit(1)).cast("double")
+        lo = F.floor(rank).cast("int")
+        frac = rank - lo.cast("double")
+        v_lo = F.element_at("__a", lo + 1)
+        v_hi = F.element_at("__a", F.least(lo + 2, n))
+        val = (v_lo + (v_hi - v_lo) * frac).cast("double")
+        out = agg.select(
+            F.col("__gsig").alias("signature"), "labels", val.alias("value")
+        )
+        return ("vector", out)
+    exprs = {
+        "sum": F.sum(F.col("value").cast(_DEC)).cast("double"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "count": F.count("*").cast("double"),
+    }
+    if node.op in exprs:
+        val = exprs[node.op].alias("value")
+        out = keyed.groupBy("__gsig").agg(
+            F.first("__glabels").alias("labels"), val
+        )
+    elif node.op == "avg":
+        out = keyed.groupBy("__gsig").agg(
+            F.first("__glabels").alias("labels"),
+            (
+                F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")
+            ).alias("value"),
+        )
+    elif node.op == "stddev":
+        y = F.col("value").cast("decimal(18,2)")
+        out = keyed.groupBy("__gsig").agg(
+            F.first("__glabels").alias("labels"),
+            F.sqrt(
+                F.greatest(
+                    (
+                        F.sum(y * y).cast("double")
+                        - F.sum(y).cast("double") * F.sum(y).cast("double")
+                        / F.count("*")
+                    )
+                    / F.count("*"),
+                    F.lit(0.0),
+                )
+            ).alias("value"),
+        )
+    else:
+        raise ValueError(f"unsupported aggregation {node.op!r}")
+    return (
+        "vector",
+        out.select(F.col("__gsig").alias("signature"), "labels", "value"),
+    )
+
+
+# -- binary operators ------------------------------------------------------
+
+
+def _eval_binop(node: BinOp, ctx: _Ctx):
+    if node.op in ("and", "or", "unless"):
+        raise ValueError("set binary operators are not supported")
+    lk, lv = _eval(node.lhs, ctx)
+    rk, rv = _eval(node.rhs, ctx)
+    if lk == "scalar" and rk == "scalar":
+        return ("scalar", _scalar_binop(node.op, lv, rv, node.bool_mode))
+    if lk == "vector" and rk == "vector":
+        raise ValueError(
+            "vector-vector binary ops (and on/ignoring matching) are not "
+            "supported by this front-end"
+        )
+    vec, scalar, vec_left = (lv, rv, True) if lk == "vector" else (rv, lv, False)
+    val = F.col("value")
+    s = F.lit(float(scalar))
+    a, b = (val, s) if vec_left else (s, val)
+    if node.op in _CMP_OPS:
+        cond = {
+            "==": a == b, "!=": a != b, ">": a > b,
+            "<": a < b, ">=": a >= b, "<=": a <= b,
+        }[node.op]
+        if node.bool_mode:
+            return ("vector", vec.withColumn("value", cond.cast("double")))
+        return ("vector", vec.filter(cond))
+    expr = {
+        "+": a + b,
+        "-": a - b,
+        "*": a * b,
+        "/": a / b,
+        "%": a % b,
+        "^": F.pow(a, b),
+    }[node.op]
+    return ("vector", vec.withColumn("value", expr.cast("double")))
+
+
+def _scalar_binop(op: str, a: float, b: float, bool_mode: bool) -> float:
+    import math
+
+    if op in _CMP_OPS:
+        r = {"==": a == b, "!=": a != b, ">": a > b,
+             "<": a < b, ">=": a >= b, "<=": a <= b}[op]
+        return 1.0 if r else 0.0
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b if b != 0 else math.inf if a > 0 else -math.inf if a < 0 else math.nan
+    if op == "%":
+        return math.fmod(a, b) if b != 0 else math.nan
+    if op == "^":
+        return a ** b
+    raise ValueError(f"unknown operator {op!r}")

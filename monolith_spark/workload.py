@@ -4179,23 +4179,16 @@ _DRIVER_GREEN: frozenset[str] = _load_driver_green()
 # front of the window. The remaining unverified names follow
 # automatically via the fresh-first ordering below.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-5 reworked queries first: the driver must re-verify the
-    # de-globalized ranking device, the pii count/scrub reconciliation,
-    # the total nb_score, the pca_project barrier fix and the new
-    # scalable BPE trainer against fresh oracle runs.
-    "docs_perplexity_buckets",
-    "docs_perplexity_buckets_by_source",
-    "orders_rfm_segments",
-    "tpch_revenue_pareto",
-    "docs_pii_scan",
-    "docs_quality_classifier",
-    "emb_pca_project",
-    "text_bpe_train_scale",
-    "ts_approx_quantiles",
-    "events_hll_daily_users",
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "sim_lsh_topk",
+    # round-7 additions first: the PromQL text front-end rows (parsed
+    # end-to-end through monolith_spark/promql.py) must verify against
+    # fresh oracle runs. Queries whose implementation changed since
+    # their last green round are fronted automatically by the
+    # staleness-aware rotation below — no manual list needed for them.
+    "ts_promql_parsed",
+    "ts_offset_rate",
+    "ts_label_replace",
+    "ts_label_join",
+    "ts_promql_topk",
 )
 
 
@@ -9434,3 +9427,209 @@ def ts_alert_firing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_breaches") >= _ALERT_MIN_PTS)
         .drop("__isl")
     )
+
+
+# ------------------------------------------------- PromQL text front-end
+
+from monolith_spark import promql as _promql  # noqa: E402
+
+_PQL_LOOKBACK = JAN20 - JAN1  # 19d instant lookback over the fixture span
+
+# Every-series reset-corrected rate replay, shared by the promql oracles
+# (identical to the ts_rate oracle modulo the WHERE clause).
+def _rate_sql(where: str, lo: int, hi: int) -> str:
+    return f"""
+      SELECT signature,
+             CAST(sum(step) AS DOUBLE) / (max(ts_ms) - min(ts_ms)) * 1000.0
+               AS rate_per_sec
+      FROM (
+        SELECT signature, ts_ms,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN v >= prev THEN v - prev
+                    ELSE v END AS step
+        FROM (
+          SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms,
+                 CAST(value AS DECIMAL(28,6)) AS v,
+                 lag(CAST(value AS DECIMAL(28,6))) OVER (
+                   PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+                 ) AS prev
+          FROM events
+          WHERE epoch_ms(ts) BETWEEN {lo} AND {hi} AND ({where})
+        )
+      ) WHERE step IS NOT NULL
+      GROUP BY 1 HAVING max(ts_ms) > min(ts_ms)
+    """
+
+
+def _events_lv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from monolith_spark.sources.events import events_samples
+
+    return events_samples(spark, sf_dir).select("labels", "timestamp", "value")
+
+
+@_q(
+    "ts_promql_parsed",
+    f"""
+    WITH rates AS (
+      SELECT event_type,
+             CAST(sum(step) AS DOUBLE) / (max(ts_ms) - min(ts_ms)) * 1000.0
+               AS rate_per_sec
+      FROM (
+        SELECT event_type, sig, ts_ms,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN v >= prev THEN v - prev ELSE v END AS step
+        FROM (
+          SELECT event_type, {SIG_SQL} AS sig,
+                 epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(28,6)) AS v,
+                 lag(CAST(value AS DECIMAL(28,6))) OVER (
+                   PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+                 ) AS prev
+          FROM events
+          WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+            AND substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1)
+                BETWEEN '0' AND '4'
+        )
+      ) WHERE step IS NOT NULL
+      GROUP BY event_type, sig HAVING max(ts_ms) > min(ts_ms)
+    )
+    SELECT 'event_type=' || event_type AS signature,
+           CAST(sum(CAST(rate_per_sec AS DECIMAL(28,6))) AS DOUBLE) AS value
+    FROM rates GROUP BY 1
+    """,
+)
+def ts_promql_parsed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE text front-end row: a PromQL string — matchers with a regex,
+    a range function, an aggregation with grouping — parsed and
+    evaluated end-to-end by monolith_spark/promql.py, hash-matched
+    against the oracle replaying the identical construction (reset-
+    corrected DECIMAL rate, DECIMAL re-sum across series so the outer
+    sum is order-free). The reference never evaluates PromQL (it
+    delegates to the Prometheus client, /root/reference/README.md:7);
+    this engine now takes the query text directly."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'sum by (event_type) (rate({kb=~"[0-4]"}[19d]))',
+        JAN20,
+    )
+    return out.select("signature", "value")
+
+
+@_q(
+    "ts_offset_rate",
+    _rate_sql(
+        "event_type = 'purchase'", JAN1, JAN20 - 4 * 86_400_000
+    ).replace("rate_per_sec", "value", 1),
+)
+def ts_offset_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL offset modifier through the parser: rate over a window
+    shifted 4d into the past — [T-4d-15d, T-4d] — the everyday
+    'same query, yesterday' dashboard idiom. Same plan as ts_rate
+    (one per-series sort window + one agg); only the pushed-down
+    time predicate moves."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'rate({event_type="purchase"}[15d] offset 4d)',
+        JAN20,
+    )
+    return out.select("signature", "value")
+
+
+@_q(
+    "ts_label_replace",
+    f"""
+    WITH latest AS (
+      SELECT {SIG_SQL} AS signature,
+             substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+             max(struct_pack(t := epoch_ms(ts), v := value)) AS top
+      FROM events
+      WHERE event_type = 'purchase'
+        AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN kb BETWEEN '0' AND '4' THEN 'tier=t' || kb ELSE '' END
+             AS signature,
+           CAST(sum(CAST(top.v AS DECIMAL(28,6))) AS DOUBLE) AS value
+    FROM latest
+    GROUP BY 1
+    """,
+)
+def ts_label_replace_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_replace through the parser: derive a 'tier' label from kb
+    when it matches [0-4] (backreference expansion), leave the series
+    untouched otherwise, then sum by the new label — non-matching
+    series group under the empty label set, exactly Prometheus's
+    missing-label grouping. The instant selector uses a fixture-wide
+    lookback; the latest-point pick is the engine's deterministic
+    (ts, value) struct-max."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'sum by (tier) (label_replace({event_type="purchase"}, '
+        '"tier", "t$1", "kb", "([0-4])"))',
+        JAN20,
+        lookback_ms=_PQL_LOOKBACK,
+    )
+    return out.select("signature", "value")
+
+
+@_q(
+    "ts_label_join",
+    f"""
+    SELECT 'key=purchase:' ||
+             substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1)
+             AS signature,
+           CAST(count(DISTINCT {SIG_SQL}) AS DOUBLE) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    GROUP BY 1
+    """,
+)
+def ts_label_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_join through the parser: key = event_type ':' kb, then a
+    count aggregation by the joined label — series-cardinality per
+    composite key, the dashboard idiom for collapsing label pairs."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'count by (key) (label_join({event_type="purchase"}, '
+        '"key", ":", "event_type", "kb"))',
+        JAN20,
+        lookback_ms=_PQL_LOOKBACK,
+    )
+    return out.select("signature", "value")
+
+
+@_q(
+    "ts_promql_topk",
+    f"""
+    SELECT signature, CAST(increase AS DOUBLE) AS value
+    FROM (
+      SELECT signature, CAST(sum(step) AS DOUBLE) AS increase
+      FROM (
+        SELECT signature,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN v >= prev THEN v - prev ELSE v END AS step
+        FROM (
+          SELECT {SIG_SQL} AS signature, CAST(value AS DECIMAL(28,6)) AS v,
+                 lag(CAST(value AS DECIMAL(28,6))) OVER (
+                   PARTITION BY {SIG_SQL} ORDER BY epoch_ms(ts), value
+                 ) AS prev
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+        )
+      ) WHERE step IS NOT NULL
+      GROUP BY 1
+    )
+    QUALIFY row_number() OVER (ORDER BY increase DESC, signature) <= 3
+    """,
+)
+def ts_promql_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk aggregation through the parser: the 3 series with the
+    largest reset-corrected increase, ties broken by signature so both
+    engines pick the same set. The k-row cut is a window over the
+    per-series aggregate (series-count rows), never the raw points."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'topk(3, increase({event_type="purchase"}[19d]))',
+        JAN20,
+    )
+    return out.select("signature", "value")

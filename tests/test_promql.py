@@ -1,0 +1,340 @@
+"""PromQL text front-end: parser goldens + parse→eval equivalence
+against the oracle-verified workload rows, plus the function surface
+the registry rows don't cover (histogram_quantile interpolation
+branches, quantile agg, comparisons, absent, error paths)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from monolith_spark import promql
+from monolith_spark.labels import LabelMatcher
+from monolith_spark.promql import (
+    Agg,
+    BinOp,
+    Call,
+    Number,
+    Selector,
+    Subquery,
+    parse,
+    parse_duration_ms,
+)
+from monolith_spark.sources.events import events_samples
+from monolith_spark.workload import JAN1, JAN20, all_queries
+
+SF = "/root/testdata/sf0.001"
+_SUB = 432_000_000  # 5d
+
+
+def _samples(spark):
+    return events_samples(spark, SF).select("labels", "timestamp", "value")
+
+
+# ------------------------------------------------------------------ parser
+
+
+def test_parse_goldens():
+    assert parse_duration_ms("1h30m") == 5_400_000
+    assert parse_duration_ms("19d") == 19 * 86_400_000
+    with pytest.raises(ValueError):
+        parse_duration_ms("5x")
+
+    e = parse('rate(http_requests{job="api", code=~"5.."}[5m] offset 1h)')
+    assert isinstance(e, Call) and e.func == "rate"
+    sel = e.args[0]
+    assert sel == Selector(
+        "http_requests",
+        (LabelMatcher("job", "api", "EQ"), LabelMatcher("code", "5..", "RE")),
+        300_000,
+        3_600_000,
+    )
+
+    e = parse('sum by (a, b) (m{x!="1", y!~"z+"})')
+    assert isinstance(e, Agg) and e.op == "sum" and e.by == ("a", "b")
+    assert e.expr.matchers[0].type == "NEQ" and e.expr.matchers[1].type == "NRE"
+
+    # trailing clause form + without
+    e2 = parse("avg (m) without (c)")
+    assert e2.without == ("c",) and e2.by is None
+
+    # subquery + precedence (^ right-assoc, * over +)
+    e = parse("max_over_time(rate(m[5d])[15d:5d])")
+    sq = e.args[0]
+    assert isinstance(sq, Subquery) and (sq.range_ms, sq.step_ms) == (
+        15 * 86_400_000, 5 * 86_400_000)
+    b = parse("1 + 2 * 3 ^ 2 ^ 2")
+    assert isinstance(b, BinOp) and b.op == "+"
+    assert b.rhs.op == "*" and b.rhs.rhs.op == "^"
+    assert b.rhs.rhs.rhs.op == "^"  # right-associative
+
+    with pytest.raises(ValueError, match="trailing"):
+        parse("m[5m] extra")
+    with pytest.raises(ValueError, match="range suffix"):
+        parse("(m + 1)[5m]")
+    with pytest.raises(ValueError):
+        parse('m{job=api}')  # unquoted matcher value
+
+
+def test_scalar_only_expressions(spark):
+    s = _samples(spark)
+    row = promql.eval_instant(s, "1 + 2 * 3 ^ 2", JAN20).collect()[0]
+    assert row["value"] == 19.0 and row["signature"] == ""
+    row = promql.eval_instant(s, "-(3 - 5) / 4", JAN20).collect()[0]
+    assert row["value"] == 0.5
+    assert promql.eval_instant(s, "7 % 3", JAN20).collect()[0]["value"] == 1.0
+
+
+# --------------------------------------------- golden parse→eval vs rows
+
+
+def test_eval_matches_green_rows(spark):
+    """The parsed evaluators must reproduce the oracle-verified ts_*
+    rows bit-for-bit on the same windows — the reuse contract."""
+    s = _samples(spark)
+    q = all_queries()
+
+    got = {r["signature"]: r["value"]
+           for r in promql.eval_instant(s, "rate({}[19d])", JAN20).collect()}
+    ref = {r["signature"]: r["rate_per_sec"]
+           for r in q["ts_rate"].spark_fn(spark, SF).collect()}
+    assert got == ref and got
+
+    got = {r["signature"]: r["value"]
+           for r in promql.eval_instant(s, "increase({}[19d])", JAN20).collect()}
+    ref = {r["signature"]: r["increase"]
+           for r in q["ts_counter_increase"].spark_fn(spark, SF).collect()}
+    assert got == ref
+
+    got = {r["signature"]: r["value"]
+           for r in promql.eval_instant(s, "irate({}[19d])", JAN20).collect()}
+    ref = {r["signature"]: r["irate_per_sec"]
+           for r in q["ts_irate"].spark_fn(spark, SF).collect()}
+    assert got == ref
+
+    cr = {r["signature"]: (r["n_changes"], r["n_resets"])
+          for r in q["ts_changes"].spark_fn(spark, SF).collect()}
+    got_r = {r["signature"]: r["value"]
+             for r in promql.eval_instant(s, "resets({}[19d])", JAN20).collect()}
+    got_c = {r["signature"]: r["value"]
+             for r in promql.eval_instant(s, "changes({}[19d])", JAN20).collect()}
+    assert got_r == {k: float(v[1]) for k, v in cr.items()}
+    assert got_c == {k: float(v[0]) for k, v in cr.items()}
+
+    got = {r["signature"]: r["value"]
+           for r in promql.eval_instant(s, "deriv({}[19d])", JAN20).collect()}
+    ref = {r["signature"]: r["deriv_per_sec"]
+           for r in q["ts_deriv"].spark_fn(spark, SF).collect()}
+    assert got == ref
+
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'holt_winters({event_type="purchase"}[19d], 0.25, 0.5)', JAN20
+    ).collect()}
+    ref = {r["signature"]: r["smoothed"]
+           for r in q["ts_holt_winters"].spark_fn(spark, SF).collect()}
+    assert got == ref
+
+    # predict_linear one week past the range end == ts_predict_linear
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, "predict_linear({}[19d], 604800)", JAN20).collect()}
+    ref = {r["signature"]: r["predicted"]
+           for r in q["ts_predict_linear"].spark_fn(spark, SF).collect()}
+    assert got == ref
+
+
+def test_subquery_matches_green_row(spark):
+    """max_over_time(rate(m[5d])[15d:5d]) at T = JAN1+15d equals the
+    first outer window of the green ts_subquery_max_rate row (same
+    tiling, same per-window reset isolation)."""
+    s = _samples(spark)
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, "max_over_time(rate({}[5d])[15d:5d])", JAN1 + 3 * _SUB
+    ).collect()}
+    ref = {
+        r["signature"]: r["max_rate_per_sec"]
+        for r in all_queries()["ts_subquery_max_rate"].spark_fn(spark, SF).collect()
+        if r["win_start_ms"] == JAN1
+    }
+    assert got == ref and got
+
+
+def test_over_time_and_math_functions(spark):
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+    avg = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"avg_over_time({sel}[19d])", JAN20).collect()}
+    cnt = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"count_over_time({sel}[19d])", JAN20).collect()}
+    tot = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"sum_over_time({sel}[19d])", JAN20).collect()}
+    assert avg and set(avg) == set(cnt) == set(tot)
+    for k in avg:
+        assert avg[k] == pytest.approx(tot[k] / cnt[k], rel=1e-12)
+    mn = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"min_over_time({sel}[19d])", JAN20).collect()}
+    mx = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"max_over_time({sel}[19d])", JAN20).collect()}
+    med = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"quantile_over_time(0.5, {sel}[19d])", JAN20).collect()}
+    for k in mn:
+        assert mn[k] <= med[k] <= mx[k]
+    q0 = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"quantile_over_time(0, {sel}[19d])", JAN20).collect()}
+    q1 = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"quantile_over_time(1, {sel}[19d])", JAN20).collect()}
+    assert q0 == mn and q1 == mx
+
+    # math + arithmetic compose; sqrt of the abs keeps values real
+    out = promql.eval_instant(
+        s, f"sqrt(abs(delta({sel}[19d]))) * 2 + 1", JAN20
+    ).collect()
+    assert out and all(r["value"] >= 1.0 for r in out)
+
+    # round to nearest 5, ties up (Prometheus round semantics)
+    vals = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"round(max_over_time({sel}[19d]), 5)", JAN20).collect()}
+    for k, v in vals.items():
+        assert v % 5 == 0 and abs(v - mx[k]) <= 2.5
+
+    # comparison filter vs bool
+    kept = promql.eval_instant(s, f"max_over_time({sel}[19d]) > 50", JAN20)
+    flags = promql.eval_instant(s, f"max_over_time({sel}[19d]) > bool 50", JAN20)
+    kept_n = kept.count()
+    f = {r["signature"]: r["value"] for r in flags.collect()}
+    assert kept_n == sum(1 for v in f.values() if v == 1.0)
+    assert set(f.values()) <= {0.0, 1.0} and len(f) == len(mx)
+
+
+def test_aggregations_and_label_ops(spark):
+    s = _samples(spark)
+    lb = JAN20 - JAN1
+    # sum by == hand-grouped sums of the instant vector
+    per = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'max_over_time({event_type="purchase"}[19d])', JAN20).collect()}
+    grouped = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'max by (kb) (max_over_time({event_type="purchase"}[19d]))', JAN20
+    ).collect()}
+    hand: dict[str, float] = {}
+    for sig, v in per.items():
+        kb = dict(p.split("=", 1) for p in sig.split(","))["kb"]
+        key = f"kb={kb}"
+        hand[key] = max(hand.get(key, -math.inf), v)
+    assert grouped == hand
+
+    # without == by over the complementary keys
+    wo = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'count without (user) (max_over_time({event_type="purchase"}[19d]))',
+        JAN20).collect()}
+    assert set(wo) == {f"event_type=purchase,kb={k}" for k in
+                       {sig.split("kb=")[1].split(",")[0] for sig in per}}
+
+    # topk: k rows, deterministic, descending
+    top = promql.eval_instant(
+        s, 'topk(3, max_over_time({event_type="purchase"}[19d]))', JAN20
+    ).orderBy(F.desc("value"), "signature").collect()
+    assert len(top) == 3
+    assert sorted((r["value"] for r in top), reverse=True) == [r["value"] for r in top]
+    assert {r["value"] for r in top} <= set(per.values())
+    bot = promql.eval_instant(
+        s, 'bottomk(2, max_over_time({event_type="purchase"}[19d]))', JAN20
+    ).collect()
+    assert len(bot) == 2 and min(per.values()) in {r["value"] for r in bot}
+
+    # label_replace: non-match keeps labels; match rewrites + re-signs
+    rep = promql.eval_instant(
+        s,
+        'label_replace(max_over_time({event_type="purchase"}[19d]),'
+        ' "env", "prod-$1", "kb", "([0-3])")',
+        JAN20,
+    ).collect()
+    for r in rep:
+        kb = dict(r["labels"]) ["kb"]
+        if kb in "0123":
+            assert dict(r["labels"])["env"] == f"prod-{kb}"
+            assert f"env=prod-{kb}" in r["signature"]
+        else:
+            assert "env" not in dict(r["labels"])
+
+    # label_join missing source labels join as empty strings
+    lj = promql.eval_instant(
+        s,
+        'label_join(max_over_time({event_type="purchase"}[19d]),'
+        ' "key", "|", "kb", "nope", "user")',
+        JAN20,
+    ).collect()
+    for r in lj:
+        d = dict(r["labels"])
+        assert d["key"] == f"{d['kb']}||{d['user']}"
+
+    # absent: empty selector → marker row; non-empty → no rows
+    a1 = promql.eval_instant(
+        s, 'absent({event_type="nope"})', JAN20, lookback_ms=lb).collect()
+    assert len(a1) == 1 and a1[0]["value"] == 1.0 and a1[0]["labels"] == {}
+    a2 = promql.eval_instant(
+        s, 'absent({event_type="purchase"})', JAN20, lookback_ms=lb).collect()
+    assert a2 == []
+
+
+def test_histogram_quantile_branches(spark):
+    """Interpolation, first-bucket zero lower bound, and the +Inf
+    highest-finite clamp — the same branch set ts_latency_slo_p95 pins
+    — on a hand-built cumulative le-bucket vector."""
+    rows = [
+        # series A: counts 10/30/40 at le 1/2/+Inf → p50 target 20 →
+        # bucket le=2: 1 + (20-10)/(30-10) * (2-1) = 1.5
+        ({"m": "A", "le": "1"}, 1_000, 10.0),
+        ({"m": "A", "le": "2"}, 1_000, 30.0),
+        ({"m": "A", "le": "+Inf"}, 1_000, 40.0),
+        # series B: p99 target beyond the finite buckets → clamp to 2
+        ({"m": "B", "le": "1"}, 1_000, 1.0),
+        ({"m": "B", "le": "2"}, 1_000, 2.0),
+        ({"m": "B", "le": "+Inf"}, 1_000, 100.0),
+        # series C: p25 inside the FIRST bucket → 0 lower bound:
+        # 0 + (25-0)/(50-0) * (4-0) = 2.0
+        ({"m": "C", "le": "4"}, 1_000, 50.0),
+        ({"m": "C", "le": "+Inf"}, 1_000, 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double"
+    )
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        df, "histogram_quantile(0.5, {m=~'A'})".replace("'", '"'), 2_000
+    ).collect()}
+    assert got == {"m=A": pytest.approx(1.5)}
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        df, 'histogram_quantile(0.99, {m="B"})', 2_000).collect()}
+    assert got == {"m=B": pytest.approx(2.0)}
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        df, 'histogram_quantile(0.25, {m="C"})', 2_000).collect()}
+    assert got == {"m=C": pytest.approx(2.0)}
+
+
+def test_quantile_agg_interpolates(spark):
+    rows = [({"g": "x", "i": str(i)}, 1_000, float(v))
+            for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double"
+    )
+    got = promql.eval_instant(
+        df, 'quantile by (g) (0.5, {g="x"})', 2_000).collect()
+    assert len(got) == 1 and got[0]["value"] == pytest.approx(2.5)
+    assert got[0]["signature"] == "g=x"
+
+
+def test_unsupported_constructs_fail_loudly(spark):
+    s = _samples(spark)
+    with pytest.raises(ValueError, match="vector-vector"):
+        promql.eval_instant(s, "rate({}[5m]) / rate({}[10m])", JAN20)
+    with pytest.raises(ValueError, match="set binary"):
+        promql.eval_instant(s, "{a='1'} and {b='2'}".replace("'", '"'), JAN20)
+    with pytest.raises(ValueError, match="range selector"):
+        promql.eval_instant(s, "rate({})", JAN20)
+    with pytest.raises(ValueError, match="inner range == step"):
+        promql.eval_instant(s, "max_over_time(rate({}[1d])[15d:5d])", JAN20)
+    with pytest.raises(ValueError, match="unsupported PromQL function"):
+        promql.eval_instant(s, "nope({}[5m])", JAN20)
+    with pytest.raises(ValueError, match="instant value"):
+        promql.eval_instant(s, "{a='1'}[5m]".replace("'", '"'), JAN20)
