@@ -1719,3 +1719,106 @@ def jl_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def write_jl_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 8,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """At-rest JL→IVF index — the layout jl_ivf_topk's docstring
+    promises: centroids are trained in JL-projected space, the corpus
+    is written ONCE partitioned by its JL-space cell with ONLY the
+    full vector (plus its norm) stored — the JL twin is recomputable
+    from the seedless md5 sign planes, so the index costs zero extra
+    vector bytes at rest beyond the cell id in the partition path.
+    Centroids + projection params land in a JSON sidecar. Returns the
+    centroids used."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            jl_project(corpus, out_dim, dim, id_col, vec_col), nlist, id_col, "jl"
+        )
+    # lambda-bind the projected vector (see jl_ivf_topk: a plain alias
+    # is inlined into every centroid's dot by projection collapse)
+    cell = F.element_at(
+        F.transform(
+            F.array(jl_expr(vec_col, out_dim, dim)),
+            lambda j: F.array_max(_cell_sims(j, centroids))["cid"],
+        ),
+        1,
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dbl(vec_col).alias("c_vec"),
+        norm_expr(_dbl(vec_col)).alias("cn"),
+        cell.alias("cell"),
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_jl_ivf_index.json"), "w") as fh:
+        json.dump({"centroids": centroids, "out_dim": out_dim, "dim": dim}, fh)
+    return centroids
+
+
+def jl_ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a persisted JL→IVF index (write_jl_ivf_index).
+
+    Query cells are resolved driver-side in JL space from the (small)
+    query set and injected as an IN-filter on the PARTITION column —
+    the scan reads only the probed cells' files (`PartitionFilters:
+    [cell IN (...)]`, plan-asserted) — then candidates re-rank with
+    exact FULL-SPACE cosine, identical to jl_ivf_topk: projection
+    distortion moves cell boundaries (recall), never the surfaced
+    ranking."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_jl_ivf_index.json")) as fh:
+        side = json.load(fh)
+    centroids, out_dim, dim = side["centroids"], side["out_dim"], side["dim"]
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _dbl(vec_col).alias("q_vec"),
+        norm_expr(_dbl(vec_col)).alias("qn"),
+        jl_expr(vec_col, out_dim, dim).alias("q_jl"),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_sims("q_jl", centroids))), 1, nprobe),
+        lambda s: s["cid"],
+    )
+    q = q.withColumn("cell", F.explode(probes)).drop("q_jl")
+    probe_cells = sorted(
+        {r["cell"] for r in q.select("cell").distinct().collect()}
+    )
+    c = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -4189,6 +4189,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_label_replace",
     "ts_label_join",
     "ts_promql_topk",
+    "sim_jl_ivf_indexed",
 )
 
 
@@ -9633,3 +9634,25 @@ def ts_promql_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JAN20,
     )
     return out.select("signature", "value")
+
+
+@_q("sim_jl_ivf_indexed", _ANN_RECALL_ORACLE)
+def sim_jl_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted JL→IVF index end-to-end (similarity.py:
+    write_jl_ivf_index → jl_ivf_topk_indexed — VERDICT r6 missing #4):
+    the corpus written once partitioned by its JL-space cell with only
+    the full vector at rest, then probed via a driver-resolved
+    IN-filter on the partition column (plan-asserted in
+    tests/test_plans.py) with exact full-space re-rank. Emitted as the
+    pooled recall@10 verdict vs the exact top-k (same floor 0.5 band
+    as sim_jl_ivf_topk — the at-rest layout changes WHERE candidates
+    are read, not which cells are probed)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="jl_ivf_idx_")
+
+    def approx(e: DataFrame, q: DataFrame) -> DataFrame:
+        _sim.write_jl_ivf_index(e, path, nlist=8)
+        return _sim.jl_ivf_topk_indexed(spark, path, q, k=10, nprobe=4)
+
+    return _ann_recall(spark, sf_dir, approx, floor=0.5)

@@ -2587,3 +2587,29 @@ def test_alert_firing_islands_semantics(spark, tmp_path):
     assert a["alert_end_ms"] == JAN1 + 3 * 60_000
     assert (b["n_breaches"], b["peak_value"]) == (2, 32.0)
     assert b["alert_start_ms"] == JAN1 + 5 * 60_000
+
+
+def test_persisted_jl_ivf_index_prunes_partitions_and_matches(
+    spark, sf_dir, tmp_path
+):
+    """write_jl_ivf_index + jl_ivf_topk_indexed: the probe scan must
+    carry a PartitionFilters IN-clause on the cell column, only the
+    full vector is stored at rest (no JL twin bytes), and results
+    equal the in-memory jl_ivf_topk with the same centroids."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    path = str(tmp_path / "jl_ivf_index")
+    cents = similarity.write_jl_ivf_index(embs, path, nlist=8)
+    got = similarity.jl_ivf_topk_indexed(spark, path, queries, k=10, nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "cell" in scan[0], plan[:1200]
+    # at rest: full vector + norm only — the JL twin is recomputed
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"neighbor_id", "c_vec", "cn", "cell"}
+    want = similarity.jl_ivf_topk(
+        embs, queries, k=10, nlist=8, nprobe=4, centroids=cents
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
