@@ -788,14 +788,212 @@ def encode_jpeg(
     return out + bytes(bw.out) + b"\xff\xd9"
 
 
+def _gif_lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW (spec appendix F): variable code width starting
+    at min_code_size+1, LSB-first bit packing, CLEAR emitted up front
+    and again when the table hits 4096 codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = -1
+    for k in map(int, indices):
+        if prefix < 0:
+            prefix = k
+            continue
+        got = table.get((prefix, k))
+        if got is not None:
+            prefix = got
+            continue
+        emit(prefix, width)
+        table[(prefix, k)] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table.clear()
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = k
+    if prefix >= 0:
+        emit(prefix, width)
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc special case
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # width grows when the table FILLS the current code space
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Serialize an (H, W, 3) uint8 array as a single-frame GIF89a
+    (public spec: logical screen descriptor, global color table, LZW
+    image data). GIF is palette-based — more than 256 distinct colors
+    raises (an honest limit, not quantization-by-stealth)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF palette overflow: {len(palette)} colors > 256")
+    # GCT size is a power of two ≥ 2 entries
+    size_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    n_entries = 1 << size_bits
+    gct = np.zeros((n_entries, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((size_bits - 1) << 4) | (size_bits - 1))  # GCT flag+size
+    out += b"\x00\x00"  # bg index, aspect
+    out += gct.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    mcs = max(2, size_bits)
+    out.append(mcs)
+    lzw = _gif_lzw_compress(indices.astype(np.int64), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a decode (public spec): LSD + color tables, extension
+    skip, LZW decompress, interlace reassembly; the FIRST frame is
+    composed onto a background-color canvas and returned as RGB."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b0:02X}")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        fw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        fh = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        fpack = payload[pos + 9]
+        pos += 10
+        table = gct
+        if fpack & 0x80:
+            n = 2 << (fpack & 0x07)
+            table = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decompress(bytes(data), mcs), np.uint8
+        )
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame data truncated")
+        rows = idx[: fw * fh].reshape(fh, fw)
+        if fpack & 0x40:  # interlaced: reassemble the four passes
+            de = np.zeros_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, fh, step))
+                de[start::step] = rows[src : src + n_rows]
+                src += n_rows
+            rows = de
+        if idx.max() >= len(table):
+            raise ValueError("GIF index beyond color table")
+        canvas_idx = np.full((h, w), min(bg, len(table) - 1), dtype=np.uint8)
+        canvas_idx[top : top + fh, left : left + fw] = rows
+        return table[canvas_idx]
+    raise ValueError("GIF has no image data")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
     Real decoders (from the public format specs, no codec library):
     PPM P6, uncompressed 24-bit BMP, PNG (stdlib-zlib inflate +
-    per-scanline un-filter), and baseline JPEG (Huffman + IDCT).
-    Anything else (WebP, AVIF, ...) needs a codec library absent from
-    this container and raises."""
+    per-scanline un-filter), baseline JPEG (Huffman + IDCT), and GIF
+    (LZW + palette, first frame). Anything else (WebP, AVIF, ...)
+    needs a codec library absent from this container and raises."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -804,8 +1002,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "only PPM(P6)/BMP(24-bit)/PNG/baseline-JPEG decode in this "
+        "only PPM(P6)/BMP(24-bit)/PNG/baseline-JPEG/GIF decode in this "
         "environment; other formats require an image codec library not "
         "present here"
     )
@@ -1563,11 +1763,12 @@ def attach_phash_media(
     n_images, size (8 + seed%5) × (8 + seed%3)) so exact duplicate
     groups exist by construction, and every id % 4 == 0 row carries
     the corner-inverted variant of its seed image — a near-duplicate
-    of the base, not an exact one. ``fmt``: "ppm" (P6) or "png"
+    of the base, not an exact one. ``fmt``: "ppm" (P6), "png"
     (zlib-compressed, filter type = seed % 5 so every un-filter path
-    in the decoder is exercised by the oracle-checked rows — decode is
-    lossless, so the perceptual hashes are format-independent)."""
-    if fmt not in ("ppm", "png"):
+    in the decoder is exercised by the oracle-checked rows), or "gif"
+    (palette + LZW) — all three decode losslessly, so the perceptual
+    hashes are format-independent by construction."""
+    if fmt not in ("ppm", "png", "gif"):
         raise ValueError(f"unknown media fmt {fmt!r}")
     out_schema = T.StructType(
         [
@@ -1587,6 +1788,8 @@ def attach_phash_media(
                     img = invert_corner_block(img)
                 if fmt == "png":
                     payloads.append(encode_png(img, filter_type=seed % 5))
+                elif fmt == "gif":
+                    payloads.append(encode_gif(img))
                 else:
                     payloads.append(encode_ppm(img))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})

@@ -4190,6 +4190,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_label_join",
     "ts_promql_topk",
     "sim_jl_ivf_indexed",
+    "multimodal_phash_dupes_gif",
 )
 
 
@@ -5332,6 +5333,34 @@ def multimodal_phash_dupes_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decode is lossless, so the expected hashes are identical to the
     PPM row — that equality IS the format-independence contract."""
     media = _mm.attach_phash_media(_docs(spark, sf_dir), fmt="png")
+    return _mm.image_hashes(media).groupBy("ahash", "dhash").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("media_id").alias("group_rep"),
+        F.sum("media_id").cast("long").alias("doc_sum"),
+    )
+
+
+@_q(
+    "multimodal_phash_dupes_gif",
+    f"""
+    WITH {_phash_cte()}
+    SELECT ahash, dhash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(media_id) AS group_rep,
+           CAST(sum(media_id) AS BIGINT) AS doc_sum
+    FROM m JOIN ah USING (seed, pert) JOIN dh USING (seed, pert)
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_phash_dupes_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash dedup scan over GENUINE GIF payloads (round-7
+    stretch): the fixture bytes are real GIF89a files — palette +
+    variable-width LZW (operators/multimodal.py:encode_gif/
+    _decode_gif, public spec) — and the oracle replays every hash bit
+    symbolically, so any LZW / palette / sub-block bug in the decoder
+    breaks the hash match. Decode is lossless, so the expected hashes
+    equal the PPM and PNG rows — all FIVE real container formats the
+    repo decodes now carry an oracle-checked dedup row."""
+    media = _mm.attach_phash_media(_docs(spark, sf_dir), fmt="gif")
     return _mm.image_hashes(media).groupBy("ahash", "dhash").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.min("media_id").alias("group_rep"),

@@ -268,6 +268,65 @@ def multimodal_probe(spark, mult: int) -> dict:
     }
 
 
+def core_probe(spark, mult: int) -> dict:
+    """The 100× core datapoint (VERDICT r6 next #7): ingest the scaled
+    events once, then run the core TSDB query rows with the bench's
+    median-of-3 protocol (each row executed 3×, median reported) plus
+    one retention-tiering pass and the cross-tier step query. Series
+    count AND chunk count scale with the multiplier (scaled_samples
+    shifts copies in time and user-label space), so this exercises the
+    manifest resolution, partition pruning, and the dim broadcast gate
+    at mult× cardinality — not just mult× rows."""
+    import statistics
+
+    JAN1 = 1_704_067_200_000
+    tmp = tempfile.mkdtemp(prefix="monolith_core100_")
+    out: dict = {"mult": mult}
+    try:
+        db = MonolithDB(spark, os.path.join(tmp, "db"), chunk_size_ms=CHUNK_MS)
+        s = scaled_samples(spark, mult)
+        t0 = time.perf_counter()
+        db.write(s)
+        out["ingest_sec"] = round(time.perf_counter() - t0, 3)
+        out["rows"] = db.samples().count()
+        out["series"] = db.series().count()
+        out["chunks"] = db.chunks().count()
+        hi = JAN1 + mult * MONTH_MS + MONTH_MS
+
+        def run(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        def med3(name, fn):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(ts), 3)
+
+        med3("query_1chunk_sec", lambda: run(
+            db.query_flat({"event_type": "purchase"}, JAN1, JAN1 + CHUNK_MS - 1)))
+        med3("query_multichunk_sec", lambda: run(
+            db.query_flat({"event_type": "purchase", "kb": "3"},
+                          JAN1, JAN1 + 10 * 86_400_000)))
+        med3("query_allchunks_sec", lambda: run(
+            db.query({"event_type": "click"}, 0, hi)))
+        med3("exact_lookup_sec", lambda: run(
+            db.query_exact({"event_type": "purchase", "kb": "6", "user": "11"},
+                           0, hi)))
+        # retention: roll everything older than 10 days before the end
+        t0 = time.perf_counter()
+        rolled, _ = db.downsample_retention(hi - 10 * 86_400_000, 3_600_000)
+        out["retention_tiering_sec"] = round(time.perf_counter() - t0, 3)
+        out["chunks_rolled"] = rolled
+        med3("query_downsampled_tiered_sec", lambda: run(
+            db.query_downsampled({"event_type": "click"}, 0, hi, 3_600_000)))
+        med3("vacuum_sec", lambda: db.vacuum(grace_ms=0))
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
@@ -275,6 +334,10 @@ def main() -> None:
         int(m) for m in os.environ.get("SCALE_PROBE_MULTS", "1,10").split(",")
     ]
     target = os.environ.get("SCALE_PROBE_TARGET", "engine")
+    if target == "core":
+        for mult in mults:
+            print(json.dumps(core_probe(spark, mult)))
+        return
     if target == "multimodal":
         for mult in mults:
             print(json.dumps(multimodal_probe(spark, mult)))

@@ -2613,3 +2613,82 @@ def test_persisted_jl_ivf_index_prunes_partitions_and_matches(
         embs, queries, k=10, nlist=8, nprobe=4, centroids=cents
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_gif_roundtrip_interlace_and_failures():
+    """GIF89a codec (public spec): lossless roundtrip across palette
+    sizes, variable-width LZW growth + the 4096 dictionary reset,
+    interlaced frames, sub-full-screen frames composed onto the
+    background color, and loud failures on palette overflow and
+    truncation."""
+    import numpy as np
+
+    for seed in range(10):
+        img = multimodal.synth_image_varied(seed, 8 + seed % 5, 8 + seed % 3)
+        g = multimodal.encode_gif(img)
+        assert g[:6] == b"GIF89a" and g[-1:] == b"\x3b"
+        assert (multimodal.decode_image(g) == img).all()
+
+    # LZW width growth + 4096 reset on a long stream
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 16, size=120_000).astype(np.int64)
+    comp = multimodal._gif_lzw_compress(idx, 4)
+    out = np.frombuffer(multimodal._gif_lzw_decompress(comp, 4), np.uint8)
+    assert (out == idx).all() and len(comp) < len(idx)
+
+    # interlaced frame: hand-assemble pass-ordered rows, set bit 0x40
+    img = multimodal.synth_image_varied(3, 8, 11)
+    flat = img.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    rows = indices.reshape(11, 8)
+    passes = np.concatenate(
+        [rows[s::t] for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    size_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    gct = np.zeros(((1 << size_bits), 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    mcs = max(2, size_bits)
+    lzw = multimodal._gif_lzw_compress(passes.reshape(-1).astype(np.int64), mcs)
+    buf = bytearray(b"GIF89a")
+    buf += (8).to_bytes(2, "little") + (11).to_bytes(2, "little")
+    buf.append(0x80 | ((size_bits - 1) << 4) | (size_bits - 1))
+    buf += b"\x00\x00" + gct.tobytes()
+    buf += b"\x2c\x00\x00\x00\x00"
+    buf += (8).to_bytes(2, "little") + (11).to_bytes(2, "little")
+    buf.append(0x40)  # interlaced, no LCT
+    buf.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        buf.append(len(chunk))
+        buf += chunk
+    buf += b"\x00\x3b"
+    assert (multimodal.decode_image(bytes(buf)) == img).all()
+
+    # sub-full-screen frame composes onto the background color; an
+    # extension block (GCE) before the descriptor is skipped
+    small = multimodal.encode_gif(img[:4, :4])
+    gct_n = 2 << (small[10] & 0x07)  # small's OWN palette size
+    frame = small[13 + 3 * gct_n:]
+    assert frame[:1] == b"\x2c"
+    head = bytearray(small[: 13 + 3 * gct_n])
+    head[6:8] = (8).to_bytes(2, "little")
+    head[8:10] = (11).to_bytes(2, "little")
+    head += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, then the frame
+    moved = bytearray(frame)
+    moved[1:3] = (2).to_bytes(2, "little")  # left=2
+    moved[3:5] = (5).to_bytes(2, "little")  # top=5
+    dec = multimodal.decode_image(bytes(head) + bytes(moved))
+    assert dec.shape == (11, 8, 3)
+    assert (dec[5:9, 2:6] == img[:4, :4]).all()
+    bg_rgb = dec[0, 0]
+    assert (dec[0] == bg_rgb).all()  # untouched rows are background
+
+    # >256 colors refuses; truncation fails loudly
+    big = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+    big[..., 0] = np.arange(32 * 32).reshape(32, 32) // 4 % 256
+    big[..., 1] = np.arange(32 * 32).reshape(32, 32) % 256
+    with pytest.raises(ValueError, match="palette overflow"):
+        multimodal.encode_gif(big)
+    g = multimodal.encode_gif(multimodal.synth_image_varied(1, 9, 9))
+    with pytest.raises(ValueError):
+        multimodal.decode_image(g[:20])
