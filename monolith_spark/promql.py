@@ -24,9 +24,12 @@ match this repo's established, oracle-verified conventions):
   boundary extrapolation.
 - Ordering ties break by (timestamp, value) everywhere, so duplicate
   timestamps evaluate identically on Spark and the DuckDB oracle.
-- Vector-vector binary ops (and on/ignoring/group_* matching) are NOT
-  supported — ValueError, never a wrong answer. Subqueries are
-  supported for range-function inners (``max_over_time(rate(m[5d])
+- Vector-vector binary ops match 1:1 (full label set by default,
+  narrowed with on/ignoring); a key matching more than one series on
+  either side raises at execution — Prometheus's many-to-many error —
+  and group_left/group_right are rejected at parse time. The set
+  operators and/or/unless are keyed semi/anti/union joins. Subqueries
+  are supported for range-function inners (``max_over_time(rate(m[5d])
   [15d:5d])``), the shape ts_subquery_max_rate pins: the outer range
   is tiled by step-width windows anchored at the range start, the
   inner function runs isolated per window (counter resets never leak
@@ -112,6 +115,9 @@ class BinOp:
     lhs: Any
     rhs: Any
     bool_mode: bool = False
+    # vector matching: None → match on the FULL label set;
+    # ("on", labels) / ("ignoring", labels) → match on the subset
+    match: tuple[str, tuple[str, ...]] | None = None
 
 
 @dataclass(frozen=True)
@@ -217,9 +223,31 @@ class _Parser:
             if op in _CMP_OPS and self.peek() == ("IDENT", "bool"):
                 self.next()
                 bool_mode = True
+            match = None
+            if self.peek()[1] in ("on", "ignoring"):
+                kind = self.next()[1]
+                self.expect("(")
+                names = []
+                if self.peek()[1] != ")":
+                    while True:
+                        ik, iv = self.next()
+                        if ik != "IDENT":
+                            raise ValueError(f"expected label, got {iv!r}")
+                        names.append(iv)
+                        if self.peek()[1] == ",":
+                            self.next()
+                            continue
+                        break
+                self.expect(")")
+                match = (kind, tuple(names))
+            if self.peek()[1] in ("group_left", "group_right"):
+                raise ValueError(
+                    "group_left/group_right (many-to-one matching) is not "
+                    "supported — only 1:1 vector matching"
+                )
             nxt = _BIN_PREC[op] + (0 if op == "^" else 1)
             rhs = self.parse_binary(nxt)
-            lhs = BinOp(op, lhs, rhs, bool_mode)
+            lhs = BinOp(op, lhs, rhs, bool_mode, match)
 
     def parse_unary(self):
         k, v = self.peek()
@@ -1040,18 +1068,99 @@ def _eval_agg(node: Agg, ctx: _Ctx):
 # -- binary operators ------------------------------------------------------
 
 
+def _match_key(match):
+    """The vector-matching key: full signature by default, or the
+    signature of the on/ignoring label subset."""
+    labels = F.col("labels")
+    if match is None:
+        return F.col("signature")
+    kind, names = match
+    keys = [F.lit(k) for k in names]
+    if kind == "on":
+        gm = (
+            F.map_filter(labels, lambda k, _: F.array_contains(F.array(*keys), k))
+            if keys
+            else F.map_filter(labels, lambda k, _: F.lit(False))
+        )
+    else:
+        gm = (
+            F.map_filter(labels, lambda k, _: ~F.array_contains(F.array(*keys), k))
+            if keys
+            else labels
+        )
+    return signature_expr(gm)
+
+
+def _eval_vv(node: BinOp, lv: DataFrame, rv: DataFrame):
+    """Vector-vector binary op with 1:1 matching (Prometheus
+    on/ignoring; group_left/right rejected at parse time). Both sides
+    are per-series instant vectors — series-count rows — so the match
+    join and the per-key count windows are small keyed shuffles, never
+    point-level. A key matching more than one series on either side
+    raises AT EXECUTION (raise_error in the live projection), exactly
+    Prometheus's many-to-many error, never a silent duplicate."""
+    key = _match_key(node.match)
+    wl = Window.partitionBy("__k")
+    left = lv.select(
+        key.alias("__k"), "signature", "labels", F.col("value").alias("__lv")
+    ).withColumn("__nl", F.count("*").over(wl))
+    right = rv.select(key.alias("__k"), F.col("value").alias("__rv")).withColumn(
+        "__nr", F.count("*").over(wl)
+    )
+    j = left.join(right, "__k")
+    ok = (F.col("__nl") == 1) & (F.col("__nr") == 1)
+    guard = F.raise_error(
+        F.lit("PromQL vector matching is not one-to-one (use on/ignoring "
+              "to narrow the match key)")
+    ).cast("double")
+    a, b = F.col("__lv"), F.col("__rv")
+    if node.op in _CMP_OPS:
+        cond = {"==": a == b, "!=": a != b, ">": a > b,
+                "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
+        if node.bool_mode:
+            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            out = j.select("signature", "labels", val.alias("value"))
+        else:
+            val = F.when(ok, a).otherwise(guard)
+            out = j.select(
+                "signature", "labels", val.alias("value"), cond.alias("__c")
+            ).filter("__c").drop("__c")
+        return ("vector", out)
+    expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+            "%": a % b, "^": F.pow(a, b)}[node.op]
+    val = F.when(ok, expr.cast("double")).otherwise(guard)
+    return ("vector", j.select("signature", "labels", val.alias("value")))
+
+
+def _eval_setop(node: BinOp, lv: DataFrame, rv: DataFrame):
+    """PromQL set operators over instant vectors: `and` keeps lhs
+    series whose match key exists on the rhs (left-semi), `unless`
+    the complement (left-anti), `or` is lhs plus the rhs series whose
+    key lhs lacks — all keyed joins on series-count relations."""
+    key = _match_key(node.match)
+    left = lv.withColumn("__k", key)
+    right = rv.withColumn("__k", key)
+    if node.op == "and":
+        out = left.join(right.select("__k").distinct(), "__k", "left_semi")
+    elif node.op == "unless":
+        out = left.join(right.select("__k").distinct(), "__k", "left_anti")
+    else:  # or
+        extra = right.join(left.select("__k").distinct(), "__k", "left_anti")
+        out = left.unionByName(extra)
+    return ("vector", out.select("signature", "labels", "value"))
+
+
 def _eval_binop(node: BinOp, ctx: _Ctx):
-    if node.op in ("and", "or", "unless"):
-        raise ValueError("set binary operators are not supported")
     lk, lv = _eval(node.lhs, ctx)
     rk, rv = _eval(node.rhs, ctx)
+    if node.op in ("and", "or", "unless"):
+        if lk != "vector" or rk != "vector":
+            raise ValueError(f"{node.op} requires two instant vectors")
+        return _eval_setop(node, lv, rv)
     if lk == "scalar" and rk == "scalar":
         return ("scalar", _scalar_binop(node.op, lv, rv, node.bool_mode))
     if lk == "vector" and rk == "vector":
-        raise ValueError(
-            "vector-vector binary ops (and on/ignoring matching) are not "
-            "supported by this front-end"
-        )
+        return _eval_vv(node, lv, rv)
     vec, scalar, vec_left = (lv, rv, True) if lk == "vector" else (rv, lv, False)
     val = F.col("value")
     s = F.lit(float(scalar))

@@ -4191,6 +4191,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_promql_topk",
     "sim_jl_ivf_indexed",
     "multimodal_phash_dupes_gif",
+    "ts_promql_ratio",
 )
 
 
@@ -9685,3 +9686,40 @@ def sim_jl_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _sim.jl_ivf_topk_indexed(spark, path, q, k=10, nprobe=4)
 
     return _ann_recall(spark, sf_dir, approx, floor=0.5)
+
+
+@_q(
+    "ts_promql_ratio",
+    f"""
+    WITH r AS (
+      SELECT event_type,
+             substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+             CAST(user_id AS VARCHAR) AS usr,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2, 3
+    )
+    SELECT 'event_type=purchase,kb=' || p.kb || ',user=' || p.usr AS signature,
+           p.total / c.total AS value
+    FROM r p JOIN r c ON p.kb = c.kb AND p.usr = c.usr
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def ts_promql_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-vector matching through the parser: the purchase/click
+    volume ratio matched 1:1 on (kb, user) via `ignoring(event_type)`
+    — the canonical conversion-ratio dashboard shape. The result
+    carries the LHS labels; a key matching more than one series on
+    either side would raise at execution (Prometheus's many-to-many
+    error), which the oracle's equi-join mirrors by construction. Both
+    operands are series-grain aggregates (DECIMAL sums → exact double
+    ratio), so the match join shuffles series counts, never points."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'sum_over_time({event_type="purchase"}[19d]) / ignoring(event_type) '
+        'sum_over_time({event_type="click"}[19d])',
+        JAN20,
+    )
+    return out.select("signature", "value")

@@ -324,12 +324,64 @@ def test_quantile_agg_interpolates(spark):
     assert got[0]["signature"] == "g=x"
 
 
+def test_vector_matching_and_set_ops(spark):
+    s = _samples(spark)
+    # ratio of a vector to itself == 1 everywhere (1:1 full-key match)
+    ones = promql.eval_instant(
+        s, "increase({}[19d]) / increase({}[19d])", JAN20).collect()
+    assert ones and all(r["value"] == 1.0 for r in ones)
+
+    # ignoring(event_type): purchase vs click rates matched on (kb, user)
+    ratio = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s,
+        'rate({event_type="purchase"}[19d]) / ignoring(event_type) '
+        'rate({event_type="click"}[19d])',
+        JAN20,
+    ).collect()}
+    pr = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'rate({event_type="purchase"}[19d])', JAN20).collect()}
+    cr = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'rate({event_type="click"}[19d])', JAN20).collect()}
+    for sig, v in ratio.items():
+        assert sig in pr  # result carries the LHS labels
+        csig = sig.replace("event_type=purchase", "event_type=click")
+        assert v == pr[sig] / cr[csig]
+    assert set(ratio) == {sig for sig in pr
+                          if sig.replace("event_type=purchase",
+                                         "event_type=click") in cr}
+
+    # many-to-many (on(user) collapses kb) raises AT EXECUTION
+    with pytest.raises(Exception, match="one-to-one"):
+        promql.eval_instant(
+            s,
+            'rate({event_type="purchase"}[19d]) / on(user) '
+            'rate({event_type="click"}[19d])',
+            JAN20,
+        ).collect()
+
+    # set ops: and/unless partition the lhs; or unions the complement
+    hi = 'max_over_time({event_type="purchase"}[19d]) > 50'
+    both = promql.eval_instant(
+        s, f'max_over_time({{event_type="purchase"}}[19d]) and ({hi})', JAN20
+    ).count()
+    rest = promql.eval_instant(
+        s, f'max_over_time({{event_type="purchase"}}[19d]) unless ({hi})', JAN20
+    ).count()
+    total = promql.eval_instant(
+        s, 'max_over_time({event_type="purchase"}[19d])', JAN20).count()
+    assert both + rest == total and both > 0
+    merged = promql.eval_instant(
+        s,
+        f'({hi}) or max_over_time({{event_type="purchase"}}[19d])', JAN20
+    ).count()
+    assert merged == total
+
+    with pytest.raises(ValueError, match="group_left"):
+        promql.parse("a / on(x) group_left b")
+
+
 def test_unsupported_constructs_fail_loudly(spark):
     s = _samples(spark)
-    with pytest.raises(ValueError, match="vector-vector"):
-        promql.eval_instant(s, "rate({}[5m]) / rate({}[10m])", JAN20)
-    with pytest.raises(ValueError, match="set binary"):
-        promql.eval_instant(s, "{a='1'} and {b='2'}".replace("'", '"'), JAN20)
     with pytest.raises(ValueError, match="range selector"):
         promql.eval_instant(s, "rate({})", JAN20)
     with pytest.raises(ValueError, match="inner range == step"):
