@@ -416,6 +416,41 @@ class _Ctx:
     lookback_ms: int
 
 
+def time_window(expr, eval_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> tuple[int, int]:
+    """The inclusive [lo, hi] sample window an instant evaluation of
+    ``expr`` at ``eval_ms`` can touch — walk the AST for the deepest
+    range+offset reach (selector lookback for instant selectors,
+    range for range selectors, outer range for subqueries). Lets a
+    serving layer scan ONLY the needed chunk partitions before handing
+    the pruned DataFrame to eval_instant."""
+    if isinstance(expr, str):
+        expr = parse(expr)
+    deepest = 0
+
+    def walk(node, off: int) -> None:
+        nonlocal deepest
+        if isinstance(node, Selector):
+            o = off + node.offset_ms
+            deepest = max(deepest, o + (node.range_ms or lookback_ms))
+        elif isinstance(node, Subquery):
+            walk(node.expr, off + node.offset_ms + node.range_ms)
+        elif isinstance(node, Call):
+            for a in node.args:
+                walk(a, off)
+        elif isinstance(node, Agg):
+            walk(node.expr, off)
+            if node.param is not None:
+                walk(node.param, off)
+        elif isinstance(node, BinOp):
+            walk(node.lhs, off)
+            walk(node.rhs, off)
+        elif isinstance(node, Unary):
+            walk(node.expr, off)
+
+    walk(expr, 0)
+    return eval_ms - deepest, eval_ms
+
+
 def eval_instant(
     samples: DataFrame,
     expr,

@@ -158,6 +158,55 @@ def evaluate_read(
     return resp
 
 
+def evaluate_promql(db: MonolithDB, query: str, time_ms: int) -> list[dict]:
+    """Instant PromQL evaluation against the engine: parse, derive the
+    sample window the expression can touch (promql.time_window), scan
+    ONLY those chunk partitions via query_flat (pruning + pushdown
+    intact), evaluate, and shape the rows as Prometheus API `vector`
+    results. The reference cannot do this at all — PromQL lives in its
+    Prometheus client (/root/reference/README.md:7)."""
+    from monolith_spark import promql
+
+    ast = promql.parse(query)
+    lo, hi = promql.time_window(ast, time_ms)
+    samples = db.query_flat({}, lo, hi).select("labels", "timestamp", "value")
+    out = promql.eval_instant(samples, ast, time_ms)
+    return [
+        {
+            "metric": dict(r["labels"]) if r["labels"] else {},
+            "value": [time_ms / 1000.0, str(r["value"])],
+        }
+        for r in out.collect()
+    ]
+
+
+def _series_api(db: MonolithDB, selectors: list[str]) -> list[dict]:
+    """/api/v1/series: union of series matching any `match[]` selector
+    (each parsed by the PromQL parser — full EQ/NEQ/RE/NRE semantics),
+    deduped on signature. A dim-only scan."""
+    from monolith_spark import promql
+    from monolith_spark.labels import matcher_predicate
+
+    if not selectors:
+        raise ValueError("series API requires at least one match[] selector")
+    seen: dict[str, dict] = {}
+    for sel_text in selectors:
+        ast = promql.parse(sel_text)
+        if not isinstance(ast, promql.Selector) or ast.range_ms is not None:
+            raise ValueError(f"match[] must be an instant selector: {sel_text!r}")
+        ms = list(ast.matchers)
+        if ast.name is not None:
+            from monolith_spark.labels import LabelMatcher
+
+            ms = [LabelMatcher("__name__", ast.name, "EQ"), *ms]
+        dim = db.series()
+        if ms:
+            dim = dim.filter(matcher_predicate("labels", ms))
+        for r in dim.select("signature", "labels").collect():
+            seen.setdefault(r["signature"], dict(r["labels"]) if r["labels"] else {})
+    return [seen[k] for k in sorted(seen)]
+
+
 class MonolithServer:
     """Blocking HTTP server; serve_background() for tests/demos."""
 
@@ -168,6 +217,7 @@ class MonolithServer:
         port: int = 9087,
         write_path: str = "/write",
         read_path: str = "/read",
+        promql_path: str = "/api/v1/query",
         strict_reference_matchers: bool = False,
     ) -> None:
         self.db = db
@@ -176,6 +226,61 @@ class MonolithServer:
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def do_GET(self) -> None:
+                """Prometheus HTTP API: instant query
+                (GET /api/v1/query?query=<promql>&time=<unix_s>) plus
+                the metadata surface dashboards browse with —
+                /api/v1/labels, /api/v1/label/<name>/values, and
+                /api/v1/series?match[]=<selector> (all dim-only scans,
+                never the fact table)."""
+                import json
+                import time as _time
+                from urllib.parse import parse_qs, unquote, urlparse
+
+                u = urlparse(self.path)
+                qs = parse_qs(u.query)
+                try:
+                    if u.path == promql_path:
+                        query = qs["query"][0]
+                        t = float(qs.get("time", [_time.time()])[0])
+                        result = evaluate_promql(server.db, query, int(t * 1000))
+                        data = {"resultType": "vector", "result": result}
+                    elif u.path == "/api/v1/labels":
+                        data = sorted(
+                            r["name"] for r in server.db.label_names().collect()
+                        )
+                    elif u.path.startswith("/api/v1/label/") and u.path.endswith(
+                        "/values"
+                    ):
+                        name = unquote(u.path[len("/api/v1/label/"):-len("/values")])
+                        data = sorted(
+                            r["value"]
+                            for r in server.db.label_values(name).collect()
+                        )
+                    elif u.path == "/api/v1/series":
+                        data = _series_api(server.db, qs.get("match[]", []))
+                    else:
+                        self.send_response(404)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    body = json.dumps({"status": "success", "data": data}).encode()
+                    code = 200
+                except Exception as exc:  # bad expr / engine error
+                    body = json.dumps(
+                        {
+                            "status": "error",
+                            "errorType": "bad_data",
+                            "error": str(exc),
+                        }
+                    ).encode()
+                    code = 400
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def do_POST(self) -> None:
                 if self.path not in (write_path, read_path):

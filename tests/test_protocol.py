@@ -268,3 +268,121 @@ def test_multi_query_read_concurrent_preserves_order(spark, tmp_path):
     for a, b in zip(resp.results, serial):
         assert [(t.labels, [(s.timestamp, s.value) for s in t.samples]) for t in a] \
             == [(t.labels, [(s.timestamp, s.value) for s in t.samples]) for t in b]
+
+
+def test_promql_http_instant_query(spark, tmp_path):
+    """The Prometheus-API instant-query endpoint: GET /api/v1/query
+    parses + evaluates server-side against a chunk-pruned scan and
+    returns the standard vector JSON; matches a direct eval_instant;
+    a bad expression returns status=error with HTTP 400."""
+    import json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from monolith_spark import promql
+    from monolith_spark.server import MonolithServer, evaluate_promql
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    rows = [({"job": "api", "dc": "eu"}, t, float(v))
+            for t, v in [(1_000, 10.0), (31_000, 4.0), (61_000, 9.0)]] \
+        + [({"job": "db", "dc": "us"}, 31_000, 7.0)]
+    db.write(spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double"))
+
+    # direct evaluation (what the endpoint must reproduce)
+    direct = evaluate_promql(db, 'sum by (job) (increase({dc=~".+"}[2m]))',
+                             time_ms=61_000)
+    want = {tuple(sorted(r["metric"].items())): r["value"][1] for r in direct}
+    # increase with a reset at 31s: (4 is a reset -> +4) + (9-4) = 9
+    assert want[(("job", "api"),)] == "9.0"
+
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        q = urllib.parse.urlencode(
+            {"query": 'sum by (job) (increase({dc=~".+"}[2m]))', "time": "61"})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query?{q}"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "success"
+        assert body["data"]["resultType"] == "vector"
+        got = {tuple(sorted(r["metric"].items())): r["value"][1]
+               for r in body["data"]["result"]}
+        assert got == want
+        assert all(r["value"][0] == 61.0 for r in body["data"]["result"])
+
+        # scalar expression round-trips too
+        q2 = urllib.parse.urlencode({"query": "1 + 2", "time": "61"})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query?{q2}"
+        ) as resp:
+            body2 = json.loads(resp.read())
+        assert body2["data"]["result"][0]["value"][1] == "3.0"
+
+        # parse error -> 400 + status=error
+        qbad = urllib.parse.urlencode({"query": "rate({"})
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/api/v1/query?{qbad}")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            err = json.loads(e.read())
+            assert err["status"] == "error" and err["errorType"] == "bad_data"
+    finally:
+        srv.shutdown()
+
+    # time_window walks nested reaches correctly (serving-layer pruning)
+    assert promql.time_window("rate(m[5m] offset 1h)", 10_000_000) == (
+        10_000_000 - 3_900_000, 10_000_000)
+    assert promql.time_window("max_over_time(rate(m[5d])[15d:5d])",
+                              2_000_000_000) == (
+        2_000_000_000 - 20 * 86_400_000, 2_000_000_000)
+    assert promql.time_window("{a=\"1\"}", 1_000_000) == (700_000, 1_000_000)
+
+
+def test_promql_metadata_http_apis(spark, tmp_path):
+    """The Prometheus metadata surface: /api/v1/labels,
+    /api/v1/label/<n>/values, /api/v1/series?match[] — dim-only scans
+    with full matcher semantics through the PromQL selector parser."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": "api", "dc": "eu"}, 1_000, 1.0),
+         ({"job": "api", "dc": "us"}, 1_000, 2.0),
+         ({"job": "db"}, 1_000, 3.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+
+    def get(path):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}"
+        ) as resp:
+            return json.loads(resp.read())
+
+    try:
+        assert get("/api/v1/labels")["data"] == ["dc", "job"]
+        assert get("/api/v1/label/dc/values")["data"] == ["eu", "us"]
+        assert get("/api/v1/label/nope/values")["data"] == []
+        q = urllib.parse.urlencode({"match[]": '{job="api"}'})
+        got = get(f"/api/v1/series?{q}")["data"]
+        assert got == [{"dc": "eu", "job": "api"}, {"dc": "us", "job": "api"}]
+        # regex matcher + union of selectors dedupes on signature
+        q2 = urllib.parse.urlencode(
+            [("match[]", '{dc=~"e."}'), ("match[]", '{job="api"}')])
+        got2 = get(f"/api/v1/series?{q2}")["data"]
+        assert got2 == got
+        # NEQ treats the missing label as empty (matches the bare-job series)
+        q3 = urllib.parse.urlencode({"match[]": '{dc!="eu"}'})
+        assert {tuple(sorted(d.items())) for d in get(f"/api/v1/series?{q3}")["data"]} \
+            == {(("dc", "us"), ("job", "api")), (("job", "db"),)}
+    finally:
+        srv.shutdown()
