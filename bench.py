@@ -100,6 +100,13 @@ EXTRA_WORKLOAD_NAMES = [
     # broadcast log-ratio table) and the PromQL nested subquery
     "docs_dsir_weights",
     "ts_subquery_max_rate",
+    # round-7: the PromQL text front-end (parse + lower + evaluate a
+    # regex-matcher rate + sum-by through promql.py), the 1:1
+    # vector-matching ratio, and genuine GIF payloads through the LZW
+    # decode path
+    "ts_promql_parsed",
+    "ts_promql_ratio",
+    "multimodal_phash_dupes_gif",
 ]
 
 R01_ROWS = {

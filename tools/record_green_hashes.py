@@ -1,9 +1,17 @@
 """Refresh GREEN_HASHES.json — the staleness ledger for the driver's
 50-query rotation.
 
-Run ONCE PER ROUND, right after reading the new CORRECTNESS_r*.json:
+Run ONCE PER ROUND, at round START, right after reading the new
+CORRECTNESS_r*.json — and run it FROM THE TREE THE DRIVER VERIFIED
+(the previous round's final commit), not the current working tree,
+so the recorded hashes attest the code that actually produced the
+green rows:
 
-    python tools/record_green_hashes.py
+    git worktree add /tmp/rNtree <previous-round-final-commit>
+    cp tools/record_green_hashes.py /tmp/rNtree/tools/
+    (cd /tmp/rNtree && python tools/record_green_hashes.py)
+    cp /tmp/rNtree/GREEN_HASHES.json .
+    git worktree remove --force /tmp/rNtree
 
 For every query the driver currently attests green, record the hash of
 its present implementation (function source + oracle SQL + operator-
