@@ -162,9 +162,22 @@ class MonolithDB:
         except FileNotFoundError:
             return None
 
-    def _load_manifest(self) -> dict:
-        """Resolve the current snapshot, migrating a legacy
+    def _load_manifest(self, at_version: int | None = None) -> dict:
+        """Resolve the current snapshot — or a HISTORICAL one when
+        ``at_version`` is given (time travel: every commit is a full
+        file listing, so any retained version reads consistently).
+        A vacuumed-away version fails loudly. Migrates a legacy
         directory-layout db (pre-manifest) on first contact."""
+        if at_version is not None:
+            path = os.path.join(self._manifest_dir(), f"v{at_version:012d}.json")
+            try:
+                with open(path) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot version {at_version} does not exist (never "
+                    "committed, or expired by vacuum)"
+                ) from None
         man = self._read_current()
         if man is not None:
             return man
@@ -173,6 +186,34 @@ class MonolithDB:
             if man is not None:
                 return man
             return self._migrate_legacy()
+
+    def history(self) -> list[dict]:
+        """The retained snapshot log, oldest first: [{version,
+        committed_ms, op, n_series_files, n_chunks}] — one entry per
+        manifest version still on disk (vacuum prunes old ones). The
+        observability surface for time travel: pass any listed version
+        to samples/series/query(..., at_version=...)."""
+        d = self._manifest_dir()
+        self._load_manifest()  # ensure migration happened
+        out = []
+        for name in sorted(os.listdir(d)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue
+            out.append(
+                {
+                    "version": m["version"],
+                    "committed_ms": m.get("committed_ms"),
+                    "op": m.get("op", "unknown"),
+                    "n_series_files": len(m["series"]),
+                    "n_chunks": len(m["samples"]),
+                }
+            )
+        return out
 
     def _migrate_legacy(self) -> dict:
         """Build manifest v1 from the on-disk directory layout (called
@@ -203,6 +244,7 @@ class MonolithDB:
         man = {
             "version": 1,
             "committed_ms": int(time.time() * 1000),
+            "op": "migrate",
             "series": series_files,
             "samples": samples,
         }
@@ -228,11 +270,12 @@ class MonolithDB:
             os.fsync(f.fileno())
         os.replace(cur_tmp, os.path.join(d, "CURRENT"))
 
-    def _commit(self, mutate) -> dict:
+    def _commit(self, mutate, op: str = "unknown") -> dict:
         """Commit a new snapshot: under the lock, re-read the latest
         manifest (serializing against concurrent committers), apply
-        ``mutate(manifest) -> None`` in place, bump the version, write
-        + swing. A crash anywhere before the CURRENT swing leaves the
+        ``mutate(manifest) -> None`` in place, bump the version, stamp
+        the operation name (history()'s provenance column), write +
+        swing. A crash anywhere before the CURRENT swing leaves the
         previous snapshot fully intact."""
         with self._manifest_lock():
             man = self._read_current()
@@ -242,6 +285,7 @@ class MonolithDB:
             mutate(new)
             new["version"] = man["version"] + 1
             new["committed_ms"] = int(time.time() * 1000)
+            new["op"] = op
             self._write_version(new)
             return new
 
@@ -435,30 +479,31 @@ class MonolithDB:
                             set(man["samples"].get(cid, [])) | set(files)
                         )
 
-                self._commit(add)
+                self._commit(add, op="write")
         finally:
             df.unpersist()
 
     # ------------------------------------------------------------------- read
 
-    def _series_raw(self) -> DataFrame | None:
+    def _series_raw(self, at_version: int | None = None) -> DataFrame | None:
         # Plan-time snapshot: the file list is pinned from the current
-        # manifest, so a concurrent delete/compact commit can't change
-        # what this DataFrame reads.
-        files = self._load_manifest()["series"]
+        # (or a historical) manifest, so a concurrent delete/compact
+        # commit can't change what this DataFrame reads.
+        files = self._load_manifest(at_version)["series"]
         if not files:
             return None
         return self.spark.read.parquet(
             *[os.path.join(self.series_path, f) for f in files]
         )
 
-    def series(self) -> DataFrame:
+    def series(self, at_version: int | None = None) -> DataFrame:
         """The series dimension; duplicate dim rows from concurrent
         writers collapse here (last-write-wins is irrelevant: rows with
         equal series_id are identical by construction). Empty before
         the first write — queries on an empty db return empty results,
-        like the reference's fresh chunk."""
-        raw = self._series_raw()
+        like the reference's fresh chunk. ``at_version`` time-travels
+        to any retained snapshot (see history())."""
+        raw = self._series_raw(at_version)
         if raw is None:
             return self.spark.createDataFrame(
                 [], "series_id long, signature string, labels map<string,string>"
@@ -511,12 +556,13 @@ class MonolithDB:
                     if os.path.exists(src) and not os.path.isdir(part):
                         raise
 
-    def samples(self) -> DataFrame:
-        """The samples fact table at the CURRENT snapshot: an explicit
+    def samples(self, at_version: int | None = None) -> DataFrame:
+        """The samples fact table at the current — or, with
+        ``at_version``, any retained historical — snapshot: an explicit
         file-list read (with basePath, so chunk_id stays a partition
         column and PartitionFilters prune exactly as with directory
         discovery) — the plan is pinned to the manifest resolved here."""
-        man = self._load_manifest()
+        man = self._load_manifest(at_version)
         paths = [
             os.path.join(self.samples_path, f"chunk_id={cid}", fn)
             for cid, files in man["samples"].items()
@@ -530,15 +576,19 @@ class MonolithDB:
             *paths
         )
 
-    def _query_samples(self, start_ms: int, end_ms: int) -> DataFrame:
+    def _query_samples(
+        self, start_ms: int, end_ms: int, at_version: int | None = None
+    ) -> DataFrame:
         return time_trim(
-            self.samples().filter(chunk_pred(start_ms, end_ms, self.chunk_size_ms)),
+            self.samples(at_version).filter(
+                chunk_pred(start_ms, end_ms, self.chunk_size_ms)
+            ),
             start_ms,
             end_ms,
         )
 
-    def _matched_series(self, matchers) -> DataFrame:
-        series = self.series()
+    def _matched_series(self, matchers, at_version: int | None = None) -> DataFrame:
+        series = self.series(at_version)
         if isinstance(matchers, dict):
             pred = superset_predicate("labels", matchers)
         else:
@@ -566,16 +616,19 @@ class MonolithDB:
             else sel
         )
 
-    def query_flat(self, matchers, start_ms: int, end_ms: int) -> DataFrame:
+    def query_flat(
+        self, matchers, start_ms: int, end_ms: int, at_version: int | None = None
+    ) -> DataFrame:
         """Matching samples as flat rows [series_id, signature, labels,
         timestamp, value] — the pre-assembly dataflow of Chunk::query
         (/root/reference/src/chunk/chunk.rs:139-162).
 
         ``matchers``: dict (EQ superset semantics, J4) or a list of
-        LabelMatcher for the full EQ/NEQ/RE/NRE surface.
+        LabelMatcher for the full EQ/NEQ/RE/NRE surface. ``at_version``
+        time-travels the WHOLE query (dim and facts from one snapshot).
         """
-        sel = self._matched_series(matchers)
-        return self._query_samples(start_ms, end_ms).join(
+        sel = self._matched_series(matchers, at_version)
+        return self._query_samples(start_ms, end_ms, at_version).join(
             self._dim_hint(sel), "series_id"
         )  # J6 metadata hydration; broadcast while the dim is small
 
@@ -585,6 +638,7 @@ class MonolithDB:
         start_ms: int,
         end_ms: int,
         salted: bool | str = False,
+        at_version: int | None = None,
     ) -> DataFrame:
         """Remote-read evaluation: [series_id, signature, labels, points]
         with points time-ascending (/root/reference/src/db.rs:202-267).
@@ -598,7 +652,7 @@ class MonolithDB:
         but not a skewed aggregation key, so a ≥10%-of-points series
         needs the salted path to avoid a single straggler reducer.
         """
-        flat = self.query_flat(matchers, start_ms, end_ms)
+        flat = self.query_flat(matchers, start_ms, end_ms, at_version)
         use_salt = bool(salted)
         if salted == "auto":
             use_salt = detect_skewed_key(flat, key_cols=["series_id"])
@@ -670,7 +724,7 @@ class MonolithDB:
         def swap(m: dict) -> None:
             m["samples"][key] = new_files
 
-        self._commit(swap)
+        self._commit(swap, op="compact")
         return True
 
     def compact(
@@ -738,7 +792,7 @@ class MonolithDB:
             for key in expired:
                 m["samples"].pop(key, None)
 
-        self._commit(drop)
+        self._commit(drop, op="retention-drop")
         return len(expired)
 
     def _rollup(
@@ -819,7 +873,7 @@ class MonolithDB:
             for key in expired:
                 m["samples"].pop(key, None)
 
-        self._commit(drop)
+        self._commit(drop, op="retention-tier")
         return (len(expired), len(expired))
 
     def _rolled_chunk_ids(self, step_ms: int) -> list[int]:
@@ -966,7 +1020,7 @@ class MonolithDB:
                 m["samples"] = fact_files
                 m["series"] = dim_files
 
-            self._commit(swap)
+            self._commit(swap, op="delete")
             return n
         finally:
             sel.unpersist()

@@ -188,6 +188,65 @@ def round6_probe(spark, mult: int) -> dict:
     return out
 
 
+def round7_probe(spark, mult: int) -> dict:
+    """Round-7 bench rows under 10× growth: the PromQL text front-end
+    (parse + lower + evaluate rate/sum-by and the 1:1 vector-matching
+    ratio over scaled events — one per-series sort window + keyed aggs,
+    so time must track the sample count sub-linearly), the persisted
+    JL→IVF index (build once + partition-pruned probe), and GIF phash
+    dedup (Arrow decode map + distinct-hash-grain joins — the image
+    count scales with the multiplier like the r5 multimodal probe)."""
+    from monolith_spark import promql
+    from monolith_spark.operators import multimodal as mm
+    from monolith_spark.operators import similarity as sim
+
+    JAN20 = 1_705_708_800_000
+    out: dict = {"mult": mult}
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    s = scaled_samples(spark, mult).localCheckpoint(eager=True)
+    out["samples"] = s.count()
+    hi = JAN20 + mult * MONTH_MS
+    timed("promql_parsed_sec", promql.eval_instant(
+        s.select("labels", "timestamp", "value"),
+        'sum by (event_type) (rate({kb=~"[0-4]"}[%dd]))' % (19 + 31 * mult),
+        hi,
+    ))
+    timed("promql_ratio_sec", promql.eval_instant(
+        s.select("labels", "timestamp", "value"),
+        'sum_over_time({event_type="purchase"}[%dd]) / ignoring(event_type) '
+        'sum_over_time({event_type="click"}[%dd])' % (19 + 31 * mult, 19 + 31 * mult),
+        hi,
+    ))
+
+    import tempfile as _tf
+
+    embs = scaled_embs(spark, mult).localCheckpoint(eager=True)
+    out["vecs"] = embs.count()
+    qv = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    path = _tf.mkdtemp(prefix="jl_idx_probe_")
+    t0 = time.perf_counter()
+    sim.write_jl_ivf_index(embs, path, nlist=8)
+    out["jl_index_build_sec"] = round(time.perf_counter() - t0, 3)
+    timed("jl_index_probe_sec", sim.jl_ivf_topk_indexed(spark, path, qv, k=10))
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    parts = [d]
+    for i in range(1, mult):
+        parts.append(d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)))
+    docs = reduce(lambda a, b: a.unionByName(b), parts)
+    media = mm.attach_phash_media(docs, n_images=40 * mult, fmt="gif")
+    hashes = mm.image_hashes(media)
+    timed("gif_phash_dupes_sec", hashes.groupBy("ahash", "dhash").agg(
+        F.count("*").alias("n_docs")
+    ))
+    return out
+
+
 def ranking_probe(spark, mult: int) -> dict:
     """Round-5 exact-rank device (operators/ranking.py) under the three
     queries it de-globalized: corpus-tercile bucketing, RFM quintiles,
@@ -357,6 +416,10 @@ def main() -> None:
     if target == "round6":
         for mult in mults:
             print(json.dumps(round6_probe(spark, mult)))
+        return
+    if target == "round7":
+        for mult in mults:
+            print(json.dumps(round7_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")

@@ -969,3 +969,55 @@ def test_downsample_retention_job_count_independent_of_chunks(spark, tmp_path):
     assert n_small > 0 and n_small == n_big, (n_small, n_big)
     shutil.rmtree(str(tmp_path / "small"), ignore_errors=True)
     shutil.rmtree(str(tmp_path / "big"), ignore_errors=True)
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """Manifest time travel: every retained version reads a full
+    consistent snapshot — a query at_version=N sees the world as of
+    commit N across BOTH tables (a deleted series reappears, rolled
+    chunks come back raw); history() lists versions with operation
+    provenance; vacuumed versions fail loudly."""
+    import pytest as _pytest
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    db.write(spark.createDataFrame(
+        [({"j": "a"}, 1_000, 1.0), ({"j": "b"}, 2_000, 2.0)], SAMPLES_SCHEMA))
+    v1 = db._load_manifest()["version"]
+    db.write(spark.createDataFrame(
+        [({"j": "a"}, 11_000, 3.0)], SAMPLES_SCHEMA))
+    v2 = db._load_manifest()["version"]
+    assert db.delete_series({"j": "b"}) == 1
+    v3 = db._load_manifest()["version"]
+    assert db.downsample_retention(cutoff_ms=10_000, step_ms=5_000) == (1, 1)
+
+    # current: b gone, chunk 0 rolled
+    assert sorted(r["signature"] for r in db.query({}, 0, 10**9).collect()) \
+        == ["j=a"]
+    # at v1: both series, only the first batch
+    at1 = {r["signature"]: [(p["timestamp"], p["value"]) for p in r["points"]]
+           for r in db.query({}, 0, 10**9, at_version=v1).collect()}
+    assert at1 == {"j=a": [(1_000, 1.0)], "j=b": [(2_000, 2.0)]}
+    # at v2: both series, a has both points (raw — pre-retention)
+    at2 = {r["signature"]: len(r["points"])
+           for r in db.query({}, 0, 10**9, at_version=v2).collect()}
+    assert at2 == {"j=a": 2, "j=b": 1}
+    # at v3: b deleted but chunk 0 still raw
+    assert db.samples(at_version=v3).count() == 2
+    assert db.series(at_version=v3).count() == 1
+
+    ops = [h["op"] for h in db.history()]
+    # v1 is the empty-db bootstrap (migration of a fresh layout)
+    assert ops == ["migrate", "write", "write", "delete", "retention-tier"]
+    versions = [h["version"] for h in db.history()]
+    assert versions == [1, v1, v2, v3, v3 + 1]
+
+    # vacuum(retain current only) expires history: old version objects
+    # are gone and a travel to them fails loudly, current still serves
+    db.vacuum(grace_ms=0)
+    assert [h["version"] for h in db.history()] == [v3 + 1]
+    with _pytest.raises(ValueError, match="expired by vacuum|does not exist"):
+        db.samples(at_version=v1).count()
+    assert sorted(r["signature"] for r in db.query({}, 0, 10**9).collect()) \
+        == ["j=a"]
