@@ -36,11 +36,14 @@ match this repo's established, oracle-verified conventions):
   across evaluations).
 
 Functions: rate increase delta idelta irate resets changes deriv
-predict_linear holt_winters <agg>_over_time quantile_over_time
-histogram_quantile abs ceil floor exp ln log2 log10 sqrt round clamp
-clamp_min clamp_max absent label_replace label_join; aggregation
-operators sum avg min max count stddev topk bottomk quantile with
-by/without. Matchers: EQ/NEQ/RE/NRE; ``offset`` on selectors.
+predict_linear holt_winters <agg>_over_time (avg/sum/min/max/count/
+last/stddev/stdvar/present) quantile_over_time histogram_quantile abs
+ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_min clamp_max
+absent scalar vector time label_replace label_join; aggregation
+operators sum avg min max count stddev stdvar group count_values topk
+bottomk quantile with by/without. Matchers: EQ/NEQ/RE/NRE; ``offset``
+on selectors. scalar() resolves its single-series operand driver-side
+(a bounded 1-row collect — the one documented driver touch).
 
 Scale shape: every range function is one (series, time)-sorted window
 or one map-combinable aggregation per series; aggregations re-key by
@@ -148,8 +151,8 @@ _DUR_UNIT_MS = {
 _KEYWORDS = {"by", "without", "offset", "bool", "and", "or", "unless",
              "on", "ignoring", "group_left", "group_right"}
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev",
-            "topk", "bottomk", "quantile"}
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar",
+            "group", "count_values", "topk", "bottomk", "quantile"}
 
 
 def parse_duration_ms(text: str) -> int:
@@ -379,7 +382,7 @@ class _Parser:
         clause()
         self.expect("(")
         first = self.parse_binary(0)
-        if op in ("topk", "bottomk", "quantile"):
+        if op in ("topk", "bottomk", "quantile", "count_values"):
             self.expect(",")
             expr = self.parse_binary(0)
             param = first
@@ -648,19 +651,21 @@ def _over_time(df, op: str, param: float | None = None):
     elif op == "last":
         a = [F.max(F.struct("timestamp", "value")).alias("__t")]
         val = F.col("__t.value")
-    elif op == "stddev":
-        # population stddev from exact DECIMAL accumulators (ts_stddev)
+    elif op == "present":
+        a = [F.count("*").alias("__n")]
+        val = F.lit(1.0)
+    elif op in ("stddev", "stdvar"):
+        # population moments from exact DECIMAL accumulators (ts_stddev)
         y = F.col("value").cast("decimal(18,2)")
         a = [F.count("*").alias("__n"),
              F.sum(y).cast("double").alias("__sy"),
              F.sum(y * y).cast("double").alias("__syy")]
-        val = F.sqrt(
-            F.greatest(
-                (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n"))
-                / F.col("__n"),
-                F.lit(0.0),
-            )
+        var = F.greatest(
+            (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n"))
+            / F.col("__n"),
+            F.lit(0.0),
         )
+        val = F.sqrt(var) if op == "stddev" else var
     elif op == "quantile":
         a = [F.sort_array(F.collect_list("value")).alias("__a")]
         n = F.size("__a")
@@ -681,7 +686,7 @@ _RANGE_FUNCS = {
     "deriv", "predict_linear", "holt_winters",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
-    "quantile_over_time",
+    "stdvar_over_time", "present_over_time", "quantile_over_time",
 }
 
 _MATH_FUNCS = {
@@ -745,6 +750,40 @@ def _eval_call(node: Call, ctx: _Ctx):
             )
         )
         return ("vector", marker)
+    if f == "sgn":
+        kind, v = _eval(node.args[0], ctx)
+        if kind == "scalar":
+            return ("scalar", float((v > 0) - (v < 0)))
+        return (
+            "vector",
+            v.withColumn("value", F.signum(F.col("value")).cast("double")),
+        )
+    if f == "time":
+        return ("scalar", ctx.eval_ms / 1000.0)
+    if f == "vector":
+        s = _scalar_arg(node.args[0], ctx, f)
+        spark = ctx.samples.sparkSession
+        return (
+            "vector",
+            spark.range(1).select(
+                F.lit("").alias("signature"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<string>"),
+                ).alias("labels"),
+                F.lit(float(s)).cast("double").alias("value"),
+            ),
+        )
+    if f == "scalar":
+        # Prometheus scalar(): the single series' value, NaN otherwise.
+        # The operand is a series-grain vector, so the driver-side
+        # resolve is a bounded 1-row collect (documented cost).
+        kind, v = _eval(node.args[0], ctx)
+        if kind == "scalar":
+            return ("scalar", float(v))
+        rows = v.select("value").limit(2).collect()
+        return ("scalar", float(rows[0]["value"]) if len(rows) == 1
+                else float("nan"))
     if f == "label_replace":
         return ("vector", _label_replace(node, ctx))
     if f == "label_join":
@@ -1058,11 +1097,32 @@ def _eval_agg(node: Agg, ctx: _Ctx):
             F.col("__gsig").alias("signature"), "labels", val.alias("value")
         )
         return ("vector", out)
+    if node.op == "count_values":
+        if not isinstance(node.param, StringLit):
+            raise ValueError("count_values expects a label-name string")
+        dst = node.param.value
+        if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+            raise ValueError(f"count_values: invalid label name {dst!r}")
+        # group key gains the stringified sample value as a label
+        val_str = F.col("value").cast("string")
+        gmap2 = F.map_concat(
+            F.map_filter(F.col("__glabels"), lambda k, _: k != F.lit(dst)),
+            F.create_map(F.lit(dst), val_str),
+        )
+        out = (
+            keyed.select(gmap2.alias("labels"), "value")
+            .groupBy(signature_expr("labels").alias("signature"))
+            .agg(F.first("labels").alias("labels"),
+                 F.count("*").cast("double").alias("value"))
+            .select("signature", "labels", "value")
+        )
+        return ("vector", out)
     exprs = {
         "sum": F.sum(F.col("value").cast(_DEC)).cast("double"),
         "min": F.min("value"),
         "max": F.max("value"),
         "count": F.count("*").cast("double"),
+        "group": F.lit(1.0),
     }
     if node.op in exprs:
         val = exprs[node.op].alias("value")
@@ -1076,21 +1136,20 @@ def _eval_agg(node: Agg, ctx: _Ctx):
                 F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")
             ).alias("value"),
         )
-    elif node.op == "stddev":
+    elif node.op in ("stddev", "stdvar"):
         y = F.col("value").cast("decimal(18,2)")
+        var = F.greatest(
+            (
+                F.sum(y * y).cast("double")
+                - F.sum(y).cast("double") * F.sum(y).cast("double")
+                / F.count("*")
+            )
+            / F.count("*"),
+            F.lit(0.0),
+        )
         out = keyed.groupBy("__gsig").agg(
             F.first("__glabels").alias("labels"),
-            F.sqrt(
-                F.greatest(
-                    (
-                        F.sum(y * y).cast("double")
-                        - F.sum(y).cast("double") * F.sum(y).cast("double")
-                        / F.count("*")
-                    )
-                    / F.count("*"),
-                    F.lit(0.0),
-                )
-            ).alias("value"),
+            (F.sqrt(var) if node.op == "stddev" else var).alias("value"),
         )
     else:
         raise ValueError(f"unsupported aggregation {node.op!r}")

@@ -390,3 +390,55 @@ def test_unsupported_constructs_fail_loudly(spark):
         promql.eval_instant(s, "nope({}[5m])", JAN20)
     with pytest.raises(ValueError, match="instant value"):
         promql.eval_instant(s, "{a='1'}[5m]".replace("'", '"'), JAN20)
+
+
+def test_small_function_fills(spark):
+    """sgn / time / vector / scalar / present_over_time /
+    stdvar(_over_time) / group / count_values."""
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+
+    assert promql.eval_instant(s, "sgn(-3)", JAN20).collect()[0]["value"] == -1.0
+    d = promql.eval_instant(s, f"sgn(delta({sel}[19d]))", JAN20).collect()
+    assert d and set(r["value"] for r in d) <= {-1.0, 0.0, 1.0}
+
+    assert promql.eval_instant(s, "time()", JAN20).collect()[0]["value"] \
+        == JAN20 / 1000.0
+
+    v = promql.eval_instant(s, "vector(7) * 3", JAN20).collect()
+    assert len(v) == 1 and v[0]["value"] == 21.0 and v[0]["labels"] == {}
+
+    # scalar(): single-series vector → its value; multi-series → NaN
+    one = promql.eval_instant(
+        s, f'scalar(topk(1, max_over_time({sel}[19d]))) + 0', JAN20
+    ).collect()[0]["value"]
+    mx = max(r["value"] for r in promql.eval_instant(
+        s, f"max_over_time({sel}[19d])", JAN20).collect())
+    assert one == mx
+    nan = promql.eval_instant(
+        s, f"scalar(max_over_time({sel}[19d]))", JAN20).collect()[0]["value"]
+    assert math.isnan(nan)
+
+    pres = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"present_over_time({sel}[19d])", JAN20).collect()}
+    cnt = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"count_over_time({sel}[19d])", JAN20).collect()}
+    assert set(pres) == set(cnt) and set(pres.values()) == {1.0}
+
+    sd = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"stddev_over_time({sel}[19d])", JAN20).collect()}
+    sv = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"stdvar_over_time({sel}[19d])", JAN20).collect()}
+    for k in sd:
+        assert sv[k] == pytest.approx(sd[k] ** 2, rel=1e-12)
+
+    g = promql.eval_instant(
+        s, f"group by (kb) (max_over_time({sel}[19d]))", JAN20).collect()
+    assert g and all(r["value"] == 1.0 for r in g)
+
+    cv = {tuple(sorted(r["labels"].items())): r["value"]
+          for r in promql.eval_instant(
+              s, f'count_values("v", sgn(max_over_time({sel}[19d])))', JAN20
+          ).collect()}
+    # every max is positive on this fixture → one bucket, count = series
+    assert cv == {(("v", "1.0"),): float(len(sd))}
