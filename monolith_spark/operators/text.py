@@ -928,3 +928,4 @@ def dsir_scores(
             (F.col("_lr_sum").cast("double") / F.col("n_tokens")).alias("dsir_score"),
         )
     )
+
