@@ -423,6 +423,13 @@ def test_reader_planned_before_swap_reads_consistent_snapshot(spark, tmp_path):
         {"j": "a"}, 0, 40_000, step_ms=5_000).collect()}
     assert got == {(0, 1), (10_000, 1), (20_000, 1), (30_000, 1)}
 
+    # a DEFAULT-grace vacuum retains every recent snapshot: the
+    # pre-swap plan still collects (the Delta-style contract — grace
+    # must exceed the longest in-flight query, and then it's safe)
+    db.vacuum()
+    assert sorted((r["signature"], len(r["points"]))
+                  for r in planned.collect()) == before
+
     db.vacuum(grace_ms=0)
     assert sorted((r["signature"], len(r["points"]))
                   for r in db.query({}, 0, 10**9).collect()) == [("j=a", 2)]
