@@ -577,8 +577,10 @@ def _steps(df: DataFrame) -> DataFrame:
     ).filter(F.col("step").isNotNull())
 
 
-def _per_series(df: DataFrame, *aggs) -> DataFrame:
-    return df.groupBy("signature").agg(F.first("labels").alias("labels"), *aggs)
+def _per_series(df: DataFrame, *aggs, extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    return df.groupBy("signature", *extra_keys).agg(
+        F.first("labels").alias("labels"), *aggs
+    )
 
 
 def _rate(df, start, end, per_second=True):
@@ -631,7 +633,8 @@ def _idelta(df):
     )
 
 
-def _over_time(df, op: str, param: float | None = None):
+def _over_time(df, op: str, param: float | None = None,
+               extra_keys: tuple[str, ...] = ()):
     if op == "avg":
         a = [F.sum(F.col("value").cast(_DEC)).cast("double").alias("__s"),
              F.count("*").alias("__n")]
@@ -677,8 +680,10 @@ def _over_time(df, op: str, param: float | None = None):
         val = v_lo + (v_hi - v_lo) * frac
     else:  # pragma: no cover
         raise ValueError(f"unknown over_time op {op!r}")
-    agg = _per_series(df, *a)
-    return agg.select("signature", "labels", val.cast("double").alias("value"))
+    agg = _per_series(df, *a, extra_keys=extra_keys)
+    return agg.select(
+        "signature", "labels", *extra_keys, val.cast("double").alias("value")
+    )
 
 
 _RANGE_FUNCS = {
@@ -1298,3 +1303,174 @@ def _scalar_binop(op: str, a: float, b: float, bool_mode: bool) -> float:
     if op == "^":
         return a ** b
     raise ValueError(f"unknown operator {op!r}")
+
+
+# ------------------------------------------------------- range evaluation
+
+
+def eval_range(
+    samples: DataFrame,
+    expr,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Step-range evaluation — the Grafana /query_range shape — for the
+    TILED expression class, computed in ONE pass (no per-step replan,
+    no repeated scans): the range [start, end] is tiled by step-width
+    windows and every window evaluates independently. Returns
+    [signature, labels, t_ms (window END, the evaluation timestamp),
+    value].
+
+    Supported shapes (anything else raises with a clear message —
+    arbitrary expressions would need a per-step replan, which is the
+    scan-multiplicity class this engine bans):
+    - instant selector: last sample per window per series (no
+      cross-window lookback carry — a window without samples emits no
+      point, where Prometheus would carry up to the lookback; this is
+      the tile semantics range_func_by_step already pins);
+    - rate/increase/delta (m[R]) with R == step: per-window
+      reset-isolated evaluation (ts_subquery_max_rate's machinery);
+    - <agg>_over_time(m[R]) with R == step (avg/sum/min/max/count/
+      last/stddev/stdvar/present);
+    - any of the above wrapped in a grouping aggregation
+      (sum/avg/min/max/count by/without) — aggregated per window.
+    """
+    if isinstance(expr, str):
+        expr = parse(expr)
+    if step_ms <= 0 or end_ms < start_ms:
+        raise ValueError("eval_range needs step_ms > 0 and end >= start")
+    ctx = _Ctx(samples, end_ms, lookback_ms)
+
+    agg_node = None
+    inner = expr
+    if isinstance(expr, Agg):
+        if expr.op not in ("sum", "avg", "min", "max", "count"):
+            raise ValueError(
+                f"eval_range supports sum/avg/min/max/count grouping, "
+                f"not {expr.op}"
+            )
+        agg_node = expr
+        inner = expr.expr
+
+    per_win = _tiled_values(inner, start_ms, end_ms, step_ms, ctx)
+    t_col = (F.lit(start_ms) + (F.col("__w") + 1) * F.lit(step_ms)).cast("long")
+    if agg_node is None:
+        return per_win.select(
+            "signature", "labels", t_col.alias("t_ms"), "value"
+        )
+    gmap = _group_map(agg_node.by, agg_node.without)
+    keyed = per_win.select(
+        signature_expr(gmap).alias("__gsig"),
+        gmap.alias("__glabels"),
+        "__w",
+        "value",
+    )
+    exprs = {
+        "sum": F.sum(F.col("value").cast(_DEC)).cast("double"),
+        "avg": F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "count": F.count("*").cast("double"),
+    }
+    out = keyed.groupBy("__gsig", "__w").agg(
+        F.first("__glabels").alias("labels"),
+        exprs[agg_node.op].cast("double").alias("value"),
+    )
+    return out.select(
+        F.col("__gsig").alias("signature"), "labels", t_col.alias("t_ms"), "value"
+    )
+
+
+def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> DataFrame:
+    """Per-(series, window) values for the tiled expression class:
+    [signature, labels, __w, value] with __w the 0-based window index
+    over (start, end] — one scan, one keyed shuffle."""
+    n_tiles = -(-(end_ms - start_ms) // step_ms)
+
+    def tiles(sel: Selector) -> DataFrame:
+        df = _base(sel, ctx).filter(
+            (F.col("timestamp") > start_ms - sel.offset_ms)
+            & (F.col("timestamp") <= end_ms - sel.offset_ms)
+        )
+        win = F.floor(
+            (F.col("timestamp") - F.lit(start_ms - sel.offset_ms) - F.lit(1))
+            / F.lit(step_ms)
+        ).cast("long")
+        return df.select(
+            "signature", "labels", win.alias("__w"), "timestamp", "value"
+        ).filter((F.col("__w") >= 0) & (F.col("__w") < n_tiles))
+
+    if isinstance(node, Selector):
+        if node.range_ms is not None:
+            raise ValueError("eval_range: bare range selector — wrap in a function")
+        pts = tiles(node)
+        return (
+            pts.groupBy("signature", "__w")
+            .agg(
+                F.max(F.struct("timestamp", "value")).alias("__top"),
+                F.first("labels").alias("labels"),
+            )
+            .select("signature", "labels", "__w",
+                    F.col("__top.value").alias("value"))
+        )
+    if (
+        isinstance(node, Call)
+        and node.func in ("rate", "increase", "delta")
+        and len(node.args) == 1
+        and isinstance(node.args[0], Selector)
+        and node.args[0].range_ms is not None
+    ):
+        sel = node.args[0]
+        if sel.range_ms != step_ms:
+            raise ValueError(
+                "eval_range: tiled evaluation needs the function range to "
+                f"equal the step ({sel.range_ms}ms vs {step_ms}ms) — "
+                "overlapping windows would multiply the scan"
+            )
+        pts = tiles(sel)
+        w = Window.partitionBy("signature", "__w").orderBy("timestamp", "value")
+        dec = F.col("value").cast(_DEC)
+        prev = F.lag(dec).over(w)
+        if node.func == "delta":
+            step = F.when(prev.isNull(), F.lit(None)).otherwise(dec - prev)
+        else:
+            step = (
+                F.when(prev.isNull(), F.lit(None))
+                .when(dec >= prev, dec - prev)
+                .otherwise(dec)
+            )
+        stepped = pts.select(
+            "signature", "labels", "__w", step.alias("__step")
+        ).filter(F.col("__step").isNotNull())
+        out = stepped.groupBy("signature", "__w").agg(
+            F.first("labels").alias("labels"),
+            F.sum("__step").cast("double").alias("value"),
+        )
+        if node.func == "rate":
+            out = out.withColumn("value", F.col("value") / F.lit(step_ms / 1000.0))
+        return out.select("signature", "labels", "__w", "value")
+    if (
+        isinstance(node, Call)
+        and node.func.endswith("_over_time")
+        and node.func in _RANGE_FUNCS
+        and len(node.args) == 1
+        and isinstance(node.args[0], Selector)
+        and node.args[0].range_ms is not None
+    ):
+        sel = node.args[0]
+        if sel.range_ms != step_ms:
+            raise ValueError(
+                "eval_range: tiled evaluation needs the function range to "
+                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
+            )
+        op = node.func[: -len("_over_time")]
+        return _over_time(tiles(sel), op, extra_keys=("__w",)).select(
+            "signature", "labels", "__w", "value"
+        )
+    raise ValueError(
+        "eval_range supports selectors, rate/increase/delta(m[step]), "
+        "<agg>_over_time(m[step]), optionally wrapped in "
+        "sum/avg/min/max/count by/without — got an unsupported shape"
+    )

@@ -207,6 +207,31 @@ def _series_api(db: MonolithDB, selectors: list[str]) -> list[dict]:
     return [seen[k] for k in sorted(seen)]
 
 
+def evaluate_promql_range(
+    db: MonolithDB, query: str, start_ms: int, end_ms: int, step_ms: int
+) -> list[dict]:
+    """Range PromQL evaluation (the Grafana query_range shape) against
+    the engine: ONE pass over a chunk-pruned scan via the tiled
+    evaluator (promql.eval_range — no per-step replan), shaped as
+    Prometheus API `matrix` results."""
+    from monolith_spark import promql
+
+    ast = promql.parse(query)
+    # widest reach: any tile's function range == step; plus lookback
+    lo = start_ms - max(step_ms, promql.DEFAULT_LOOKBACK_MS)
+    samples = db.query_flat({}, lo, end_ms).select("labels", "timestamp", "value")
+    out = promql.eval_range(samples, ast, start_ms, end_ms, step_ms)
+    rows = out.collect()
+    by_series: dict[str, dict] = {}
+    for r in sorted(rows, key=lambda r: (r["signature"], r["t_ms"])):
+        e = by_series.setdefault(
+            r["signature"],
+            {"metric": dict(r["labels"]) if r["labels"] else {}, "values": []},
+        )
+        e["values"].append([r["t_ms"] / 1000.0, str(r["value"])])
+    return [by_series[k] for k in sorted(by_series)]
+
+
 class MonolithServer:
     """Blocking HTTP server; serve_background() for tests/demos."""
 
@@ -246,6 +271,22 @@ class MonolithServer:
                         t = float(qs.get("time", [_time.time()])[0])
                         result = evaluate_promql(server.db, query, int(t * 1000))
                         data = {"resultType": "vector", "result": result}
+                    elif u.path == promql_path + "_range":
+                        from monolith_spark.promql import parse_duration_ms
+
+                        step_raw = qs["step"][0]
+                        try:
+                            step_ms = int(float(step_raw) * 1000)
+                        except ValueError:
+                            step_ms = parse_duration_ms(step_raw)
+                        result = evaluate_promql_range(
+                            server.db,
+                            qs["query"][0],
+                            int(float(qs["start"][0]) * 1000),
+                            int(float(qs["end"][0]) * 1000),
+                            step_ms,
+                        )
+                        data = {"resultType": "matrix", "result": result}
                     elif u.path == "/api/v1/labels":
                         data = sorted(
                             r["name"] for r in server.db.label_names().collect()

@@ -442,3 +442,53 @@ def test_small_function_fills(spark):
           ).collect()}
     # every max is positive on this fixture → one bucket, count = series
     assert cv == {(("v", "1.0"),): float(len(sd))}
+
+
+def test_eval_range_tiled(spark):
+    """eval_range: one-pass tiled step evaluation — selector last-
+    per-window, rate/increase with range == step, *_over_time tiles,
+    grouped aggregation per window — cross-checked against per-window
+    eval_instant results; unsupported shapes fail with clear errors."""
+    rows = [({"j": "a"}, t, float(v)) for t, v in
+            [(1_000, 10.0), (4_000, 12.0), (11_000, 4.0), (14_000, 9.0),
+             (21_000, 20.0)]] \
+        + [({"j": "b"}, 12_000, 7.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    # selector: last sample per (series, window); empty windows absent
+    got = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, '{j=~".+"}', 0, 30_000, 10_000).collect()}
+    assert got == {("j=a", 10_000): 12.0, ("j=a", 20_000): 9.0,
+                   ("j=a", 30_000): 20.0, ("j=b", 20_000): 7.0}
+
+    # increase per tile: reset-isolated inside each window
+    inc = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, 'increase({j="a"}[10s])', 0, 30_000,
+                             10_000).collect()}
+    # window 1: 10->12 = 2; window 2: 4->9 = 5; window 3: single point
+    assert inc == {("j=a", 10_000): 2.0, ("j=a", 20_000): 5.0}
+    rate = {(r["signature"], r["t_ms"]): r["value"] for r in
+            promql.eval_range(df, 'rate({j="a"}[10s])', 0, 30_000,
+                              10_000).collect()}
+    assert rate == {("j=a", 10_000): 0.2, ("j=a", 20_000): 0.5}
+
+    # *_over_time tiles + grouped aggregation per window
+    s = {(r["signature"], r["t_ms"]): r["value"] for r in
+         promql.eval_range(df, 'sum_over_time({j=~".+"}[10s])', 0, 30_000,
+                           10_000).collect()}
+    assert s[("j=a", 10_000)] == 22.0 and s[("j=b", 20_000)] == 7.0
+    tot = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, 'sum(sum_over_time({j=~".+"}[10s]))',
+                             0, 30_000, 10_000).collect()}
+    assert tot == {("", 10_000): 22.0, ("", 20_000): 20.0, ("", 30_000): 20.0}
+
+    # window boundary: a point AT start is excluded, at start+step in w0
+    b = {r["t_ms"]: r["value"] for r in promql.eval_range(
+        df, '{j="a"}', 1_000, 21_000, 10_000).collect()}
+    assert b == {11_000: 4.0, 21_000: 20.0}
+
+    with pytest.raises(ValueError, match="range to equal the step"):
+        promql.eval_range(df, 'rate({j="a"}[5s])', 0, 30_000, 10_000)
+    with pytest.raises(ValueError, match="unsupported shape"):
+        promql.eval_range(df, 'rate({j="a"}[10s]) * 2', 0, 30_000, 10_000)

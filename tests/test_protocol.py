@@ -386,3 +386,37 @@ def test_promql_metadata_http_apis(spark, tmp_path):
             == {(("dc", "us"), ("job", "api")), (("job", "db"),)}
     finally:
         srv.shutdown()
+
+
+def test_promql_http_range_query(spark, tmp_path):
+    """GET /api/v1/query_range: the tiled one-pass evaluator behind
+    the Grafana shape, returning the standard matrix JSON."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": "api"}, t, float(v)) for t, v in
+         [(1_000, 10.0), (4_000, 12.0), (11_000, 4.0), (14_000, 9.0)]],
+        "labels map<string,string>, timestamp long, value double"))
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        q = urllib.parse.urlencode({
+            "query": 'increase({job="api"}[10s])',
+            "start": "0", "end": "20", "step": "10s",
+        })
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range?{q}"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "success"
+        assert body["data"]["resultType"] == "matrix"
+        (series,) = body["data"]["result"]
+        assert series["metric"] == {"job": "api"}
+        assert series["values"] == [[10.0, "2.0"], [20.0, "5.0"]]
+    finally:
+        srv.shutdown()
