@@ -4192,6 +4192,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_jl_ivf_indexed",
     "multimodal_phash_dupes_gif",
     "ts_promql_ratio",
+    "ts_promql_range",
 )
 
 
@@ -9723,3 +9724,48 @@ def ts_promql_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JAN20,
     )
     return out.select("signature", "value")
+
+
+@_q(
+    "ts_promql_range",
+    f"""
+    WITH pts AS (
+      SELECT event_type, {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN20}
+    ),
+    steps AS (
+      SELECT event_type, sig, w,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END AS step
+      FROM (SELECT event_type, sig, w, v,
+                   lag(v) OVER (PARTITION BY sig, w ORDER BY ts_ms, v) AS prev
+            FROM pts)
+    ),
+    per_series AS (
+      SELECT event_type, sig, w, CAST(sum(step) AS DOUBLE) AS inc
+      FROM steps WHERE step IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT 'event_type=' || event_type AS signature,
+           CAST({JAN1} + (w + 1) * 86400000 AS BIGINT) AS t_ms,
+           CAST(sum(CAST(inc AS DECIMAL(28,6))) AS DOUBLE) AS value
+    FROM per_series GROUP BY 1, 2
+    """,
+)
+def ts_promql_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step-range evaluator end-to-end (promql.eval_range — the
+    Grafana /query_range shape): daily increase per event_type over
+    the fixture span, evaluated as ONE tiled pass (per-window
+    reset-isolated steps, grouped per window) — no per-step replan.
+    The oracle replays the identical tiling, lag isolation, and
+    DECIMAL re-sum, so every grid cell hash-matches."""
+    out = _promql.eval_range(
+        _events_lv(spark, sf_dir),
+        'sum by (event_type) (increase({}[1d]))',
+        JAN1,
+        JAN20,
+        86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
