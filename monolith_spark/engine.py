@@ -974,36 +974,95 @@ class MonolithDB:
             "series_id", "bucket_ms", "n_points", value.alias("value")
         )
 
-    def delete_series(self, matchers) -> int:
-        """Selective series deletion (GDPR / tombstone analog): remove
-        every series matching ``matchers`` — dict superset semantics or
-        a LabelMatcher list, same surface as query() — from BOTH
-        tables. Returns the number of series deleted.
+    def delete_series(
+        self,
+        matchers,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+    ) -> int:
+        """Selective series deletion (the Prometheus admin
+        delete_series API; GDPR / tombstone analog): remove every
+        series matching ``matchers`` — dict superset semantics or a
+        LabelMatcher list, same surface as query() — optionally
+        bounded to points with timestamp in ``[start_ms, end_ms]``
+        (inclusive, the engine's F3 convention). Returns the number of
+        matched series.
 
         The reference has no delete at all (chunks accumulate forever,
         /root/reference/src/db.rs:22-32); this is the operational
         companion to drop_chunks_before: retention deletes by TIME at
-        partition granularity, this deletes by IDENTITY and therefore
-        rewrites the fact table — ONE anti-join job across all chunks
-        (not one per chunk), staged, then dim and facts swap in a
-        SINGLE manifest commit: the whole delete is atomic to readers.
-        A crash at any point before the commit is a complete no-op
-        (staged files unreferenced, vacuum reclaims); a replay deletes
-        again idempotently.
+        partition granularity, this deletes by IDENTITY (× time).
 
-        At 100 TB: cost is one read+write of the fact table — the
-        honest price of identity-grain deletion on immutable storage;
-        per-file series-id stats in the manifest would let untouched
-        files be skipped. Not safe concurrently with writers to the
-        same db (last commit wins the file lists); concurrent READERS
-        are safe — their plans pin the pre-delete snapshot.
+        - FULL delete (no bounds): ONE anti-join job across all chunks
+          (not one per chunk), dim and facts swapped in a SINGLE
+          manifest commit — atomic to readers.
+        - TIME-BOUNDED delete: only chunks OVERLAPPING the range are
+          rewritten (partition-pruned — a narrow range touches a
+          handful of chunks regardless of table size); the dim keeps
+          the series' metadata, since points may survive elsewhere —
+          a series left with zero points everywhere simply stops
+          matching anything (F6 empty-series elimination at query
+          time, /root/reference/src/chunk/chunk.rs:156-158).
+
+        A crash at any point before the commit is a complete no-op
+        (staged files unreferenced, vacuum reclaims); replays are
+        idempotent. Not safe concurrently with writers to the same db
+        (last commit wins the file lists); concurrent READERS are safe
+        — their plans pin the pre-delete snapshot.
         """
+        bounded = start_ms is not None or end_ms is not None
+        lo = 0 if start_ms is None else start_ms
+        hi = (1 << 62) if end_ms is None else end_ms
         sel = self._matched_series(matchers).select("series_id").persist()
         try:
             n = sel.count()
             if n == 0:
                 return 0
-            kept = self.samples().join(self._dim_hint(sel), "series_id", "left_anti")
+            if not bounded:
+                kept = self.samples().join(
+                    self._dim_hint(sel), "series_id", "left_anti"
+                )
+                fact_files = self._stage_and_move(
+                    kept.repartition("chunk_id").sortWithinPartitions(
+                        "series_id", "timestamp"
+                    ),
+                    self.samples_path,
+                    partition_by="chunk_id",
+                )
+                dim_files = self._stage_and_move(
+                    self.series().join(sel, "series_id", "left_anti"),
+                    self.series_path,
+                )
+
+                def swap(m: dict) -> None:
+                    m["samples"] = fact_files
+                    m["series"] = dim_files
+
+                self._commit(swap, op="delete")
+                return n
+            man = self._load_manifest()
+            overlapping = [
+                k
+                for k in man["samples"]
+                if int(k) * self.chunk_size_ms <= hi
+                and (int(k) + 1) * self.chunk_size_ms - 1 >= lo
+            ]
+            if not overlapping:
+                return n
+            src = self.samples().filter(
+                F.col("chunk_id").isin([int(k) for k in overlapping])
+            )
+            marked = self._dim_hint(sel).withColumn("__m", F.lit(True))
+            kept = (
+                src.join(marked, "series_id", "left")
+                .filter(
+                    ~(
+                        F.coalesce(F.col("__m"), F.lit(False))
+                        & F.col("timestamp").between(lo, hi)
+                    )
+                )
+                .drop("__m")
+            )
             fact_files = self._stage_and_move(
                 kept.repartition("chunk_id").sortWithinPartitions(
                     "series_id", "timestamp"
@@ -1011,16 +1070,14 @@ class MonolithDB:
                 self.samples_path,
                 partition_by="chunk_id",
             )
-            dim_files = self._stage_and_move(
-                self.series().join(sel, "series_id", "left_anti"),
-                self.series_path,
-            )
 
-            def swap(m: dict) -> None:
-                m["samples"] = fact_files
-                m["series"] = dim_files
+            def swap_bounded(m: dict) -> None:
+                for k in overlapping:
+                    m["samples"].pop(k, None)
+                for k, files in fact_files.items():
+                    m["samples"][k] = files
 
-            self._commit(swap, op="delete")
+            self._commit(swap_bounded, op="delete")
             return n
         finally:
             sel.unpersist()

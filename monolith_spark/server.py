@@ -232,6 +232,31 @@ def evaluate_promql_range(
     return [by_series[k] for k in sorted(by_series)]
 
 
+def _admin_delete(db: MonolithDB, qs: dict[str, list[str]]) -> None:
+    """Admin delete_series: every match[] selector deletes its matched
+    series (optionally time-bounded by start/end seconds, Prometheus
+    API shape), through the engine's atomic manifest-commit delete."""
+    from monolith_spark import promql
+
+    selectors = qs.get("match[]", [])
+    if not selectors:
+        raise ValueError("delete_series requires at least one match[] selector")
+    start = qs.get("start", [None])[0]
+    end = qs.get("end", [None])[0]
+    start_ms = None if start is None else int(float(start) * 1000)
+    end_ms = None if end is None else int(float(end) * 1000)
+    for sel_text in selectors:
+        ast = promql.parse(sel_text)
+        if not isinstance(ast, promql.Selector) or ast.range_ms is not None:
+            raise ValueError(f"match[] must be an instant selector: {sel_text!r}")
+        ms = list(ast.matchers)
+        if ast.name is not None:
+            from monolith_spark.labels import LabelMatcher
+
+            ms = [LabelMatcher("__name__", ast.name, "EQ"), *ms]
+        db.delete_series(ms, start_ms=start_ms, end_ms=end_ms)
+
+
 class MonolithServer:
     """Blocking HTTP server; serve_background() for tests/demos."""
 
@@ -324,6 +349,37 @@ class MonolithServer:
                 self.wfile.write(body)
 
             def do_POST(self) -> None:
+                from urllib.parse import parse_qs, urlparse
+
+                u = urlparse(self.path)
+                if u.path.startswith("/api/v1/admin/tsdb/"):
+                    # Prometheus admin API: delete_series (match[] +
+                    # optional start/end seconds) and clean_tombstones
+                    # (here: vacuum — manifest snapshots play the role
+                    # of tombstones). 204 on success, like Prometheus.
+                    import json as _json
+
+                    try:
+                        qs = parse_qs(u.query)
+                        if u.path.endswith("/delete_series"):
+                            _admin_delete(server.db, qs)
+                        elif u.path.endswith("/clean_tombstones"):
+                            server.db.vacuum()
+                        else:
+                            raise ValueError(f"unknown admin path {u.path}")
+                        self.send_response(204)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                    except Exception as exc:
+                        body = _json.dumps(
+                            {"status": "error", "errorType": "bad_data",
+                             "error": str(exc)}
+                        ).encode()
+                        self.send_response(400)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    return
                 if self.path not in (write_path, read_path):
                     self.send_response(404)
                     self.send_header("Content-Length", "0")

@@ -1028,3 +1028,38 @@ def test_time_travel_and_history(spark, tmp_path):
         db.samples(at_version=v1).count()
     assert sorted(r["signature"] for r in db.query({}, 0, 10**9).collect()) \
         == ["j=a"]
+
+
+def test_time_bounded_delete_series(spark, tmp_path):
+    """Prometheus admin delete_series semantics: a time-bounded delete
+    removes matched points ONLY inside [start, end], rewrites ONLY
+    overlapping chunks, keeps the dim row (points may survive
+    elsewhere; a fully-emptied series just stops matching — F6), and
+    is atomic + idempotent like the full delete."""
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    rows = [({"j": "a"}, t, float(t)) for t in (1_000, 11_000, 21_000)] \
+        + [({"j": "b"}, t, 2.0) for t in (1_000, 12_000)]
+    db.write(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+    untouched = db._load_manifest()["samples"]["2"]  # chunk 2 files
+
+    assert db.delete_series({"j": "a"}, start_ms=10_000, end_ms=19_999) == 1
+    got = {r["signature"]: [p["timestamp"] for p in r["points"]]
+           for r in db.query({}, 0, 10**9).collect()}
+    assert got == {"j=a": [1_000, 21_000], "j=b": [1_000, 12_000]}
+    assert db.series().count() == 2  # dim keeps both series
+    # chunk 2 (no overlap with [10k, 20k]) was NOT rewritten
+    assert db._load_manifest()["samples"]["2"] == untouched
+
+    # idempotent replay: nothing further changes
+    assert db.delete_series({"j": "a"}, start_ms=10_000, end_ms=19_999) == 1
+    assert {r["signature"]: [p["timestamp"] for p in r["points"]]
+            for r in db.query({}, 0, 10**9).collect()} == got
+
+    # deleting a series' remaining points everywhere leaves it
+    # unmatched (empty-series elimination), dim row intact
+    assert db.delete_series({"j": "a"}, start_ms=0, end_ms=10**15) == 1
+    assert sorted(r["signature"] for r in db.query({}, 0, 10**9).collect()) \
+        == ["j=b"]
+    assert db.series().count() == 2

@@ -420,3 +420,38 @@ def test_promql_http_range_query(spark, tmp_path):
         assert series["values"] == [[10.0, "2.0"], [20.0, "5.0"]]
     finally:
         srv.shutdown()
+
+
+def test_admin_tsdb_http_apis(spark, tmp_path):
+    """POST /api/v1/admin/tsdb/delete_series (match[] + start/end) and
+    /clean_tombstones (vacuum) — 204 on success, 400 with a clear
+    error on a bad selector."""
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": "api"}, 1_000, 1.0), ({"job": "api"}, 120_000, 2.0),
+         ({"job": "db"}, 1_000, 3.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        import urllib.parse
+
+        q = urllib.parse.urlencode(
+            [("match[]", '{job="api"}'), ("start", "0"), ("end", "60")])
+        status, _ = _post(srv.port, f"/api/v1/admin/tsdb/delete_series?{q}", b"")
+        assert status == 204
+        left = {r["signature"]: [p["timestamp"] for p in r["points"]]
+                for r in db.query({}, 0, 10**9).collect()}
+        assert left == {"job=api": [120_000], "job=db": [1_000]}
+
+        status, _ = _post(srv.port, "/api/v1/admin/tsdb/clean_tombstones", b"")
+        assert status == 204
+
+        q2 = urllib.parse.urlencode({"match[]": "rate({"})
+        status, body = _post(
+            srv.port, f"/api/v1/admin/tsdb/delete_series?{q2}", b"")
+        assert status == 400 and b"error" in body
+    finally:
+        srv.shutdown()
