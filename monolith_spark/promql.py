@@ -148,9 +148,6 @@ _DUR_UNIT_MS = {
     "d": 86_400_000, "w": 604_800_000, "y": 31_536_000_000,
 }
 
-_KEYWORDS = {"by", "without", "offset", "bool", "and", "or", "unless",
-             "on", "ignoring", "group_left", "group_right"}
-
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar",
             "group", "count_values", "topk", "bottomk", "quantile"}
 
