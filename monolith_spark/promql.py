@@ -26,9 +26,15 @@ match this repo's established, oracle-verified conventions):
   timestamps evaluate identically on Spark and the DuckDB oracle.
 - Vector-vector binary ops match 1:1 (full label set by default,
   narrowed with on/ignoring); a key matching more than one series on
-  either side raises at execution — Prometheus's many-to-many error —
-  and group_left/group_right are rejected at parse time. The set
-  operators and/or/unless are keyed semi/anti/union joins. Subqueries
+  either side raises at execution — Prometheus's many-to-many error.
+  group_left/group_right give many-to-one matching: extra labels are
+  copied from the unique one-side partner (duplicate one-side rows
+  raise at execution); a group modifier requires an explicit
+  on/ignoring clause and is rejected with set operators. The set
+  operators and/or/unless are keyed semi/anti/union joins. The `@`
+  modifier pins a selector/subquery to a fixed unix-seconds anchor
+  (offset shifts relative to it); @ is instant-eval only — eval_range
+  rejects it rather than replicate one window across every step. Subqueries
   are supported for range-function inners (``max_over_time(rate(m[5d])
   [15d:5d])``), the shape ts_subquery_max_rate pins: the outer range
   is tiled by step-width windows anchored at the range start, the
@@ -42,7 +48,8 @@ ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_min clamp_max
 absent scalar vector time label_replace label_join; aggregation
 operators sum avg min max count stddev stdvar group count_values topk
 bottomk quantile with by/without. Matchers: EQ/NEQ/RE/NRE; ``offset``
-on selectors. scalar() resolves its single-series operand driver-side
+and ``@`` on selectors/subqueries. scalar() resolves its
+single-series operand driver-side
 (a bounded 1-row collect — the one documented driver touch).
 
 Scale shape: every range function is one (series, time)-sorted window
@@ -87,6 +94,7 @@ class Selector:
     matchers: tuple[LabelMatcher, ...]
     range_ms: int | None = None  # None → instant selector
     offset_ms: int = 0
+    at_ms: int | None = None  # `@ <unix-seconds>` fixed evaluation anchor
 
 
 @dataclass(frozen=True)
@@ -95,6 +103,7 @@ class Subquery:
     range_ms: int
     step_ms: int
     offset_ms: int = 0
+    at_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -121,6 +130,9 @@ class BinOp:
     # vector matching: None → match on the FULL label set;
     # ("on", labels) / ("ignoring", labels) → match on the subset
     match: tuple[str, tuple[str, ...]] | None = None
+    # many-to-one matching: ("left"|"right", extra-labels-from-one-side);
+    # requires an explicit on/ignoring clause (Prometheus grammar)
+    group: tuple[str, tuple[str, ...]] | None = None
 
 
 @dataclass(frozen=True)
@@ -138,7 +150,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
   | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_:]*)
   | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<OP>=~|!~|!=|==|>=|<=|[-+*/%^(){}\[\],=<>:])
+  | (?P<OP>=~|!~|!=|==|>=|<=|[-+*/%^(){}\[\],=<>:@])
     """,
     re.VERBOSE,
 )
@@ -240,14 +252,40 @@ class _Parser:
                         break
                 self.expect(")")
                 match = (kind, tuple(names))
+            group = None
             if self.peek()[1] in ("group_left", "group_right"):
-                raise ValueError(
-                    "group_left/group_right (many-to-one matching) is not "
-                    "supported — only 1:1 vector matching"
-                )
+                gkind = "left" if self.next()[1] == "group_left" else "right"
+                if match is None:
+                    raise ValueError(
+                        "group_left/group_right requires an explicit "
+                        "on/ignoring clause"
+                    )
+                if op in ("and", "or", "unless"):
+                    raise ValueError(
+                        f"group modifiers are not allowed with {op!r}"
+                    )
+                extras: list[str] = []
+                if self.peek()[1] == "(":
+                    self.next()
+                    while self.peek()[1] != ")":
+                        ik, iv = self.next()
+                        if ik != "IDENT":
+                            raise ValueError(f"expected label, got {iv!r}")
+                        extras.append(iv)
+                        if self.peek()[1] == ",":
+                            self.next()
+                    self.expect(")")
+                if match[0] == "on":
+                    clash = set(extras) & set(match[1])
+                    if clash:
+                        raise ValueError(
+                            f"label {sorted(clash)[0]!r} must not occur in "
+                            "both on() and the group clause"
+                        )
+                group = (gkind, tuple(extras))
             nxt = _BIN_PREC[op] + (0 if op == "^" else 1)
             rhs = self.parse_binary(nxt)
-            lhs = BinOp(op, lhs, rhs, bool_mode, match)
+            lhs = BinOp(op, lhs, rhs, bool_mode, match, group)
 
     def parse_unary(self):
         k, v = self.peek()
@@ -276,7 +314,7 @@ class _Parser:
                     self.expect("]")
                     if not isinstance(e, Selector) or e.range_ms is not None:
                         raise ValueError("range suffix only valid on a selector")
-                    e = Selector(e.name, e.matchers, rng, e.offset_ms)
+                    e = Selector(e.name, e.matchers, rng, e.offset_ms, e.at_ms)
             elif (k, v) == ("IDENT", "offset"):
                 self.next()
                 dk, dv = self.next()
@@ -284,11 +322,27 @@ class _Parser:
                     raise ValueError(f"expected duration after offset, got {dv!r}")
                 off = parse_duration_ms(dv)
                 if isinstance(e, Selector):
-                    e = Selector(e.name, e.matchers, e.range_ms, e.offset_ms + off)
+                    e = Selector(e.name, e.matchers, e.range_ms,
+                                 e.offset_ms + off, e.at_ms)
                 elif isinstance(e, Subquery):
-                    e = Subquery(e.expr, e.range_ms, e.step_ms, e.offset_ms + off)
+                    e = Subquery(e.expr, e.range_ms, e.step_ms,
+                                 e.offset_ms + off, e.at_ms)
                 else:
                     raise ValueError("offset only valid on a selector/subquery")
+            elif (k, v) == ("OP", "@"):
+                self.next()
+                nk, nv = self.next()
+                if nk != "NUMBER":
+                    raise ValueError(
+                        f"expected a unix-seconds timestamp after @, got {nv!r}"
+                    )
+                at = int(round(float(nv) * 1000))
+                if isinstance(e, Selector):
+                    e = Selector(e.name, e.matchers, e.range_ms, e.offset_ms, at)
+                elif isinstance(e, Subquery):
+                    e = Subquery(e.expr, e.range_ms, e.step_ms, e.offset_ms, at)
+                else:
+                    raise ValueError("@ only valid on a selector/subquery")
             else:
                 return e
 
@@ -418,37 +472,53 @@ class _Ctx:
 
 def time_window(expr, eval_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> tuple[int, int]:
     """The inclusive [lo, hi] sample window an instant evaluation of
-    ``expr`` at ``eval_ms`` can touch — walk the AST for the deepest
-    range+offset reach (selector lookback for instant selectors,
-    range for range selectors, outer range for subqueries). Lets a
-    serving layer scan ONLY the needed chunk partitions before handing
-    the pruned DataFrame to eval_instant."""
+    ``expr`` at ``eval_ms`` can touch — the union of every selector's
+    absolute span (selector lookback for instant selectors, range for
+    range selectors, the tile interval for subqueries, `@` anchors
+    taken absolutely, offsets tightening both ends). Lets a serving
+    layer scan ONLY the needed chunk partitions before handing the
+    pruned DataFrame to eval_instant. With a future `@` anchor, hi can
+    exceed eval_ms."""
     if isinstance(expr, str):
         expr = parse(expr)
-    deepest = 0
+    spans: list[tuple[int, int]] = []
 
-    def walk(node, off: int) -> None:
-        nonlocal deepest
+    def walk(node, off_lo: int, off_hi: int, anchor: int) -> None:
+        # [off_lo, off_hi] is the interval of reach-backs the enclosing
+        # subqueries evaluate this subtree at (a subquery's inner
+        # expression runs once per tile, from `offset` to
+        # `offset+range` before the anchor); a node's own `@` resets
+        # the anchor — and the accumulated reach — absolutely.
         if isinstance(node, Selector):
-            o = off + node.offset_ms
-            deepest = max(deepest, o + (node.range_ms or lookback_ms))
+            if node.at_ms is not None:
+                anchor, off_lo, off_hi = node.at_ms, 0, 0
+            hi = anchor - off_lo - node.offset_ms
+            lo = anchor - off_hi - node.offset_ms - (node.range_ms or lookback_ms)
+            spans.append((lo, hi))
         elif isinstance(node, Subquery):
-            walk(node.expr, off + node.offset_ms + node.range_ms)
+            if node.at_ms is not None:
+                walk(node.expr, node.offset_ms,
+                     node.offset_ms + node.range_ms, node.at_ms)
+            else:
+                walk(node.expr, off_lo + node.offset_ms,
+                     off_hi + node.offset_ms + node.range_ms, anchor)
         elif isinstance(node, Call):
             for a in node.args:
-                walk(a, off)
+                walk(a, off_lo, off_hi, anchor)
         elif isinstance(node, Agg):
-            walk(node.expr, off)
+            walk(node.expr, off_lo, off_hi, anchor)
             if node.param is not None:
-                walk(node.param, off)
+                walk(node.param, off_lo, off_hi, anchor)
         elif isinstance(node, BinOp):
-            walk(node.lhs, off)
-            walk(node.rhs, off)
+            walk(node.lhs, off_lo, off_hi, anchor)
+            walk(node.rhs, off_lo, off_hi, anchor)
         elif isinstance(node, Unary):
-            walk(node.expr, off)
+            walk(node.expr, off_lo, off_hi, anchor)
 
-    walk(expr, 0)
-    return eval_ms - deepest, eval_ms
+    walk(expr, 0, 0, eval_ms)
+    if not spans:  # selector-free expression touches no samples
+        return eval_ms, eval_ms
+    return min(lo for lo, _ in spans), max(hi for _, hi in spans)
 
 
 def eval_instant(
@@ -518,8 +588,15 @@ def _base(node: Selector, ctx: _Ctx) -> DataFrame:
     return df
 
 
+def _anchor_ms(node, ctx: _Ctx) -> int:
+    """The effective evaluation anchor for a selector/subquery: its
+    `@` timestamp when present, else the query's eval time. `offset`
+    shifts relative to the anchor (Prometheus semantics)."""
+    return node.at_ms if node.at_ms is not None else ctx.eval_ms
+
+
 def _range_df(node: Selector, ctx: _Ctx) -> tuple[DataFrame, int, int]:
-    end = ctx.eval_ms - node.offset_ms
+    end = _anchor_ms(node, ctx) - node.offset_ms
     start = end - (node.range_ms or 0)
     df = _base(node, ctx).filter(
         (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
@@ -528,7 +605,7 @@ def _range_df(node: Selector, ctx: _Ctx) -> tuple[DataFrame, int, int]:
 
 
 def _instant_selector(node: Selector, ctx: _Ctx) -> DataFrame:
-    end = ctx.eval_ms - node.offset_ms
+    end = _anchor_ms(node, ctx) - node.offset_ms
     start = end - ctx.lookback_ms
     df = _base(node, ctx).filter(
         (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
@@ -880,7 +957,12 @@ def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFram
             "subquery support requires inner range == step (tiled windows); "
             f"got {sel.range_ms}ms vs {sq.step_ms}ms"
         )
-    end = ctx.eval_ms - sq.offset_ms - sel.offset_ms
+    if sel.at_ms is not None:
+        raise ValueError(
+            "@ on the inner selector of a subquery is not supported — "
+            "every tile would evaluate the same fixed window"
+        )
+    end = _anchor_ms(sq, ctx) - sq.offset_ms - sel.offset_ms
     start = end - sq.range_ms
     df = _base(sel, ctx).filter(
         (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
@@ -1187,14 +1269,82 @@ def _match_key(match):
     return signature_expr(gm)
 
 
+def _eval_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame):
+    """Many-to-one vector matching (group_left/group_right): every
+    many-side series joins its one-side partner on the on/ignoring
+    key; the listed extra labels are copied from the one side onto the
+    many side's label set (an absent/empty source label removes the
+    destination — Prometheus's empty-equals-absent rule) and the
+    result re-signs. The one side must be unique per key — a duplicate
+    raises AT EXECUTION, Prometheus's "multiple matches for labels"
+    error, never a silent row multiplication. Both operands are
+    per-series instant vectors, so the join and the one-side
+    uniqueness window shuffle series-count rows, never points."""
+    gkind, extras = node.group
+    many, one = (lv, rv) if gkind == "left" else (rv, lv)
+    key = _match_key(node.match)
+    one_s = one.select(
+        key.alias("__k"),
+        F.col("labels").alias("__olabels"),
+        F.col("value").alias("__ov"),
+    ).withColumn("__n1", F.count("*").over(Window.partitionBy("__k")))
+    many_s = many.select(key.alias("__k"), "labels", F.col("value").alias("__mv"))
+    j = many_s.join(one_s, "__k")
+    ok = F.col("__n1") == 1
+    guard = F.raise_error(
+        F.lit("PromQL many-to-one matching found multiple matches on the "
+              "one side (narrow the on/ignoring key)")
+    ).cast("double")
+    new_labels = F.col("labels")
+    for e in extras:
+        src = F.try_element_at("__olabels", F.lit(e))
+        # map_filter builds the expression eagerly, so closing over the
+        # loop variable is safe — no late binding
+        dropped = F.map_filter(new_labels, lambda k, _: k != F.lit(e))
+        new_labels = F.when(
+            src.isNotNull() & (src != ""), _map_set(new_labels, e, src)
+        ).otherwise(dropped)
+    a, b = (
+        (F.col("__mv"), F.col("__ov"))
+        if gkind == "left"
+        else (F.col("__ov"), F.col("__mv"))
+    )
+    if node.op in _CMP_OPS:
+        cond = {"==": a == b, "!=": a != b, ">": a > b,
+                "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
+        if node.bool_mode:
+            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            out = j.select(new_labels.alias("labels"), val.alias("value"))
+        else:
+            val = F.when(ok, a).otherwise(guard)
+            out = (
+                j.select(new_labels.alias("labels"), val.alias("value"),
+                         cond.alias("__c"))
+                .filter("__c")
+                .drop("__c")
+            )
+    else:
+        expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+                "%": a % b, "^": F.pow(a, b)}[node.op]
+        val = F.when(ok, expr.cast("double")).otherwise(guard)
+        out = j.select(new_labels.alias("labels"), val.alias("value"))
+    out = out.withColumn("signature", signature_expr("labels")).select(
+        "signature", "labels", "value"
+    )
+    return ("vector", out)
+
+
 def _eval_vv(node: BinOp, lv: DataFrame, rv: DataFrame):
     """Vector-vector binary op with 1:1 matching (Prometheus
-    on/ignoring; group_left/right rejected at parse time). Both sides
-    are per-series instant vectors — series-count rows — so the match
-    join and the per-key count windows are small keyed shuffles, never
-    point-level. A key matching more than one series on either side
-    raises AT EXECUTION (raise_error in the live projection), exactly
-    Prometheus's many-to-many error, never a silent duplicate."""
+    on/ignoring; group_left/right routes to _eval_many_to_one). Both
+    sides are per-series instant vectors — series-count rows — so the
+    match join and the per-key count windows are small keyed shuffles,
+    never point-level. A key matching more than one series on either
+    side raises AT EXECUTION (raise_error in the live projection),
+    exactly Prometheus's many-to-many error, never a silent
+    duplicate."""
+    if node.group is not None:
+        return _eval_many_to_one(node, lv, rv)
     key = _match_key(node.match)
     wl = Window.partitionBy("__k")
     left = lv.select(
@@ -1257,6 +1407,10 @@ def _eval_binop(node: BinOp, ctx: _Ctx):
         return ("scalar", _scalar_binop(node.op, lv, rv, node.bool_mode))
     if lk == "vector" and rk == "vector":
         return _eval_vv(node, lv, rv)
+    if node.group is not None:
+        raise ValueError(
+            "group_left/group_right is only valid between two instant vectors"
+        )
     vec, scalar, vec_left = (lv, rv, True) if lk == "vector" else (rv, lv, False)
     val = F.col("value")
     s = F.lit(float(scalar))
@@ -1387,6 +1541,11 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
     n_tiles = -(-(end_ms - start_ms) // step_ms)
 
     def tiles(sel: Selector) -> DataFrame:
+        if sel.at_ms is not None:
+            raise ValueError(
+                "eval_range: the @ modifier would pin every step to one "
+                "fixed window — evaluate it as an instant query instead"
+            )
         df = _base(sel, ctx).filter(
             (F.col("timestamp") > start_ms - sel.offset_ms)
             & (F.col("timestamp") <= end_ms - sel.offset_ms)

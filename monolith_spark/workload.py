@@ -4193,6 +4193,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_phash_dupes_gif",
     "ts_promql_ratio",
     "ts_promql_range",
+    "ts_promql_group_left",
+    "ts_promql_at",
 )
 
 
@@ -9769,3 +9771,79 @@ def ts_promql_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         86_400_000,
     )
     return out.select("signature", "t_ms", "value")
+
+
+@_q(
+    "ts_promql_group_left",
+    f"""
+    WITH p AS (
+      SELECT substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+             CAST(user_id AS VARCHAR) AS usr,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT kb, CAST(sum(CAST(per_series AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM (
+        SELECT substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+               {SIG_SQL} AS sig,
+               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS per_series
+        FROM events
+        WHERE event_type = 'click' AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+        GROUP BY 1, 2
+      ) GROUP BY kb
+    )
+    SELECT 'event_type=purchase,kb=' || p.kb || ',tier=t' || p.kb
+             || ',user=' || p.usr AS signature,
+           p.total / c.total AS value
+    FROM p JOIN c USING (kb)
+    """,
+)
+def ts_promql_group_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-one vector matching through the parser (group_left —
+    the `metric * on(key) group_left(extra) info_metric` join every
+    Prometheus dashboard ships): each purchase series divides by its
+    kb-level click volume, with the one side's derived `tier` label
+    copied onto the many side and the result re-signed. The one side
+    must be unique per key (a duplicate raises at execution,
+    Prometheus's multiple-matches error); both operands are
+    series-grain aggregates, so the match join shuffles series counts,
+    never points. Oracle replays the per-series DECIMAL sum, the
+    DECIMAL re-sum across series on the one side, and the label copy
+    in the signature string."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'sum_over_time({event_type="purchase"}[19d]) / on(kb) group_left(tier) '
+        'label_replace(sum by (kb) (sum_over_time({event_type="click"}[19d])), '
+        '"tier", "t$1", "kb", "(.*)")',
+        JAN20,
+    )
+    return out.select("signature", "value")
+
+
+@_q(
+    "ts_promql_at",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+    FROM events
+    WHERE event_type = 'view' AND epoch_ms(ts) BETWEEN {JAN8} AND {JAN15}
+    GROUP BY 1
+    """,
+)
+def ts_promql_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The @ modifier through the parser: sum_over_time pinned to a
+    fixed unix-seconds anchor (JAN15) regardless of the query's
+    evaluation time (JAN20) — the 'compare against this exact moment'
+    dashboard idiom. The anchor only moves the pushed-down time
+    predicate; the plan is the same single per-series aggregation,
+    and time_window() reports the anchored span so the serving layer
+    prunes chunks to [JAN8, JAN15], not the eval-time lookback."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        f'sum_over_time({{event_type="view"}}[7d] @ {JAN15 // 1000})',
+        JAN20,
+    )
+    return out.select("signature", "value")

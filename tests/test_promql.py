@@ -376,8 +376,116 @@ def test_vector_matching_and_set_ops(spark):
     ).count()
     assert merged == total
 
-    with pytest.raises(ValueError, match="group_left"):
-        promql.parse("a / on(x) group_left b")
+def test_group_modifiers_parse_rules():
+    e = parse("a / on(kb) group_left(tier, env) b")
+    assert e.group == ("left", ("tier", "env")) and e.match == ("on", ("kb",))
+    e = parse("a * ignoring(x) group_right b")
+    assert e.group == ("right", ())
+    with pytest.raises(ValueError, match="on/ignoring"):
+        parse("a / group_left b")  # grouping needs an explicit clause
+    with pytest.raises(ValueError, match="not allowed with"):
+        parse("a and on(x) group_left b")
+    with pytest.raises(ValueError, match="must not occur in both"):
+        parse("a / on(x) group_left(x) b")
+
+
+def test_group_left_many_to_one(spark):
+    """group_left: per-series purchase totals divide their kb-level
+    click total; the one side's derived tier label lands on the many
+    side and the result re-signs. group_right is the mirrored operand
+    order. A duplicate one-side key raises at execution."""
+    s = _samples(spark)
+    one = ('label_replace(sum by (kb) (sum_over_time('
+           '{event_type="click"}[19d])), "tier", "t$1", "kb", "(.*)")')
+    left = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s,
+        f'sum_over_time({{event_type="purchase"}}[19d]) '
+        f'/ on(kb) group_left(tier) {one}',
+        JAN20,
+    ).collect()}
+    assert left and all(",tier=t" in sig for sig in left)
+
+    # hand-join the two component queries to confirm every quotient
+    p = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'sum_over_time({event_type="purchase"}[19d])', JAN20).collect()}
+    c = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'sum by (kb) (sum_over_time({event_type="click"}[19d]))',
+        JAN20).collect()}
+    assert len(left) == len(p)
+    for sig, v in left.items():
+        kb = sig.split("kb=")[1].split(",")[0]
+        base = sig.replace(f",tier=t{kb}", "")
+        assert v == p[base] / c[f"kb={kb}"]
+
+    # group_right: one side on the left, many on the right — the
+    # quotient flips but the output series (many side + tier) match
+    right = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s,
+        f'{one} * on(kb) group_right(tier) '
+        f'sum_over_time({{event_type="purchase"}}[19d])',
+        JAN20,
+    ).collect()}
+    assert set(right) == set(left)
+
+    # an absent extra label on the one side leaves the many side as-is
+    plain = {r["signature"] for r in promql.eval_instant(
+        s,
+        'sum_over_time({event_type="purchase"}[19d]) / on(kb) group_left '
+        'sum by (kb) (sum_over_time({event_type="click"}[19d]))',
+        JAN20,
+    ).collect()}
+    assert plain == set(p)
+
+    # duplicate one-side rows per key raise Prometheus's
+    # multiple-matches error at execution
+    with pytest.raises(Exception, match="many-to-one"):
+        promql.eval_instant(
+            s,
+            'sum_over_time({event_type="purchase"}[19d]) / on(kb) group_left '
+            'sum_over_time({event_type="click"}[19d])',
+            JAN20,
+        ).collect()
+
+    # group modifiers between a vector and a scalar are rejected
+    with pytest.raises(ValueError, match="two instant vectors"):
+        promql.eval_instant(
+            s,
+            'sum_over_time({event_type="purchase"}[19d]) '
+            '/ on(kb) group_left 2',
+            JAN20,
+        )
+
+
+def test_at_modifier(spark):
+    """@ pins the window to a fixed anchor: evaluated at JAN20, the
+    anchored query equals the same query evaluated AT the anchor, and
+    offset composes relative to the anchor. time_window() reports the
+    anchored span for chunk pruning."""
+    s = _samples(spark)
+    anchored = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f'sum_over_time({{event_type="view"}}[7d] @ {JAN20 // 1000} '
+           'offset 2d)', JAN20 + 86_400_000 * 100).collect()}
+    shifted = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'sum_over_time({event_type="view"}[7d] offset 2d)',
+        JAN20).collect()}
+    assert anchored and anchored == shifted
+
+    lo, hi = promql.time_window(f"rate(m[10d] @ {JAN20 // 1000})", JAN1)
+    assert (lo, hi) == (JAN20 - 10 * 86_400_000, JAN20)
+
+    e = parse(f"m[5m] @ {JAN20 // 1000} offset 1d")
+    assert (e.at_ms, e.offset_ms, e.range_ms) == (JAN20, 86_400_000, 300_000)
+    with pytest.raises(ValueError, match="unix-seconds"):
+        parse("m @ abc")
+    with pytest.raises(ValueError, match="eval_range"):
+        promql.eval_range(
+            s, f'increase({{}}[1d] @ {JAN20 // 1000})', JAN1, JAN20,
+            86_400_000)
+    with pytest.raises(ValueError, match="inner selector"):
+        promql.eval_instant(
+            s,
+            f"max_over_time(rate({{}}[5d] @ {JAN20 // 1000})[15d:5d])",
+            JAN20)
 
 
 def test_unsupported_constructs_fail_loudly(spark):

@@ -334,9 +334,11 @@ def test_promql_http_instant_query(spark, tmp_path):
     finally:
         srv.shutdown()
 
-    # time_window walks nested reaches correctly (serving-layer pruning)
+    # time_window walks nested reaches correctly (serving-layer
+    # pruning); an offset tightens BOTH ends — samples after the
+    # shifted window end are never read, so they need not be scanned
     assert promql.time_window("rate(m[5m] offset 1h)", 10_000_000) == (
-        10_000_000 - 3_900_000, 10_000_000)
+        10_000_000 - 3_900_000, 10_000_000 - 3_600_000)
     assert promql.time_window("max_over_time(rate(m[5d])[15d:5d])",
                               2_000_000_000) == (
         2_000_000_000 - 20 * 86_400_000, 2_000_000_000)
