@@ -107,6 +107,9 @@ EXTRA_WORKLOAD_NAMES = [
     "ts_promql_parsed",
     "ts_promql_ratio",
     "multimodal_phash_dupes_gif",
+    # round-7 late: many-to-one vector matching (group_left with an
+    # extra-label copy off the one side)
+    "ts_promql_group_left",
 ]
 
 R01_ROWS = {

@@ -1,0 +1,172 @@
+"""Prometheus recording rules, evaluated server-side over the engine.
+
+A recording rule precomputes a named PromQL expression so dashboards
+read one cheap series instead of re-aggregating raw data — the single
+most-used Prometheus scaling idiom. The reference cannot host rules at
+all: it is a remote-storage backend and rule evaluation lives in the
+Prometheus client (/root/reference/README.md:7). This engine already
+evaluates PromQL text server-side (promql.py), so rules become a batch
+job: each rule's expression runs as ONE tiled range pass
+(promql.eval_range — no per-step replan, no repeated scans) and the
+grid lands back in the engine as first-class series through the same
+manifest-commit write path as any ingest, queryable by every matcher /
+PromQL / HTTP surface from that commit on.
+
+Semantics (matching Prometheus where the engine has the machinery):
+
+- A group's rules evaluate SEQUENTIALLY: later rules see earlier
+  rules' output in the same pass, so chained aggregations
+  (``job:req:rate1d`` feeding ``job:req:rate1d:sum``) work without an
+  intermediate commit.
+- The output series carries the expression result's labels with
+  ``__name__`` replaced by the rule's ``record`` name, then the
+  rule's static ``labels`` overlaid (Prometheus rule-file semantics:
+  static labels override result labels on collision).
+- Each grid point is stamped at its evaluation timestamp (the tile
+  end — eval_range's t_ms).
+- ``overwrite=True`` re-runs are idempotent per rule name: the rule's
+  prior output over [start, end] is removed first via the
+  time-bounded delete (its own manifest commit), then the batch
+  writes in one commit. Append mode (the default) never deletes.
+
+Scale shape: one chunk-pruned scan of [start - lookback, end] feeds
+every rule in the group; each rule adds one tiled evaluation (a keyed
+per-(series, window) shuffle) and the union is ONE write job
+repartitioned by chunk. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from monolith_spark import promql
+from monolith_spark.labels import LabelMatcher
+
+_METRIC_NAME_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+@dataclass(frozen=True)
+class RecordingRule:
+    """One rule of a Prometheus rule group: ``record`` is the output
+    metric name, ``expr`` the PromQL text (the tiled class eval_range
+    supports), ``labels`` static labels overlaid on the result."""
+
+    record: str
+    expr: str
+    labels: dict[str, str] = field(default_factory=dict)
+
+
+def rules_from_dict(group: dict) -> list[RecordingRule]:
+    """Build rules from a parsed Prometheus rule-group mapping
+    (``{"rules": [{"record": ..., "expr": ..., "labels": {...}}]}`` —
+    the YAML file's shape after any YAML parser). Alerting rules
+    (``alert:`` keys) are rejected here — the engine's alert path is
+    operators/timeseries + streaming/alerts."""
+    out = []
+    for r in group.get("rules", []):
+        if "alert" in r:
+            raise ValueError(
+                "alerting rules are not recording rules — use the "
+                "alert_firing operators / streaming_alerts"
+            )
+        out.append(
+            RecordingRule(r["record"], r["expr"], dict(r.get("labels", {})))
+        )
+    return out
+
+
+def _validate(rules: list[RecordingRule]) -> None:
+    seen: set[str] = set()
+    for r in rules:
+        if not _METRIC_NAME_RE.match(r.record):
+            raise ValueError(f"invalid recording-rule name {r.record!r}")
+        if r.record in seen:
+            raise ValueError(f"duplicate recording-rule name {r.record!r}")
+        seen.add(r.record)
+        for k in r.labels:
+            if not _LABEL_NAME_RE.match(k) or k == "__name__":
+                raise ValueError(
+                    f"invalid static label {k!r} on rule {r.record!r}"
+                )
+
+
+def _relabel(out: DataFrame, rule: RecordingRule) -> DataFrame:
+    """[signature, labels, t_ms, value] → [labels, timestamp, value]
+    with __name__ set to the rule name and static labels overlaid."""
+    drop = {"__name__", *rule.labels}
+    kept = F.map_filter(
+        F.col("labels"),
+        lambda k, _: ~F.array_contains(F.array(*[F.lit(d) for d in drop]), k),
+    )
+    pairs: list = [F.lit("__name__"), F.lit(rule.record)]
+    for k, v in sorted(rule.labels.items()):
+        pairs.extend([F.lit(k), F.lit(v)])
+    new_labels = F.map_concat(kept, F.create_map(*pairs))
+    return out.select(
+        new_labels.alias("labels"),
+        F.col("t_ms").alias("timestamp"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def evaluate_rules(
+    samples: DataFrame,
+    rules: list[RecordingRule],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+) -> DataFrame:
+    """Evaluate a rule group over [start, end] at ``step_ms`` and
+    return every output point as [labels, timestamp, value]. Rules run
+    sequentially — rule N's input is the base samples plus rules
+    1..N-1's output — so chained aggregations resolve within one
+    group, exactly Prometheus's in-group ordering."""
+    _validate(rules)
+    base = samples.select("labels", "timestamp", "value")
+    outs: list[DataFrame] = []
+    for rule in rules:
+        grid = promql.eval_range(base, rule.expr, start_ms, end_ms, step_ms)
+        recorded = _relabel(grid, rule)
+        outs.append(recorded)
+        base = base.unionByName(recorded)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def record_rules(
+    db,
+    rules: list[RecordingRule],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Evaluate ``rules`` against ``db`` over [start, end] and write
+    the results back as first-class series (ONE manifest commit for
+    the whole group's output — a crash before the commit leaves the
+    store untouched). With ``overwrite``, each rule's prior output in
+    the window is removed first (time-bounded delete — its own
+    commit), making re-runs idempotent per (rule, window). Returns the
+    recorded [labels, timestamp, value] DataFrame (already written)."""
+    _validate(rules)
+    if overwrite:
+        for rule in rules:
+            db.delete_series(
+                [LabelMatcher("__name__", rule.record, "EQ")],
+                start_ms,
+                end_ms,
+            )
+    lo = start_ms - max(step_ms, promql.DEFAULT_LOOKBACK_MS)
+    samples = db.query_flat({}, lo, end_ms).select(
+        "labels", "timestamp", "value"
+    )
+    out = evaluate_rules(samples, rules, start_ms, end_ms, step_ms)
+    db.write(out)
+    return out

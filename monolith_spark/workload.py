@@ -4195,6 +4195,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_promql_range",
     "ts_promql_group_left",
     "ts_promql_at",
+    "ts_recording_rules",
 )
 
 
@@ -9821,6 +9822,75 @@ def ts_promql_group_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JAN20,
     )
     return out.select("signature", "value")
+
+
+@_q(
+    "ts_recording_rules",
+    f"""
+    WITH pts AS (
+      SELECT substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+             {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE event_type = 'click'
+        AND epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN8}
+    ),
+    per_series AS (
+      SELECT kb, sig, w, CAST(sum(v) AS DOUBLE) AS s
+      FROM pts GROUP BY 1, 2, 3
+    ),
+    rule1 AS (
+      SELECT kb, w, CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS value
+      FROM per_series GROUP BY 1, 2
+    ),
+    rule2 AS (
+      SELECT w, CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+      FROM rule1 GROUP BY 1
+    )
+    SELECT 'kb:clicks:sum1d' AS name, kb,
+           CAST({JAN1} + (w + 1) * 86400000 AS BIGINT) AS t_ms, value
+    FROM rule1
+    UNION ALL
+    SELECT 'clicks:sum1d:total' AS name, '' AS kb,
+           CAST({JAN1} + (w + 1) * 86400000 AS BIGINT) AS t_ms, value
+    FROM rule2
+    """,
+)
+def ts_recording_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording rules (monolith_spark/rules.py): a two-rule group
+    evaluated as tiled range passes with IN-GROUP CHAINING — rule 2
+    (`sum(kb:clicks:sum1d)` + a static env label) consumes rule 1's
+    output within the same evaluation, Prometheus's sequential
+    rule-group semantics. The oracle replays both grids: the per-kb
+    daily click volume and its per-day total (DECIMAL re-sums at each
+    aggregation hop). record_rules writes this same DataFrame back as
+    first-class series via one manifest commit (tests/test_rules.py
+    drives the write-back, overwrite idempotence, and PromQL
+    read-back)."""
+    from monolith_spark.rules import RecordingRule, evaluate_rules
+
+    out = evaluate_rules(
+        _events_lv(spark, sf_dir),
+        [
+            RecordingRule(
+                "kb:clicks:sum1d",
+                'sum by (kb) (sum_over_time({event_type="click"}[1d]))',
+            ),
+            RecordingRule(
+                "clicks:sum1d:total",
+                "sum(kb:clicks:sum1d)",
+                labels={"env": "prod"},
+            ),
+        ],
+        JAN1, JAN8, 86_400_000,
+    )
+    return out.select(
+        F.try_element_at("labels", F.lit("__name__")).alias("name"),
+        F.coalesce(F.try_element_at("labels", F.lit("kb")), F.lit("")).alias("kb"),
+        F.col("timestamp").alias("t_ms"),
+        "value",
+    )
 
 
 @_q(

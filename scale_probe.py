@@ -222,6 +222,16 @@ def round7_probe(spark, mult: int) -> dict:
         'sum_over_time({event_type="click"}[%dd])' % (19 + 31 * mult, 19 + 31 * mult),
         hi,
     ))
+    # many-to-one matching: the one side stays ≤10 rows (one per kb) at
+    # any scale, so the group_left join is a series-count keyed shuffle
+    # against a tiny uniqueness window — must track the ratio row
+    timed("promql_group_left_sec", promql.eval_instant(
+        s.select("labels", "timestamp", "value"),
+        'sum_over_time({event_type="purchase"}[%dd]) / on(kb) group_left(tier) '
+        'label_replace(sum by (kb) (sum_over_time({event_type="click"}[%dd])), '
+        '"tier", "t$1", "kb", "(.*)")' % (19 + 31 * mult, 19 + 31 * mult),
+        hi,
+    ))
 
     import tempfile as _tf
 

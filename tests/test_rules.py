@@ -1,0 +1,156 @@
+"""Recording rules: tiled evaluation, in-group chaining, write-back
+through the manifest commit, overwrite idempotence, validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.rules import (
+    RecordingRule,
+    evaluate_rules,
+    record_rules,
+    rules_from_dict,
+)
+from monolith_spark.sources.events import events_samples
+from monolith_spark.workload import JAN1, JAN8
+
+SF = "/root/testdata/sf0.001"
+DAY = 86_400_000
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=2 * DAY)
+    d.write(events_samples(spark, SF, with_signature=False))
+    return d
+
+
+def _group():
+    return [
+        RecordingRule(
+            "kb:clicks:sum1d",
+            'sum by (kb) (sum_over_time({event_type="click"}[1d]))',
+        ),
+        # chained: consumes the FIRST rule's output within the same pass
+        RecordingRule(
+            "clicks:sum1d:total",
+            "sum(kb:clicks:sum1d)",
+            labels={"env": "prod"},
+        ),
+    ]
+
+
+def test_record_and_query_back(spark, db):
+    out = record_rules(db, _group(), JAN1, JAN8, DAY).collect()
+    assert out
+
+    # rule 1: the recorded grid equals a direct tiled evaluation
+    from monolith_spark import promql
+
+    direct = {
+        (r["signature"], r["t_ms"]): r["value"]
+        for r in promql.eval_range(
+            events_samples(spark, SF).select("labels", "timestamp", "value"),
+            'sum by (kb) (sum_over_time({event_type="click"}[1d]))',
+            JAN1, JAN8, DAY,
+        ).collect()
+    }
+    got = {
+        ("kb=" + r["labels"]["kb"], r["timestamp"]): r["value"]
+        for r in out
+        if r["labels"]["__name__"] == "kb:clicks:sum1d"
+    }
+    assert got == direct
+
+    # rule 2 chained: per-timestamp total of rule 1, static label applied
+    totals = {
+        r["timestamp"]: r["value"]
+        for r in out
+        if r["labels"]["__name__"] == "clicks:sum1d:total"
+    }
+    assert totals
+    for t, v in totals.items():
+        assert v == pytest.approx(
+            sum(val for (_, tt), val in direct.items() if tt == t)
+        )
+    env = [r["labels"].get("env")
+           for r in out if r["labels"]["__name__"] == "clicks:sum1d:total"]
+    assert set(env) == {"prod"}
+
+    # the recorded series are first-class: PromQL text over the engine
+    # reads them back (instant eval at a grid point, default lookback)
+    from monolith_spark.server import evaluate_promql
+
+    vec = evaluate_promql(db, "kb:clicks:sum1d", JAN1 + 3 * DAY)
+    assert vec and all(m["metric"]["__name__"] == "kb:clicks:sum1d"
+                       for m in vec)
+    by_kb = {m["metric"]["kb"]: float(m["value"][1]) for m in vec}
+    assert by_kb == {
+        sig.split("kb=")[1]: v
+        for (sig, t), v in direct.items() if t == JAN1 + 3 * DAY
+    }
+
+
+def test_overwrite_is_idempotent(spark, db):
+    record_rules(db, _group(), JAN1, JAN8, DAY, overwrite=True)
+    n1 = db.query_flat(
+        {"__name__": "kb:clicks:sum1d"}, 0, 2 * JAN8
+    ).count()
+    record_rules(db, _group(), JAN1, JAN8, DAY, overwrite=True)
+    n2 = db.query_flat(
+        {"__name__": "kb:clicks:sum1d"}, 0, 2 * JAN8
+    ).count()
+    assert n1 == n2 > 0
+
+    # append mode (default) duplicates instead — the documented contrast
+    record_rules(db, _group(), JAN1, JAN8, DAY)
+    n3 = db.query_flat(
+        {"__name__": "kb:clicks:sum1d"}, 0, 2 * JAN8
+    ).count()
+    assert n3 == 2 * n1
+
+
+def test_validation_and_dict_loader():
+    with pytest.raises(ValueError, match="invalid recording-rule name"):
+        evaluate_rules(None, [RecordingRule("0bad", "x")], 0, 1, 1)
+    with pytest.raises(ValueError, match="duplicate"):
+        evaluate_rules(
+            None,
+            [RecordingRule("a:b", "x"), RecordingRule("a:b", "y")],
+            0, 1, 1,
+        )
+    with pytest.raises(ValueError, match="invalid static label"):
+        evaluate_rules(
+            None,
+            [RecordingRule("a:b", "x", labels={"__name__": "no"})],
+            0, 1, 1,
+        )
+    with pytest.raises(ValueError, match="alerting rules"):
+        rules_from_dict({"rules": [{"alert": "Hot", "expr": "x"}]})
+    rs = rules_from_dict({
+        "rules": [
+            {"record": "a:b", "expr": "sum(m)", "labels": {"env": "ci"}},
+            {"record": "c:d", "expr": "increase(m[1d])"},
+        ]
+    })
+    assert rs == [
+        RecordingRule("a:b", "sum(m)", {"env": "ci"}),
+        RecordingRule("c:d", "increase(m[1d])"),
+    ]
+
+
+def test_static_label_overrides_result_label(spark):
+    s = events_samples(spark, SF).select("labels", "timestamp", "value")
+    out = evaluate_rules(
+        s,
+        [RecordingRule(
+            "kb:clicks:inc",
+            'sum by (kb) (sum_over_time({event_type="click"}[1d]))',
+            labels={"kb": "all"},  # static label wins on collision
+        )],
+        JAN1, JAN8, DAY,
+    ).collect()
+    assert out and all(r["labels"]["kb"] == "all" for r in out)
