@@ -207,6 +207,57 @@ def _series_api(db: MonolithDB, selectors: list[str]) -> list[dict]:
     return [seen[k] for k in sorted(seen)]
 
 
+def federate_text(
+    db: MonolithDB,
+    selectors: list[str],
+    time_ms: int,
+    lookback_ms: int = 300_000,
+) -> str:
+    """/federate: the latest sample (with its ORIGINAL timestamp —
+    federation re-exposes samples, it does not re-evaluate them) of
+    every named series matching any `match[]` selector, as text
+    exposition lines. One chunk-pruned scan per selector at series
+    grain; formatting is JVM-side (sources/openmetrics.format_lines).
+    Series without __name__ cannot be expressed in the format and are
+    excluded by the matcher below rather than erroring the export."""
+    from monolith_spark import promql
+    from monolith_spark.labels import LabelMatcher
+    from monolith_spark.sources.openmetrics import format_lines
+    from pyspark.sql import functions as F
+
+    if not selectors:
+        raise ValueError("federate requires at least one match[] selector")
+    parts = []
+    for sel_text in selectors:
+        ast = promql.parse(sel_text)
+        if not isinstance(ast, promql.Selector) or ast.range_ms is not None:
+            raise ValueError(f"match[] must be an instant selector: {sel_text!r}")
+        ms = list(ast.matchers)
+        if ast.name is not None:
+            ms = [LabelMatcher("__name__", ast.name, "EQ"), *ms]
+        flat = db.query_flat(ms, time_ms - lookback_ms, time_ms)
+        parts.append(
+            flat.groupBy("signature")
+            .agg(
+                F.max(F.struct("timestamp", "value")).alias("__top"),
+                F.first("labels").alias("labels"),
+            )
+            .select(
+                "signature", "labels",
+                F.col("__top.timestamp").alias("timestamp"),
+                F.col("__top.value").alias("value"),
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    latest = merged.dropDuplicates(["signature"]).filter(
+        F.try_element_at("labels", F.lit("__name__")).isNotNull()
+    )
+    rows = format_lines(latest.select("labels", "timestamp", "value")).collect()
+    return "".join(sorted(r["line"] + "\n" for r in rows))
+
+
 def evaluate_promql_range(
     db: MonolithDB, query: str, start_ms: int, end_ms: int, step_ms: int
 ) -> list[dict]:
@@ -326,6 +377,20 @@ class MonolithServer:
                         )
                     elif u.path == "/api/v1/series":
                         data = _series_api(server.db, qs.get("match[]", []))
+                    elif u.path == "/federate":
+                        t = float(qs.get("time", [_time.time()])[0])
+                        text = federate_text(
+                            server.db, qs.get("match[]", []), int(t * 1000)
+                        )
+                        body = text.encode()
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "text/plain; version=0.0.4"
+                        )
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     else:
                         self.send_response(404)
                         self.send_header("Content-Length", "0")

@@ -1,0 +1,176 @@
+"""Prometheus text exposition format: format (federation export) and
+parse (scrape ingest) as pure JVM-side column expressions.
+
+The reference ingests ONLY snappy-compressed remote-write protobuf
+(/root/reference/src/server.rs:76-113); the text exposition format —
+what every scrape target and /federate endpoint actually speaks — is
+the other half of the Prometheus wire surface. This module implements
+both directions Spark-first: formatting is a sorted map-entries
+transform + concat, parsing is split/filter/regexp extraction — no
+Python UDFs, no driver loops, so a 100 TB backfill of scraped text
+payloads parses at scan speed with whole-stage codegen.
+
+Escaping follows the exposition spec: label values escape backslash,
+double-quote, and newline (``\\``, ``\"``, ``\n``); the parser
+unescapes through a placeholder swap so ``\\n`` (an escaped backslash
+before an n) never turns into a newline. Values roundtrip through
+Spark's shortest-roundtrip double formatting and accept the spec's
+``NaN``/``+Inf``/``-Inf`` specials. A sample line's trailing
+timestamp (milliseconds) is optional — absent ones take the scrape
+time, exactly a Prometheus scrape.
+
+Series without a ``__name__`` label cannot be represented in the
+exposition format (the metric name is the line prefix) — format_lines
+raises on them rather than silently inventing a name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NAME_RE = "[a-zA-Z_:][a-zA-Z0-9_:]*"
+_LABEL_PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
+# full sample line: name{labels} value [timestamp_ms]
+_LINE_RE = (
+    rf"^({_NAME_RE})"
+    r"(?:\{(.*)\})?"
+    r"\s+(NaN|[+-]?Inf|[+-]?[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?)"
+    r"(?:\s+(-?[0-9]+))?\s*$"
+)
+
+_ESC = "\x00"  # placeholder for the escaped-backslash swap
+
+
+def _escape(v):
+    v = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    v = F.replace(v, F.lit('"'), F.lit('\\"'))
+    return F.replace(v, F.lit("\n"), F.lit("\\n"))
+
+
+def _unescape(v):
+    v = F.replace(v, F.lit("\\\\"), F.lit(_ESC))
+    v = F.replace(v, F.lit('\\"'), F.lit('"'))
+    v = F.replace(v, F.lit("\\n"), F.lit("\n"))
+    return F.replace(v, F.lit(_ESC), F.lit("\\"))
+
+
+def format_lines(samples: DataFrame) -> DataFrame:
+    """[labels, timestamp, value] → one exposition line per sample
+    (column ``line``): ``name{k="v",...} value timestamp_ms`` with
+    labels sorted by key. Raises at execution on a series without
+    ``__name__`` — the format cannot express one."""
+    name = F.try_element_at("labels", F.lit("__name__"))
+    guarded = F.when(name.isNotNull(), name).otherwise(
+        F.raise_error(
+            F.lit(
+                "exposition format requires a __name__ label on every "
+                "series (federation exports named series only)"
+            )
+        )
+    )
+    pairs = F.transform(
+        F.array_sort(
+            F.filter(
+                F.map_entries("labels"), lambda e: e["key"] != F.lit("__name__")
+            )
+        ),
+        lambda e: F.concat(
+            e["key"], F.lit('="'), _escape(e["value"]), F.lit('"')
+        ),
+    )
+    blob = F.when(
+        F.size(pairs) > 0,
+        F.concat(F.lit("{"), F.array_join(pairs, ","), F.lit("}")),
+    ).otherwise(F.lit(""))
+    val = (
+        F.when(F.isnan("value"), F.lit("NaN"))
+        .when(F.col("value") == float("inf"), F.lit("+Inf"))
+        .when(F.col("value") == float("-inf"), F.lit("-Inf"))
+        .otherwise(F.col("value").cast("string"))
+    )
+    line = F.concat(
+        guarded, blob, F.lit(" "), val, F.lit(" "),
+        F.col("timestamp").cast("string"),
+    )
+    return samples.select(line.alias("line"))
+
+
+def parse_lines(
+    lines: DataFrame,
+    default_ts_ms: int | None = None,
+    line_col: str = "line",
+) -> DataFrame:
+    """Exposition lines → samples [labels, timestamp, value]. Comment
+    (``#``) and blank lines drop; any other non-matching line raises
+    at execution (a malformed scrape must fail loudly, not vanish).
+    Lines without the optional trailing timestamp take
+    ``default_ts_ms`` (required if any such line exists — a scrape
+    stamps its own time)."""
+    l = F.trim(F.col(line_col))
+    body = lines.select(l.alias("__l")).filter(
+        (F.length("__l") > 0) & ~F.col("__l").startswith("#")
+    )
+    m = F.regexp_extract("__l", _LINE_RE, 0)
+    name = F.regexp_extract("__l", _LINE_RE, 1)
+    blob = F.regexp_extract("__l", _LINE_RE, 2)
+    val_s = F.regexp_extract("__l", _LINE_RE, 3)
+    ts_s = F.regexp_extract("__l", _LINE_RE, 4)
+    bad = F.raise_error(
+        F.concat(F.lit("malformed exposition line: "), F.col("__l"))
+    )
+    keys = F.regexp_extract_all("__b", F.lit(_LABEL_PAIR_RE), 1)
+    vals = F.transform(
+        F.regexp_extract_all("__b", F.lit(_LABEL_PAIR_RE), 2), _unescape
+    )
+    labels = F.map_from_arrays(
+        F.concat(F.array(F.lit("__name__")), keys),
+        F.concat(F.array(F.col("__n")), vals),
+    )
+    value = (
+        F.when(F.col("__v") == "NaN", F.lit(float("nan")))
+        .when(F.col("__v").isin("+Inf", "Inf"), F.lit(float("inf")))
+        .when(F.col("__v") == "-Inf", F.lit(float("-inf")))
+        .otherwise(F.col("__v").cast("double"))
+    )
+    if default_ts_ms is None:
+        ts = F.when(F.col("__t") != "", F.col("__t").cast("long")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("exposition line has no timestamp and no "
+                          "default_ts_ms was given: "),
+                    F.col("__l"),
+                )
+            )
+        )
+    else:
+        ts = F.when(F.col("__t") != "", F.col("__t").cast("long")).otherwise(
+            F.lit(int(default_ts_ms))
+        )
+    return (
+        body.select(
+            "__l",
+            F.when(m != "", name).otherwise(bad).alias("__n"),
+            blob.alias("__b"),
+            val_s.alias("__v"),
+            ts_s.alias("__t"),
+        )
+        .select(
+            labels.alias("labels"),
+            ts.alias("timestamp"),
+            value.alias("value"),
+        )
+    )
+
+
+def parse_payload(
+    spark, text: str, default_ts_ms: int | None = None
+) -> DataFrame:
+    """One scrape payload (a whole exposition document) → samples.
+    The payload splits into lines inside the plan, so a table of many
+    payloads composes the same way (explode(split(...)))."""
+    df = spark.createDataFrame([(text,)], "payload string")
+    lines = df.select(
+        F.explode(F.split("payload", "\n")).alias("line")
+    )
+    return parse_lines(lines, default_ts_ms=default_ts_ms)

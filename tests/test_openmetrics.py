@@ -1,0 +1,122 @@
+"""Text exposition format: format/parse roundtrip (escapes, value
+specials, optional timestamps), loud failures, and the /federate
+endpoint feeding a scrape-ingest mirror — the federation flow two
+Prometheus servers use between themselves, here engine-to-engine."""
+
+from __future__ import annotations
+
+import math
+import urllib.request
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from monolith_spark.engine import MonolithDB
+from monolith_spark.sources.openmetrics import (
+    format_lines,
+    parse_lines,
+    parse_payload,
+)
+
+DAY = 86_400_000
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double"
+    )
+
+
+def test_roundtrip_escapes_and_specials(spark):
+    rows = [
+        ({"__name__": "http_req", "job": "api", "q": 'a"b\\c\nd'}, 1000, 1.5),
+        ({"__name__": "up"}, 2000, float("inf")),
+        ({"__name__": "err:ratio"}, 3000, float("nan")),
+        # the escaped-backslash-before-n trap: \\n must NOT unescape
+        # into a newline
+        ({"__name__": "m", "p": "a\\nb"}, 4000, -0.0625),
+        ({"__name__": "m2"}, 5000, 1.25e-7),
+    ]
+    back = parse_lines(format_lines(_df(spark, rows))).collect()
+    orig = {tuple(sorted(r[0].items())): (r[1], r[2]) for r in rows}
+    got = {
+        tuple(sorted(r["labels"].items())): (r["timestamp"], r["value"])
+        for r in back
+    }
+    assert set(got) == set(orig)
+    for k, (ts, v) in orig.items():
+        assert got[k][0] == ts
+        assert got[k][1] == v or (math.isnan(v) and math.isnan(got[k][1]))
+
+
+def test_parse_payload_comments_and_default_ts(spark):
+    p = (
+        "# HELP up 1 if the target is up\n"
+        "# TYPE up gauge\n"
+        'up{job="x"} 1\n'
+        "\n"
+        'up{job="y"} 0 5000\n'
+    )
+    out = parse_payload(spark, p, default_ts_ms=7_777).collect()
+    assert sorted((r["labels"]["job"], r["timestamp"], r["value"])
+                  for r in out) == [("x", 7_777, 1.0), ("y", 5_000, 0.0)]
+
+
+def test_loud_failures(spark):
+    with pytest.raises(Exception, match="malformed exposition line"):
+        parse_payload(spark, "not a line {", default_ts_ms=1).collect()
+    with pytest.raises(Exception, match="no timestamp"):
+        parse_payload(spark, "up 1\n").collect()
+    with pytest.raises(Exception, match="__name__"):
+        format_lines(_df(spark, [({"job": "x"}, 1, 1.0)])).collect()
+
+
+def test_federate_to_scrape_mirror(spark, tmp_path):
+    """/federate exposes the latest NAMED samples with their original
+    timestamps as exposition text; parsing that text and writing it
+    into a second engine mirrors the series — the Prometheus
+    federation topology, engine-to-engine."""
+    from monolith_spark.server import MonolithServer, federate_text
+
+    src = MonolithDB(spark, str(tmp_path / "src"), chunk_size_ms=DAY)
+    rows = [
+        ({"__name__": "reqs", "job": "api"}, 1_000, 5.0),
+        ({"__name__": "reqs", "job": "api"}, 61_000, 9.0),  # latest wins
+        ({"__name__": "reqs", "job": "db", "q": 'x"y\\z'}, 31_000, 7.0),
+        ({"job": "unnamed"}, 31_000, 3.0),  # no __name__ → not federated
+    ]
+    src.write(_df(spark, rows))
+
+    srv = MonolithServer(src, port=0)
+    srv.serve_background()
+    try:
+        url = (
+            f"http://127.0.0.1:{srv.port}/federate"
+            "?match[]=%7Bjob%3D~%22.%2B%22%7D&time=100"
+        )
+        with urllib.request.urlopen(url) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+    finally:
+        srv.shutdown()
+    # HTTP body == the library helper's output
+    assert text == federate_text(src, ['{job=~".+"}'], 100_000)
+    assert "unnamed" not in text
+
+    mirror = MonolithDB(spark, str(tmp_path / "mirror"), chunk_size_ms=DAY)
+    mirror.write(parse_payload(spark, text))
+    got = {
+        (r["signature"], r["timestamp"], r["value"])
+        for r in mirror.query_flat({}, 0, 10_000_000).collect()
+    }
+    want = {
+        (r["signature"], r["timestamp"], r["value"])
+        for r in src.query_flat({"__name__": "reqs"}, 0, 10_000_000)
+        .groupBy("signature")
+        .agg(F.max(F.struct("timestamp", "value")).alias("t"))
+        .select("signature", F.col("t.timestamp").alias("timestamp"),
+                F.col("t.value").alias("value"))
+        .collect()
+    }
+    assert got == want and len(got) == 2
