@@ -45,7 +45,8 @@ Functions: rate increase delta idelta irate resets changes deriv
 predict_linear holt_winters <agg>_over_time (avg/sum/min/max/count/
 last/stddev/stdvar/present) quantile_over_time histogram_quantile abs
 ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_min clamp_max
-absent scalar vector time label_replace label_join; aggregation
+absent absent_over_time scalar vector time label_replace label_join;
+aggregation
 operators sum avg min max count stddev stdvar group count_values topk
 bottomk quantile with by/without. Matchers: EQ/NEQ/RE/NRE; ``offset``
 and ``@`` on selectors/subqueries. scalar() resolves its
@@ -813,6 +814,25 @@ def _eval_call(node: Call, ctx: _Ctx):
         else:
             expr = F.least(F.col("value"), F.lit(_scalar_arg(node.args[1], ctx, f)))
         return ("vector", v.withColumn("value", expr.cast("double")))
+    if f == "absent_over_time":
+        arg = node.args[0] if node.args else None
+        if not (isinstance(arg, Selector) and arg.range_ms is not None):
+            raise ValueError("absent_over_time() takes a range selector")
+        df, _, _ = _range_df(arg, ctx)
+        marker = (
+            df.groupBy()
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") == 0)
+            .select(
+                F.lit("").alias("signature"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<string>"),
+                ).alias("labels"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+        return ("vector", marker)
     if f == "absent":
         kind, v = _eval(node.args[0], ctx)
         marker = (

@@ -34,6 +34,7 @@ from monolith_spark.labels import (
     matcher_predicate,
     superset_predicate,
 )
+from monolith_spark.labels import signature_expr as _signature_expr
 from monolith_spark.operators import ranking as _ranking
 from monolith_spark.operators import timeseries as _tsops
 from monolith_spark.operators.timeseries import latest as _latest
@@ -4196,6 +4197,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_promql_group_left",
     "ts_promql_at",
     "ts_recording_rules",
+    "ts_exposition_roundtrip",
 )
 
 
@@ -9890,6 +9892,65 @@ def ts_recording_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.try_element_at("labels", F.lit("kb")), F.lit("")).alias("kb"),
         F.col("timestamp").alias("t_ms"),
         "value",
+    )
+
+
+@_q(
+    "ts_exposition_roundtrip",
+    f"""
+    SELECT 'ev_' || event_type AS name, {SIG_SQL} AS signature,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {JAN8} AND {JAN15}
+    GROUP BY 1, 2
+    """,
+)
+def ts_exposition_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_lines ∘ parse_lines must be the IDENTITY
+    (sources/openmetrics.py): every sample in a week of events gets a
+    __name__, serializes to text exposition lines — spec escaping,
+    shortest-roundtrip doubles, millisecond timestamps — parses back,
+    and re-aggregates per original series. The oracle aggregates the
+    RAW events directly, so any row lost, any label mangled by
+    escaping, any value or timestamp perturbed by the string transit
+    breaks the hash. Both directions are JVM column expressions
+    (split/regexp/transform) — the scrape-ingest path runs at scan
+    speed with no Python in the loop."""
+    from monolith_spark.sources.openmetrics import format_lines, parse_lines
+
+    s = _events_lv(spark, sf_dir).filter(
+        (F.col("timestamp") >= JAN8) & (F.col("timestamp") <= JAN15)
+    )
+    named = s.withColumn(
+        "labels",
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(
+                F.lit("__name__"),
+                F.concat(F.lit("ev_"), F.element_at("labels", "event_type")),
+            ),
+        ),
+    )
+    back = parse_lines(format_lines(named))
+    stripped = F.map_filter(
+        F.col("labels"), lambda k, _: k != F.lit("__name__")
+    )
+    return (
+        back.select(
+            F.try_element_at("labels", F.lit("__name__")).alias("name"),
+            _signature_expr(stripped).alias("signature"),
+            "timestamp",
+            "value",
+        )
+        .groupBy("name", "signature")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            .alias("sum_value"),
+            F.max("timestamp").alias("last_ms"),
+        )
     )
 
 

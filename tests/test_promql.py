@@ -488,6 +488,20 @@ def test_at_modifier(spark):
             JAN20)
 
 
+def test_absent_over_time(spark):
+    s = _samples(spark)
+    # a matcher nothing satisfies → one empty-label marker row at 1.0
+    gone = promql.eval_instant(
+        s, 'absent_over_time({event_type="nope"}[19d])', JAN20).collect()
+    assert [(r["signature"], r["value"]) for r in gone] == [("", 1.0)]
+    # samples exist → empty result
+    there = promql.eval_instant(
+        s, 'absent_over_time({event_type="purchase"}[19d])', JAN20).collect()
+    assert there == []
+    with pytest.raises(ValueError, match="range selector"):
+        promql.eval_instant(s, 'absent_over_time({event_type="x"})', JAN20)
+
+
 def test_unsupported_constructs_fail_loudly(spark):
     s = _samples(spark)
     with pytest.raises(ValueError, match="range selector"):
