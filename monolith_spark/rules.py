@@ -128,10 +128,18 @@ def evaluate_rules(
     group, exactly Prometheus's in-group ordering."""
     _validate(rules)
     base = samples.select("labels", "timestamp", "value")
+    if len(rules) > 1:
+        # Chaining by raw lineage would embed rule 1..N-1's WHOLE plan
+        # (including the base scan) inside rule N's — O(R²) scans for R
+        # rules. Cut it: materialize the base once and each non-final
+        # rule's (tiny, series×steps) grid before it joins the pool.
+        base = base.localCheckpoint(eager=False)
     outs: list[DataFrame] = []
-    for rule in rules:
+    for i, rule in enumerate(rules):
         grid = promql.eval_range(base, rule.expr, start_ms, end_ms, step_ms)
         recorded = _relabel(grid, rule)
+        if i < len(rules) - 1:
+            recorded = recorded.localCheckpoint(eager=False)
         outs.append(recorded)
         base = base.unionByName(recorded)
     result = outs[0]
