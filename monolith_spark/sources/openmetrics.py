@@ -100,15 +100,19 @@ def parse_lines(
     lines: DataFrame,
     default_ts_ms: int | None = None,
     line_col: str = "line",
+    default_ts_col: str | None = None,
 ) -> DataFrame:
     """Exposition lines → samples [labels, timestamp, value]. Comment
     (``#``) and blank lines drop; any other non-matching line raises
     at execution (a malformed scrape must fail loudly, not vanish).
     Lines without the optional trailing timestamp take
-    ``default_ts_ms`` (required if any such line exists — a scrape
-    stamps its own time)."""
+    ``default_ts_col`` (a per-row long-ms column — e.g. the scrape
+    file's modification time in a stream) when given, else
+    ``default_ts_ms``; one of them is required if any such line
+    exists — a scrape stamps its own time."""
     l = F.trim(F.col(line_col))
-    body = lines.select(l.alias("__l")).filter(
+    carry = [F.col(default_ts_col).alias("__dts")] if default_ts_col else []
+    body = lines.select(l.alias("__l"), *carry).filter(
         (F.length("__l") > 0) & ~F.col("__l").startswith("#")
     )
     m = F.regexp_extract("__l", _LINE_RE, 0)
@@ -133,8 +137,13 @@ def parse_lines(
         .when(F.col("__v") == "-Inf", F.lit(float("-inf")))
         .otherwise(F.col("__v").cast("double"))
     )
-    if default_ts_ms is None:
-        ts = F.when(F.col("__t") != "", F.col("__t").cast("long")).otherwise(
+    explicit = F.when(F.col("__t") != "", F.col("__t").cast("long"))
+    if default_ts_col is not None:
+        ts = explicit.otherwise(F.col("__dts").cast("long"))
+    elif default_ts_ms is not None:
+        ts = explicit.otherwise(F.lit(int(default_ts_ms)))
+    else:
+        ts = explicit.otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("exposition line has no timestamp and no "
@@ -143,13 +152,10 @@ def parse_lines(
                 )
             )
         )
-    else:
-        ts = F.when(F.col("__t") != "", F.col("__t").cast("long")).otherwise(
-            F.lit(int(default_ts_ms))
-        )
     return (
         body.select(
             "__l",
+            *(["__dts"] if default_ts_col else []),
             F.when(m != "", name).otherwise(bad).alias("__n"),
             blob.alias("__b"),
             val_s.alias("__v"),
@@ -161,6 +167,25 @@ def parse_lines(
             value.alias("value"),
         )
     )
+
+
+def scrape_stream(spark, scrape_dir: str) -> DataFrame:
+    """Streaming scrape ingestion: a directory where exposition text
+    files land (one scrape payload per file — what a fleet of
+    scrapers or a push gateway drops) becomes a streaming samples
+    DataFrame, ready for StreamingIngest. Lines without their own
+    timestamp are stamped with the FILE's modification time (the
+    ``_metadata`` file-source column) — per-payload scrape time, like
+    Prometheus stamping a scrape. Parsing is the same JVM column
+    expressions as the batch path, so batch parse_payload results are
+    the streaming oracle by construction."""
+    lines = spark.readStream.text(scrape_dir).select(
+        F.col("value").alias("line"),
+        F.unix_millis(F.col("_metadata.file_modification_time")).alias(
+            "__scrape_ts"
+        ),
+    )
+    return parse_lines(lines, default_ts_col="__scrape_ts")
 
 
 def parse_payload(

@@ -72,6 +72,50 @@ def test_loud_failures(spark):
         format_lines(_df(spark, [({"job": "x"}, 1, 1.0)])).collect()
 
 
+def test_scrape_stream_ingest(spark, tmp_path):
+    """Exposition files landing in a directory stream into the engine:
+    explicit per-line timestamps survive, stamp-less lines take the
+    payload file's modification time, and the db contents equal the
+    batch parse of the same payloads (streamed ≡ batch)."""
+    import os
+
+    from monolith_spark.sources.openmetrics import scrape_stream
+    from monolith_spark.streaming.ingest import StreamingIngest
+
+    scrape_dir = tmp_path / "scrapes"
+    scrape_dir.mkdir()
+    p1 = 'reqs{job="api"} 5.0 1000\nreqs{job="db"} 7.0 2000\n'
+    p2 = 'up{job="api"} 1\n'  # no timestamp → file mtime
+    (scrape_dir / "s1.txt").write_text(p1)
+    (scrape_dir / "s2.txt").write_text(p2)
+    mtime_ms = 9_000
+    os.utime(scrape_dir / "s2.txt", (mtime_ms / 1000, mtime_ms / 1000))
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=DAY)
+    q = StreamingIngest(db).start(
+        scrape_stream(spark, str(scrape_dir)), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["signature"], r["timestamp"], r["value"])
+        for r in db.query_flat({}, 0, 10_000_000).collect()
+    }
+    batch = parse_payload(spark, p1).unionByName(
+        parse_payload(spark, p2, default_ts_ms=mtime_ms)
+    )
+    oracle = MonolithDB(spark, str(tmp_path / "oracle"), chunk_size_ms=DAY)
+    oracle.write(batch)
+    want = {
+        (r["signature"], r["timestamp"], r["value"])
+        for r in oracle.query_flat({}, 0, 10_000_000).collect()
+    }
+    assert got == want and len(got) == 3
+    # the stamp-less line carries the payload file's mtime
+    assert any(ts == mtime_ms for (_, ts, _) in got)
+
+
 def test_federate_to_scrape_mirror(spark, tmp_path):
     """/federate exposes the latest NAMED samples with their original
     timestamps as exposition text; parsing that text and writing it
