@@ -116,6 +116,19 @@ def test_scrape_stream_ingest(spark, tmp_path):
     assert any(ts == mtime_ms for (_, ts, _) in got)
 
 
+def test_parse_plan_is_jvm_codegen(spark):
+    """The scrape parser's 100 TB claim: no Python in the loop — the
+    whole parse is codegen'd column expressions."""
+    plan = (
+        parse_payload(spark, "up 1 5\n")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the regexp/filter stages codegen (the `*(n)` markers); the final
+    # map_from_arrays+transform projection is interpreted but still JVM
+    assert "*(" in plan
+
+
 def test_federate_to_scrape_mirror(spark, tmp_path):
     """/federate exposes the latest NAMED samples with their original
     timestamps as exposition text; parsing that text and writing it
