@@ -1505,53 +1505,27 @@ def eval_range(
       reset-isolated evaluation (ts_subquery_max_rate's machinery);
     - <agg>_over_time(m[R]) with R == step (avg/sum/min/max/count/
       last/stddev/stdvar/present);
-    - any of the above wrapped in a grouping aggregation
-      (sum/avg/min/max/count by/without) — aggregated per window.
+    - grouping aggregations (sum/avg/min/max/count by/without) over
+      any tiled expression — aggregated per window;
+    - binary operators COMPOSING tiled expressions per window: scalar
+      arithmetic/comparisons (with bool), 1:1 vector matching with
+      on/ignoring (duplicate keys within a window raise, exactly the
+      instant evaluator's many-to-many error), and the set operators
+      and/or/unless — each side evaluates in its own single pass and
+      the match is one keyed join per (key, window), so the
+      error-ratio dashboard graph `sum by(k)(increase(a[s])) /
+      on(k) sum by(k)(increase(b[s]))` costs two tiled passes + one
+      series-grain join, never a per-step replan. (group_left/right
+      stays instant-only; unary minus composes.)
     """
     if isinstance(expr, str):
         expr = parse(expr)
     if step_ms <= 0 or end_ms < start_ms:
         raise ValueError("eval_range needs step_ms > 0 and end >= start")
     ctx = _Ctx(samples, end_ms, lookback_ms)
-
-    agg_node = None
-    inner = expr
-    if isinstance(expr, Agg):
-        if expr.op not in ("sum", "avg", "min", "max", "count"):
-            raise ValueError(
-                f"eval_range supports sum/avg/min/max/count grouping, "
-                f"not {expr.op}"
-            )
-        agg_node = expr
-        inner = expr.expr
-
-    per_win = _tiled_values(inner, start_ms, end_ms, step_ms, ctx)
+    per_win = _tiled_values(expr, start_ms, end_ms, step_ms, ctx)
     t_col = (F.lit(start_ms) + (F.col("__w") + 1) * F.lit(step_ms)).cast("long")
-    if agg_node is None:
-        return per_win.select(
-            "signature", "labels", t_col.alias("t_ms"), "value"
-        )
-    gmap = _group_map(agg_node.by, agg_node.without)
-    keyed = per_win.select(
-        signature_expr(gmap).alias("__gsig"),
-        gmap.alias("__glabels"),
-        "__w",
-        "value",
-    )
-    exprs = {
-        "sum": F.sum(F.col("value").cast(_DEC)).cast("double"),
-        "avg": F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"),
-        "min": F.min("value"),
-        "max": F.max("value"),
-        "count": F.count("*").cast("double"),
-    }
-    out = keyed.groupBy("__gsig", "__w").agg(
-        F.first("__glabels").alias("labels"),
-        exprs[agg_node.op].cast("double").alias("value"),
-    )
-    return out.select(
-        F.col("__gsig").alias("signature"), "labels", t_col.alias("t_ms"), "value"
-    )
+    return per_win.select("signature", "labels", t_col.alias("t_ms"), "value")
 
 
 def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> DataFrame:
@@ -1645,8 +1619,143 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         return _over_time(tiles(sel), op, extra_keys=("__w",)).select(
             "signature", "labels", "__w", "value"
         )
+    if isinstance(node, Agg):
+        if node.op not in ("sum", "avg", "min", "max", "count"):
+            raise ValueError(
+                f"eval_range supports sum/avg/min/max/count grouping, "
+                f"not {node.op}"
+            )
+        per = _tiled_values(node.expr, start_ms, end_ms, step_ms, ctx)
+        gmap = _group_map(node.by, node.without)
+        keyed = per.select(
+            signature_expr(gmap).alias("__gsig"),
+            gmap.alias("__glabels"),
+            "__w",
+            "value",
+        )
+        exprs = {
+            "sum": F.sum(F.col("value").cast(_DEC)).cast("double"),
+            "avg": F.sum(F.col("value").cast(_DEC)).cast("double")
+            / F.count("*"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count("*").cast("double"),
+        }
+        out = keyed.groupBy("__gsig", "__w").agg(
+            F.first("__glabels").alias("labels"),
+            exprs[node.op].cast("double").alias("value"),
+        )
+        return out.select(
+            F.col("__gsig").alias("signature"), "labels", "__w", "value"
+        )
+    if isinstance(node, Unary):
+        v = _tiled_values(node.expr, start_ms, end_ms, step_ms, ctx)
+        if node.op == "-":
+            v = v.withColumn("value", (-F.col("value")).cast("double"))
+        return v
+    if isinstance(node, BinOp):
+        return _tiled_binop(node, start_ms, end_ms, step_ms, ctx)
     raise ValueError(
         "eval_range supports selectors, rate/increase/delta(m[step]), "
-        "<agg>_over_time(m[step]), optionally wrapped in "
-        "sum/avg/min/max/count by/without — got an unsupported shape"
+        "<agg>_over_time(m[step]), grouping aggregations, and binary "
+        "operators composing those — got an unsupported shape"
     )
+
+
+def _const_scalar(node) -> float | None:
+    """A compile-time scalar subtree (numbers and arithmetic over
+    them), or None if the subtree touches samples."""
+    if isinstance(node, Number):
+        return node.value
+    if isinstance(node, Unary):
+        v = _const_scalar(node.expr)
+        if v is None:
+            return None
+        return -v if node.op == "-" else v
+    if isinstance(node, BinOp):
+        a, b = _const_scalar(node.lhs), _const_scalar(node.rhs)
+        if a is None or b is None:
+            return None
+        return _scalar_binop(node.op, a, b, node.bool_mode)
+    return None
+
+
+def _tiled_binop(
+    node: BinOp, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx
+) -> DataFrame:
+    """Binary operators over per-window vectors — the instant
+    evaluator's matching semantics applied per (key, window)."""
+    if node.group is not None:
+        raise ValueError(
+            "eval_range: group_left/group_right is instant-eval only"
+        )
+    ls, rs = _const_scalar(node.lhs), _const_scalar(node.rhs)
+    if ls is not None and rs is not None:
+        raise ValueError("eval_range needs at least one vector operand")
+    if ls is not None or rs is not None:
+        if node.op in ("and", "or", "unless"):
+            raise ValueError(f"{node.op} requires two instant vectors")
+        vec_node = node.lhs if rs is not None else node.rhs
+        vec = _tiled_values(vec_node, start_ms, end_ms, step_ms, ctx)
+        val = F.col("value")
+        s = F.lit(float(rs if rs is not None else ls))
+        a, b = (val, s) if rs is not None else (s, val)
+        if node.op in _CMP_OPS:
+            cond = {"==": a == b, "!=": a != b, ">": a > b,
+                    "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
+            if node.bool_mode:
+                return vec.withColumn("value", cond.cast("double"))
+            return vec.filter(cond)
+        expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+                "%": a % b, "^": F.pow(a, b)}[node.op]
+        return vec.withColumn("value", expr.cast("double"))
+    lv = _tiled_values(node.lhs, start_ms, end_ms, step_ms, ctx)
+    rv = _tiled_values(node.rhs, start_ms, end_ms, step_ms, ctx)
+    key = _match_key(node.match)
+    if node.op in ("and", "or", "unless"):
+        left = lv.withColumn("__k", key)
+        right = rv.withColumn("__k", key)
+        rk = right.select("__k", "__w").distinct()
+        if node.op == "and":
+            out = left.join(rk, ["__k", "__w"], "left_semi")
+        elif node.op == "unless":
+            out = left.join(rk, ["__k", "__w"], "left_anti")
+        else:
+            extra = right.join(
+                left.select("__k", "__w").distinct(),
+                ["__k", "__w"], "left_anti",
+            )
+            out = left.unionByName(extra)
+        return out.select("signature", "labels", "__w", "value")
+    wl = Window.partitionBy("__k", "__w")
+    left = lv.select(
+        key.alias("__k"), "signature", "labels", "__w",
+        F.col("value").alias("__lv"),
+    ).withColumn("__nl", F.count("*").over(wl))
+    right = rv.select(
+        key.alias("__k"), "__w", F.col("value").alias("__rv")
+    ).withColumn("__nr", F.count("*").over(wl))
+    j = left.join(right, ["__k", "__w"])
+    ok = (F.col("__nl") == 1) & (F.col("__nr") == 1)
+    guard = F.raise_error(
+        F.lit("PromQL vector matching is not one-to-one within a step "
+              "(use on/ignoring to narrow the match key)")
+    ).cast("double")
+    a, b = F.col("__lv"), F.col("__rv")
+    if node.op in _CMP_OPS:
+        cond = {"==": a == b, "!=": a != b, ">": a > b,
+                "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
+        if node.bool_mode:
+            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            return j.select("signature", "labels", "__w", val.alias("value"))
+        val = F.when(ok, a).otherwise(guard)
+        return (
+            j.select("signature", "labels", "__w", val.alias("value"),
+                     cond.alias("__c"))
+            .filter("__c")
+            .drop("__c")
+        )
+    expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+            "%": a % b, "^": F.pow(a, b)}[node.op]
+    val = F.when(ok, expr.cast("double")).otherwise(guard)
+    return j.select("signature", "labels", "__w", val.alias("value"))

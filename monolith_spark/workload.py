@@ -4198,6 +4198,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_promql_at",
     "ts_recording_rules",
     "ts_exposition_roundtrip",
+    "ts_promql_range_ratio",
 )
 
 
@@ -9824,6 +9825,53 @@ def ts_promql_group_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JAN20,
     )
     return out.select("signature", "value")
+
+
+@_q(
+    "ts_promql_range_ratio",
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+             {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN20}
+    ),
+    per_series AS (
+      SELECT event_type, kb, sig, w, CAST(sum(v) AS DOUBLE) AS s
+      FROM pts GROUP BY 1, 2, 3, 4
+    ),
+    g AS (
+      SELECT event_type, kb, w,
+             CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM per_series GROUP BY 1, 2, 3
+    )
+    SELECT 'kb=' || p.kb AS signature,
+           CAST({JAN1} + (p.w + 1) * 86400000 AS BIGINT) AS t_ms,
+           p.total / c.total AS value
+    FROM g p JOIN g c ON p.kb = c.kb AND p.w = c.w
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def ts_promql_range_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-range BINARY-OP composition (promql._tiled_binop): the
+    daily purchase/click volume ratio per kb — the error-ratio graph
+    every Grafana dashboard draws — evaluated as TWO tiled passes
+    joined 1:1 per (key, window), never a per-step replan. A key
+    matching more than one series within a window raises (the instant
+    evaluator's many-to-many error, per step). The oracle replays both
+    grids (per-series DECIMAL sum → DECIMAL re-sum per kb) and the
+    double division, so every grid cell hash-matches."""
+    out = _promql.eval_range(
+        _events_lv(spark, sf_dir),
+        'sum by (kb) (sum_over_time({event_type="purchase"}[1d])) / '
+        'sum by (kb) (sum_over_time({event_type="click"}[1d]))',
+        JAN1, JAN20, 86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
 
 
 @_q(

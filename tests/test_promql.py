@@ -612,5 +612,70 @@ def test_eval_range_tiled(spark):
 
     with pytest.raises(ValueError, match="range to equal the step"):
         promql.eval_range(df, 'rate({j="a"}[5s])', 0, 30_000, 10_000)
+    with pytest.raises(ValueError, match="grouping, not topk"):
+        promql.eval_range(df, 'topk(2, {j="a"})', 0, 30_000, 10_000)
     with pytest.raises(ValueError, match="unsupported shape"):
-        promql.eval_range(df, 'rate({j="a"}[10s]) * 2', 0, 30_000, 10_000)
+        promql.eval_range(df, 'changes({j="a"}[10s])', 0, 30_000, 10_000)
+
+
+def test_eval_range_binop_composition(spark):
+    """Step-range binary operators: scalar arithmetic/comparisons per
+    window, 1:1 vector matching per (key, window) — the error-ratio
+    dashboard graph — set operators, and unary minus; many-to-many
+    within a window raises; group modifiers stay instant-only."""
+    df = _samples(spark)
+    sel_a = 'sum by (kb) (sum_over_time({event_type="purchase"}[1d]))'
+    sel_b = 'sum by (kb) (sum_over_time({event_type="click"}[1d]))'
+    span = (JAN1, JAN1 + 7 * 86_400_000, 86_400_000)
+
+    base = {(r["signature"], r["t_ms"]): r["value"] for r in
+            promql.eval_range(df, sel_a, *span).collect()}
+    other = {(r["signature"], r["t_ms"]): r["value"] for r in
+             promql.eval_range(df, sel_b, *span).collect()}
+
+    # scalar multiply, either operand order; unary minus
+    dbl = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, f"2 * ({sel_a})", *span).collect()}
+    assert dbl == {k: 2 * v for k, v in base.items()}
+    neg = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, f"-({sel_a})", *span).collect()}
+    assert neg == {k: -v for k, v in base.items()}
+
+    # vector/vector ratio matched per (kb, window): lhs labels kept
+    ratio = {(r["signature"], r["t_ms"]): r["value"] for r in
+             promql.eval_range(df, f"({sel_a}) / ({sel_b})",
+                               *span).collect()}
+    assert ratio and ratio == {
+        k: base[k] / other[k] for k in base if k in other
+    }
+
+    # comparison filter + bool per window
+    hot = promql.eval_range(df, f"({sel_a}) > 100", *span).collect()
+    assert all(r["value"] > 100 for r in hot)
+    flags = promql.eval_range(df, f"({sel_a}) > bool 100", *span).collect()
+    assert {r["value"] for r in flags} <= {0.0, 1.0}
+    assert len(flags) == len(base)
+
+    # set ops per window: and/unless partition the lhs
+    both = promql.eval_range(
+        df, f"({sel_a}) and (({sel_a}) > 100)", *span).count()
+    rest = promql.eval_range(
+        df, f"({sel_a}) unless (({sel_a}) > 100)", *span).count()
+    assert both + rest == len(base) and both > 0
+
+    # many-to-many within a window raises (full-key match across
+    # different label sets collapses nothing — use a key that repeats)
+    with pytest.raises(Exception, match="one-to-one within a step"):
+        promql.eval_range(
+            df,
+            'sum_over_time({event_type="purchase"}[1d]) / on(kb) '
+            'sum_over_time({event_type="click"}[1d])',
+            *span,
+        ).collect()
+    with pytest.raises(ValueError, match="instant-eval only"):
+        # no parens after group_left — the grammar would read them as
+        # the modifier's label list
+        promql.eval_range(
+            df, f"({sel_a}) / on(kb) group_left {sel_b}", *span)
+    with pytest.raises(ValueError, match="at least one vector"):
+        promql.eval_range(df, "1 + 2", *span)
