@@ -1517,6 +1517,9 @@ def eval_range(
       on(k) sum by(k)(increase(b[s]))` costs two tiled passes + one
       series-grain join, never a per-step replan. (group_left/right
       stays instant-only; unary minus composes.)
+    - value transforms over any tiled expression: the math functions
+      (abs/ceil/floor/exp/ln/log2/log10/sqrt/sgn) and
+      round/clamp/clamp_min/clamp_max with scalar bounds.
     """
     if isinstance(expr, str):
         expr = parse(expr)
@@ -1619,6 +1622,28 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         return _over_time(tiles(sel), op, extra_keys=("__w",)).select(
             "signature", "labels", "__w", "value"
         )
+    if isinstance(node, Call) and node.func in _MATH_FUNCS:
+        v = _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
+        fn = _MATH_FUNCS[node.func]
+        return v.withColumn("value", fn(F.col("value")).cast("double"))
+    if isinstance(node, Call) and node.func in ("round", "clamp",
+                                                "clamp_min", "clamp_max"):
+        v = _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
+        args = [_const_scalar(a) for a in node.args[1:]]
+        if any(a is None for a in args):
+            raise ValueError(f"{node.func}() bounds must be scalars")
+        if node.func == "round":
+            to = args[0] if args else 1.0
+            expr = F.floor(F.col("value") / F.lit(to) + F.lit(0.5)) * F.lit(to)
+        elif node.func == "clamp":
+            expr = F.least(
+                F.greatest(F.col("value"), F.lit(args[0])), F.lit(args[1])
+            )
+        elif node.func == "clamp_min":
+            expr = F.greatest(F.col("value"), F.lit(args[0]))
+        else:
+            expr = F.least(F.col("value"), F.lit(args[0]))
+        return v.withColumn("value", expr.cast("double"))
     if isinstance(node, Agg):
         if node.op not in ("sum", "avg", "min", "max", "count"):
             raise ValueError(

@@ -679,3 +679,14 @@ def test_eval_range_binop_composition(spark):
             df, f"({sel_a}) / on(kb) group_left {sel_b}", *span)
     with pytest.raises(ValueError, match="at least one vector"):
         promql.eval_range(df, "1 + 2", *span)
+
+    # math / clamp transforms per window
+    rooted = {(r["signature"], r["t_ms"]): r["value"] for r in
+              promql.eval_range(df, f"sqrt({sel_a})", *span).collect()}
+    assert rooted == {k: math.sqrt(v) for k, v in base.items()}
+    capped = {(r["signature"], r["t_ms"]): r["value"] for r in
+              promql.eval_range(df, f"clamp({sel_a}, 10, 100)",
+                                *span).collect()}
+    assert capped == {k: min(max(v, 10.0), 100.0) for k, v in base.items()}
+    with pytest.raises(ValueError, match="must be scalars"):
+        promql.eval_range(df, f"clamp({sel_a}, {sel_a}, 5)", *span)
