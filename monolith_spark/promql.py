@@ -1501,8 +1501,9 @@ def eval_range(
       cross-window lookback carry — a window without samples emits no
       point, where Prometheus would carry up to the lookback; this is
       the tile semantics range_func_by_step already pins);
-    - rate/increase/delta (m[R]) with R == step: per-window
-      reset-isolated evaluation (ts_subquery_max_rate's machinery);
+    - rate/increase/delta/irate/idelta/resets/changes (m[R]) with
+      R == step: per-window isolated evaluation (reset state never
+      leaks across windows — ts_subquery_max_rate's machinery);
     - <agg>_over_time(m[R]) with R == step (avg/sum/min/max/count/
       last/stddev/stdvar/present);
     - grouping aggregations (sum/avg/min/max/count by/without) over
@@ -1570,7 +1571,8 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         )
     if (
         isinstance(node, Call)
-        and node.func in ("rate", "increase", "delta")
+        and node.func in ("rate", "increase", "delta", "resets", "changes",
+                          "irate", "idelta")
         and len(node.args) == 1
         and isinstance(node.args[0], Selector)
         and node.args[0].range_ms is not None
@@ -1583,6 +1585,62 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
                 "overlapping windows would multiply the scan"
             )
         pts = tiles(sel)
+        if node.func in ("resets", "changes"):
+            # per-window counterpart of changes_resets: one lag over a
+            # (series, window, time) sort, integer counts — a window
+            # with ≥1 point emits (0 when no pairs), like the batch op
+            w = Window.partitionBy("signature", "__w").orderBy(
+                "timestamp", "value")
+            seq = pts.select(
+                "signature", "labels", "__w", "value",
+                F.lag("value").over(w).alias("__prev"),
+            )
+            cond = (
+                (F.col("value") < F.col("__prev"))
+                if node.func == "resets"
+                else (F.col("value") != F.col("__prev"))
+            )
+            out = seq.groupBy("signature", "__w").agg(
+                F.first("labels").alias("labels"),
+                F.count(F.when(F.col("__prev").isNotNull() & cond, 1))
+                .cast("double").alias("value"),
+            )
+            return out.select("signature", "labels", "__w", "value")
+        if node.func in ("irate", "idelta"):
+            # last two samples per (series, window) — the tiled twin of
+            # operators/timeseries.irate (reset-corrected DECIMAL step
+            # for irate; raw diff for idelta, like Prometheus)
+            w = Window.partitionBy("signature", "__w").orderBy(
+                F.desc("timestamp"), F.desc("value"))
+            d = F.col("value").cast(_DEC)
+            ranked = pts.select(
+                "signature", "labels", "__w",
+                F.col("timestamp").alias("__t"), d.alias("__v"),
+                F.row_number().over(w).alias("__rn"),
+            ).filter(F.col("__rn") <= 2)
+            agg = (
+                ranked.groupBy("signature", "__w")
+                .agg(
+                    F.first("labels").alias("labels"),
+                    F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__v1"),
+                    F.max(F.when(F.col("__rn") == 2, F.col("__v"))).alias("__v2"),
+                    F.max(F.when(F.col("__rn") == 1, F.col("__t"))).alias("__t1"),
+                    F.max(F.when(F.col("__rn") == 2, F.col("__t"))).alias("__t2"),
+                )
+                .filter(F.col("__t2").isNotNull() & (F.col("__t1") > F.col("__t2")))
+            )
+            if node.func == "idelta":
+                val = (F.col("__v1") - F.col("__v2")).cast("double")
+            else:
+                step = F.when(
+                    F.col("__v1") >= F.col("__v2"), F.col("__v1") - F.col("__v2")
+                ).otherwise(F.col("__v1"))
+                val = (
+                    step.cast("double")
+                    / (F.col("__t1") - F.col("__t2")) * F.lit(1000.0)
+                )
+            return agg.select(
+                "signature", "labels", "__w", val.alias("value"))
         w = Window.partitionBy("signature", "__w").orderBy("timestamp", "value")
         dec = F.col("value").cast(_DEC)
         prev = F.lag(dec).over(w)

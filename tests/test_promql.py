@@ -610,12 +610,35 @@ def test_eval_range_tiled(spark):
         df, '{j="a"}', 1_000, 21_000, 10_000).collect()}
     assert b == {11_000: 4.0, 21_000: 20.0}
 
+    # instantaneous / counting tiles: last-two-points and pair counts,
+    # isolated per window (w1 has 10->12, w2 has 4->9, w3 one point)
+    ir = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(df, 'irate({j="a"}[10s])', 0, 30_000,
+                            10_000).collect()}
+    assert ir == {("j=a", 10_000): 2.0 / 3.0, ("j=a", 20_000): 5.0 / 3.0}
+    idl = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, 'idelta({j="a"}[10s])', 0, 30_000,
+                             10_000).collect()}
+    assert idl == {("j=a", 10_000): 2.0, ("j=a", 20_000): 5.0}
+    ch = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(df, 'changes({j="a"}[10s])', 0, 30_000,
+                            10_000).collect()}
+    # single-point windows emit 0 pairs → value 0 (batch changes_resets
+    # convention)
+    assert ch == {("j=a", 10_000): 1.0, ("j=a", 20_000): 1.0,
+                  ("j=a", 30_000): 0.0}
+    rs = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(df, 'resets({j="a"}[10s])', 0, 30_000,
+                            10_000).collect()}
+    assert rs == {("j=a", 10_000): 0.0, ("j=a", 20_000): 0.0,
+                  ("j=a", 30_000): 0.0}
+
     with pytest.raises(ValueError, match="range to equal the step"):
         promql.eval_range(df, 'rate({j="a"}[5s])', 0, 30_000, 10_000)
     with pytest.raises(ValueError, match="grouping, not topk"):
         promql.eval_range(df, 'topk(2, {j="a"})', 0, 30_000, 10_000)
     with pytest.raises(ValueError, match="unsupported shape"):
-        promql.eval_range(df, 'changes({j="a"}[10s])', 0, 30_000, 10_000)
+        promql.eval_range(df, 'deriv({j="a"}[10s])', 0, 30_000, 10_000)
 
 
 def test_eval_range_binop_composition(spark):
