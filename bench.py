@@ -108,8 +108,14 @@ EXTRA_WORKLOAD_NAMES = [
     "ts_promql_ratio",
     "multimodal_phash_dupes_gif",
     # round-7 late: many-to-one vector matching (group_left with an
-    # extra-label copy off the one side)
+    # extra-label copy off the one side), recording rules (a chained
+    # two-rule group in one pass), the text-exposition roundtrip
+    # (format+parse a week of samples), and the step-range ratio
+    # composition (two tiled passes + one per-window keyed join)
     "ts_promql_group_left",
+    "ts_recording_rules",
+    "ts_exposition_roundtrip",
+    "ts_promql_range_ratio",
 ]
 
 R01_ROWS = {

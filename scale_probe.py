@@ -232,6 +232,32 @@ def round7_probe(spark, mult: int) -> dict:
         '"tier", "t$1", "kb", "(.*)")' % (19 + 31 * mult, 19 + 31 * mult),
         hi,
     ))
+    # step-range binary composition: two tiled passes + one keyed join
+    # per (kb, window) — windows grow with the span, the join stays
+    # series-grain
+    JAN1 = 1_704_067_200_000
+    timed("promql_range_ratio_sec", promql.eval_range(
+        s.select("labels", "timestamp", "value"),
+        'sum by (kb) (sum_over_time({event_type="purchase"}[1d])) / '
+        'sum by (kb) (sum_over_time({event_type="click"}[1d]))',
+        JAN1, hi, 86_400_000,
+    ))
+    # text exposition roundtrip: format+parse the whole scaled corpus —
+    # pure column expressions, cost must track the scan linearly
+    from monolith_spark.sources.openmetrics import format_lines, parse_lines
+
+    named = s.withColumn(
+        "labels",
+        F.map_concat(
+            F.col("labels"),
+            F.create_map(
+                F.lit("__name__"),
+                F.concat(F.lit("ev_"), F.element_at("labels", "event_type")),
+            ),
+        ),
+    ).select("labels", "timestamp", "value")
+    timed("exposition_roundtrip_sec",
+          parse_lines(format_lines(named)).groupBy().count())
 
     import tempfile as _tf
 
