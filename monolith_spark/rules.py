@@ -114,6 +114,33 @@ def _relabel(out: DataFrame, rule: RecordingRule) -> DataFrame:
     )
 
 
+def check_rules(rules: list[RecordingRule]) -> list[str]:
+    """``promtool check rules`` analog: validate a group without
+    touching data — name/static-label validation plus a parse of every
+    expression. Returns the list of problems (empty = OK). The
+    tiled-class restriction is enforced at evaluation (it depends on
+    the step); this catches the deploy-time errors: syntax, duplicate
+    or invalid names, reserved labels."""
+    problems: list[str] = []
+    seen: set[str] = set()
+    for r in rules:
+        if not _METRIC_NAME_RE.match(r.record):
+            problems.append(f"invalid recording-rule name {r.record!r}")
+        elif r.record in seen:
+            problems.append(f"duplicate recording-rule name {r.record!r}")
+        seen.add(r.record)
+        for k in r.labels:
+            if not _LABEL_NAME_RE.match(k) or k == "__name__":
+                problems.append(
+                    f"invalid static label {k!r} on rule {r.record!r}"
+                )
+        try:
+            promql.parse(r.expr)
+        except ValueError as e:
+            problems.append(f"{r.record}: {e}")
+    return problems
+
+
 def evaluate_rules(
     samples: DataFrame,
     rules: list[RecordingRule],

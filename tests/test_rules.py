@@ -142,6 +142,20 @@ def test_validation_and_dict_loader():
     ]
 
 
+def test_check_rules_reports_without_evaluating():
+    from monolith_spark.rules import check_rules
+
+    ok = check_rules([RecordingRule("a:b", 'sum by (kb) (m)')])
+    assert ok == []
+    probs = check_rules([
+        RecordingRule("a:b", "sum by (kb) (m"),   # unbalanced paren
+        RecordingRule("a:b", "m"),                 # duplicate name
+        RecordingRule("0bad", "m"),                # invalid name
+    ])
+    assert len(probs) == 3
+    assert any("a:b" in p for p in probs)
+
+
 def test_static_label_overrides_result_label(spark):
     s = events_samples(spark, SF).select("labels", "timestamp", "value")
     out = evaluate_rules(
