@@ -207,6 +207,62 @@ def _series_api(db: MonolithDB, selectors: list[str]) -> list[dict]:
     return [seen[k] for k in sorted(seen)]
 
 
+def tsdb_status(db: MonolithDB, limit: int = 10) -> dict:
+    """/api/v1/status/tsdb — the cardinality-stats API an operator
+    checks when series counts explode. All series-dimension scans plus
+    the manifest-only chunk inventory (db.chunks() — no fact-table
+    read): head stats, top metric names / label-value pairs by series
+    count, distinct values per label name. Every top-N is ordered
+    (count desc, name) so output is deterministic. The reference's
+    LR<k>=<v> posting keyspace IS this table
+    (/root/reference/src/indexer/sled_indexer.rs:23-25), never exposed
+    there."""
+    from pyspark.sql import functions as F
+
+    dim = db.series()
+    kv = dim.select(
+        "signature", F.explode("labels").alias("k", "v")
+    ).localCheckpoint(eager=False)
+    num_series = dim.count()
+    num_pairs = kv.select("k", "v").distinct().count()
+
+    def top(df, name_col):
+        rows = df.orderBy(F.col("value").desc(), name_col).limit(limit).collect()
+        return [{"name": r[0], "value": r[1]} for r in rows]
+
+    by_metric = top(
+        kv.filter(F.col("k") == "__name__")
+        .groupBy(F.col("v").alias("name"))
+        .agg(F.count("*").alias("value")),
+        "name",
+    )
+    by_label = top(
+        kv.groupBy(F.col("k").alias("name"))
+        .agg(F.count_distinct("v").alias("value")),
+        "name",
+    )
+    by_pair = top(
+        kv.groupBy(F.concat_ws("=", "k", "v").alias("name"))
+        .agg(F.count("*").alias("value")),
+        "name",
+    )
+    chunks = db.chunks().collect()
+    head = {
+        "numSeries": num_series,
+        "numLabelPairs": num_pairs,
+        "chunkCount": int(sum(r["n_files"] for r in chunks)),
+        "minTime": int(min((r["start_ms"] for r in chunks), default=0)),
+        "maxTime": int(max((r["end_ms"] for r in chunks), default=0)),
+        "totalBytes": int(sum(r["bytes"] for r in chunks)),
+    }
+    return {
+        "headStats": head,
+        "seriesCountByMetricName": by_metric,
+        "labelValueCountByLabelName": by_label,
+        "seriesCountByLabelValuePair": by_pair,
+    }
+
+
 def federate_text(
     db: MonolithDB,
     selectors: list[str],
@@ -377,6 +433,8 @@ class MonolithServer:
                         )
                     elif u.path == "/api/v1/series":
                         data = _series_api(server.db, qs.get("match[]", []))
+                    elif u.path == "/api/v1/status/tsdb":
+                        data = tsdb_status(server.db)
                     elif u.path == "/federate":
                         t = float(qs.get("time", [_time.time()])[0])
                         text = federate_text(

@@ -386,6 +386,20 @@ def test_promql_metadata_http_apis(spark, tmp_path):
         q3 = urllib.parse.urlencode({"match[]": '{dc!="eu"}'})
         assert {tuple(sorted(d.items())) for d in get(f"/api/v1/series?{q3}")["data"]} \
             == {(("dc", "us"), ("job", "api")), (("job", "db"),)}
+
+        # /api/v1/status/tsdb: head stats + deterministic cardinality tops
+        st = get("/api/v1/status/tsdb")["data"]
+        assert st["headStats"]["numSeries"] == 3
+        assert st["headStats"]["numLabelPairs"] == 4  # job:api/db, dc:eu/us
+        assert st["headStats"]["chunkCount"] >= 1
+        assert st["headStats"]["totalBytes"] > 0
+        pairs = {e["name"]: e["value"]
+                 for e in st["seriesCountByLabelValuePair"]}
+        assert pairs["job=api"] == 2 and pairs["job=db"] == 1
+        labels = {e["name"]: e["value"]
+                  for e in st["labelValueCountByLabelName"]}
+        assert labels == {"job": 2, "dc": 2}
+        assert st["seriesCountByMetricName"] == []  # unnamed series
     finally:
         srv.shutdown()
 
