@@ -376,8 +376,12 @@ class MonolithServer:
         read_path: str = "/read",
         promql_path: str = "/api/v1/query",
         strict_reference_matchers: bool = False,
+        recording_rules=None,
     ) -> None:
         self.db = db
+        # configured recording rules (monolith_spark.rules.RecordingRule):
+        # listed by GET /api/v1/rules, backfilled by the admin trigger
+        self.recording_rules = list(recording_rules or [])
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -435,6 +439,22 @@ class MonolithServer:
                         data = _series_api(server.db, qs.get("match[]", []))
                     elif u.path == "/api/v1/status/tsdb":
                         data = tsdb_status(server.db)
+                    elif u.path == "/api/v1/rules":
+                        data = {
+                            "groups": [{
+                                "name": "monolith-spark",
+                                "rules": [
+                                    {
+                                        "type": "recording",
+                                        "name": r.record,
+                                        "query": r.expr,
+                                        "labels": dict(r.labels),
+                                        "health": "ok",
+                                    }
+                                    for r in server.recording_rules
+                                ],
+                            }] if server.recording_rules else [],
+                        }
                     elif u.path == "/federate":
                         t = float(qs.get("time", [_time.time()])[0])
                         text = federate_text(
@@ -475,6 +495,46 @@ class MonolithServer:
                 from urllib.parse import parse_qs, urlparse
 
                 u = urlparse(self.path)
+                if u.path == "/api/v1/admin/rules/run":
+                    # backfill trigger: evaluate the configured rule
+                    # group over [start, end] at step and commit the
+                    # output (overwrite=true re-runs idempotently).
+                    import json as _json
+
+                    try:
+                        from monolith_spark.promql import parse_duration_ms
+                        from monolith_spark.rules import record_rules
+
+                        qs = parse_qs(u.query)
+                        if not server.recording_rules:
+                            raise ValueError("no recording rules configured")
+                        step_raw = qs["step"][0]
+                        try:
+                            step_ms = int(float(step_raw) * 1000)
+                        except ValueError:
+                            step_ms = parse_duration_ms(step_raw)
+                        record_rules(
+                            server.db,
+                            server.recording_rules,
+                            int(float(qs["start"][0]) * 1000),
+                            int(float(qs["end"][0]) * 1000),
+                            step_ms,
+                            overwrite=qs.get("overwrite", ["false"])[0]
+                            == "true",
+                        )
+                        self.send_response(204)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                    except Exception as exc:
+                        body = _json.dumps(
+                            {"status": "error", "errorType": "bad_data",
+                             "error": str(exc)}
+                        ).encode()
+                        self.send_response(400)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    return
                 if u.path.startswith("/api/v1/admin/tsdb/"):
                     # Prometheus admin API: delete_series (match[] +
                     # optional start/end seconds) and clean_tombstones

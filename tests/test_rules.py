@@ -142,6 +142,48 @@ def test_validation_and_dict_loader():
     ]
 
 
+def test_rules_http_surface(spark, db):
+    """The served rules flow: GET /api/v1/rules lists the configured
+    group (Prometheus shape), POST /api/v1/admin/rules/run backfills a
+    window (204), and the recorded series answer instant PromQL over
+    HTTP afterwards."""
+    import json
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    srv = MonolithServer(db, port=0, recording_rules=_group())
+    srv.serve_background()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/rules"
+        ) as resp:
+            listed = json.loads(resp.read())["data"]["groups"]
+        assert [r["name"] for r in listed[0]["rules"]] == [
+            "kb:clicks:sum1d", "clicks:sum1d:total"]
+        assert listed[0]["rules"][1]["labels"] == {"env": "prod"}
+
+        run = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/admin/rules/run"
+            f"?start={JAN1 // 1000}&end={JAN8 // 1000}&step=1d"
+            "&overwrite=true",
+            method="POST",
+        )
+        with urllib.request.urlopen(run) as resp:
+            assert resp.status == 204
+
+        t = (JAN1 + 3 * DAY) // 1000
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query"
+            f"?query=clicks:sum1d:total&time={t}"
+        ) as resp:
+            vec = json.loads(resp.read())["data"]["result"]
+        assert len(vec) == 1 and vec[0]["metric"]["env"] == "prod"
+        assert float(vec[0]["value"][1]) > 0
+    finally:
+        srv.shutdown()
+
+
 def test_check_rules_reports_without_evaluating():
     from monolith_spark.rules import check_rules
 
