@@ -461,6 +461,91 @@ def parse(text: str):
     return _Parser(text).parse()
 
 
+# -------------------------------------------------------------- formatter
+
+
+_MATCH_OP = {"EQ": "=", "NEQ": "!=", "RE": "=~", "NRE": "!~"}
+
+
+def format_duration_ms(ms: int) -> str:
+    """Compact duration text that parse_duration_ms inverts exactly."""
+    if ms <= 0:
+        raise ValueError(f"cannot format non-positive duration {ms}ms")
+    parts = []
+    for unit, width in (("y", 31_536_000_000), ("w", 604_800_000),
+                        ("d", 86_400_000), ("h", 3_600_000),
+                        ("m", 60_000), ("s", 1000), ("ms", 1)):
+        n, ms = divmod(ms, width)
+        if n:
+            parts.append(f"{n}{unit}")
+    return "".join(parts)
+
+
+def _quote(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _fmt_modifiers(node) -> str:
+    out = ""
+    if node.at_ms is not None:
+        out += f" @ {node.at_ms / 1000!r}"
+    if node.offset_ms:
+        out += f" offset {format_duration_ms(node.offset_ms)}"
+    return out
+
+
+def format_expr(node) -> str:
+    """Canonical text for an AST — the /api/v1/format_query analog.
+    The invariant the tests pin: parse(format_expr(parse(q))) ==
+    parse(q) for every q the repo evaluates. Children of binary
+    operators are parenthesized unconditionally — correctness over
+    minimal output."""
+    if isinstance(node, str):
+        node = parse(node)
+    if isinstance(node, Number):
+        return f"{node.value!r}"
+    if isinstance(node, StringLit):
+        return _quote(node.value)
+    if isinstance(node, Selector):
+        ms = ", ".join(
+            f"{m.name}{_MATCH_OP[m.type]}{_quote(m.value)}"
+            for m in node.matchers
+        )
+        body = (node.name or "") + (f"{{{ms}}}" if ms or not node.name else "")
+        rng = f"[{format_duration_ms(node.range_ms)}]" if node.range_ms else ""
+        return body + rng + _fmt_modifiers(node)
+    if isinstance(node, Subquery):
+        return (
+            f"{format_expr(node.expr)}"
+            f"[{format_duration_ms(node.range_ms)}:"
+            f"{format_duration_ms(node.step_ms)}]" + _fmt_modifiers(node)
+        )
+    if isinstance(node, Call):
+        return f"{node.func}({', '.join(format_expr(a) for a in node.args)})"
+    if isinstance(node, Agg):
+        clause = ""
+        if node.by is not None:
+            clause = f" by ({', '.join(node.by)})"
+        elif node.without is not None:
+            clause = f" without ({', '.join(node.without)})"
+        args = ([format_expr(node.param) + ", "] if node.param is not None
+                else [""])[0]
+        return f"{node.op}{clause} ({args}{format_expr(node.expr)})"
+    if isinstance(node, BinOp):
+        op = node.op + (" bool" if node.bool_mode else "")
+        if node.match is not None:
+            op += f" {node.match[0]} ({', '.join(node.match[1])})"
+        if node.group is not None:
+            # always emit the label list (empty ok) — a bare modifier
+            # followed by the parenthesized rhs would re-parse the rhs
+            # parens as the list
+            op += f" group_{node.group[0]} ({', '.join(node.group[1])})"
+        return f"({format_expr(node.lhs)}) {op} ({format_expr(node.rhs)})"
+    if isinstance(node, Unary):
+        return f"{node.op}({format_expr(node.expr)})"
+    raise ValueError(f"cannot format {node!r}")
+
+
 # --------------------------------------------------------------- evaluator
 
 

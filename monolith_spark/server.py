@@ -439,6 +439,10 @@ class MonolithServer:
                         data = _series_api(server.db, qs.get("match[]", []))
                     elif u.path == "/api/v1/status/tsdb":
                         data = tsdb_status(server.db)
+                    elif u.path == "/api/v1/format_query":
+                        from monolith_spark import promql as _pql
+
+                        data = _pql.format_expr(_pql.parse(qs["query"][0]))
                     elif u.path == "/api/v1/rules":
                         data = {
                             "groups": [{

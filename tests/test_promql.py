@@ -488,6 +488,42 @@ def test_at_modifier(spark):
             JAN20)
 
 
+def test_format_expr_roundtrip():
+    """parse(format(parse(q))) == parse(q) across every construct the
+    grammar supports — the /api/v1/format_query invariant."""
+    qs = [
+        'sum by (event_type) (rate({kb=~"[0-4]"}[19d]))',
+        'rate({event_type="purchase"}[15d] offset 4d)',
+        'topk(3, increase({event_type="purchase"}[19d]))',
+        'label_replace({a="1"}, "t", "$1", "kb", "([0-4])")',
+        'count_values("v", up)',
+        "max_over_time(rate(m[5d])[15d:5d] offset 3d)",
+        "m[5m] @ 1705708800 offset 1d",
+        '{job!~"db.*", dc!="eu"}',
+        "{}",
+        'sum_over_time({e="p"}[19d]) / on(kb) group_left(tier) x',
+        "a / ignoring(event_type) b",
+        "a * on(k) group_right b",
+        "x == bool 5",
+        "-(3 - 5) / 4",
+        "avg (m) without (c)",
+        "quantile(0.9, m)",
+        'absent_over_time({x="1"}[5m])',
+        "clamp(m, 1, 2)",
+        "(a and on(k) b) or c",
+        'histogram_quantile(0.95, sum by (le) (rate({m="x"}[5m])))',
+        'label_join(m, "k", ":", "a", "b")',
+        "1 + 2 * 3 ^ 2 ^ 2",
+    ]
+    for q in qs:
+        ast = parse(q)
+        assert parse(promql.format_expr(ast)) == ast, q
+    # format_expr accepts raw text too; durations invert exactly
+    assert parse(promql.format_expr("m[90m]")) == parse("m[1h30m]")
+    assert promql.format_duration_ms(90_061_001) == "1d1h1m1s1ms"
+    assert promql.parse_duration_ms("1d1h1m1s1ms") == 90_061_001
+
+
 def test_absent_over_time(spark):
     s = _samples(spark)
     # a matcher nothing satisfies → one empty-label marker row at 1.0
