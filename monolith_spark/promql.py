@@ -1788,10 +1788,11 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             expr = F.least(F.col("value"), F.lit(args[0]))
         return v.withColumn("value", expr.cast("double"))
     if isinstance(node, Agg):
-        if node.op not in ("sum", "avg", "min", "max", "count"):
+        if node.op not in ("sum", "avg", "min", "max", "count",
+                           "stddev", "stdvar", "group"):
             raise ValueError(
-                f"eval_range supports sum/avg/min/max/count grouping, "
-                f"not {node.op}"
+                f"eval_range supports sum/avg/min/max/count/stddev/"
+                f"stdvar/group grouping, not {node.op}"
             )
         per = _tiled_values(node.expr, start_ms, end_ms, step_ms, ctx)
         gmap = _group_map(node.by, node.without)
@@ -1801,6 +1802,16 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "__w",
             "value",
         )
+        y = F.col("value").cast("decimal(18,2)")
+        var = F.greatest(
+            (
+                F.sum(y * y).cast("double")
+                - F.sum(y).cast("double") * F.sum(y).cast("double")
+                / F.count("*")
+            )
+            / F.count("*"),
+            F.lit(0.0),
+        )
         exprs = {
             "sum": F.sum(F.col("value").cast(_DEC)).cast("double"),
             "avg": F.sum(F.col("value").cast(_DEC)).cast("double")
@@ -1808,6 +1819,9 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count("*").cast("double"),
+            "stddev": F.sqrt(var),
+            "stdvar": var,
+            "group": F.max(F.lit(1.0)),
         }
         out = keyed.groupBy("__gsig", "__w").agg(
             F.first("__glabels").alias("labels"),

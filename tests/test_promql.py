@@ -739,6 +739,22 @@ def test_eval_range_binop_composition(spark):
     with pytest.raises(ValueError, match="at least one vector"):
         promql.eval_range(df, "1 + 2", *span)
 
+    # stddev/stdvar/group aggregations per window (exact accumulators)
+    sd = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(
+              df, 'stddev(sum_over_time({event_type="purchase"}[1d]))',
+              *span).collect()}
+    sv = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(
+              df, 'stdvar(sum_over_time({event_type="purchase"}[1d]))',
+              *span).collect()}
+    assert sd and all(
+        v == pytest.approx(math.sqrt(sv[k])) for k, v in sd.items())
+    grp = {r["value"] for r in promql.eval_range(
+        df, 'group by (kb) (sum_over_time({event_type="purchase"}[1d]))',
+        *span).collect()}
+    assert grp == {1.0}
+
     # math / clamp transforms per window
     rooted = {(r["signature"], r["t_ms"]): r["value"] for r in
               promql.eval_range(df, f"sqrt({sel_a})", *span).collect()}
