@@ -1765,6 +1765,75 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         return _over_time(tiles(sel), op, extra_keys=("__w",)).select(
             "signature", "labels", "__w", "value"
         )
+    if (
+        isinstance(node, Call)
+        and node.func == "quantile_over_time"
+        and len(node.args) == 2
+        and isinstance(node.args[1], Selector)
+        and node.args[1].range_ms is not None
+    ):
+        phi = _const_scalar(node.args[0])
+        if phi is None:
+            raise ValueError("quantile_over_time expects a scalar φ")
+        sel = node.args[1]
+        if sel.range_ms != step_ms:
+            raise ValueError(
+                "eval_range: tiled evaluation needs the function range to "
+                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
+            )
+        return _over_time(
+            tiles(sel), "quantile", phi, extra_keys=("__w",)
+        ).select("signature", "labels", "__w", "value")
+    if (
+        isinstance(node, Call)
+        and node.func in ("deriv", "predict_linear")
+        and node.args
+        and isinstance(node.args[0], Selector)
+        and node.args[0].range_ms is not None
+    ):
+        sel = node.args[0]
+        if sel.range_ms != step_ms:
+            raise ValueError(
+                "eval_range: tiled evaluation needs the function range to "
+                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
+            )
+        # per-window least squares from the five exact DECIMAL
+        # accumulators (linreg_slope's construction keyed by window);
+        # ONE map-combinable aggregation, no sort
+        pts = tiles(sel)
+        x = (F.col("timestamp") - F.lit(start_ms)).cast("decimal(20,0)")
+        y = F.col("value").cast("decimal(18,2)")
+        agg = pts.groupBy("signature", "__w").agg(
+            F.first("labels").alias("labels"),
+            F.count("*").alias("__n"),
+            F.sum(x).cast("double").alias("__sx"),
+            F.sum(y).cast("double").alias("__sy"),
+            F.sum(x * x).cast("double").alias("__sxx"),
+            F.sum(x * y).cast("double").alias("__sxy"),
+        )
+        n = F.col("__n")
+        denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        agg = agg.filter(denom != 0)  # zero x-variance → slope undefined
+        slope_ms = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+        if node.func == "deriv":
+            val = slope_ms * F.lit(1000.0)
+        else:
+            t_sec = (
+                _const_scalar(node.args[1]) if len(node.args) > 1 else None
+            )
+            if t_sec is None:
+                raise ValueError("predict_linear expects a scalar horizon")
+            intercept = (F.col("__sy") - slope_ms * F.col("__sx")) / n
+            # extrapolate from each window's END (its evaluation time,
+            # relative to the t0=start centering) — the instant
+            # evaluator's at_ms = range_end + t convention per window
+            at = (F.col("__w") + 1) * F.lit(float(step_ms)) + F.lit(
+                t_sec * 1000.0
+            )
+            val = intercept + slope_ms * at
+        return agg.select(
+            "signature", "labels", "__w", val.cast("double").alias("value")
+        )
     if isinstance(node, Call) and node.func in _MATH_FUNCS:
         v = _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
         fn = _MATH_FUNCS[node.func]
@@ -1789,10 +1858,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         return v.withColumn("value", expr.cast("double"))
     if isinstance(node, Agg):
         if node.op not in ("sum", "avg", "min", "max", "count",
-                           "stddev", "stdvar", "group"):
+                           "stddev", "stdvar", "group", "quantile"):
             raise ValueError(
                 f"eval_range supports sum/avg/min/max/count/stddev/"
-                f"stdvar/group grouping, not {node.op}"
+                f"stdvar/group/quantile grouping, not {node.op}"
             )
         per = _tiled_values(node.expr, start_ms, end_ms, step_ms, ctx)
         gmap = _group_map(node.by, node.without)
@@ -1802,6 +1871,25 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "__w",
             "value",
         )
+        if node.op == "quantile":
+            phi = _const_scalar(node.param)
+            if phi is None:
+                raise ValueError("quantile grouping expects a scalar φ")
+            agg = keyed.groupBy("__gsig", "__w").agg(
+                F.first("__glabels").alias("labels"),
+                F.sort_array(F.collect_list("value")).alias("__a"),
+            )
+            n = F.size("__a")
+            rank = F.lit(float(phi)) * (n - F.lit(1)).cast("double")
+            lo = F.floor(rank).cast("int")
+            frac = rank - lo.cast("double")
+            v_lo = F.element_at("__a", lo + 1)
+            v_hi = F.element_at("__a", F.least(lo + 2, n))
+            val = (v_lo + (v_hi - v_lo) * frac).cast("double")
+            return agg.select(
+                F.col("__gsig").alias("signature"), "labels", "__w",
+                val.alias("value"),
+            )
         y = F.col("value").cast("decimal(18,2)")
         var = F.greatest(
             (

@@ -739,6 +739,46 @@ def test_eval_range_binop_composition(spark):
     with pytest.raises(ValueError, match="at least one vector"):
         promql.eval_range(df, "1 + 2", *span)
 
+    # deriv / predict_linear per window: the least-squares tiles must
+    # equal the instant evaluator run window-by-window
+    dv = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(df, 'deriv({event_type="purchase"}[1d])',
+                            *span).collect()}
+    assert dv
+    pl = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(
+              df, 'predict_linear({event_type="purchase"}[1d], 3600)',
+              *span).collect()}
+    assert set(pl) == set(dv)
+    some = sorted(dv)[:3]
+    for sig, t in some:
+        inst_d = {r["signature"]: r["value"] for r in promql.eval_instant(
+            df, 'deriv({event_type="purchase"}[1d])', t).collect()}
+        inst_p = {r["signature"]: r["value"] for r in promql.eval_instant(
+            df, 'predict_linear({event_type="purchase"}[1d], 3600)',
+            t).collect()}
+        assert dv[(sig, t)] == pytest.approx(inst_d[sig], rel=1e-9)
+        assert pl[(sig, t)] == pytest.approx(inst_p[sig], rel=1e-9)
+
+    # quantile_over_time tiles + quantile grouping per window
+    qo = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(
+              df, 'quantile_over_time(0.5, {event_type="purchase"}[1d])',
+              *span).collect()}
+    assert qo
+    sig, t = sorted(qo)[0]
+    inst_q = {r["signature"]: r["value"] for r in promql.eval_instant(
+        df, 'quantile_over_time(0.5, {event_type="purchase"}[1d])',
+        t).collect()}
+    assert qo[(sig, t)] == pytest.approx(inst_q[sig], rel=1e-9)
+    qagg = {(r["signature"], r["t_ms"]): r["value"] for r in
+            promql.eval_range(
+                df,
+                'quantile by (kb) (0.5, '
+                'sum_over_time({event_type="purchase"}[1d]))',
+                *span).collect()}
+    assert qagg and all(v == v for v in qagg.values())
+
     # stddev/stdvar/group aggregations per window (exact accumulators)
     sd = {(r["signature"], r["t_ms"]): r["value"] for r in
           promql.eval_range(
