@@ -1858,12 +1858,33 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         return v.withColumn("value", expr.cast("double"))
     if isinstance(node, Agg):
         if node.op not in ("sum", "avg", "min", "max", "count",
-                           "stddev", "stdvar", "group", "quantile"):
+                           "stddev", "stdvar", "group", "quantile",
+                           "topk", "bottomk"):
             raise ValueError(
                 f"eval_range supports sum/avg/min/max/count/stddev/"
-                f"stdvar/group/quantile grouping, not {node.op}"
+                f"stdvar/group/quantile/topk/bottomk grouping, "
+                f"not {node.op}"
             )
         per = _tiled_values(node.expr, start_ms, end_ms, step_ms, ctx)
+        if node.op in ("topk", "bottomk"):
+            # the k ranked INPUT series per (group, window) — series
+            # membership re-evaluates each step, the Grafana "top 5
+            # per step" shape; ties break by signature, deterministic
+            k = _const_scalar(node.param)
+            if k is None:
+                raise ValueError(f"{node.op} expects a scalar k")
+            gmap = _group_map(node.by, node.without)
+            order = (
+                [F.col("value").desc(), F.col("signature")]
+                if node.op == "topk"
+                else [F.col("value").asc(), F.col("signature")]
+            )
+            w = Window.partitionBy(signature_expr(gmap), "__w").orderBy(*order)
+            return (
+                per.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= int(k))
+                .select("signature", "labels", "__w", "value")
+            )
         gmap = _group_map(node.by, node.without)
         keyed = per.select(
             signature_expr(gmap).alias("__gsig"),

@@ -779,6 +779,23 @@ def test_eval_range_binop_composition(spark):
                 *span).collect()}
     assert qagg and all(v == v for v in qagg.values())
 
+    # topk per step: membership re-evaluates window by window
+    top2 = promql.eval_range(
+        df, 'topk(2, sum_over_time({event_type="purchase"}[1d]))',
+        *span).collect()
+    per_w = {}
+    for r in top2:
+        per_w.setdefault(r["t_ms"], []).append(r["value"])
+    assert per_w and all(len(vs) <= 2 for vs in per_w.values())
+    full = {(r["signature"], r["t_ms"]): r["value"] for r in
+            promql.eval_range(
+                df, 'sum_over_time({event_type="purchase"}[1d])',
+                *span).collect()}
+    for t, vs in per_w.items():
+        cutoff = sorted((v for (s, tt), v in full.items() if tt == t),
+                        reverse=True)[: len(vs)]
+        assert sorted(vs, reverse=True) == cutoff
+
     # stddev/stdvar/group aggregations per window (exact accumulators)
     sd = {(r["signature"], r["t_ms"]): r["value"] for r in
           promql.eval_range(
