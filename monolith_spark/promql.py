@@ -1174,7 +1174,9 @@ def _label_join(node: Call, ctx: _Ctx) -> DataFrame:
 # -- histogram_quantile ---------------------------------------------------
 
 
-def _histogram_quantile(phi: float, vec: DataFrame) -> DataFrame:
+def _histogram_quantile(
+    phi: float, vec: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """Prometheus histogram_quantile over cumulative le-bucket series:
     group by labels-minus-le, order buckets by le, pick the first
     bucket whose cumulative count reaches φ·total, interpolate
@@ -1191,10 +1193,11 @@ def _histogram_quantile(phi: float, vec: DataFrame) -> DataFrame:
     pre = vec.filter(le_val.isNotNull()).select(
         signature_expr(rest).alias("signature"),
         rest.alias("labels"),
+        *extra_keys,
         le_val.alias("__le"),
         F.col("value").alias("__c"),
     )
-    g = pre.groupBy("signature").agg(
+    g = pre.groupBy("signature", *extra_keys).agg(
         F.first("labels").alias("labels"),
         F.sort_array(F.collect_list(F.struct("__le", "__c"))).alias("__b"),
     )
@@ -1220,7 +1223,7 @@ def _histogram_quantile(phi: float, vec: DataFrame) -> DataFrame:
         .otherwise(interp)
     )
     return g.select(
-        "signature", "labels", val.cast("double").alias("value")
+        "signature", "labels", *extra_keys, val.cast("double").alias("value")
     ).filter(F.col("value").isNotNull())
 
 
@@ -1834,6 +1837,16 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         return agg.select(
             "signature", "labels", "__w", val.cast("double").alias("value")
         )
+    if (
+        isinstance(node, Call)
+        and node.func == "histogram_quantile"
+        and len(node.args) == 2
+    ):
+        phi = _const_scalar(node.args[0])
+        if phi is None:
+            raise ValueError("histogram_quantile expects a scalar φ")
+        vec = _tiled_values(node.args[1], start_ms, end_ms, step_ms, ctx)
+        return _histogram_quantile(float(phi), vec, extra_keys=("__w",))
     if isinstance(node, Call) and node.func in _MATH_FUNCS:
         v = _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
         fn = _MATH_FUNCS[node.func]

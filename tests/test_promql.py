@@ -311,6 +311,23 @@ def test_histogram_quantile_branches(spark):
         df, 'histogram_quantile(0.25, {m="C"})', 2_000).collect()}
     assert got == {"m=C": pytest.approx(2.0)}
 
+    # step-range: the same quantile computed per window — the p95
+    # latency graph shape. Window 1 holds the rows above; window 2 a
+    # shifted bucket set for A (counts 0/20/40 → p50 target 20 → le=2)
+    shifted = [
+        ({"m": "A", "le": "1"}, 11_000, 0.0),
+        ({"m": "A", "le": "2"}, 11_000, 20.0),
+        ({"m": "A", "le": "+Inf"}, 11_000, 40.0),
+    ]
+    df2 = df.unionByName(spark.createDataFrame(
+        shifted, "labels map<string,string>, timestamp long, value double"))
+    grid = {(r["signature"], r["t_ms"]): r["value"] for r in
+            promql.eval_range(
+                df2, 'histogram_quantile(0.5, {m="A"})', 0, 20_000, 10_000
+            ).collect()}
+    assert grid == {("m=A", 10_000): pytest.approx(1.5),
+                    ("m=A", 20_000): pytest.approx(2.0)}
+
 
 def test_quantile_agg_interpolates(spark):
     rows = [({"g": "x", "i": str(i)}, 1_000, float(v))
@@ -671,10 +688,9 @@ def test_eval_range_tiled(spark):
 
     with pytest.raises(ValueError, match="range to equal the step"):
         promql.eval_range(df, 'rate({j="a"}[5s])', 0, 30_000, 10_000)
-    with pytest.raises(ValueError, match="grouping, not topk"):
-        promql.eval_range(df, 'topk(2, {j="a"})', 0, 30_000, 10_000)
     with pytest.raises(ValueError, match="unsupported shape"):
-        promql.eval_range(df, 'deriv({j="a"}[10s])', 0, 30_000, 10_000)
+        promql.eval_range(
+            df, 'holt_winters({j="a"}[10s], 0.5, 0.5)', 0, 30_000, 10_000)
 
 
 def test_eval_range_binop_composition(spark):
