@@ -4199,6 +4199,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_recording_rules",
     "ts_exposition_roundtrip",
     "ts_promql_range_ratio",
+    "ts_promql_range_p95",
 )
 
 
@@ -9870,6 +9871,88 @@ def ts_promql_range_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         'sum by (kb) (sum_over_time({event_type="purchase"}[1d])) / '
         'sum by (kb) (sum_over_time({event_type="click"}[1d]))',
         JAN1, JAN20, 86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
+
+
+@_q(
+    "ts_promql_range_p95",
+    f"""
+    WITH buckets AS (
+      SELECT event_type,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS d,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+             CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE) AS c2
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN8}
+      GROUP BY 1, 2
+    )
+    SELECT '__name__=lat,event_type=' || event_type AS signature,
+           CAST({JAN1} + (d + 1) * 86400000 AS BIGINT) AS t_ms,
+           CASE WHEN c0 >= 0.95 * n
+                  THEN 0.0 + (25.0 - 0.0) * (0.95 * n - 0.0) / (c0 - 0.0)
+                WHEN c1 >= 0.95 * n
+                  THEN 25.0 + (50.0 - 25.0) * (0.95 * n - c0) / (c1 - c0)
+                WHEN c2 >= 0.95 * n
+                  THEN 50.0 + (100.0 - 50.0) * (0.95 * n - c1) / (c2 - c1)
+                ELSE 100.0 END AS value
+    FROM buckets
+    """,
+)
+def ts_promql_range_p95_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile per STEP — the p95 latency graph, the query
+    every Grafana latency panel draws: daily cumulative le-bucket
+    counters (25/50/100/+Inf over the event values) fabricated as
+    le-labeled series, then the tiled histogram_quantile evaluator
+    interpolates per (series-minus-le, window) with the first-bucket
+    zero lower bound and the +Inf highest-finite clamp. The oracle
+    replays the per-day conditional counts and the identical
+    interpolation expression tree, so every grid cell hash-matches."""
+    from monolith_spark.sources.events import events_samples
+
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN8))
+    day = F.floor((F.col("timestamp") - F.lit(JAN1) - 1) / F.lit(86_400_000))
+    les = [25.0, 50.0, 100.0]
+    cums = [
+        F.sum(F.when(F.col("value") <= F.lit(le), 1).otherwise(0))
+        .cast("double").alias(f"c{i}")
+        for i, le in enumerate(les)
+    ]
+    g = (
+        s.filter((F.col("timestamp") > JAN1) & (F.col("timestamp") <= JAN8))
+        .select(
+            F.element_at("labels", "event_type").alias("event_type"),
+            day.alias("__d"), "value",
+        )
+        .groupBy("event_type", "__d")
+        .agg(F.count("*").cast("double").alias("n"), *cums)
+    )
+    per_le = g.select(
+        "event_type", "__d",
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(str(int(le))).alias("le"),
+                           F.col(f"c{i}").alias("c"))
+                  for i, le in enumerate(les)],
+                F.struct(F.lit("+Inf").alias("le"), F.col("n").alias("c")),
+            )
+        ).alias("b"),
+    )
+    samples = per_le.select(
+        F.create_map(
+            F.lit("__name__"), F.lit("lat"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("le"), F.col("b.le"),
+        ).alias("labels"),
+        (F.lit(JAN1) + (F.col("__d") + 1) * F.lit(86_400_000))
+        .cast("long").alias("timestamp"),
+        F.col("b.c").cast("double").alias("value"),
+    )
+    out = _promql.eval_range(
+        samples, 'histogram_quantile(0.95, {__name__="lat"})',
+        JAN1, JAN8, 86_400_000,
     )
     return out.select("signature", "t_ms", "value")
 
