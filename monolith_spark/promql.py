@@ -857,7 +857,33 @@ _RANGE_FUNCS = {
 _MATH_FUNCS = {
     "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
     "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "deg": F.degrees, "rad": F.radians,
 }
+
+# date components of a sample VALUE interpreted as unix seconds
+# (Prometheus semantics; zero-arg forms evaluate at the query time).
+# Session TZ is UTC (get_spark pins it), matching Prometheus's UTC-only
+# calendar math.
+def _date_exprs():
+    t = F.from_unixtime(F.col("value")).cast("timestamp")
+    return {
+        "minute": F.minute(t),
+        "hour": F.hour(t),
+        "day_of_week": F.dayofweek(t) - F.lit(1),  # 0 = Sunday
+        "day_of_month": F.dayofmonth(t),
+        "days_in_month": F.dayofmonth(F.last_day(t)),
+        "month": F.month(t),
+        "year": F.year(t),
+    }
+
+
+_DATE_FUNCS = frozenset(
+    ("minute", "hour", "day_of_week", "day_of_month", "days_in_month",
+     "month", "year")
+)
 
 
 def _scalar_arg(node, ctx, func: str) -> float:
@@ -871,6 +897,10 @@ def _eval_call(node: Call, ctx: _Ctx):
     f = node.func
     if f in _RANGE_FUNCS:
         return ("vector", _eval_range_func(node, ctx))
+    if f == "pi":
+        import math
+
+        return ("scalar", math.pi)
     if f in _MATH_FUNCS:
         (kind, v) = _eval(node.args[0], ctx)
         if kind == "scalar":
@@ -878,10 +908,61 @@ def _eval_call(node: Call, ctx: _Ctx):
 
             py = {"abs": abs, "ceil": math.ceil, "floor": math.floor,
                   "exp": math.exp, "ln": math.log, "log2": math.log2,
-                  "log10": math.log10, "sqrt": math.sqrt}[f]
+                  "log10": math.log10, "sqrt": math.sqrt,
+                  "sin": math.sin, "cos": math.cos, "tan": math.tan,
+                  "asin": math.asin, "acos": math.acos, "atan": math.atan,
+                  "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
+                  "deg": math.degrees, "rad": math.radians}[f]
             return ("scalar", float(py(v)))
         fn = _MATH_FUNCS[f]
         return ("vector", v.withColumn("value", fn(F.col("value")).cast("double")))
+    if f in _DATE_FUNCS:
+        if not node.args:  # zero-arg form: the query evaluation time
+            import datetime as _dt
+
+            t = _dt.datetime.fromtimestamp(
+                ctx.eval_ms / 1000.0, tz=_dt.timezone.utc
+            )
+            vals = {
+                "minute": t.minute, "hour": t.hour,
+                "day_of_week": (t.weekday() + 1) % 7,  # 0 = Sunday
+                "day_of_month": t.day,
+                "days_in_month": (
+                    (t.replace(day=28) + _dt.timedelta(days=4)).replace(day=1)
+                    - _dt.timedelta(days=1)
+                ).day,
+                "month": t.month, "year": t.year,
+            }
+            return ("scalar", float(vals[f]))
+        (kind, v) = _eval(node.args[0], ctx)
+        if kind != "vector":
+            raise ValueError(f"{f}() expects an instant vector")
+        expr = _date_exprs()[f]
+        return ("vector", v.withColumn("value", expr.cast("double")))
+    if f == "timestamp":
+        # the sample timestamp of each series' point; instant selectors
+        # evaluate to their latest point, whose ts the struct-max keeps
+        arg = node.args[0] if node.args else None
+        if not (isinstance(arg, Selector) and arg.range_ms is None):
+            raise ValueError("timestamp() expects an instant selector")
+        end = _anchor_ms(arg, ctx) - arg.offset_ms
+        start = end - ctx.lookback_ms
+        df = _base(arg, ctx).filter(
+            (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+        )
+        out = (
+            df.groupBy("signature")
+            .agg(
+                F.max(F.struct("timestamp", "value")).alias("__top"),
+                F.first("labels").alias("labels"),
+            )
+            .select(
+                "signature", "labels",
+                (F.col("__top.timestamp") / F.lit(1000.0))
+                .cast("double").alias("value"),
+            )
+        )
+        return ("vector", out)
     if f == "round":
         (kind, v) = _eval(node.args[0], ctx)
         to = _scalar_arg(node.args[1], ctx, f) if len(node.args) > 1 else 1.0

@@ -505,6 +505,47 @@ def test_at_modifier(spark):
             JAN20)
 
 
+def test_trig_date_timestamp_functions(spark):
+    """The trivial-fill surface: trig + deg/rad/pi, the date-component
+    family over values-as-unix-seconds (zero-arg forms use the query
+    time), and timestamp()."""
+    import datetime as dt
+
+    s = _samples(spark)
+    assert promql.eval_instant(s, "sin(0)", JAN20).collect()[0]["value"] == 0.0
+    assert promql.eval_instant(s, "pi()", JAN20).collect()[0]["value"] \
+        == pytest.approx(math.pi)
+    assert promql.eval_instant(s, "deg(pi())", JAN20).collect()[0]["value"] \
+        == pytest.approx(180.0)
+    assert promql.eval_instant(s, "rad(180)", JAN20).collect()[0]["value"] \
+        == pytest.approx(math.pi)
+
+    # zero-arg date components = the query evaluation time (JAN20 is
+    # 2024-01-20T00:00Z, a Saturday)
+    t = dt.datetime.fromtimestamp(JAN20 / 1000, tz=dt.timezone.utc)
+    assert promql.eval_instant(s, "day_of_week()", JAN20).collect()[0][
+        "value"] == float((t.weekday() + 1) % 7)
+    assert promql.eval_instant(s, "month()", JAN20).collect()[0][
+        "value"] == float(t.month)
+    assert promql.eval_instant(s, "days_in_month()", JAN20).collect()[0][
+        "value"] == 31.0
+
+    # vector form: values interpreted as unix seconds
+    rows = [({"j": "a"}, JAN20 - 1000, float(JAN20 // 1000))]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    assert promql.eval_instant(df, "year({})", JAN20).collect()[0][
+        "value"] == float(t.year)
+    assert promql.eval_instant(df, "hour({})", JAN20).collect()[0][
+        "value"] == float(t.hour)
+
+    # timestamp(): the latest point's own timestamp in seconds
+    ts = promql.eval_instant(df, 'timestamp({j="a"})', JAN20).collect()
+    assert ts[0]["value"] == (JAN20 - 1000) / 1000.0
+    with pytest.raises(ValueError, match="instant selector"):
+        promql.eval_instant(df, "timestamp(1)", JAN20)
+
+
 def test_format_expr_roundtrip():
     """parse(format(parse(q))) == parse(q) across every construct the
     grammar supports — the /api/v1/format_query invariant."""
