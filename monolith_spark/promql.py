@@ -45,8 +45,10 @@ Functions: rate increase delta idelta irate resets changes deriv
 predict_linear holt_winters <agg>_over_time (avg/sum/min/max/count/
 last/stddev/stdvar/present) quantile_over_time histogram_quantile abs
 ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_min clamp_max
-absent absent_over_time scalar vector time label_replace label_join;
-aggregation
+sin cos tan asin acos atan sinh cosh tanh deg rad pi minute hour
+day_of_week day_of_month days_in_month month year timestamp sort
+sort_desc absent absent_over_time scalar vector time label_replace
+label_join; aggregation
 operators sum avg min max count stddev stdvar group count_values topk
 bottomk quantile with by/without. Matchers: EQ/NEQ/RE/NRE; ``offset``
 and ``@`` on selectors/subqueries. scalar() resolves its
@@ -901,6 +903,14 @@ def _eval_call(node: Call, ctx: _Ctx):
         import math
 
         return ("scalar", math.pi)
+    if f in ("sort", "sort_desc"):
+        # DataFrames are unordered sets; Prometheus defines sort() only
+        # for instant-API presentation. Vector identity here — a
+        # serving layer orders the collected rows.
+        kind, v = _eval(node.args[0], ctx)
+        if kind != "vector":
+            raise ValueError(f"{f}() expects an instant vector")
+        return ("vector", v)
     if f in _MATH_FUNCS:
         (kind, v) = _eval(node.args[0], ctx)
         if kind == "scalar":

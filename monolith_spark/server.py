@@ -171,12 +171,19 @@ def evaluate_promql(db: MonolithDB, query: str, time_ms: int) -> list[dict]:
     lo, hi = promql.time_window(ast, time_ms)
     samples = db.query_flat({}, lo, hi).select("labels", "timestamp", "value")
     out = promql.eval_instant(samples, ast, time_ms)
+    rows = out.collect()
+    # sort()/sort_desc() order only the API presentation (the engine's
+    # vectors are unordered sets)
+    if isinstance(ast, promql.Call) and ast.func in ("sort", "sort_desc"):
+        rows = sorted(
+            rows, key=lambda r: r["value"], reverse=ast.func == "sort_desc"
+        )
     return [
         {
             "metric": dict(r["labels"]) if r["labels"] else {},
             "value": [time_ms / 1000.0, str(r["value"])],
         }
-        for r in out.collect()
+        for r in rows
     ]
 
 

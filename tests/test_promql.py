@@ -539,6 +539,15 @@ def test_trig_date_timestamp_functions(spark):
     assert promql.eval_instant(df, "hour({})", JAN20).collect()[0][
         "value"] == float(t.hour)
 
+    # sort/sort_desc: vector identity (sets are unordered; the server
+    # orders the presentation)
+    n_all = promql.eval_instant(
+        s, 'sort(sum_over_time({event_type="purchase"}[19d]))',
+        JAN20).count()
+    n_plain = promql.eval_instant(
+        s, 'sum_over_time({event_type="purchase"}[19d])', JAN20).count()
+    assert n_all == n_plain
+
     # timestamp(): the latest point's own timestamp in seconds
     ts = promql.eval_instant(df, 'timestamp({j="a"})', JAN20).collect()
     assert ts[0]["value"] == (JAN20 - 1000) / 1000.0
