@@ -788,6 +788,35 @@ def write_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    new_corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index refresh — the FAISS ``add`` shape: assign NEW
+    vectors to the EXISTING centroids (read from the sidecar, never
+    retrained) and append them to their cell partitions. Probes see
+    the appended vectors immediately through the same partition-pruned
+    scan; no rebuild, and existing files are untouched. Distribution
+    drift degrades cell balance over time — rebuild via
+    write_ivf_index to retrain, the operational rule of every IVF
+    index. Returns the number of appended vectors."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        centroids = json.load(fh)
+    assigned = new_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dbl(vec_col).alias("c_vec"),
+        norm_expr(_dbl(vec_col)).alias("cn"),
+    ).withColumn("cell", F.array_max(_cell_sims("c_vec", centroids))["cid"])
+    n = assigned.count()
+    assigned.write.partitionBy("cell").mode("append").parquet(path)
+    return n
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -626,6 +626,34 @@ def test_persisted_ivf_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pa
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """append_to_ivf_index: building on half the corpus then appending
+    the other half must probe identically to a one-shot index with the
+    SAME centroids (frozen assignment — the FAISS `add` refresh shape),
+    and the probe scan stays partition-pruned."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    cents = similarity.write_ivf_index(half_a, inc_path, nlist=8)
+    n = similarity.append_to_ivf_index(half_b, inc_path)
+    assert n == half_b.count() > 0
+
+    full_path = str(tmp_path / "ivf_full")
+    similarity.write_ivf_index(embs, full_path, nlist=8, centroids=cents)
+
+    got = similarity.ivf_topk_indexed(spark, inc_path, queries, k=10, nprobe=4)
+    want = similarity.ivf_topk_indexed(
+        spark, full_path, queries, k=10, nprobe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "cell" in scan[0]
+
+
 def test_keep_best_selects_highest_score_per_cluster(spark):
     from monolith_spark.operators.dedup import keep_best
 
