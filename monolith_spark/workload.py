@@ -4200,6 +4200,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_exposition_roundtrip",
     "ts_promql_range_ratio",
     "ts_promql_range_p95",
+    "sim_ivf_appended",
 )
 
 
@@ -9692,6 +9693,27 @@ def sim_jl_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def approx(e: DataFrame, q: DataFrame) -> DataFrame:
         _sim.write_jl_ivf_index(e, path, nlist=8)
         return _sim.jl_ivf_topk_indexed(spark, path, q, k=10, nprobe=4)
+
+    return _ann_recall(spark, sf_dir, approx, floor=0.5)
+
+
+@_q("sim_ivf_appended", _ANN_RECALL_ORACLE)
+def sim_ivf_appended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end-to-end (similarity.py
+    append_to_ivf_index — the FAISS `add` refresh shape): the index is
+    built on half the corpus, the other half appends against the
+    frozen sidecar centroids, and the partition-pruned probe must hit
+    the same recall band as a one-shot index (the pooled recall@10
+    verdict vs exact brute force, floor 0.5 — appending changes WHEN
+    vectors enter the index, not which cells they land in)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ivf_append_")
+
+    def approx(e: DataFrame, q: DataFrame) -> DataFrame:
+        _sim.write_ivf_index(e.filter(F.col("vec_id") % 2 == 0), path, nlist=8)
+        _sim.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), path)
+        return _sim.ivf_topk_indexed(spark, path, q, k=10, nprobe=4)
 
     return _ann_recall(spark, sf_dir, approx, floor=0.5)
 
