@@ -187,6 +187,55 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-prep chunking: split each document into OVERLAPPING token
+    windows (stride = chunk - overlap), one output row per chunk —
+    [id, chunk_idx, start_tok, n_tokens, chunk_text]. The final
+    partial window is kept, but a window whose predecessor already
+    covered the document end is dropped (no fully-redundant tail).
+
+    Pure projection + explode — ZERO shuffles; at 100 TB the cost is
+    the corpus scan itself, and chunks inherit the input partitioning
+    (downstream embed/index steps see doc-contiguous chunks for free).
+    Deterministic: whitespace tokens, fixed stride, 0-based indices.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("start_tok"),
+            F.slice(toks, s, chunk_tokens).alias("__toks"),
+        ),
+    )
+    kept = F.filter(
+        windows,
+        lambda w: (w["chunk_idx"] == 0)
+        | (w["start_tok"] - F.lit(stride) + F.lit(chunk_tokens) - 1 < n),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(kept).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("__c.start_tok").cast("long").alias("start_tok"),
+            F.size("__c.__toks").cast("long").alias("n_tokens"),
+            F.array_join("__c.__toks", " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 512,

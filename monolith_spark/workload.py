@@ -4201,6 +4201,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_promql_range_ratio",
     "ts_promql_range_p95",
     "sim_ivf_appended",
+    "docs_chunk_rag",
 )
 
 
@@ -7828,6 +7829,37 @@ def docs_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hg, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@_q(
+    "docs_chunk_rag",
+    f"""
+    WITH t AS (SELECT doc_id, {{_W}} AS w FROM documents),
+    s AS (SELECT doc_id, w, len(w) AS n, i AS chunk_idx,
+                 1 + i * 48 AS start_tok
+          FROM t, range(0, 2000) r(i)
+          WHERE 1 + i * 48 <= len(w)
+            AND (i = 0 OR 1 + (i - 1) * 48 + 63 < len(w)))
+    SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(w, start_tok, least(start_tok + 63, n)))
+                AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(w, start_tok, least(start_tok + 63, n)),
+                           ' ') AS chunk_text
+    FROM s
+    """.replace("{_W}", _W),
+)
+def docs_chunk_rag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep document chunking (operators/text.chunk_documents):
+    overlapping 64-token windows at stride 48 (16-token overlap), one
+    row per chunk with its exact text — the retrieval-corpus prep step
+    every RAG pipeline runs before embedding. Pure projection +
+    explode, zero shuffles; a window whose predecessor already covered
+    the document end is dropped. The oracle replays the identical
+    stride/overlap geometry and slicing, hash-checking every chunk's
+    text."""
+    return _text.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap_tokens=16
     )
 
 

@@ -654,6 +654,34 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     assert scan and "cell" in scan[0]
 
 
+def test_chunk_documents_geometry(spark):
+    """Overlapping RAG windows: stride = chunk - overlap, 0-based
+    indices, kept partial tail, and NO window whose predecessor already
+    covered the end."""
+    from monolith_spark.operators.text import chunk_documents
+
+    words = " ".join(str(i) for i in range(10))  # tokens 0..9
+    df = spark.createDataFrame([(1, words), (2, "only three tokens")],
+                               "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens"],
+         r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap_tokens=2)
+        .collect()
+    )
+    # doc 1: starts 1,3,5,7 (stride 2); start 9's predecessor (7..10)
+    # already covers the end -> dropped
+    assert out == [
+        (1, 0, 1, 4, "0 1 2 3"),
+        (1, 1, 3, 4, "2 3 4 5"),
+        (1, 2, 5, 4, "4 5 6 7"),
+        (1, 3, 7, 4, "6 7 8 9"),
+        (2, 0, 1, 3, "only three tokens"),
+    ]
+    with pytest.raises(ValueError, match="smaller than chunk_tokens"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
 def test_keep_best_selects_highest_score_per_cluster(spark):
     from monolith_spark.operators.dedup import keep_best
 
