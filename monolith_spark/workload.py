@@ -4202,6 +4202,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_promql_range_p95",
     "sim_ivf_appended",
     "docs_chunk_rag",
+    "ts_promql_range_topk",
 )
 
 
@@ -9828,6 +9829,54 @@ def ts_promql_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JAN1,
         JAN20,
         86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
+
+
+@_q(
+    "ts_promql_range_topk",
+    f"""
+    WITH pts AS (
+      SELECT event_type, {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN20}
+    ),
+    steps AS (
+      SELECT event_type, sig, w,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END AS step
+      FROM (SELECT event_type, sig, w, v,
+                   lag(v) OVER (PARTITION BY sig, w ORDER BY ts_ms, v) AS prev
+            FROM pts)
+    ),
+    per_series AS (
+      SELECT event_type, sig, w, CAST(sum(step) AS DOUBLE) AS inc
+      FROM steps WHERE step IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT 'event_type=' || event_type AS signature, w,
+             CAST(sum(CAST(inc AS DECIMAL(28,6))) AS DOUBLE) AS value
+      FROM per_series GROUP BY 1, 2
+    )
+    SELECT signature, CAST({JAN1} + (w + 1) * 86400000 AS BIGINT) AS t_ms,
+           value
+    FROM g
+    QUALIFY row_number() OVER (
+      PARTITION BY w ORDER BY value DESC, signature) <= 2
+    """,
+)
+def ts_promql_range_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk per STEP (the 'top N series per step' Grafana panel):
+    membership re-evaluates window by window — the daily top-2 event
+    types by reset-corrected increase, ties broken by signature so
+    both engines cut identically. The ranked relation per window is
+    the grouped aggregate (a handful of rows), never raw points."""
+    out = _promql.eval_range(
+        _events_lv(spark, sf_dir),
+        'topk(2, sum by (event_type) (increase({}[1d])))',
+        JAN1, JAN20, 86_400_000,
     )
     return out.select("signature", "t_ms", "value")
 
