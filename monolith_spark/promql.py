@@ -1880,6 +1880,32 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         ).select("signature", "labels", "__w", "value")
     if (
         isinstance(node, Call)
+        and node.func == "holt_winters"
+        and len(node.args) == 3
+        and isinstance(node.args[0], Selector)
+        and node.args[0].range_ms is not None
+    ):
+        sel = node.args[0]
+        if sel.range_ms != step_ms:
+            raise ValueError(
+                "eval_range: tiled evaluation needs the function range to "
+                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
+            )
+        sf_ = _const_scalar(node.args[1])
+        tf_ = _const_scalar(node.args[2])
+        if sf_ is None or tf_ is None:
+            raise ValueError("holt_winters expects scalar smoothing factors")
+        pts = tiles(sel)
+        out = _tsops.holt_winters(
+            pts, key_cols=["signature", "__w"], sf=sf_, tf=tf_, out="__v"
+        )
+        dim = pts.select("signature", "labels").dropDuplicates(["signature"])
+        return out.join(F.broadcast(dim), "signature").select(
+            "signature", "labels", "__w",
+            F.col("__v").cast("double").alias("value"),
+        )
+    if (
+        isinstance(node, Call)
         and node.func in ("deriv", "predict_linear")
         and node.args
         and isinstance(node.args[0], Selector)

@@ -738,9 +738,21 @@ def test_eval_range_tiled(spark):
 
     with pytest.raises(ValueError, match="range to equal the step"):
         promql.eval_range(df, 'rate({j="a"}[5s])', 0, 30_000, 10_000)
+    # holt_winters per window: the exact fold isolated per tile
+    # (w1 holds 10,12 -> s1 after one step; single-point windows drop)
+    hw = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(df, 'holt_winters({j="a"}[10s], 0.5, 0.5)',
+                            0, 30_000, 10_000).collect()}
+    for (sig, t), v in hw.items():
+        inst = {r["signature"]: r["value"] for r in promql.eval_instant(
+            df, 'holt_winters({j="a"}[10s], 0.5, 0.5)', t).collect()}
+        assert v == inst[sig]
+    assert set(hw) == {("j=a", 10_000), ("j=a", 20_000)}
+
     with pytest.raises(ValueError, match="unsupported shape"):
         promql.eval_range(
-            df, 'holt_winters({j="a"}[10s], 0.5, 0.5)', 0, 30_000, 10_000)
+            df, 'label_replace({j="a"}, "x", "1", "j", "(.*)")',
+            0, 30_000, 10_000)
 
 
 def test_eval_range_binop_composition(spark):
