@@ -1680,11 +1680,11 @@ def eval_range(
       cross-window lookback carry — a window without samples emits no
       point, where Prometheus would carry up to the lookback; this is
       the tile semantics range_func_by_step already pins);
-    - rate/increase/delta/irate/idelta/resets/changes (m[R]) with
-      R == step: per-window isolated evaluation (reset state never
-      leaks across windows — ts_subquery_max_rate's machinery);
-    - <agg>_over_time(m[R]) with R == step (avg/sum/min/max/count/
-      last/stddev/stdvar/present);
+    - EVERY range function with R == step, per-window isolated (reset
+      and smoothing state never leaks across windows): rate/increase/
+      delta/irate/idelta/resets/changes/deriv/predict_linear/
+      holt_winters and all <agg>_over_time incl. quantile_over_time;
+      histogram_quantile composes over any tiled inner;
     - grouping aggregations (sum/avg/min/max/count by/without) over
       any tiled expression — aggregated per window;
     - binary operators COMPOSING tiled expressions per window: scalar
