@@ -543,7 +543,8 @@ def test_registry_plan_red_flag_sweep(spark, sf_dir):
     #    bounded query set (q rows)
     bnlj_exempt = {
         "dedup_embedding_pairs", "sim_topk_cosine", "sim_ivf_topk", "sim_pq_topk",
-        "sim_jl_ivf_topk", "sim_jl_ivf_indexed", "docs_semantic_search",
+        "sim_jl_ivf_topk", "sim_jl_ivf_indexed", "sim_ivf_appended",
+        "docs_semantic_search",
         "docs_semantic_search_ivf",
         # bounded 8×32 probe-pair set (verify tier, like the ANN probes)
         "emb_jl_distortion", "emb_jl_ann",
