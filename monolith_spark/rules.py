@@ -80,6 +80,22 @@ def rules_from_dict(group: dict) -> list[RecordingRule]:
     return out
 
 
+def groups_from_dict(doc: dict) -> dict[str, list[RecordingRule]]:
+    """Parse a whole Prometheus rule FILE mapping (``{"groups":
+    [{"name": ..., "rules": [...]}]}``) into named groups. Each group
+    evaluates independently (its own record_rules call); in-group
+    chaining still applies within each."""
+    out: dict[str, list[RecordingRule]] = {}
+    for g in doc.get("groups", []):
+        name = g.get("name")
+        if not name:
+            raise ValueError("rule group without a name")
+        if name in out:
+            raise ValueError(f"duplicate rule group {name!r}")
+        out[name] = rules_from_dict(g)
+    return out
+
+
 def _validate(rules: list[RecordingRule]) -> None:
     seen: set[str] = set()
     for r in rules:

@@ -446,6 +446,21 @@ class MonolithServer:
                         data = _series_api(server.db, qs.get("match[]", []))
                     elif u.path == "/api/v1/status/tsdb":
                         data = tsdb_status(server.db)
+                    elif u.path == "/api/v1/status/buildinfo":
+                        # Grafana probes this on datasource setup; the
+                        # version string gates its feature detection
+                        from monolith_spark import __version__
+
+                        data = {
+                            "version": f"2.45.0 (monolith-spark {__version__})",
+                            "revision": __version__,
+                            "features": {},
+                        }
+                    elif u.path == "/api/v1/status/flags":
+                        data = {
+                            "storage.tsdb.retention.time": "0s",
+                            "query.lookback-delta": "5m",
+                        }
                     elif u.path == "/api/v1/format_query":
                         from monolith_spark import promql as _pql
 

@@ -198,6 +198,45 @@ def test_check_rules_reports_without_evaluating():
     assert any("a:b" in p for p in probs)
 
 
+def test_groups_from_dict():
+    from monolith_spark.rules import groups_from_dict
+
+    doc = {"groups": [
+        {"name": "g1", "rules": [{"record": "a:b", "expr": "sum(m)"}]},
+        {"name": "g2", "rules": [{"record": "c:d", "expr": "m"}]},
+    ]}
+    gs = groups_from_dict(doc)
+    assert sorted(gs) == ["g1", "g2"]
+    assert gs["g1"] == [RecordingRule("a:b", "sum(m)", {})]
+    with pytest.raises(ValueError, match="duplicate rule group"):
+        groups_from_dict({"groups": [{"name": "g", "rules": []}] * 2})
+    with pytest.raises(ValueError, match="without a name"):
+        groups_from_dict({"groups": [{"rules": []}]})
+
+
+def test_status_endpoints(spark, db):
+    import json
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/status/buildinfo"
+        ) as resp:
+            info = json.loads(resp.read())["data"]
+        assert "monolith-spark" in info["version"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/status/flags"
+        ) as resp:
+            flags = json.loads(resp.read())["data"]
+        assert flags["query.lookback-delta"] == "5m"
+    finally:
+        srv.shutdown()
+
+
 def test_static_label_overrides_result_label(spark):
     s = events_samples(spark, SF).select("labels", "timestamp", "value")
     out = evaluate_rules(
