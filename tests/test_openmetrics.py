@@ -50,6 +50,44 @@ def test_roundtrip_escapes_and_specials(spark):
         assert got[k][1] == v or (math.isnan(v) and math.isnan(got[k][1]))
 
 
+def test_roundtrip_adversarial_batch(spark):
+    """Seeded adversarial sweep: hundreds of random label maps drawn
+    from an escape-heavy alphabet (quotes, backslashes, newlines,
+    regex metachars), random float values incl. subnormals and
+    specials — the whole batch roundtrips in ONE Spark job."""
+    import random
+
+    rng = random.Random(7)
+    alpha = list('abz09 _"\\\n.*+?[]{}()|^$\t=,')
+
+    def rnd_text():
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+
+    rows = []
+    for i in range(300):
+        labels = {"__name__": f"m{i % 7}:x"}
+        for j in range(rng.randint(0, 3)):
+            labels[f"l{j}"] = rnd_text()
+        v = rng.choice([
+            rng.uniform(-1e9, 1e9),
+            rng.random() * 5e-324,
+            float("inf"), float("-inf"), float("nan"),
+            -0.0, 2**-1074, 1.7976931348623157e308,
+        ])
+        rows.append((labels, rng.randint(1, 2**53), v))
+    df = _df(spark, rows)
+    back = parse_lines(format_lines(df)).collect()
+    orig = sorted(
+        (tuple(sorted(r[0].items())), r[1], repr(r[2])) for r in rows
+    )
+    got = sorted(
+        (tuple(sorted(r["labels"].items())), r["timestamp"],
+         repr(r["value"]))
+        for r in back
+    )
+    assert got == orig  # repr() distinguishes -0.0 and compares nan==nan
+
+
 def test_parse_payload_comments_and_default_ts(spark):
     p = (
         "# HELP up 1 if the target is up\n"
