@@ -158,18 +158,25 @@ def evaluate_read(
     return resp
 
 
-def evaluate_promql(db: MonolithDB, query: str, time_ms: int) -> list[dict]:
+def evaluate_promql(
+    db: MonolithDB, query: str, time_ms: int, at_version: int | None = None
+) -> list[dict]:
     """Instant PromQL evaluation against the engine: parse, derive the
     sample window the expression can touch (promql.time_window), scan
     ONLY those chunk partitions via query_flat (pruning + pushdown
     intact), evaluate, and shape the rows as Prometheus API `vector`
-    results. The reference cannot do this at all — PromQL lives in its
+    results. ``at_version`` pins the WHOLE evaluation to a retained
+    manifest snapshot — PromQL over the pre-delete/pre-compaction
+    world, the ops answer to "what did this series look like before".
+    The reference cannot do this at all — PromQL lives in its
     Prometheus client (/root/reference/README.md:7)."""
     from monolith_spark import promql
 
     ast = promql.parse(query)
     lo, hi = promql.time_window(ast, time_ms)
-    samples = db.query_flat({}, lo, hi).select("labels", "timestamp", "value")
+    samples = db.query_flat({}, lo, hi, at_version=at_version).select(
+        "labels", "timestamp", "value"
+    )
     out = promql.eval_instant(samples, ast, time_ms)
     rows = out.collect()
     # sort()/sort_desc() order only the API presentation (the engine's
@@ -412,7 +419,11 @@ class MonolithServer:
                     if u.path == promql_path:
                         query = qs["query"][0]
                         t = float(qs.get("time", [_time.time()])[0])
-                        result = evaluate_promql(server.db, query, int(t * 1000))
+                        ver = qs.get("at_version", [None])[0]
+                        result = evaluate_promql(
+                            server.db, query, int(t * 1000),
+                            at_version=int(ver) if ver is not None else None,
+                        )
                         data = {"resultType": "vector", "result": result}
                     elif u.path == promql_path + "_range":
                         from monolith_spark.promql import parse_duration_ms

@@ -214,6 +214,41 @@ def test_groups_from_dict():
         groups_from_dict({"groups": [{"rules": []}]})
 
 
+def test_time_travel_over_http(spark, db):
+    """at_version on /api/v1/query pins the evaluation to a retained
+    manifest snapshot: after deleting the click series, the current
+    query sees nothing while the pre-delete version still answers."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from monolith_spark.labels import LabelMatcher
+    from monolith_spark.server import MonolithServer
+
+    pre = max(e["version"] for e in db.history())
+    db.delete_series([LabelMatcher("event_type", "click", "EQ")])
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        q = urllib.parse.urlencode({
+            "query": 'count(sum_over_time({event_type="click"}[19d]))',
+            "time": str((JAN1 + 19 * DAY) // 1000),
+        })
+
+        def ask(extra=""):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/api/v1/query?{q}{extra}"
+            ) as resp:
+                return json.loads(resp.read())["data"]["result"]
+
+        now = ask()
+        assert now == []  # count over an empty vector: no rows
+        old = ask(f"&at_version={pre}")
+        assert old and float(old[0]["value"][1]) > 0
+    finally:
+        srv.shutdown()
+
+
 def test_status_endpoints(spark, db):
     import json
     import urllib.request
