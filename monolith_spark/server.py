@@ -329,18 +329,26 @@ def federate_text(
 
 
 def evaluate_promql_range(
-    db: MonolithDB, query: str, start_ms: int, end_ms: int, step_ms: int
+    db: MonolithDB,
+    query: str,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    at_version: int | None = None,
 ) -> list[dict]:
     """Range PromQL evaluation (the Grafana query_range shape) against
     the engine: ONE pass over a chunk-pruned scan via the tiled
     evaluator (promql.eval_range — no per-step replan), shaped as
-    Prometheus API `matrix` results."""
+    Prometheus API `matrix` results. ``at_version`` pins the scan to a
+    retained manifest snapshot, like the instant endpoint."""
     from monolith_spark import promql
 
     ast = promql.parse(query)
     # widest reach: any tile's function range == step; plus lookback
     lo = start_ms - max(step_ms, promql.DEFAULT_LOOKBACK_MS)
-    samples = db.query_flat({}, lo, end_ms).select("labels", "timestamp", "value")
+    samples = db.query_flat({}, lo, end_ms, at_version=at_version).select(
+        "labels", "timestamp", "value"
+    )
     out = promql.eval_range(samples, ast, start_ms, end_ms, step_ms)
     rows = out.collect()
     by_series: dict[str, dict] = {}
@@ -433,12 +441,14 @@ class MonolithServer:
                             step_ms = int(float(step_raw) * 1000)
                         except ValueError:
                             step_ms = parse_duration_ms(step_raw)
+                        ver = qs.get("at_version", [None])[0]
                         result = evaluate_promql_range(
                             server.db,
                             qs["query"][0],
                             int(float(qs["start"][0]) * 1000),
                             int(float(qs["end"][0]) * 1000),
                             step_ms,
+                            at_version=int(ver) if ver is not None else None,
                         )
                         data = {"resultType": "matrix", "result": result}
                     elif u.path == "/api/v1/labels":

@@ -140,6 +140,9 @@ def pipeline3_probe(spark, mult: int) -> dict:
     timed("span_dedup_sec", dedup.span_dup_stats(docs))
     timed("tf_cosine_sec", dedup.shingle_tf_cosine_pairs(docs))
     timed("winnow_sec", text.winnow_stats(docs))
+    # r7: RAG chunking — pure projection+explode, must track the scan
+    timed("chunk_rag_sec",
+          text.chunk_documents(docs, chunk_tokens=64, overlap_tokens=16))
     from monolith_spark.workload import all_queries as _aq
     import os as _os, tempfile as _tf
     tmp = _tf.mkdtemp(prefix="probe_gate_")
