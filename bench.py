@@ -171,6 +171,16 @@ def run_once(spark) -> dict[str, float]:
             db.query_exact(
                 {"event_type": "purchase", "kb": "6", "user": "11"}, 0, 4_000_000_000_000)), runs=3)
 
+        # round-7 late: the at-rest inverted label index — build cost
+        # (a mutation row, one dim explode + bucketed write) and the
+        # posting-served twin of query_multichunk (pruned posting scan
+        # + count-intersection + hydration instead of a full dim scan).
+        # Runs AFTER the r01-comparable engine rows so their plans (and
+        # like-for-like numbers) are untouched.
+        timed("build_label_index", lambda: db.build_label_index())
+        timed("query_indexed", lambda: _force(
+            db.query_flat({"event_type": "purchase", "kb": "3"}, JAN1, JAN1 + 10 * 86_400_000)), runs=3)
+
         queries = all_queries()
         for name in R01_WORKLOAD_NAMES:
             timed(name, lambda n=name: _force(queries[n].spark_fn(spark, SF_DIR)), runs=2)

@@ -55,8 +55,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monolith_spark.labels import (
+    EQ,
     LabelMatcher,
-    exact_signature_predicate,
     matcher_predicate,
     series_id_expr,
     signature_expr,
@@ -98,10 +98,19 @@ class MonolithDB:
     # past executor memory.
     dim_broadcast_bytes: int = 256 * 1024 * 1024
     DIM_DECOMPRESS_FACTOR: int = 8
+    # Serve EQ matchers from the at-rest inverted label index when one
+    # exists and is fresh (build_label_index). False pins the full
+    # dim-scan path (debugging / plan comparison).
+    use_label_index: bool = True
+    # Parquet bloom filters on the dim's signature column: J5 exact
+    # lookups skip row groups whose bloom excludes the signature — the
+    # sled point-get analog at rest. Negligible write cost on a dim.
+    _DIM_WRITE_OPTS = {"parquet.bloom.filter.enabled#signature": "true"}
 
     def __post_init__(self) -> None:
         self.samples_path = os.path.join(self.path, "samples")
         self.series_path = os.path.join(self.path, "series")
+        self.index_path = os.path.join(self.path, "label_index")
         meta_path = os.path.join(self.path, "metadata.json")
         # S4 db-level metadata (/root/reference/src/db.rs:107-124): reject
         # reopening with a different chunk size, like the reference rejects
@@ -290,7 +299,11 @@ class MonolithDB:
             return new
 
     def _stage_and_move(
-        self, df: DataFrame, target_dir: str, partition_by: str | None = None
+        self,
+        df: DataFrame,
+        target_dir: str,
+        partition_by: str | None = None,
+        options: dict[str, str] | None = None,
     ):
         """Write ``df`` to a unique staging dir, then move the part
         files into the live table directory (same-fs rename — on an
@@ -303,6 +316,8 @@ class MonolithDB:
         writer = df.write
         if partition_by:
             writer = writer.partitionBy(partition_by)
+        if options:
+            writer = writer.options(**options)
         writer.parquet(staging)
 
         import pyarrow.parquet as pq
@@ -387,7 +402,14 @@ class MonolithDB:
                         for cid, fl in m["samples"].items()
                         for fn in fl
                     )
-            for base in (self.series_path, self.samples_path):
+                    idx = m.get("label_index")
+                    if idx:
+                        referenced.update(
+                            os.path.join(self.index_path, f"kp={b}", fn)
+                            for b, fl in idx["buckets"].items()
+                            for fn in fl
+                        )
+            for base in (self.series_path, self.samples_path, self.index_path):
                 if not os.path.isdir(base):
                     continue
                 for root, dirs, files in os.walk(base, topdown=False):
@@ -460,7 +482,9 @@ class MonolithDB:
                     "series_id",
                     "left_anti",
                 )
-            dim_files = self._stage_and_move(new_series, self.series_path)
+            dim_files = self._stage_and_move(
+                new_series, self.series_path, options=self._DIM_WRITE_OPTS
+            )
             # Time-sorted within partitions → Parquet row-group min/max
             # stats implement F3's binary search.
             fact_files = self._stage_and_move(
@@ -588,12 +612,126 @@ class MonolithDB:
         )
 
     def _matched_series(self, matchers, at_version: int | None = None) -> DataFrame:
+        """Resolve matchers to dim rows. EQ matchers are served from the
+        at-rest inverted label index when a FRESH one exists in the
+        snapshot (build_label_index): posting intersection + dim
+        hydration + residual predicate — the reference's J1-J3 posting
+        lookup and k-way intersection as at-rest Parquet
+        (/root/reference/src/common/utils.rs:56-128). Otherwise the
+        Catalyst ANDed dim scan (the always-correct fallback)."""
         series = self.series(at_version)
         if isinstance(matchers, dict):
+            # Superset semantics: every entry requires label PRESENT and
+            # equal (even ""), so all entries are posting-servable.
+            pairs = sorted(set(matchers.items()))
+            residual: list[LabelMatcher] = []
             pred = superset_predicate("labels", matchers)
         else:
-            pred = matcher_predicate("labels", list(matchers))
+            ms = list(matchers)
+            # EQ with value "" matches ABSENT labels too (Prometheus '')
+            # — postings only hold present entries, so it stays residual.
+            pairs = sorted({(m.name, m.value) for m in ms if m.type == EQ and m.value != ""})
+            residual = [m for m in ms if not (m.type == EQ and m.value != "")]
+            pred = matcher_predicate("labels", ms)
+        if pairs and self.use_label_index:
+            ids = self._posting_ids(self._load_manifest(at_version), pairs)
+            if ids is not None:
+                out = series.join(ids, "series_id")
+                if residual:
+                    out = out.filter(matcher_predicate("labels", residual))
+                return out
         return series.filter(pred)
+
+    # --------------------------------------------- inverted label index
+
+    N_INDEX_BUCKETS = 64
+
+    def build_label_index(self, n_buckets: int = N_INDEX_BUCKETS) -> dict:
+        """Materialize the at-rest inverted label index: the dim's
+        labels map exploded to postings [k, v, series_id], partitioned
+        by ``kp = crc32(k) % n_buckets`` and sorted (k, v) within
+        partitions, with Parquet bloom filters on both columns.
+
+        Why hash buckets instead of ``k=<key>`` partitions: a 100 TB
+        corpus can carry tens of thousands of distinct label keys —
+        one directory per key is a small-file explosion, while a fixed
+        bucket count keeps file count bounded and still prunes: a
+        lookup reads only its key's bucket (1/n_buckets of the index),
+        then row-group (k, v) min/max + blooms skip within it.
+
+        The index is a DERIVED table committed into the manifest with
+        the exact series file list it was built from; any later dim
+        mutation makes ``idx["series"] != man["series"]`` and readers
+        fall back to the dim scan until the next build — stale postings
+        are never served. Rebuild after ingest/compaction/deletes (the
+        operational cadence: build after each compaction pass).
+        """
+        man = self._load_manifest()
+        if not man["series"]:
+            return man
+        src = self.spark.read.parquet(
+            *[os.path.join(self.series_path, f) for f in man["series"]]
+        ).dropDuplicates(["series_id"])
+        postings = (
+            src.select("series_id", F.explode("labels").alias("k", "v"))
+            .withColumn(
+                "kp",
+                (F.crc32(F.encode(F.col("k"), "UTF-8")) % F.lit(n_buckets)).cast("int"),
+            )
+            .repartition("kp")
+            .sortWithinPartitions("k", "v")
+        )
+        moved = self._stage_and_move(
+            postings,
+            self.index_path,
+            partition_by="kp",
+            options={
+                "parquet.bloom.filter.enabled#k": "true",
+                "parquet.bloom.filter.enabled#v": "true",
+            },
+        )
+
+        def set_index(m: dict) -> None:
+            m["label_index"] = {
+                "series": man["series"],
+                "n_buckets": n_buckets,
+                "buckets": moved,
+            }
+
+        return self._commit(set_index, op="index")
+
+    def _posting_ids(self, man: dict, pairs: list[tuple[str, str]]) -> DataFrame | None:
+        """series_ids matching ALL (key, value) EQ pairs via the
+        inverted index, or None when no fresh index exists. ONE pruned
+        scan (only the buckets the keys hash to) + one count-based
+        k-way intersection — no join per matcher."""
+        import zlib
+
+        idx = man.get("label_index")
+        if not idx or idx["series"] != man["series"]:
+            return None
+        nb = idx["n_buckets"]
+        need = sorted({zlib.crc32(k.encode("utf-8")) % nb for k, _ in pairs})
+        files = [
+            os.path.join(self.index_path, f"kp={b}", fn)
+            for b in need
+            for fn in idx["buckets"].get(str(b), [])
+        ]
+        if not files:
+            # No postings in any needed bucket → no series carries the
+            # label at all → empty match.
+            return self.spark.createDataFrame([], "series_id long")
+        df = self.spark.read.option("basePath", self.index_path).parquet(*files)
+        cond = F.lit(False)
+        for k, v in pairs:
+            cond = cond | ((F.col("k") == F.lit(k)) & (F.col("v") == F.lit(v)))
+        return (
+            df.filter(cond)
+            .groupBy("series_id")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") == F.lit(len(pairs)))
+            .select("series_id")
+        )
 
     def _dim_hint(self, sel: DataFrame) -> DataFrame:
         """Broadcast hint for the matched dim, gated on the dim's
@@ -661,8 +799,19 @@ class MonolithDB:
 
     def query_exact(self, full_labels: dict[str, str], start_ms: int, end_ms: int) -> DataFrame:
         """J5 exact-signature point lookup
-        (/root/reference/src/indexer/sled_indexer.rs:98-107)."""
-        sel = self.series().filter(exact_signature_predicate("labels", full_labels))
+        (/root/reference/src/indexer/sled_indexer.rs:98-107).
+
+        Filters the dim's STORED signature column (== signature_expr
+        of its labels by construction in write()) rather than
+        recomputing the expression per row: a plain column equality
+        reaches the Parquet reader, so row-group min/max stats and the
+        signature bloom filter (_DIM_WRITE_OPTS) skip dim row groups —
+        the sled point-get, at rest."""
+        from monolith_spark.labels import python_signature
+
+        sel = self.series().filter(
+            F.col("signature") == F.lit(python_signature(full_labels))
+        )
         flat = self._query_samples(start_ms, end_ms).join(self._dim_hint(sel), "series_id")
         return to_timeseries(flat, key_cols=["series_id", "signature"])
 
@@ -1032,6 +1181,7 @@ class MonolithDB:
                 dim_files = self._stage_and_move(
                     self.series().join(sel, "series_id", "left_anti"),
                     self.series_path,
+                    options=self._DIM_WRITE_OPTS,
                 )
 
                 def swap(m: dict) -> None:

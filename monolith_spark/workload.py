@@ -140,6 +140,39 @@ def ts_exact_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_posting_index",
+    f"""
+    SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value
+    FROM events
+    WHERE event_type = 'click'
+      AND substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) = '3'
+      AND epoch_ms(ts) BETWEEN {JAN8} AND {JAN15}
+    """,
+)
+def ts_posting_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 posting lookup + k-way intersection served from the AT-REST
+    inverted label index (engine.build_label_index): events ingested
+    into a MonolithDB, postings built (crc32-bucketed, bloom-filtered),
+    then a two-matcher query resolved index-first — one pruned posting
+    scan + count-intersection + dim hydration, never a full dim scan
+    (/root/reference/src/common/utils.rs:56-128 at rest). The oracle
+    replays the same match straight off the events table, so a posting
+    that over- or under-matches by one series hash-fails."""
+    import tempfile
+
+    from monolith_spark.engine import MonolithDB
+
+    path = tempfile.mkdtemp(prefix="posting_idx_")
+    db = MonolithDB(spark, path)
+    db.write(events_samples(spark, sf_dir, with_signature=False))
+    man = db.build_label_index()
+    assert db._posting_ids(man, [("event_type", "click")]) is not None
+    return db.query_flat(
+        {"event_type": "click", "kb": "3"}, JAN8, JAN15
+    ).select("signature", F.col("timestamp").alias("ts_ms"), "value")
+
+
+@_q(
     "ts_series_agg",
     f"""
     SELECT {SIG_SQL} AS signature,
