@@ -56,8 +56,10 @@ from pyspark.sql import functions as F
 
 from monolith_spark.labels import (
     EQ,
+    RE,
     LabelMatcher,
     matcher_predicate,
+    regex_literal_set,
     series_id_expr,
     signature_expr,
     superset_predicate,
@@ -485,6 +487,24 @@ class MonolithDB:
             dim_files = self._stage_and_move(
                 new_series, self.series_path, options=self._DIM_WRITE_OPTS
             )
+            # Incremental posting maintenance (the reference's indexer
+            # updates postings at insert time, sled_indexer.rs
+            # get-or-create): if a FRESH label index exists, stage
+            # postings for the batch's new series so the index stays
+            # fresh across ingests instead of going stale on the first
+            # write after build. If freshness broke meanwhile, the
+            # staged files are simply never referenced (vacuum food).
+            post_files: dict[str, list[str]] = {}
+            if dim_files:
+                cur = self._read_current()
+                idx0 = (cur or {}).get("label_index")
+                if idx0 and idx0["series"] == cur["series"]:
+                    post_files = self._stage_and_move(
+                        self._postings_of(new_series, idx0["n_buckets"]),
+                        self.index_path,
+                        partition_by="kp",
+                        options=self._INDEX_WRITE_OPTS,
+                    )
             # Time-sorted within partitions → Parquet row-group min/max
             # stats implement F3's binary search.
             fact_files = self._stage_and_move(
@@ -497,11 +517,26 @@ class MonolithDB:
             if dim_files or fact_files:
 
                 def add(man: dict) -> None:
+                    # Index freshness decided on the LOCKED manifest,
+                    # before our dim files merge in: only a still-fresh
+                    # index may absorb the incremental postings —
+                    # otherwise it stays (or goes) stale and readers
+                    # fall back until the next build_label_index.
+                    idx = man.get("label_index")
+                    extend_idx = (
+                        post_files and idx and idx["series"] == man["series"]
+                    )
                     man["series"] = sorted(set(man["series"]) | set(dim_files))
                     for cid, files in fact_files.items():
                         man["samples"][cid] = sorted(
                             set(man["samples"].get(cid, [])) | set(files)
                         )
+                    if extend_idx:
+                        for b, files in post_files.items():
+                            idx["buckets"][b] = sorted(
+                                set(idx["buckets"].get(b, [])) | set(files)
+                            )
+                        idx["series"] = man["series"]
 
                 self._commit(add, op="write")
         finally:
@@ -623,18 +658,38 @@ class MonolithDB:
         if isinstance(matchers, dict):
             # Superset semantics: every entry requires label PRESENT and
             # equal (even ""), so all entries are posting-servable.
-            pairs = sorted(set(matchers.items()))
+            served = {k: {v} for k, v in matchers.items()}
             residual: list[LabelMatcher] = []
             pred = superset_predicate("labels", matchers)
         else:
             ms = list(matchers)
-            # EQ with value "" matches ABSENT labels too (Prometheus '')
-            # — postings only hold present entries, so it stays residual.
-            pairs = sorted({(m.name, m.value) for m in ms if m.type == EQ and m.value != ""})
-            residual = [m for m in ms if not (m.type == EQ and m.value != "")]
+            served = {}
+            residual = []
+
+            def serve(key: str, values: set[str]) -> None:
+                # two servable matchers on one key intersect their sets
+                # (job="a" & job=~"a|b" → {"a"}); empty → matches nothing.
+                served[key] = served[key] & values if key in served else values
+
+            for m in ms:
+                # EQ "" matches ABSENT labels too (Prometheus semantics),
+                # and so does a regex whose literal set contains "" —
+                # postings only hold present entries, so those stay
+                # residual predicates on the hydrated rows.
+                if m.type == EQ and m.value != "":
+                    serve(m.name, {m.value})
+                    continue
+                if m.type == RE:
+                    lits = regex_literal_set(m.value)
+                    if lits is not None and "" not in lits:
+                        serve(m.name, lits)
+                        continue
+                residual.append(m)
             pred = matcher_predicate("labels", ms)
-        if pairs and self.use_label_index:
-            ids = self._posting_ids(self._load_manifest(at_version), pairs)
+        if served and self.use_label_index:
+            if any(not vs for vs in served.values()):
+                return series.filter(F.lit(False))  # contradictory matchers
+            ids = self._posting_ids(self._load_manifest(at_version), sorted(served.items()))
             if ids is not None:
                 out = series.join(ids, "series_id")
                 if residual:
@@ -645,6 +700,24 @@ class MonolithDB:
     # --------------------------------------------- inverted label index
 
     N_INDEX_BUCKETS = 64
+    _INDEX_WRITE_OPTS = {
+        "parquet.bloom.filter.enabled#k": "true",
+        "parquet.bloom.filter.enabled#v": "true",
+    }
+
+    @staticmethod
+    def _postings_of(series_df: DataFrame, n_buckets: int) -> DataFrame:
+        """dim rows → posting rows [series_id, k, v, kp], bucketed by
+        crc32 of the label key and (k, v)-sorted for row-group stats."""
+        return (
+            series_df.select("series_id", F.explode("labels").alias("k", "v"))
+            .withColumn(
+                "kp",
+                (F.crc32(F.encode(F.col("k"), "UTF-8")) % F.lit(n_buckets)).cast("int"),
+            )
+            .repartition("kp")
+            .sortWithinPartitions("k", "v")
+        )
 
     def build_label_index(self, n_buckets: int = N_INDEX_BUCKETS) -> dict:
         """Materialize the at-rest inverted label index: the dim's
@@ -672,23 +745,11 @@ class MonolithDB:
         src = self.spark.read.parquet(
             *[os.path.join(self.series_path, f) for f in man["series"]]
         ).dropDuplicates(["series_id"])
-        postings = (
-            src.select("series_id", F.explode("labels").alias("k", "v"))
-            .withColumn(
-                "kp",
-                (F.crc32(F.encode(F.col("k"), "UTF-8")) % F.lit(n_buckets)).cast("int"),
-            )
-            .repartition("kp")
-            .sortWithinPartitions("k", "v")
-        )
         moved = self._stage_and_move(
-            postings,
+            self._postings_of(src, n_buckets),
             self.index_path,
             partition_by="kp",
-            options={
-                "parquet.bloom.filter.enabled#k": "true",
-                "parquet.bloom.filter.enabled#v": "true",
-            },
+            options=self._INDEX_WRITE_OPTS,
         )
 
         def set_index(m: dict) -> None:
@@ -700,18 +761,23 @@ class MonolithDB:
 
         return self._commit(set_index, op="index")
 
-    def _posting_ids(self, man: dict, pairs: list[tuple[str, str]]) -> DataFrame | None:
-        """series_ids matching ALL (key, value) EQ pairs via the
-        inverted index, or None when no fresh index exists. ONE pruned
+    def _posting_ids(self, man: dict, pairs) -> DataFrame | None:
+        """series_ids matching ALL (key, values) requirements via the
+        inverted index, or None when no fresh index exists. Each pair is
+        (key, value) or (key, set-of-accepted-values) — the latter is
+        how literal-set regexes (job=~"a|b") are served. ONE pruned
         scan (only the buckets the keys hash to) + one count-based
-        k-way intersection — no join per matcher."""
+        k-way intersection — no join per matcher. Keys are distinct
+        (the caller intersects value sets per key), so counting
+        DISTINCT matched keys per series == matching every matcher."""
         import zlib
 
         idx = man.get("label_index")
         if not idx or idx["series"] != man["series"]:
             return None
+        reqs = [(k, {v} if isinstance(v, str) else set(v)) for k, v in pairs]
         nb = idx["n_buckets"]
-        need = sorted({zlib.crc32(k.encode("utf-8")) % nb for k, _ in pairs})
+        need = sorted({zlib.crc32(k.encode("utf-8")) % nb for k, _ in reqs})
         files = [
             os.path.join(self.index_path, f"kp={b}", fn)
             for b in need
@@ -723,13 +789,16 @@ class MonolithDB:
             return self.spark.createDataFrame([], "series_id long")
         df = self.spark.read.option("basePath", self.index_path).parquet(*files)
         cond = F.lit(False)
-        for k, v in pairs:
-            cond = cond | ((F.col("k") == F.lit(k)) & (F.col("v") == F.lit(v)))
+        for k, vs in reqs:
+            cond = cond | ((F.col("k") == F.lit(k)) & F.col("v").isin(sorted(vs)))
+        # count DISTINCT keys, not rows: concurrent writers can land
+        # duplicate postings for the same series (same reason the dim
+        # tolerates duplicate rows) and a plain count would overshoot.
         return (
             df.filter(cond)
             .groupBy("series_id")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") == F.lit(len(pairs)))
+            .agg(F.count_distinct(F.col("k")).alias("__n"))
+            .filter(F.col("__n") == F.lit(len(reqs)))
             .select("series_id")
         )
 

@@ -169,3 +169,81 @@ def python_signature(labels: dict[str, str]) -> str:
         return s.replace("\\", "\\\\").replace(",", "\\,").replace("=", "\\=")
 
     return ",".join(f"{esc(k)}={esc(v)}" for k, v in sorted(labels.items()))
+
+
+def regex_literal_set(pattern: str, cap: int = 64) -> set[str] | None:
+    """The finite set of strings an ANCHORED regex matches, or None if
+    the pattern isn't a pure literal alternation (Prometheus's
+    FastRegexMatcher "set matches" analysis, from the public
+    prometheus/common regexp optimization — re-derived, not ported).
+
+    Handles literals, ``|`` alternation, ``(...)`` / ``(?:...)``
+    groups (arbitrarily nested, concatenation = cross product), and
+    single-character escapes of regex metachars (``\\.`` etc.). Any
+    quantifier, class, dot, anchor or backreference → None, as does an
+    expansion larger than ``cap`` (past that, postings stop being
+    cheaper than a scan). Matchers use fully-anchored semantics
+    (``^(?:pat)$``), so the set is exact, not a prefix heuristic.
+    """
+    METACHARS = set(".^$*+?{}[]|()\\")
+
+    def parse_alt(i: int) -> tuple[set[str], int] | None:
+        branches: set[str] = set()
+        cur = parse_concat(i)
+        if cur is None:
+            return None
+        vals, i = cur
+        branches |= vals
+        while i < len(pattern) and pattern[i] == "|":
+            cur = parse_concat(i + 1)
+            if cur is None:
+                return None
+            vals, i = cur
+            branches |= vals
+            if len(branches) > cap:
+                return None
+        return branches, i
+
+    def parse_concat(i: int) -> tuple[set[str], int] | None:
+        parts: set[str] = {""}
+        while i < len(pattern) and pattern[i] not in "|)":
+            c = pattern[i]
+            if c == "(":
+                j = i + 1
+                if pattern.startswith("?:", j):
+                    j += 2
+                elif pattern.startswith("?", j):
+                    return None  # lookarounds, named groups, flags
+                sub = parse_alt(j)
+                if sub is None:
+                    return None
+                vals, j = sub
+                if j >= len(pattern) or pattern[j] != ")":
+                    return None
+                i = j + 1
+            elif c == "\\":
+                if i + 1 >= len(pattern):
+                    return None
+                nxt = pattern[i + 1]
+                if nxt not in METACHARS:
+                    return None  # \d, \w, \b... are classes/anchors
+                vals = {nxt}
+                i += 2
+            elif c in METACHARS:
+                return None  # quantifier/class/dot/anchor
+            else:
+                vals = {c}
+                i += 1
+            # a quantifier after ANY atom breaks literalness
+            if i < len(pattern) and pattern[i] in "*+?{":
+                return None
+            parts = {a + b for a in parts for b in vals}
+            if len(parts) > cap:
+                return None
+        return parts, i
+
+    out = parse_alt(0)
+    if out is None:
+        return None
+    vals, i = out
+    return vals if i == len(pattern) else None

@@ -412,6 +412,18 @@ def core_probe(spark, mult: int) -> dict:
         med3("exact_lookup_sec", lambda: run(
             db.query_exact({"event_type": "purchase", "kb": "6", "user": "11"},
                            0, hi)))
+        # round-7 late: the at-rest inverted label index — build cost
+        # scales with series count (dim explode + bucketed write), and
+        # the posting-served multichunk query must stay flat: the
+        # posting scan reads 1/64th of an index that is itself ~1000×
+        # smaller than the facts. Later rows (retention, downsampled)
+        # then run index-served, the production configuration.
+        t0 = time.perf_counter()
+        db.build_label_index()
+        out["build_label_index_sec"] = round(time.perf_counter() - t0, 3)
+        med3("query_indexed_sec", lambda: run(
+            db.query_flat({"event_type": "purchase", "kb": "3"},
+                          JAN1, JAN1 + 10 * 86_400_000)))
         # retention: roll everything older than 10 days before the end
         t0 = time.perf_counter()
         rolled, _ = db.downsample_retention(hi - 10 * 86_400_000, 3_600_000)

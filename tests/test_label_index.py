@@ -102,22 +102,38 @@ def test_bucket_pruning_executes_on_needed_buckets_only(spark, tmp_path):
     assert "EqualTo(k,job)" in pushed and "EqualTo(v,j1)" in pushed
 
 
-def test_staleness_fallback_and_rebuild(spark, tmp_path):
+def test_write_extends_index_incrementally(spark, tmp_path):
+    # Ingest after build does NOT stale the index: write() stages
+    # postings for the batch's new series and the commit absorbs them,
+    # so the index keeps serving (the reference's insert-time indexer).
     db = _mk_db(spark, tmp_path)
     db.build_label_index()
     base = _rowset(db.query_flat({"job": "j1"}, LO, HI))
     extra = spark.createDataFrame(
-        [({"job": "j1", "new": "y"}, LO + 30_000, 9.5)],
+        [
+            ({"job": "j1", "new": "y"}, LO + 30_000, 9.5),  # new series
+            ({"job": "j1", "inst": "i1"}, LO + 31_000, 3.3),  # existing
+        ],
         "labels map<string,string>, timestamp long, value double",
     )
     db.write(extra)
     man = db._load_manifest()
-    assert db._posting_ids(man, [("job", "j1")]) is None  # stale → None
+    assert db._posting_ids(man, [("job", "j1")]) is not None  # still fresh
     with_new = _rowset(db.query_flat({"job": "j1"}, LO, HI))
-    assert len(with_new) == len(base) + 1  # fallback still correct
-    man2 = db.build_label_index()
-    assert db._posting_ids(man2, [("job", "j1")]) is not None
-    assert _rowset(db.query_flat({"job": "j1"}, LO, HI)) == with_new
+    assert len(with_new) == len(base) + 2
+    # the NEW series is reachable through its own fresh posting
+    assert db.query_flat({"new": "y"}, LO, HI).count() == 1
+    plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
+    assert with_new == _rowset(plain.query_flat({"job": "j1"}, LO, HI))
+
+
+def test_write_without_index_stays_plain(spark, tmp_path):
+    # No index built → writes don't create one, queries use the dim scan.
+    db = _mk_db(spark, tmp_path)
+    man = db._load_manifest()
+    assert "label_index" not in man
+    assert db._posting_ids(man, [("job", "j1")]) is None
+    assert db.query_flat({"job": "j1"}, LO, HI).count() > 0
 
 
 def test_delete_series_invalidates_then_rebuild_serves(spark, tmp_path):
@@ -186,3 +202,28 @@ def test_exact_lookup_pushes_signature_filter(spark, tmp_path):
     sel = db.series().filter(F.col("signature") == F.lit("job=j1,inst=i1"))
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "signature" in plan.split("PushedFilters")[1][:200]
+
+
+def test_literal_regex_served_from_postings(spark, tmp_path):
+    # job=~"j1|j3" expands to a literal set and is posting-served;
+    # parity with the dim-scan path, including a mixed EQ+RE+NRE query
+    # and the per-key set-intersection case.
+    db = _mk_db(spark, tmp_path)
+    db.build_label_index()
+    plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
+    cases = [
+        [LabelMatcher("job", "j1|j3", RE)],
+        [LabelMatcher("job", "(?:j1|j2)", RE), LabelMatcher("env", "prod")],
+        [LabelMatcher("job", "j1|j2", RE), LabelMatcher("job", "j2|j4", RE)],  # ∩ = {j2}
+        [LabelMatcher("job", "j1", EQ), LabelMatcher("job", "j2|j3", RE)],  # ∩ = ∅
+        [LabelMatcher("job", "j.*", RE)],  # non-literal → dim scan, same rows
+        [LabelMatcher("env", "|prod", RE)],  # ""∈set → residual (absent matches)
+    ]
+    for m in cases:
+        a = _rowset(db.query_flat(m, LO, HI))
+        b = _rowset(plain.query_flat(m, LO, HI))
+        assert a == b, f"mismatch for {m}"
+    # the empty-intersection case resolves without touching postings
+    assert db.query_flat(
+        [LabelMatcher("job", "j1", EQ), LabelMatcher("job", "j2|j3", RE)], LO, HI
+    ).count() == 0

@@ -94,3 +94,30 @@ def test_series_id_stable_under_key_order(spark):
     df = _labels_df(spark, [{"a": "1", "b": "2"}, {"b": "2", "a": "1"}])
     ids = [r[0] for r in df.select(series_id_expr("labels")).collect()]
     assert ids[0] == ids[1]
+
+
+def test_regex_literal_set_extraction():
+    # Prometheus FastRegexMatcher "set matches": finite alternations
+    # expand exactly; anything non-literal refuses.
+    import re
+
+    from monolith_spark.labels import regex_literal_set as rls
+
+    exact = {
+        "a|b|c": {"a", "b", "c"},
+        "(?:j1|j2)": {"j1", "j2"},
+        "prod": {"prod"},
+        "a(b|c)(x|y)": {"abx", "aby", "acx", "acy"},
+        r"a\.b": {"a.b"},
+        "(a|(b|c))d": {"ad", "bd", "cd"},
+        "a|": {"a", ""},
+    }
+    for pat, want in exact.items():
+        got = rls(pat)
+        assert got == want, (pat, got)
+        for s in got:  # every expansion really fullmatches
+            assert re.fullmatch(f"(?:{pat})", s)
+    for pat in ["a.*", "a+", "a?", "a{2}", "[ab]", "a.b", "^a$",
+                r"\d", "(?=a)b", "(?P<x>a)", "a\\", "(a", "a)b", "j.*|k"]:
+        assert rls(pat) is None, pat
+    assert rls("|".join(f"v{i}" for i in range(100))) is None  # cap
