@@ -1247,15 +1247,37 @@ class MonolithDB:
                     self.samples_path,
                     partition_by="chunk_id",
                 )
+                kept_dim = self.series().join(sel, "series_id", "left_anti")
                 dim_files = self._stage_and_move(
-                    self.series().join(sel, "series_id", "left_anti"),
-                    self.series_path,
-                    options=self._DIM_WRITE_OPTS,
+                    kept_dim, self.series_path, options=self._DIM_WRITE_OPTS
                 )
+                # A full delete rewrites the dim, so a fresh index would
+                # go stale here of all places — rebuild its postings from
+                # the kept dim and swap them in the SAME commit, keeping
+                # the serving path index-backed across deletes.
+                cur0 = self._read_current()
+                idx0 = (cur0 or {}).get("label_index")
+                post_files: dict[str, list[str]] = {}
+                if idx0 and idx0["series"] == cur0["series"]:
+                    post_files = self._stage_and_move(
+                        self._postings_of(kept_dim, idx0["n_buckets"]),
+                        self.index_path,
+                        partition_by="kp",
+                        options=self._INDEX_WRITE_OPTS,
+                    )
 
                 def swap(m: dict) -> None:
+                    idx = m.get("label_index")
+                    refresh = post_files and idx and idx["series"] == m["series"]
                     m["samples"] = fact_files
                     m["series"] = dim_files
+                    if refresh:
+                        idx["buckets"] = post_files
+                        idx["series"] = dim_files
+                    elif idx is not None and idx["series"] != m["series"]:
+                        # stale (or raced) index: drop the entry so its
+                        # files stop being pinned by future snapshots.
+                        del m["label_index"]
 
                 self._commit(swap, op="delete")
                 return n

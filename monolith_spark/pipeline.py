@@ -306,3 +306,110 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    shard_bytes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic, byte-balanced training-shard assignment: the
+    "global shuffle + fixed-size shards" step every tokenizer-feed
+    pipeline runs before training. Documents are laid on one
+    pseudo-random global line (ordered by a 60-bit md5 of the id —
+    reshuffling identically on every run and every engine) and cut
+    into shards of ``shard_bytes`` by START OFFSET: a doc belongs to
+    shard ``floor(offset / shard_bytes)``, so every shard's payload is
+    < shard_bytes + max_doc_bytes and shard count ≈ total/shard_bytes.
+
+    Scale shape — a distributed PREFIX SUM, never a single-partition
+    window: docs hash into ``n_buckets`` ordered buckets; each bucket
+    computes its local running sum key-parallel (window partitioned by
+    bucket), bucket byte-totals (≤ n_buckets rows) turn into bucket
+    start offsets, and global offset = bucket offset + local prefix.
+    The result equals ONE window over the total order (bucket, h, id)
+    — which is exactly how the DuckDB oracle replays it — but the plan
+    has no unbounded SinglePartition exchange at any size.
+
+    Returns [id, n_bytes, offset_bytes, shard_id].
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        h.alias("__h"),
+    ).withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
+    local = d.withColumn(
+        "__local",
+        F.sum("n_bytes").over(
+            Window.partitionBy("__b")
+            .orderBy("__h", id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = (
+        d.groupBy("__b").agg(F.sum("n_bytes").alias("__t")).orderBy("__b").collect()
+    )  # ≤ n_buckets rows — bounded driver state, not data-dependent
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__b"]] = acc
+        acc += r["__t"]
+    off_df = local.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__b int, __off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "__b")
+        .withColumn("offset_bytes", F.col("__off") + F.col("__local") - F.col("n_bytes"))
+        .withColumn(
+            "shard_id", (F.col("offset_bytes") / F.lit(shard_bytes)).cast("long")
+        )
+        .select(id_col, "n_bytes", "offset_bytes", "shard_id")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    shard_bytes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> dict:
+    """Materialize the shard layout: one parquet partition per shard
+    (shard_id=N dirs), docs stored in their global-line order, plus a
+    manifest.json with shard count and byte totals. The write
+    repartitions BY shard (each output task owns whole shards — no
+    small-file spray) and sorts within partitions by offset so readers
+    stream docs in the deterministic training order."""
+    assigned = shard_assignment(
+        docs, shard_bytes, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    out = (
+        docs.join(assigned, id_col)
+        .repartition("shard_id")
+        .sortWithinPartitions("offset_bytes")
+    )
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    stats = (
+        assigned.groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_bytes").alias("bytes"))
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "shard_bytes": shard_bytes,
+        "n_shards": len(stats),
+        "shards": [
+            {"shard_id": r["shard_id"], "n_docs": r["n_docs"], "bytes": r["bytes"]}
+            for r in stats
+        ],
+    }
+    # underscore prefix: parquet readers skip it as metadata, so the
+    # dataset root stays directly spark.read.parquet()-able
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest

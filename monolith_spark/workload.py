@@ -10245,3 +10245,37 @@ def ts_promql_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JAN20,
     )
     return out.select("signature", "value")
+
+
+@_q(
+    "docs_shard_assignment",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             strlen(text) AS n_bytes,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM documents),
+    b AS (SELECT *, h % 64 AS bkt FROM d),
+    o AS (SELECT doc_id, n_bytes,
+                 CAST(COALESCE(SUM(n_bytes) OVER (
+                     ORDER BY bkt, h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS offset_bytes
+          FROM b)
+    SELECT doc_id, n_bytes, offset_bytes,
+           CAST(offset_bytes // 65536 AS BIGINT) AS shard_id
+    FROM o
+    """,
+)
+def docs_shard_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic byte-balanced training-shard layout
+    (pipeline.shard_assignment): every doc's global offset on the
+    md5-shuffled line and its shard — computed as a DISTRIBUTED prefix
+    sum (per-bucket key-parallel windows + ≤64 bucket offsets), which
+    the oracle replays as ONE window over the total order. Exact
+    equality of every offset proves the two-level composition ==
+    the global cumulative sum, hash-bit for hash-bit."""
+    from monolith_spark.pipeline import shard_assignment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_assignment(docs, shard_bytes=65536)

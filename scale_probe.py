@@ -143,6 +143,11 @@ def pipeline3_probe(spark, mult: int) -> dict:
     # r7: RAG chunking — pure projection+explode, must track the scan
     timed("chunk_rag_sec",
           text.chunk_documents(docs, chunk_tokens=64, overlap_tokens=16))
+    # r7 fifth wave: shard assignment — distributed prefix sum; the
+    # bucket windows are key-parallel and the bucket-offset table is
+    # ≤64 rows at any corpus size, so time must track the scan
+    from monolith_spark.pipeline import shard_assignment
+    timed("shard_assign_sec", shard_assignment(docs, shard_bytes=1 << 20))
     from monolith_spark.workload import all_queries as _aq
     import os as _os, tempfile as _tf
     tmp = _tf.mkdtemp(prefix="probe_gate_")

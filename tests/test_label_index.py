@@ -136,18 +136,28 @@ def test_write_without_index_stays_plain(spark, tmp_path):
     assert db.query_flat({"job": "j1"}, LO, HI).count() > 0
 
 
-def test_delete_series_invalidates_then_rebuild_serves(spark, tmp_path):
+def test_delete_series_rebuilds_postings_in_same_commit(spark, tmp_path):
+    # A full delete rewrites the dim; the index is re-derived from the
+    # kept dim and swapped in the SAME commit, so the serving path
+    # stays index-backed across deletes (and never serves a deleted
+    # series through stale postings).
     db = _mk_db(spark, tmp_path)
     db.build_label_index()
     db.delete_series({"job": "j1"})
     man = db._load_manifest()
-    assert db._posting_ids(man, [("job", "j2")]) is None
-    assert db.query_flat({"job": "j1"}, LO, HI).count() == 0
-    db.build_label_index()
+    assert db._posting_ids(man, [("job", "j2")]) is not None  # still fresh
+    assert db.query_flat({"job": "j1"}, LO, HI).count() == 0  # gone via postings
     plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
     assert _rowset(db.query_flat({"job": "j2"}, LO, HI)) == _rowset(
         plain.query_flat({"job": "j2"}, LO, HI)
     )
+
+
+def test_delete_without_index_never_creates_one(spark, tmp_path):
+    db = _mk_db(spark, tmp_path)
+    db.delete_series({"job": "j1"})
+    assert "label_index" not in db._load_manifest()
+    assert db.query_flat({"job": "j2"}, LO, HI).count() > 0
 
 
 def test_time_travel_uses_pinned_snapshot_index(spark, tmp_path):

@@ -2748,3 +2748,45 @@ def test_gif_roundtrip_interlace_and_failures():
     g = multimodal.encode_gif(multimodal.synth_image_varied(1, 9, 9))
     with pytest.raises(ValueError):
         multimodal.decode_image(g[:20])
+
+
+def test_shard_assignment_is_a_true_prefix_sum_and_parallel(spark, sf_dir):
+    from monolith_spark.pipeline import shard_assignment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    S = 65536
+    a = shard_assignment(docs, S).collect()
+    assert len(a) == docs.count()
+    # offsets form an exact packing: sorted offsets are the cumulative
+    # byte sums, shard ids are start-offset cuts
+    rows = sorted(a, key=lambda r: r["offset_bytes"])
+    cum = 0
+    for r in rows:
+        assert r["offset_bytes"] == cum
+        assert r["shard_id"] == cum // S
+        cum += r["n_bytes"]
+    # the plan must have NO unbounded single-partition window — the
+    # whole point of the bucket-composed prefix sum
+    plan = shard_assignment(docs, S)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_write_training_shards_roundtrip_and_bounds(spark, sf_dir, tmp_path):
+    from monolith_spark.pipeline import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    S = 65536
+    out = str(tmp_path / "shards")
+    man = write_training_shards(docs, out, S)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    max_doc = docs.select(F.max(F.octet_length("text"))).first()[0]
+    # start-offset cut rule: every shard holds < S + max_doc bytes, and
+    # every shard except possibly the last holds >= S - max_doc
+    by_shard = {s["shard_id"]: s["bytes"] for s in man["shards"]}
+    assert man["n_shards"] == max(by_shard) + 1 and len(by_shard) == man["n_shards"]
+    for sid, nbytes in by_shard.items():
+        assert nbytes < S + max_doc
+        if sid != man["n_shards"] - 1:
+            assert nbytes >= S - max_doc

@@ -1337,3 +1337,26 @@ def test_streaming_alerts_fire_across_batches(spark, tmp_path):
     # >= min_pts — would fire on the next clear point
     assert (a["n_breaches"], a["alert_start_ms"]) == (1, 5000)
     assert (b["n_breaches"], b["alert_start_ms"], b["peak_value"]) == (2, 3000, 61.0)
+
+
+def test_stream_ingest_keeps_label_index_fresh(spark, tmp_path):
+    # Each micro-batch rides write()'s incremental posting maintenance,
+    # so a streaming engine keeps serving index-backed queries without
+    # ever rebuilding (the reference's insert-time indexer, streamed).
+    src = str(tmp_path / "src")
+    _write_slice(spark, src, [({"m": "a"}, 1000, 1.0)])
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    ingest = StreamingIngest(db, late_policy="keep")
+    q = ingest.start(samples_file_stream(spark, src, max_files_per_trigger=1),
+                     str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    db.build_label_index()
+    _write_slice(spark, src, [({"m": "b"}, 61_000, 2.0), ({"m": "a"}, 62_000, 3.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    man = db._load_manifest()
+    assert db._posting_ids(man, [("m", "b")]) is not None  # fresh after batches
+    assert db.query_flat({"m": "b"}, 0, 100_000).count() == 1
+    assert db.query_flat({"m": "a"}, 0, 100_000).count() == 2
