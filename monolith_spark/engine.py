@@ -949,9 +949,17 @@ class MonolithDB:
         self,
         exclude_chunk_ids: set[int] | None = None,
         layout: str = "series",
+        rebuild_index: bool = True,
     ) -> int:
         """Compact every chunk partition (optionally excluding e.g. the
-        chunk currently receiving appends). Returns chunks rewritten."""
+        chunk currently receiving appends). Returns chunks rewritten.
+
+        Also compacts the inverted label index when one exists:
+        incremental maintenance appends one posting file per ingest
+        batch per touched bucket, so a long-running stream accumulates
+        small files — the rebuild collapses every bucket back to one
+        file (and re-freshens a stale index, e.g. after a legacy
+        layout migration). ``rebuild_index=False`` skips it."""
         exclude = exclude_chunk_ids or set()
         done = 0
         for key in sorted(self._load_manifest()["samples"], key=int):
@@ -959,6 +967,9 @@ class MonolithDB:
             if cid in exclude:
                 continue
             done += int(self.compact_chunk(cid, layout=layout))
+        idx = self._load_manifest().get("label_index")
+        if rebuild_index and idx is not None:
+            self.build_label_index(idx["n_buckets"])
         return done
 
     def label_values(self, key: str) -> DataFrame:

@@ -269,11 +269,23 @@ def tsdb_status(db: MonolithDB, limit: int = 10) -> dict:
         "maxTime": int(max((r["end_ms"] for r in chunks), default=0)),
         "totalBytes": int(sum(r["bytes"] for r in chunks)),
     }
+    # inverted-index observability: present/fresh + file count, so an
+    # operator sees when a rebuild (or compact) is due — a fresh index
+    # with many small per-ingest posting files wants compaction.
+    man = db._load_manifest()
+    idx = man.get("label_index")
+    label_index = {
+        "present": idx is not None,
+        "fresh": bool(idx) and idx["series"] == man["series"],
+        "nBuckets": idx["n_buckets"] if idx else 0,
+        "numFiles": sum(len(fl) for fl in idx["buckets"].values()) if idx else 0,
+    }
     return {
         "headStats": head,
         "seriesCountByMetricName": by_metric,
         "labelValueCountByLabelName": by_label,
         "seriesCountByLabelValuePair": by_pair,
+        "labelIndex": label_index,
     }
 
 
@@ -595,6 +607,11 @@ class MonolithServer:
                             _admin_delete(server.db, qs)
                         elif u.path.endswith("/clean_tombstones"):
                             server.db.vacuum()
+                        elif u.path.endswith("/build_label_index"):
+                            # build (or compact) the inverted label
+                            # index; serving flips to postings on the
+                            # next query, no restart
+                            server.db.build_label_index()
                         else:
                             raise ValueError(f"unknown admin path {u.path}")
                         self.send_response(204)

@@ -237,3 +237,24 @@ def test_literal_regex_served_from_postings(spark, tmp_path):
     assert db.query_flat(
         [LabelMatcher("job", "j1", EQ), LabelMatcher("job", "j2|j3", RE)], LO, HI
     ).count() == 0
+
+
+def test_compact_collapses_incremental_posting_files(spark, tmp_path):
+    # N ingests after build → N posting files in touched buckets;
+    # compact() rebuilds the index to one file per bucket and keeps
+    # results identical.
+    db = _mk_db(spark, tmp_path)
+    db.build_label_index()
+    for i in range(3):
+        db.write(spark.createDataFrame(
+            [({"job": f"extra{i}", "inst": "i0"}, LO + i, 1.0)],
+            "labels map<string,string>, timestamp long, value double"))
+    man = db._load_manifest()
+    assert any(len(fl) > 1 for fl in man["label_index"]["buckets"].values())
+    before = _rowset(db.query_flat({"inst": "i0"}, LO, HI))
+    db.compact()
+    man2 = db._load_manifest()
+    idx = man2["label_index"]
+    assert idx["series"] == man2["series"]  # fresh
+    assert all(len(fl) == 1 for fl in idx["buckets"].values())
+    assert _rowset(db.query_flat({"inst": "i0"}, LO, HI)) == before

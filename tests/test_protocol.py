@@ -471,3 +471,49 @@ def test_admin_tsdb_http_apis(spark, tmp_path):
         assert status == 400 and b"error" in body
     finally:
         srv.shutdown()
+
+
+def test_admin_build_label_index_and_status_freshness(spark, tmp_path):
+    """POST /api/v1/admin/tsdb/build_label_index flips serving to the
+    posting index with no restart; /api/v1/status/tsdb reports the
+    index's presence/freshness/file count so operators see when a
+    compaction-grade rebuild is due."""
+    import json
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": "api"}, 1_000, 1.0), ({"job": "db"}, 2_000, 2.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        def status_idx():
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/api/v1/status/tsdb"
+            ) as resp:
+                return json.loads(resp.read())["data"]["labelIndex"]
+
+        assert status_idx() == {
+            "present": False, "fresh": False, "nBuckets": 0, "numFiles": 0}
+        code, _ = _post(srv.port, "/api/v1/admin/tsdb/build_label_index", b"")
+        assert code == 204
+        st = status_idx()
+        assert st["present"] and st["fresh"] and st["numFiles"] >= 1
+        man = db._load_manifest()
+        assert db._posting_ids(man, [("job", "api")]) is not None
+        # PromQL over HTTP now resolves matchers through the postings
+        import urllib.parse
+        q = urllib.parse.urlencode(
+            {"query": '{job="api"}', "time": "2"})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query?{q}"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "success"
+        (r,) = body["data"]["result"]
+        assert r["metric"] == {"job": "api"}
+    finally:
+        srv.shutdown()
