@@ -116,6 +116,11 @@ EXTRA_WORKLOAD_NAMES = [
     "ts_recording_rules",
     "ts_exposition_roundtrip",
     "ts_promql_range_ratio",
+    # round-7 fifth wave: the training-shard prefix sum (scan-bound,
+    # key-parallel windows) and the posting-index oracle row's engine
+    # twin lives in the engine rows above (build_label_index /
+    # query_indexed)
+    "docs_shard_assignment",
 ]
 
 R01_ROWS = {

@@ -761,6 +761,31 @@ class MonolithDB:
 
         return self._commit(set_index, op="index")
 
+    def _index_df(self, man: dict, keys: list[str] | None = None) -> DataFrame | None:
+        """The fresh index as a DataFrame [series_id, k, v, kp] — pruned
+        to the buckets ``keys`` hash to when given, all buckets when
+        None. Returns None when no fresh index exists, and an EMPTY
+        zero-column DataFrame (sentinel) when the pruned bucket set has
+        no files (no series carries any of the keys)."""
+        import zlib
+
+        idx = man.get("label_index")
+        if not idx or idx["series"] != man["series"]:
+            return None
+        nb = idx["n_buckets"]
+        if keys is None:
+            need = sorted(int(b) for b in idx["buckets"])
+        else:
+            need = sorted({zlib.crc32(k.encode("utf-8")) % nb for k in keys})
+        files = [
+            os.path.join(self.index_path, f"kp={b}", fn)
+            for b in need
+            for fn in idx["buckets"].get(str(b), [])
+        ]
+        if not files:
+            return self.spark.range(0).drop("id")  # zero-column sentinel
+        return self.spark.read.option("basePath", self.index_path).parquet(*files)
+
     def _posting_ids(self, man: dict, pairs) -> DataFrame | None:
         """series_ids matching ALL (key, values) requirements via the
         inverted index, or None when no fresh index exists. Each pair is
@@ -770,24 +795,14 @@ class MonolithDB:
         k-way intersection — no join per matcher. Keys are distinct
         (the caller intersects value sets per key), so counting
         DISTINCT matched keys per series == matching every matcher."""
-        import zlib
-
-        idx = man.get("label_index")
-        if not idx or idx["series"] != man["series"]:
-            return None
         reqs = [(k, {v} if isinstance(v, str) else set(v)) for k, v in pairs]
-        nb = idx["n_buckets"]
-        need = sorted({zlib.crc32(k.encode("utf-8")) % nb for k, _ in reqs})
-        files = [
-            os.path.join(self.index_path, f"kp={b}", fn)
-            for b in need
-            for fn in idx["buckets"].get(str(b), [])
-        ]
-        if not files:
+        df = self._index_df(man, keys=[k for k, _ in reqs])
+        if df is None:
+            return None
+        if not df.columns:  # sentinel: fresh index, empty bucket set
             # No postings in any needed bucket → no series carries the
             # label at all → empty match.
             return self.spark.createDataFrame([], "series_id long")
-        df = self.spark.read.option("basePath", self.index_path).parquet(*files)
         cond = F.lit(False)
         for k, vs in reqs:
             cond = cond | ((F.col("k") == F.lit(k)) & F.col("v").isin(sorted(vs)))
@@ -975,7 +990,25 @@ class MonolithDB:
     def label_values(self, key: str) -> DataFrame:
         """Distinct values of one label key (Prometheus label_values API
         analog; the reference exposes this only as the LR index keyspace,
-        /root/reference/src/indexer/sled_indexer.rs:23-25)."""
+        /root/reference/src/indexer/sled_indexer.rs:23-25).
+
+        With a fresh inverted index this is ONE bucket's columnar
+        ``v`` stripe (dictionary-encoded, k-pruned) instead of a full
+        dim scan decoding every labels map — the Grafana autocomplete
+        hot path at 100M series. Falls back to the dim scan otherwise."""
+        idx = (
+            self._index_df(self._load_manifest(), keys=[key])
+            if self.use_label_index
+            else None
+        )
+        if idx is not None:
+            if not idx.columns:
+                return self.spark.createDataFrame([], "value string")
+            return (
+                idx.filter(F.col("k") == F.lit(key))
+                .select(F.col("v").alias("value"))
+                .distinct()
+            )
         return (
             self.series()
             .select(F.try_element_at("labels", F.lit(key)).alias("value"))
@@ -986,7 +1019,13 @@ class MonolithDB:
     def label_names(self) -> DataFrame:
         """Distinct label keys across all series (Prometheus labels API
         analog) — an explode over the megabyte-scale dim, never the
-        fact table."""
+        fact table; with a fresh index, a distinct over the index's
+        dictionary-encoded ``k`` column (no map decode at all)."""
+        idx = self._index_df(self._load_manifest()) if self.use_label_index else None
+        if idx is not None:
+            if not idx.columns:
+                return self.spark.createDataFrame([], "name string")
+            return idx.select(F.col("k").alias("name")).distinct()
         return (
             self.series()
             .select(F.explode(F.map_keys("labels")).alias("name"))

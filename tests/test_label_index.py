@@ -258,3 +258,22 @@ def test_compact_collapses_incremental_posting_files(spark, tmp_path):
     assert idx["series"] == man2["series"]  # fresh
     assert all(len(fl) == 1 for fl in idx["buckets"].values())
     assert _rowset(db.query_flat({"inst": "i0"}, LO, HI)) == before
+
+
+def test_label_values_and_names_served_from_index(spark, tmp_path):
+    db = _mk_db(spark, tmp_path)
+    plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
+    want_vals = {r["value"] for r in plain.label_values("job").collect()}
+    want_names = {r["name"] for r in plain.label_names().collect()}
+    db.build_label_index()
+    assert {r["value"] for r in db.label_values("job").collect()} == want_vals
+    assert {r["name"] for r in db.label_names().collect()} == want_names
+    assert db.label_values("no_such_key").count() == 0
+    # the values scan is pruned to the key's bucket
+    import re as _re
+    plan = db.label_values("job")._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    man = db._load_manifest()
+    nb = man["label_index"]["n_buckets"]
+    want_files = len(man["label_index"]["buckets"][str(zlib.crc32(b"job") % nb)])
+    assert m and int(m.group(1)) == want_files, plan
