@@ -43,7 +43,8 @@ match this repo's established, oracle-verified conventions):
 
 Functions: rate increase delta idelta irate resets changes deriv
 predict_linear holt_winters <agg>_over_time (avg/sum/min/max/count/
-last/stddev/stdvar/present) quantile_over_time histogram_quantile abs
+last/stddev/stdvar/present) quantile_over_time mad_over_time
+(experimental-promql-functions) histogram_quantile abs
 ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_min clamp_max
 sin cos tan asin acos atan sinh cosh tanh deg rad pi minute hour
 day_of_week day_of_month days_in_month month year timestamp sort
@@ -795,6 +796,17 @@ def _idelta(df):
     )
 
 
+def _array_quantile(arr, phi):
+    """PromQL-interpolated quantile over a SORTED array column."""
+    n = F.size(arr)
+    rank = phi * (n - F.lit(1)).cast("double")
+    lo = F.floor(rank).cast("int")
+    frac = rank - lo.cast("double")
+    v_lo = F.element_at(arr, lo + 1)
+    v_hi = F.element_at(arr, F.least(lo + 2, n))
+    return v_lo + (v_hi - v_lo) * frac
+
+
 def _over_time(df, op: str, param: float | None = None,
                extra_keys: tuple[str, ...] = ()):
     if op == "avg":
@@ -833,13 +845,18 @@ def _over_time(df, op: str, param: float | None = None,
         val = F.sqrt(var) if op == "stddev" else var
     elif op == "quantile":
         a = [F.sort_array(F.collect_list("value")).alias("__a")]
-        n = F.size("__a")
-        rank = F.lit(float(param)) * (n - F.lit(1)).cast("double")
-        lo = F.floor(rank).cast("int")
-        frac = rank - lo.cast("double")
-        v_lo = F.element_at("__a", lo + 1)
-        v_hi = F.element_at("__a", F.least(lo + 2, n))
-        val = v_lo + (v_hi - v_lo) * frac
+        val = _array_quantile(F.col("__a"), F.lit(float(param)))
+    elif op == "mad":
+        # mad_over_time (Prometheus experimental-promql-functions):
+        # median(|v - median(v)|), both medians the PromQL-interpolated
+        # q0.5. One collect per group, then pure array expressions —
+        # same bounded-window shape as quantile_over_time.
+        a = [F.sort_array(F.collect_list("value")).alias("__a")]
+        med = _array_quantile(F.col("__a"), F.lit(0.5))
+        devs = F.sort_array(
+            F.transform(F.col("__a"), lambda x: F.abs(x - med))
+        )
+        val = _array_quantile(devs, F.lit(0.5))
     else:  # pragma: no cover
         raise ValueError(f"unknown over_time op {op!r}")
     agg = _per_series(df, *a, extra_keys=extra_keys)
@@ -854,6 +871,7 @@ _RANGE_FUNCS = {
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "present_over_time", "quantile_over_time",
+    "mad_over_time",
 }
 
 _MATH_FUNCS = {

@@ -10279,3 +10279,46 @@ def docs_shard_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return shard_assignment(docs, shard_bytes=65536)
+
+
+@_q(
+    "ts_mad_over_time",
+    f"""
+    WITH r AS (
+      SELECT {SIG_SQL} AS signature, value FROM events
+      WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {JAN8} AND {JAN20}),
+    a AS (SELECT signature, list_sort(list(value)) AS arr FROM r GROUP BY 1),
+    m AS (SELECT signature, arr, len(arr) AS n,
+                 CAST(floor(0.5 * (len(arr) - 1)) AS BIGINT) AS lo,
+                 0.5 * (len(arr) - 1) - floor(0.5 * (len(arr) - 1)) AS frac
+          FROM a),
+    m2 AS (SELECT signature, arr, n,
+                  arr[lo + 1] + (arr[least(lo + 2, n)] - arr[lo + 1]) * frac
+                    AS med
+           FROM m),
+    d AS (SELECT signature, n,
+                 list_sort(list_transform(arr, x -> abs(x - med))) AS devs,
+                 CAST(floor(0.5 * (n - 1)) AS BIGINT) AS lo,
+                 0.5 * (n - 1) - floor(0.5 * (n - 1)) AS frac
+          FROM m2)
+    SELECT signature,
+           devs[lo + 1] + (devs[least(lo + 2, n)] - devs[lo + 1]) * frac
+             AS value
+    FROM d
+    """,
+)
+def ts_mad_over_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mad_over_time (Prometheus experimental-promql-functions) through
+    the text front-end: median absolute deviation per series over a 12d
+    window — the robust-dispersion alert signal stddev_over_time's
+    moments miss under outliers. One collect_list per series + pure
+    array expressions (both medians PromQL-interpolated); the oracle
+    replays the interpolation with the SAME IEEE expression tree
+    (sorted list, lo/frac, v_lo + (v_hi - v_lo) * frac), so the hash
+    check is bit-exact, not tolerance-based."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'mad_over_time({event_type="purchase"}[12d])',
+        JAN20,
+    )
+    return out.select("signature", "value")

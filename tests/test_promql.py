@@ -900,3 +900,49 @@ def test_eval_range_binop_composition(spark):
     assert capped == {k: min(max(v, 10.0), 100.0) for k, v in base.items()}
     with pytest.raises(ValueError, match="must be scalars"):
         promql.eval_range(df, f"clamp({sel_a}, {sel_a}, 5)", *span)
+
+
+def test_mad_over_time_instant_and_tiled(spark):
+    """mad_over_time (experimental-promql-functions): instant value
+    equals the hand-computed median(|v - median(v)|) with PromQL
+    interpolation; the tiled range evaluation reproduces per-window
+    instant evals exactly (the eval_range contract)."""
+    import statistics
+
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"mad_over_time({sel}[19d])", JAN20).collect()}
+    assert got
+
+    def q50(vals):
+        a = sorted(vals)
+        rank = 0.5 * (len(a) - 1)
+        lo, frac = int(rank), rank - int(rank)
+        hi = min(lo + 1, len(a) - 1)
+        return a[lo] + (a[hi] - a[lo]) * frac
+
+    from monolith_spark.labels import signature_expr
+
+    raw = s.withColumn("signature", signature_expr("labels")).filter(
+        (F.col("timestamp") >= JAN20 - 19 * 86_400_000)
+        & (F.col("timestamp") <= JAN20)
+        & (F.try_element_at("labels", F.lit("event_type")) == "purchase")
+    ).collect()
+    by_sig = {}
+    for r in raw:
+        by_sig.setdefault(r["signature"], []).append(r["value"])
+    for k, vals in by_sig.items():
+        m = q50(vals)
+        assert got[k] == q50([abs(v - m) for v in vals]), k
+
+    # tiled: 3 windows of 5d == 3 instant evals at the window ends
+    step = 5 * 86_400_000
+    tiled = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
+        s, f"mad_over_time({sel}[5d])", JAN20 - 2 * step, JAN20, step
+    ).collect()}
+    assert tiled
+    for (k, w), v in tiled.items():
+        inst = {r["signature"]: r["value"] for r in promql.eval_instant(
+            s, f"mad_over_time({sel}[5d])", w).collect()}
+        assert inst[k] == v, (k, w)
