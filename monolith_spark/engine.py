@@ -537,6 +537,12 @@ class MonolithDB:
                                 set(idx["buckets"].get(b, [])) | set(files)
                             )
                         idx["series"] = man["series"]
+                    elif idx is not None and idx["series"] != man["series"]:
+                        # An index left stale (raced commit / legacy
+                        # state) would ride every future manifest,
+                        # pinning dead posting files forever — drop the
+                        # entry; build_label_index recreates it.
+                        del man["label_index"]
 
                 self._commit(add, op="write")
         finally:

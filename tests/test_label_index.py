@@ -277,3 +277,22 @@ def test_label_values_and_names_served_from_index(spark, tmp_path):
     nb = man["label_index"]["n_buckets"]
     want_files = len(man["label_index"]["buckets"][str(zlib.crc32(b"job") % nb)])
     assert m and int(m.group(1)) == want_files, plan
+
+
+def test_write_drops_stale_index_entry(spark, tmp_path):
+    # A stale entry (lost commit race / tampered state) must not ride
+    # every future manifest pinning dead posting files — the next write
+    # drops it; build_label_index recreates it on demand.
+    db = _mk_db(spark, tmp_path)
+    db.build_label_index()
+
+    def tamper(m):
+        m["label_index"]["series"] = ["bogus.parquet"]
+
+    db._commit(tamper, op="test-tamper")
+    assert db._posting_ids(db._load_manifest(), [("job", "j1")]) is None
+    db.write(spark.createDataFrame(
+        [({"job": "jX"}, LO + 5, 1.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    assert "label_index" not in db._load_manifest()
+    assert db.query_flat({"job": "j1"}, LO, HI).count() > 0  # dim-scan fallback
