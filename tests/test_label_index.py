@@ -296,3 +296,35 @@ def test_write_drops_stale_index_entry(spark, tmp_path):
         "labels map<string,string>, timestamp long, value double"))
     assert "label_index" not in db._load_manifest()
     assert db.query_flat({"job": "j1"}, LO, HI).count() > 0  # dim-scan fallback
+
+
+def test_selective_hydration_pushes_in_filter(spark, tmp_path):
+    # Selective matches hydrate via an IN list pushed into the dim scan
+    # (series_id-sorted, bloom-filtered files → row-group skips), not a
+    # join that scans the whole dim.
+    db = _mk_db(spark, tmp_path)
+    db.build_label_index()
+    sel = db._matched_series({"job": "j1", "env": "prod"})
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "In(series_id" in plan, plan
+    got = {r["signature"] for r in sel.collect()}
+    plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
+    want = {r["signature"] for r in plain._matched_series({"job": "j1", "env": "prod"}).collect()}
+    assert got == want and got
+
+
+def test_broad_match_falls_back_to_dim_scan(spark, tmp_path):
+    # Past the selectivity bound the posting probe proves the id set is
+    # large and the planner uses the plain predicate dim scan — one
+    # scan, no join, no giant IN list (measured at the 100x probe:
+    # a 177k-id hydration join cost 2.6x the dim scan).
+    db = _mk_db(spark, tmp_path)
+    db.build_label_index()
+    db.HYDRATE_IN_LIMIT = 3  # force the broad path on a 40-series match
+    sel = db._matched_series({"job": "j1"})
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "In(series_id" not in plan
+    assert "Join" not in plan  # predicate scan, not posting join
+    plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
+    assert {r["signature"] for r in sel.collect()} == {
+        r["signature"] for r in plain._matched_series({"job": "j1"}).collect()}
