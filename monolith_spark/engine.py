@@ -660,81 +660,96 @@ class MonolithDB:
         )
 
     def _matched_series(self, matchers, at_version: int | None = None) -> DataFrame:
-        """Resolve matchers to dim rows. EQ matchers are served from the
-        at-rest inverted label index when a FRESH one exists in the
-        snapshot (build_label_index): posting intersection + dim
-        hydration + residual predicate — the reference's J1-J3 posting
-        lookup and k-way intersection as at-rest Parquet
-        (/root/reference/src/common/utils.rs:56-128). Otherwise the
-        Catalyst ANDed dim scan (the always-correct fallback)."""
+        """Resolve matchers to dim rows. EQ and literal-set-regex
+        matchers probe the at-rest inverted label index when a FRESH
+        one exists (build_label_index) — the reference's J1-J3 posting
+        lookup as at-rest Parquet
+        (/root/reference/src/common/utils.rs:56-128): the smallest
+        posting list under the selectivity bound drives an IN-pushdown
+        dim read, re-verified by the full predicate. Broad matches and
+        index-less engines use the Catalyst ANDed dim scan (the
+        always-correct fallback, and the cheapest plan when the match
+        isn't selective)."""
         series = self.series(at_version)
         if isinstance(matchers, dict):
             # Superset semantics: every entry requires label PRESENT and
-            # equal (even ""), so all entries are posting-servable.
+            # equal (even ""), so all entries are posting-probeable.
             served = {k: {v} for k, v in matchers.items()}
-            residual: list[LabelMatcher] = []
             pred = superset_predicate("labels", matchers)
         else:
             ms = list(matchers)
             served = {}
-            residual = []
 
             def serve(key: str, values: set[str]) -> None:
-                # two servable matchers on one key intersect their sets
+                # two probeable matchers on one key intersect their sets
                 # (job="a" & job=~"a|b" → {"a"}); empty → matches nothing.
                 served[key] = served[key] & values if key in served else values
 
             for m in ms:
                 # EQ "" matches ABSENT labels too (Prometheus semantics),
                 # and so does a regex whose literal set contains "" —
-                # postings only hold present entries, so those stay
-                # residual predicates on the hydrated rows.
+                # postings only hold present entries, so those can't
+                # drive the probe (the full predicate still applies them).
                 if m.type == EQ and m.value != "":
                     serve(m.name, {m.value})
-                    continue
-                if m.type == RE:
+                elif m.type == RE:
                     lits = regex_literal_set(m.value)
                     if lits is not None and "" not in lits:
                         serve(m.name, lits)
-                        continue
-                residual.append(m)
             pred = matcher_predicate("labels", ms)
         if served and self.use_label_index:
             if any(not vs for vs in served.values()):
                 return series.filter(F.lit(False))  # contradictory matchers
-            ids = self._posting_ids(self._load_manifest(at_version), sorted(served.items()))
-            if ids is not None:
-                matched = self._selective_ids(ids)
-                if matched is not None:
-                    if not matched:
-                        return series.filter(F.lit(False))
-                    out = series.filter(F.col("series_id").isin(matched))
-                    if residual:
-                        out = out.filter(matcher_predicate("labels", residual))
-                    return out
-                # broad match: the posting probe proved the id set is
-                # large, so "scan the dim once with the predicate" IS
-                # the cheapest plan — a join against millions of
-                # posting ids would scan the dim anyway plus a shuffle.
+            cand = self._posting_candidates(
+                self._load_manifest(at_version), sorted(served.items())
+            )
+            if cand is not None:
+                if not cand:
+                    return series.filter(F.lit(False))
+                # candidates come from ONE posting list; the full
+                # predicate re-verifies every matcher on the pruned rows
+                return series.filter(
+                    F.col("series_id").isin(cand)
+                ).filter(pred)
+            # broad match (every posting list overflows the bound):
+            # one predicate dim scan IS the floor — a posting join
+            # would scan the dim anyway plus a shuffle (100x probe:
+            # 2.6x slower for a 177k-id match).
         return series.filter(pred)
 
-    # A match is "selective" while its posting intersection fits this
+    # A match is "selective" while its smallest posting list fits this
     # many ids; past it the index stops being cheaper than one dim scan
-    # (the semi-join-reduction bound, measured at the 100x probe:
-    # a 177k-id hydration join cost 2.6x the plain dim scan).
+    # (the semi-join-reduction bound, measured at the 100x probe).
     HYDRATE_IN_LIMIT = 8192
 
-    def _selective_ids(self, ids: DataFrame) -> list[int] | None:
-        """The matched series_ids as a driver list when the match is
-        selective (≤ HYDRATE_IN_LIMIT — a tiny eager probe of the
-        pruned posting intersection, early-terminated by limit), else
-        None. Selective matches become a pushed-down IN filter on the
-        series_id-SORTED, bloom-filtered dim files — at a 100M-series
-        dim that reads a few row groups instead of every dim file."""
-        rows = ids.limit(self.HYDRATE_IN_LIMIT + 1).collect()
-        if len(rows) > self.HYDRATE_IN_LIMIT:
+    def _posting_candidates(self, man: dict, pairs) -> list[int] | None:
+        """Candidate series_ids from the most selective posting list,
+        or None (no fresh index, or nothing selective). Each (key,
+        values) list is probed with an early-terminated ``limit`` scan
+        of its own pruned bucket — NO shuffle, no aggregation, so a
+        broad query discovers it is broad after reading ~LIMIT posting
+        rows. The first list under the bound drives the match
+        (smallest-postings-first, the reference's sorted-intersection
+        heuristic); the caller re-verifies all matchers on the
+        candidate rows. An empty list is definitive: some required
+        label pair has no postings, so nothing matches."""
+        idx = man.get("label_index")
+        if not idx or idx["series"] != man["series"]:
             return None
-        return [r["series_id"] for r in rows]
+        reqs = [(k, {v} if isinstance(v, str) else set(v)) for k, v in pairs]
+        for k, vs in reqs:
+            df = self._index_df(man, keys=[k])
+            if not df.columns:
+                return []  # bucket holds no postings → pair matches nothing
+            rows = (
+                df.filter((F.col("k") == F.lit(k)) & F.col("v").isin(sorted(vs)))
+                .select("series_id")
+                .limit(self.HYDRATE_IN_LIMIT + 1)
+                .collect()
+            )
+            if len(rows) <= self.HYDRATE_IN_LIMIT:
+                return sorted({r["series_id"] for r in rows})
+        return None
 
     # --------------------------------------------- inverted label index
 
@@ -825,36 +840,11 @@ class MonolithDB:
             return self.spark.range(0).drop("id")  # zero-column sentinel
         return self.spark.read.option("basePath", self.index_path).parquet(*files)
 
-    def _posting_ids(self, man: dict, pairs) -> DataFrame | None:
-        """series_ids matching ALL (key, values) requirements via the
-        inverted index, or None when no fresh index exists. Each pair is
-        (key, value) or (key, set-of-accepted-values) — the latter is
-        how literal-set regexes (job=~"a|b") are served. ONE pruned
-        scan (only the buckets the keys hash to) + one count-based
-        k-way intersection — no join per matcher. Keys are distinct
-        (the caller intersects value sets per key), so counting
-        DISTINCT matched keys per series == matching every matcher."""
-        reqs = [(k, {v} if isinstance(v, str) else set(v)) for k, v in pairs]
-        df = self._index_df(man, keys=[k for k, _ in reqs])
-        if df is None:
-            return None
-        if not df.columns:  # sentinel: fresh index, empty bucket set
-            # No postings in any needed bucket → no series carries the
-            # label at all → empty match.
-            return self.spark.createDataFrame([], "series_id long")
-        cond = F.lit(False)
-        for k, vs in reqs:
-            cond = cond | ((F.col("k") == F.lit(k)) & F.col("v").isin(sorted(vs)))
-        # count DISTINCT keys, not rows: concurrent writers can land
-        # duplicate postings for the same series (same reason the dim
-        # tolerates duplicate rows) and a plain count would overshoot.
-        return (
-            df.filter(cond)
-            .groupBy("series_id")
-            .agg(F.count_distinct(F.col("k")).alias("__n"))
-            .filter(F.col("__n") == F.lit(len(reqs)))
-            .select("series_id")
-        )
+    def _index_fresh(self, man: dict) -> bool:
+        """True when the snapshot carries a label index built from
+        exactly its current series file list — the serving condition."""
+        idx = man.get("label_index")
+        return bool(idx) and idx["series"] == man["series"]
 
     def _dim_hint(self, sel: DataFrame) -> DataFrame:
         """Broadcast hint for the matched dim, gated on the dim's

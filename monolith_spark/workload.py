@@ -166,7 +166,7 @@ def ts_posting_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = MonolithDB(spark, path)
     db.write(events_samples(spark, sf_dir, with_signature=False))
     man = db.build_label_index()
-    assert db._posting_ids(man, [("event_type", "click")]) is not None
+    assert db._index_fresh(man)
     return db.query_flat(
         {"event_type": "click", "kb": "3"}, JAN8, JAN15
     ).select("signature", F.col("timestamp").alias("ts_ms"), "value")
@@ -10322,3 +10322,36 @@ def ts_mad_over_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JAN20,
     )
     return out.select("signature", "value")
+
+
+@_q(
+    "ts_posting_regex",
+    f"""
+    SELECT {SIG_SQL} AS signature, epoch_ms(ts) AS ts_ms, value
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) = '7'
+      AND epoch_ms(ts) BETWEEN {JAN8} AND {JAN15}
+    """,
+)
+def ts_posting_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-set regex matcher through the AT-REST posting index:
+    event_type=~"click|view" expands via labels.regex_literal_set to a
+    value set served from postings (per-key set semantics), intersected
+    with an EQ matcher, then selectivity-aware hydration. The oracle
+    replays the expansion as a plain IN — if the regex analysis over-
+    or under-expands, the hash fails."""
+    import tempfile
+
+    from monolith_spark.engine import MonolithDB
+    from monolith_spark.labels import RE, LabelMatcher
+
+    path = tempfile.mkdtemp(prefix="posting_re_")
+    db = MonolithDB(spark, path)
+    db.write(events_samples(spark, sf_dir, with_signature=False))
+    man = db.build_label_index()
+    assert db._index_fresh(man)
+    return db.query_flat(
+        [LabelMatcher("event_type", "click|view", RE), LabelMatcher("kb", "7")],
+        JAN8, JAN15,
+    ).select("signature", F.col("timestamp").alias("ts_ms"), "value")

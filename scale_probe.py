@@ -429,6 +429,17 @@ def core_probe(spark, mult: int) -> dict:
         med3("query_indexed_sec", lambda: run(
             db.query_flat({"event_type": "purchase", "kb": "3"},
                           JAN1, JAN1 + 10 * 86_400_000)))
+        # selective 3-matcher lookup: posting intersection → IN-pushdown
+        # dim read vs the same match as a full predicate dim scan — the
+        # pair that shows what the index buys as series count grows
+        sel3 = {"event_type": "purchase", "kb": "6", "user": "11"}
+        plain = MonolithDB(
+            spark, db.path, chunk_size_ms=CHUNK_MS, use_label_index=False
+        )
+        med3("query_selective_indexed_sec",
+             lambda: run(db.query_flat(sel3, 0, hi)))
+        med3("query_selective_scan_sec",
+             lambda: run(plain.query_flat(sel3, 0, hi)))
         # retention: roll everything older than 10 days before the end
         t0 = time.perf_counter()
         rolled, _ = db.downsample_retention(hi - 10 * 86_400_000, 3_600_000)

@@ -88,18 +88,24 @@ def test_bucket_pruning_executes_on_needed_buckets_only(spark, tmp_path):
     populated = {b for b, fl in idx["buckets"].items() if fl}
     assert len(populated) >= 2  # job/inst/env land in distinct buckets
     want_files = len(idx["buckets"][str(zlib.crc32(b"job") % nb)])
-    ids = db._posting_ids(man, [("job", "j1")])
-    # input_file_name() is empty past the intersection shuffle and the
-    # plan truncates its path list, so assert the scan's pinned file
-    # COUNT: exactly the 'job' bucket's files, not the whole index —
-    # and that the k/v equalities reached the parquet reader.
-    plan = ids._jdf.queryExecution().executedPlan().toString()
+    # the probe's scan is pinned to the key's bucket only (the plan
+    # truncates its path list, so assert the scan's file COUNT), and
+    # the k/v filter reaches the parquet reader
+    probe = db._index_df(man, keys=["job"]).filter(
+        (F.col("k") == "job") & (F.col("v") == "j1")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"InMemoryFileIndex\((\d+) paths?\)", plan)
     assert m and int(m.group(1)) == want_files, plan
     total = sum(len(fl) for fl in idx["buckets"].values())
     assert want_files < total
     pushed = plan.split("PushedFilters")[1][:120]
     assert "EqualTo(k,job)" in pushed and "EqualTo(v,j1)" in pushed
+    # the driving posting list resolves the right candidate set
+    cand = db._posting_candidates(man, [("job", "j1")])
+    want_ids = {r["series_id"] for r in db.series().filter(
+        F.try_element_at("labels", F.lit("job")) == "j1").collect()}
+    assert set(cand) == want_ids and cand == sorted(cand)
 
 
 def test_write_extends_index_incrementally(spark, tmp_path):
@@ -118,7 +124,7 @@ def test_write_extends_index_incrementally(spark, tmp_path):
     )
     db.write(extra)
     man = db._load_manifest()
-    assert db._posting_ids(man, [("job", "j1")]) is not None  # still fresh
+    assert db._index_fresh(man)  # still fresh
     with_new = _rowset(db.query_flat({"job": "j1"}, LO, HI))
     assert len(with_new) == len(base) + 2
     # the NEW series is reachable through its own fresh posting
@@ -132,7 +138,7 @@ def test_write_without_index_stays_plain(spark, tmp_path):
     db = _mk_db(spark, tmp_path)
     man = db._load_manifest()
     assert "label_index" not in man
-    assert db._posting_ids(man, [("job", "j1")]) is None
+    assert not db._index_fresh(man)
     assert db.query_flat({"job": "j1"}, LO, HI).count() > 0
 
 
@@ -145,7 +151,7 @@ def test_delete_series_rebuilds_postings_in_same_commit(spark, tmp_path):
     db.build_label_index()
     db.delete_series({"job": "j1"})
     man = db._load_manifest()
-    assert db._posting_ids(man, [("job", "j2")]) is not None  # still fresh
+    assert db._index_fresh(man)  # still fresh
     assert db.query_flat({"job": "j1"}, LO, HI).count() == 0  # gone via postings
     plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
     assert _rowset(db.query_flat({"job": "j2"}, LO, HI)) == _rowset(
@@ -290,7 +296,7 @@ def test_write_drops_stale_index_entry(spark, tmp_path):
         m["label_index"]["series"] = ["bogus.parquet"]
 
     db._commit(tamper, op="test-tamper")
-    assert db._posting_ids(db._load_manifest(), [("job", "j1")]) is None
+    assert not db._index_fresh(db._load_manifest())
     db.write(spark.createDataFrame(
         [({"job": "jX"}, LO + 5, 1.0)],
         "labels map<string,string>, timestamp long, value double"))

@@ -503,7 +503,7 @@ def test_admin_build_label_index_and_status_freshness(spark, tmp_path):
         st = status_idx()
         assert st["present"] and st["fresh"] and st["numFiles"] >= 1
         man = db._load_manifest()
-        assert db._posting_ids(man, [("job", "api")]) is not None
+        assert db._index_fresh(man)
         # PromQL over HTTP now resolves matchers through the postings
         import urllib.parse
         q = urllib.parse.urlencode(

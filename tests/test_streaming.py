@@ -1357,6 +1357,6 @@ def test_stream_ingest_keeps_label_index_fresh(spark, tmp_path):
     q.stop()
 
     man = db._load_manifest()
-    assert db._posting_ids(man, [("m", "b")]) is not None  # fresh after batches
+    assert db._index_fresh(man)  # fresh after batches
     assert db.query_flat({"m": "b"}, 0, 100_000).count() == 1
     assert db.query_flat({"m": "a"}, 0, 100_000).count() == 2
