@@ -200,7 +200,7 @@ _CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
 # precedence: higher binds tighter; ^ is right-associative
 _BIN_PREC = {"or": 1, "and": 2, "unless": 2,
              "==": 3, "!=": 3, ">": 3, "<": 3, ">=": 3, "<=": 3,
-             "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "^": 6}
+             "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "atan2": 5, "^": 6}
 
 
 class _Parser:
@@ -868,6 +868,7 @@ def _over_time(df, op: str, param: float | None = None,
 _RANGE_FUNCS = {
     "rate", "increase", "delta", "idelta", "irate", "resets", "changes",
     "deriv", "predict_linear", "holt_winters",
+    "double_exponential_smoothing",  # the Prometheus 3.x name for holt_winters
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "present_over_time", "quantile_over_time",
@@ -1129,7 +1130,7 @@ def _eval_range_func(node: Call, ctx: _Ctx) -> DataFrame:
             df, key_cols=["signature"], t0=start, at_ms=at_ms, out="__v"
         )
         return _attach_labels(out, df, "__v")
-    if f == "holt_winters":
+    if f in ("holt_winters", "double_exponential_smoothing"):
         sf = _scalar_arg(node.args[1], ctx, f)
         tf = _scalar_arg(node.args[2], ctx, f)
         out = _tsops.holt_winters(
@@ -1542,7 +1543,7 @@ def _eval_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame):
             )
     else:
         expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
-                "%": a % b, "^": F.pow(a, b)}[node.op]
+                "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
         val = F.when(ok, expr.cast("double")).otherwise(guard)
         out = j.select(new_labels.alias("labels"), val.alias("value"))
     out = out.withColumn("signature", signature_expr("labels")).select(
@@ -1590,7 +1591,7 @@ def _eval_vv(node: BinOp, lv: DataFrame, rv: DataFrame):
             ).filter("__c").drop("__c")
         return ("vector", out)
     expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
-            "%": a % b, "^": F.pow(a, b)}[node.op]
+            "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
     val = F.when(ok, expr.cast("double")).otherwise(guard)
     return ("vector", j.select("signature", "labels", val.alias("value")))
 
@@ -1647,6 +1648,7 @@ def _eval_binop(node: BinOp, ctx: _Ctx):
         "/": a / b,
         "%": a % b,
         "^": F.pow(a, b),
+        "atan2": F.atan2(a, b),
     }[node.op]
     return ("vector", vec.withColumn("value", expr.cast("double")))
 
@@ -1670,6 +1672,8 @@ def _scalar_binop(op: str, a: float, b: float, bool_mode: bool) -> float:
         return math.fmod(a, b) if b != 0 else math.nan
     if op == "^":
         return a ** b
+    if op == "atan2":
+        return math.atan2(a, b)
     raise ValueError(f"unknown operator {op!r}")
 
 
@@ -1898,7 +1902,7 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         ).select("signature", "labels", "__w", "value")
     if (
         isinstance(node, Call)
-        and node.func == "holt_winters"
+        and node.func in ("holt_winters", "double_exponential_smoothing")
         and len(node.args) == 3
         and isinstance(node.args[0], Selector)
         and node.args[0].range_ms is not None
@@ -2146,7 +2150,7 @@ def _tiled_binop(
                 return vec.withColumn("value", cond.cast("double"))
             return vec.filter(cond)
         expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
-                "%": a % b, "^": F.pow(a, b)}[node.op]
+                "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
         return vec.withColumn("value", expr.cast("double"))
     lv = _tiled_values(node.lhs, start_ms, end_ms, step_ms, ctx)
     rv = _tiled_values(node.rhs, start_ms, end_ms, step_ms, ctx)
@@ -2195,6 +2199,6 @@ def _tiled_binop(
             .drop("__c")
         )
     expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
-            "%": a % b, "^": F.pow(a, b)}[node.op]
+            "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
     val = F.when(ok, expr.cast("double")).otherwise(guard)
     return j.select("signature", "labels", "__w", val.alias("value"))

@@ -946,3 +946,43 @@ def test_mad_over_time_instant_and_tiled(spark):
         inst = {r["signature"]: r["value"] for r in promql.eval_instant(
             s, f"mad_over_time({sel}[5d])", w).collect()}
         assert inst[k] == v, (k, w)
+
+
+def test_atan2_operator_and_des_alias(spark):
+    """`atan2` binary operator (scalar/vector/vector-matching forms)
+    and the Prometheus 3.x `double_exponential_smoothing` name for
+    holt_winters (bit-identical, instant and tiled)."""
+    import math
+
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+    avg = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"avg_over_time({sel}[19d])", JAN20).collect()}
+    got = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"avg_over_time({sel}[19d]) atan2 2", JAN20).collect()}
+    assert got and set(got) == set(avg)
+    for k in got:
+        assert got[k] == pytest.approx(math.atan2(avg[k], 2), rel=1e-12)
+    assert promql.eval_instant(s, "1 atan2 1", JAN20).collect()[0][
+        "value"] == pytest.approx(math.pi / 4)
+    vv = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, f"avg_over_time({sel}[19d]) atan2 avg_over_time({sel}[19d])",
+        JAN20).collect()}
+    for k, v in vv.items():
+        assert v == pytest.approx(math.atan2(avg[k], avg[k]), rel=1e-12)
+
+    def rows(q):
+        return sorted((r["signature"], r["value"])
+                      for r in promql.eval_instant(s, q, JAN20).collect())
+
+    assert rows(f"holt_winters({sel}[19d], 0.3, 0.2)") == rows(
+        f"double_exponential_smoothing({sel}[19d], 0.3, 0.2)")
+    step = 5 * 86_400_000
+
+    def grid(q):
+        return sorted((r["signature"], r["t_ms"], r["value"])
+                      for r in promql.eval_range(
+                          s, q, JAN20 - 2 * step, JAN20, step).collect())
+
+    assert grid(f"holt_winters({sel}[5d], 0.3, 0.2)") == grid(
+        f"double_exponential_smoothing({sel}[5d], 0.3, 0.2)")
