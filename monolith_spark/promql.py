@@ -32,9 +32,11 @@ match this repo's established, oracle-verified conventions):
   raise at execution); a group modifier requires an explicit
   on/ignoring clause and is rejected with set operators. The set
   operators and/or/unless are keyed semi/anti/union joins. The `@`
-  modifier pins a selector/subquery to a fixed unix-seconds anchor
-  (offset shifts relative to it); @ is instant-eval only — eval_range
-  rejects it rather than replicate one window across every step. Subqueries
+  modifier pins a selector/subquery to a fixed unix-seconds anchor —
+  or to `start()`/`end()`, which both equal the evaluation time in an
+  instant query (offset shifts relative to the anchor); @ is
+  instant-eval only — eval_range rejects it rather than replicate one
+  window across every step. Subqueries
   are supported for range-function inners (``max_over_time(rate(m[5d])
   [15d:5d])``), the shape ts_subquery_max_rate pins: the outer range
   is tiled by step-width windows anchored at the range start, the
@@ -98,7 +100,8 @@ class Selector:
     matchers: tuple[LabelMatcher, ...]
     range_ms: int | None = None  # None → instant selector
     offset_ms: int = 0
-    at_ms: int | None = None  # `@ <unix-seconds>` fixed evaluation anchor
+    # `@ <unix-seconds>` fixed anchor, or "start"/"end" (`@ start()`)
+    at_ms: int | str | None = None
 
 
 @dataclass(frozen=True)
@@ -107,7 +110,7 @@ class Subquery:
     range_ms: int
     step_ms: int
     offset_ms: int = 0
-    at_ms: int | None = None
+    at_ms: int | str | None = None
 
 
 @dataclass(frozen=True)
@@ -336,11 +339,20 @@ class _Parser:
             elif (k, v) == ("OP", "@"):
                 self.next()
                 nk, nv = self.next()
-                if nk != "NUMBER":
+                if nk == "IDENT" and nv in ("start", "end"):
+                    # `@ start()` / `@ end()` — the range-query anchor
+                    # functions; in an instant query both equal the
+                    # evaluation time (Prometheus semantics)
+                    self.expect("(")
+                    self.expect(")")
+                    at: int | str = nv
+                elif nk != "NUMBER":
                     raise ValueError(
-                        f"expected a unix-seconds timestamp after @, got {nv!r}"
+                        f"expected a unix-seconds timestamp or start()/end() "
+                        f"after @, got {nv!r}"
                     )
-                at = int(round(float(nv) * 1000))
+                else:
+                    at = int(round(float(nv) * 1000))
                 if isinstance(e, Selector):
                     e = Selector(e.name, e.matchers, e.range_ms, e.offset_ms, at)
                 elif isinstance(e, Subquery):
@@ -490,7 +502,9 @@ def _quote(s: str) -> str:
 
 def _fmt_modifiers(node) -> str:
     out = ""
-    if node.at_ms is not None:
+    if isinstance(node.at_ms, str):
+        out += f" @ {node.at_ms}()"
+    elif node.at_ms is not None:
         out += f" @ {node.at_ms / 1000!r}"
     if node.offset_ms:
         out += f" offset {format_duration_ms(node.offset_ms)}"
@@ -580,14 +594,16 @@ def time_window(expr, eval_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> t
         # the anchor — and the accumulated reach — absolutely.
         if isinstance(node, Selector):
             if node.at_ms is not None:
-                anchor, off_lo, off_hi = node.at_ms, 0, 0
+                at = eval_ms if isinstance(node.at_ms, str) else node.at_ms
+                anchor, off_lo, off_hi = at, 0, 0
             hi = anchor - off_lo - node.offset_ms
             lo = anchor - off_hi - node.offset_ms - (node.range_ms or lookback_ms)
             spans.append((lo, hi))
         elif isinstance(node, Subquery):
             if node.at_ms is not None:
+                at = eval_ms if isinstance(node.at_ms, str) else node.at_ms
                 walk(node.expr, node.offset_ms,
-                     node.offset_ms + node.range_ms, node.at_ms)
+                     node.offset_ms + node.range_ms, at)
             else:
                 walk(node.expr, off_lo + node.offset_ms,
                      off_hi + node.offset_ms + node.range_ms, anchor)
@@ -680,7 +696,12 @@ def _base(node: Selector, ctx: _Ctx) -> DataFrame:
 def _anchor_ms(node, ctx: _Ctx) -> int:
     """The effective evaluation anchor for a selector/subquery: its
     `@` timestamp when present, else the query's eval time. `offset`
-    shifts relative to the anchor (Prometheus semantics)."""
+    shifts relative to the anchor (Prometheus semantics). The
+    `start()`/`end()` anchor functions both equal the evaluation time
+    in an instant query (the only mode that reaches here — eval_range
+    rejects @ on tiles)."""
+    if isinstance(node.at_ms, str):
+        return ctx.eval_ms
     return node.at_ms if node.at_ms is not None else ctx.eval_ms
 
 

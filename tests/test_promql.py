@@ -986,3 +986,28 @@ def test_atan2_operator_and_des_alias(spark):
 
     assert grid(f"holt_winters({sel}[5d], 0.3, 0.2)") == grid(
         f"double_exponential_smoothing({sel}[5d], 0.3, 0.2)")
+
+
+def test_at_start_end_anchor_functions(spark):
+    """`@ start()` / `@ end()` parse, format, and evaluate: in an
+    instant query both anchors equal the evaluation time (Prometheus
+    semantics), so the anchored expression is bit-identical to the
+    bare one; time_window prunes to the same span."""
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+
+    def rows(q):
+        return sorted((r["signature"], r["value"])
+                      for r in promql.eval_instant(s, q, JAN20).collect())
+
+    assert rows(f"sum_over_time({sel}[19d] @ end())") == rows(
+        f"sum_over_time({sel}[19d])")
+    assert rows(f"rate({sel}[19d] @ start() offset 1h)") == rows(
+        f"rate({sel}[19d] offset 1h)")
+    a = promql.time_window(parse(f"rate({sel}[19d] @ end())"), JAN20)
+    b = promql.time_window(parse(f"rate({sel}[19d])"), JAN20)
+    assert a == b
+    with pytest.raises(ValueError):
+        parse("m @ soon()")
+    with pytest.raises(ValueError):
+        parse("m @ start")  # the anchor form requires parentheses

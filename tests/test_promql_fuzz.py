@@ -42,8 +42,11 @@ _value = st.text(
 )
 _mtype = st.sampled_from(["EQ", "NEQ", "RE", "NRE"])
 _dur_ms = st.integers(min_value=1, max_value=10**10)
-_at_ms = st.integers(min_value=0, max_value=2 * 10**12).map(
-    lambda v: v - v % 1000  # whole seconds — the lexer reads seconds
+_at_ms = st.one_of(
+    st.integers(min_value=0, max_value=2 * 10**12).map(
+        lambda v: v - v % 1000  # whole seconds — the lexer reads seconds
+    ),
+    st.sampled_from(["start", "end"]),  # the @ start()/@ end() anchors
 )
 _num = st.floats(min_value=0, max_value=1e12, allow_nan=False,
                  allow_infinity=False)
