@@ -502,16 +502,21 @@ class MonolithDB:
             # write after build. If freshness broke meanwhile, the
             # staged files are simply never referenced (vacuum food).
             post_files: dict[str, list[str]] = {}
+            post_stats: dict = {}
             if dim_files:
                 cur = self._read_current()
                 idx0 = (cur or {}).get("label_index")
                 if idx0 and idx0["series"] == cur["series"]:
+                    batch_postings = self._postings_of(
+                        new_series, idx0["n_buckets"]
+                    )
                     post_files = self._stage_and_move(
-                        self._postings_of(new_series, idx0["n_buckets"]),
+                        batch_postings,
                         self.index_path,
                         partition_by="kp",
                         options=self._INDEX_WRITE_OPTS,
                     )
+                    post_stats = self._posting_stats(batch_postings)
             # Time-sorted within partitions → Parquet row-group min/max
             # stats implement F3's binary search.
             fact_files = self._stage_and_move(
@@ -543,6 +548,17 @@ class MonolithDB:
                             idx["buckets"][b] = sorted(
                                 set(idx["buckets"].get(b, [])) | set(files)
                             )
+                        # merge planner stats: counts add exactly; NDV of
+                        # a union is unknowable from parts, so keep the
+                        # max — an UNDER-estimate of true NDV biases the
+                        # per-value estimate upward, i.e. conservatively
+                        # (skips a probe, never serves a wrong plan).
+                        ks = idx.setdefault("key_stats", {})
+                        for k, (n, ndv) in post_stats.items():
+                            if k in ks:
+                                ks[k] = [ks[k][0] + n, max(ks[k][1], ndv)]
+                            else:
+                                ks[k] = [n, ndv]
                         idx["series"] = man["series"]
                     elif idx is not None and idx["series"] != man["series"]:
                         # An index left stale (raced commit / legacy
@@ -719,8 +735,17 @@ class MonolithDB:
 
     # A match is "selective" while its smallest posting list fits this
     # many ids; past it the index stops being cheaper than one dim scan
-    # (the semi-join-reduction bound, measured at the 100x probe).
-    HYDRATE_IN_LIMIT = 8192
+    # (the semi-join-reduction bound). Sized by measurement twice: the
+    # 100x probe killed the hydration JOIN, and an 8192 bound let a
+    # ~5k-term IN through whose per-query PLANNING cost (Catalyst
+    # analysis + pushdown of thousands of literals) exceeded the scan
+    # it saved — 1024 keeps the IN list in the always-wins regime.
+    HYDRATE_IN_LIMIT = 1024
+    # Probe a key only while its estimated per-value postings (n/ndv
+    # from the manifest's key_stats) stay within this multiple of the
+    # limit — slack for value skew; past it the probe would almost
+    # surely overflow, so skip the job.
+    PROBE_EST_FACTOR = 4
 
     def _posting_candidates(self, man: dict, pairs) -> list[int] | None:
         """Candidate series_ids from the most selective posting list,
@@ -737,6 +762,28 @@ class MonolithDB:
         if not idx or idx["series"] != man["series"]:
             return None
         reqs = [(k, {v} if isinstance(v, str) else set(v)) for k, v in pairs]
+        stats = idx.get("key_stats")
+        if stats is not None:
+            # statistics-driven planning: a key with NO postings proves
+            # the match empty; otherwise estimate per-value postings as
+            # n/ndv per key, probe only keys whose estimate fits (a
+            # broad query takes the dim scan with ZERO probe jobs), and
+            # probe the rarest first. Value skew can make an estimate
+            # optimistic — the limit on the probe still catches that
+            # and falls back, so the plan is never wrong, only the
+            # number of probes varies.
+            for k, _ in reqs:
+                if k not in stats:
+                    return []
+            bound = self.PROBE_EST_FACTOR * self.HYDRATE_IN_LIMIT
+            reqs = sorted(
+                (
+                    kv
+                    for kv in reqs
+                    if stats[kv[0]][0] / max(stats[kv[0]][1], 1) <= bound
+                ),
+                key=lambda kv: stats[kv[0]][0] / max(stats[kv[0]][1], 1),
+            )
         for k, vs in reqs:
             df = self._index_df(man, keys=[k])
             if not df.columns:
@@ -799,21 +846,39 @@ class MonolithDB:
         src = self.spark.read.parquet(
             *[os.path.join(self.series_path, f) for f in man["series"]]
         ).dropDuplicates(["series_id"])
+        postings = self._postings_of(src, n_buckets)
         moved = self._stage_and_move(
-            self._postings_of(src, n_buckets),
+            postings,
             self.index_path,
             partition_by="kp",
             options=self._INDEX_WRITE_OPTS,
         )
+        stats = self._posting_stats(postings)
 
         def set_index(m: dict) -> None:
             m["label_index"] = {
                 "series": man["series"],
                 "n_buckets": n_buckets,
                 "buckets": moved,
+                "key_stats": stats,
             }
 
         return self._commit(set_index, op="index")
+
+    @staticmethod
+    def _posting_stats(postings: DataFrame) -> dict:
+        """Per-key [n_postings, n_distinct_values] — the planner's
+        selectivity statistics. Bounded driver state: one row per
+        label KEY (tens to thousands), never per value."""
+        return {
+            r["k"]: [r["n"], r["ndv"]]
+            for r in postings.groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("v").alias("ndv"),
+            )
+            .collect()
+        }
 
     def _index_df(self, man: dict, keys: list[str] | None = None) -> DataFrame | None:
         """The fresh index as a DataFrame [series_id, k, v, kp] — pruned
@@ -1339,13 +1404,18 @@ class MonolithDB:
                 cur0 = self._read_current()
                 idx0 = (cur0 or {}).get("label_index")
                 post_files: dict[str, list[str]] = {}
+                post_stats: dict = {}
                 if idx0 and idx0["series"] == cur0["series"]:
+                    kept_postings = self._postings_of(
+                        kept_dim, idx0["n_buckets"]
+                    )
                     post_files = self._stage_and_move(
-                        self._postings_of(kept_dim, idx0["n_buckets"]),
+                        kept_postings,
                         self.index_path,
                         partition_by="kp",
                         options=self._INDEX_WRITE_OPTS,
                     )
+                    post_stats = self._posting_stats(kept_postings)
 
                 def swap(m: dict) -> None:
                     idx = m.get("label_index")
@@ -1354,6 +1424,7 @@ class MonolithDB:
                     m["series"] = dim_files
                     if refresh:
                         idx["buckets"] = post_files
+                        idx["key_stats"] = post_stats
                         idx["series"] = dim_files
                     elif idx is not None and idx["series"] != m["series"]:
                         # stale (or raced) index: drop the entry so its

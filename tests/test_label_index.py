@@ -334,3 +334,43 @@ def test_broad_match_falls_back_to_dim_scan(spark, tmp_path):
     plain = MonolithDB(spark, db.path, chunk_size_ms=3_600_000, use_label_index=False)
     assert {r["signature"] for r in sel.collect()} == {
         r["signature"] for r in plain._matched_series({"job": "j1"}).collect()}
+
+
+def test_stats_driven_probe_planning(spark, tmp_path):
+    # key_stats make broad queries skip probing entirely and selective
+    # queries probe the rarest key first; estimates are maintained
+    # through incremental writes and delete rebuilds.
+    db = _mk_db(spark, tmp_path)
+    man = db.build_label_index()
+    ks = man["label_index"]["key_stats"]
+    assert ks["job"][1] == 5 and ks["inst"][1] == 20  # exact NDVs
+    assert ks["job"][0] == ks["inst"][0]  # every series carries both
+    # force "everything is broad": no key fits → no probes, dim scan
+    db.HYDRATE_IN_LIMIT = 1
+    db.PROBE_EST_FACTOR = 1
+    assert db._posting_candidates(man, [("job", "j1")]) is None
+    db.HYDRATE_IN_LIMIT = 1024
+    db.PROBE_EST_FACTOR = 4
+    # absent key is decided from stats alone — empty, no probe
+    assert db._posting_candidates(man, [("nokey", "x")]) == []
+    # selective: inst (ndv 20) is rarer than job (ndv 5) → candidates
+    # come from the inst posting list (superset of the joint match)
+    cand = db._posting_candidates(man, [("job", "j1"), ("inst", "i6")])
+    want_inst = {r["series_id"] for r in db.series().filter(
+        F.try_element_at("labels", F.lit("inst")) == "i6").collect()}
+    assert set(cand) == want_inst
+    # stats stay exact through an incremental write (env=dev makes this
+    # a genuinely NEW series — {job:j1, inst:i6} alone already exists)
+    db.write(spark.createDataFrame(
+        [({"job": "j1", "inst": "i6", "env": "dev"}, LO + 7, 2.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    ks2 = db._load_manifest()["label_index"]["key_stats"]
+    assert ks2["job"][0] == ks["job"][0] + 1
+    # NDV merge is the documented conservative max: env's true NDV is
+    # now 2 (prod, dev) but the merged lower bound stays 1 — the
+    # estimate only ever errs toward skipping a probe
+    assert ks2["env"][1] >= 1
+    # and through a delete rebuild
+    db.delete_series({"job": "j1"})
+    ks3 = db._load_manifest()["label_index"]["key_stats"]
+    assert "job" in ks3 and ks3["job"][1] == 4  # j1 gone → 4 job values
