@@ -453,6 +453,147 @@ class MonolithDB:
                         continue
         return deleted
 
+    # ------------------------------------------- metric metadata + snapshots
+
+    _METADATA_TYPES = frozenset(
+        ("counter", "gauge", "histogram", "gaugehistogram", "summary",
+         "info", "stateset", "unknown", "untyped")
+    )
+
+    def set_metric_metadata(self, meta: dict[str, dict]) -> None:
+        """Merge per-metric metadata — the exposition format's
+        ``# HELP`` / ``# TYPE`` / ``# UNIT`` comments — into the
+        manifest as ONE commit (`op="metadata"`). Metadata is bounded
+        (one entry per metric NAME, not per series), so it lives in
+        the manifest itself: atomic with everything else, versioned,
+        and time-travelable for free. Later scrapes update fields
+        per-metric (a scrape that carries only # TYPE never erases a
+        stored help string). Unknown metric types are rejected loudly
+        — a typo'd TYPE line must not poison /api/v1/metadata."""
+        norm: dict[str, dict] = {}
+        for name, m in meta.items():
+            entry = {}
+            for k in ("type", "help", "unit"):
+                if m.get(k) is not None:
+                    entry[k] = str(m[k])
+            t = entry.get("type")
+            if t is not None and t not in self._METADATA_TYPES:
+                raise ValueError(
+                    f"unknown metric type {t!r} for {name!r} "
+                    f"(expected one of {sorted(self._METADATA_TYPES)})"
+                )
+            if entry:
+                norm[str(name)] = entry
+        if not norm:
+            return
+
+        def mutate(man: dict) -> None:
+            mm = man.setdefault("metric_metadata", {})
+            for name, entry in norm.items():
+                mm.setdefault(name, {}).update(entry)
+
+        self._commit(mutate, op="metadata")
+
+    def metric_metadata(self, at_version: int | None = None) -> dict:
+        """{metric_name: {type, help, unit}} at the current (or a
+        retained historical) snapshot — served by /api/v1/metadata.
+        A manifest read; no Spark job."""
+        return {
+            k: dict(v)
+            for k, v in self._load_manifest(at_version)
+            .get("metric_metadata", {})
+            .items()
+        }
+
+    def ingest_scrape(self, text: str, default_ts_ms: int | None = None) -> None:
+        """One scrape payload end-to-end: samples through the normal
+        write path (one manifest commit), then the payload's
+        ``# HELP``/``# TYPE``/``# UNIT`` comments into the metadata
+        store (a second, idempotent commit — absent when the payload
+        carries none). Sample parsing is the JVM column-expression
+        path (sources/openmetrics.py); metadata lines are bounded by
+        the number of metric NAMES in the payload, so the driver-side
+        parse is O(names), not O(samples)."""
+        from monolith_spark.sources.openmetrics import (
+            parse_metadata_text,
+            parse_payload,
+        )
+
+        self.write(parse_payload(self.spark, text, default_ts_ms=default_ts_ms))
+        meta = parse_metadata_text(text)
+        if meta:
+            self.set_metric_metadata(meta)
+
+    def snapshot(self, name: str | None = None, at_version: int | None = None) -> str:
+        """Consistent at-rest snapshot — the engine twin of Prometheus's
+        ``POST /api/v1/admin/tsdb/snapshot`` (which hardlinks live
+        blocks into ``snapshots/<name>``; TSDB docs). The manifest
+        design makes this exact and O(files) cheap: resolve ONE
+        manifest (current or any retained version), hardlink every
+        file it references into ``snapshots/<name>/`` (copy fallback
+        across filesystems), and write a single-version manifest next
+        to them. The result is a COMPLETE, self-contained MonolithDB
+        directory — open it read-only with MonolithDB(spark, path) for
+        backup verification or off-box copy — and because the file set
+        is pinned by the manifest, a concurrent ingest/compact/delete
+        commit cannot tear it. Returns the snapshot name."""
+        man = self._load_manifest(at_version)
+        if name is None:
+            ts = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+            name = f"{ts}-v{man['version']:012d}"
+        if "/" in name or name in ("", ".", ".."):
+            raise ValueError(f"invalid snapshot name {name!r}")
+        dest = os.path.join(self.path, "snapshots", name)
+        if os.path.exists(dest):
+            raise ValueError(f"snapshot {name!r} already exists")
+        staging = dest + ".tmp"
+        shutil.rmtree(staging, ignore_errors=True)
+
+        def link(src: str, dst: str) -> None:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+        try:
+            for fn in man["series"]:
+                link(
+                    os.path.join(self.series_path, fn),
+                    os.path.join(staging, "series", fn),
+                )
+            for cid, files in man["samples"].items():
+                for fn in files:
+                    link(
+                        os.path.join(self.samples_path, f"chunk_id={cid}", fn),
+                        os.path.join(staging, "samples", f"chunk_id={cid}", fn),
+                    )
+            idx = man.get("label_index")
+            if idx:
+                for b, files in idx["buckets"].items():
+                    for fn in files:
+                        link(
+                            os.path.join(self.index_path, f"kp={b}", fn),
+                            os.path.join(staging, "label_index", f"kp={b}", fn),
+                        )
+            link(
+                os.path.join(self.path, "metadata.json"),
+                os.path.join(staging, "metadata.json"),
+            )
+            # a one-version manifest: the snapshot needs no history
+            mdir = os.path.join(staging, "_manifest")
+            os.makedirs(mdir, exist_ok=True)
+            vname = f"v{man['version']:012d}.json"
+            with open(os.path.join(mdir, vname), "w") as f:
+                json.dump(man, f)
+            with open(os.path.join(mdir, "CURRENT"), "w") as f:
+                f.write(vname)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(staging, dest)  # visible atomically, like a commit
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return name
+
     # ------------------------------------------------------------------ write
 
     def write(self, df: DataFrame, window: tuple[int, int] | None = None) -> None:

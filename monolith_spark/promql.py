@@ -50,10 +50,14 @@ last/stddev/stdvar/present) quantile_over_time mad_over_time
 ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_min clamp_max
 sin cos tan asin acos atan sinh cosh tanh deg rad pi minute hour
 day_of_week day_of_month days_in_month month year timestamp sort
-sort_desc absent absent_over_time scalar vector time label_replace
+sort_desc sort_by_label sort_by_label_desc absent absent_over_time
+scalar vector time label_replace
 label_join; aggregation
 operators sum avg min max count stddev stdvar group count_values topk
-bottomk quantile with by/without. Matchers: EQ/NEQ/RE/NRE; ``offset``
+bottomk quantile limitk limit_ratio with by/without (limitk picks a
+DETERMINISTIC k — ordered by md5(signature) — where the Prometheus
+spec leaves the choice open; limit_ratio hash-samples on the same
+md5-prefix uniform, honoring the r / -(1-r) complement contract). Matchers: EQ/NEQ/RE/NRE; ``offset``
 and ``@`` on selectors/subqueries. scalar() resolves its
 single-series operand driver-side
 (a bounded 1-row collect — the one documented driver touch).
@@ -77,6 +81,7 @@ from pyspark.sql import functions as F
 
 from monolith_spark.labels import LabelMatcher, matcher_predicate, signature_expr
 from monolith_spark.operators import timeseries as _tsops
+from monolith_spark.operators.text import hash60_expr as _hash60
 
 DEFAULT_LOOKBACK_MS = 300_000
 _DEC = "decimal(28,6)"
@@ -168,7 +173,8 @@ _DUR_UNIT_MS = {
 }
 
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar",
-            "group", "count_values", "topk", "bottomk", "quantile"}
+            "group", "count_values", "topk", "bottomk", "quantile",
+            "limitk", "limit_ratio"}
 
 
 def parse_duration_ms(text: str) -> int:
@@ -449,7 +455,8 @@ class _Parser:
         clause()
         self.expect("(")
         first = self.parse_binary(0)
-        if op in ("topk", "bottomk", "quantile", "count_values"):
+        if op in ("topk", "bottomk", "quantile", "count_values",
+                  "limitk", "limit_ratio"):
             self.expect(",")
             expr = self.parse_binary(0)
             param = first
@@ -951,6 +958,19 @@ def _eval_call(node: Call, ctx: _Ctx):
         if kind != "vector":
             raise ValueError(f"{f}() expects an instant vector")
         return ("vector", v)
+    if f in ("sort_by_label", "sort_by_label_desc"):
+        # Prometheus 3.x experimental: order by the named labels'
+        # values. Ordering is API presentation only (the serving layer
+        # reads the label list off the AST); the vector is unchanged.
+        if len(node.args) < 2:
+            raise ValueError(f"{f}() expects a vector and >=1 label name")
+        for a in node.args[1:]:
+            if not isinstance(a, StringLit):
+                raise ValueError(f"{f}() label names must be strings")
+        kind, v = _eval(node.args[0], ctx)
+        if kind != "vector":
+            raise ValueError(f"{f}() expects an instant vector")
+        return ("vector", v)
     if f in _MATH_FUNCS:
         (kind, v) = _eval(node.args[0], ctx)
         if kind == "scalar":
@@ -1403,6 +1423,36 @@ def _eval_agg(node: Agg, ctx: _Ctx):
             .select("signature", "labels", "value")
         )
         return ("vector", out)
+    if node.op == "limitk":
+        # Prometheus 3.x experimental aggregation: "sample k input
+        # series" — the spec leaves WHICH k unspecified, so this engine
+        # makes the choice deterministic (md5 of the series signature,
+        # then signature): any engine, any partitioning, any run picks
+        # the same k series per group. Original labels survive, like
+        # topk.
+        k = int(_scalar_arg(node.param, ctx, node.op))
+        w = Window.partitionBy("__gsig").orderBy(
+            F.md5("signature"), F.col("signature")
+        )
+        out = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("signature", "labels", "value")
+        )
+        return ("vector", out)
+    if node.op == "limit_ratio":
+        # Prometheus 3.x experimental: deterministic hash sampling of
+        # approximately r of the input series, with the complement
+        # contract limit_ratio(r) ∪ limit_ratio(-(1-r)) = everything.
+        # h = first 15 md5 hex chars of the signature / 2^60 ∈ [0,1):
+        # r >= 0 keeps h <= r, r < 0 keeps h > 1+r — replayable in any
+        # SQL engine (CAST('0x'||substr(md5(sig),1,15) AS BIGINT)).
+        r = _scalar_arg(node.param, ctx, node.op)
+        if not -1.0 <= r <= 1.0:
+            raise ValueError("limit_ratio expects a ratio in [-1, 1]")
+        h = _hash60("signature").cast("double") / F.lit(float(1 << 60))
+        cond = (h <= F.lit(float(r))) if r >= 0 else (h > F.lit(1.0 + float(r)))
+        return ("vector", keyed.filter(cond).select("signature", "labels", "value"))
     if node.op == "quantile":
         phi = _scalar_arg(node.param, ctx, node.op)
         agg = keyed.groupBy("__gsig").agg(
@@ -2032,13 +2082,42 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
     if isinstance(node, Agg):
         if node.op not in ("sum", "avg", "min", "max", "count",
                            "stddev", "stdvar", "group", "quantile",
-                           "topk", "bottomk"):
+                           "topk", "bottomk", "limitk", "limit_ratio"):
             raise ValueError(
                 f"eval_range supports sum/avg/min/max/count/stddev/"
-                f"stdvar/group/quantile/topk/bottomk grouping, "
-                f"not {node.op}"
+                f"stdvar/group/quantile/topk/bottomk/limitk/limit_ratio "
+                f"grouping, not {node.op}"
             )
         per = _tiled_values(node.expr, start_ms, end_ms, step_ms, ctx)
+        if node.op == "limit_ratio":
+            # deterministic hash sampling (see _eval_agg): the keep set
+            # is a pure function of the series signature, so in range
+            # mode it is the SAME series at every step — one filter on
+            # the tiled rows, no window
+            r = _const_scalar(node.param)
+            if r is None or not -1.0 <= r <= 1.0:
+                raise ValueError("limit_ratio expects a scalar in [-1, 1]")
+            h = _hash60("signature").cast("double") / F.lit(float(1 << 60))
+            cond = (h <= F.lit(float(r))) if r >= 0 else (
+                h > F.lit(1.0 + float(r))
+            )
+            return per.filter(cond).select("signature", "labels", "__w", "value")
+        if node.op == "limitk":
+            # k deterministic series per (group, window) — membership
+            # re-evaluates per step over the series PRESENT in that
+            # window, ordered by (md5(signature), signature)
+            k = _const_scalar(node.param)
+            if k is None:
+                raise ValueError("limitk expects a scalar k")
+            gmap = _group_map(node.by, node.without)
+            w = Window.partitionBy(signature_expr(gmap), "__w").orderBy(
+                F.md5("signature"), F.col("signature")
+            )
+            return (
+                per.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= int(k))
+                .select("signature", "labels", "__w", "value")
+            )
         if node.op in ("topk", "bottomk"):
             # the k ranked INPUT series per (group, window) — series
             # membership re-evaluates each step, the Grafana "top 5

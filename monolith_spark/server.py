@@ -185,6 +185,17 @@ def evaluate_promql(
         rows = sorted(
             rows, key=lambda r: r["value"], reverse=ast.func == "sort_desc"
         )
+    elif isinstance(ast, promql.Call) and ast.func in (
+        "sort_by_label", "sort_by_label_desc"
+    ):
+        names = [a.value for a in ast.args[1:]]
+        rows = sorted(
+            rows,
+            key=lambda r: tuple(
+                (r["labels"] or {}).get(n) or "" for n in names
+            ),
+            reverse=ast.func == "sort_by_label_desc",
+        )
     return [
         {
             "metric": dict(r["labels"]) if r["labels"] else {},
@@ -479,6 +490,26 @@ class MonolithServer:
                         data = _series_api(server.db, qs.get("match[]", []))
                     elif u.path == "/api/v1/status/tsdb":
                         data = tsdb_status(server.db)
+                    elif u.path == "/api/v1/metadata":
+                        # {name: [{type, help, unit}]} — the Prometheus
+                        # metadata API; one manifest read, no Spark job
+                        mm = server.db.metric_metadata()
+                        want = qs.get("metric", [None])[0]
+                        names = sorted(
+                            [want] if want is not None and want in mm
+                            else [] if want is not None else mm
+                        )
+                        lim = qs.get("limit", [None])[0]
+                        if lim is not None:
+                            names = names[: int(lim)]
+                        data = {
+                            n: [{
+                                "type": mm[n].get("type", "unknown"),
+                                "help": mm[n].get("help", ""),
+                                "unit": mm[n].get("unit", ""),
+                            }]
+                            for n in names
+                        }
                     elif u.path == "/api/v1/status/buildinfo":
                         # Grafana probes this on datasource setup; the
                         # version string gates its feature detection
@@ -607,6 +638,30 @@ class MonolithServer:
                             _admin_delete(server.db, qs)
                         elif u.path.endswith("/clean_tombstones"):
                             server.db.vacuum()
+                        elif u.path.endswith("/snapshot"):
+                            # Prometheus's consistent-backup API: the
+                            # manifest-pinned file set hardlinked into
+                            # snapshots/<name> (engine.snapshot). 200 +
+                            # {"name": ...}, matching Prometheus.
+                            ver = qs.get("at_version", [None])[0]
+                            sname = server.db.snapshot(
+                                at_version=int(ver) if ver is not None
+                                else None
+                            )
+                            body = _json.dumps(
+                                {"status": "success",
+                                 "data": {"name": sname}}
+                            ).encode()
+                            self.send_response(200)
+                            self.send_header(
+                                "Content-Type", "application/json"
+                            )
+                            self.send_header(
+                                "Content-Length", str(len(body))
+                            )
+                            self.end_headers()
+                            self.wfile.write(body)
+                            return
                         elif u.path.endswith("/build_label_index"):
                             # build (or compact) the inverted label
                             # index; serving flips to postings on the

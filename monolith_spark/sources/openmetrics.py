@@ -26,6 +26,8 @@ raises on them rather than silently inventing a name.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -186,6 +188,42 @@ def scrape_stream(spark, scrape_dir: str) -> DataFrame:
         ),
     )
     return parse_lines(lines, default_ts_col="__scrape_ts")
+
+
+_META_LINE_RE = re.compile(
+    rf"^#\s+(HELP|TYPE|UNIT)\s+({_NAME_RE})(?:\s+(.*))?$"
+)
+
+
+def parse_metadata_text(text: str) -> dict[str, dict]:
+    """The payload's metadata comments — ``# HELP name docstring``,
+    ``# TYPE name counter|gauge|...``, ``# UNIT name seconds`` — as
+    {metric: {help, type, unit}}. HELP docstrings unescape per the
+    exposition spec (``\\\\`` and ``\\n``). Driver-side by design:
+    metadata lines are bounded by the number of metric NAMES in a
+    scrape (dozens), not samples — db.set_metric_metadata stores the
+    result in the manifest, one bounded dict per db. Non-metadata
+    comment lines pass through untouched (the sample parser already
+    drops all ``#`` lines)."""
+    out: dict[str, dict] = {}
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line.startswith("#"):
+            continue
+        m = _META_LINE_RE.match(line)
+        if not m:
+            continue
+        field, name, rest = m.group(1).lower(), m.group(2), m.group(3) or ""
+        if field == "help":
+            rest = (
+                rest.replace("\\\\", _ESC)
+                .replace("\\n", "\n")
+                .replace(_ESC, "\\")
+            )
+        elif field == "type":
+            rest = rest.strip().lower()
+        out.setdefault(name, {})[field] = rest
+    return out
 
 
 def parse_payload(

@@ -9741,6 +9741,73 @@ def ts_promql_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("signature", "value")
 
 
+@_q(
+    "ts_promql_limitk",
+    f"""
+    WITH latest AS (
+      SELECT {SIG_SQL} AS signature,
+             max(struct_pack(t := epoch_ms(ts), v := value)) AS top
+      FROM events
+      WHERE event_type = 'purchase'
+        AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1
+    )
+    SELECT signature, CAST(top.v AS DOUBLE) AS value
+    FROM latest
+    QUALIFY row_number() OVER (ORDER BY md5(signature), signature) <= 5
+    """,
+)
+def ts_promql_limitk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limitk (Prometheus 3.x experimental aggregation) through the
+    parser: sample 5 input series with their original labels. The spec
+    leaves WHICH k unspecified; this engine picks deterministically by
+    (md5(signature), signature) so any run, any engine, any
+    partitioning returns the same 5 — the oracle replays the same
+    ordered cut. One latest-point aggregation + one k-row window over
+    series-count rows."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'limitk(5, {event_type="purchase"})',
+        JAN20,
+        lookback_ms=_PQL_LOOKBACK,
+    )
+    return out.select("signature", "value")
+
+
+@_q(
+    "ts_promql_limit_ratio",
+    f"""
+    WITH latest AS (
+      SELECT {SIG_SQL} AS signature,
+             max(struct_pack(t := epoch_ms(ts), v := value)) AS top
+      FROM events
+      WHERE event_type = 'purchase'
+        AND epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+      GROUP BY 1
+    )
+    SELECT signature, CAST(top.v AS DOUBLE) AS value
+    FROM latest
+    WHERE CAST('0x' || substr(md5(signature), 1, 15) AS BIGINT)
+            / CAST(1152921504606846976 AS DOUBLE) <= 0.4
+    """,
+)
+def ts_promql_limit_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit_ratio (Prometheus 3.x experimental) through the parser:
+    deterministic hash sampling of ~40% of the series, honoring the
+    complement contract limit_ratio(r) ∪ limit_ratio(-(1-r)) = all.
+    The per-series uniform is the repo's md5-prefix hash60 / 2^60 —
+    bit-replayable in any SQL engine — so the kept set is a pure
+    function of the series identity: stable across runs, engines, and
+    partitionings (a per-series FILTER, no window, no shuffle)."""
+    out = _promql.eval_instant(
+        _events_lv(spark, sf_dir),
+        'limit_ratio(0.4, {event_type="purchase"})',
+        JAN20,
+        lookback_ms=_PQL_LOOKBACK,
+    )
+    return out.select("signature", "value")
+
+
 @_q("sim_jl_ivf_indexed", _ANN_RECALL_ORACLE)
 def sim_jl_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted JL→IVF index end-to-end (similarity.py:

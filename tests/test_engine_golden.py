@@ -1067,3 +1067,59 @@ def test_time_bounded_delete_series(spark, tmp_path):
     assert sorted(r["signature"] for r in db.query({}, 0, 10**9).collect()) \
         == ["j=b"]
     assert db.series().count() == 2
+
+
+def test_snapshot_is_complete_isolated_db(spark, tmp_path):
+    """engine.snapshot(): the manifest-pinned file set hardlinked into
+    snapshots/<name> is a COMPLETE MonolithDB — openable, queryable,
+    and isolated from every later mutation of the source (the
+    Prometheus admin snapshot contract, made exact by manifests)."""
+    import pytest as _pytest
+
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    db.write(spark.createDataFrame(
+        [({"j": "a"}, 1_000, 1.0), ({"j": "b"}, 2_000, 2.0),
+         ({"j": "a"}, 11_000, 3.0)], SAMPLES_SCHEMA))
+    db.build_label_index()
+    name = db.snapshot()
+    before = sorted(
+        (r["signature"], r["timestamp"], r["value"])
+        for r in db.query_flat({}, 0, 10**9).collect()
+    )
+
+    # mutate the source AFTER the snapshot: delete + more data
+    assert db.delete_series({"j": "b"}) == 1
+    db.write(spark.createDataFrame([({"j": "c"}, 3_000, 9.0)],
+                                   SAMPLES_SCHEMA))
+
+    snap = MonolithDB(
+        spark, str(tmp_path / "db" / "snapshots" / name),
+        chunk_size_ms=10_000,
+    )
+    got = sorted(
+        (r["signature"], r["timestamp"], r["value"])
+        for r in snap.query_flat({}, 0, 10**9).collect()
+    )
+    assert got == before
+    # the snapshot carried the label index and serves postings
+    assert snap._load_manifest().get("label_index") is not None
+    assert sorted(
+        r["signature"] for r in snap.query_flat({"j": "b"}, 0, 10**9).collect()
+    ) == ["j=b"]
+
+    # name collisions and path tricks fail loudly
+    with _pytest.raises(ValueError, match="already exists"):
+        db.snapshot(name=name)
+    with _pytest.raises(ValueError, match="invalid snapshot name"):
+        db.snapshot(name="../escape")
+
+    # at_version snapshots export the historical world
+    hist = db.history()
+    v_first = hist[1]["version"]  # first write commit
+    n2 = db.snapshot(at_version=v_first)
+    snap2 = MonolithDB(
+        spark, str(tmp_path / "db" / "snapshots" / n2), chunk_size_ms=10_000
+    )
+    assert snap2.samples().count() == 3 and snap2.series().count() == 2

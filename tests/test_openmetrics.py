@@ -215,3 +215,66 @@ def test_federate_to_scrape_mirror(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_parse_metadata_text():
+    """# HELP / # TYPE / # UNIT comments → {metric: {help,type,unit}},
+    with spec unescaping in help (\\\\ and \\n, incl. the
+    escaped-backslash-before-n trap) and case-normalized types."""
+    from monolith_spark.sources.openmetrics import parse_metadata_text
+
+    text = "\n".join([
+        "# HELP http_requests_total Total HTTP requests.",
+        "# TYPE http_requests_total COUNTER",
+        "# UNIT process_time_seconds seconds",
+        "# HELP tricky line\\nbreak and \\\\n literal",
+        "# TYPE tricky gauge",
+        "# this is a plain comment, not metadata",
+        "#HELP nospace ignored (needs whitespace after #? no — spec"
+        " requires '# HELP')",
+        'http_requests_total{job="api"} 3 1000',
+    ])
+    meta = parse_metadata_text(text)
+    assert meta["http_requests_total"] == {
+        "help": "Total HTTP requests.", "type": "counter"
+    }
+    assert meta["process_time_seconds"] == {"unit": "seconds"}
+    assert meta["tricky"] == {"help": "line\nbreak and \\n literal",
+                              "type": "gauge"}
+    assert set(meta) == {"http_requests_total", "process_time_seconds",
+                         "tricky"}
+    assert parse_metadata_text("just text\nno comments") == {}
+
+
+def test_ingest_scrape_stores_metadata_and_samples(spark, tmp_path):
+    """db.ingest_scrape: samples land through the normal write path,
+    the payload's metadata comments land in the manifest, and
+    re-scrapes MERGE per-metric fields (a TYPE-only scrape never
+    erases a stored help string). Bad types fail loudly."""
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=DAY)
+    db.ingest_scrape("\n".join([
+        "# HELP reqs Requests seen.",
+        "# TYPE reqs counter",
+        'reqs{job="api"} 5 1000',
+        'reqs{job="web"} 7 2000',
+    ]))
+    assert db.query_flat({"__name__": "reqs"}, 0, 10**9).count() == 2
+    assert db.metric_metadata() == {
+        "reqs": {"help": "Requests seen.", "type": "counter"}
+    }
+    v1 = db._load_manifest()["version"]
+
+    db.ingest_scrape("\n".join([
+        "# TYPE reqs gauge",          # type update, no help line
+        "# TYPE lat histogram",
+        'reqs{job="api"} 6 3000',
+        'lat_sum 1.5 3000',
+    ]))
+    got = db.metric_metadata()
+    assert got["reqs"] == {"help": "Requests seen.", "type": "gauge"}
+    assert got["lat"] == {"type": "histogram"}
+    # time travel reads the OLD metadata
+    assert db.metric_metadata(at_version=v1)["reqs"]["type"] == "counter"
+
+    with pytest.raises(ValueError, match="unknown metric type"):
+        db.set_metric_metadata({"x": {"type": "countr"}})

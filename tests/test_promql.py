@@ -1011,3 +1011,119 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ soon()")
     with pytest.raises(ValueError):
         parse("m @ start")  # the anchor form requires parentheses
+
+
+def test_limitk_and_limit_ratio(spark):
+    """Prometheus 3.x experimental aggregations: limitk samples a
+    DETERMINISTIC k series (ordered by md5(signature)), limit_ratio
+    hash-samples with the complement contract
+    limit_ratio(r) ∪ limit_ratio(-(1-r)) = all series, disjointly."""
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+    lb = JAN20 - JAN1
+
+    def rows(q):
+        return sorted(
+            (r["signature"], r["value"])
+            for r in promql.eval_instant(s, q, JAN20, lookback_ms=lb).collect()
+        )
+
+    everything = rows(sel)
+    k3 = rows(f"limitk(3, {sel})")
+    assert len(k3) == 3 and set(k3) <= set(everything)
+    assert k3 == rows(f"limitk(3, {sel})")  # deterministic
+    # k >= n returns the whole vector
+    assert rows(f"limitk(100000, {sel})") == everything
+
+    kept = rows(f"limit_ratio(0.4, {sel})")
+    rest = rows(f"limit_ratio(-0.6, {sel})")
+    assert sorted(kept + rest) == everything
+    assert not set(kept) & set(rest)
+    assert rows(f"limit_ratio(1.0, {sel})") == everything
+
+    # limitk respects by() grouping: k per group
+    per_group = promql.eval_instant(
+        s, f"limitk(2, {sel}) by (kb)", JAN20, lookback_ms=lb
+    ).collect()
+    from collections import Counter
+
+    by_kb = Counter(dict(r["labels"]).get("kb") for r in per_group)
+    assert all(v <= 2 for v in by_kb.values()) and len(per_group) >= 2
+
+    with pytest.raises(ValueError, match="ratio"):
+        promql.eval_instant(s, f"limit_ratio(1.5, {sel})", JAN20).collect()
+
+    # formatter roundtrip
+    for q in (f"limitk(3, {sel})", f"limit_ratio(0.4, {sel})"):
+        assert parse(promql.format_expr(parse(q))) == parse(q)
+
+
+def test_limitk_limit_ratio_range(spark):
+    """Range-mode twins: limit_ratio keeps the same hash-chosen series
+    at every step; limitk keeps k per (group, window) of the series
+    present in that window."""
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+    step = 5 * 86_400_000
+    grid = promql.eval_range(
+        s, f"limit_ratio(0.4, sum_over_time({sel}[5d]))",
+        JAN20 - 2 * step, JAN20, step,
+    ).collect()
+    full = promql.eval_range(
+        s, f"sum_over_time({sel}[5d])", JAN20 - 2 * step, JAN20, step
+    ).collect()
+    kept_sigs = {r["signature"] for r in grid}
+    assert kept_sigs < {r["signature"] for r in full}
+    # the keep rule is a pure function of the signature: per step, the
+    # kept rows are EXACTLY the present-series rows whose md5-prefix
+    # uniform lands under the ratio (presence itself varies per window)
+    import hashlib
+
+    def h60(sig: str) -> float:
+        return int(hashlib.md5(sig.encode()).hexdigest()[:15], 16) / float(
+            1 << 60
+        )
+
+    full_by_step: dict = {}
+    for r in full:
+        full_by_step.setdefault(r["t_ms"], set()).add(r["signature"])
+    got_by_step: dict = {}
+    for r in grid:
+        got_by_step.setdefault(r["t_ms"], set()).add(r["signature"])
+    for t, present in full_by_step.items():
+        want = {s for s in present if h60(s) <= 0.4}
+        assert got_by_step.get(t, set()) == want
+
+    k2 = promql.eval_range(
+        s, f"limitk(2, sum_over_time({sel}[5d]))",
+        JAN20 - 2 * step, JAN20, step,
+    ).collect()
+    from collections import Counter
+
+    per_w = Counter(r["t_ms"] for r in k2)
+    assert all(v == 2 for v in per_w.values())
+
+
+def test_sort_by_label(spark):
+    """sort_by_label/_desc: vector identity at the engine (ordering is
+    API presentation), label-name args validated, formatter roundtrip."""
+    s = _samples(spark)
+    sel = '{event_type="purchase"}'
+    lb = JAN20 - JAN1
+
+    def rows(q):
+        return sorted(
+            (r["signature"], r["value"])
+            for r in promql.eval_instant(s, q, JAN20, lookback_ms=lb).collect()
+        )
+
+    assert rows(f'sort_by_label({sel}, "kb")') == rows(sel)
+    assert rows(f'sort_by_label_desc({sel}, "kb", "user")') == rows(sel)
+    with pytest.raises(ValueError, match="label name"):
+        promql.eval_instant(
+            s, f"sort_by_label({sel}, kb)", JAN20, lookback_ms=lb
+        )
+    with pytest.raises(ValueError, match="vector"):
+        promql.eval_instant(s, 'sort_by_label(1, "kb")', JAN20)
+    q = f'sort_by_label({sel}, "kb")'
+    assert parse(promql.format_expr(parse(q))) == parse(q)

@@ -101,6 +101,11 @@ def _exprs(inner):
     )
     topk = st.builds(lambda k, e: Agg("topk", e, Number(float(k))),
                      st.integers(1, 5), inner)
+    limitk = st.builds(
+        lambda op, k, e: Agg(op, e, Number(float(k))),
+        st.sampled_from(["limitk", "limit_ratio"]),
+        st.integers(1, 5), inner,
+    )
 
     @st.composite
     def binop(draw):
@@ -127,7 +132,9 @@ def _exprs(inner):
             match=match, group=group,
         )
 
-    return st.one_of(instant, unary, call1, rate, sub, agg, topk, binop())
+    return st.one_of(
+        instant, unary, call1, rate, sub, agg, topk, limitk, binop()
+    )
 
 
 _ast = st.recursive(

@@ -517,3 +517,48 @@ def test_admin_build_label_index_and_status_freshness(spark, tmp_path):
         assert r["metric"] == {"job": "api"}
     finally:
         srv.shutdown()
+
+
+def test_http_metadata_and_snapshot_admin(spark, tmp_path):
+    """GET /api/v1/metadata serves the manifest-stored metric metadata
+    in the Prometheus shape; POST /api/v1/admin/tsdb/snapshot exports
+    a consistent snapshot and returns its name."""
+    import json as _json
+    import os
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.ingest_scrape("\n".join([
+        "# HELP reqs Requests seen.",
+        "# TYPE reqs counter",
+        'reqs{job="api"} 5 1000',
+    ]))
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/metadata"
+        ) as r:
+            body = _json.load(r)
+        assert body["status"] == "success"
+        assert body["data"]["reqs"] == [
+            {"type": "counter", "help": "Requests seen.", "unit": ""}
+        ]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/metadata?metric=absent"
+        ) as r:
+            assert _json.load(r)["data"] == {}
+
+        status, body = _post(
+            srv.port, "/api/v1/admin/tsdb/snapshot", b""
+        )
+        assert status == 200
+        name = _json.loads(body)["data"]["name"]
+        snap_path = str(tmp_path / "db" / "snapshots" / name)
+        assert os.path.isdir(snap_path)
+        snap = MonolithDB(spark, snap_path, chunk_size_ms=60_000)
+        assert snap.query_flat({"__name__": "reqs"}, 0, 10**9).count() == 1
+    finally:
+        srv.shutdown()
