@@ -978,3 +978,150 @@ def dsir_scores(
         )
     )
 
+
+
+# ---------------------------------------------------------------- ridge model
+
+
+def _ridge_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc training features for the ridge quality model:
+    x1 = token count, x2 = stopword ratio (the Gopher gate features),
+    target y = distinct-token ratio (a repetition-quality proxy the
+    model learns to predict from the cheap features). The token array
+    is lambda-bound once (the shingles_expr device) so the split runs
+    once per row however many features read it."""
+    feat = F.element_at(
+        F.transform(
+            F.array(tokens_expr(text_col)),
+            lambda w: F.struct(
+                F.size(w).cast("double").alias("x1"),
+                (
+                    F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast(
+                        "double"
+                    )
+                    / F.size(w)
+                ).alias("x2"),
+                (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+                    "y"
+                ),
+            ),
+        ),
+        1,
+    )
+    return docs.select(
+        "doc_id", feat["x1"].alias("x1"), feat["x2"].alias("x2"),
+        feat["y"].alias("y"),
+    )
+
+
+def _ridge_sums(feats: DataFrame) -> DataFrame:
+    """The normal-equation sufficient statistics in ONE map-combinable
+    aggregation: every entry of XᵀX and Xᵀy (X = [x1, x2, 1]) as a
+    DECIMAL(38,12) sum of per-row double products — exact in any
+    partition order, so the trained model is bit-identical on any
+    cluster layout (the kmeans component-sum device applied to
+    learning). At 100 TB this is one corpus scan reducing to NINE
+    numbers; the solve is O(1) arithmetic on the aggregate row."""
+    d = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    return feats.agg(
+        F.sum(d(x1 * x1)).alias("s11"),
+        F.sum(d(x1 * x2)).alias("s12"),
+        F.sum(d(x1)).alias("s13"),
+        F.sum(d(x2 * x2)).alias("s22"),
+        F.sum(d(x2)).alias("s23"),
+        F.count("*").alias("n"),
+        F.sum(d(x1 * y)).alias("t1"),
+        F.sum(d(x2 * y)).alias("t2"),
+        F.sum(d(y)).alias("t3"),
+    )
+
+
+def _ridge_coeffs(sums: DataFrame, ridge_lambda: float) -> DataFrame:
+    """Closed-form ridge solve (XᵀX + λI)β = Xᵀy by Cramer's rule on
+    the 3×3 system — the same fixed double-arithmetic expression tree
+    any engine evaluates identically, so no iterative solver and no
+    cross-engine drift. λ penalizes all three coefficients (including
+    the intercept) so the system is symmetric and the SQL replay is a
+    literal transcription."""
+    lam = F.lit(float(ridge_lambda))
+    a = F.col("s11").cast("double") + lam
+    b = F.col("s12").cast("double")
+    c = F.col("s13").cast("double")
+    e = F.col("s22").cast("double") + lam
+    f_ = F.col("s23").cast("double")
+    i = F.col("n").cast("double") + lam
+    t1 = F.col("t1").cast("double")
+    t2 = F.col("t2").cast("double")
+    t3 = F.col("t3").cast("double")
+    det = a * (e * i - f_ * f_) - b * (b * i - f_ * c) + c * (b * f_ - e * c)
+    det1 = t1 * (e * i - f_ * f_) - b * (t2 * i - f_ * t3) + c * (
+        t2 * f_ - e * t3
+    )
+    det2 = a * (t2 * i - f_ * t3) - t1 * (b * i - f_ * c) + c * (
+        b * t3 - t2 * c
+    )
+    det3 = a * (e * t3 - t2 * f_) - b * (b * t3 - t2 * c) + t1 * (
+        b * f_ - e * c
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_docs"),
+        (det1 / det).alias("b_tokens"),
+        (det2 / det).alias("b_stop"),
+        (det3 / det).alias("b_intercept"),
+    )
+
+
+def ridge_quality_model(
+    docs: DataFrame, text_col: str = "text", ridge_lambda: float = 1.0
+) -> DataFrame:
+    """Train a ridge-regression quality model over the corpus in ONE
+    distributed pass: predict the distinct-token ratio (repetition
+    proxy) from the Gopher gate features (token count, stopword
+    ratio). Returns one row
+    [n_docs, b_tokens, b_stop, b_intercept] with coefficients
+    quantized to DECIMAL(18,9) and emitted as doubles.
+
+    This is model TRAINING as a first-class engine operation — the
+    closed-form normal-equations path (gram matrix as a map-combinable
+    DECIMAL aggregation + Cramer solve), the scalable recipe when the
+    feature count is small: no driver-side optimizer state, no
+    iteration, bit-identical across engines and partitionings."""
+    co = _ridge_coeffs(_ridge_sums(_ridge_features(docs, text_col)),
+                       ridge_lambda)
+    q = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    return co.select(
+        "n_docs",
+        q(F.col("b_tokens")).alias("b_tokens"),
+        q(F.col("b_stop")).alias("b_stop"),
+        q(F.col("b_intercept")).alias("b_intercept"),
+    )
+
+
+def ridge_quality_scores(
+    docs: DataFrame, text_col: str = "text", ridge_lambda: float = 1.0
+) -> DataFrame:
+    """Train-then-apply: the ridge model's UNQUANTIZED coefficients
+    broadcast back over the corpus; every doc gets its predicted
+    quality and residual (actual − predicted), both quantized to
+    DECIMAL(18,9). Two corpus scans total (one reduces to the 9
+    sufficient statistics, one scores) — the at-scale shape of
+    model-based data curation: the expensive target is approximated
+    by a model on cheap features, and residuals flag docs whose
+    repetition profile defies their surface stats."""
+    feats = _ridge_features(docs, text_col)
+    co = _ridge_coeffs(_ridge_sums(feats), ridge_lambda)
+    pred = (
+        F.col("b_tokens") * F.col("x1")
+        + F.col("b_stop") * F.col("x2")
+        + F.col("b_intercept")
+    )
+    q = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    return (
+        feats.crossJoin(F.broadcast(co))
+        .select(
+            "doc_id",
+            q(pred).alias("pred_quality"),
+            q(F.col("y") - pred).alias("residual"),
+        )
+    )

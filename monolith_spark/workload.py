@@ -8781,6 +8781,92 @@ def docs_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.nb_quality_classifier(_docs(spark, sf_dir))
 
 
+_RIDGE_FEAT_SQL = f"""
+    t AS (SELECT doc_id, {_W} AS w FROM documents),
+    feat AS (SELECT doc_id,
+               CAST(len(w) AS DOUBLE) AS x1,
+               CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                    AS DOUBLE) / len(w) AS x2,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS y
+             FROM t),
+    sums AS (SELECT
+        sum(CAST(x1*x1 AS DECIMAL(38,12))) AS s11,
+        sum(CAST(x1*x2 AS DECIMAL(38,12))) AS s12,
+        sum(CAST(x1 AS DECIMAL(38,12))) AS s13,
+        sum(CAST(x2*x2 AS DECIMAL(38,12))) AS s22,
+        sum(CAST(x2 AS DECIMAL(38,12))) AS s23,
+        count(*) AS n,
+        sum(CAST(x1*y AS DECIMAL(38,12))) AS t1,
+        sum(CAST(x2*y AS DECIMAL(38,12))) AS t2,
+        sum(CAST(y AS DECIMAL(38,12))) AS t3
+      FROM feat),
+    ds AS (SELECT CAST(n AS BIGINT) AS n_docs,
+        CAST(s11 AS DOUBLE) + 1.0 AS a, CAST(s12 AS DOUBLE) AS b,
+        CAST(s13 AS DOUBLE) AS c, CAST(s22 AS DOUBLE) + 1.0 AS e,
+        CAST(s23 AS DOUBLE) AS f, CAST(n AS DOUBLE) + 1.0 AS i,
+        CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2,
+        CAST(t3 AS DOUBLE) AS t3
+      FROM sums),
+    beta AS (SELECT n_docs,
+        (t1*(e*i - f*f) - b*(t2*i - f*t3) + c*(t2*f - e*t3))
+          / (a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c)) AS b_tokens,
+        (a*(t2*i - f*t3) - t1*(b*i - f*c) + c*(b*t3 - t2*c))
+          / (a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c)) AS b_stop,
+        (a*(e*t3 - t2*f) - b*(b*t3 - t2*c) + t1*(b*f - e*c))
+          / (a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c)) AS b_intercept
+      FROM ds)
+"""
+
+
+@_q(
+    "docs_quality_train_ridge",
+    f"""
+    WITH {_RIDGE_FEAT_SQL}
+    SELECT n_docs,
+           CAST(CAST(b_tokens AS DECIMAL(18,9)) AS DOUBLE) AS b_tokens,
+           CAST(CAST(b_stop AS DECIMAL(18,9)) AS DOUBLE) AS b_stop,
+           CAST(CAST(b_intercept AS DECIMAL(18,9)) AS DOUBLE) AS b_intercept
+    FROM beta
+    """,
+)
+def docs_quality_train_ridge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model TRAINING as an engine operation: closed-form ridge
+    regression (normal equations + Cramer solve) predicting the
+    distinct-token ratio from the Gopher gate features. ONE corpus
+    scan reduces to nine DECIMAL-exact sufficient statistics (the
+    gram matrix — order-free in any partitioning, the kmeans
+    component-sum device applied to learning); the 3×3 solve is a
+    fixed double expression tree both engines evaluate identically.
+    At 100 TB: one map-combinable aggregation, zero iterations, zero
+    driver-side optimizer state. See operators/text.py:
+    ridge_quality_model."""
+    return _text.ridge_quality_model(_docs(spark, sf_dir))
+
+
+@_q(
+    "docs_quality_ridge_scores",
+    f"""
+    WITH {_RIDGE_FEAT_SQL}
+    SELECT doc_id,
+           CAST(CAST(b_tokens*x1 + b_stop*x2 + b_intercept
+                     AS DECIMAL(18,9)) AS DOUBLE) AS pred_quality,
+           CAST(CAST(y - (b_tokens*x1 + b_stop*x2 + b_intercept)
+                     AS DECIMAL(18,9)) AS DOUBLE) AS residual
+    FROM feat, beta
+    """,
+)
+def docs_quality_ridge_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: the ridge model's coefficients broadcast back
+    over the corpus; every doc scored (predicted quality) with its
+    residual — the model-based curation signal (a doc whose
+    repetition profile defies its surface stats has a large
+    |residual|). Two corpus scans total; the 1-row coefficient
+    relation rides a broadcast cross join, so scoring is a pure
+    map — no shuffle at any scale. See operators/text.py:
+    ridge_quality_scores."""
+    return _text.ridge_quality_scores(_docs(spark, sf_dir))
+
+
 @_q(
     "docs_lm_score",
     f"""
