@@ -348,7 +348,30 @@ def federate_text(
         F.try_element_at("labels", F.lit("__name__")).isNotNull()
     )
     rows = format_lines(latest.select("labels", "timestamp", "value")).collect()
-    return "".join(sorted(r["line"] + "\n" for r in rows))
+    lines = sorted(r["line"] + "\n" for r in rows)
+    # Prometheus /federate prefixes each metric's block with its # TYPE
+    # comment (and we add # HELP when stored): lines sort by metric-name
+    # prefix, so one walk inserts each metric's header before its first
+    # sample line. A db with no stored metadata emits byte-identical
+    # output to the pre-metadata format.
+    mm = db.metric_metadata()
+    if mm:
+        out: list[str] = []
+        prev = None
+        for line in lines:
+            name = line.split("{", 1)[0].split(" ", 1)[0]
+            if name != prev:
+                prev = name
+                m = mm.get(name)
+                if m:
+                    if m.get("help"):
+                        h = m["help"].replace("\\", "\\\\").replace("\n", "\\n")
+                        out.append(f"# HELP {name} {h}\n")
+                    if m.get("type"):
+                        out.append(f"# TYPE {name} {m['type']}\n")
+            out.append(line)
+        lines = out
+    return "".join(lines)
 
 
 def evaluate_promql_range(
@@ -691,6 +714,38 @@ class MonolithServer:
                     body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
                     raw = proto.snappy_decompress(body)
                     if self.path == write_path:
+                        ctype = self.headers.get("Content-Type", "")
+                        if "io.prometheus.write.v2.Request" in ctype:
+                            # remote-write 2.0: symbol-interned series +
+                            # inline metric metadata (absorbed into the
+                            # manifest metadata store). Reply with the
+                            # spec's written-stats headers.
+                            v2 = proto.decode_write_request_v2(raw)
+                            req, meta = proto.v2_to_v1(v2)
+                            n_samples = sum(
+                                len(ts.samples) for ts in req.timeseries
+                            )
+                            server.db.write(
+                                write_request_to_df(server.db.spark, req)
+                            )
+                            if meta:
+                                server.db.set_metric_metadata(meta)
+                            self.send_response(200)
+                            self.send_header(
+                                "X-Prometheus-Remote-Write-Samples-Written",
+                                str(n_samples),
+                            )
+                            self.send_header(
+                                "X-Prometheus-Remote-Write-Histograms-Written",
+                                "0",
+                            )
+                            self.send_header(
+                                "X-Prometheus-Remote-Write-Exemplars-Written",
+                                "0",
+                            )
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
                         req = proto.decode_write_request(raw)
                         server.db.write(write_request_to_df(server.db.spark, req))
                         payload = b""

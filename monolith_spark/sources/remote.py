@@ -380,3 +380,193 @@ def decode_read_response(data: bytes) -> ReadResponse:
                     result.append(_dec_timeseries(v2))
             resp.results.append(result)
     return resp
+
+
+# ------------------------------------------------- remote-write 2.0 (PRW2)
+#
+# The Prometheus 3.x wire format (io.prometheus.write.v2.Request — the
+# public remote-write 2.0 spec): every label name/value, help string,
+# and unit is INTERNED once in a request-wide symbols table and series
+# reference them by index — the deduplication that makes high-churn
+# fleets shippable. Carries per-metric Metadata (type/help/unit refs)
+# inline, which this engine absorbs into its manifest metadata store.
+# Hand-rolled like the v1 codec above; forward-compat fields
+# (exemplars, histograms, created_timestamp) are skipped on decode, as
+# protobuf semantics require.
+
+V2_CONTENT_TYPE = "application/x-protobuf;proto=io.prometheus.write.v2.Request"
+
+# Metadata.MetricType enum (spec order)
+_V2_METRIC_TYPES = {
+    0: "unknown", 1: "counter", 2: "gauge", 3: "histogram",
+    4: "gaugehistogram", 5: "summary", 6: "info", 7: "stateset",
+}
+_V2_TYPE_IDS = {v: k for k, v in _V2_METRIC_TYPES.items()}
+
+
+@dataclass
+class MetadataV2:
+    type: int = 0        # field 1, enum
+    help_ref: int = 0    # field 3, uint32 into symbols
+    unit_ref: int = 0    # field 4, uint32 into symbols
+
+
+@dataclass
+class TimeSeriesV2:
+    labels_refs: list[int] = field(default_factory=list)  # field 1, packed uint32 pairs
+    samples: list[Sample] = field(default_factory=list)   # field 2
+    metadata: MetadataV2 | None = None                    # field 4
+
+
+@dataclass
+class WriteRequestV2:
+    symbols: list[str] = field(default_factory=list)      # field 4
+    timeseries: list[TimeSeriesV2] = field(default_factory=list)  # field 5
+
+
+def _enc_packed_uint32(field_no: int, vals: list[int]) -> bytes:
+    if not vals:
+        return b""
+    body = b"".join(_write_varint(v) for v in vals)
+    return _len_delim(field_no, body)
+
+
+def _dec_packed_uint32(wt: int, v) -> list[int]:
+    """Packed (wt=2, the spec encoding) or unpacked (wt=0, which
+    decoders must also accept) repeated uint32."""
+    if wt == 0:
+        return [v]
+    out, pos = [], 0
+    while pos < len(v):
+        x, pos = _read_varint(v, pos)
+        out.append(x)
+    return out
+
+
+def encode_write_request_v2(req: WriteRequestV2) -> bytes:
+    if not req.symbols or req.symbols[0] != "":
+        raise ValueError('PRW2 symbols[0] must be the empty string ""')
+    out = b"".join(_len_delim(4, s.encode()) for s in req.symbols)
+    for ts in req.timeseries:
+        body = _enc_packed_uint32(1, ts.labels_refs)
+        body += b"".join(_len_delim(2, _enc_sample(s)) for s in ts.samples)
+        if ts.metadata is not None:
+            m = ts.metadata
+            mb = b""
+            if m.type:
+                mb += _tag(1, 0) + _write_varint(m.type)
+            if m.help_ref:
+                mb += _tag(3, 0) + _write_varint(m.help_ref)
+            if m.unit_ref:
+                mb += _tag(4, 0) + _write_varint(m.unit_ref)
+            body += _len_delim(4, mb)
+        out += _len_delim(5, body)
+    return out
+
+
+def _dec_metadata_v2(data: bytes) -> MetadataV2:
+    m = MetadataV2()
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 0:
+            m.type = v
+        elif f == 3 and wt == 0:
+            m.help_ref = v
+        elif f == 4 and wt == 0:
+            m.unit_ref = v
+    return m
+
+
+def _dec_timeseries_v2(data: bytes) -> TimeSeriesV2:
+    ts = TimeSeriesV2()
+    for f, wt, v in _iter_fields(data):
+        if f == 1:
+            ts.labels_refs.extend(_dec_packed_uint32(wt, v))
+        elif f == 2 and wt == 2:
+            ts.samples.append(_dec_sample(v))
+        elif f == 4 and wt == 2:
+            ts.metadata = _dec_metadata_v2(v)
+    return ts
+
+
+def decode_write_request_v2(data: bytes) -> WriteRequestV2:
+    req = WriteRequestV2()
+    for f, wt, v in _iter_fields(data):
+        if f == 4 and wt == 2:
+            req.symbols.append(v.decode())
+        elif f == 5 and wt == 2:
+            req.timeseries.append(_dec_timeseries_v2(v))
+    return req
+
+
+def v2_to_v1(req: WriteRequestV2) -> tuple[WriteRequest, dict[str, dict]]:
+    """Resolve the symbol table: a v1-shaped WriteRequest (labels as
+    dicts — what write_request_to_df ingests) plus the request's
+    metric metadata {name: {type, help, unit}} for
+    db.set_metric_metadata. Validates per spec: symbols[0] == "",
+    labels_refs in (name, value) pairs, refs in range."""
+    if req.symbols and req.symbols[0] != "":
+        raise ValueError('PRW2 symbols[0] must be the empty string ""')
+
+    def sym(i: int) -> str:
+        if i < 0 or i >= len(req.symbols):
+            raise ValueError(f"PRW2 symbol ref {i} out of range")
+        return req.symbols[i]
+
+    out = WriteRequest()
+    meta: dict[str, dict] = {}
+    for ts in req.timeseries:
+        if len(ts.labels_refs) % 2:
+            raise ValueError("PRW2 labels_refs must hold (name, value) pairs")
+        labels = {
+            sym(ts.labels_refs[i]): sym(ts.labels_refs[i + 1])
+            for i in range(0, len(ts.labels_refs), 2)
+        }
+        out.timeseries.append(TimeSeries(labels=labels, samples=ts.samples))
+        name = labels.get("__name__")
+        if name and ts.metadata is not None:
+            m = ts.metadata
+            entry: dict = {}
+            if m.type:
+                entry["type"] = _V2_METRIC_TYPES.get(m.type, "unknown")
+            if m.help_ref:
+                entry["help"] = sym(m.help_ref)
+            if m.unit_ref:
+                entry["unit"] = sym(m.unit_ref)
+            if entry:
+                meta.setdefault(name, {}).update(entry)
+    return out, meta
+
+
+def v1_to_v2(req: WriteRequest, meta: dict[str, dict] | None = None) -> WriteRequestV2:
+    """Build the interned form: one symbols table for the whole
+    request (insertion-ordered, "" first per spec), series as ref
+    pairs, optional per-metric metadata re-attached by __name__."""
+    symbols: list[str] = [""]
+    index: dict[str, int] = {"": 0}
+
+    def ref(s: str) -> int:
+        if s not in index:
+            index[s] = len(symbols)
+            symbols.append(s)
+        return index[s]
+
+    out = WriteRequestV2(symbols=symbols)
+    meta = meta or {}
+    for ts in req.timeseries:
+        refs: list[int] = []
+        for k, v in sorted(ts.labels.items()):
+            refs.append(ref(k))
+            refs.append(ref(v))
+        md = None
+        name = ts.labels.get("__name__")
+        if name and name in meta:
+            m = meta[name]
+            md = MetadataV2(
+                type=_V2_TYPE_IDS.get(m.get("type", "unknown"), 0),
+                help_ref=ref(m["help"]) if m.get("help") else 0,
+                unit_ref=ref(m["unit"]) if m.get("unit") else 0,
+            )
+        out.timeseries.append(
+            TimeSeriesV2(labels_refs=refs, samples=ts.samples, metadata=md)
+        )
+    return out

@@ -562,3 +562,122 @@ def test_http_metadata_and_snapshot_admin(spark, tmp_path):
         assert snap.query_flat({"__name__": "reqs"}, 0, 10**9).count() == 1
     finally:
         srv.shutdown()
+
+
+def test_prw2_codec_roundtrip():
+    """Remote-write 2.0 (io.prometheus.write.v2.Request): symbol
+    interning roundtrips, packed AND unpacked labels_refs decode, and
+    spec validation fails loudly (symbols[0] != "", odd ref pairs,
+    out-of-range refs)."""
+    import pytest as _pytest
+
+    v1 = proto.WriteRequest(
+        timeseries=[
+            proto.TimeSeries(
+                {"__name__": "reqs", "job": "api"},
+                [proto.Sample(1.5, 1000), proto.Sample(2.5, 2000)],
+            ),
+            proto.TimeSeries(
+                {"__name__": "reqs", "job": "web"}, [proto.Sample(9.0, 1000)]
+            ),
+        ]
+    )
+    meta = {"reqs": {"type": "counter", "help": "Requests.", "unit": ""}}
+    v2 = proto.v1_to_v2(v1, meta)
+    assert v2.symbols[0] == ""
+    # interning: "reqs"/"__name__"/"job" appear ONCE in the table
+    assert len(v2.symbols) == len(set(v2.symbols))
+
+    wire = proto.encode_write_request_v2(v2)
+    back = proto.decode_write_request_v2(wire)
+    rt, meta_back = proto.v2_to_v1(back)
+    assert [(ts.labels, [(s.timestamp, s.value) for s in ts.samples])
+            for ts in rt.timeseries] == [
+        ({"__name__": "reqs", "job": "api"}, [(1000, 1.5), (2000, 2.5)]),
+        ({"__name__": "reqs", "job": "web"}, [(1000, 9.0)]),
+    ]
+    assert meta_back == {"reqs": {"type": "counter", "help": "Requests."}}
+
+    # unpacked labels_refs (wt=0 repeats) must decode identically
+    ts0 = back.timeseries[0]
+    unpacked = b"".join(
+        proto._tag(1, 0) + proto._write_varint(r) for r in ts0.labels_refs
+    ) + proto._len_delim(2, proto._enc_sample(proto.Sample(1.5, 1000)))
+    blob = b"".join(
+        proto._len_delim(4, s.encode()) for s in back.symbols
+    ) + proto._len_delim(5, unpacked)
+    again = proto.decode_write_request_v2(blob)
+    assert proto.v2_to_v1(again)[0].timeseries[0].labels == {
+        "__name__": "reqs", "job": "api"
+    }
+
+    with _pytest.raises(ValueError, match="symbols"):
+        proto.encode_write_request_v2(proto.WriteRequestV2(symbols=["x"]))
+    bad = proto.WriteRequestV2(
+        symbols=["", "a"], timeseries=[proto.TimeSeriesV2(labels_refs=[1])]
+    )
+    with _pytest.raises(ValueError, match="pairs"):
+        proto.v2_to_v1(bad)
+    bad2 = proto.WriteRequestV2(
+        symbols=["", "a"], timeseries=[proto.TimeSeriesV2(labels_refs=[1, 9])]
+    )
+    with _pytest.raises(ValueError, match="out of range"):
+        proto.v2_to_v1(bad2)
+
+
+def test_http_write_v2_and_federate_metadata(spark, tmp_path):
+    """PRW2 over HTTP: the content-type dispatches to the v2 decoder,
+    samples land through the same write path, inline metadata reaches
+    /api/v1/metadata, the spec's written-stats headers come back, and
+    /federate prefixes each metric block with its # HELP/# TYPE."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        v1 = proto.WriteRequest(
+            timeseries=[
+                proto.TimeSeries({"__name__": "reqs", "job": "api"},
+                                 [proto.Sample(3.0, 5_000)]),
+            ]
+        )
+        v2 = proto.v1_to_v2(
+            v1, {"reqs": {"type": "counter", "help": "Requests seen."}}
+        )
+        body = proto.snappy_compress(proto.encode_write_request_v2(v2))
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request(
+            "POST", "/write", body=body,
+            headers={"Content-Type": proto.V2_CONTENT_TYPE,
+                     "X-Prometheus-Remote-Write-Version": "2.0.0"},
+        )
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 200
+        assert resp.headers["X-Prometheus-Remote-Write-Samples-Written"] == "1"
+        conn.close()
+
+        assert db.query_flat({"__name__": "reqs"}, 0, 10**9).count() == 1
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/metadata"
+        ) as r:
+            got = _json.load(r)["data"]
+        assert got["reqs"][0]["type"] == "counter"
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/federate?match[]="
+            + urllib.parse.quote('{__name__="reqs"}')
+            + "&time=10"
+        ) as r:
+            text = r.read().decode()
+        assert text.startswith(
+            "# HELP reqs Requests seen.\n# TYPE reqs counter\n"
+        )
+        assert 'reqs{job="api"} 3.0 5000\n' in text
+    finally:
+        srv.shutdown()
