@@ -1042,15 +1042,69 @@ def kmeans_lloyd(
     def assign(centroids: DataFrame) -> DataFrame:
         # Assignment is a pure NARROW map: the k centroids collapse to
         # ONE array row (sorted by cid — collect_list order is not
-        # deterministic), broadcast once, and each vector takes
-        # array_min over (d2, cid) structs. Lexicographic struct min ==
-        # the orderBy(d2, cid) row_number()==1 it replaces,
-        # bit-identically — but with no corpus×k row multiplication and
-        # no per-iteration exchange+sort (the window form hash-shuffled
-        # corpus×k rows every iteration; measured 2.3× slower at sf0.1).
+        # deterministic), broadcast once, and each vector takes the
+        # lexicographic min over (d2, cid) — bit-identically the
+        # orderBy(d2, cid) row_number()==1 it replaces.
+        #
+        # Two physical forms, same bits (asserted in tests):
+        # - k <= _ARROW_ASSIGN_MAX_K (every curation-family caller):
+        #   the k·dim sqdist folds run in an Arrow batch map with the
+        #   sequential-over-dims accumulation (the pair-kernel device:
+        #   acc += (x_d−c_d)², one dim at a time, rows vectorized) —
+        #   exact sqdist_expr fold bits at numpy speed; np.argmin's
+        #   first-min is the lowest-cid tie-break because positions
+        #   ascend with cid. Arrow materializes the joined cents
+        #   column PER ROW (k·dim doubles), which is why this path is
+        #   k-gated.
+        # - larger k (the paper-scale k ≈ corpus/1k regime): the
+        #   Column form — JVM rows share the one broadcast struct
+        #   array by reference, so no per-row centroid copy; the HOF
+        #   fold runs interpreted (measured 3× the whole-kmeans wall
+        #   at sf0.1, the price of staying copy-free at huge k).
         carr = centroids.agg(
             F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
         )
+        if k <= _ARROW_ASSIGN_MAX_K:
+
+            def batches(it):
+                import numpy as np
+                import pandas as pd
+
+                C = cids = None
+                for pdf in it:
+                    pdf = pdf[pdf["v"].notna()]  # NULL vec: no assignment
+                    if len(pdf) == 0:
+                        continue
+                    if C is None:
+                        cents = pdf["cents"].iloc[0]
+                        cids = np.array(
+                            [int(s["cid"]) for s in cents], dtype=np.int32
+                        )
+                        C = np.stack(
+                            [np.asarray(s["c"], dtype=np.float64)
+                             for s in cents]
+                        )
+                    X = np.stack(
+                        [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                    )
+                    n, dim = X.shape
+                    acc = np.zeros((n, C.shape[0]))
+                    for d in range(dim):  # sequential over dims == fold
+                        diff = X[:, d: d + 1] - C[:, d][None, :]
+                        acc += diff * diff
+                    j = acc.argmin(axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "vid": pdf["vid"].astype("int64"),
+                            "cid": cids[j],
+                            "v": list(X),
+                            "d2": acc[np.arange(n), j],
+                        }
+                    )
+
+            return v.crossJoin(F.broadcast(carr)).mapInPandas(
+                batches, "vid long, cid int, v array<double>, d2 double"
+            )
         dists = F.transform(
             F.col("cents"),
             lambda s: F.struct(
@@ -1101,6 +1155,152 @@ def kmeans_lloyd(
     )
 
 
+# ------------------------------------- Arrow within-cluster pair kernels
+#
+# The semdedup/d4/hard-negatives family compares vectors pairwise
+# inside their k-means cell. The Column form (cluster equi-join +
+# dot_expr fold per pair) evaluates the fold INTERPRETED — dim
+# multiplies per pair through the HOF evaluator, the same ceiling
+# hyperplane_signatures_batch documents — and materializes Σ|cell|²
+# join rows each carrying TWO full vectors. These kernels do the same
+# arithmetic per k-means cell in numpy: one groupBy(cluster) →
+# applyInPandas, the cosine matrix accumulated SEQUENTIALLY OVER
+# DIMENSIONS (acc starts at 0.0 and adds one x_d·y_d per step, rows
+# vectorized — each pair's IEEE add sequence equals the zip_with +
+# aggregate fold exactly, the hyperplane_signatures_batch device), so
+# every cosine is BIT-IDENTICAL to the Column form and the DuckDB
+# oracles' list_reduce replay — asserted bit-for-bit in tests. Work
+# per cell is the same Σ|cell|²·dim flops at C speed with no wide-row
+# materialization; blocks of ``_PAIR_BLOCK`` rows bound the resident
+# cosine matrix however hot a cell gets.
+
+
+_PAIR_BLOCK = 2048
+
+# kmeans_lloyd's Arrow assignment path materializes the joined
+# centroid array per row (k·dim doubles through Arrow), so it is
+# gated to small k; past the gate the Column form keeps assignments
+# copy-free (JVM rows share the broadcast array by reference).
+_ARROW_ASSIGN_MAX_K = 64
+
+
+def _pair_cosine_blocks(X, nrm, block: int = _PAIR_BLOCK):
+    """Yield (row_start, C_block) over the n×n cosine matrix of X
+    (n×dim float64), C computed with the exact dot_expr/norm_expr op
+    sequence: sequential-over-dims fold, then dot / (na · nb)."""
+    import numpy as np
+
+    n, dim = X.shape
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        acc = np.zeros((e - s, n))
+        for d in range(dim):  # sequential over dims == the fold
+            acc += X[s:e, d: d + 1] * X[:, d][None, :]
+        yield s, acc / (nrm[s:e, None] * nrm[None, :])
+
+
+def _cluster_norms(X):
+    """norm_expr replayed: sqrt of the sequential x_d² fold."""
+    import numpy as np
+
+    n, dim = X.shape
+    acc = np.zeros(n)
+    for d in range(dim):
+        acc += X[:, d] * X[:, d]
+    return np.sqrt(acc)
+
+
+def _sorted_cluster_matrix(pdf, id_col: str, vec_col: str):
+    import numpy as np
+
+    pdf = pdf[pdf[vec_col].notna()]  # NULL vec never yields/joins a pair
+    pdf = pdf.sort_values(id_col)
+    ids = pdf[id_col].to_numpy()
+    if len(ids) == 0:
+        return ids, None
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return ids, X
+
+
+def _cluster_dup_ids_arrow(
+    base: DataFrame, tau: float, id_col: str = "vid", vec_col: str = "vec"
+) -> DataFrame:
+    """[cluster_id, vid, vec] → the ids having a SMALLER-id peer with
+    cosine >= tau in their cluster (the greedy lowest-id-keep drop
+    set) — bit-identical to the cluster join + dot_expr filter."""
+    import numpy as np
+    import pandas as pd
+
+    def f(pdf):
+        ids, X = _sorted_cluster_matrix(pdf, id_col, vec_col)
+        if X is None or len(ids) < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        nrm = _cluster_norms(X)
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        cols = np.arange(n)[None, :]
+        for s, C in _pair_cosine_blocks(X, nrm):
+            ge = C >= tau
+            ge &= cols > (s + np.arange(C.shape[0]))[:, None]  # id_a < id_b
+            dropped |= ge.any(axis=0)
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    return (
+        base.select("cluster_id", F.col(id_col), F.col(vec_col))
+        .groupBy("cluster_id")
+        .applyInPandas(lambda pdf: f(pdf), f"{id_col} long")
+    )
+
+
+def _cluster_hard_negatives_arrow(
+    base: DataFrame, tau: float, id_col: str = "vid", vec_col: str = "vec"
+) -> DataFrame:
+    """[cluster_id, vid, vec] → per vector its most-similar other
+    vector UNDER the duplicate threshold: argmax by (cosine desc, id
+    asc) over in-cell peers with cosine < tau. Bit-identical to the
+    pair join + struct-max form: cosines carry the exact fold bits,
+    and ids ascend with row position so numpy's first-max argmax IS
+    the (cosine, -id) lexicographic max."""
+    import numpy as np
+    import pandas as pd
+
+    def f(pdf):
+        ids, X = _sorted_cluster_matrix(pdf, id_col, vec_col)
+        empty = pd.DataFrame(
+            {"vec_id": ids[:0], "negative_id": ids[:0],
+             "cosine": np.zeros(0)}
+        )
+        if X is None or len(ids) < 2:
+            return empty
+        nrm = _cluster_norms(X)
+        n = len(ids)
+        out_x, out_j, out_c = [], [], []
+        cols = np.arange(n)[None, :]
+        for s, C in _pair_cosine_blocks(X, nrm):
+            lt = C < tau
+            lt &= cols != (s + np.arange(C.shape[0]))[:, None]  # no self
+            vals = np.where(lt, C, -np.inf)
+            j = vals.argmax(axis=1)  # first max == smallest id on ties
+            v = vals[np.arange(C.shape[0]), j]
+            keep = v > -np.inf
+            out_x.append(ids[s: s + C.shape[0]][keep])
+            out_j.append(ids[j[keep]])
+            out_c.append(v[keep])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_x),
+                "negative_id": np.concatenate(out_j),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        base.select("cluster_id", F.col(id_col), F.col(vec_col))
+        .groupBy("cluster_id")
+        .applyInPandas(lambda pdf: f(pdf), "vec_id long, negative_id long, cosine double")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     tau: float = 0.4,
@@ -1146,32 +1346,15 @@ def semdedup(
         corpus.select(
             F.col(id_col).alias("vid"),
             _dbl(vec_col).alias("vec"),
-            norm_expr(_dbl(vec_col)).alias("nrm"),
         )
         .join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
     )
-    a = base.select(
-        F.col("cluster_id"),
-        F.col("vid").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        F.col("cluster_id"),
-        F.col("vid").alias("id_b"),
-        F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dropped = (
-        a.join(b, ["cluster_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
-        .filter(F.col("cosine") >= tau)
-        .select(F.col("id_b").alias("vid"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
+    # within-cell pairwise stage as the Arrow kernel — bit-identical
+    # cosines to the former cluster join + dot_expr fold (see the
+    # kernel block above), Σ|cell|²·dim flops at numpy speed instead
+    # of interpreted HOF evaluation over materialized vector pairs
+    dropped = _cluster_dup_ids_arrow(base, tau).withColumn(
+        "__dropped", F.lit(True)
     )
     return (
         base.join(dropped, "vid", "left")
@@ -1221,55 +1404,14 @@ def hard_negatives(
     ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
     base = corpus.select(
         F.col(id_col).alias("vid"),
-        _dbl(vec_col).alias("v"),
-        norm_expr(_dbl(vec_col)).alias("nrm"),
+        _dbl(vec_col).alias("vec"),
     ).join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
-    a = base.select(
-        "cluster_id",
-        F.col("vid").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        "cluster_id",
-        F.col("vid").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    # Each UNORDERED pair folds its cosine once (the dot fold is the
-    # dominant cost — it runs interpreted, dim multiplies per pair);
-    # a cheap 2-element explode then emits both orientations. Joining
-    # both directions directly would double the fold work.
-    half = (
-        a.join(b, ["cluster_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
-        .filter(F.col("cosine") < tau)
-    )
-    cand = half.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("x"), F.col("id_b").alias("y")),
-                F.struct(F.col("id_b").alias("x"), F.col("id_a").alias("y")),
-            )
-        ).alias("p"),
-        "cosine",
-    )
-    # argmax as a struct MAX, not a rank window: lexicographic max of
-    # (cosine, -id) picks the same winner as orderBy(cosine desc, id)
-    # rn=1 (deterministic on ties, unlike max_by), and the hash
-    # aggregate partially combines the Σ|cell|² candidate rows
-    # map-side — the window form exchanged and sorted all of them.
-    best = cand.groupBy("p.x").agg(
-        F.max(F.struct(F.col("cosine"), (-F.col("p.y")).alias("nid"))).alias("b")
-    )
-    return best.select(
-        F.col("x").alias("vec_id"),
-        (-F.col("b.nid")).alias("negative_id"),
-        F.col("b.cosine").alias("cosine"),
-    )
+    # per-cell argmax in the Arrow kernel: cosines carry the exact
+    # fold bits (see the kernel block above) and ids ascend with row
+    # position, so numpy's first-max argmax IS the (cosine, -id)
+    # struct max the Column form aggregated — with neither the
+    # Σ|cell|² materialized pair rows nor their interpreted folds
+    return _cluster_hard_negatives_arrow(base, tau)
 
 
 def prototypicality(
@@ -1372,27 +1514,9 @@ def d4_prune(
         )
         .join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
     )
-    a = base.select(
-        "cluster_id",
-        F.col("vid").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        "cluster_id",
-        F.col("vid").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dropped = (
-        a.join(b, ["cluster_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau
-        )
-        .select(F.col("id_b").alias("vid"))
-        .distinct()
-    )
+    # within-cell dup drop as the Arrow kernel — bit-identical to the
+    # former cluster join + dot_expr threshold (see kernel block)
+    dropped = _cluster_dup_ids_arrow(base, tau, vec_col="v")
     kept = base.join(dropped, "vid", "left_anti")
     comp = kept.select("cluster_id", F.posexplode("v").alias("pos", "x"))
     cents = (

@@ -2790,3 +2790,100 @@ def test_write_training_shards_roundtrip_and_bounds(spark, sf_dir, tmp_path):
         assert nbytes < S + max_doc
         if sid != man["n_shards"] - 1:
             assert nbytes >= S - max_doc
+
+
+def test_arrow_pair_kernels_bit_identical_to_column_fold(spark):
+    """The Arrow within-cluster pair kernels (semdedup/d4 drop set,
+    hard-negatives argmax) reproduce the Column form — cluster
+    equi-join + sequential dot_expr fold — BIT-FOR-BIT: the numpy
+    accumulation is sequential over dims, so each pair's IEEE add
+    sequence is the fold's (the hyperplane_signatures_batch device).
+    Random float32 vectors, several cluster sizes incl. > one block."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from monolith_spark.operators import similarity as sim
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(300):
+        rows.append((vid, vid % 3, [rng.uniform(-1, 1) for _ in range(17)]))
+    base = spark.createDataFrame(
+        rows, "vid long, cluster_id int, vec array<float>"
+    ).select("cluster_id", "vid", F.expr(
+        "transform(vec, x -> cast(x as double))").alias("vec"))
+
+    a = base.select("cluster_id", F.col("vid").alias("id_a"),
+                    F.col("vec").alias("va"),
+                    sim.norm_expr(F.col("vec")).alias("na"))
+    b = base.select("cluster_id", F.col("vid").alias("id_b"),
+                    F.col("vec").alias("vb"),
+                    sim.norm_expr(F.col("vec")).alias("nb"))
+    pairs = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim.dot_expr(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")))
+    )
+    tau = 0.35
+
+    want_drop = sorted(
+        r["vid"] for r in pairs.filter(F.col("cosine") >= tau)
+        .select(F.col("id_b").alias("vid")).distinct().collect()
+    )
+    got_drop = sorted(
+        r["vid"] for r in sim._cluster_dup_ids_arrow(base, tau).collect()
+    )
+    assert got_drop == want_drop and len(got_drop) > 0
+
+    cand = pairs.filter(F.col("cosine") < tau).select(
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("x"), F.col("id_b").alias("y")),
+            F.struct(F.col("id_b").alias("x"), F.col("id_a").alias("y")),
+        )).alias("p"), "cosine")
+    want_neg = {
+        r["x"]: (r["b"]["nid"], r["b"]["cosine"])
+        for r in cand.groupBy("p.x").agg(
+            F.max(F.struct(F.col("cosine"),
+                           (-F.col("p.y")).alias("nid"))).alias("b")
+        ).collect()
+    }
+    want_neg = {x: (-nid, c) for x, (nid, c) in want_neg.items()}
+    got_neg = {
+        r["vec_id"]: (r["negative_id"], r["cosine"])
+        for r in sim._cluster_hard_negatives_arrow(base, tau).collect()
+    }
+    # exact equality, including the DOUBLE cosine bits
+    assert got_neg == want_neg and len(got_neg) > 100
+
+    # blocked path: force multiple row blocks within one cluster
+    import numpy as np
+
+    X = np.stack([np.asarray(v, dtype=np.float64) for _, _, v in rows[:50]])
+    nrm = sim._cluster_norms(X)
+    whole = list(sim._pair_cosine_blocks(X, nrm, block=1000))[0][1]
+    parts = [c for _, c in sim._pair_cosine_blocks(X, nrm, block=7)]
+    assert (np.concatenate(parts, axis=0) == whole).all()
+
+
+def test_kmeans_arrow_assignment_bit_identical_to_column_form(spark, monkeypatch):
+    """kmeans_lloyd's Arrow assignment (k-gated) and the Column HOF
+    form produce the SAME bits — cluster ids AND the double dist2 —
+    because the numpy accumulation replays sqdist_expr's sequential
+    fold and argmin's first-min is the (d2, cid) struct-min."""
+    import random
+
+    from monolith_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    embs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(9)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    arrow = {(r["vec_id"], r["cluster_id"], r["dist2"])
+             for r in sim.kmeans_lloyd(embs, k=5, iters=2).collect()}
+    monkeypatch.setattr(sim, "_ARROW_ASSIGN_MAX_K", 0)  # force Column form
+    col = {(r["vec_id"], r["cluster_id"], r["dist2"])
+           for r in sim.kmeans_lloyd(embs, k=5, iters=2).collect()}
+    assert arrow == col and len(arrow) == 120
