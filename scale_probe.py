@@ -453,6 +453,36 @@ def core_probe(spark, mult: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round8_probe(spark, mult: int) -> dict:
+    """Eighth wave under 10× growth: the Arrow pair kernels
+    (hard_negatives / d4_prune — k scales with the corpus per the
+    SemDeDup recipe, so per-cell pair work stays bounded; past the
+    k=64 gate the kmeans assignment flips to the copy-free Column
+    form, so the 10× leg probes BOTH assignment paths by
+    construction) and the ridge trainer/scorer (one scan reducing to
+    nine sums + one broadcast-apply scan — both must track the corpus
+    linearly)."""
+    from monolith_spark.operators import similarity as sim
+    from monolith_spark.operators import text
+
+    out: dict = {"mult": mult}
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    embs = scaled_embs(spark, mult).localCheckpoint(eager=True)
+    out["vecs"] = embs.count()
+    timed("hard_negatives_sec", sim.hard_negatives(embs, k=8 * mult))
+    timed("d4_prune_sec", sim.d4_prune(embs, k=8 * mult))
+    docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+    out["docs"] = docs.count()
+    timed("ridge_train_sec", text.ridge_quality_model(docs))
+    timed("ridge_scores_sec", text.ridge_quality_scores(docs))
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
@@ -487,6 +517,10 @@ def main() -> None:
     if target == "round7":
         for mult in mults:
             print(json.dumps(round7_probe(spark, mult)))
+        return
+    if target == "round8":
+        for mult in mults:
+            print(json.dumps(round8_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")
