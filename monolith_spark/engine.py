@@ -118,6 +118,7 @@ class MonolithDB:
         self.samples_path = os.path.join(self.path, "samples")
         self.series_path = os.path.join(self.path, "series")
         self.index_path = os.path.join(self.path, "label_index")
+        self.exemplars_path = os.path.join(self.path, "exemplars")
         meta_path = os.path.join(self.path, "metadata.json")
         # S4 db-level metadata (/root/reference/src/db.rs:107-124): reject
         # reopening with a different chunk size, like the reference rejects
@@ -409,6 +410,11 @@ class MonolithDB:
                         for cid, fl in m["samples"].items()
                         for fn in fl
                     )
+                    referenced.update(
+                        os.path.join(self.exemplars_path, f"chunk_id={cid}", fn)
+                        for cid, fl in m.get("exemplars", {}).items()
+                        for fn in fl
+                    )
                     idx = m.get("label_index")
                     if idx:
                         referenced.update(
@@ -416,7 +422,8 @@ class MonolithDB:
                             for b, fl in idx["buckets"].items()
                             for fn in fl
                         )
-            for base in (self.series_path, self.samples_path, self.index_path):
+            for base in (self.series_path, self.samples_path, self.index_path,
+                         self.exemplars_path):
                 if not os.path.isdir(base):
                     continue
                 for root, dirs, files in os.walk(base, topdown=False):
@@ -568,6 +575,12 @@ class MonolithDB:
                         os.path.join(self.samples_path, f"chunk_id={cid}", fn),
                         os.path.join(staging, "samples", f"chunk_id={cid}", fn),
                     )
+            for cid, files in man.get("exemplars", {}).items():
+                for fn in files:
+                    link(
+                        os.path.join(self.exemplars_path, f"chunk_id={cid}", fn),
+                        os.path.join(staging, "exemplars", f"chunk_id={cid}", fn),
+                    )
             idx = man.get("label_index")
             if idx:
                 for b, files in idx["buckets"].items():
@@ -711,6 +724,112 @@ class MonolithDB:
                 self._commit(add, op="write")
         finally:
             df.unpersist()
+
+    # -------------------------------------------------------------- exemplars
+
+    def write_exemplars(self, df: DataFrame) -> None:
+        """Ingest exemplars — [labels (series labels), timestamp,
+        value, exemplar_labels] rows, the trace-id'd sample references
+        remote-write 1.0/2.0 carry alongside samples. Same set-at-a-time
+        shape as write(): ts!=0 filter → dim get-or-create (exemplars
+        may reference series never written as samples; content-hash ids
+        keep it idempotent) → fact append into ``exemplars/chunk_id=N``
+        partitions (the SAME chunk grid as samples, so query pruning is
+        one predicate) — visible through ONE manifest commit. A batch
+        whose series are all known touches no dim file, so the posting
+        index stays fresh through steady-state exemplar ingest; a batch
+        that DOES create series drops a stale index like any other dim
+        change (readers fall back to the dim scan until the next
+        build)."""
+        df = valid_points(df)
+        df = df.withColumn("signature", signature_expr("labels")).withColumn(
+            "series_id", F.xxhash64(F.col("signature"))
+        )
+        df = df.withColumn(
+            "chunk_id",
+            F.floor(F.col("timestamp") / F.lit(self.chunk_size_ms)).cast("long"),
+        )
+        df.persist()
+        try:
+            new_series = df.select(
+                "series_id", "signature", "labels"
+            ).dropDuplicates(["series_id"])
+            existing = self._series_raw()
+            if existing is not None:
+                new_series = new_series.join(
+                    self._dim_hint(existing.select("series_id")),
+                    "series_id",
+                    "left_anti",
+                )
+            dim_files = self._stage_and_move(
+                new_series.sortWithinPartitions("series_id"),
+                self.series_path,
+                options=self._DIM_WRITE_OPTS,
+            )
+            fact_files = self._stage_and_move(
+                df.select(
+                    "series_id", "timestamp", "value", "exemplar_labels",
+                    "chunk_id",
+                )
+                .repartition("chunk_id")
+                .sortWithinPartitions("series_id", "timestamp"),
+                self.exemplars_path,
+                partition_by="chunk_id",
+            )
+            if dim_files or fact_files:
+
+                def add(man: dict) -> None:
+                    man["series"] = sorted(set(man["series"]) | set(dim_files))
+                    ex = man.setdefault("exemplars", {})
+                    for cid, files in fact_files.items():
+                        ex[cid] = sorted(set(ex.get(cid, [])) | set(files))
+                    idx = man.get("label_index")
+                    if idx is not None and idx["series"] != man["series"]:
+                        del man["label_index"]
+
+                self._commit(add, op="write-exemplars")
+        finally:
+            df.unpersist()
+
+    def exemplars(self, at_version: int | None = None) -> DataFrame:
+        """The exemplars fact table at a snapshot — explicit file-list
+        read with basePath, exactly like samples()."""
+        man = self._load_manifest(at_version)
+        paths = [
+            os.path.join(self.exemplars_path, f"chunk_id={cid}", fn)
+            for cid, files in man.get("exemplars", {}).items()
+            for fn in files
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [],
+                "series_id long, timestamp long, value double, "
+                "exemplar_labels map<string,string>, chunk_id long",
+            )
+        return self.spark.read.option("basePath", self.exemplars_path).parquet(
+            *paths
+        )
+
+    def query_exemplars(
+        self, matchers, start_ms: int, end_ms: int, at_version: int | None = None
+    ) -> DataFrame:
+        """Matching exemplars as flat rows [series_id, signature,
+        labels, exemplar_labels, timestamp, value] — the engine behind
+        GET /api/v1/query_exemplars. Same plan family as query_flat:
+        chunk-pruned exemplar scan ⋈ size-gated broadcast of the
+        matched dim."""
+        sel = self._matched_series(matchers, at_version)
+        ex = time_trim(
+            self.exemplars(at_version).filter(
+                chunk_pred(start_ms, end_ms, self.chunk_size_ms)
+            ),
+            start_ms,
+            end_ms,
+        )
+        return ex.join(self._dim_hint(sel), "series_id").select(
+            "series_id", "signature", "labels", "exemplar_labels",
+            "timestamp", "value",
+        )
 
     # ------------------------------------------------------------------- read
 

@@ -35,6 +35,62 @@ def write_request_to_df(spark, req: proto.WriteRequest):
     return spark.createDataFrame(rows, SAMPLES_SCHEMA)
 
 
+def exemplars_request_to_df(spark, req: proto.WriteRequest):
+    """The request's exemplars as a write_exemplars-shaped DataFrame
+    ([series labels, timestamp, value, exemplar_labels]), or None when
+    the request carries none."""
+    rows = [
+        (ts.labels, e.timestamp, e.value, e.labels)
+        for ts in req.timeseries
+        for e in ts.exemplars
+    ]
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        rows,
+        "labels map<string,string>, timestamp long, value double, "
+        "exemplar_labels map<string,string>",
+    )
+
+
+def query_exemplars_api(
+    db: MonolithDB, selector: str, start_ms: int, end_ms: int
+) -> list[dict]:
+    """GET /api/v1/query_exemplars — the Prometheus exemplars API:
+    an instant selector (parsed by the PromQL parser, full matcher
+    semantics), exemplars grouped per series, timestamps in unix
+    seconds, values stringified, all orderings deterministic."""
+    from monolith_spark import promql
+
+    ast = promql.parse(selector)
+    if not isinstance(ast, promql.Selector) or ast.range_ms is not None:
+        raise ValueError(f"query must be an instant selector: {selector!r}")
+    ms = list(ast.matchers)
+    if ast.name is not None:
+        ms = [EngineMatcher("__name__", ast.name, "EQ"), *ms]
+    rows = db.query_exemplars(ms, start_ms, end_ms).collect()
+    by_series: dict[str, dict] = {}
+    for r in sorted(
+        rows, key=lambda r: (r["signature"], r["timestamp"], r["value"])
+    ):
+        g = by_series.setdefault(
+            r["signature"],
+            {
+                "seriesLabels": dict(r["labels"]) if r["labels"] else {},
+                "exemplars": [],
+            },
+        )
+        g["exemplars"].append(
+            {
+                "labels": dict(r["exemplar_labels"])
+                if r["exemplar_labels"] else {},
+                "value": str(r["value"]),
+                "timestamp": r["timestamp"] / 1000.0,
+            }
+        )
+    return [by_series[k] for k in sorted(by_series)]
+
+
 def _engine_matchers(q: proto.Query, strict: bool) -> list[EngineMatcher]:
     out = []
     for m in q.matchers:
@@ -511,6 +567,13 @@ class MonolithServer:
                         )
                     elif u.path == "/api/v1/series":
                         data = _series_api(server.db, qs.get("match[]", []))
+                    elif u.path == "/api/v1/query_exemplars":
+                        data = query_exemplars_api(
+                            server.db,
+                            qs["query"][0],
+                            int(float(qs["start"][0]) * 1000),
+                            int(float(qs["end"][0]) * 1000),
+                        )
                     elif u.path == "/api/v1/status/tsdb":
                         data = tsdb_status(server.db)
                     elif u.path == "/api/v1/metadata":
@@ -728,6 +791,16 @@ class MonolithServer:
                             server.db.write(
                                 write_request_to_df(server.db.spark, req)
                             )
+                            edf = exemplars_request_to_df(
+                                server.db.spark, req
+                            )
+                            n_ex = 0
+                            if edf is not None:
+                                n_ex = sum(
+                                    len(ts.exemplars)
+                                    for ts in req.timeseries
+                                )
+                                server.db.write_exemplars(edf)
                             if meta:
                                 server.db.set_metric_metadata(meta)
                             self.send_response(200)
@@ -741,13 +814,16 @@ class MonolithServer:
                             )
                             self.send_header(
                                 "X-Prometheus-Remote-Write-Exemplars-Written",
-                                "0",
+                                str(n_ex),
                             )
                             self.send_header("Content-Length", "0")
                             self.end_headers()
                             return
                         req = proto.decode_write_request(raw)
                         server.db.write(write_request_to_df(server.db.spark, req))
+                        edf = exemplars_request_to_df(server.db.spark, req)
+                        if edf is not None:
+                            server.db.write_exemplars(edf)
                         payload = b""
                     else:
                         resp = evaluate_read(

@@ -175,9 +175,21 @@ class Sample:
 
 
 @dataclass
+class Exemplar:
+    """Prometheus exemplar — the trace-id'd sample reference
+    remote-write carries alongside samples (types.proto: Exemplar
+    {labels=1, value=2, timestamp=3})."""
+
+    labels: dict[str, str] = field(default_factory=dict)  # field 1
+    value: float = 0.0                                    # field 2, double
+    timestamp: int = 0                                    # field 3, int64 ms
+
+
+@dataclass
 class TimeSeries:
     labels: dict[str, str] = field(default_factory=dict)  # field 1, repeated Label{name=1,value=2}
     samples: list[Sample] = field(default_factory=list)   # field 2
+    exemplars: list[Exemplar] = field(default_factory=list)  # field 3
 
 
 @dataclass
@@ -236,9 +248,19 @@ def _enc_sample(s: Sample) -> bytes:
     return _tag(1, 1) + struct.pack("<d", s.value) + _tag(2, 0) + _write_varint(s.timestamp)
 
 
+def _enc_exemplar(e: Exemplar) -> bytes:
+    out = b"".join(
+        _len_delim(1, _enc_label(k, v)) for k, v in sorted(e.labels.items())
+    )
+    out += _tag(2, 1) + struct.pack("<d", e.value)
+    out += _tag(3, 0) + _write_varint(e.timestamp)
+    return out
+
+
 def _enc_timeseries(ts: TimeSeries) -> bytes:
     out = b"".join(_len_delim(1, _enc_label(k, v)) for k, v in sorted(ts.labels.items()))
     out += b"".join(_len_delim(2, _enc_sample(s)) for s in ts.samples)
+    out += b"".join(_len_delim(3, _enc_exemplar(e)) for e in ts.exemplars)
     return out
 
 
@@ -303,6 +325,19 @@ def _dec_sample(data: bytes) -> Sample:
     return s
 
 
+def _dec_exemplar(data: bytes) -> Exemplar:
+    e = Exemplar()
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 2:
+            k, val = _dec_label(v)
+            e.labels[k] = val
+        elif f == 2 and wt == 1:
+            e.value = struct.unpack("<d", v)[0]
+        elif f == 3 and wt == 0:
+            e.timestamp = _signed64(v)
+    return e
+
+
 def _dec_timeseries(data: bytes) -> TimeSeries:
     ts = TimeSeries()
     for f, _, v in _iter_fields(data):
@@ -311,6 +346,8 @@ def _dec_timeseries(data: bytes) -> TimeSeries:
             ts.labels[k] = val
         elif f == 2:
             ts.samples.append(_dec_sample(v))
+        elif f == 3:
+            ts.exemplars.append(_dec_exemplar(v))
     return ts
 
 
@@ -412,9 +449,17 @@ class MetadataV2:
 
 
 @dataclass
+class ExemplarV2:
+    labels_refs: list[int] = field(default_factory=list)  # field 1, packed uint32 pairs
+    value: float = 0.0                                    # field 2, double
+    timestamp: int = 0                                    # field 3, int64 ms
+
+
+@dataclass
 class TimeSeriesV2:
     labels_refs: list[int] = field(default_factory=list)  # field 1, packed uint32 pairs
     samples: list[Sample] = field(default_factory=list)   # field 2
+    exemplars: list[ExemplarV2] = field(default_factory=list)  # field 3
     metadata: MetadataV2 | None = None                    # field 4
 
 
@@ -450,6 +495,11 @@ def encode_write_request_v2(req: WriteRequestV2) -> bytes:
     for ts in req.timeseries:
         body = _enc_packed_uint32(1, ts.labels_refs)
         body += b"".join(_len_delim(2, _enc_sample(s)) for s in ts.samples)
+        for e in ts.exemplars:
+            eb = _enc_packed_uint32(1, e.labels_refs)
+            eb += _tag(2, 1) + struct.pack("<d", e.value)
+            eb += _tag(3, 0) + _write_varint(e.timestamp)
+            body += _len_delim(3, eb)
         if ts.metadata is not None:
             m = ts.metadata
             mb = b""
@@ -476,6 +526,18 @@ def _dec_metadata_v2(data: bytes) -> MetadataV2:
     return m
 
 
+def _dec_exemplar_v2(data: bytes) -> ExemplarV2:
+    e = ExemplarV2()
+    for f, wt, v in _iter_fields(data):
+        if f == 1:
+            e.labels_refs.extend(_dec_packed_uint32(wt, v))
+        elif f == 2 and wt == 1:
+            e.value = struct.unpack("<d", v)[0]
+        elif f == 3 and wt == 0:
+            e.timestamp = _signed64(v)
+    return e
+
+
 def _dec_timeseries_v2(data: bytes) -> TimeSeriesV2:
     ts = TimeSeriesV2()
     for f, wt, v in _iter_fields(data):
@@ -483,6 +545,8 @@ def _dec_timeseries_v2(data: bytes) -> TimeSeriesV2:
             ts.labels_refs.extend(_dec_packed_uint32(wt, v))
         elif f == 2 and wt == 2:
             ts.samples.append(_dec_sample(v))
+        elif f == 3 and wt == 2:
+            ts.exemplars.append(_dec_exemplar_v2(v))
         elif f == 4 and wt == 2:
             ts.metadata = _dec_metadata_v2(v)
     return ts
@@ -521,7 +585,25 @@ def v2_to_v1(req: WriteRequestV2) -> tuple[WriteRequest, dict[str, dict]]:
             sym(ts.labels_refs[i]): sym(ts.labels_refs[i + 1])
             for i in range(0, len(ts.labels_refs), 2)
         }
-        out.timeseries.append(TimeSeries(labels=labels, samples=ts.samples))
+        exemplars = []
+        for e in ts.exemplars:
+            if len(e.labels_refs) % 2:
+                raise ValueError(
+                    "PRW2 exemplar labels_refs must hold (name, value) pairs"
+                )
+            exemplars.append(
+                Exemplar(
+                    labels={
+                        sym(e.labels_refs[i]): sym(e.labels_refs[i + 1])
+                        for i in range(0, len(e.labels_refs), 2)
+                    },
+                    value=e.value,
+                    timestamp=e.timestamp,
+                )
+            )
+        out.timeseries.append(
+            TimeSeries(labels=labels, samples=ts.samples, exemplars=exemplars)
+        )
         name = labels.get("__name__")
         if name and ts.metadata is not None:
             m = ts.metadata
@@ -557,6 +639,17 @@ def v1_to_v2(req: WriteRequest, meta: dict[str, dict] | None = None) -> WriteReq
         for k, v in sorted(ts.labels.items()):
             refs.append(ref(k))
             refs.append(ref(v))
+        exemplars = []
+        for e in ts.exemplars:
+            erefs: list[int] = []
+            for k, v in sorted(e.labels.items()):
+                erefs.append(ref(k))
+                erefs.append(ref(v))
+            exemplars.append(
+                ExemplarV2(
+                    labels_refs=erefs, value=e.value, timestamp=e.timestamp
+                )
+            )
         md = None
         name = ts.labels.get("__name__")
         if name and name in meta:
@@ -567,6 +660,9 @@ def v1_to_v2(req: WriteRequest, meta: dict[str, dict] | None = None) -> WriteReq
                 unit_ref=ref(m["unit"]) if m.get("unit") else 0,
             )
         out.timeseries.append(
-            TimeSeriesV2(labels_refs=refs, samples=ts.samples, metadata=md)
+            TimeSeriesV2(
+                labels_refs=refs, samples=ts.samples, exemplars=exemplars,
+                metadata=md,
+            )
         )
     return out

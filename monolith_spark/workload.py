@@ -172,6 +172,61 @@ def ts_posting_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("signature", F.col("timestamp").alias("ts_ms"), "value")
 
 
+_EX_KEY_SQL = f"{SIG_SQL} || '|' || CAST(epoch_ms(ts) AS VARCHAR)"
+
+
+@_q(
+    "ts_exemplar_query",
+    f"""
+    SELECT {SIG_SQL} AS signature,
+           substr(md5({_EX_KEY_SQL}), 1, 16) AS trace_id,
+           epoch_ms(ts) AS ts_ms, value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND epoch_ms(ts) BETWEEN {JAN8} AND {JAN15}
+      AND CAST('0x' || substr(md5({_EX_KEY_SQL}), 1, 15) AS BIGINT) % 23 = 0
+    """,
+)
+def ts_exemplar_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar storage end-to-end (the Prometheus exemplars surface —
+    remote-write 1.0/2.0 carry them, GET /api/v1/query_exemplars
+    serves them): a deterministic ~1/23 slice of the events becomes
+    exemplars (trace_id = md5 prefix of the series|timestamp key, so
+    both engines derive identical ids), ingested through
+    db.write_exemplars into chunk_id partitions on the SAME grid as
+    samples, then queried back matcher-pruned + chunk-pruned via
+    query_exemplars. The oracle replays the slice and the trace
+    derivation straight off the raw events — a lost, duplicated, or
+    mis-pruned exemplar hash-fails."""
+    import tempfile
+
+    from monolith_spark.engine import MonolithDB
+
+    path = tempfile.mkdtemp(prefix="exemplar_db_")
+    db = MonolithDB(spark, path)
+    s = events_samples(spark, sf_dir)
+    key = F.concat(
+        F.col("signature"), F.lit("|"), F.col("timestamp").cast("string")
+    )
+    db.write(s.select("labels", "timestamp", "value"))
+    db.write_exemplars(
+        s.filter(_text.hash60_expr(key) % 23 == 0).select(
+            "labels",
+            "timestamp",
+            "value",
+            F.create_map(
+                F.lit("trace_id"), F.substring(F.md5(key), 1, 16)
+            ).alias("exemplar_labels"),
+        )
+    )
+    return db.query_exemplars({"event_type": "purchase"}, JAN8, JAN15).select(
+        "signature",
+        F.try_element_at("exemplar_labels", F.lit("trace_id")).alias("trace_id"),
+        F.col("timestamp").alias("ts_ms"),
+        "value",
+    )
+
+
 @_q(
     "ts_series_agg",
     f"""

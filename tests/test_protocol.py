@@ -681,3 +681,109 @@ def test_http_write_v2_and_federate_metadata(spark, tmp_path):
         assert 'reqs{job="api"} 3.0 5000\n' in text
     finally:
         srv.shutdown()
+
+
+def test_exemplars_end_to_end(spark, tmp_path):
+    """Exemplars through the whole surface: PRW1 and PRW2 payloads
+    carry them, the engine stores them on the samples' chunk grid
+    (one manifest commit), GET /api/v1/query_exemplars serves the
+    Prometheus shape, vacuum keeps them live, snapshots carry them."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        ts = proto.TimeSeries(
+            {"__name__": "lat", "job": "api"},
+            [proto.Sample(0.9, 1_000), proto.Sample(1.9, 61_000)],
+            [proto.Exemplar({"trace_id": "abc"}, 0.93, 1_500)],
+        )
+        # v1 write with exemplars
+        status, _ = _post(
+            srv.port, "/write",
+            proto.snappy_compress(
+                proto.encode_write_request(proto.WriteRequest([ts]))
+            ),
+        )
+        assert status == 200
+        # v2 write with a second exemplar (interned labels roundtrip)
+        ts2 = proto.TimeSeries(
+            {"__name__": "lat", "job": "api"},
+            [],
+            [proto.Exemplar({"trace_id": "def", "span": "s1"}, 1.91, 61_500)],
+        )
+        v2 = proto.v1_to_v2(proto.WriteRequest([ts2]))
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request(
+            "POST", "/write",
+            body=proto.snappy_compress(proto.encode_write_request_v2(v2)),
+            headers={"Content-Type": proto.V2_CONTENT_TYPE},
+        )
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 200
+        assert resp.headers[
+            "X-Prometheus-Remote-Write-Exemplars-Written"] == "1"
+        conn.close()
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_exemplars?query="
+            + urllib.parse.quote('lat{job="api"}') + "&start=0&end=100"
+        ) as r:
+            got = _json.load(r)["data"]
+        assert got == [{
+            "seriesLabels": {"__name__": "lat", "job": "api"},
+            "exemplars": [
+                {"labels": {"trace_id": "abc"}, "value": "0.93",
+                 "timestamp": 1.5},
+                {"labels": {"span": "s1", "trace_id": "def"},
+                 "value": "1.91", "timestamp": 61.5},
+            ],
+        }]
+        # time pruning: only the second chunk's exemplar
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_exemplars?query="
+            + urllib.parse.quote('lat{job="api"}') + "&start=60&end=100"
+        ) as r:
+            got = _json.load(r)["data"]
+        assert [e["labels"]["trace_id"]
+                for e in got[0]["exemplars"]] == ["def"]
+
+        # vacuum keeps live exemplar files; snapshot carries them
+        assert db.vacuum(grace_ms=0) == 0 or db.exemplars().count() == 2
+        name = db.snapshot()
+        snap = MonolithDB(
+            spark, str(tmp_path / "db" / "snapshots" / name),
+            chunk_size_ms=60_000,
+        )
+        assert snap.exemplars().count() == 2
+    finally:
+        srv.shutdown()
+
+
+def test_exemplar_codec_roundtrip():
+    """PRW1 and PRW2 exemplar wire roundtrips, including v1↔v2
+    conversion (labels interned into the request symbol table)."""
+    ts = proto.TimeSeries(
+        {"__name__": "m"},
+        [proto.Sample(1.0, 10)],
+        [proto.Exemplar({"trace_id": "t1"}, 2.5, 11),
+         proto.Exemplar({}, -3.5, 12)],
+    )
+    wire = proto.encode_write_request(proto.WriteRequest([ts]))
+    back = proto.decode_write_request(wire).timeseries[0]
+    assert [(e.labels, e.value, e.timestamp) for e in back.exemplars] == [
+        ({"trace_id": "t1"}, 2.5, 11), ({}, -3.5, 12)]
+
+    v2 = proto.v1_to_v2(proto.WriteRequest([ts]))
+    rt, _ = proto.v2_to_v1(
+        proto.decode_write_request_v2(proto.encode_write_request_v2(v2))
+    )
+    assert [(e.labels, e.value, e.timestamp)
+            for e in rt.timeseries[0].exemplars] == [
+        ({"trace_id": "t1"}, 2.5, 11), ({}, -3.5, 12)]
