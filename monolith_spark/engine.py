@@ -514,19 +514,35 @@ class MonolithDB:
 
     def ingest_scrape(self, text: str, default_ts_ms: int | None = None) -> None:
         """One scrape payload end-to-end: samples through the normal
-        write path (one manifest commit), then the payload's
-        ``# HELP``/``# TYPE``/``# UNIT`` comments into the metadata
-        store (a second, idempotent commit — absent when the payload
-        carries none). Sample parsing is the JVM column-expression
-        path (sources/openmetrics.py); metadata lines are bounded by
-        the number of metric NAMES in the payload, so the driver-side
+        write path (one manifest commit), OpenMetrics exemplar
+        suffixes (`` # {trace_id="..."} v ts``) into the exemplar
+        store, then the payload's ``# HELP``/``# TYPE``/``# UNIT``
+        comments into the metadata store (each stage's commit absent
+        when the payload carries nothing for it; all idempotent).
+        Sample parsing is the JVM column-expression path
+        (sources/openmetrics.py); metadata lines are bounded by the
+        number of metric NAMES in the payload, so the driver-side
         parse is O(names), not O(samples)."""
         from monolith_spark.sources.openmetrics import (
             parse_metadata_text,
             parse_payload,
         )
 
-        self.write(parse_payload(self.spark, text, default_ts_ms=default_ts_ms))
+        parsed = parse_payload(
+            self.spark, text, default_ts_ms=default_ts_ms, with_exemplars=True
+        ).persist()
+        try:
+            self.write(parsed.select("labels", "timestamp", "value"))
+            ex = parsed.filter(F.col("exemplar_value").isNotNull()).select(
+                "labels",
+                F.col("exemplar_ts").alias("timestamp"),
+                F.col("exemplar_value").alias("value"),
+                "exemplar_labels",
+            )
+            if ex.limit(1).count() > 0:
+                self.write_exemplars(ex)
+        finally:
+            parsed.unpersist()
         meta = parse_metadata_text(text)
         if meta:
             self.set_metric_metadata(meta)

@@ -33,12 +33,25 @@ from pyspark.sql import functions as F
 
 _NAME_RE = "[a-zA-Z_:][a-zA-Z0-9_:]*"
 _LABEL_PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
+# non-capturing pair, for the blob grammar below
+_PAIR_NC = r'(?:[a-zA-Z_][a-zA-Z0-9_]*="(?:\\.|[^"\\])*")'
+# label blob = a comma-separated pair list. Constrained (not `.*`)
+# because the OpenMetrics exemplar suffix makes a greedy blob
+# ambiguous — `m{a="b"} 1 2 # {t="x"} 3 4` must never parse the
+# exemplar section into the label blob; quoted values may still
+# contain `}`/`#`/spaces, the quotes keep the grammar unambiguous.
+_BLOB_RE = rf"((?:\s*{_PAIR_NC}\s*(?:,\s*)?)*)"
+_VALUE_RE = r"(NaN|[+-]?Inf|[+-]?[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?)"
 # full sample line: name{labels} value [timestamp_ms]
+#                   [ # {exemplar_labels} exemplar_value [ex_ts_ms] ]
+# — the OpenMetrics exemplar syntax on this dialect's ms stamps.
 _LINE_RE = (
     rf"^({_NAME_RE})"
-    r"(?:\{(.*)\})?"
-    r"\s+(NaN|[+-]?Inf|[+-]?[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?)"
-    r"(?:\s+(-?[0-9]+))?\s*$"
+    rf"(?:\{{{_BLOB_RE}\}})?"
+    rf"\s+{_VALUE_RE}"
+    r"(?:\s+(-?[0-9]+))?"
+    rf"(?:\s+#\s+\{{{_BLOB_RE}\}}\s+{_VALUE_RE}(?:\s+(-?[0-9]+))?)?"
+    r"\s*$"
 )
 
 _ESC = "\x00"  # placeholder for the escaped-backslash swap
@@ -57,11 +70,15 @@ def _unescape(v):
     return F.replace(v, F.lit(_ESC), F.lit("\\"))
 
 
-def format_lines(samples: DataFrame) -> DataFrame:
+def format_lines(samples: DataFrame, with_exemplars: bool = False) -> DataFrame:
     """[labels, timestamp, value] → one exposition line per sample
     (column ``line``): ``name{k="v",...} value timestamp_ms`` with
     labels sorted by key. Raises at execution on a series without
-    ``__name__`` — the format cannot express one."""
+    ``__name__`` — the format cannot express one. With
+    ``with_exemplars``, rows whose ``exemplar_value`` is non-NULL
+    append the OpenMetrics exemplar suffix
+    `` # {k="v"} value ts_ms`` (format∘parse is the identity,
+    exemplars included — tested)."""
     name = F.try_element_at("labels", F.lit("__name__"))
     guarded = F.when(name.isNotNull(), name).otherwise(
         F.raise_error(
@@ -95,7 +112,45 @@ def format_lines(samples: DataFrame) -> DataFrame:
         guarded, blob, F.lit(" "), val, F.lit(" "),
         F.col("timestamp").cast("string"),
     )
+    if with_exemplars:
+        ex_pairs = F.transform(
+            F.array_sort(F.map_entries("exemplar_labels")),
+            lambda e: F.concat(
+                e["key"], F.lit('="'), _escape(e["value"]), F.lit('"')
+            ),
+        )
+        ex_val = (
+            F.when(F.isnan("exemplar_value"), F.lit("NaN"))
+            .when(F.col("exemplar_value") == float("inf"), F.lit("+Inf"))
+            .when(F.col("exemplar_value") == float("-inf"), F.lit("-Inf"))
+            .otherwise(F.col("exemplar_value").cast("string"))
+        )
+        suffix = F.when(
+            F.col("exemplar_value").isNotNull(),
+            F.concat(
+                F.lit(" # {"), F.array_join(ex_pairs, ","), F.lit("} "),
+                ex_val, F.lit(" "), F.col("exemplar_ts").cast("string"),
+            ),
+        ).otherwise(F.lit(""))
+        line = F.concat(line, suffix)
     return samples.select(line.alias("line"))
+
+
+def _value_expr(col):
+    return (
+        F.when(col == "NaN", F.lit(float("nan")))
+        .when(col.isin("+Inf", "Inf"), F.lit(float("inf")))
+        .when(col == "-Inf", F.lit(float("-inf")))
+        .otherwise(col.cast("double"))
+    )
+
+
+def _pairs_map(blob_col):
+    keys = F.regexp_extract_all(blob_col, F.lit(_LABEL_PAIR_RE), 1)
+    vals = F.transform(
+        F.regexp_extract_all(blob_col, F.lit(_LABEL_PAIR_RE), 2), _unescape
+    )
+    return F.map_from_arrays(keys, vals)
 
 
 def parse_lines(
@@ -103,6 +158,7 @@ def parse_lines(
     default_ts_ms: int | None = None,
     line_col: str = "line",
     default_ts_col: str | None = None,
+    with_exemplars: bool = False,
 ) -> DataFrame:
     """Exposition lines → samples [labels, timestamp, value]. Comment
     (``#``) and blank lines drop; any other non-matching line raises
@@ -111,7 +167,12 @@ def parse_lines(
     ``default_ts_col`` (a per-row long-ms column — e.g. the scrape
     file's modification time in a stream) when given, else
     ``default_ts_ms``; one of them is required if any such line
-    exists — a scrape stamps its own time."""
+    exists — a scrape stamps its own time.
+
+    ``with_exemplars`` adds the OpenMetrics exemplar suffix columns —
+    [exemplar_labels, exemplar_value, exemplar_ts] (NULLs when the
+    line carries none; an exemplar without its own stamp takes the
+    sample's) — for feeding db.write_exemplars off a scrape."""
     l = F.trim(F.col(line_col))
     carry = [F.col(default_ts_col).alias("__dts")] if default_ts_col else []
     body = lines.select(l.alias("__l"), *carry).filter(
@@ -122,23 +183,17 @@ def parse_lines(
     blob = F.regexp_extract("__l", _LINE_RE, 2)
     val_s = F.regexp_extract("__l", _LINE_RE, 3)
     ts_s = F.regexp_extract("__l", _LINE_RE, 4)
+    ex_blob = F.regexp_extract("__l", _LINE_RE, 5)
+    ex_val_s = F.regexp_extract("__l", _LINE_RE, 6)
+    ex_ts_s = F.regexp_extract("__l", _LINE_RE, 7)
     bad = F.raise_error(
         F.concat(F.lit("malformed exposition line: "), F.col("__l"))
     )
-    keys = F.regexp_extract_all("__b", F.lit(_LABEL_PAIR_RE), 1)
-    vals = F.transform(
-        F.regexp_extract_all("__b", F.lit(_LABEL_PAIR_RE), 2), _unescape
+    pm = _pairs_map("__b")
+    labels = F.map_concat(
+        F.create_map(F.lit("__name__"), F.col("__n")), pm
     )
-    labels = F.map_from_arrays(
-        F.concat(F.array(F.lit("__name__")), keys),
-        F.concat(F.array(F.col("__n")), vals),
-    )
-    value = (
-        F.when(F.col("__v") == "NaN", F.lit(float("nan")))
-        .when(F.col("__v").isin("+Inf", "Inf"), F.lit(float("inf")))
-        .when(F.col("__v") == "-Inf", F.lit(float("-inf")))
-        .otherwise(F.col("__v").cast("double"))
-    )
+    value = _value_expr(F.col("__v"))
     explicit = F.when(F.col("__t") != "", F.col("__t").cast("long"))
     if default_ts_col is not None:
         ts = explicit.otherwise(F.col("__dts").cast("long"))
@@ -154,21 +209,34 @@ def parse_lines(
                 )
             )
         )
-    return (
-        body.select(
-            "__l",
-            *(["__dts"] if default_ts_col else []),
-            F.when(m != "", name).otherwise(bad).alias("__n"),
-            blob.alias("__b"),
-            val_s.alias("__v"),
-            ts_s.alias("__t"),
-        )
-        .select(
-            labels.alias("labels"),
-            ts.alias("timestamp"),
-            value.alias("value"),
-        )
+    parsed = body.select(
+        "__l",
+        *(["__dts"] if default_ts_col else []),
+        F.when(m != "", name).otherwise(bad).alias("__n"),
+        blob.alias("__b"),
+        val_s.alias("__v"),
+        ts_s.alias("__t"),
+        ex_blob.alias("__xb"),
+        ex_val_s.alias("__xv"),
+        ex_ts_s.alias("__xt"),
     )
+    cols = [
+        labels.alias("labels"),
+        ts.alias("timestamp"),
+        value.alias("value"),
+    ]
+    if with_exemplars:
+        has_ex = F.col("__xv") != ""
+        cols += [
+            F.when(has_ex, _pairs_map("__xb")).alias("exemplar_labels"),
+            F.when(has_ex, _value_expr(F.col("__xv"))).alias("exemplar_value"),
+            F.when(
+                has_ex,
+                F.when(F.col("__xt") != "", F.col("__xt").cast("long"))
+                .otherwise(ts),
+            ).alias("exemplar_ts"),
+        ]
+    return parsed.select(*cols)
 
 
 def scrape_stream(spark, scrape_dir: str) -> DataFrame:
@@ -227,7 +295,8 @@ def parse_metadata_text(text: str) -> dict[str, dict]:
 
 
 def parse_payload(
-    spark, text: str, default_ts_ms: int | None = None
+    spark, text: str, default_ts_ms: int | None = None,
+    with_exemplars: bool = False,
 ) -> DataFrame:
     """One scrape payload (a whole exposition document) → samples.
     The payload splits into lines inside the plan, so a table of many
@@ -236,4 +305,6 @@ def parse_payload(
     lines = df.select(
         F.explode(F.split("payload", "\n")).alias("line")
     )
-    return parse_lines(lines, default_ts_ms=default_ts_ms)
+    return parse_lines(
+        lines, default_ts_ms=default_ts_ms, with_exemplars=with_exemplars
+    )

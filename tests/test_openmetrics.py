@@ -278,3 +278,75 @@ def test_ingest_scrape_stores_metadata_and_samples(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown metric type"):
         db.set_metric_metadata({"x": {"type": "countr"}})
+
+
+def test_exemplar_suffix_roundtrip_and_scrape_ingest(spark, tmp_path):
+    """OpenMetrics exemplar suffixes: parse extracts them (absent →
+    NULLs; stamp-less exemplars take the sample's ts), format∘parse is
+    the identity exemplars included, label blobs stay unambiguous
+    against the ` # {...}` section, and ingest_scrape lands them in
+    the engine's exemplar store."""
+    lines = _df(spark, [])  # placeholder, not used
+    text = "\n".join([
+        'lat{job="api"} 0.9 1000 # {trace_id="abc"} 0.93 1500',
+        'lat{job="web",q="x} 2 3"} 1.1 2000',   # `}`+digits inside a value
+        'lat{job="db"} 2.5 3000 # {t="u"} 2.51',  # stamp-less exemplar
+        "plain 7.5 4000",
+    ])
+    from monolith_spark.sources.openmetrics import parse_payload
+
+    got = parse_payload(spark, text, with_exemplars=True).collect()
+    by_job = {
+        (dict(r["labels"]).get("job") or "plain"): r for r in got
+    }
+    assert dict(by_job["api"]["exemplar_labels"]) == {"trace_id": "abc"}
+    assert (by_job["api"]["exemplar_value"], by_job["api"]["exemplar_ts"]) \
+        == (0.93, 1500)
+    assert dict(by_job["web"]["labels"])["q"] == "x} 2 3"
+    assert by_job["web"]["exemplar_value"] is None
+    assert by_job["db"]["exemplar_ts"] == 3000  # sample ts inherited
+    assert by_job["plain"]["exemplar_labels"] is None
+
+    # format ∘ parse identity, exemplars included
+    from monolith_spark.sources.openmetrics import format_lines, parse_lines
+
+    sdf = spark.createDataFrame(
+        [
+            ({"__name__": "lat", "job": "api"}, 1000, 0.9,
+             {"trace_id": 'a"b\\c'}, 0.93, 1500),
+            ({"__name__": "lat", "job": "web"}, 2000, 1.1, None, None, None),
+        ],
+        "labels map<string,string>, timestamp long, value double, "
+        "exemplar_labels map<string,string>, exemplar_value double, "
+        "exemplar_ts long",
+    )
+    text2 = format_lines(sdf, with_exemplars=True)
+    back = parse_lines(text2, with_exemplars=True).collect()
+    want = {
+        (tuple(sorted(r["labels"].items())), r["timestamp"], r["value"],
+         tuple(sorted((r["exemplar_labels"] or {}).items())),
+         r["exemplar_value"], r["exemplar_ts"])
+        for r in sdf.collect()
+    }
+    got2 = {
+        (tuple(sorted(r["labels"].items())), r["timestamp"], r["value"],
+         tuple(sorted((r["exemplar_labels"] or {}).items())),
+         r["exemplar_value"], r["exemplar_ts"])
+        for r in back
+    }
+    assert got2 == want
+
+    # a garbage label blob now fails LOUDLY (constrained grammar)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="malformed exposition line"):
+        parse_payload(spark, "m{garbage} 1 2").collect()
+
+    # scrape ingest lands exemplars in the store
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=DAY)
+    db.ingest_scrape(text)
+    ex = db.query_exemplars({"__name__": "lat"}, 0, 10**9).collect()
+    assert {(dict(r["exemplar_labels"])["trace_id"]
+             if "trace_id" in dict(r["exemplar_labels"]) else
+             dict(r["exemplar_labels"])["t"], r["timestamp"], r["value"])
+            for r in ex} == {("abc", 1500, 0.93), ("u", 3000, 2.51)}
