@@ -121,6 +121,11 @@ EXTRA_WORKLOAD_NAMES = [
     # twin lives in the engine rows above (build_label_index /
     # query_indexed)
     "docs_shard_assignment",
+    # round-7 eighth wave: ridge train+apply (one scan to nine DECIMAL
+    # sums + one broadcast-apply scan) and the deterministic
+    # limit_ratio hash sample through the PromQL text front-end
+    "docs_quality_ridge_scores",
+    "ts_promql_limit_ratio",
 ]
 
 R01_ROWS = {
@@ -235,6 +240,25 @@ def run_once(spark) -> dict[str, float]:
                 timed(name, _jl_ivf_serving, runs=2)
             else:
                 timed(name, lambda n=name: _force(queries[n].spark_fn(spark, SF_DIR)), runs=2)
+
+        # Exemplar store (round-7 eighth wave): a deterministic ~1%
+        # slice of the ingested points becomes trace-id'd exemplars
+        # (write_exemplars — same dim get-or-create + chunk grid as
+        # samples, one manifest commit), then a matcher+chunk-pruned
+        # query_exemplars read-back.
+        ex = samples.filter(
+            F.pmod(F.xxhash64("timestamp"), F.lit(101)) == 0
+        ).select(
+            "labels", "timestamp", "value",
+            F.create_map(
+                F.lit("trace_id"), F.md5(F.col("timestamp").cast("string"))
+            ).alias("exemplar_labels"),
+        )
+        timed("write_exemplars", lambda: db.write_exemplars(ex))
+        timed("query_exemplars", lambda: _force(
+            db.query_exemplars(
+                {"event_type": "purchase"}, JAN1, JAN1 + 10 * 86_400_000
+            )), runs=2)
 
         # Resolution-tiering retention (mutates the main db — keep LAST):
         # roll chunks past a mid-January horizon into 1h rollups, then a
