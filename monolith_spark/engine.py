@@ -1423,12 +1423,26 @@ class MonolithDB:
         of chunks dropped.
         """
         expired = self._expired_chunks(cutoff_ms)
-        if not expired:
+        man = self._load_manifest()
+        expired_ex = [
+            key
+            for key in man.get("exemplars", {})
+            if (int(key) + 1) * self.chunk_size_ms - 1 < cutoff_ms
+        ]
+        if not expired and not expired_ex:
             return 0
 
         def drop(m: dict) -> None:
             for key in expired:
                 m["samples"].pop(key, None)
+            ex = m.get("exemplars")
+            if ex:
+                # exemplars live on the same chunk grid — a retained
+                # exemplar whose samples expired would serve trace
+                # references into data that no longer exists
+                for key in list(ex):
+                    if (int(key) + 1) * self.chunk_size_ms - 1 < cutoff_ms:
+                        ex.pop(key, None)
 
         self._commit(drop, op="retention-drop")
         return len(expired)
@@ -1667,6 +1681,20 @@ class MonolithDB:
                     self.samples_path,
                     partition_by="chunk_id",
                 )
+                # the deleted identity's exemplars go with it (GDPR:
+                # exemplar labels carry trace ids tied to the series)
+                ex_files: dict[str, list[str]] | None = None
+                if self._load_manifest().get("exemplars"):
+                    kept_ex = self.exemplars().join(
+                        self._dim_hint(sel), "series_id", "left_anti"
+                    )
+                    ex_files = self._stage_and_move(
+                        kept_ex.repartition("chunk_id").sortWithinPartitions(
+                            "series_id", "timestamp"
+                        ),
+                        self.exemplars_path,
+                        partition_by="chunk_id",
+                    )
                 kept_dim = self.series().join(sel, "series_id", "left_anti")
                 dim_files = self._stage_and_move(
                     kept_dim.sortWithinPartitions("series_id"),
@@ -1698,6 +1726,8 @@ class MonolithDB:
                     refresh = post_files and idx and idx["series"] == m["series"]
                     m["samples"] = fact_files
                     m["series"] = dim_files
+                    if ex_files is not None:
+                        m["exemplars"] = ex_files
                     if refresh:
                         idx["buckets"] = post_files
                         idx["key_stats"] = post_stats
@@ -1710,41 +1740,70 @@ class MonolithDB:
                 self._commit(swap, op="delete")
                 return n
             man = self._load_manifest()
-            overlapping = [
-                k
-                for k in man["samples"]
-                if int(k) * self.chunk_size_ms <= hi
-                and (int(k) + 1) * self.chunk_size_ms - 1 >= lo
-            ]
-            if not overlapping:
+
+            def _overlapping(chunks: dict) -> list[str]:
+                return [
+                    k
+                    for k in chunks
+                    if int(k) * self.chunk_size_ms <= hi
+                    and (int(k) + 1) * self.chunk_size_ms - 1 >= lo
+                ]
+
+            overlapping = _overlapping(man["samples"])
+            ex_overlapping = _overlapping(man.get("exemplars", {}))
+            if not overlapping and not ex_overlapping:
                 return n
-            src = self.samples().filter(
-                F.col("chunk_id").isin([int(k) for k in overlapping])
-            )
             marked = self._dim_hint(sel).withColumn("__m", F.lit(True))
-            kept = (
-                src.join(marked, "series_id", "left")
-                .filter(
-                    ~(
-                        F.coalesce(F.col("__m"), F.lit(False))
-                        & F.col("timestamp").between(lo, hi)
+
+            def _kept(src):
+                return (
+                    src.join(marked, "series_id", "left")
+                    .filter(
+                        ~(
+                            F.coalesce(F.col("__m"), F.lit(False))
+                            & F.col("timestamp").between(lo, hi)
+                        )
                     )
+                    .drop("__m")
                 )
-                .drop("__m")
-            )
-            fact_files = self._stage_and_move(
-                kept.repartition("chunk_id").sortWithinPartitions(
-                    "series_id", "timestamp"
-                ),
-                self.samples_path,
-                partition_by="chunk_id",
-            )
+
+            fact_files: dict[str, list[str]] = {}
+            if overlapping:
+                src = self.samples().filter(
+                    F.col("chunk_id").isin([int(k) for k in overlapping])
+                )
+                fact_files = self._stage_and_move(
+                    _kept(src).repartition("chunk_id").sortWithinPartitions(
+                        "series_id", "timestamp"
+                    ),
+                    self.samples_path,
+                    partition_by="chunk_id",
+                )
+            ex_fact_files: dict[str, list[str]] = {}
+            if ex_overlapping:
+                ex_src = self.exemplars().filter(
+                    F.col("chunk_id").isin([int(k) for k in ex_overlapping])
+                )
+                ex_fact_files = self._stage_and_move(
+                    _kept(ex_src).repartition("chunk_id").sortWithinPartitions(
+                        "series_id", "timestamp"
+                    ),
+                    self.exemplars_path,
+                    partition_by="chunk_id",
+                )
 
             def swap_bounded(m: dict) -> None:
                 for k in overlapping:
                     m["samples"].pop(k, None)
                 for k, files in fact_files.items():
                     m["samples"][k] = files
+                ex = m.setdefault("exemplars", {})
+                for k in ex_overlapping:
+                    ex.pop(k, None)
+                for k, files in ex_fact_files.items():
+                    ex[k] = files
+                if not ex:
+                    m.pop("exemplars", None)
 
             self._commit(swap_bounded, op="delete")
             return n

@@ -1123,3 +1123,52 @@ def test_snapshot_is_complete_isolated_db(spark, tmp_path):
         spark, str(tmp_path / "db" / "snapshots" / n2), chunk_size_ms=10_000
     )
     assert snap2.samples().count() == 3 and snap2.series().count() == 2
+
+
+def test_exemplars_follow_retention_and_delete(spark, tmp_path):
+    """The exemplar table rides the maintenance surface: retention
+    drops expired exemplar chunks with their samples, a full
+    delete_series removes the identity's exemplars (GDPR — trace ids
+    tie to the series), a bounded delete rewrites only overlapping
+    exemplar chunks, and time travel still serves the pre-delete
+    exemplars."""
+    from monolith_spark.labels import SAMPLES_SCHEMA
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=10_000)
+    db.write(spark.createDataFrame(
+        [({"j": "a"}, t, float(t)) for t in (1_000, 11_000, 21_000)]
+        + [({"j": "b"}, 2_000, 9.0)], SAMPLES_SCHEMA))
+    ex_rows = [
+        ({"j": "a"}, 1_000, 1.0, {"trace_id": "t1"}),
+        ({"j": "a"}, 11_000, 2.0, {"trace_id": "t2"}),
+        ({"j": "a"}, 21_000, 3.0, {"trace_id": "t3"}),
+        ({"j": "b"}, 2_000, 9.0, {"trace_id": "t9"}),
+    ]
+    db.write_exemplars(spark.createDataFrame(
+        ex_rows,
+        "labels map<string,string>, timestamp long, value double, "
+        "exemplar_labels map<string,string>"))
+    v0 = db._load_manifest()["version"]
+
+    def traces(**kw):
+        return sorted(
+            dict(r["exemplar_labels"])["trace_id"]
+            for r in db.query_exemplars({}, 0, 10**9, **kw).collect()
+        )
+
+    assert traces() == ["t1", "t2", "t3", "t9"]
+
+    # retention: chunk 0 expires → its exemplars go with it
+    assert db.drop_chunks_before(10_000) == 1
+    assert traces() == ["t2", "t3"]
+
+    # bounded delete: only the overlapping chunk rewritten
+    assert db.delete_series({"j": "a"}, start_ms=10_000, end_ms=19_999) == 1
+    assert traces() == ["t3"]
+
+    # full delete removes the identity's remaining exemplars
+    assert db.delete_series({"j": "a"}) == 1
+    assert traces() == []
+
+    # time travel: the pre-maintenance snapshot still serves them all
+    assert traces(at_version=v0) == ["t1", "t2", "t3", "t9"]
