@@ -1029,9 +1029,14 @@ def kmeans_lloyd(
             "cid int, c array<double>",
         )
     else:
+        # NULL vectors never seed (a NULL centroid would poison every
+        # distance); they also never update centroids (posexplode of
+        # NULL emits nothing) and assign to the lowest cluster id with
+        # NULL dist2 — defined, total semantics for dirty corpora.
         seed_w = Window.orderBy("vid")
         cents = (
-            v.orderBy("vid")
+            v.filter(F.col("v").isNotNull())
+            .orderBy("vid")
             .limit(k)
             .select(
                 (F.row_number().over(seed_w) - 1).alias("cid"),
@@ -1072,7 +1077,6 @@ def kmeans_lloyd(
 
                 C = cids = None
                 for pdf in it:
-                    pdf = pdf[pdf["v"].notna()]  # NULL vec: no assignment
                     if len(pdf) == 0:
                         continue
                     if C is None:
@@ -1080,10 +1084,28 @@ def kmeans_lloyd(
                         cids = np.array(
                             [int(s["cid"]) for s in cents], dtype=np.int32
                         )
-                        C = np.stack(
-                            [np.asarray(s["c"], dtype=np.float64)
-                             for s in cents]
+                        if len(cents):
+                            C = np.stack(
+                                [np.asarray(s["c"], dtype=np.float64)
+                                 for s in cents]
+                            )
+                    nulls = pdf[pdf["v"].isna()]
+                    if len(nulls):
+                        # NULL vector: no distance; lowest cluster id,
+                        # NULL dist2 (verdict rows downstream stay total)
+                        yield pd.DataFrame(
+                            {
+                                "vid": nulls["vid"].astype("int64"),
+                                "cid": (
+                                    int(cids[0]) if len(cids) else None
+                                ),
+                                "v": [None] * len(nulls),
+                                "d2": [None] * len(nulls),
+                            }
                         )
+                    pdf = pdf[pdf["v"].notna()]
+                    if len(pdf) == 0 or C is None:
+                        continue
                     X = np.stack(
                         [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
                     )
@@ -1112,13 +1134,24 @@ def kmeans_lloyd(
                 s["cid"].alias("cid"),
             ),
         )
+        # NULL vector: same defined semantics as the Arrow path —
+        # lowest cluster id, NULL dist2 (never folded against a
+        # centroid, never relying on null-field struct ordering)
+        best = F.when(
+            F.col("v").isNotNull(), F.array_min(dists)
+        ).otherwise(
+            F.struct(
+                F.lit(None).cast("double").alias("d2"),
+                F.element_at(F.col("cents"), 1)["cid"].alias("cid"),
+            )
+        )
         return (
             v.crossJoin(F.broadcast(carr))
             # Generate is a projection-collapse barrier: `best` lands as
             # a real attribute, so the k sqdists run once per row even
             # though two fields are read below (the transform
             # re-evaluation trap — SCALE traps memo).
-            .select("vid", "v", F.explode(F.array(F.array_min(dists))).alias("best"))
+            .select("vid", "v", F.explode(F.array(best)).alias("best"))
             .select(
                 "vid", F.col("best.cid").alias("cid"), "v", F.col("best.d2").alias("d2")
             )
