@@ -239,7 +239,9 @@ def parse_lines(
     return parsed.select(*cols)
 
 
-def scrape_stream(spark, scrape_dir: str) -> DataFrame:
+def scrape_stream(
+    spark, scrape_dir: str, with_exemplars: bool = False
+) -> DataFrame:
     """Streaming scrape ingestion: a directory where exposition text
     files land (one scrape payload per file — what a fleet of
     scrapers or a push gateway drops) becomes a streaming samples
@@ -248,14 +250,18 @@ def scrape_stream(spark, scrape_dir: str) -> DataFrame:
     ``_metadata`` file-source column) — per-payload scrape time, like
     Prometheus stamping a scrape. Parsing is the same JVM column
     expressions as the batch path, so batch parse_payload results are
-    the streaming oracle by construction."""
+    the streaming oracle by construction. ``with_exemplars`` carries
+    the OpenMetrics exemplar suffix columns through — StreamingIngest
+    routes them into the exemplar store per micro-batch."""
     lines = spark.readStream.text(scrape_dir).select(
         F.col("value").alias("line"),
         F.unix_millis(F.col("_metadata.file_modification_time")).alias(
             "__scrape_ts"
         ),
     )
-    return parse_lines(lines, default_ts_col="__scrape_ts")
+    return parse_lines(
+        lines, default_ts_col="__scrape_ts", with_exemplars=with_exemplars
+    )
 
 
 _META_LINE_RE = re.compile(

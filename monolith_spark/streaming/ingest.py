@@ -75,7 +75,30 @@ class StreamingIngest:
                 self.high_watermark_ms = max(self.high_watermark_ms, batch_max)
             cutoff = self.high_watermark_ms - self.allowed_lateness_ms
             window = (cutoff, 2**62)
-        self.db.write(batch_df, window=window)
+        # an exemplar-bearing stream (scrape_stream with_exemplars)
+        # routes the suffix columns into the exemplar store; both
+        # writes sit inside the same epoch-ledger guard
+        has_ex = {"exemplar_labels", "exemplar_value", "exemplar_ts"} <= set(
+            batch_df.columns
+        )
+        self.db.write(
+            batch_df.select("labels", "timestamp", "value"), window=window
+        )
+        if has_ex:
+            from pyspark.sql import functions as F
+
+            ex = batch_df.filter(F.col("exemplar_value").isNotNull()).select(
+                "labels",
+                F.col("exemplar_ts").alias("timestamp"),
+                F.col("exemplar_value").alias("value"),
+                "exemplar_labels",
+            )
+            if window is not None:
+                ex = ex.filter(
+                    F.col("timestamp").between(window[0], window[1])
+                )
+            if ex.limit(1).count() > 0:
+                self.db.write_exemplars(ex)
         self._mark_epoch(epoch_id)
 
     def start(

@@ -350,3 +350,46 @@ def test_exemplar_suffix_roundtrip_and_scrape_ingest(spark, tmp_path):
              if "trace_id" in dict(r["exemplar_labels"]) else
              dict(r["exemplar_labels"])["t"], r["timestamp"], r["value"])
             for r in ex} == {("abc", 1500, 0.93), ("u", 3000, 2.51)}
+
+
+def test_scrape_stream_carries_exemplars(spark, tmp_path):
+    """scrape_stream(with_exemplars=True) + StreamingIngest: the
+    OpenMetrics exemplar suffixes land in the exemplar store per
+    micro-batch, equal to the batch ingest of the same payloads
+    (streamed ≡ batch), while samples flow unchanged."""
+    from monolith_spark.sources.openmetrics import scrape_stream
+    from monolith_spark.streaming.ingest import StreamingIngest
+
+    scrape_dir = tmp_path / "scrapes"
+    scrape_dir.mkdir()
+    p1 = ('lat{job="api"} 0.9 1000 # {trace_id="abc"} 0.93 1500\n'
+          'lat{job="db"} 1.1 2000\n')
+    p2 = 'lat{job="api"} 1.2 3000 # {trace_id="def"} 1.25\n'
+    (scrape_dir / "s1.txt").write_text(p1)
+    (scrape_dir / "s2.txt").write_text(p2)
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=DAY)
+    q = StreamingIngest(db).start(
+        scrape_stream(spark, str(scrape_dir), with_exemplars=True),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert db.query_flat({}, 0, 10_000_000).count() == 3
+    got = {
+        (dict(r["exemplar_labels"])["trace_id"], r["timestamp"], r["value"])
+        for r in db.query_exemplars({}, 0, 10_000_000).collect()
+    }
+    # the stamp-less exemplar inherits ITS SAMPLE's timestamp (3000)
+    assert got == {("abc", 1500, 0.93), ("def", 3000, 1.25)}
+
+    # streamed ≡ batch: ingest_scrape of the same payloads
+    oracle = MonolithDB(spark, str(tmp_path / "oracle"), chunk_size_ms=DAY)
+    oracle.ingest_scrape(p1)
+    oracle.ingest_scrape(p2)
+    want = {
+        (dict(r["exemplar_labels"])["trace_id"], r["timestamp"], r["value"])
+        for r in oracle.query_exemplars({}, 0, 10_000_000).collect()
+    }
+    assert got == want
