@@ -570,6 +570,82 @@ def format_expr(node) -> str:
     raise ValueError(f"cannot format {node!r}")
 
 
+def ast_to_dict(node) -> dict:
+    """The parsed AST as plain JSON-able dicts, each node tagged with
+    its kind — the /api/v1/parse_query payload (the Prometheus 3.x
+    experimental endpoint, serving THIS engine's AST dialect: field
+    names match the dataclasses above; Prometheus's internal AST JSON
+    is not a stable public schema to clone, so tooling should key on
+    this documented shape, which format_expr round-trips)."""
+    if isinstance(node, str):
+        node = parse(node)
+    if isinstance(node, Number):
+        return {"kind": "number", "value": node.value}
+    if isinstance(node, StringLit):
+        return {"kind": "string", "value": node.value}
+    if isinstance(node, Selector):
+        return {
+            "kind": "selector",
+            "name": node.name,
+            "matchers": [
+                {"name": m.name, "op": _MATCH_OP[m.type], "value": m.value}
+                for m in node.matchers
+            ],
+            "range_ms": node.range_ms,
+            "offset_ms": node.offset_ms,
+            "at": node.at_ms,
+        }
+    if isinstance(node, Subquery):
+        return {
+            "kind": "subquery",
+            "expr": ast_to_dict(node.expr),
+            "range_ms": node.range_ms,
+            "step_ms": node.step_ms,
+            "offset_ms": node.offset_ms,
+            "at": node.at_ms,
+        }
+    if isinstance(node, Call):
+        return {
+            "kind": "call",
+            "func": node.func,
+            "args": [ast_to_dict(a) for a in node.args],
+        }
+    if isinstance(node, Agg):
+        return {
+            "kind": "aggregation",
+            "op": node.op,
+            "expr": ast_to_dict(node.expr),
+            "param": None if node.param is None else ast_to_dict(node.param),
+            "by": list(node.by) if node.by is not None else None,
+            "without": (
+                list(node.without) if node.without is not None else None
+            ),
+        }
+    if isinstance(node, BinOp):
+        return {
+            "kind": "binary",
+            "op": node.op,
+            "bool": node.bool_mode,
+            "match": (
+                None
+                if node.match is None
+                else {"on": node.match[0] == "on",
+                      "labels": list(node.match[1])}
+            ),
+            "group": (
+                None
+                if node.group is None
+                else {"side": node.group[0], "labels": list(node.group[1])}
+            ),
+            "lhs": ast_to_dict(node.lhs),
+            "rhs": ast_to_dict(node.rhs),
+        }
+    if isinstance(node, Unary):
+        return {"kind": "unary", "op": node.op,
+                "expr": ast_to_dict(node.expr)}
+    raise ValueError(f"cannot serialize {node!r}")
+
+
 # --------------------------------------------------------------- evaluator
 
 

@@ -615,6 +615,10 @@ class MonolithServer:
                         from monolith_spark import promql as _pql
 
                         data = _pql.format_expr(_pql.parse(qs["query"][0]))
+                    elif u.path == "/api/v1/parse_query":
+                        from monolith_spark import promql as _pql
+
+                        data = _pql.ast_to_dict(_pql.parse(qs["query"][0]))
                     elif u.path == "/api/v1/rules":
                         data = {
                             "groups": [{

@@ -1127,3 +1127,38 @@ def test_sort_by_label(spark):
         promql.eval_instant(s, 'sort_by_label(1, "kb")', JAN20)
     q = f'sort_by_label({sel}, "kb")'
     assert parse(promql.format_expr(parse(q))) == parse(q)
+
+
+def test_ast_to_dict_golden():
+    """ast_to_dict serializes every node kind to the documented JSON
+    shape (the /api/v1/parse_query payload); it is total over
+    everything the parser produces and JSON-serializable."""
+    import json
+
+    d = promql.ast_to_dict(
+        'sum by (job) (rate(m{c=~"5.."}[5m] offset 1h)) '
+        "/ on (job) group_left (dc) (-(topk(3, n)))"
+    )
+    json.dumps(d)  # serializable end-to-end
+    assert d["kind"] == "binary" and d["op"] == "/"
+    assert d["match"] == {"on": True, "labels": ["job"]}
+    assert d["group"] == {"side": "left", "labels": ["dc"]}
+    agg = d["lhs"]
+    assert agg["kind"] == "aggregation" and agg["by"] == ["job"]
+    rate = agg["expr"]
+    assert rate["kind"] == "call" and rate["func"] == "rate"
+    sel = rate["args"][0]
+    assert sel == {
+        "kind": "selector", "name": "m",
+        "matchers": [{"name": "c", "op": "=~", "value": "5.."}],
+        "range_ms": 300_000, "offset_ms": 3_600_000, "at": None,
+    }
+    un = d["rhs"]
+    assert un["kind"] == "unary" and un["expr"]["kind"] == "aggregation"
+    assert un["expr"]["param"] == {"kind": "number", "value": 3.0}
+
+    sq = promql.ast_to_dict('max_over_time(rate(m[5d])[15d:5d] @ end())')
+    assert sq["args"][0]["kind"] == "subquery"
+    assert sq["args"][0]["at"] == "end"
+    assert promql.ast_to_dict('label_join(m, "k", ":", "a")')["args"][1] == {
+        "kind": "string", "value": "k"}

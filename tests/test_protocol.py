@@ -787,3 +787,36 @@ def test_exemplar_codec_roundtrip():
     assert [(e.labels, e.value, e.timestamp)
             for e in rt.timeseries[0].exemplars] == [
         ({"trace_id": "t1"}, 2.5, 11), ({}, -3.5, 12)]
+
+
+def test_http_parse_query(spark, tmp_path):
+    """GET /api/v1/parse_query returns the documented AST JSON."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/parse_query?query="
+            + urllib.parse.quote('sum by (job) (rate(m[5m]))')
+        ) as r:
+            d = _json.load(r)["data"]
+        assert d["kind"] == "aggregation" and d["by"] == ["job"]
+        assert d["expr"]["args"][0]["range_ms"] == 300_000
+        # a parse error comes back as a 400 error envelope
+        import urllib.error
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/api/v1/parse_query?query="
+                + urllib.parse.quote("m[5m] extra")
+            )
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
