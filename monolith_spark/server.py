@@ -506,6 +506,11 @@ class MonolithServer:
         # configured recording rules (monolith_spark.rules.RecordingRule):
         # listed by GET /api/v1/rules, backfilled by the admin trigger
         self.recording_rules = list(recording_rules or [])
+        import time as _time
+
+        self.start_time_iso = _time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+        )
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -610,6 +615,20 @@ class MonolithServer:
                         data = {
                             "storage.tsdb.retention.time": "0s",
                             "query.lookback-delta": "5m",
+                        }
+                    elif u.path == "/api/v1/status/runtimeinfo":
+                        # the last of Grafana's three status probes
+                        # (buildinfo/flags/runtimeinfo); honest values
+                        # from the engine, zeros where a field maps to
+                        # nothing here
+                        data = {
+                            "startTime": server.start_time_iso,
+                            "CWD": server.db.path,
+                            "reloadConfigSuccess": True,
+                            "lastConfigTime": server.start_time_iso,
+                            "corruptionCount": 0,
+                            "goroutineCount": 0,
+                            "storageRetention": "0s",
                         }
                     elif u.path == "/api/v1/format_query":
                         from monolith_spark import promql as _pql
@@ -777,6 +796,20 @@ class MonolithServer:
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
+                if self.path == write_path:
+                    ct = self.headers.get("Content-Type", "")
+                    if "proto=" in ct and not (
+                        "io.prometheus.write.v2.Request" in ct
+                        or "prometheus.WriteRequest" in ct
+                    ):
+                        # remote-write spec: a receiver that does not
+                        # support the negotiated message MUST answer
+                        # 415 — checked BEFORE touching the payload,
+                        # never mis-decoded as another version
+                        self.send_response(415)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                 try:
                     body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
                     raw = proto.snappy_decompress(body)

@@ -820,3 +820,53 @@ def test_http_parse_query(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_runtimeinfo_and_content_negotiation(spark, tmp_path):
+    """/api/v1/status/runtimeinfo completes Grafana's status-probe
+    trio; an unsupported remote-write proto= content type gets 415
+    per the remote-write spec (never mis-decoded as v1)."""
+    import json as _json
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/status/runtimeinfo"
+        ) as r:
+            d = _json.load(r)["data"]
+        assert d["CWD"] == db.path and d["reloadConfigSuccess"] is True
+        assert d["startTime"].endswith("Z")
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request(
+            "POST", "/write", body=b"",
+            headers={"Content-Type":
+                     "application/x-protobuf;proto=io.prometheus.write.v3.Request"},
+        )
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 415
+        conn.close()
+
+        # explicit v1 proto= still works
+        wr = proto.WriteRequest([proto.TimeSeries({"a": "b"},
+                                                  [proto.Sample(1.0, 5)])])
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request(
+            "POST", "/write",
+            body=proto.snappy_compress(proto.encode_write_request(wr)),
+            headers={"Content-Type":
+                     "application/x-protobuf;proto=prometheus.WriteRequest"},
+        )
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 200
+        conn.close()
+        assert db.query_flat({"a": "b"}, 0, 10**9).count() == 1
+    finally:
+        srv.shutdown()
