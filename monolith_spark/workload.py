@@ -9949,6 +9949,45 @@ def ts_promql_limit_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("signature", "value")
 
 
+@_q(
+    "ts_promql_range_limit",
+    f"""
+    WITH pts AS (
+      SELECT {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE event_type = 'purchase'
+        AND epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN20}
+    )
+    SELECT sig AS signature,
+           CAST({JAN1} + (w + 1) * 86400000 AS BIGINT) AS t_ms,
+           CAST(sum(v) AS DOUBLE) AS value
+    FROM pts
+    WHERE CAST('0x' || substr(md5(sig), 1, 15) AS BIGINT)
+            / CAST(1152921504606846976 AS DOUBLE) <= 0.4
+    GROUP BY 1, 2
+    """,
+)
+def ts_promql_range_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit_ratio in RANGE mode through the parser: the daily
+    sum_over_time grid of the deterministic ~40% hash sample — the
+    keep set is a pure function of the series signature, so it is ONE
+    filter on the tiled rows (no window, no shuffle added to the tile
+    pass) and identical at every step. The oracle replays the tiling,
+    the DECIMAL per-window sums, and the md5-prefix uniform, so every
+    surviving grid cell hash-matches and a cell that should have been
+    filtered (or kept) fails the row count."""
+    out = _promql.eval_range(
+        _events_lv(spark, sf_dir),
+        'limit_ratio(0.4, sum_over_time({event_type="purchase"}[1d]))',
+        JAN1,
+        JAN20,
+        86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
+
+
 @_q("sim_jl_ivf_indexed", _ANN_RECALL_ORACLE)
 def sim_jl_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted JL→IVF index end-to-end (similarity.py:
