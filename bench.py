@@ -11,10 +11,13 @@ MEDIAN across repetitions, with all raw samples carried in the JSON —
 single-recording artifacts were dominated by VM-neighbor/JIT state
 twice in five rounds (VERDICT r2, r5: a committed 1.6× "regression"
 that re-ran at 0.96×), and the median across whole-run repetitions is
-the cheapest estimator that survives one bad window. Prints ONE JSON
-line:
+the cheapest estimator that survives one bad window. The FINAL stdout line is a compact
+machine-readable headline:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-   "samples": [{...}, ...], "sf": ...}
+   "sf": ...}
+with the raw per-rep samples written to ./bench_samples.json (the
+driver captures only a bounded stdout tail, so the samples blob must
+never ride on the last line — see VERDICT r7 "What's wrong" #1).
 """
 
 from __future__ import annotations
@@ -295,24 +298,44 @@ def main() -> None:
     # Rows present since round 1 — "core_sec" keeps a like-for-like
     # number against BENCH_r01 (16.345 s at sf0.1); rows added later
     # (skew stress + pipeline operators) widen coverage, not the
-    # baseline workload. All medians across the whole-run repetitions;
-    # "samples" carries every raw pass for drift forensics.
-    print(
-        json.dumps(
-            {
-                "metric": "monolith_spark_e2e_sec",
-                "value": round(sum(med.values()), 3),
-                "unit": "sec",
-                "core_sec": round(
-                    sum(v for k, v in med.items() if k in R01_ROWS), 3
-                ),
-                "reps": len(samples),
-                "queries": med,
-                "samples": samples,
-                "sf": sf_val,
-            }
-        )
+    # baseline workload. All medians across the whole-run repetitions.
+    #
+    # The raw per-rep samples (drift forensics) go to a SIDECAR file,
+    # not stdout: the driver captures only a bounded tail of stdout and
+    # the inline samples blob made the headline line unparseable for
+    # two rounds (BENCH_r06/r07 "parsed": null). The LAST stdout line
+    # must stay small enough to survive that capture.
+    headline = {
+        "metric": "monolith_spark_e2e_sec",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "core_sec": round(
+            sum(v for k, v in med.items() if k in R01_ROWS), 3
+        ),
+        "reps": len(samples),
+        "queries": med,
+        "sf": sf_val,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"
     )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump({**headline, "samples": samples}, fh)
+    except OSError:
+        pass  # read-only checkout: the headline still prints below
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1800:
+        # Keep the final line under the driver's capture window: fall
+        # back to the like-for-like core rows; full medians are in the
+        # sidecar (and the preceding stdout line).
+        print(line)  # full medians, one line earlier, for humans/logs
+        headline["queries"] = {
+            k: v for k, v in med.items() if k in R01_ROWS
+        }
+        headline["queries_full"] = "bench_samples.json"
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
