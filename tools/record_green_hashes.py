@@ -2,16 +2,18 @@
 50-query rotation.
 
 Run ONCE PER ROUND, at round START, right after reading the new
-CORRECTNESS_r*.json — and run it FROM THE TREE THE DRIVER VERIFIED
-(the previous round's final commit), not the current working tree,
-so the recorded hashes attest the code that actually produced the
-green rows:
+CORRECTNESS_r*.json and BEFORE touching any monolith_spark source —
+at that moment the working tree IS the tree the driver verified (the
+previous round's final commit), so the recorded hashes attest the
+code that actually produced the green rows:
 
-    git worktree add /tmp/rNtree <previous-round-final-commit>
-    cp tools/record_green_hashes.py /tmp/rNtree/tools/
-    (cd /tmp/rNtree && python tools/record_green_hashes.py)
-    cp /tmp/rNtree/GREEN_HASHES.json .
-    git worktree remove --force /tmp/rNtree
+    python tools/record_green_hashes.py
+
+Only rows re-verified in the NEWEST CORRECTNESS_r*.json take this
+tree's hash; every other green row keeps its previously recorded
+hash, so queries that drifted since their last driver check stay
+stale (fronted by the rotation) until a driver window actually
+re-greens them.
 
 For every query the driver currently attests green, record the hash of
 its present implementation (function source + oracle SQL + operator-
@@ -69,6 +71,31 @@ def _fallback_impl_hash(q) -> str:
     return h.hexdigest()[:16]
 
 
+def _latest_window_greens() -> set[str] | None:
+    """Names with a passing row in the NEWEST CORRECTNESS_r*.json —
+    the only rows the driver actually re-verified against this tree.
+    None if no correctness files exist (bootstrap: record everything)."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            rows = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return {
+        name
+        for name, r in rows.items()
+        if isinstance(r, dict)
+        and r.get("rows_match")
+        and r.get("schema_match")
+        and r.get("hash_match") is not False
+        and not r.get("err")
+    }
+
+
 def main() -> None:
     from monolith_spark import workload as w
 
@@ -85,6 +112,19 @@ def main() -> None:
             prev = json.load(f)
     except (OSError, ValueError):
         pass
+    # Only rows the LATEST driver window re-verified may take this
+    # tree's hash; everything else keeps its previously recorded hash
+    # (or stays absent → treated stale). A blanket refresh would mark
+    # rows that drifted since their last driver check as "settled"
+    # without any re-verification — exactly the backlog VERDICT r7
+    # flagged (48 drifted driver-green rows).
+    window = _latest_window_greens()
+    if window is not None:
+        out = {
+            n: (h if n in window else prev.get(n))
+            for n, h in out.items()
+        }
+        out = {n: h for n, h in out.items() if h is not None}
     changed = sorted(
         n for n in out if n in prev and prev[n] != out[n]
     )
