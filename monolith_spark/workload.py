@@ -4262,35 +4262,56 @@ _DRIVER_GREEN_R01: frozenset[str] = frozenset({
 _DRIVER_GREEN: frozenset[str] = _load_driver_green()
 
 
+def _load_last_green_round() -> dict[str, int]:
+    """name → the newest round number whose CORRECTNESS_r*.json has a
+    fully-green row for it. Used to order the STALE tier oldest-green
+    first: a query whose green attestation is several rounds old (and
+    whose code has since drifted) is a weaker signal than one the
+    driver re-verified last round, so it re-enters the window first
+    (VERDICT r7 missing #2 — drain the 48-row backlog before the
+    rows this round's own edits re-front)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match") is not False
+                and not r.get("err")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 # Round-priority names: queries whose driver verification is this round's
 # explicit goal (VERDICT r2 items 4+6: the reformulated hash-matchable
 # sketch/ANN verdicts and the ANN quality path) — pinned to the very
 # front of the window. The remaining unverified names follow
 # automatically via the fresh-first ordering below.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-7 additions first: the PromQL text front-end rows (parsed
-    # end-to-end through monolith_spark/promql.py) must verify against
-    # fresh oracle runs. Queries whose implementation changed since
-    # their last green round are fronted automatically by the
-    # staleness-aware rotation below — no manual list needed for them.
-    "ts_promql_parsed",
-    "ts_offset_rate",
-    "ts_label_replace",
-    "ts_label_join",
-    "ts_promql_topk",
-    "sim_jl_ivf_indexed",
-    "multimodal_phash_dupes_gif",
-    "ts_promql_ratio",
-    "ts_promql_range",
-    "ts_promql_group_left",
-    "ts_promql_at",
-    "ts_recording_rules",
-    "ts_exposition_roundtrip",
-    "ts_promql_range_ratio",
-    "ts_promql_range_p95",
-    "sim_ivf_appended",
-    "docs_chunk_rag",
-    "ts_promql_range_topk",
+    # round 8: the two rows whose DRIVER verification is this round's
+    # explicit goal (VERDICT r7 next-round #3 and #6) — the newly
+    # oracle-backed scalable BPE trainer and the @-anchored range
+    # query. Everything else in the window is the stale-green drain:
+    # the rotation fronts drifted rows automatically, oldest
+    # attestation first, so the r7 backlog (48 rows) fills the rest
+    # of the 50-row window before rows this round's edits re-front.
+    "text_bpe_train_scale",
+    "ts_promql_range_at",
 )
 
 
@@ -4430,6 +4451,12 @@ def _ordered_registry() -> list[WorkloadQuery]:
     # than trust a green whose provenance we can't tie to this code
     stale = [q for q in done if recorded.get(q.name) != _impl_hash(q)]
     settled = [q for q in done if recorded.get(q.name) == _impl_hash(q)]
+    # Oldest attestation first: a green from round 4 whose code has
+    # since drifted is weaker evidence than a green from last round,
+    # so the long-stale backlog drains before rows this round's own
+    # edits re-fronted (registry order breaks ties, stable sort).
+    last_green = _load_last_green_round()
+    stale.sort(key=lambda q: last_green.get(q.name, 0))
     return prio + fresh + stale + settled
 
 
@@ -6764,21 +6791,88 @@ def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bpe_train_merges(_docs(spark, sf_dir), n_merges=6)
 
 
-@_q("text_bpe_train_scale", None)
+def _bpe_unrolled_oracle(
+    n_rounds: int, words_cte: str, max_symbols: int = 2000
+) -> str:
+    """Generate the unrolled-CTE BPE oracle for any round count: the
+    same per-round (pair count → (cnt desc, a, b) argmax → literal
+    paren-replace merge) construction the hand-written 6-round
+    text_bpe_train oracle uses, emitted programmatically so the
+    SCALABLE trainer's longer runs get a real DuckDB replay instead of
+    a rows-only check (VERDICT r7 next-round #3). ``max_symbols``
+    bounds the per-word position join — keep it just above the longest
+    initial word so the range cross-join stays small at high round
+    counts."""
+    parts = [words_cte]
+    parts.append(
+        "w1 AS MATERIALIZED (SELECT freq,"
+        " '(' || array_to_string(list_transform(range(1, length(word)+1),"
+        " i -> substr(word, CAST(i AS INT), 1)), ')(') || ')' AS w"
+        " FROM words)"
+    )
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"p{k} AS (SELECT s[i] AS a, s[i+1] AS b,"
+            " CAST(sum(freq) AS BIGINT) AS cnt"
+            " FROM (SELECT freq,"
+            " string_split(substr(w, 2, length(w)-2), ')(') AS s"
+            f" FROM w{k}) z, range(1, {max_symbols}) r(i)"
+            " WHERE i < len(s) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT CAST({k} AS BIGINT) AS step,"
+            f" a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if k < n_rounds:
+            parts.append(
+                f"w{k + 1} AS MATERIALIZED (SELECT freq,"
+                f" replace(w, '(' || (SELECT a FROM b{k}) || ')(' ||"
+                f" (SELECT b FROM b{k}) || ')',"
+                f" '(' || (SELECT a FROM b{k}) ||"
+                f" (SELECT b FROM b{k}) || ')') AS w FROM w{k})"
+            )
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, a AS merge_left, b AS merge_right,"
+        f" cnt AS pair_count FROM b{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+# Augmented corpus for the scalable-trainer row: the fixture corpus
+# has ~31 distinct words, so each doc's text gains two md5-hex
+# fingerprints (deterministic 32-char hex words) to give the trainer
+# a real vocabulary. The cap replays the trainer's TakeOrdered
+# (freq desc, word) exactly; md5 words are 32 symbols, so the
+# position join is bounded at 40.
+_BPE_SCALE_WORDS_CTE = f"""words AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest({_W}) AS word
+            FROM (SELECT text || ' ' || md5(text) || ' ' || md5(text || '1')
+                         AS text FROM documents))
+      WHERE regexp_full_match(word, '^[a-z0-9]+$')
+      GROUP BY 1
+      ORDER BY freq DESC, word
+      LIMIT 20000)"""
+
+
+@_q(
+    "text_bpe_train_scale",
+    _bpe_unrolled_oracle(48, _BPE_SCALE_WORDS_CTE, max_symbols=40),
+)
 def text_bpe_train_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE training at real vocab sizes (text.bpe_train_merges_scalable):
-    ONE corpus scan → capped (word, freq) table → driver-side
-    incremental merge loop — cluster job count independent of
-    n_merges, unlike text_bpe_train's job-per-round unrolling (fine at
-    6 merges, 32k serialized jobs at a production vocab). The fixture
-    corpus has ~31 distinct words, so each doc's text is augmented
-    with two md5-hex fingerprints (deterministic 32-char hex words)
-    to give the trainer a real vocabulary; 1000 merges. Rows-only
-    check: a 1000-round iterative argmax is not SQL-expressible (the
-    6-round unrolled-CTE oracle on text_bpe_train covers the shared
-    semantics, and tests assert the scalable trainer is rule-for-rule
-    identical to the distributed one whenever the cap does not
-    bind)."""
+    """The SCALABLE BPE trainer (text.bpe_train_merges_scalable): ONE
+    corpus scan → capped (word, freq) table → driver-side incremental
+    merge loop — cluster job count independent of n_merges, unlike
+    text_bpe_train's job-per-round unrolling (fine at 6 merges, 32k
+    serialized jobs at a production vocab). 48 merges over the
+    md5-augmented corpus, hash-checked against a generated 48-round
+    unrolled-CTE DuckDB replay — the driver-facing twin of the pytest
+    pinning (test_pipeline_ops asserts the scalable trainer is
+    rule-for-rule identical to the distributed one at 1000 merges
+    whenever the cap does not bind; the mechanism under test — one
+    scan, bounded TakeOrdered collect, constant job count — is
+    identical at 48 and 32k rounds)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat_ws(
@@ -6789,7 +6883,7 @@ def text_bpe_train_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return _text.bpe_train_merges_scalable(
-        docs, n_merges=1000, max_vocab_words=20_000
+        docs, n_merges=48, max_vocab_words=20_000
     )
 
 
