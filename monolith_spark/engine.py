@@ -625,7 +625,12 @@ class MonolithDB:
 
     # ------------------------------------------------------------------ write
 
-    def write(self, df: DataFrame, window: tuple[int, int] | None = None) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        window: tuple[int, int] | None = None,
+        return_count: bool = False,
+    ) -> int | None:
         """Ingest a batch of [labels, timestamp, value] rows.
 
         The reference's write path (/root/reference/src/db.rs:176-194 →
@@ -636,6 +641,13 @@ class MonolithDB:
         all-invalid batch (e.g. every ts==0; the reference errors
         per-point, we drop set-at-a-time) moves zero files and commits
         nothing, so no footer-less dirs and no emptiness probe.
+
+        With ``return_count=True``, returns how many sample rows
+        survived the validity filter and were actually ingested (the
+        remote-write 2.0 ``-Samples-Written`` header must report the
+        receiver's truth, not the request's claim) — one extra count
+        job against the already-persisted batch, so opt-in to keep the
+        bulk-ingest path at its usual job count.
         """
         df = valid_points(df, window=window)
         df = df.withColumn("signature", signature_expr("labels")).withColumn(
@@ -645,7 +657,10 @@ class MonolithDB:
             "chunk_id", F.floor(F.col("timestamp") / F.lit(self.chunk_size_ms)).cast("long")
         )
         df.persist()
+        n_written: int | None = None
         try:
+            if return_count:
+                n_written = df.count()
             # J5 get-or-create as a left_anti against the existing dim —
             # content-hash ids make this idempotent (no critical section).
             new_series = df.select("series_id", "signature", "labels").dropDuplicates(["series_id"])
@@ -740,10 +755,13 @@ class MonolithDB:
                 self._commit(add, op="write")
         finally:
             df.unpersist()
+        return n_written
 
     # -------------------------------------------------------------- exemplars
 
-    def write_exemplars(self, df: DataFrame) -> None:
+    def write_exemplars(
+        self, df: DataFrame, return_count: bool = False
+    ) -> int | None:
         """Ingest exemplars — [labels (series labels), timestamp,
         value, exemplar_labels] rows, the trace-id'd sample references
         remote-write 1.0/2.0 carry alongside samples. Same set-at-a-time
@@ -766,7 +784,10 @@ class MonolithDB:
             F.floor(F.col("timestamp") / F.lit(self.chunk_size_ms)).cast("long"),
         )
         df.persist()
+        n_written: int | None = None
         try:
+            if return_count:
+                n_written = df.count()
             new_series = df.select(
                 "series_id", "signature", "labels"
             ).dropDuplicates(["series_id"])
@@ -806,6 +827,7 @@ class MonolithDB:
                 self._commit(add, op="write-exemplars")
         finally:
             df.unpersist()
+        return n_written
 
     def exemplars(self, at_version: int | None = None) -> DataFrame:
         """The exemplars fact table at a snapshot — explicit file-list
@@ -1420,7 +1442,10 @@ class MonolithDB:
         sealed-chunk list implies but never implements; chunks
         accumulate forever in /root/reference/src/db.rs:22-32).
         Physical files are reclaimed by ``vacuum``. Returns the number
-        of chunks dropped.
+        of distinct chunk time-buckets dropped — a bucket counts once
+        whether samples, exemplars, or both expired in it, and a
+        commit that only expired exemplar chunks reports their count
+        rather than a misleading 0.
         """
         expired = self._expired_chunks(cutoff_ms)
         man = self._load_manifest()
@@ -1445,7 +1470,7 @@ class MonolithDB:
                         ex.pop(key, None)
 
         self._commit(drop, op="retention-drop")
-        return len(expired)
+        return len({int(k) for k in expired} | {int(k) for k in expired_ex})
 
     def _rollup(
         self, raw: DataFrame, step_ms: int, extra_keys: tuple[str, ...] = ()

