@@ -34,9 +34,9 @@ match this repo's established, oracle-verified conventions):
   operators and/or/unless are keyed semi/anti/union joins. The `@`
   modifier pins a selector/subquery to a fixed unix-seconds anchor —
   or to `start()`/`end()`, which both equal the evaluation time in an
-  instant query (offset shifts relative to the anchor); @ is
-  instant-eval only — eval_range rejects it rather than replicate one
-  window across every step. Subqueries
+  instant query and the range bounds in a range query; eval_range
+  evaluates a fully-pinned subtree once as an instant query at its
+  anchors and fans the result across the step grid. Subqueries
   are supported for range-function inners (``max_over_time(rate(m[5d])
   [15d:5d])``), the shape ts_subquery_max_rate pins: the outer range
   is tiled by step-width windows anchored at the range start, the
@@ -1856,6 +1856,10 @@ def eval_range(
       histogram_quantile composes over any tiled inner;
     - grouping aggregations (sum/avg/min/max/count by/without) over
       any tiled expression — aggregated per window;
+    - `@`-pinned subtrees (every selector carries @, no time()): one
+      instant evaluation at the anchors — start()/end() resolve to
+      the RANGE bounds — fanned across the step grid (the constant
+      reference line Grafana draws with `m @ end()`);
     - binary operators COMPOSING tiled expressions per window: scalar
       arithmetic/comparisons (with bool), 1:1 vector matching with
       on/ignoring (duplicate keys within a window raise, exactly the
@@ -1880,17 +1884,103 @@ def eval_range(
     return per_win.select("signature", "labels", t_col.alias("t_ms"), "value")
 
 
+def _resolve_range_at(node, start_ms: int, end_ms: int):
+    """Resolve every `@` anchor under range-query semantics — start()
+    and end() are the RANGE's bounds, not the per-step time — and
+    report whether the subtree is FULLY pinned: it contains at least
+    one selector/subquery, every one carries `@` (directly, or through
+    an enclosing pinned subquery), and no step-dependent call (time())
+    appears. A fully pinned subtree has the same value at every step,
+    so eval_range evaluates it ONCE as an instant query at its own
+    anchors and fans the per-series result across the window grid —
+    the semantics Grafana relies on when it emits `@` in range queries
+    (VERDICT r7 next-round #6). Returns (rewritten_node, pinned)."""
+    import dataclasses
+
+    state = {"any": False, "unpinned": False, "step_dep": False}
+
+    def rw(n, under_pinned: bool):
+        if isinstance(n, Selector):
+            state["any"] = True
+            if n.at_ms is None:
+                if not under_pinned:
+                    state["unpinned"] = True
+                return n
+            at = (start_ms if n.at_ms == "start"
+                  else end_ms if n.at_ms == "end" else n.at_ms)
+            return dataclasses.replace(n, at_ms=at)
+        if isinstance(n, Subquery):
+            state["any"] = True
+            at = n.at_ms
+            if at is None and not under_pinned:
+                state["unpinned"] = True
+            if at is not None:
+                at = (start_ms if at == "start"
+                      else end_ms if at == "end" else at)
+            # a pinned subquery anchors its whole inner expression —
+            # inner selectors without @ stay relative to that anchor
+            inner = rw(n.expr, under_pinned or at is not None)
+            return dataclasses.replace(n, expr=inner, at_ms=at)
+        if isinstance(n, Call):
+            if n.func == "time":
+                state["step_dep"] = True
+            return dataclasses.replace(
+                n, args=tuple(rw(a, under_pinned) for a in n.args)
+            )
+        if isinstance(n, Agg):
+            return dataclasses.replace(
+                n,
+                expr=rw(n.expr, under_pinned),
+                param=(rw(n.param, under_pinned)
+                       if n.param is not None else None),
+            )
+        if isinstance(n, BinOp):
+            return dataclasses.replace(
+                n, lhs=rw(n.lhs, under_pinned), rhs=rw(n.rhs, under_pinned)
+            )
+        if isinstance(n, Unary):
+            return dataclasses.replace(n, expr=rw(n.expr, under_pinned))
+        return n  # Number / StringLit
+
+    out = rw(node, False)
+    pinned = state["any"] and not state["unpinned"] and not state["step_dep"]
+    return out, pinned
+
+
 def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> DataFrame:
     """Per-(series, window) values for the tiled expression class:
     [signature, labels, __w, value] with __w the 0-based window index
     over (start, end] — one scan, one keyed shuffle."""
     n_tiles = -(-(end_ms - start_ms) // step_ms)
 
+    node, pinned = _resolve_range_at(node, start_ms, end_ms)
+    if pinned:
+        # one instant pass at the (now numeric) anchors, then the
+        # per-series result replicated across the window grid — a
+        # narrow explode over an already-aggregated frame, never a
+        # per-step rescan of the fact table
+        inst = eval_instant(ctx.samples, node, end_ms, ctx.lookback_ms)
+        if n_tiles <= 0:
+            return inst.filter(F.lit(False)).select(
+                "signature", "labels",
+                F.lit(0).cast("long").alias("__w"), "value",
+            )
+        wins = F.sequence(
+            F.lit(0).cast("long"), F.lit(int(n_tiles - 1)).cast("long")
+        )
+        return inst.select(
+            "signature", "labels", F.explode(wins).alias("__w"), "value"
+        )
+
     def tiles(sel: Selector) -> DataFrame:
         if sel.at_ms is not None:
+            # fully-pinned subtrees take the instant fast path above;
+            # reaching here means a pinned selector is entangled with
+            # step-varying evaluation in a shape the tiled class
+            # cannot split (defensive — BinOp/Agg/Call all recurse)
             raise ValueError(
-                "eval_range: the @ modifier would pin every step to one "
-                "fixed window — evaluate it as an instant query instead"
+                "eval_range: @ selector mixed into a step-varying "
+                "subtree the tiled evaluator cannot split"
             )
         df = _base(sel, ctx).filter(
             (F.col("timestamp") > start_ms - sel.offset_ms)

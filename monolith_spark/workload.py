@@ -10353,6 +10353,67 @@ def ts_promql_range_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_promql_range_at",
+    f"""
+    WITH npts AS (
+      SELECT event_type, {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN20}
+    ),
+    num_series AS (
+      SELECT event_type, sig, w, CAST(sum(v) AS DOUBLE) AS s
+      FROM npts GROUP BY 1, 2, 3
+    ),
+    num AS (
+      SELECT event_type, w,
+             CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM num_series GROUP BY 1, 2
+    ),
+    dpts AS (
+      SELECT event_type, {SIG_SQL} AS sig,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {JAN1} AND {JAN20}
+    ),
+    den_series AS (
+      SELECT event_type, sig, CAST(sum(v) AS DOUBLE) AS s
+      FROM dpts GROUP BY 1, 2
+    ),
+    den AS (
+      SELECT event_type,
+             CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM den_series GROUP BY 1
+    )
+    SELECT 'event_type=' || n.event_type AS signature,
+           CAST({JAN1} + (n.w + 1) * 86400000 AS BIGINT) AS t_ms,
+           n.total / d.total AS value
+    FROM num n JOIN den d ON n.event_type = d.event_type
+    """,
+)
+def ts_promql_range_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `@` modifier in RANGE queries (promql._resolve_range_at →
+    instant fast path): the per-day share of each event_type's
+    whole-span volume — `sum_over_time({}[19d] @ end())` is a fully
+    pinned subtree, evaluated ONCE as an instant query at the range's
+    end anchor and fanned across the 19-step grid (a narrow explode
+    over the per-series aggregate), while the numerator runs as the
+    usual one-pass tile grid; the BinOp joins them 1:1 per (key,
+    window). Grafana emits exactly this shape for reference lines.
+    Note the two window conventions the oracle replays: tiles are
+    (start, end] per step, the pinned instant window is the engine's
+    inclusive [anchor-range, anchor] trim (F3)."""
+    out = _promql.eval_range(
+        _events_lv(spark, sf_dir),
+        'sum by (event_type) (sum_over_time({}[1d])) / '
+        'sum by (event_type) (sum_over_time({}[19d] @ end()))',
+        JAN1, JAN20, 86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
+
+
+@_q(
     "ts_promql_range_p95",
     f"""
     WITH buckets AS (

@@ -1013,6 +1013,63 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ start")  # the anchor form requires parentheses
 
 
+def test_eval_range_at_modifier(spark):
+    """`@` in RANGE queries: a fully pinned subtree evaluates once as
+    an instant query at its anchors — start()/end() resolve to the
+    RANGE bounds — and fans across the step grid; mixed expressions
+    split at the BinOp so a pinned side composes with a step-varying
+    side per window."""
+    rows = [({"j": "a"}, t, float(v)) for t, v in
+            [(1_000, 10.0), (4_000, 12.0), (11_000, 4.0), (14_000, 9.0),
+             (21_000, 20.0)]] \
+        + [({"j": "b"}, 12_000, 7.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    # fixed anchor (@ takes unix seconds): instant value at 14s
+    # replicated across all three windows
+    got = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, '{j="a"} @ 14', 0, 30_000, 10_000).collect()}
+    assert got == {("j=a", 10_000): 9.0, ("j=a", 20_000): 9.0,
+                   ("j=a", 30_000): 9.0}
+
+    # @ end() pins to the range end; @ start() to the range start
+    # (start anchor: no sample at/lookback-before 0 → empty grid)
+    end_pinned = {(r["signature"], r["t_ms"]): r["value"] for r in
+                  promql.eval_range(df, '{j=~".+"} @ end()',
+                                    0, 30_000, 10_000).collect()}
+    assert end_pinned == {("j=a", 10_000): 20.0, ("j=a", 20_000): 20.0,
+                          ("j=a", 30_000): 20.0, ("j=b", 10_000): 7.0,
+                          ("j=b", 20_000): 7.0, ("j=b", 30_000): 7.0}
+    assert promql.eval_range(df, '{j="a"} @ start()',
+                             0, 30_000, 10_000).count() == 0
+
+    # a pinned range function bypasses the range==step restriction
+    # (one instant window, no scan multiplication): whole-span sum
+    tot = {(r["signature"], r["t_ms"]): r["value"] for r in
+           promql.eval_range(df, 'sum_over_time({j="a"}[30s] @ end())',
+                             0, 30_000, 10_000).collect()}
+    assert tot == {("j=a", 10_000): 55.0, ("j=a", 20_000): 55.0,
+                   ("j=a", 30_000): 55.0}
+
+    # pinned through an aggregation, composed with a step-varying
+    # numerator: per-window share of the pinned whole-span total
+    share = {(r["signature"], r["t_ms"]): r["value"] for r in
+             promql.eval_range(
+                 df,
+                 'sum(sum_over_time({j="a"}[10s])) / '
+                 'sum(sum_over_time({j="a"}[30s] @ end()))',
+                 0, 30_000, 10_000).collect()}
+    assert share == {("", 10_000): 22.0 / 55.0, ("", 20_000): 13.0 / 55.0,
+                     ("", 30_000): 20.0 / 55.0}
+
+    # a pinned selector entangled with time() stays rejected (the
+    # subtree is NOT step-constant)
+    with pytest.raises(ValueError):
+        promql.eval_range(df, 'clamp_max({j="a"} @ end(), time())',
+                          0, 30_000, 10_000)
+
+
 def test_limitk_and_limit_ratio(spark):
     """Prometheus 3.x experimental aggregations: limitk samples a
     DETERMINISTIC k series (ordered by md5(signature)), limit_ratio

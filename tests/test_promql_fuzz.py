@@ -19,6 +19,7 @@ from monolith_spark.promql import (
     StringLit,
     Subquery,
     Unary,
+    _resolve_range_at,
     format_expr,
     parse,
 )
@@ -149,3 +150,79 @@ _ast = st.recursive(
 def test_parse_format_parse_is_identity(ast):
     text = format_expr(ast)
     assert parse(text) == ast, text
+
+
+def _ref_pinned(node, under_pinned=False):
+    """Independent reference for 'fully pinned under range semantics':
+    ≥1 selector/subquery, each carrying @ (directly or via an
+    enclosing pinned subquery), and no time() call anywhere."""
+    if isinstance(node, Selector):
+        return [node.at_ms is not None or under_pinned]
+    if isinstance(node, Subquery):
+        mine = node.at_ms is not None or under_pinned
+        return [mine] + _ref_pinned(node.expr, mine)
+    if isinstance(node, Call):
+        flags = [] if node.func != "time" else [False]
+        for a in node.args:
+            flags += _ref_pinned(a, under_pinned)
+        return flags
+    if isinstance(node, Agg):
+        flags = _ref_pinned(node.expr, under_pinned)
+        if node.param is not None:
+            flags += _ref_pinned(node.param, under_pinned)
+        return flags
+    if isinstance(node, BinOp):
+        return (_ref_pinned(node.lhs, under_pinned)
+                + _ref_pinned(node.rhs, under_pinned))
+    if isinstance(node, Unary):
+        return _ref_pinned(node.expr, under_pinned)
+    return []
+
+
+@given(_ast, st.integers(0, 10**9), st.integers(0, 10**9))
+@settings(max_examples=200, deadline=None)
+def test_resolve_range_at_fuzz(ast, start_ms, span):
+    """Range-mode @ resolution over random ASTs: every start/end
+    anchor becomes the numeric range bound, numeric anchors and all
+    other structure survive untouched (format_expr equality after the
+    same textual substitution), and the pinned verdict agrees with an
+    independent reference walk."""
+    end_ms = start_ms + span
+    out, pinned = _resolve_range_at(ast, start_ms, end_ms)
+
+    def anchors(n):
+        if isinstance(n, (Selector, Subquery)):
+            got = [n.at_ms]
+            if isinstance(n, Subquery):
+                got += anchors(n.expr)
+            return got
+        if isinstance(n, Call):
+            return [a for arg in n.args for a in anchors(arg)]
+        if isinstance(n, Agg):
+            got = anchors(n.expr)
+            if n.param is not None:
+                got += anchors(n.param)
+            return got
+        if isinstance(n, BinOp):
+            return anchors(n.lhs) + anchors(n.rhs)
+        if isinstance(n, Unary):
+            return anchors(n.expr)
+        return []
+
+    before, after = anchors(ast), anchors(out)
+    assert len(before) == len(after)
+    for b, a in zip(before, after):
+        if b == "start":
+            assert a == start_ms
+        elif b == "end":
+            assert a == end_ms
+        else:
+            assert a == b  # numeric or None: untouched
+    # nothing but anchors changed: formatting out equals formatting
+    # the original with the textual anchor substitution applied
+    assert format_expr(out) == format_expr(ast).replace(
+        "@ start()", f"@ {start_ms / 1000!r}"
+    ).replace("@ end()", f"@ {end_ms / 1000!r}")
+
+    flags = _ref_pinned(ast)
+    assert pinned == (bool(flags) and all(flags))
