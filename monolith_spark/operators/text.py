@@ -992,26 +992,36 @@ def _ridge_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     once per row however many features read it."""
     feat = F.element_at(
         F.transform(
-            F.array(tokens_expr(text_col)),
+            # empty/whitespace-only docs: split() yields ""-tokens (a
+            # "" doc splits to [""]) — strip them so the gate below
+            # sees the TRUE token count
+            F.array(F.array_remove(tokens_expr(text_col), "")),
             lambda w: F.struct(
                 F.size(w).cast("double").alias("x1"),
-                (
+                # try_divide: a zero-token doc's ratios are undefined
+                # (NULL) here and the row is filtered below — a plain
+                # division would throw under ANSI before the filter
+                F.try_divide(
                     F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast(
                         "double"
-                    )
-                    / F.size(w)
+                    ),
+                    F.size(w),
                 ).alias("x2"),
-                (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
-                    "y"
-                ),
+                F.try_divide(
+                    F.size(F.array_distinct(w)).cast("double"), F.size(w)
+                ).alias("y"),
             ),
         ),
         1,
     )
+    # zero-token docs have no defined stopword/distinct RATIO — they
+    # would poison the gram sufficient statistics and score as
+    # degenerate (x1=1 for a ""-token, y=1) — exclude them from both
+    # training and scoring (ADVICE r7)
     return docs.select(
         "doc_id", feat["x1"].alias("x1"), feat["x2"].alias("x2"),
         feat["y"].alias("y"),
-    )
+    ).filter(F.col("x1") > 0)
 
 
 def _ridge_sums(feats: DataFrame) -> DataFrame:

@@ -8931,13 +8931,15 @@ def docs_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RIDGE_FEAT_SQL = f"""
-    t AS (SELECT doc_id, {_W} AS w FROM documents),
+    t AS (SELECT doc_id, list_filter({_W}, x -> x <> '') AS w
+          FROM documents),
     feat AS (SELECT doc_id,
                CAST(len(w) AS DOUBLE) AS x1,
                CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
                     AS DOUBLE) / len(w) AS x2,
                CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS y
-             FROM t),
+             FROM t
+             WHERE len(w) > 0),
     sums AS (SELECT
         sum(CAST(x1*x1 AS DECIMAL(38,12))) AS s11,
         sum(CAST(x1*x2 AS DECIMAL(38,12))) AS s12,

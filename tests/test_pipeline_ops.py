@@ -2887,3 +2887,32 @@ def test_kmeans_arrow_assignment_bit_identical_to_column_form(spark, monkeypatch
     col = {(r["vec_id"], r["cluster_id"], r["dist2"])
            for r in sim.kmeans_lloyd(embs, k=5, iters=2).collect()}
     assert arrow == col and len(arrow) == 120
+
+
+def test_ridge_excludes_zero_token_docs(spark):
+    """Zero-token docs have no defined stopword/distinct ratio: they
+    must not reach the gram statistics (where x1=0 but x2/y NULL made
+    the sums mutually inconsistent — ADVICE r7) nor the scored rows
+    (NULL pred/residual). Adding empty docs leaves the trained model
+    bit-identical and they are absent from the scores."""
+    from monolith_spark.operators import text as text_ops
+
+    base = spark.createDataFrame(
+        [(i, f"the quick fox {i} jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    noisy = base.unionByName(spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "\n\t")],
+        "doc_id long, text string",
+    ))
+
+    m1 = text_ops.ridge_quality_model(base).collect()[0]
+    m2 = text_ops.ridge_quality_model(noisy).collect()[0]
+    assert m1["n_docs"] == m2["n_docs"] == 8
+    assert (m1["b_tokens"], m1["b_stop"], m1["b_intercept"]) == (
+        m2["b_tokens"], m2["b_stop"], m2["b_intercept"])
+
+    scores = text_ops.ridge_quality_scores(noisy).collect()
+    assert {r["doc_id"] for r in scores} == set(range(8))
+    assert all(r["pred_quality"] is not None and r["residual"] is not None
+               for r in scores)
