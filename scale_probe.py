@@ -483,6 +483,80 @@ def round8_probe(spark, mult: int) -> dict:
     return out
 
 
+def exemplar_probe(spark, mult: int) -> dict:
+    """Exemplar + metadata surfaces under 10× growth (VERDICT r7 next
+    #7): samples ingested at mult× cardinality, then ~5% of points
+    re-written as exemplars (trace-id'd, same chunk grid), the
+    Prometheus query_exemplars window scan, and the bounded metadata
+    APIs (label_names / label_values as ordered top-k — the
+    TakeOrderedAndProject path the series/labels HTTP endpoints use,
+    which must stay flat as the dim grows because executors keep only
+    n+1 rows each)."""
+    import statistics
+
+    JAN1 = 1_704_067_200_000
+    out: dict = {"mult": mult}
+    tmp = tempfile.mkdtemp(prefix="monolith_exemplar_")
+    try:
+        db = MonolithDB(spark, os.path.join(tmp, "db"), chunk_size_ms=CHUNK_MS)
+        s = scaled_samples(spark, mult)
+        db.write(s)
+        ex = (
+            s.filter(F.pmod(F.xxhash64("timestamp", "value"), F.lit(20)) == 0)
+            .withColumn(
+                "exemplar_labels",
+                F.create_map(
+                    F.lit("trace_id"),
+                    F.conv(
+                        (F.abs(F.xxhash64("timestamp", "value"))
+                         .cast("string")),
+                        10, 16,
+                    ),
+                ),
+            )
+        )
+        t0 = time.perf_counter()
+        n_ex = db.write_exemplars(ex, return_count=True)
+        out["write_exemplars_sec"] = round(time.perf_counter() - t0, 3)
+        out["exemplars"] = n_ex
+        out["series"] = db.series().count()
+        hi = JAN1 + mult * MONTH_MS + MONTH_MS
+
+        def run(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        def med3(name, fn):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(ts), 3)
+
+        med3("query_exemplars_window_sec", lambda: run(
+            db.query_exemplars({"event_type": "purchase"},
+                               JAN1, JAN1 + 10 * 86_400_000)))
+        med3("query_exemplars_span_sec", lambda: run(
+            db.query_exemplars({"event_type": "click"}, 0, hi)))
+        # the bounded metadata path: ordered top-(n+1), driver holds
+        # ≤ n+1 rows however large the dim
+        med3("label_values_topk_sec", lambda: (
+            db.label_values("user").orderBy("value").limit(101).collect()))
+        med3("label_names_sec", lambda: (
+            db.label_names().orderBy("name").limit(101).collect()))
+        t0 = time.perf_counter()
+        db.set_metric_metadata(
+            {f"metric_{i}": {"type": "counter", "help": "h", "unit": ""}
+             for i in range(100 * mult)})
+        out["set_metadata_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["metadata_entries"] = len(db.metric_metadata())
+        out["get_metadata_sec"] = round(time.perf_counter() - t0, 3)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
@@ -521,6 +595,10 @@ def main() -> None:
     if target == "round8":
         for mult in mults:
             print(json.dumps(round8_probe(spark, mult)))
+        return
+    if target == "exemplar":
+        for mult in mults:
+            print(json.dumps(exemplar_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")
