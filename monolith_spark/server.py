@@ -214,6 +214,41 @@ def evaluate_read(
     return resp
 
 
+def evaluate_read_chunked(
+    db: MonolithDB, req: proto.ReadRequest, strict: bool = False
+) -> list[bytes]:
+    """The STREAMED_XOR_CHUNKS remote-read path: one framed
+    ChunkedReadResponse per (query, series-batch), each series'
+    points split into ≤CHUNK_MAX_SAMPLES XOR chunks
+    (proto.encode_chunk_points — the engine's Gorilla codec with an
+    in-band count). One frame per series keeps peak response-assembly
+    memory at one series instead of one full result — the point of
+    the streamed response type."""
+    frames: list[bytes] = []
+    for qi, q in enumerate(req.queries):
+        for ts in _evaluate_one(db, q, strict):
+            pts = [(s.timestamp, s.value) for s in ts.samples]
+            chunks = []
+            for i in range(0, len(pts), proto.CHUNK_MAX_SAMPLES):
+                part = pts[i: i + proto.CHUNK_MAX_SAMPLES]
+                chunks.append(proto.ChunkRec(
+                    min_time_ms=part[0][0],
+                    max_time_ms=part[-1][0],
+                    type=proto.CHUNK_ENC_XOR,
+                    data=proto.encode_chunk_points(part),
+                ))
+            msg = proto.encode_chunked_read_response(
+                proto.ChunkedReadResponse(
+                    chunked_series=[proto.ChunkedSeries(
+                        labels=dict(ts.labels), chunks=chunks,
+                    )],
+                    query_index=qi,
+                )
+            )
+            frames.append(proto.chunked_write_frame(msg))
+    return frames
+
+
 def evaluate_promql(
     db: MonolithDB, query: str, time_ms: int, at_version: int | None = None
 ) -> list[dict]:
@@ -931,8 +966,33 @@ class MonolithServer:
                             server.db.write_exemplars(edf)
                         payload = b""
                     else:
+                        rreq = proto.decode_read_request(raw)
+                        if (proto.RESP_STREAMED_XOR_CHUNKS
+                                in rreq.accepted_response_types):
+                            # spec content negotiation: the client
+                            # accepts the streamed response type →
+                            # framed ChunkedReadResponse messages,
+                            # uncompressed body (frames carry their
+                            # own crc), flushed one frame at a time
+                            frames = evaluate_read_chunked(
+                                server.db, rreq,
+                                strict=strict_reference_matchers,
+                            )
+                            self.send_response(200)
+                            self.send_header(
+                                "Content-Type",
+                                proto.STREAMED_CONTENT_TYPE,
+                            )
+                            self.send_header(
+                                "Content-Length",
+                                str(sum(len(f) for f in frames)),
+                            )
+                            self.end_headers()
+                            for f in frames:
+                                self.wfile.write(f)
+                            return
                         resp = evaluate_read(
-                            server.db, proto.decode_read_request(raw),
+                            server.db, rreq,
                             strict=strict_reference_matchers,
                         )
                         payload = proto.snappy_compress(proto.encode_read_response(resp))

@@ -228,9 +228,19 @@ class WriteRequest:
     timeseries: list[TimeSeries] = field(default_factory=list)  # field 1
 
 
+# ReadRequest.ResponseType (prometheus remote-read spec): SAMPLES is
+# the snappy+proto ReadResponse; STREAMED_XOR_CHUNKS streams framed
+# ChunkedReadResponse messages with per-series compressed chunks.
+RESP_SAMPLES = 0
+RESP_STREAMED_XOR_CHUNKS = 1
+
+
 @dataclass
 class ReadRequest:
     queries: list[Query] = field(default_factory=list)  # field 1
+    # field 2, repeated enum ResponseType — order = client preference;
+    # an empty list means SAMPLES (spec default)
+    accepted_response_types: list[int] = field(default_factory=list)
 
 
 @dataclass
@@ -292,6 +302,8 @@ def encode_read_request(req: ReadRequest) -> bytes:
                 hbody += _tag(4, 0) + _write_varint(h.end_ms)
             body += _len_delim(4, hbody)
         out += _len_delim(1, body)
+    if req.accepted_response_types:
+        out += _enc_packed_uint32(2, req.accepted_response_types)
     return out
 
 
@@ -401,9 +413,11 @@ def _dec_query(data: bytes) -> Query:
 
 def decode_read_request(data: bytes) -> ReadRequest:
     req = ReadRequest()
-    for f, _, v in _iter_fields(data):
-        if f == 1:
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 2:
             req.queries.append(_dec_query(v))
+        elif f == 2:  # accepted_response_types: packed or unpacked
+            req.accepted_response_types.extend(_dec_packed_uint32(wt, v))
     return req
 
 
@@ -670,4 +684,169 @@ def v1_to_v2(req: WriteRequest, meta: dict[str, dict] | None = None) -> WriteReq
                 metadata=md,
             )
         )
+    return out
+
+
+# --------------------------------------- streamed chunked remote read
+# The second response type of the Prometheus remote-read spec
+# (ReadRequest.accepted_response_types = STREAMED_XOR_CHUNKS): instead
+# of one snappy+proto ReadResponse, the body is a STREAM of framed
+# ChunkedReadResponse messages — each frame is
+#   uvarint(len(msg)) + 4-byte big-endian CRC32-Castagnoli(msg) + msg
+# with Content-Type application/x-streamed-protobuf. Streaming bounds
+# the server's peak memory by one frame instead of one full result.
+#
+# Chunk payloads here are THIS engine's XOR codec (sources/gorilla.py,
+# the public Gorilla paper scheme) prefixed with a 2-byte big-endian
+# sample count — self-contained chunks, decodable without side state.
+# The message framing and proto field numbers match the spec; the
+# chunk bit-format is negotiated by this engine's own content type
+# (Prometheus's tsdb XOR chunk differs in a few in-band details), so
+# both ends of a monolith-spark pair stream losslessly.
+
+STREAMED_CONTENT_TYPE = "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse"
+
+CHUNK_ENC_XOR = 1  # Chunk.Encoding.XOR
+
+# Maximum samples per chunk: Prometheus targets ~120 samples per XOR
+# chunk (2h at 1m scrape) — the same bound keeps frames small and
+# decode latency per chunk flat.
+CHUNK_MAX_SAMPLES = 120
+
+
+@dataclass
+class ChunkRec:
+    min_time_ms: int = 0       # field 1, int64
+    max_time_ms: int = 0       # field 2, int64
+    type: int = CHUNK_ENC_XOR  # field 3, enum
+    data: bytes = b""          # field 4
+
+
+@dataclass
+class ChunkedSeries:
+    labels: dict[str, str] = field(default_factory=dict)  # field 1
+    chunks: list[ChunkRec] = field(default_factory=list)  # field 2
+
+
+@dataclass
+class ChunkedReadResponse:
+    chunked_series: list[ChunkedSeries] = field(default_factory=list)  # field 1
+    query_index: int = 0  # field 2
+
+
+def encode_chunk_points(points: list[tuple[int, float]]) -> bytes:
+    """Self-contained XOR chunk: uint16 big-endian sample count + the
+    Gorilla bitstream (count must ride in-band — the stream has no
+    companion column)."""
+    from monolith_spark.sources.gorilla import encode_points
+
+    if len(points) > 0xFFFF:
+        raise ValueError("chunk exceeds uint16 sample count")
+    return struct.pack(">H", len(points)) + encode_points(points)
+
+
+def decode_chunk_points(data: bytes) -> list[tuple[int, float]]:
+    from monolith_spark.sources.gorilla import decode_points
+
+    (n,) = struct.unpack(">H", data[:2])
+    return decode_points(data[2:], n)
+
+
+def _enc_chunk(c: ChunkRec) -> bytes:
+    out = _tag(1, 0) + _write_varint(c.min_time_ms)
+    out += _tag(2, 0) + _write_varint(c.max_time_ms)
+    if c.type:
+        out += _tag(3, 0) + _write_varint(c.type)
+    out += _len_delim(4, c.data)
+    return out
+
+
+def encode_chunked_read_response(resp: ChunkedReadResponse) -> bytes:
+    out = b""
+    for cs in resp.chunked_series:
+        body = b"".join(
+            _len_delim(1, _enc_label(k, v)) for k, v in sorted(cs.labels.items())
+        )
+        body += b"".join(_len_delim(2, _enc_chunk(c)) for c in cs.chunks)
+        out += _len_delim(1, body)
+    if resp.query_index:
+        out += _tag(2, 0) + _write_varint(resp.query_index)
+    return out
+
+
+def _dec_chunk(data: bytes) -> ChunkRec:
+    c = ChunkRec(type=0)
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 0:
+            c.min_time_ms = _signed64(v)
+        elif f == 2 and wt == 0:
+            c.max_time_ms = _signed64(v)
+        elif f == 3 and wt == 0:
+            c.type = v
+        elif f == 4 and wt == 2:
+            c.data = v
+    return c
+
+
+def decode_chunked_read_response(data: bytes) -> ChunkedReadResponse:
+    resp = ChunkedReadResponse()
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 2:
+            cs = ChunkedSeries()
+            for f2, wt2, v2 in _iter_fields(v):
+                if f2 == 1 and wt2 == 2:
+                    k, val = _dec_label(v2)
+                    cs.labels[k] = val
+                elif f2 == 2 and wt2 == 2:
+                    cs.chunks.append(_dec_chunk(v2))
+            resp.chunked_series.append(cs)
+        elif f == 2 and wt == 0:
+            resp.query_index = v
+    return resp
+
+
+# CRC32-Castagnoli (polynomial 0x1EDC6F41, reflected 0x82F63B78) —
+# the checksum the spec's frame format carries; table-driven, public
+# algorithm (RFC 3720 appendix B / Castagnoli et al. 1993).
+def _crc32c_table() -> list[int]:
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def chunked_write_frame(msg: bytes) -> bytes:
+    """One frame of the streamed response: uvarint length + crc32c
+    (4 bytes big-endian) + message."""
+    return _write_varint(len(msg)) + struct.pack(">I", crc32c(msg)) + msg
+
+
+def chunked_read_frames(data: bytes) -> list[bytes]:
+    """Split a streamed body back into messages, verifying each crc."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        ln, pos = _read_varint(data, pos)
+        (crc,) = struct.unpack(">I", data[pos: pos + 4])
+        pos += 4
+        msg = data[pos: pos + ln]
+        if len(msg) != ln:
+            raise ValueError("truncated chunked frame")
+        if crc32c(msg) != crc:
+            raise ValueError("chunked frame crc mismatch")
+        out.append(msg)
+        pos += ln
     return out

@@ -605,6 +605,77 @@ def test_http_metadata_and_snapshot_admin(spark, tmp_path):
         srv.shutdown()
 
 
+def test_streamed_xor_chunks_remote_read(spark, tmp_path):
+    """The spec's second remote-read response type: a client sending
+    accepted_response_types=[STREAMED_XOR_CHUNKS] gets back framed
+    ChunkedReadResponse messages (uvarint length + crc32c + proto)
+    with per-series XOR chunks, split at CHUNK_MAX_SAMPLES; a client
+    not asking for it still gets the classic snappy ReadResponse."""
+    from monolith_spark.server import MonolithServer
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    # two series; one long enough to need two chunks (125 > 120)
+    rows = [({"j": "a"}, 1_000 + i * 100, float(i)) for i in range(125)]
+    rows += [({"j": "b"}, 2_000, 42.0)]
+    db.write(spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double"))
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        rreq = proto.ReadRequest(
+            queries=[proto.Query(
+                start_timestamp_ms=0, end_timestamp_ms=100_000,
+                matchers=[proto.LabelMatcher(proto.RE, "j", ".+")],
+            )],
+            accepted_response_types=[proto.RESP_STREAMED_XOR_CHUNKS],
+        )
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("POST", "/read",
+                     body=proto.snappy_compress(proto.encode_read_request(rreq)))
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == proto.STREAMED_CONTENT_TYPE
+
+        got: dict[str, list[tuple[int, float]]] = {}
+        n_chunks: dict[str, int] = {}
+        for msg in proto.chunked_read_frames(body):
+            r = proto.decode_chunked_read_response(msg)
+            assert r.query_index == 0
+            (cs,) = r.chunked_series
+            key = cs.labels["j"]
+            for c in cs.chunks:
+                assert c.type == proto.CHUNK_ENC_XOR
+                pts = proto.decode_chunk_points(c.data)
+                assert c.min_time_ms == pts[0][0]
+                assert c.max_time_ms == pts[-1][0]
+                assert len(pts) <= proto.CHUNK_MAX_SAMPLES
+                got.setdefault(key, []).extend(pts)
+                n_chunks[key] = n_chunks.get(key, 0) + 1
+        assert got["a"] == [(1_000 + i * 100, float(i)) for i in range(125)]
+        assert got["b"] == [(2_000, 42.0)]
+        assert n_chunks == {"a": 2, "b": 1}
+
+        # without the accepted type: the classic snappy+proto response
+        conn.request("POST", "/read", body=proto.snappy_compress(
+            proto.encode_read_request(proto.ReadRequest(queries=rreq.queries))))
+        resp2 = conn.getresponse()
+        raw2 = resp2.read()
+        conn.close()
+        assert resp2.status == 200
+        results = proto.decode_read_response(
+            proto.snappy_decompress(raw2)).results
+        assert {ts.labels["j"] for ts in results[0]} == {"a", "b"}
+
+        # a corrupted frame fails loudly
+        bad = bytearray(body)
+        bad[-1] ^= 0xFF
+        with pytest.raises(ValueError):
+            proto.chunked_read_frames(bytes(bad))
+    finally:
+        srv.shutdown()
+
+
 def test_prw2_codec_roundtrip():
     """Remote-write 2.0 (io.prometheus.write.v2.Request): symbol
     interning roundtrips, packed AND unpacked labels_refs decode, and
