@@ -1634,6 +1634,24 @@ def _match_key(match):
     return signature_expr(gm)
 
 
+def _copy_group_extras(labels, olabels_col: str, extras) -> "F.Column":
+    """The group_left/group_right label-copy rule, shared by the
+    instant and tiled paths: each listed extra label is copied from
+    the one side onto the many side's label set; an absent/empty
+    source label removes the destination (Prometheus's
+    empty-equals-absent rule)."""
+    new_labels = labels
+    for e in extras:
+        src = F.try_element_at(olabels_col, F.lit(e))
+        # map_filter builds the expression eagerly, so closing over the
+        # loop variable is safe — no late binding
+        dropped = F.map_filter(new_labels, lambda k, _: k != F.lit(e))
+        new_labels = F.when(
+            src.isNotNull() & (src != ""), _map_set(new_labels, e, src)
+        ).otherwise(dropped)
+    return new_labels
+
+
 def _eval_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame):
     """Many-to-one vector matching (group_left/group_right): every
     many-side series joins its one-side partner on the on/ignoring
@@ -1660,15 +1678,7 @@ def _eval_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame):
         F.lit("PromQL many-to-one matching found multiple matches on the "
               "one side (narrow the on/ignoring key)")
     ).cast("double")
-    new_labels = F.col("labels")
-    for e in extras:
-        src = F.try_element_at("__olabels", F.lit(e))
-        # map_filter builds the expression eagerly, so closing over the
-        # loop variable is safe — no late binding
-        dropped = F.map_filter(new_labels, lambda k, _: k != F.lit(e))
-        new_labels = F.when(
-            src.isNotNull() & (src != ""), _map_set(new_labels, e, src)
-        ).otherwise(dropped)
+    new_labels = _copy_group_extras(F.col("labels"), "__olabels", extras)
     a, b = (
         (F.col("__mv"), F.col("__ov"))
         if gkind == "left"
@@ -1868,8 +1878,10 @@ def eval_range(
       the match is one keyed join per (key, window), so the
       error-ratio dashboard graph `sum by(k)(increase(a[s])) /
       on(k) sum by(k)(increase(b[s]))` costs two tiled passes + one
-      series-grain join, never a per-step replan. (group_left/right
-      stays instant-only; unary minus composes.)
+      series-grain join, never a per-step replan. Many-to-one
+      group_left/group_right matches per (key, window) with the
+      instant path's label-copy and one-side-uniqueness guard; unary
+      minus composes.
     - value transforms over any tiled expression: the math functions
       (abs/ceil/floor/exp/ln/log2/log10/sqrt/sgn) and
       round/clamp/clamp_min/clamp_max with scalar bounds.
@@ -2389,15 +2401,70 @@ def _const_scalar(node) -> float | None:
     return None
 
 
+def _tiled_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame) -> DataFrame:
+    """Many-to-one matching per (key, window): the instant
+    _eval_many_to_one semantics with __w joined into the match key and
+    the one-side uniqueness window — every many-side series finds its
+    one-side partner within its own step, extras copied, result
+    re-signed. Same scale shape: the join and the uniqueness count
+    shuffle (series × windows) rows, never points."""
+    gkind, extras = node.group
+    many, one = (lv, rv) if gkind == "left" else (rv, lv)
+    key = _match_key(node.match)
+    one_s = one.select(
+        key.alias("__k"), "__w",
+        F.col("labels").alias("__olabels"),
+        F.col("value").alias("__ov"),
+    ).withColumn("__n1", F.count("*").over(Window.partitionBy("__k", "__w")))
+    many_s = many.select(
+        key.alias("__k"), "__w", "labels", F.col("value").alias("__mv")
+    )
+    j = many_s.join(one_s, ["__k", "__w"])
+    ok = F.col("__n1") == 1
+    guard = F.raise_error(
+        F.lit("PromQL many-to-one matching found multiple matches on the "
+              "one side within a step (narrow the on/ignoring key)")
+    ).cast("double")
+    new_labels = _copy_group_extras(F.col("labels"), "__olabels", extras)
+    a, b = (
+        (F.col("__mv"), F.col("__ov"))
+        if gkind == "left"
+        else (F.col("__ov"), F.col("__mv"))
+    )
+    if node.op in _CMP_OPS:
+        cond = {"==": a == b, "!=": a != b, ">": a > b,
+                "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
+        if node.bool_mode:
+            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            out = j.select(new_labels.alias("labels"), "__w",
+                           val.alias("value"))
+        else:
+            val = F.when(ok, a).otherwise(guard)
+            out = (
+                j.select(new_labels.alias("labels"), "__w",
+                         val.alias("value"), cond.alias("__c"))
+                .filter("__c")
+                .drop("__c")
+            )
+    else:
+        expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+                "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
+        val = F.when(ok, expr.cast("double")).otherwise(guard)
+        out = j.select(new_labels.alias("labels"), "__w", val.alias("value"))
+    return out.withColumn("signature", signature_expr("labels")).select(
+        "signature", "labels", "__w", "value"
+    )
+
+
 def _tiled_binop(
     node: BinOp, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx
 ) -> DataFrame:
     """Binary operators over per-window vectors — the instant
     evaluator's matching semantics applied per (key, window)."""
     if node.group is not None:
-        raise ValueError(
-            "eval_range: group_left/group_right is instant-eval only"
-        )
+        lv = _tiled_values(node.lhs, start_ms, end_ms, step_ms, ctx)
+        rv = _tiled_values(node.rhs, start_ms, end_ms, step_ms, ctx)
+        return _tiled_many_to_one(node, lv, rv)
     ls, rs = _const_scalar(node.lhs), _const_scalar(node.rhs)
     if ls is not None and rs is not None:
         raise ValueError("eval_range needs at least one vector operand")

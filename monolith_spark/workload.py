@@ -10416,6 +10416,56 @@ def ts_promql_range_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_promql_range_group_left",
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             substr(regexp_extract(props, '"k":\\s*(\\d+)', 1), 1, 1) AS kb,
+             {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN20}
+    ),
+    per_series AS (
+      SELECT event_type, kb, sig, w, CAST(sum(v) AS DOUBLE) AS s
+      FROM pts GROUP BY 1, 2, 3, 4
+    ),
+    num AS (
+      SELECT kb, w,
+             CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM per_series WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    den AS (
+      SELECT kb, w,
+             CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM per_series GROUP BY 1, 2
+    )
+    SELECT 'event_type=purchase,kb=' || n.kb AS signature,
+           CAST({JAN1} + (n.w + 1) * 86400000 AS BIGINT) AS t_ms,
+           n.total / d.total AS value
+    FROM num n JOIN den d ON n.kb = d.kb AND n.w = d.w
+    """,
+)
+def ts_promql_range_group_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-one matching in RANGE mode (promql._tiled_many_to_one):
+    the per-(kb, event_type) daily purchase share of each kb's total
+    volume — `/ on(kb) group_left` joins every many-side series to its
+    unique one-side partner per (key, window), with the instant path's
+    one-side-uniqueness guard and label-copy rule. Both grids are one
+    tiled pass; the match shuffles (series × windows) rows, never
+    points. The oracle replays both grids and the per-window kb
+    join."""
+    out = _promql.eval_range(
+        _events_lv(spark, sf_dir),
+        'sum by (kb, event_type) (sum_over_time({event_type="purchase"}[1d]))'
+        ' / on(kb) group_left sum by (kb) (sum_over_time({}[1d]))',
+        JAN1, JAN20, 86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
+
+
+@_q(
     "ts_promql_range_p95",
     f"""
     WITH buckets AS (

@@ -494,10 +494,16 @@ def test_at_modifier(spark):
     assert (e.at_ms, e.offset_ms, e.range_ms) == (JAN20, 86_400_000, 300_000)
     with pytest.raises(ValueError, match="unix-seconds"):
         parse("m @ abc")
-    with pytest.raises(ValueError, match="eval_range"):
-        promql.eval_range(
-            s, f'increase({{}}[1d] @ {JAN20 // 1000})', JAN1, JAN20,
-            86_400_000)
+    # range mode: a fully pinned subtree is SUPPORTED since r8 — one
+    # instant evaluation at the anchor fanned across the step grid
+    pinned = promql.eval_range(
+        s, f'increase({{}}[1d] @ {JAN20 // 1000})', JAN1, JAN20, 86_400_000
+    ).collect()
+    inst = {r["signature"]: r["value"] for r in promql.eval_instant(
+        s, 'increase({}[1d])', JAN20).collect()}
+    n_steps = (JAN20 - JAN1) // 86_400_000
+    assert len(pinned) == len(inst) * n_steps
+    assert all(r["value"] == inst[r["signature"]] for r in pinned)
     with pytest.raises(ValueError, match="inner selector"):
         promql.eval_instant(
             s,
@@ -1011,6 +1017,37 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ soon()")
     with pytest.raises(ValueError):
         parse("m @ start")  # the anchor form requires parentheses
+
+
+def test_eval_range_group_left(spark):
+    """Many-to-one matching in RANGE mode: group_left joins each
+    many-side series to its one-side partner per (key, window), copies
+    the listed extras, and re-signs; a duplicate one-side within a
+    step raises."""
+    rows = [({"j": "a", "g": "x"}, 1_000, 10.0),
+            ({"j": "a", "g": "x"}, 11_000, 30.0),
+            ({"j": "b", "g": "x"}, 2_000, 4.0),
+            ({"g": "x", "env": "p"}, 3_000, 2.0),
+            ({"g": "x", "env": "p"}, 13_000, 4.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
+        df,
+        '{j=~".+"} / on(g) group_left(env) {j="", env=~".+"}',
+        0, 20_000, 10_000).collect()}
+    # window 1: one-side value 2.0; window 2: 4.0 (j=b absent there)
+    assert got == {("env=p,g=x,j=a", 10_000): 5.0,
+                   ("env=p,g=x,j=b", 10_000): 2.0,
+                   ("env=p,g=x,j=a", 20_000): 7.5}
+
+    # duplicate one-side within a step → the instant error, per window
+    dup = df.unionByName(spark.createDataFrame(
+        [({"g": "x", "env": "q"}, 4_000, 9.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    with pytest.raises(Exception, match="multiple matches"):
+        promql.eval_range(
+            dup, '{j=~".+"} / on(g) group_left(env) {j="", env=~".+"}',
+            0, 20_000, 10_000).collect()
 
 
 def test_eval_range_at_modifier(spark):
