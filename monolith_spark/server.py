@@ -616,6 +616,12 @@ class MonolithServer:
                             server.db, query, int(t * 1000),
                             at_version=int(ver) if ver is not None else None,
                         )
+                        # Prometheus 3.x: ?limit= caps the number of
+                        # returned series (0 = disabled)
+                        lim = _limit_param()
+                        if lim is not None and 0 < lim < len(result):
+                            result = result[:lim]
+                            warnings.append(_TRUNCATED_WARNING)
                         data = {"resultType": "vector", "result": result}
                     elif u.path == promql_path + "_range":
                         from monolith_spark.promql import parse_duration_ms
@@ -634,6 +640,12 @@ class MonolithServer:
                             step_ms,
                             at_version=int(ver) if ver is not None else None,
                         )
+                        # ?limit= caps returned SERIES (matrix rows),
+                        # Prometheus 3.x semantics
+                        lim = _limit_param()
+                        if lim is not None and 0 < lim < len(result):
+                            result = result[:lim]
+                            warnings.append(_TRUNCATED_WARNING)
                         data = {"resultType": "matrix", "result": result}
                     elif u.path == "/api/v1/labels":
                         # ordered top-(n+1): the sort+limit runs as a

@@ -765,7 +765,8 @@ def test_eval_range_binop_composition(spark):
     """Step-range binary operators: scalar arithmetic/comparisons per
     window, 1:1 vector matching per (key, window) — the error-ratio
     dashboard graph — set operators, and unary minus; many-to-many
-    within a window raises; group modifiers stay instant-only."""
+    within a window raises; group_left degenerates to the 1:1 match
+    when the key is unique per side."""
     df = _samples(spark)
     sel_a = 'sum by (kb) (sum_over_time({event_type="purchase"}[1d]))'
     sel_b = 'sum by (kb) (sum_over_time({event_type="click"}[1d]))'
@@ -815,11 +816,16 @@ def test_eval_range_binop_composition(spark):
             'sum_over_time({event_type="click"}[1d])',
             *span,
         ).collect()
-    with pytest.raises(ValueError, match="instant-eval only"):
-        # no parens after group_left — the grammar would read them as
-        # the modifier's label list
-        promql.eval_range(
-            df, f"({sel_a}) / on(kb) group_left {sel_b}", *span)
+    # group_left in range mode (r8): 1:1-shaped here (both sides are
+    # per-kb aggregates), so it must equal the plain on(kb) match
+    gl = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(
+              df, f"({sel_a}) / on(kb) group_left {sel_b}",
+              *span).collect()}
+    plain = {(r["signature"], r["t_ms"]): r["value"] for r in
+             promql.eval_range(
+                 df, f"({sel_a}) / on(kb) ({sel_b})", *span).collect()}
+    assert gl == plain and gl
     with pytest.raises(ValueError, match="at least one vector"):
         promql.eval_range(df, "1 + 2", *span)
 

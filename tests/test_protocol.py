@@ -416,6 +416,19 @@ def test_promql_metadata_http_apis(spark, tmp_path):
         # exact-fit and limit=0: full data, no warning
         assert "warnings" not in get("/api/v1/labels?limit=2")
         assert get("/api/v1/labels?limit=0")["data"] == ["dc", "job"]
+
+        # ?limit= on the query endpoints caps returned series
+        qq = urllib.parse.urlencode(
+            {"query": '{job=~".+"}', "time": "2", "limit": 2})
+        rq = get(f"/api/v1/query?{qq}")
+        assert len(rq["data"]["result"]) == 2
+        assert rq["warnings"] == ["results truncated due to limit"]
+        qr = urllib.parse.urlencode(
+            {"query": '{job=~".+"}', "start": "0", "end": "10",
+             "step": "10s", "limit": 1})
+        rr = get(f"/api/v1/query_range?{qr}")
+        assert len(rr["data"]["result"]) == 1
+        assert rr["warnings"] == ["results truncated due to limit"]
     finally:
         srv.shutdown()
 
