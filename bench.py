@@ -129,6 +129,11 @@ EXTRA_WORKLOAD_NAMES = [
     # limit_ratio hash sample through the PromQL text front-end
     "docs_quality_ridge_scores",
     "ts_promql_limit_ratio",
+    # round-8: the @-anchored range query (pinned instant fast path
+    # fanned across the grid + tiled numerator, per-window 1:1 join)
+    # and many-to-one group_left per (key, window)
+    "ts_promql_range_at",
+    "ts_promql_range_group_left",
 ]
 
 R01_ROWS = {
