@@ -21,6 +21,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from monolith_spark.engine import MonolithDB
 from monolith_spark.labels import LabelMatcher as EngineMatcher
+from monolith_spark.sources import otlp
 from monolith_spark.sources import remote as proto
 
 
@@ -808,6 +809,60 @@ class MonolithServer:
                 from urllib.parse import parse_qs, urlparse
 
                 u = urlparse(self.path)
+                if u.path == otlp.OTLP_PATH:
+                    # OTLP/HTTP metrics (the Prometheus 3.x OTLP
+                    # receiver path): protobuf body, optional gzip
+                    # Content-Encoding; mapped to the v1 write shape
+                    # and ingested through the normal path; inline
+                    # descriptions/units land in metric metadata.
+                    try:
+                        ct = self.headers.get("Content-Type", "")
+                        if "json" in ct:
+                            # OTLP/JSON is a distinct encoding this
+                            # receiver does not speak — tell the
+                            # exporter to use protobuf
+                            self.send_response(415)
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                        body = self.rfile.read(
+                            int(self.headers.get("Content-Length", "0"))
+                        )
+                        if self.headers.get("Content-Encoding") == "gzip":
+                            import gzip as _gzip
+
+                            body = _gzip.decompress(body)
+                        req, meta, stats = otlp.otlp_to_write_request(body)
+                        if req.timeseries:
+                            server.db.write(
+                                write_request_to_df(server.db.spark, req)
+                            )
+                        if meta:
+                            server.db.set_metric_metadata(meta)
+                        # success: empty ExportMetricsServiceResponse
+                        # (all-default message = zero bytes). Skipped
+                        # exponential histograms are a partial
+                        # success the response cannot carry without
+                        # the rejected_data_points message — surfaced
+                        # via header for observability.
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", otlp.OTLP_CONTENT_TYPE
+                        )
+                        if stats["skipped_exponential"]:
+                            self.send_header(
+                                "X-Otlp-Skipped-Exponential-Histograms",
+                                str(stats["skipped_exponential"]),
+                            )
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                    except Exception as exc:
+                        msg = str(exc).encode()
+                        self.send_response(400)
+                        self.send_header("Content-Length", str(len(msg)))
+                        self.end_headers()
+                        self.wfile.write(msg)
+                    return
                 if u.path == "/api/v1/admin/rules/run":
                     # backfill trigger: evaluate the configured rule
                     # group over [start, end] at step and commit the

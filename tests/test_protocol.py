@@ -618,6 +618,139 @@ def test_http_metadata_and_snapshot_admin(spark, tmp_path):
         srv.shutdown()
 
 
+def test_otlp_http_metrics_ingest(spark, tmp_path):
+    """OTLP/HTTP metrics (POST /api/v1/otlp/v1/metrics, the Prometheus
+    3.x receiver path): a hand-encoded ExportMetricsServiceRequest —
+    gauge, monotonic sum, histogram, and an exponential histogram that
+    must be skipped — lands through the normal write path with
+    job/instance promotion, classic histogram expansion, target_info
+    for the leftover resource attributes, and inline metadata."""
+    import gzip
+    import json as _json
+    import struct
+    import urllib.request
+
+    from monolith_spark.server import MonolithServer
+
+    def vi(n):
+        out = b""
+        while True:
+            b7, n = n & 0x7F, n >> 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def ld(fno, payload):
+        return bytes([(fno << 3) | 2]) + vi(len(payload)) + payload
+
+    def f64(fno, val):  # fixed64 double
+        return bytes([(fno << 3) | 1]) + struct.pack("<d", val)
+
+    def u64(fno, val):  # fixed64 unsigned
+        return bytes([(fno << 3) | 1]) + struct.pack("<Q", val)
+
+    def kv(key, val):
+        return ld(1, key.encode()) + ld(2, ld(1, val.encode()))
+
+    NS = 1_000_000  # ms → ns
+
+    gauge_pt = (
+        ld(7, kv("core", "0")) + u64(3, 5_000 * NS) + f64(4, 0.5)
+    )
+    gauge = ld(1, "cpu.usage".encode()) + ld(3, b"1") + ld(
+        5, ld(1, gauge_pt))
+    sum_pt = (
+        u64(3, 6_000 * NS)
+        + bytes([(6 << 3) | 1]) + struct.pack("<q", 7)  # as_int sfixed64
+    )
+    mono_sum = ld(1, "http.requests.total".encode()) + ld(
+        7, ld(1, sum_pt) + bytes([(3 << 3) | 0, 1]))  # is_monotonic=true
+    hist_pt = (
+        u64(3, 7_000 * NS)
+        + u64(4, 6)                      # count
+        + f64(5, 4.2)                    # sum
+        + ld(6, struct.pack("<QQQ", 1, 2, 3))   # bucket_counts packed
+        + ld(7, struct.pack("<dd", 0.1, 1.0))   # explicit_bounds packed
+    )
+    hist = ld(1, "latency".encode()) + ld(9, ld(1, hist_pt))
+    expo = ld(1, "nope".encode()) + ld(10, b"")  # exponential: skipped
+
+    resource = (
+        ld(1, kv("service.name", "api"))
+        + ld(1, kv("service.namespace", "prod"))
+        + ld(1, kv("service.instance.id", "i-1"))
+        + ld(1, kv("deployment.environment", "eu"))
+    )
+    scope_metrics = ld(2, gauge) + ld(2, mono_sum) + ld(2, hist) + ld(2, expo)
+    wire = ld(1, ld(1, resource) + ld(2, scope_metrics))
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/otlp/v1/metrics",
+            data=gzip.compress(wire),
+            headers={"Content-Type": "application/x-protobuf",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.headers[
+                "X-Otlp-Skipped-Exponential-Histograms"] == "1"
+
+        def vals(matchers):
+            return {
+                (r["timestamp"], r["value"])
+                for r in db.query_flat(matchers, 0, 10**9).collect()
+            }
+
+        base = {"job": "prod/api", "instance": "i-1"}
+        assert vals({**base, "__name__": "cpu_usage", "core": "0"}) == {
+            (5_000, 0.5)}
+        assert vals({**base, "__name__": "http_requests_total"}) == {
+            (6_000, 7.0)}
+        # histogram expansion: cumulative le buckets + sum + count
+        assert vals({**base, "__name__": "latency_bucket",
+                     "le": "0.1"}) == {(7_000, 1.0)}
+        assert vals({**base, "__name__": "latency_bucket",
+                     "le": "1"}) == {(7_000, 3.0)}
+        assert vals({**base, "__name__": "latency_bucket",
+                     "le": "+Inf"}) == {(7_000, 6.0)}
+        assert vals({**base, "__name__": "latency_sum"}) == {(7_000, 4.2)}
+        assert vals({**base, "__name__": "latency_count"}) == {(7_000, 6.0)}
+        # leftover resource attrs → target_info at the newest point ts
+        rows = db.query_flat(
+            {**base, "__name__": "target_info"}, 0, 10**9).collect()
+        (ti,) = rows
+        assert dict(ti["labels"])["deployment_environment"] == "eu"
+        assert (ti["timestamp"], ti["value"]) == (7_000, 1.0)
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/metadata"
+        ) as r:
+            got = _json.load(r)["data"]
+        assert got["cpu_usage"][0]["type"] == "gauge"
+        assert got["cpu_usage"][0]["unit"] == "1"
+        assert got["http_requests_total"][0]["type"] == "counter"
+        assert got["latency"][0]["type"] == "histogram"
+
+        # OTLP/JSON is not spoken → 415
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/otlp/v1/metrics",
+            data=b"{}", headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req2)
+            raise AssertionError("expected 415")
+        except urllib.error.HTTPError as e:
+            assert e.code == 415
+    finally:
+        srv.shutdown()
+
+
 def test_streamed_xor_chunks_remote_read(spark, tmp_path):
     """The spec's second remote-read response type: a client sending
     accepted_response_types=[STREAMED_XOR_CHUNKS] gets back framed
