@@ -1352,6 +1352,37 @@ class MonolithDB:
         self._commit(swap, op="compact")
         return True
 
+    def compact_exemplar_chunk(
+        self, chunk_id: int, target_bytes: int = 128 * 1024 * 1024
+    ) -> bool:
+        """compact_chunk's exemplar twin: a streaming scrape with
+        exemplars appends one small file per micro-batch per exemplar
+        chunk, exactly the accumulation the sample path compacts away
+        — without this the exemplar store is the one table whose file
+        count grows unboundedly. Same manifest-swap shape; old files
+        reclaimed by vacuum."""
+        key = str(chunk_id)
+        man = self._load_manifest()
+        live = man.get("exemplars", {}).get(key)
+        if not live:
+            return False
+        part = os.path.join(self.exemplars_path, f"chunk_id={chunk_id}")
+        paths = [os.path.join(part, fn) for fn in live]
+        in_bytes = sum(os.path.getsize(p) for p in paths)
+        n_files = max(1, -(-in_bytes // target_bytes))
+        laid_out = (
+            self.spark.read.parquet(*paths)
+            .repartition(n_files, "series_id")
+            .sortWithinPartitions("series_id", "timestamp")
+        )
+        new_files = self._stage_and_move(laid_out, part)
+
+        def swap(m: dict) -> None:
+            m.setdefault("exemplars", {})[key] = new_files
+
+        self._commit(swap, op="compact-exemplars")
+        return True
+
     def compact(
         self,
         exclude_chunk_ids: set[int] | None = None,
@@ -1369,11 +1400,17 @@ class MonolithDB:
         layout migration). ``rebuild_index=False`` skips it."""
         exclude = exclude_chunk_ids or set()
         done = 0
-        for key in sorted(self._load_manifest()["samples"], key=int):
+        man0 = self._load_manifest()
+        for key in sorted(man0["samples"], key=int):
             cid = int(key)
             if cid in exclude:
                 continue
             done += int(self.compact_chunk(cid, layout=layout))
+        for key in sorted(man0.get("exemplars", {}), key=int):
+            cid = int(key)
+            if cid in exclude:
+                continue
+            done += int(self.compact_exemplar_chunk(cid))
         idx = self._load_manifest().get("label_index")
         if rebuild_index and idx is not None:
             self.build_label_index(idx["n_buckets"])

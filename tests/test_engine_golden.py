@@ -1172,3 +1172,42 @@ def test_exemplars_follow_retention_and_delete(spark, tmp_path):
 
     # time travel: the pre-maintenance snapshot still serves them all
     assert traces(at_version=v0) == ["t1", "t2", "t3", "t9"]
+
+
+def test_compact_exemplar_chunk_merges_files_preserves_results(
+    spark, tmp_path
+):
+    """compact() must also collapse the exemplar store's per-batch
+    small files (a streaming scrape with exemplars appends one file
+    per micro-batch per chunk) — same manifest-swap + vacuum shape as
+    the sample path, results bit-identical."""
+    import os
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    schema = ("labels map<string,string>, timestamp long, value double, "
+              "exemplar_labels map<string,string>")
+    for i in range(3):
+        db.write_exemplars(spark.createDataFrame(
+            [({"m": "a"}, 1_000 + i, float(i), {"trace_id": f"t{i}"})],
+            schema))
+    files_before = db._load_manifest()["exemplars"]["0"]
+    assert len(files_before) >= 3
+    before = sorted(
+        (r["timestamp"], r["value"], dict(r["exemplar_labels"])["trace_id"])
+        for r in db.query_exemplars({"m": "a"}, 0, 100_000).collect()
+    )
+
+    assert db.compact() >= 1  # sweeps exemplar chunks too
+    files_after = db._load_manifest()["exemplars"]["0"]
+    assert len(files_after) == 1
+    db.vacuum(grace_ms=0)
+    part = os.path.join(db.exemplars_path, "chunk_id=0")
+    assert sorted(
+        f for f in os.listdir(part) if f.endswith(".parquet")
+    ) == sorted(files_after)
+    after = sorted(
+        (r["timestamp"], r["value"], dict(r["exemplar_labels"])["trace_id"])
+        for r in db.query_exemplars({"m": "a"}, 0, 100_000).collect()
+    )
+    assert after == before
+    assert db.compact_exemplar_chunk(99) is False
