@@ -72,6 +72,7 @@ per-series dim (small by construction — one row per matched series).
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass
 from typing import Any
@@ -2224,6 +2225,43 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             val = intercept + slope_ms * at
         return agg.select(
             "signature", "labels", "__w", val.cast("double").alias("value")
+        )
+    if (
+        isinstance(node, Call)
+        and node.func in ("absent", "absent_over_time")
+        and len(node.args) == 1
+    ):
+        # per-window absence marker — the alert-graph shape ("draw 1
+        # where the series is gone"). absent_over_time(sel[R]) with
+        # R == step is the same question asked of the selector's raw
+        # points, which is exactly what tiles() yields; absent(X)
+        # works over any tiled inner. One anti-join of the window
+        # grid (n_tiles rows, driver-range) against the distinct
+        # present windows — no extra scan of the fact table.
+        arg = node.args[0]
+        if node.func == "absent_over_time":
+            if not (isinstance(arg, Selector) and arg.range_ms is not None):
+                raise ValueError("absent_over_time() takes a range selector")
+            if arg.range_ms != step_ms:
+                raise ValueError(
+                    "eval_range: tiled absent_over_time needs the range "
+                    f"to equal the step ({arg.range_ms}ms vs {step_ms}ms)"
+                )
+            inner = tiles(dataclasses.replace(arg, range_ms=None))
+        else:
+            inner = _tiled_values(arg, start_ms, end_ms, step_ms, ctx)
+        present = inner.select("__w").distinct()
+        allw = ctx.samples.sparkSession.range(max(int(n_tiles), 0)).select(
+            F.col("id").cast("long").alias("__w")
+        )
+        return allw.join(present, "__w", "left_anti").select(
+            F.lit("").alias("signature"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<string>"),
+            ).alias("labels"),
+            "__w",
+            F.lit(1.0).alias("value"),
         )
     if (
         isinstance(node, Call)

@@ -1025,6 +1025,33 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ start")  # the anchor form requires parentheses
 
 
+def test_eval_range_absent(spark):
+    """absent()/absent_over_time() in range mode: a 1.0 marker for
+    every step whose window holds no matching data — the alert-graph
+    shape. One anti-join of the window grid against the present
+    windows, no extra fact scan."""
+    rows = [({"j": "a"}, 1_000, 1.0), ({"j": "a"}, 21_000, 2.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    got = {(r["t_ms"], r["value"]) for r in promql.eval_range(
+        df, 'absent({j="a"})', 0, 30_000, 10_000).collect()}
+    assert got == {(20_000, 1.0)}  # only window 2 (10k,20k] is empty
+
+    aot = {(r["t_ms"], r["value"]) for r in promql.eval_range(
+        df, 'absent_over_time({j="a"}[10s])', 0, 30_000, 10_000).collect()}
+    assert aot == got
+
+    # nothing matches at all → a marker at every step
+    none = {(r["t_ms"], r["value"]) for r in promql.eval_range(
+        df, 'absent({j="nope"})', 0, 30_000, 10_000).collect()}
+    assert none == {(10_000, 1.0), (20_000, 1.0), (30_000, 1.0)}
+
+    with pytest.raises(ValueError, match="range to equal the step"):
+        promql.eval_range(df, 'absent_over_time({j="a"}[5s])',
+                          0, 30_000, 10_000)
+
+
 def test_eval_range_group_left(spark):
     """Many-to-one matching in RANGE mode: group_left joins each
     many-side series to its one-side partner per (key, window), copies
