@@ -315,20 +315,41 @@ def _effective_limit(limit: int | None) -> int:
 
 
 def _series_api(
-    db: MonolithDB, selectors: list[str], limit: int | None = None
+    db: MonolithDB,
+    selectors: list[str],
+    limit: int | None = None,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
 ) -> tuple[list[dict], bool]:
     """/api/v1/series: union of series matching any `match[]` selector
     (each parsed by the PromQL parser — full EQ/NEQ/RE/NRE semantics),
     deduped on signature. A dim-only scan, bounded: each selector runs
     as a distributed ordered top-(n+1) (TakeOrderedAndProject — the
     executors keep n+1 rows each and the driver merges), never a full
-    dim collect. Returns (series, truncated)."""
+    dim collect. Optional start/end (Prometheus's time bounds on the
+    endpoint) restrict the listing to series with samples in the
+    window via a chunk-pruned fact semi-join — the scan touches only
+    the window's partitions, and only the distinct series_id column
+    shuffles. Returns (series, truncated)."""
     from monolith_spark import promql
     from monolith_spark.labels import matcher_predicate
+    from monolith_spark.operators.timeseries import chunk_pred, time_trim
 
     if not selectors:
         raise ValueError("series API requires at least one match[] selector")
     n = _effective_limit(limit)
+    live_ids = None
+    if start_ms is not None or end_ms is not None:
+        lo = start_ms if start_ms is not None else 0
+        hi = end_ms if end_ms is not None else (1 << 62)
+        live_ids = (
+            time_trim(
+                db.samples().filter(chunk_pred(lo, hi, db.chunk_size_ms)),
+                lo, hi,
+            )
+            .select("series_id")
+            .distinct()
+        )
     seen: dict[str, dict] = {}
     truncated = False
     for sel_text in selectors:
@@ -343,6 +364,8 @@ def _series_api(
         dim = db.series()
         if ms:
             dim = dim.filter(matcher_predicate("labels", ms))
+        if live_ids is not None:
+            dim = dim.join(live_ids, "series_id", "left_semi")
         rows = (
             dim.select("signature", "labels")
             .orderBy("signature")
@@ -678,9 +701,15 @@ class MonolithServer:
                             warnings.append(_TRUNCATED_WARNING)
                         data = [r["value"] for r in rows[:n]]
                     elif u.path == "/api/v1/series":
+                        s_raw = qs.get("start", [None])[0]
+                        e_raw = qs.get("end", [None])[0]
                         data, truncated = _series_api(
                             server.db, qs.get("match[]", []),
                             limit=_limit_param(),
+                            start_ms=(None if s_raw is None
+                                      else int(float(s_raw) * 1000)),
+                            end_ms=(None if e_raw is None
+                                    else int(float(e_raw) * 1000)),
                         )
                         if truncated:
                             warnings.append(_TRUNCATED_WARNING)

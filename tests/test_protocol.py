@@ -417,6 +417,16 @@ def test_promql_metadata_http_apis(spark, tmp_path):
         assert "warnings" not in get("/api/v1/labels?limit=2")
         assert get("/api/v1/labels?limit=0")["data"] == ["dc", "job"]
 
+        # start/end bound /api/v1/series to series with samples in
+        # the window (chunk-pruned fact semi-join); all fixture
+        # samples sit at t=1s, so a disjoint window lists nothing
+        q5 = urllib.parse.urlencode(
+            {"match[]": '{job=~".+"}', "start": 0, "end": 10})
+        assert len(get(f"/api/v1/series?{q5}")["data"]) == 3
+        q6 = urllib.parse.urlencode(
+            {"match[]": '{job=~".+"}', "start": 100, "end": 200})
+        assert get(f"/api/v1/series?{q6}")["data"] == []
+
         # ?limit= on the query endpoints caps returned series
         qq = urllib.parse.urlencode(
             {"query": '{job=~".+"}', "time": "2", "limit": 2})
