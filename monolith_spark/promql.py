@@ -1865,8 +1865,9 @@ def eval_range(
       delta/irate/idelta/resets/changes/deriv/predict_linear/
       holt_winters and all <agg>_over_time incl. quantile_over_time;
       histogram_quantile composes over any tiled inner;
-    - grouping aggregations (sum/avg/min/max/count by/without) over
-      any tiled expression — aggregated per window;
+    - grouping aggregations (sum/avg/min/max/count/stddev/stdvar/
+      group/quantile/count_values/topk/bottomk/limitk/limit_ratio,
+      by/without) over any tiled expression — aggregated per window;
     - `@`-pinned subtrees (every selector carries @, no time()): one
       instant evaluation at the anchors — start()/end() resolve to
       the RANGE bounds — fanned across the step grid (the constant
@@ -2298,11 +2299,12 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
     if isinstance(node, Agg):
         if node.op not in ("sum", "avg", "min", "max", "count",
                            "stddev", "stdvar", "group", "quantile",
+                           "count_values",
                            "topk", "bottomk", "limitk", "limit_ratio"):
             raise ValueError(
                 f"eval_range supports sum/avg/min/max/count/stddev/"
-                f"stdvar/group/quantile/topk/bottomk/limitk/limit_ratio "
-                f"grouping, not {node.op}"
+                f"stdvar/group/quantile/count_values/topk/bottomk/"
+                f"limitk/limit_ratio grouping, not {node.op}"
             )
         per = _tiled_values(node.expr, start_ms, end_ms, step_ms, ctx)
         if node.op == "limit_ratio":
@@ -2360,6 +2362,26 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "__w",
             "value",
         )
+        if node.op == "count_values":
+            # per-window value histogram — the discrete-value heatmap
+            # shape; identical label construction to the instant path,
+            # with __w joined into the group key
+            if not isinstance(node.param, StringLit):
+                raise ValueError("count_values expects a label-name string")
+            dst = node.param.value
+            if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+                raise ValueError(f"count_values: invalid label name {dst!r}")
+            gmap2 = F.map_concat(
+                F.map_filter(F.col("__glabels"), lambda k, _: k != F.lit(dst)),
+                F.create_map(F.lit(dst), F.col("value").cast("string")),
+            )
+            return (
+                keyed.select(gmap2.alias("labels"), "__w", "value")
+                .groupBy(signature_expr("labels").alias("signature"), "__w")
+                .agg(F.first("labels").alias("labels"),
+                     F.count("*").cast("double").alias("value"))
+                .select("signature", "labels", "__w", "value")
+            )
         if node.op == "quantile":
             phi = _const_scalar(node.param)
             if phi is None:

@@ -1025,6 +1025,25 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ start")  # the anchor form requires parentheses
 
 
+def test_eval_range_count_values(spark):
+    """count_values in range mode: the per-window value histogram —
+    every step's distinct sample values counted into the destination
+    label, cross-checked against per-window instant evaluation."""
+    rows = [({"j": "a"}, 1_000, 2.0), ({"j": "b"}, 2_000, 2.0),
+            ({"j": "c"}, 3_000, 5.0), ({"j": "a"}, 11_000, 5.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
+        df, 'count_values("v", {j=~".+"})', 0, 20_000, 10_000).collect()}
+    assert got == {("v=2.0", 10_000): 2.0, ("v=5.0", 10_000): 1.0,
+                   ("v=5.0", 20_000): 1.0}
+    # per-window equality with the instant evaluator
+    inst = {(r["signature"], r["value"]) for r in promql.eval_instant(
+        df.filter("timestamp <= 10000"),
+        'count_values("v", {j=~".+"})', 10_000).collect()}
+    assert inst == {(s, v) for (s, t), v in got.items() if t == 10_000}
+
+
 def test_eval_range_absent(spark):
     """absent()/absent_over_time() in range mode: a 1.0 marker for
     every step whose window holds no matching data — the alert-graph
