@@ -1364,9 +1364,9 @@ def _str_args(args, ctx, func, n) -> list[str]:
     return out
 
 
-def _label_replace(node: Call, ctx: _Ctx) -> DataFrame:
-    kind, v = _eval(node.args[0], ctx)
-    dst, repl, src, regex = _str_args(node.args[1:5], ctx, "label_replace", 4)
+def _label_replace_expr(dst: str, repl: str, src: str, regex: str):
+    """The label_replace transform as a pure Column over `labels` —
+    shared by the instant path and the tiled (range) path."""
     if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
         raise ValueError(f"label_replace: invalid destination label {dst!r}")
     anchored = f"^(?:{regex})$"
@@ -1374,18 +1374,15 @@ def _label_replace(node: Call, ctx: _Ctx) -> DataFrame:
     matched = src_val.rlike(anchored)
     newval = F.regexp_replace(src_val, anchored, repl)
     labels = F.col("labels")
-    new_labels = (
+    return (
         F.when(matched & (newval != ""), _map_set(labels, dst, newval))
         .when(matched, F.map_filter(labels, lambda k, _: k != F.lit(dst)))
         .otherwise(labels)
     )
-    return _resign(v, new_labels)
 
 
-def _label_join(node: Call, ctx: _Ctx) -> DataFrame:
-    kind, v = _eval(node.args[0], ctx)
-    strs = _str_args(node.args[1:], ctx, "label_join", 3)
-    dst, sep, srcs = strs[0], strs[1], strs[2:]
+def _label_join_expr(dst: str, sep: str, srcs: list[str]):
+    """The label_join transform as a pure Column over `labels`."""
     if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
         raise ValueError(f"label_join: invalid destination label {dst!r}")
     parts = [
@@ -1393,10 +1390,21 @@ def _label_join(node: Call, ctx: _Ctx) -> DataFrame:
     ]
     joined = F.concat_ws(sep, *parts)
     labels = F.col("labels")
-    new_labels = F.when(
+    return F.when(
         joined != "", _map_set(labels, dst, joined)
     ).otherwise(F.map_filter(labels, lambda k, _: k != F.lit(dst)))
-    return _resign(v, new_labels)
+
+
+def _label_replace(node: Call, ctx: _Ctx) -> DataFrame:
+    kind, v = _eval(node.args[0], ctx)
+    dst, repl, src, regex = _str_args(node.args[1:5], ctx, "label_replace", 4)
+    return _resign(v, _label_replace_expr(dst, repl, src, regex))
+
+
+def _label_join(node: Call, ctx: _Ctx) -> DataFrame:
+    kind, v = _eval(node.args[0], ctx)
+    strs = _str_args(node.args[1:], ctx, "label_join", 3)
+    return _resign(v, _label_join_expr(strs[0], strs[1], strs[2:]))
 
 
 # -- histogram_quantile ---------------------------------------------------
@@ -2274,6 +2282,23 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             raise ValueError("histogram_quantile expects a scalar φ")
         vec = _tiled_values(node.args[1], start_ms, end_ms, step_ms, ctx)
         return _histogram_quantile(float(phi), vec, extra_keys=("__w",))
+    if isinstance(node, Call) and node.func in ("label_replace",
+                                                "label_join"):
+        # pure per-row label transforms — the same Column expression
+        # the instant path applies, re-signed with __w carried through
+        v = _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
+        if node.func == "label_replace":
+            dst, repl, src, regex = _str_args(
+                node.args[1:5], ctx, "label_replace", 4)
+            new_labels = _label_replace_expr(dst, repl, src, regex)
+        else:
+            strs = _str_args(node.args[1:], ctx, "label_join", 3)
+            new_labels = _label_join_expr(strs[0], strs[1], strs[2:])
+        return (
+            v.select(new_labels.alias("labels"), "__w", "value")
+            .withColumn("signature", signature_expr("labels"))
+            .select("signature", "labels", "__w", "value")
+        )
     if isinstance(node, Call) and node.func in _MATH_FUNCS:
         v = _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
         fn = _MATH_FUNCS[node.func]

@@ -1025,6 +1025,22 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ start")  # the anchor form requires parentheses
 
 
+def test_eval_range_label_transforms(spark):
+    """label_replace / label_join in range mode: the instant path's
+    transform applied per window with the grid carried through."""
+    rows = [({"j": "a"}, 1_000, 1.0), ({"j": "b"}, 11_000, 2.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {(r["signature"], r["t_ms"]) for r in promql.eval_range(
+        df, 'label_replace({j=~".+"}, "dst", "x-$1", "j", "(.*)")',
+        0, 20_000, 10_000).collect()}
+    assert got == {("dst=x-a,j=a", 10_000), ("dst=x-b,j=b", 20_000)}
+    lj = {(r["signature"], r["t_ms"]) for r in promql.eval_range(
+        df, 'label_join({j=~".+"}, "dst", "-", "j", "j")',
+        0, 20_000, 10_000).collect()}
+    assert lj == {("dst=a-a,j=a", 10_000), ("dst=b-b,j=b", 20_000)}
+
+
 def test_eval_range_count_values(spark):
     """count_values in range mode: the per-window value histogram —
     every step's distinct sample values counted into the destination
