@@ -2570,6 +2570,47 @@ def _tiled_binop(
         expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
                 "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
         return vec.withColumn("value", expr.cast("double"))
+
+    def _tiled_scalar(n) -> DataFrame | None:
+        """scalar(X) as a per-window scalar relation [__w, __sv] —
+        the share-of-total graph `m / scalar(sum(m))`. Prometheus
+        semantics: a window whose inner vector is not exactly one
+        series yields NaN (and a window with no inner rows simply has
+        no entry — the left join below turns that into NaN too)."""
+        if not (isinstance(n, Call) and n.func == "scalar"
+                and len(n.args) == 1):
+            return None
+        inner = _tiled_values(n.args[0], start_ms, end_ms, step_ms, ctx)
+        return inner.groupBy("__w").agg(
+            F.when(F.count("*") == 1, F.first("value"))
+            .otherwise(F.lit(float("nan"))).alias("__sv")
+        )
+
+    lsc, rsc = _tiled_scalar(node.lhs), _tiled_scalar(node.rhs)
+    if lsc is not None and rsc is not None:
+        raise ValueError("eval_range needs at least one vector operand")
+    if lsc is not None or rsc is not None:
+        if node.op in ("and", "or", "unless"):
+            raise ValueError(f"{node.op} requires two instant vectors")
+        vec_node = node.lhs if rsc is not None else node.rhs
+        vec = _tiled_values(vec_node, start_ms, end_ms, step_ms, ctx)
+        sc = rsc if rsc is not None else lsc
+        j = vec.join(sc, "__w", "left")
+        s = F.coalesce(F.col("__sv"), F.lit(float("nan")))
+        val = F.col("value")
+        a, b = (val, s) if rsc is not None else (s, val)
+        if node.op in _CMP_OPS:
+            cond = {"==": a == b, "!=": a != b, ">": a > b,
+                    "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
+            if node.bool_mode:
+                return j.select("signature", "labels", "__w",
+                                cond.cast("double").alias("value"))
+            return j.filter(cond).select(
+                "signature", "labels", "__w", "value")
+        expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+                "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
+        return j.select("signature", "labels", "__w",
+                        expr.cast("double").alias("value"))
     lv = _tiled_values(node.lhs, start_ms, end_ms, step_ms, ctx)
     rv = _tiled_values(node.rhs, start_ms, end_ms, step_ms, ctx)
     key = _match_key(node.match)

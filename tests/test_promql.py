@@ -1025,6 +1025,29 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ start")  # the anchor form requires parentheses
 
 
+def test_eval_range_scalar_operand(spark):
+    """scalar(X) as a binop operand in range mode: per-window scalar
+    joined back onto the vector side — the share-of-total graph
+    `m / scalar(sum(m))`; a window whose scalar inner is not exactly
+    one series yields NaN (Prometheus semantics)."""
+    import math
+
+    rows = [({"j": "a"}, 1_000, 1.0), ({"j": "b"}, 2_000, 3.0),
+            ({"j": "a"}, 11_000, 2.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
+        df, '{j=~".+"} / scalar(sum({j=~".+"}))',
+        0, 20_000, 10_000).collect()}
+    assert got == {("j=a", 10_000): 0.25, ("j=b", 10_000): 0.75,
+                   ("j=a", 20_000): 1.0}
+    # two series in the window → scalar() is NaN for that window
+    nan = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
+        df, '{j="a"} * scalar({j=~".+"})', 0, 20_000, 10_000).collect()}
+    assert math.isnan(nan[("j=a", 10_000)])   # 2 series at w1
+    assert nan[("j=a", 20_000)] == 4.0        # 1 series at w2: 2*2
+
+
 def test_eval_range_label_transforms(spark):
     """label_replace / label_join in range mode: the instant path's
     transform applied per window with the grid carried through."""
