@@ -2282,6 +2282,22 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             raise ValueError("histogram_quantile expects a scalar φ")
         vec = _tiled_values(node.args[1], start_ms, end_ms, step_ms, ctx)
         return _histogram_quantile(float(phi), vec, extra_keys=("__w",))
+    if isinstance(node, Call) and node.func == "vector" and len(node.args) == 1:
+        # a constant series present at EVERY step — the `or vector(0)`
+        # no-data fallback every dashboard uses; n_tiles rows from a
+        # driver range, no scan
+        s = _const_scalar(node.args[0])
+        if s is None:
+            raise ValueError("eval_range: vector() expects a scalar literal")
+        return ctx.samples.sparkSession.range(max(int(n_tiles), 0)).select(
+            F.lit("").alias("signature"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<string>"),
+            ).alias("labels"),
+            F.col("id").cast("long").alias("__w"),
+            F.lit(float(s)).cast("double").alias("value"),
+        )
     if isinstance(node, Call) and node.func in ("label_replace",
                                                 "label_join"):
         # pure per-row label transforms — the same Column expression

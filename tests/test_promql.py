@@ -755,10 +755,12 @@ def test_eval_range_tiled(spark):
         assert v == inst[sig]
     assert set(hw) == {("j=a", 10_000), ("j=a", 20_000)}
 
+    # label_replace composes in range mode since r8 (see
+    # test_eval_range_label_transforms); a genuinely unsupported shape
+    # still raises with the catch-all message
     with pytest.raises(ValueError, match="unsupported shape"):
         promql.eval_range(
-            df, 'label_replace({j="a"}, "x", "1", "j", "(.*)")',
-            0, 30_000, 10_000)
+            df, 'sort_by_label({j="a"}, "j")', 0, 30_000, 10_000)
 
 
 def test_eval_range_binop_composition(spark):
@@ -1023,6 +1025,19 @@ def test_at_start_end_anchor_functions(spark):
         parse("m @ soon()")
     with pytest.raises(ValueError):
         parse("m @ start")  # the anchor form requires parentheses
+
+
+def test_eval_range_or_vector_fallback(spark):
+    """`sum(...) or vector(0)` in range mode — the no-data fallback:
+    windows where the aggregate has no rows get the constant series,
+    windows with data keep theirs (the per-window `or` semantics)."""
+    rows = [({"j": "a"}, 1_000, 5.0), ({"j": "a"}, 21_000, 7.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {(r["t_ms"], r["value"]) for r in promql.eval_range(
+        df, 'sum(sum_over_time({j="a"}[10s])) or vector(0)',
+        0, 30_000, 10_000).collect()}
+    assert got == {(10_000, 5.0), (20_000, 0.0), (30_000, 7.0)}
 
 
 def test_eval_range_scalar_operand(spark):
