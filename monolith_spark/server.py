@@ -838,6 +838,23 @@ class MonolithServer:
                 from urllib.parse import parse_qs, urlparse
 
                 u = urlparse(self.path)
+                if u.path in (
+                    promql_path, promql_path + "_range",
+                    "/api/v1/series", "/api/v1/labels",
+                ) or (
+                    u.path.startswith("/api/v1/label/")
+                    and u.path.endswith("/values")
+                ):
+                    # Grafana's Prometheus datasource POSTs these
+                    # read APIs form-encoded (URL-length safety);
+                    # merge the body params into the query string and
+                    # delegate to the GET logic
+                    body = self.rfile.read(
+                        int(self.headers.get("Content-Length", "0"))
+                    ).decode("utf-8", "replace")
+                    merged = "&".join(x for x in (u.query, body) if x)
+                    self.path = u.path + (f"?{merged}" if merged else "")
+                    return self.do_GET()
                 if u.path == otlp.OTLP_PATH:
                     # OTLP/HTTP metrics (the Prometheus 3.x OTLP
                     # receiver path): protobuf body, optional gzip

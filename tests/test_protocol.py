@@ -427,6 +427,28 @@ def test_promql_metadata_http_apis(spark, tmp_path):
             {"match[]": '{job=~".+"}', "start": 100, "end": 200})
         assert get(f"/api/v1/series?{q6}")["data"] == []
 
+        # Grafana POSTs the read APIs form-encoded — same results as GET
+        post_body = urllib.parse.urlencode(
+            {"query": '{job=~".+"}', "time": "2"}).encode()
+        req_p = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/query",
+            data=post_body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req_p) as resp_p:
+            posted = json.loads(resp_p.read())
+        assert posted["status"] == "success"
+        assert len(posted["data"]["result"]) == 3
+        req_s = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/series",
+            data=urllib.parse.urlencode({"match[]": '{job="api"}'}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req_s) as resp_s:
+            assert len(json.loads(resp_s.read())["data"]) == 2
+
         # ?limit= on the query endpoints caps returned series
         qq = urllib.parse.urlencode(
             {"query": '{job=~".+"}', "time": "2", "limit": 2})
