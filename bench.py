@@ -134,6 +134,10 @@ EXTRA_WORKLOAD_NAMES = [
     # and many-to-one group_left per (key, window)
     "ts_promql_range_at",
     "ts_promql_range_group_left",
+    # round-9: the Grafana default shape — rate with range = 4×step,
+    # a bounded ≤4-way explode over ONE scan (cost scales with k,
+    # never with the step count)
+    "ts_promql_range_rate4x",
 ]
 
 R01_ROWS = {

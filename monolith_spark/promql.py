@@ -85,6 +85,12 @@ from monolith_spark.operators import timeseries as _tsops
 from monolith_spark.operators.text import hash60_expr as _hash60
 
 DEFAULT_LOOKBACK_MS = 300_000
+# Tiled range-mode fan-out cap: a range function with range = k*step
+# explodes each sample into the k consecutive windows it covers; k is
+# bounded so a pathological range/step ratio cannot multiply the
+# shuffle unboundedly (Grafana's $__rate_interval ~ 4x step fits with
+# room to spare).
+RANGE_TILE_MAX_K = 16
 _DEC = "decimal(28,6)"
 
 # --------------------------------------------------------------------- AST
@@ -1868,11 +1874,15 @@ def eval_range(
       cross-window lookback carry — a window without samples emits no
       point, where Prometheus would carry up to the lookback; this is
       the tile semantics range_func_by_step already pins);
-    - EVERY range function with R == step, per-window isolated (reset
-      and smoothing state never leaks across windows): rate/increase/
-      delta/irate/idelta/resets/changes/deriv/predict_linear/
-      holt_winters and all <agg>_over_time incl. quantile_over_time;
-      histogram_quantile composes over any tiled inner;
+    - EVERY range function with R = k*step (k a whole number up to
+      RANGE_TILE_MAX_K — covers Grafana's $__rate_interval ~ 4x step;
+      a non-multiple range or a larger fan-out raises loudly), each
+      window's range isolated (reset and smoothing state never leaks
+      between windows; overlapping windows share samples via a bounded
+      ≤k-way explode, still ONE scan): rate/increase/delta/irate/
+      idelta/resets/changes/deriv/predict_linear/holt_winters and all
+      <agg>_over_time incl. quantile_over_time; histogram_quantile
+      composes over any tiled inner;
     - grouping aggregations (sum/avg/min/max/count/stddev/stdvar/
       group/quantile/count_values/topk/bottomk/limitk/limit_ratio,
       by/without) over any tiled expression — aggregated per window;
@@ -1969,6 +1979,29 @@ def _resolve_range_at(node, start_ms: int, end_ms: int):
     return out, pinned
 
 
+def _tile_k(range_ms: int, step_ms: int) -> int:
+    """Window fan-out factor for a range function in tiled range mode.
+    The function range must be a whole multiple of the step: each
+    sample then lands in exactly k = range/step consecutive windows —
+    a bounded explode over the one scan, never a per-step rescan. The
+    multiple is capped at RANGE_TILE_MAX_K so the shuffle cannot be
+    multiplied unboundedly; past the cap we fail loudly rather than
+    silently degrade."""
+    if range_ms % step_ms != 0:
+        raise ValueError(
+            "eval_range: tiled evaluation needs the function range to be "
+            f"a whole multiple of the step ({range_ms}ms vs {step_ms}ms)"
+        )
+    k = range_ms // step_ms
+    if k > RANGE_TILE_MAX_K:
+        raise ValueError(
+            f"eval_range: range/step fan-out {k} exceeds "
+            f"RANGE_TILE_MAX_K={RANGE_TILE_MAX_K} — widen the step or "
+            "narrow the function range"
+        )
+    return int(k)
+
+
 def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> DataFrame:
     """Per-(series, window) values for the tiled expression class:
     [signature, labels, __w, value] with __w the 0-based window index
@@ -1994,7 +2027,7 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "signature", "labels", F.explode(wins).alias("__w"), "value"
         )
 
-    def tiles(sel: Selector) -> DataFrame:
+    def tiles(sel: Selector, range_ms: int | None = None) -> DataFrame:
         if sel.at_ms is not None:
             # fully-pinned subtrees take the instant fast path above;
             # reaching here means a pinned selector is entangled with
@@ -2004,17 +2037,42 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
                 "eval_range: @ selector mixed into a step-varying "
                 "subtree the tiled evaluator cannot split"
             )
+        k = 1 if range_ms is None else _tile_k(range_ms, step_ms)
         df = _base(sel, ctx).filter(
-            (F.col("timestamp") > start_ms - sel.offset_ms)
+            (F.col("timestamp") > start_ms - sel.offset_ms - (k - 1) * step_ms)
             & (F.col("timestamp") <= end_ms - sel.offset_ms)
         )
         win = F.floor(
             (F.col("timestamp") - F.lit(start_ms - sel.offset_ms) - F.lit(1))
             / F.lit(step_ms)
         ).cast("long")
-        return df.select(
-            "signature", "labels", win.alias("__w"), "timestamp", "value"
-        ).filter((F.col("__w") >= 0) & (F.col("__w") < n_tiles))
+        if k == 1:
+            return df.select(
+                "signature", "labels", win.alias("__w"), "timestamp", "value"
+            ).filter((F.col("__w") >= 0) & (F.col("__w") < n_tiles))
+        # range = k*step (the Grafana $__rate_interval shape): a sample
+        # whose base tile is w0 is inside the range of the k
+        # consecutive windows [w0, w0+k-1] — a bounded explode (≤k
+        # output rows per sample) clipped to the grid. The scan-time
+        # timestamp filter above makes the clipped bounds ascending,
+        # so sequence() never reverses; the defensive filter keeps the
+        # degenerate start==end grid empty.
+        base = df.select(
+            "signature", "labels", win.alias("__w0"), "timestamp", "value"
+        ).filter(
+            (F.col("__w0") < n_tiles) & (F.col("__w0") + (k - 1) >= 0)
+        )
+        wins = F.sequence(
+            F.greatest(F.col("__w0"), F.lit(0).cast("long")),
+            F.least(
+                F.col("__w0") + F.lit(int(k - 1)).cast("long"),
+                F.lit(int(n_tiles - 1)).cast("long"),
+            ),
+        )
+        return base.select(
+            "signature", "labels", F.explode(wins).alias("__w"),
+            "timestamp", "value",
+        )
 
     if isinstance(node, Selector):
         if node.range_ms is not None:
@@ -2038,13 +2096,7 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         and node.args[0].range_ms is not None
     ):
         sel = node.args[0]
-        if sel.range_ms != step_ms:
-            raise ValueError(
-                "eval_range: tiled evaluation needs the function range to "
-                f"equal the step ({sel.range_ms}ms vs {step_ms}ms) — "
-                "overlapping windows would multiply the scan"
-            )
-        pts = tiles(sel)
+        pts = tiles(sel, sel.range_ms)
         if node.func in ("resets", "changes"):
             # per-window counterpart of changes_resets: one lag over a
             # (series, window, time) sort, integer counts — a window
@@ -2120,7 +2172,8 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             F.sum("__step").cast("double").alias("value"),
         )
         if node.func == "rate":
-            out = out.withColumn("value", F.col("value") / F.lit(step_ms / 1000.0))
+            out = out.withColumn(
+                "value", F.col("value") / F.lit(sel.range_ms / 1000.0))
         return out.select("signature", "labels", "__w", "value")
     if (
         isinstance(node, Call)
@@ -2131,13 +2184,8 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         and node.args[0].range_ms is not None
     ):
         sel = node.args[0]
-        if sel.range_ms != step_ms:
-            raise ValueError(
-                "eval_range: tiled evaluation needs the function range to "
-                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
-            )
         op = node.func[: -len("_over_time")]
-        return _over_time(tiles(sel), op, extra_keys=("__w",)).select(
+        return _over_time(tiles(sel, sel.range_ms), op, extra_keys=("__w",)).select(
             "signature", "labels", "__w", "value"
         )
     if (
@@ -2151,13 +2199,8 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         if phi is None:
             raise ValueError("quantile_over_time expects a scalar φ")
         sel = node.args[1]
-        if sel.range_ms != step_ms:
-            raise ValueError(
-                "eval_range: tiled evaluation needs the function range to "
-                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
-            )
         return _over_time(
-            tiles(sel), "quantile", phi, extra_keys=("__w",)
+            tiles(sel, sel.range_ms), "quantile", phi, extra_keys=("__w",)
         ).select("signature", "labels", "__w", "value")
     if (
         isinstance(node, Call)
@@ -2167,16 +2210,11 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         and node.args[0].range_ms is not None
     ):
         sel = node.args[0]
-        if sel.range_ms != step_ms:
-            raise ValueError(
-                "eval_range: tiled evaluation needs the function range to "
-                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
-            )
         sf_ = _const_scalar(node.args[1])
         tf_ = _const_scalar(node.args[2])
         if sf_ is None or tf_ is None:
             raise ValueError("holt_winters expects scalar smoothing factors")
-        pts = tiles(sel)
+        pts = tiles(sel, sel.range_ms)
         out = _tsops.holt_winters(
             pts, key_cols=["signature", "__w"], sf=sf_, tf=tf_, out="__v"
         )
@@ -2193,15 +2231,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         and node.args[0].range_ms is not None
     ):
         sel = node.args[0]
-        if sel.range_ms != step_ms:
-            raise ValueError(
-                "eval_range: tiled evaluation needs the function range to "
-                f"equal the step ({sel.range_ms}ms vs {step_ms}ms)"
-            )
         # per-window least squares from the five exact DECIMAL
         # accumulators (linreg_slope's construction keyed by window);
         # ONE map-combinable aggregation, no sort
-        pts = tiles(sel)
+        pts = tiles(sel, sel.range_ms)
         x = (F.col("timestamp") - F.lit(start_ms)).cast("decimal(20,0)")
         y = F.col("value").cast("decimal(18,2)")
         agg = pts.groupBy("signature", "__w").agg(
@@ -2241,9 +2274,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         and len(node.args) == 1
     ):
         # per-window absence marker — the alert-graph shape ("draw 1
-        # where the series is gone"). absent_over_time(sel[R]) with
-        # R == step is the same question asked of the selector's raw
-        # points, which is exactly what tiles() yields; absent(X)
+        # where the series is gone"). absent_over_time(sel[R]) asks
+        # whether the selector has any raw point inside each window's
+        # range, which is exactly what tiles() (with its k-fan-out for
+        # R = k*step) yields; absent(X)
         # works over any tiled inner. One anti-join of the window
         # grid (n_tiles rows, driver-range) against the distinct
         # present windows — no extra scan of the fact table.
@@ -2251,12 +2285,8 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         if node.func == "absent_over_time":
             if not (isinstance(arg, Selector) and arg.range_ms is not None):
                 raise ValueError("absent_over_time() takes a range selector")
-            if arg.range_ms != step_ms:
-                raise ValueError(
-                    "eval_range: tiled absent_over_time needs the range "
-                    f"to equal the step ({arg.range_ms}ms vs {step_ms}ms)"
-                )
-            inner = tiles(dataclasses.replace(arg, range_ms=None))
+            inner = tiles(
+                dataclasses.replace(arg, range_ms=None), arg.range_ms)
         else:
             inner = _tiled_values(arg, start_ms, end_ms, step_ms, ctx)
         present = inner.select("__w").distinct()
@@ -2272,6 +2302,22 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "__w",
             F.lit(1.0).alias("value"),
         )
+    if isinstance(node, Call) and node.func in (
+        "sort", "sort_desc", "sort_by_label", "sort_by_label_desc"
+    ):
+        # ordering is API presentation only (the engine's matrices are
+        # unordered sets — the serving layer reads the label list off
+        # the AST and orders the assembled series); vector identity
+        # here, exactly the instant evaluator's rule
+        if node.func.startswith("sort_by_label"):
+            if len(node.args) < 2:
+                raise ValueError(
+                    f"{node.func}() expects a vector and >=1 label name")
+            for a in node.args[1:]:
+                if not isinstance(a, StringLit):
+                    raise ValueError(
+                        f"{node.func}() label names must be strings")
+        return _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
     if (
         isinstance(node, Call)
         and node.func == "histogram_quantile"

@@ -541,9 +541,17 @@ def evaluate_promql_range(
     from monolith_spark import promql
 
     ast = promql.parse(query)
-    # widest reach: any tile's function range == step; plus lookback
-    lo = start_ms - max(step_ms, promql.DEFAULT_LOOKBACK_MS)
-    samples = db.query_flat({}, lo, end_ms, at_version=at_version).select(
+    # widest reach the expression can touch at ANY step: the earliest
+    # window evaluates at start+step, the latest at end — union their
+    # instant windows (range selectors reach back range+offset; with
+    # range = k*step the first window's reach precedes start by
+    # (k-1)*step, which the old `start - max(step, lookback)` bound
+    # would truncate). Chunk pruning still applies: this only widens
+    # the scan to exactly the partitions the evaluation reads.
+    lo1, hi1 = promql.time_window(ast, min(start_ms + step_ms, end_ms))
+    lo2, hi2 = promql.time_window(ast, end_ms)
+    lo, hi = min(lo1, lo2), max(hi1, hi2, end_ms)
+    samples = db.query_flat({}, lo, hi, at_version=at_version).select(
         "labels", "timestamp", "value"
     )
     out = promql.eval_range(samples, ast, start_ms, end_ms, step_ms)
@@ -555,7 +563,26 @@ def evaluate_promql_range(
             {"metric": dict(r["labels"]) if r["labels"] else {}, "values": []},
         )
         e["values"].append([r["t_ms"] / 1000.0, str(r["value"])])
-    return [by_series[k] for k in sorted(by_series)]
+    # sort_by_label()/sort_by_label_desc() order the matrix's SERIES by
+    # the named labels (Grafana legend stability); sort()/sort_desc()
+    # are defined by Prometheus for instant presentation only, so a
+    # range query evaluates the inner vector with the default
+    # signature ordering
+    if isinstance(ast, promql.Call) and ast.func in (
+        "sort_by_label", "sort_by_label_desc"
+    ):
+        names = [a.value for a in ast.args[1:]]
+        keys = sorted(
+            by_series,
+            key=lambda s: (
+                tuple(by_series[s]["metric"].get(n) or "" for n in names),
+                s,
+            ),
+            reverse=ast.func == "sort_by_label_desc",
+        )
+    else:
+        keys = sorted(by_series)
+    return [by_series[k] for k in keys]
 
 
 def _admin_delete(db: MonolithDB, qs: dict[str, list[str]]) -> None:
@@ -886,19 +913,18 @@ class MonolithServer:
                         if meta:
                             server.db.set_metric_metadata(meta)
                         # success: empty ExportMetricsServiceResponse
-                        # (all-default message = zero bytes). Skipped
-                        # exponential histograms are a partial
-                        # success the response cannot carry without
-                        # the rejected_data_points message — surfaced
-                        # via header for observability.
+                        # (all-default message = zero bytes).
+                        # Exponential histograms classic-expand on
+                        # ingest (sources/otlp.py) — the count is
+                        # surfaced via header for observability.
                         self.send_response(200)
                         self.send_header(
                             "Content-Type", otlp.OTLP_CONTENT_TYPE
                         )
-                        if stats["skipped_exponential"]:
+                        if stats["expanded_exponential"]:
                             self.send_header(
-                                "X-Otlp-Skipped-Exponential-Histograms",
-                                str(stats["skipped_exponential"]),
+                                "X-Otlp-Expanded-Exponential-Histograms",
+                                str(stats["expanded_exponential"]),
                             )
                         self.send_header("Content-Length", "0")
                         self.end_headers()
@@ -1063,7 +1089,7 @@ class MonolithServer:
                             )
                             self.send_header(
                                 "X-Prometheus-Remote-Write-Histograms-Written",
-                                "0",
+                                str(req.native_histogram_points),
                             )
                             self.send_header(
                                 "X-Prometheus-Remote-Write-Exemplars-Written",

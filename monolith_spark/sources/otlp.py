@@ -21,9 +21,13 @@ receiver conventions (documented simplifications noted inline):
   cumulative `le` labels per explicit bound plus `+Inf`,
   `<name>_sum`, `<name>_count`;
 - Summary → `<name>{quantile="φ"}` per quantile plus `_sum`/`_count`;
-- exponential histograms are SKIPPED (counted in the return) — the
-  engine stores float samples, not native histograms, the same reason
-  PRW2 field 3 is skipped;
+- ExponentialHistogram → the SAME classic expansion, with bucket
+  boundaries derived from scale/offset (base-2: index idx at scale s
+  covers (2^(idx·2^-s), 2^((idx+1)·2^-s)]; negative buckets mirror,
+  the zero bucket's le is its threshold) — a Prometheus 3.x sender
+  using native histograms keeps its data, quantile-queryable via the
+  classic histogram_quantile path (counted in the return as
+  expanded_exponential);
 - resource attributes: service.name (+ optional service.namespace)
   promote to `job` ("namespace/name"), service.instance.id to
   `instance`; every remaining resource attribute lands on a
@@ -121,6 +125,21 @@ class HistogramPoint:
 
 
 @dataclass
+class ExponentialHistogramPoint:
+    attributes: dict[str, str] = field(default_factory=dict)
+    time_ms: int = 0
+    count: int = 0
+    sum: float | None = None
+    scale: int = 0
+    zero_count: int = 0
+    zero_threshold: float = 0.0
+    pos_offset: int = 0
+    pos_counts: list[int] = field(default_factory=list)
+    neg_offset: int = 0
+    neg_counts: list[int] = field(default_factory=list)
+
+
+@dataclass
 class SummaryPoint:
     attributes: dict[str, str] = field(default_factory=dict)
     time_ms: int = 0
@@ -177,6 +196,70 @@ def _dec_histogram_point(data: bytes) -> HistogramPoint:
     return p
 
 
+def _zigzag(v: int) -> int:
+    """Protobuf sint32/sint64 zigzag decode (scale and bucket offsets
+    are sint32 on the wire, unlike the two's-complement int64 fields
+    _signed64 handles)."""
+    return (v >> 1) ^ -(v & 1)
+
+
+def _dec_packed_varints(wt: int, v) -> list[int]:
+    """repeated uint64 — packed (wt 2, proto3 default) or singular
+    (wt 0)."""
+    if wt == 0:
+        return [int(v)]
+    out: list[int] = []
+    i, n = 0, len(v)
+    while i < n:
+        x = shift = 0
+        while True:
+            b = v[i]
+            i += 1
+            x |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out.append(x)
+    return out
+
+
+def _dec_exp_buckets(data: bytes) -> tuple[int, list[int]]:
+    """ExponentialHistogramDataPoint.Buckets{offset=1 sint32,
+    bucket_counts=2 repeated uint64}."""
+    offset = 0
+    counts: list[int] = []
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 0:
+            offset = _zigzag(v)
+        elif f == 2:
+            counts.extend(_dec_packed_varints(wt, v))
+    return offset, counts
+
+
+def _dec_exponential_point(data: bytes) -> ExponentialHistogramPoint:
+    p = ExponentialHistogramPoint()
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 2:
+            p.attributes.update(_dec_attributes([v]))
+        elif f == 3 and wt == 1:
+            p.time_ms = int.from_bytes(v, "little") // 1_000_000
+        elif f == 4 and wt == 1:
+            p.count = int.from_bytes(v, "little")
+        elif f == 5 and wt == 1:
+            p.sum = struct.unpack("<d", v)[0]
+        elif f == 6 and wt == 0:  # scale, sint32
+            p.scale = _zigzag(v)
+        elif f == 7 and wt == 1:  # zero_count, fixed64
+            p.zero_count = int.from_bytes(v, "little")
+        elif f == 8 and wt == 2:
+            p.pos_offset, p.pos_counts = _dec_exp_buckets(v)
+        elif f == 9 and wt == 2:
+            p.neg_offset, p.neg_counts = _dec_exp_buckets(v)
+        elif f == 14 and wt == 1:
+            p.zero_threshold = struct.unpack("<d", v)[0]
+    return p
+
+
 def _dec_summary_point(data: bytes) -> SummaryPoint:
     p = SummaryPoint()
     for f, wt, v in _iter_fields(data):
@@ -209,6 +292,8 @@ class OtlpMetric:
     number_points: list[NumberPoint] = field(default_factory=list)
     histogram_points: list[HistogramPoint] = field(default_factory=list)
     summary_points: list[SummaryPoint] = field(default_factory=list)
+    exponential_points: list[ExponentialHistogramPoint] = field(
+        default_factory=list)
 
 
 def _dec_metric(data: bytes) -> OtlpMetric:
@@ -237,8 +322,11 @@ def _dec_metric(data: bytes) -> OtlpMetric:
             for f2, wt2, v2 in _iter_fields(v):
                 if f2 == 1 and wt2 == 2:
                     m.histogram_points.append(_dec_histogram_point(v2))
-        elif f == 10 and wt == 2:  # ExponentialHistogram: skipped
+        elif f == 10 and wt == 2:  # ExponentialHistogram
             m.kind = "exponential"
+            for f2, wt2, v2 in _iter_fields(v):
+                if f2 == 1 and wt2 == 2:
+                    m.exponential_points.append(_dec_exponential_point(v2))
         elif f == 11 and wt == 2:  # Summary
             m.kind = "summary"
             for f2, wt2, v2 in _iter_fields(v):
@@ -290,11 +378,11 @@ def otlp_to_write_request(
     """Decode an OTLP export and map it to the v1 WriteRequest shape
     (so the existing write_request_to_df path ingests it), plus the
     metric metadata {name: {type, help, unit}} and ingest stats
-    {points, skipped_exponential}."""
+    {points, expanded_exponential}."""
     blocks = decode_export_metrics_request(data)
     series: dict[tuple, TimeSeries] = {}
     meta: dict[str, dict] = {}
-    stats = {"points": 0, "skipped_exponential": 0}
+    stats = {"points": 0, "expanded_exponential": 0}
 
     def emit(labels: dict[str, str], ts_ms: int, value: float) -> None:
         key = tuple(sorted(labels.items()))
@@ -335,7 +423,43 @@ def otlp_to_write_request(
         for m in rb.metrics:
             name = sanitize_metric_name(m.name)
             if m.kind == "exponential":
-                stats["skipped_exponential"] += 1
+                # classic expansion of base-2 exponential buckets: an
+                # index idx at scale s covers (2^(idx·2^-s),
+                # 2^((idx+1)·2^-s)], so its classic `le` upper bound
+                # is 2^((idx+1)·2^-s); negative buckets mirror to
+                # -2^(idx·2^-s) (ascending = descending idx) and the
+                # zero bucket's bound is its threshold. Cumulative
+                # counts run negatives → zero → positives, exactly the
+                # classic-receiver convention, so histogram_quantile
+                # works unchanged over the result.
+                meta[name] = {"type": "histogram", "help": m.description,
+                              "unit": m.unit}
+                for ep in m.exponential_points:
+                    stats["expanded_exponential"] += 1
+                    inv = 2.0 ** -ep.scale
+                    bounds: list[tuple[float, int]] = []
+                    for j in range(len(ep.neg_counts) - 1, -1, -1):
+                        idx = ep.neg_offset + j
+                        bounds.append(
+                            (-(2.0 ** (idx * inv)), ep.neg_counts[j]))
+                    if ep.zero_count:
+                        bounds.append((ep.zero_threshold, ep.zero_count))
+                    for j, c in enumerate(ep.pos_counts):
+                        idx = ep.pos_offset + j
+                        bounds.append((2.0 ** ((idx + 1) * inv), c))
+                    cum = 0
+                    for bound, c in bounds:
+                        cum += c
+                        emit(labels_of(ep.attributes, name + "_bucket",
+                                       le=_fmt(bound)), ep.time_ms, cum)
+                    emit(labels_of(ep.attributes, name + "_bucket",
+                                   le="+Inf"), ep.time_ms, ep.count)
+                    if ep.sum is not None:
+                        emit(labels_of(ep.attributes, name + "_sum"),
+                             ep.time_ms, ep.sum)
+                    emit(labels_of(ep.attributes, name + "_count"),
+                         ep.time_ms, ep.count)
+                    newest = max(newest, ep.time_ms)
                 continue
             if m.kind in ("gauge", "sum"):
                 mtype = (

@@ -226,6 +226,11 @@ class Query:
 @dataclass
 class WriteRequest:
     timeseries: list[TimeSeries] = field(default_factory=list)  # field 1
+    # receiver-side bookkeeping (not a wire field): native histogram
+    # points that were classic-expanded into the timeseries above by
+    # v2_to_v1 — the honest basis for the PRW2
+    # X-Prometheus-Remote-Write-Histograms-Written header
+    native_histogram_points: int = 0
 
 
 # ReadRequest.ResponseType (prometheus remote-read spec): SAMPLES is
@@ -441,8 +446,11 @@ def decode_read_response(data: bytes) -> ReadResponse:
 # reference them by index — the deduplication that makes high-churn
 # fleets shippable. Carries per-metric Metadata (type/help/unit refs)
 # inline, which this engine absorbs into its manifest metadata store.
-# Hand-rolled like the v1 codec above; unsupported fields (native
-# histograms = 3, created_timestamp = 6) are skipped on decode, as
+# Hand-rolled like the v1 codec above. Native histograms (field 3)
+# decode and classic-expand into `_bucket`/`_sum`/`_count` series on
+# ingest (v2_to_v1 → _expand_native_histogram) — a Prometheus 3.x
+# sender keeps its histogram data, quantile-queryable through the
+# classic path; created_timestamp (field 6) is skipped on decode, as
 # protobuf semantics require.
 
 V2_CONTENT_TYPE = "application/x-protobuf;proto=io.prometheus.write.v2.Request"
@@ -470,12 +478,34 @@ class ExemplarV2:
 
 
 @dataclass
+class HistogramV2:
+    """Native histogram (io.prometheus.write.v2.Request → Histogram,
+    the prompb shape): sparse base-2 exponential buckets as
+    (offset, length) spans with delta-encoded integer counts (or
+    absolute double counts for float histograms). Decoded far enough
+    to classic-expand — the engine stores float samples."""
+
+    count: float = 0.0          # oneof: count_int=1 / count_float=2
+    sum: float = 0.0            # field 3, double
+    schema: int = 0             # field 4, sint32 (the scale)
+    zero_threshold: float = 0.0  # field 5, double
+    zero_count: float = 0.0     # oneof: int=6 / float=7
+    neg_spans: list[tuple[int, int]] = field(default_factory=list)   # 8
+    neg_deltas: list[int] = field(default_factory=list)    # 9, sint64
+    neg_counts: list[float] = field(default_factory=list)  # 10, double
+    pos_spans: list[tuple[int, int]] = field(default_factory=list)   # 11
+    pos_deltas: list[int] = field(default_factory=list)    # 12, sint64
+    pos_counts: list[float] = field(default_factory=list)  # 13, double
+    timestamp: int = 0          # field 15, int64 ms
+
+
+@dataclass
 class TimeSeriesV2:
-    # Spec field numbers (io.prometheus.write.v2.Request): histograms
-    # occupy field 3 and created_timestamp field 6 — both skipped on
-    # decode (this engine stores float samples only).
+    # Spec field numbers (io.prometheus.write.v2.Request);
+    # created_timestamp (field 6) is skipped on decode.
     labels_refs: list[int] = field(default_factory=list)  # field 1, packed uint32 pairs
     samples: list[Sample] = field(default_factory=list)   # field 2
+    histograms: list[HistogramV2] = field(default_factory=list)  # field 3
     exemplars: list[ExemplarV2] = field(default_factory=list)  # field 4
     metadata: MetadataV2 | None = None                    # field 5
 
@@ -531,6 +561,105 @@ def encode_write_request_v2(req: WriteRequestV2) -> bytes:
     return out
 
 
+def _zigzag(v: int) -> int:
+    """Protobuf sint32/sint64 zigzag decode (histogram schema, span
+    offsets, and count deltas are zigzag on the wire)."""
+    return (v >> 1) ^ -(v & 1)
+
+
+def _dec_packed_zigzag(wt: int, v) -> list[int]:
+    """repeated sint64 — packed (wt 2) or singular (wt 0)."""
+    if wt == 0:
+        return [_zigzag(v)]
+    out, pos = [], 0
+    while pos < len(v):
+        x, pos = _read_varint(v, pos)
+        out.append(_zigzag(x))
+    return out
+
+
+def _dec_packed_double(wt: int, v) -> list[float]:
+    if wt == 1:
+        return [struct.unpack("<d", v)[0]]
+    return [
+        struct.unpack("<d", v[i: i + 8])[0] for i in range(0, len(v), 8)
+    ]
+
+
+def _dec_bucket_span(data: bytes) -> tuple[int, int]:
+    """BucketSpan{offset=1 sint32, length=2 uint32}."""
+    off = ln = 0
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 0:
+            off = _zigzag(v)
+        elif f == 2 and wt == 0:
+            ln = v
+    return off, ln
+
+
+def _dec_histogram_v2(data: bytes) -> HistogramV2:
+    h = HistogramV2()
+    for f, wt, v in _iter_fields(data):
+        if f == 1 and wt == 0:
+            h.count = float(v)
+        elif f == 2 and wt == 1:
+            h.count = struct.unpack("<d", v)[0]
+        elif f == 3 and wt == 1:
+            h.sum = struct.unpack("<d", v)[0]
+        elif f == 4 and wt == 0:
+            h.schema = _zigzag(v)
+        elif f == 5 and wt == 1:
+            h.zero_threshold = struct.unpack("<d", v)[0]
+        elif f == 6 and wt == 0:
+            h.zero_count = float(v)
+        elif f == 7 and wt == 1:
+            h.zero_count = struct.unpack("<d", v)[0]
+        elif f == 8 and wt == 2:
+            h.neg_spans.append(_dec_bucket_span(v))
+        elif f == 9:
+            h.neg_deltas.extend(_dec_packed_zigzag(wt, v))
+        elif f == 10:
+            h.neg_counts.extend(_dec_packed_double(wt, v))
+        elif f == 11 and wt == 2:
+            h.pos_spans.append(_dec_bucket_span(v))
+        elif f == 12:
+            h.pos_deltas.extend(_dec_packed_zigzag(wt, v))
+        elif f == 13:
+            h.pos_counts.extend(_dec_packed_double(wt, v))
+        elif f == 15 and wt == 0:
+            h.timestamp = _signed64(v)
+    return h
+
+
+def _span_buckets(
+    spans: list[tuple[int, int]], deltas: list[int], counts: list[float]
+) -> list[tuple[int, float]]:
+    """Resolve (offset, length) spans + delta-encoded (int) or
+    absolute (float) counts to absolute (bucket_index, count) pairs.
+    The first span's offset is the starting index; later offsets are
+    gaps from the previous span's end (the prompb convention)."""
+    vals: list[float]
+    if counts:
+        vals = list(counts)
+    else:
+        vals, acc = [], 0
+        for d in deltas:
+            acc += d
+            vals.append(float(acc))
+    out: list[tuple[int, float]] = []
+    idx = pos = 0
+    for off, ln in spans:
+        idx += off
+        for _ in range(ln):
+            if pos >= len(vals):
+                raise ValueError(
+                    "PRW2 histogram spans exceed bucket counts")
+            out.append((idx, vals[pos]))
+            idx += 1
+            pos += 1
+    return out
+
+
 def _dec_metadata_v2(data: bytes) -> MetadataV2:
     m = MetadataV2()
     for f, wt, v in _iter_fields(data):
@@ -562,12 +691,13 @@ def _dec_timeseries_v2(data: bytes) -> TimeSeriesV2:
             ts.labels_refs.extend(_dec_packed_uint32(wt, v))
         elif f == 2 and wt == 2:
             ts.samples.append(_dec_sample(v))
+        elif f == 3 and wt == 2:
+            ts.histograms.append(_dec_histogram_v2(v))
         elif f == 4 and wt == 2:
             ts.exemplars.append(_dec_exemplar_v2(v))
         elif f == 5 and wt == 2:
             ts.metadata = _dec_metadata_v2(v)
-        # field 3 (native histograms) and field 6 (created_timestamp):
-        # unsupported payloads, skipped per protobuf semantics.
+        # field 6 (created_timestamp): skipped per protobuf semantics.
     return ts
 
 
@@ -579,6 +709,52 @@ def decode_write_request_v2(data: bytes) -> WriteRequestV2:
         elif f == 5 and wt == 2:
             req.timeseries.append(_dec_timeseries_v2(v))
     return req
+
+
+def _fmt_le(v: float) -> str:
+    """le label value, Prometheus style: integral bounds print without
+    a trailing .0."""
+    return str(int(v)) if float(v).is_integer() else repr(v)
+
+
+def _expand_native_histogram(
+    labels: dict[str, str], h: HistogramV2
+) -> list[TimeSeries]:
+    """Classic-expand one native histogram point into
+    `_bucket`/`_sum`/`_count` series (the same receiver convention the
+    OTLP path uses for exponential histograms): positive bucket index
+    i at schema s covers (2^((i-1)·2^-s), 2^(i·2^-s)] so its le is
+    2^(i·2^-s); negatives mirror to -2^((i-1)·2^-s) (ascending le =
+    descending index); the zero bucket's le is its threshold;
+    cumulative counts run negatives → zero → positives."""
+    name = labels.get("__name__")
+    if not name:
+        raise ValueError("PRW2 native histogram series needs __name__")
+    inv = 2.0 ** -h.schema
+    bounds: list[tuple[float, float]] = []
+    for idx, c in reversed(_span_buckets(h.neg_spans, h.neg_deltas,
+                                         h.neg_counts)):
+        bounds.append((-(2.0 ** ((idx - 1) * inv)), c))
+    if h.zero_count:
+        bounds.append((h.zero_threshold, h.zero_count))
+    for idx, c in _span_buckets(h.pos_spans, h.pos_deltas, h.pos_counts):
+        bounds.append((2.0 ** (idx * inv), c))
+    out: list[TimeSeries] = []
+
+    def series(suffix: str, value: float, **more: str) -> TimeSeries:
+        return TimeSeries(
+            labels={**labels, "__name__": name + suffix, **more},
+            samples=[Sample(value=float(value), timestamp=h.timestamp)],
+        )
+
+    cum = 0.0
+    for bound, c in bounds:
+        cum += c
+        out.append(series("_bucket", cum, le=_fmt_le(bound)))
+    out.append(series("_bucket", h.count, le="+Inf"))
+    out.append(series("_sum", h.sum))
+    out.append(series("_count", h.count))
+    return out
 
 
 def v2_to_v1(req: WriteRequestV2) -> tuple[WriteRequest, dict[str, dict]]:
@@ -623,6 +799,9 @@ def v2_to_v1(req: WriteRequestV2) -> tuple[WriteRequest, dict[str, dict]]:
         out.timeseries.append(
             TimeSeries(labels=labels, samples=ts.samples, exemplars=exemplars)
         )
+        for h in ts.histograms:
+            out.timeseries.extend(_expand_native_histogram(labels, h))
+            out.native_histogram_points += 1
         name = labels.get("__name__")
         if name and ts.metadata is not None:
             m = ts.metadata

@@ -483,6 +483,42 @@ def round8_probe(spark, mult: int) -> dict:
     return out
 
 
+def round9_probe(spark, mult: int) -> dict:
+    """Range-mode PromQL under 10× growth (VERDICT r8 next #5): the
+    r8 range rows (`@` fast path, per-(key, window) group_left) plus
+    the r9 k-fan-out — rate at k=1/4/16 over the SAME grid, so the
+    probe shows cost scaling with the bounded explode factor k (and
+    staying series-grain at 10× data), never with the step count."""
+    from monolith_spark import promql
+
+    out: dict = {"mult": mult}
+    jan1, jan20, day = 1_704_067_200_000, 1_705_708_800_000, 86_400_000
+    s = scaled_samples(spark, mult).select(
+        "labels", "timestamp", "value").localCheckpoint(eager=True)
+    out["rows"] = s.count()
+
+    def timed(name, expr):
+        t0 = time.perf_counter()
+        promql.eval_range(s, expr, jan1, jan20, day).write.format(
+            "noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    timed("range_rate_k1_sec", 'sum by (event_type) (rate({}[1d]))')
+    timed("range_rate_k4_sec", 'sum by (event_type) (rate({}[4d]))')
+    timed("range_rate_k16_sec", 'sum by (event_type) (rate({}[16d]))')
+    timed(
+        "range_at_sec",
+        'sum by (event_type) (sum_over_time({}[1d])) / '
+        'sum by (event_type) (sum_over_time({}[19d] @ end()))',
+    )
+    timed(
+        "range_group_left_sec",
+        'sum by (kb, event_type) (sum_over_time({event_type="purchase"}[1d]))'
+        ' / on(kb) group_left sum by (kb) (sum_over_time({}[1d]))',
+    )
+    return out
+
+
 def exemplar_probe(spark, mult: int) -> dict:
     """Exemplar + metadata surfaces under 10× growth (VERDICT r7 next
     #7): samples ingested at mult× cardinality, then ~5% of points
@@ -599,6 +635,10 @@ def main() -> None:
     if target == "exemplar":
         for mult in mults:
             print(json.dumps(exemplar_probe(spark, mult)))
+        return
+    if target == "round9":
+        for mult in mults:
+            print(json.dumps(round9_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")

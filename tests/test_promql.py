@@ -742,8 +742,14 @@ def test_eval_range_tiled(spark):
     assert rs == {("j=a", 10_000): 0.0, ("j=a", 20_000): 0.0,
                   ("j=a", 30_000): 0.0}
 
-    with pytest.raises(ValueError, match="range to equal the step"):
+    # range = k*step fans each sample into its k windows; a NON-multiple
+    # range (or a fan-out past RANGE_TILE_MAX_K) still raises loudly
+    with pytest.raises(ValueError, match="whole multiple of the step"):
         promql.eval_range(df, 'rate({j="a"}[5s])', 0, 30_000, 10_000)
+    with pytest.raises(ValueError, match="exceeds RANGE_TILE_MAX_K"):
+        promql.eval_range(
+            df, f'rate({{j="a"}}[{10 * (promql.RANGE_TILE_MAX_K + 1)}s])',
+            0, 30_000, 10_000)
     # holt_winters per window: the exact fold isolated per tile
     # (w1 holds 10,12 -> s1 after one step; single-point windows drop)
     hw = {(r["signature"], r["t_ms"]): r["value"] for r in
@@ -756,11 +762,19 @@ def test_eval_range_tiled(spark):
     assert set(hw) == {("j=a", 10_000), ("j=a", 20_000)}
 
     # label_replace composes in range mode since r8 (see
-    # test_eval_range_label_transforms); a genuinely unsupported shape
-    # still raises with the catch-all message
+    # test_eval_range_label_transforms) and the sort family since r9
+    # (presentation-only unwrap); a genuinely unsupported shape still
+    # raises with the catch-all message
     with pytest.raises(ValueError, match="unsupported shape"):
         promql.eval_range(
-            df, 'sort_by_label({j="a"}, "j")', 0, 30_000, 10_000)
+            df, 'timestamp({j="a"})', 0, 30_000, 10_000)
+    # sort_by_label unwraps to its inner vector (ordering is applied by
+    # the serving layer off the AST)
+    sbl = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
+        df, 'sort_by_label({j="a"}, "j")', 0, 30_000, 10_000).collect()}
+    assert sbl == {(r["signature"], r["t_ms"]): r["value"]
+                   for r in promql.eval_range(df, '{j="a"}', 0, 30_000,
+                                              10_000).collect()}
 
 
 def test_eval_range_binop_composition(spark):
@@ -1120,9 +1134,15 @@ def test_eval_range_absent(spark):
         df, 'absent({j="nope"})', 0, 30_000, 10_000).collect()}
     assert none == {(10_000, 1.0), (20_000, 1.0), (30_000, 1.0)}
 
-    with pytest.raises(ValueError, match="range to equal the step"):
+    with pytest.raises(ValueError, match="whole multiple of the step"):
         promql.eval_range(df, 'absent_over_time({j="a"}[5s])',
                           0, 30_000, 10_000)
+    # range = 2*step: a window is "present" when ANY point falls inside
+    # its 20s reach, so the empty middle tile borrows neighbors' points
+    # ((10k,30k] spans the gap) and NO window is absent
+    aot2 = {(r["t_ms"], r["value"]) for r in promql.eval_range(
+        df, 'absent_over_time({j="a"}[20s])', 0, 30_000, 10_000).collect()}
+    assert aot2 == set()
 
 
 def test_eval_range_group_left(spark):
@@ -1362,3 +1382,166 @@ def test_ast_to_dict_golden():
     assert sq["args"][0]["at"] == "end"
     assert promql.ast_to_dict('label_join(m, "k", ":", "a")')["args"][1] == {
         "kind": "string", "value": "k"}
+
+
+def test_eval_range_k_fanout(spark):
+    """range = k*step (the Grafana $__rate_interval shape, VERDICT r8
+    #1): every range function fans each sample into the ≤k consecutive
+    windows whose range covers it — still ONE scan, bounded explode —
+    and each window's value equals the instant evaluation at that
+    window's end. Samples are placed off the step grid because tiled
+    range selection is left-open (t-R, t] where the instant evaluator
+    keeps the closed 2.x convention (PARITY.md)."""
+    import math
+
+    rows = []
+    for s in ("a", "b"):
+        v = 0.0
+        for i in range(40):
+            t = 1_500 + i * 7_000  # never lands on a 10s boundary
+            v += (i % 5) + (1 if s == "b" else 0)
+            if i == 25:
+                v = 2.0  # mid-stream counter reset
+            rows.append(({"j": s}, t, float(v)))
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    START, END, STEP = 0, 280_000, 10_000
+
+    exprs = [
+        'increase({j=~".+"}[40s])',
+        'sum_over_time({j=~".+"}[40s])',
+        'avg_over_time({j=~".+"}[20s])',
+        'delta({j=~".+"}[40s])',
+        'irate({j=~".+"}[40s])',
+        'resets({j=~".+"}[40s])',
+        'changes({j=~".+"}[40s])',
+        'quantile_over_time(0.9, {j=~".+"}[40s])',
+        'max_over_time({j=~".+"}[160s])',  # k = 16 — the cap itself
+        'deriv({j=~".+"}[40s])',
+        'predict_linear({j=~".+"}[40s], 60)',
+        'holt_winters({j=~".+"}[40s], 0.5, 0.5)',
+        'histogram_quantile(0.9, sum by (j) (increase({j=~".+"}[40s])))',
+    ]
+    steps = list(range(START + STEP, END + 1, STEP))
+    for expr in exprs:
+        rg = {(r["signature"], r["t_ms"]): r["value"]
+              for r in promql.eval_range(df, expr, START, END, STEP).collect()}
+        expected = {}
+        for t in steps:
+            for r in promql.eval_instant(df, expr, t).collect():
+                expected[(r["signature"], t)] = r["value"]
+        assert set(rg) == set(expected), expr
+        for key, v in expected.items():
+            got = rg[key]
+            if v is not None and math.isnan(v):
+                assert math.isnan(got), (expr, key)
+            else:
+                assert math.isclose(got, v, rel_tol=1e-9, abs_tol=1e-9), (
+                    expr, key, got, v)
+
+    # rate keeps the tiled convention: increase / range-seconds
+    rr = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(df, 'rate({j="a"}[40s])', START, END,
+                            STEP).collect()}
+    ri = {(r["signature"], r["t_ms"]): r["value"] for r in
+          promql.eval_range(df, 'increase({j="a"}[40s])', START, END,
+                            STEP).collect()}
+    assert set(rr) == set(ri)
+    assert all(math.isclose(rr[k], ri[k] / 40.0, rel_tol=1e-12) for k in rr)
+
+
+def test_instant_lookback_no_staleness_markers(spark):
+    """Documented divergence (PARITY.md): instant selectors honor the
+    5m lookback but do NOT special-case NaN staleness markers — a
+    stale-NaN sample written via remote write is returned as the
+    latest value inside the lookback, where Prometheus would suppress
+    the series. Pins the chosen semantics."""
+    import math
+
+    rows = [({"j": "a"}, 1_000, 5.0), ({"j": "a"}, 2_000, float("nan")),
+            ({"j": "b"}, 1_500, 7.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {r["signature"]: r["value"] for r in
+           promql.eval_instant(df, '{j=~".+"}', 10_000).collect()}
+    assert math.isnan(got["j=a"])  # marker surfaces, series not dropped
+    assert got["j=b"] == 7.0
+    # outside the lookback both series vanish — the lookback itself
+    # is the only staleness mechanism
+    assert promql.eval_instant(df, '{j=~".+"}', 500_000).count() == 0
+
+
+def test_eval_range_fuzz_crash_free(spark):
+    """Fuzz eval_range over random TILED-class ASTs (VERDICT r8 #8):
+    any generated expression either evaluates to the spec shape
+    [signature, labels, t_ms, value] (schema asserted via plan
+    analysis — no job) or rejects with a clean ValueError — never an
+    AnalysisException / Py4J error / silent wrong shape. Ranges are
+    drawn to straddle the accept/reject boundary (k·step multiples,
+    non-multiples, past-cap), the asymmetry class that hid the
+    range != step gap until r8."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from monolith_spark.labels import LabelMatcher
+    from monolith_spark.promql import Agg, BinOp, Call, Number, Selector
+
+    df = spark.createDataFrame(
+        [({"j": "a"}, 1_500, 10.0), ({"j": "a"}, 11_500, 12.0),
+         ({"j": "a"}, 21_500, 7.0), ({"j": "b"}, 2_500, 1.0),
+         ({"j": "b"}, 32_500, 5.0)],
+        "labels map<string,string>, timestamp long, value double")
+    STEP = 10_000
+    _rng = st.sampled_from(
+        [STEP, 2 * STEP, 4 * STEP, 16 * STEP,   # accepted fan-outs
+         17 * STEP, STEP + 1, STEP // 2])       # past-cap / non-multiple
+    _sel = st.builds(
+        lambda r, which: Selector(
+            None, (LabelMatcher("j", "a", "EQ"),) if which else
+            (LabelMatcher("j", ".+", "RE"),), r, 0, None),
+        _rng, st.booleans())
+    _fn = st.sampled_from(
+        ["rate", "increase", "delta", "irate", "idelta", "resets",
+         "changes", "avg_over_time", "sum_over_time", "max_over_time",
+         "min_over_time", "count_over_time", "last_over_time",
+         "stddev_over_time", "absent_over_time"])
+    leaf = st.one_of(
+        st.builds(lambda f, s: Call(f, (s,)), _fn, _sel),
+        st.builds(lambda s: s.__class__(
+            s.name, s.matchers, None, 0, None), _sel),  # instant selector
+        st.builds(lambda n: Call("vector", (Number(float(n)),)),
+                  st.integers(0, 3)),
+    )
+
+    def wrap(inner):
+        return st.one_of(
+            st.builds(
+                lambda op, e, names: Agg(op, e, None, by=tuple(names)),
+                st.sampled_from(["sum", "avg", "max", "count"]),
+                inner, st.lists(st.sampled_from(["j", "z"]), max_size=1)),
+            st.builds(lambda e, n, op: BinOp(op, e, Number(float(n))),
+                      inner, st.integers(1, 5),
+                      st.sampled_from(["+", "*", "/"])),
+            st.builds(lambda f, e: Call(f, (e,)),
+                      st.sampled_from(["abs", "ceil", "sqrt", "sort",
+                                       "sort_desc"]), inner),
+            st.builds(lambda k, e: Agg("topk", e, Number(float(k))),
+                      st.integers(1, 3), inner),
+        )
+
+    _ast = st.recursive(leaf, wrap, max_leaves=4)
+
+    @given(_ast)
+    @settings(max_examples=40, deadline=None)
+    def run(ast):
+        from monolith_spark import promql
+
+        try:
+            out = promql.eval_range(df, ast, 0, 40_000, STEP)
+        except ValueError:
+            return  # the documented rejection path
+        assert out.columns == ["signature", "labels", "t_ms", "value"]
+        dt = dict(out.dtypes)
+        assert dt["t_ms"] == "bigint" and dt["value"] == "double"
+
+    run()

@@ -520,6 +520,38 @@ def test_promql_http_range_query(spark, tmp_path):
         (series,) = body["data"]["result"]
         assert series["metric"] == {"job": "api"}
         assert series["values"] == [[10.0, "2.0"], [20.0, "5.0"]]
+
+        # the DEFAULT Grafana shape: rate with range = 2x step — the
+        # endpoint must widen its scan past `start` by (k-1)*step and
+        # each window must see its full 20s reach
+        q2 = urllib.parse.urlencode({
+            "query": 'rate({job="api"}[20s])',
+            "start": "0", "end": "20", "step": "10s",
+        })
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range?{q2}"
+        ) as resp:
+            body2 = json.loads(resp.read())
+        (series2,) = body2["data"]["result"]
+        # w0 (reach (-10s,10s]): 10->12 = 2 over 20s = 0.1/s
+        # w1 (reach (0,20s]): +2, reset to 4, +5 = 11 over 20s = 0.55/s
+        assert series2["values"] == [[10.0, "0.1"], [20.0, "0.55"]]
+
+        # sort_by_label orders the matrix's series (Grafana legend
+        # stability) — desc puts job=db before job=api
+        db.write(db.spark.createDataFrame(
+            [({"job": "db"}, 5_000, 1.0)],
+            "labels map<string,string>, timestamp long, value double"))
+        q3 = urllib.parse.urlencode({
+            "query": 'sort_by_label_desc({job=~".+"}, "job")',
+            "start": "0", "end": "20", "step": "10s",
+        })
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range?{q3}"
+        ) as resp:
+            body3 = json.loads(resp.read())
+        order = [s["metric"]["job"] for s in body3["data"]["result"]]
+        assert order == ["db", "api"]
     finally:
         srv.shutdown()
 
@@ -653,10 +685,11 @@ def test_http_metadata_and_snapshot_admin(spark, tmp_path):
 def test_otlp_http_metrics_ingest(spark, tmp_path):
     """OTLP/HTTP metrics (POST /api/v1/otlp/v1/metrics, the Prometheus
     3.x receiver path): a hand-encoded ExportMetricsServiceRequest —
-    gauge, monotonic sum, histogram, and an exponential histogram that
-    must be skipped — lands through the normal write path with
-    job/instance promotion, classic histogram expansion, target_info
-    for the leftover resource attributes, and inline metadata."""
+    gauge, monotonic sum, histogram, and an exponential histogram —
+    lands through the normal write path with job/instance promotion,
+    classic histogram expansion (base-2 boundaries from scale/offset
+    for the exponential one, quantile-queryable), target_info for the
+    leftover resource attributes, and inline metadata."""
     import gzip
     import json as _json
     import struct
@@ -705,7 +738,19 @@ def test_otlp_http_metrics_ingest(spark, tmp_path):
         + ld(7, struct.pack("<dd", 0.1, 1.0))   # explicit_bounds packed
     )
     hist = ld(1, "latency".encode()) + ld(9, ld(1, hist_pt))
-    expo = ld(1, "nope".encode()) + ld(10, b"")  # exponential: skipped
+    # exponential histogram (classic-expanded on ingest): scale 0
+    # (base 2), one negative bucket idx 0 → le=-1, zero_count 1 →
+    # le=0, positive offset -1 counts [2,3,1] → le 1/2/4
+    expo_pt = (
+        u64(3, 8_000 * NS)
+        + u64(4, 8)                       # count
+        + f64(5, 7.5)                     # sum
+        + bytes([(6 << 3) | 0, 0])        # scale sint32 = 0
+        + u64(7, 1)                       # zero_count
+        + ld(8, bytes([(1 << 3) | 0, 1]) + ld(2, vi(2) + vi(3) + vi(1)))
+        + ld(9, bytes([(1 << 3) | 0, 0]) + ld(2, vi(1)))
+    )
+    expo = ld(1, "resp.size".encode()) + ld(10, ld(1, expo_pt))
 
     resource = (
         ld(1, kv("service.name", "api"))
@@ -730,7 +775,7 @@ def test_otlp_http_metrics_ingest(spark, tmp_path):
         with urllib.request.urlopen(req) as resp:
             assert resp.status == 200
             assert resp.headers[
-                "X-Otlp-Skipped-Exponential-Histograms"] == "1"
+                "X-Otlp-Expanded-Exponential-Histograms"] == "1"
 
         def vals(matchers):
             return {
@@ -752,12 +797,36 @@ def test_otlp_http_metrics_ingest(spark, tmp_path):
                      "le": "+Inf"}) == {(7_000, 6.0)}
         assert vals({**base, "__name__": "latency_sum"}) == {(7_000, 4.2)}
         assert vals({**base, "__name__": "latency_count"}) == {(7_000, 6.0)}
+        # exponential → classic expansion: base-2 bounds from
+        # scale/offset, negatives mirrored, zero bucket at its
+        # threshold, cumulative counts
+        for le, cum in [("-1", 1.0), ("0", 2.0), ("1", 4.0),
+                        ("2", 7.0), ("4", 8.0), ("+Inf", 8.0)]:
+            assert vals({**base, "__name__": "resp_size_bucket",
+                         "le": le}) == {(8_000, cum)}, le
+        assert vals({**base, "__name__": "resp_size_sum"}) == {(8_000, 7.5)}
+        assert vals({**base, "__name__": "resp_size_count"}) == {(8_000, 8.0)}
+        # histogram_quantile over the expansion matches the
+        # hand-computed oracle: φ=0.9 → rank 7.2 lands in (2,4]
+        # (lower cum 7, bucket count 1) → 2 + 2·0.2 = 2.4
+        import math as _math
+
+        from monolith_spark import promql as _promql
+
+        samples = db.query_flat({}, 0, 10**9).select(
+            "labels", "timestamp", "value")
+        (qrow,) = _promql.eval_instant(
+            samples,
+            'histogram_quantile(0.9, {__name__="resp_size_bucket"})',
+            8_000,
+        ).collect()
+        assert _math.isclose(qrow["value"], 2.4, rel_tol=1e-12)
         # leftover resource attrs → target_info at the newest point ts
         rows = db.query_flat(
             {**base, "__name__": "target_info"}, 0, 10**9).collect()
         (ti,) = rows
         assert dict(ti["labels"])["deployment_environment"] == "eu"
-        assert (ti["timestamp"], ti["value"]) == (7_000, 1.0)
+        assert (ti["timestamp"], ti["value"]) == (8_000, 1.0)
 
         with urllib.request.urlopen(
             f"http://127.0.0.1:{srv.port}/api/v1/metadata"
@@ -920,7 +989,9 @@ def test_prw2_spec_field_numbers_golden():
     io.prometheus.write.v2.Request schema (histograms=3, exemplars=4,
     metadata=5, created_timestamp=6) — independent byte construction,
     so an encoder/decoder that share a wrong field number cannot pass
-    by symmetry (ADVICE r7 high: exemplars were at 3, metadata at 4)."""
+    by symmetry (ADVICE r7 high: exemplars were at 3, metadata at 4).
+    The native histogram decodes (spans/deltas/schema) and classic-
+    expands through v2_to_v1 against hand-computed buckets."""
     import struct
 
     def vi(n: int) -> bytes:  # protobuf varint
@@ -937,7 +1008,29 @@ def test_prw2_spec_field_numbers_golden():
     symbols = ["", "__name__", "reqs", "trace_id", "abc", "Requests.",
                "job", "api"]
     sample = bytes([0x09]) + struct.pack("<d", 3.5) + bytes([0x10]) + vi(1000)
-    histogram = bytes([0x08]) + vi(5)  # opaque native-histogram payload
+
+    def zz(n: int) -> int:  # zigzag encode
+        return (n << 1) ^ (n >> 63)
+
+    def span(off: int, ln: int) -> bytes:  # BucketSpan{offset=1,length=2}
+        return bytes([0x08]) + vi(zz(off)) + bytes([0x10]) + vi(ln)
+
+    # a REAL native histogram: schema 0 (base 2), zero bucket of 2 at
+    # threshold 0.001, one negative bucket idx 0 (count 1), positive
+    # spans [(1,2),(2,1)] with delta counts 3,-1,2 → abs 3,2,4 at
+    # indices 1,2,5 (le 2, 4, 32); total count 12, sum 31.5, ts 2000
+    histogram = (
+        bytes([0x08]) + vi(12)                      # count_int, field 1
+        + bytes([0x19]) + struct.pack("<d", 31.5)   # sum, field 3
+        + bytes([0x20]) + vi(zz(0))                 # schema, field 4
+        + bytes([0x29]) + struct.pack("<d", 0.001)  # zero_threshold, 5
+        + bytes([0x30]) + vi(2)                     # zero_count_int, 6
+        + ld(8, span(0, 1))                         # negative_spans
+        + ld(9, vi(zz(1)))                          # negative_deltas
+        + ld(11, span(1, 2)) + ld(11, span(2, 1))   # positive_spans
+        + ld(12, vi(zz(3)) + vi(zz(-1)) + vi(zz(2)))  # positive_deltas
+        + bytes([0x78]) + vi(2000)                  # timestamp, field 15
+    )
     exemplar = (
         ld(1, vi(3) + vi(4))                       # labels_refs packed
         + bytes([0x11]) + struct.pack("<d", 2.0)   # value, field 2
@@ -950,7 +1043,7 @@ def test_prw2_spec_field_numbers_golden():
     series = (
         ld(1, vi(1) + vi(2) + vi(6) + vi(7))  # labels_refs packed
         + ld(2, sample)
-        + ld(3, histogram)          # field 3: MUST be skipped
+        + ld(3, histogram)          # field 3: native histogram
         + ld(4, exemplar)           # field 4: exemplars
         + ld(5, metadata)           # field 5: metadata
         + bytes([0x30]) + vi(900)   # field 6 created_timestamp: skipped
@@ -961,6 +1054,11 @@ def test_prw2_spec_field_numbers_golden():
     assert req.symbols == symbols
     (ts,) = req.timeseries
     assert [(s.timestamp, s.value) for s in ts.samples] == [(1000, 3.5)]
+    (h,) = ts.histograms
+    assert (h.count, h.sum, h.schema, h.zero_threshold, h.zero_count,
+            h.timestamp) == (12.0, 31.5, 0, 0.001, 2.0, 2000)
+    assert h.neg_spans == [(0, 1)] and h.neg_deltas == [1]
+    assert h.pos_spans == [(1, 2), (2, 1)] and h.pos_deltas == [3, -1, 2]
     (ex,) = ts.exemplars
     assert ex.labels_refs == [3, 4] and ex.value == 2.0 and ex.timestamp == 1500
     assert ts.metadata is not None
@@ -970,6 +1068,25 @@ def test_prw2_spec_field_numbers_golden():
     assert v1.timeseries[0].labels == {"__name__": "reqs", "job": "api"}
     assert v1.timeseries[0].exemplars[0].labels == {"trace_id": "abc"}
     assert meta == {"reqs": {"type": "counter", "help": "Requests."}}
+    # classic expansion of the native histogram point: cumulative le
+    # buckets (negatives → zero → positives) + sum + count at ts 2000
+    assert v1.native_histogram_points == 1
+    expanded = {
+        (t.labels["__name__"], t.labels.get("le"),
+         t.samples[0].timestamp, t.samples[0].value)
+        for t in v1.timeseries[1:]
+    }
+    assert expanded == {
+        ("reqs_bucket", "-0.5", 2000, 1.0),   # neg idx 0 → le -2^(-1)
+        ("reqs_bucket", "0.001", 2000, 3.0),  # zero bucket at threshold
+        ("reqs_bucket", "2", 2000, 6.0),      # pos idx 1 → le 2^1
+        ("reqs_bucket", "4", 2000, 8.0),      # pos idx 2
+        ("reqs_bucket", "32", 2000, 12.0),    # pos idx 5
+        ("reqs_bucket", "+Inf", 2000, 12.0),
+        ("reqs_sum", None, 2000, 31.5),
+        ("reqs_count", None, 2000, 12.0),
+    }
+    assert all(t.labels["job"] == "api" for t in v1.timeseries[1:])
 
     # encoder golden: our own bytes for the same logical request must
     # equal the hand-built fixture minus the skipped fields (3 and 6)
@@ -1038,6 +1155,73 @@ def test_http_write_v2_and_federate_metadata(spark, tmp_path):
             "# HELP reqs Requests seen.\n# TYPE reqs counter\n"
         )
         assert 'reqs{job="api"} 3.0 5000\n' in text
+    finally:
+        srv.shutdown()
+
+
+def test_http_write_v2_native_histogram(spark, tmp_path):
+    """A PRW2 payload carrying ONLY a native histogram lands as its
+    classic `_bucket`/`_sum`/`_count` expansion through the normal
+    write path, and the -Written headers count honestly: Samples from
+    rows the engine ingested (the expansion), Histograms from the
+    native points expanded."""
+    from monolith_spark.server import MonolithServer
+
+    def vi(n: int) -> bytes:
+        out = b""
+        while True:
+            b7, n = n & 0x7F, n >> 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def ld(fno: int, payload: bytes) -> bytes:
+        return bytes([(fno << 3) | 2]) + vi(len(payload)) + payload
+
+    import struct as _struct
+
+    symbols = ["", "__name__", "hist", "job", "api"]
+    histogram = (
+        bytes([0x08]) + vi(2)                      # count_int = 2
+        + bytes([0x19]) + _struct.pack("<d", 3.0)  # sum
+        + bytes([0x20]) + vi(0)                    # schema 0
+        + ld(11, bytes([0x08]) + vi(2) + bytes([0x10]) + vi(1))  # span(1,1)
+        + ld(12, vi(4))                            # delta zz(2)=4 → count 2
+        + bytes([0x78]) + vi(5_000)                # timestamp
+    )
+    series = ld(1, vi(1) + vi(2) + vi(3) + vi(4)) + ld(3, histogram)
+    wire = b"".join(ld(4, s.encode()) for s in symbols) + ld(5, series)
+
+    db = MonolithDB(spark, str(tmp_path / "db"), chunk_size_ms=60_000)
+    srv = MonolithServer(db, port=0)
+    srv.serve_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request(
+            "POST", "/write", body=proto.snappy_compress(wire),
+            headers={"Content-Type": proto.V2_CONTENT_TYPE,
+                     "X-Prometheus-Remote-Write-Version": "2.0.0"},
+        )
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 204
+        # expansion = le=2, +Inf, _sum, _count → 4 ingested rows
+        assert resp.headers["X-Prometheus-Remote-Write-Samples-Written"] == "4"
+        assert resp.headers[
+            "X-Prometheus-Remote-Write-Histograms-Written"] == "1"
+        conn.close()
+
+        got = {
+            (dict(r["labels"])["__name__"],
+             dict(r["labels"]).get("le"), r["timestamp"], r["value"])
+            for r in db.query_flat({"job": "api"}, 0, 10**9).collect()
+        }
+        assert got == {
+            ("hist_bucket", "2", 5_000, 2.0),
+            ("hist_bucket", "+Inf", 5_000, 2.0),
+            ("hist_sum", None, 5_000, 3.0),
+            ("hist_count", None, 5_000, 2.0),
+        }
     finally:
         srv.shutdown()
 
