@@ -1272,9 +1272,11 @@ def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFram
     windows anchored at (eval - offset - R); the inner function runs
     isolated per window — a lag partitioned on (series, window) — so
     counter state never leaks across evaluations
-    (ts_subquery_max_rate's pinned semantics). Window duplication is
-    ceil(inner_range/step) ≤ the tiling factor; with inner == step
-    (the common dashboard shape) it is exactly 1 — one sort shuffle."""
+    (ts_subquery_max_rate's pinned semantics). The inner range may be
+    any whole multiple k = inner_range/step up to RANGE_TILE_MAX_K
+    (samples fan into the ≤k windows whose range covers their tile —
+    bounded explode, one scan); with inner == step (the common
+    dashboard shape) the duplication is exactly 1 — one sort shuffle."""
     if not (f.endswith("_over_time") and f[: -len("_over_time")] in
             ("avg", "sum", "min", "max", "count", "last")):
         raise ValueError(f"subquery argument not supported for {f}()")
@@ -1291,11 +1293,11 @@ def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFram
             "subquery inner must be rate/increase/delta of a range selector"
         )
     sel = inner.args[0]
-    if sel.range_ms != sq.step_ms:
-        raise ValueError(
-            "subquery support requires inner range == step (tiled windows); "
-            f"got {sel.range_ms}ms vs {sq.step_ms}ms"
-        )
+    # inner range = k*subquery-step (k a whole multiple, capped): each
+    # sample fans into the ≤k consecutive windows whose inner range
+    # covers its tile — the same bounded-explode device eval_range's
+    # tiles() uses, so `avg_over_time(rate(m[5m])[1h:1m])` works
+    k = _tile_k(sel.range_ms, sq.step_ms)
     if sel.at_ms is not None:
         raise ValueError(
             "@ on the inner selector of a subquery is not supported — "
@@ -1304,16 +1306,35 @@ def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFram
     end = _anchor_ms(sq, ctx) - sq.offset_ms - sel.offset_ms
     start = end - sq.range_ms
     df = _base(sel, ctx).filter(
-        (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+        (F.col("timestamp") >= start - (k - 1) * sq.step_ms)
+        & (F.col("timestamp") <= end)
     )
-    win = F.floor((F.col("timestamp") - F.lit(start)) / F.lit(sq.step_ms)).alias("__w")
+    win = F.floor((F.col("timestamp") - F.lit(start)) / F.lit(sq.step_ms))
     # a point at exactly ts == end would index one past the tiling
     # (floor(R/step)) — clamp it out rather than opening a spurious
     # single-instant window
     n_tiles = -(-sq.range_ms // sq.step_ms)
-    pts = df.select("signature", "labels", win, "timestamp", "value").filter(
-        F.col("__w") < n_tiles
-    )
+    if k == 1:
+        pts = df.select(
+            "signature", "labels", win.alias("__w"), "timestamp", "value"
+        ).filter(F.col("__w") < n_tiles)
+    else:
+        base_pts = df.select(
+            "signature", "labels", win.alias("__w0"), "timestamp", "value"
+        ).filter(
+            (F.col("__w0") < n_tiles) & (F.col("__w0") + (k - 1) >= 0)
+        )
+        wins = F.sequence(
+            F.greatest(F.col("__w0").cast("long"), F.lit(0).cast("long")),
+            F.least(
+                F.col("__w0").cast("long") + F.lit(int(k - 1)).cast("long"),
+                F.lit(int(n_tiles - 1)).cast("long"),
+            ),
+        )
+        pts = base_pts.select(
+            "signature", "labels", F.explode(wins).alias("__w"),
+            "timestamp", "value",
+        )
     w = Window.partitionBy("signature", "__w").orderBy("timestamp", "value")
     dec = F.col("value").cast(_DEC)
     prev = F.lag(dec).over(w)
@@ -1334,7 +1355,7 @@ def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFram
     )
     if inner.func == "rate":
         per_win = per_win.withColumn(
-            "__v", F.col("__v") / F.lit(sq.step_ms / 1000.0)
+            "__v", F.col("__v") / F.lit(sel.range_ms / 1000.0)
         )
     inner_vals = per_win.select(
         "signature", "labels", F.col("__v").alias("value"),
@@ -1883,6 +1904,11 @@ def eval_range(
       idelta/resets/changes/deriv/predict_linear/holt_winters and all
       <agg>_over_time incl. quantile_over_time; histogram_quantile
       composes over any tiled inner;
+    - subqueries under avg/sum/min/max/count/last_over_time when the
+      grid step and the subquery range are whole multiples of the
+      subquery step: the inner expression (the FULL tiled class)
+      evaluates once as its own S-grid and fans into the outer
+      windows — `max_over_time(rate(m[5m])[30m:5m])` as a panel;
     - grouping aggregations (sum/avg/min/max/count/stddev/stdvar/
       group/quantile/count_values/topk/bottomk/limitk/limit_ratio,
       by/without) over any tiled expression — aggregated per window;
@@ -1989,13 +2015,13 @@ def _tile_k(range_ms: int, step_ms: int) -> int:
     silently degrade."""
     if range_ms % step_ms != 0:
         raise ValueError(
-            "eval_range: tiled evaluation needs the function range to be "
+            "tiled evaluation needs the function range to be "
             f"a whole multiple of the step ({range_ms}ms vs {step_ms}ms)"
         )
     k = range_ms // step_ms
     if k > RANGE_TILE_MAX_K:
         raise ValueError(
-            f"eval_range: range/step fan-out {k} exceeds "
+            f"tiled evaluation: range/step fan-out {k} exceeds "
             f"RANGE_TILE_MAX_K={RANGE_TILE_MAX_K} — widen the step or "
             "narrow the function range"
         )
@@ -2302,6 +2328,89 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "__w",
             F.lit(1.0).alias("value"),
         )
+    if (
+        isinstance(node, Call)
+        and node.func.endswith("_over_time")
+        and node.func[: -len("_over_time")] in
+            ("avg", "sum", "min", "max", "count", "last")
+        and len(node.args) == 1
+        and isinstance(node.args[0], Subquery)
+    ):
+        # subquery in RANGE mode — `max_over_time(rate(m[5m])[30m:5m])`
+        # as a query_range panel. The inner expression evaluates ONCE
+        # as its own tiled grid at the subquery step S over
+        # [start-offset-R, end-offset]; because the grid step G is a
+        # multiple of S, every outer window's subquery tiles land on
+        # that same S-grid (the instant path's per-anchor tiling,
+        # shared), so inner tile j feeds the outer windows w with
+        # (w+1)·(G/S) < j+1 ≤ (w+1)·(G/S) + R/S — a bounded explode of
+        # ≤⌈(R/S)/(G/S)⌉ windows per inner value, series grain, never
+        # a per-step replan.
+        sq = node.args[0]
+        if sq.at_ms is not None:
+            raise ValueError(
+                "eval_range: @ on a subquery inside a step-varying "
+                "subtree the tiled evaluator cannot split"
+            )
+        S, R = sq.step_ms, sq.range_ms
+        if step_ms % S or R % S:
+            raise ValueError(
+                "eval_range: subquery needs the grid step and the "
+                f"subquery range to be whole multiples of the subquery "
+                f"step ({step_ms}ms grid, {R}ms range vs {S}ms step)"
+            )
+        m, r = step_ms // S, R // S
+        if -(-r // m) > RANGE_TILE_MAX_K:
+            raise ValueError(
+                f"eval_range: subquery window fan-out {-(-r // m)} "
+                f"exceeds RANGE_TILE_MAX_K={RANGE_TILE_MAX_K}"
+            )
+        if n_tiles <= 0:
+            empty = ctx.samples.sparkSession.range(0)
+            return empty.select(
+                F.lit("").alias("signature"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<string>"),
+                ).alias("labels"),
+                F.col("id").cast("long").alias("__w"),
+                F.lit(0.0).alias("value"),
+            )
+        inner = _tiled_values(
+            sq.expr, start_ms - sq.offset_ms - R, end_ms - sq.offset_ms,
+            S, ctx,
+        )
+        j = F.col("__w")
+        w_lo = (F.floor((j - F.lit(int(r)) + F.lit(int(m)))
+                        / F.lit(int(m))) - 1).cast("long")
+        w_hi = (F.floor(j / F.lit(int(m))) - 1).cast("long")
+        fanned = (
+            inner.select(
+                "signature", "labels",
+                F.col("__w").alias("timestamp"),  # inner tile id as the
+                # pseudo-time last_over_time orders by (instant path's
+                # convention)
+                "value", w_lo.alias("__lo"), w_hi.alias("__hi"),
+            )
+            .filter(
+                (F.col("__hi") >= 0)
+                & (F.col("__lo") < n_tiles)
+                & (F.col("__lo") <= F.col("__hi"))
+            )
+            .select(
+                "signature", "labels", "timestamp", "value",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.col("__lo"), F.lit(0).cast("long")),
+                        F.least(F.col("__hi"),
+                                F.lit(int(n_tiles - 1)).cast("long")),
+                    )
+                ).alias("__w"),
+            )
+        )
+        return _over_time(
+            fanned, node.func[: -len("_over_time")], extra_keys=("__w",)
+        ).select("signature", "labels", "__w", "value")
     if isinstance(node, Call) and node.func in (
         "sort", "sort_desc", "sort_by_label", "sort_by_label_desc"
     ):

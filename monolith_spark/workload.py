@@ -10264,6 +10264,62 @@ def ts_promql_range_rate4x_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_promql_range_subquery",
+    f"""
+    WITH pts AS (
+      SELECT event_type, {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - ({JAN1} - 4 * 86400000) - 1) // 86400000
+                  AS BIGINT) AS j,
+             epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} - 4 * 86400000
+        AND epoch_ms(ts) <= {JAN20}
+    ),
+    steps AS (
+      SELECT event_type, sig, j,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END AS step
+      FROM (SELECT event_type, sig, j, v,
+                   lag(v) OVER (PARTITION BY sig, j ORDER BY ts_ms, v) AS prev
+            FROM pts)
+    ),
+    inc AS (
+      SELECT event_type, sig, j, CAST(sum(step) AS DOUBLE) AS inc
+      FROM steps WHERE step IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    fan AS (
+      SELECT event_type, sig, j - i AS w, inc
+      FROM inc, range(1, 5) r(i)
+      WHERE j - i >= 0 AND j - i <= 18
+    ),
+    mx AS (
+      SELECT event_type, sig, w, max(inc) AS m
+      FROM fan GROUP BY 1, 2, 3
+    )
+    SELECT 'event_type=' || event_type AS signature,
+           CAST({JAN1} + (w + 1) * 86400000 AS BIGINT) AS t_ms,
+           CAST(sum(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS value
+    FROM mx GROUP BY 1, 2
+    """,
+)
+def ts_promql_range_subquery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subqueries in RANGE mode (r9): the peak daily increase within a
+    trailing 4-day window, per event_type, on the daily grid —
+    `max_over_time(increase(m[1d])[4d:1d])` through /query_range. The
+    inner daily-increase grid evaluates ONCE as its own tiled pass
+    (extended 4 tiles before the range start), each inner value fans
+    into the ≤4 outer windows whose subquery range covers its tile,
+    and the oracle replays the identical inner tiling, fan mapping
+    (w = j - i, i ∈ 1..4), per-window max, and DECIMAL re-sum."""
+    out = _promql.eval_range(
+        _events_lv(spark, sf_dir),
+        'sum by (event_type) (max_over_time(increase({}[1d])[4d:1d]))',
+        JAN1, JAN20, 86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
+
+
+@_q(
     "ts_promql_range_topk",
     f"""
     WITH pts AS (

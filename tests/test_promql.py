@@ -1545,3 +1545,79 @@ def test_eval_range_fuzz_crash_free(spark):
         assert dt["t_ms"] == "bigint" and dt["value"] == "double"
 
     run()
+
+
+def test_subquery_inner_range_k_fanout(spark):
+    """Subquery with inner range = k*step (the r9 extension of the
+    same bounded fan-out eval_range uses): each sample feeds the ≤k
+    windows whose inner range covers its tile, reset isolation stays
+    per-window, and rate divides by the INNER range."""
+    rows = [({"j": "a"}, 1_500, 10.0), ({"j": "a"}, 11_500, 12.0),
+            ({"j": "a"}, 21_500, 4.0), ({"j": "a"}, 31_500, 9.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    # windows (10s tiles over [0,40s], inner range 20s = 2 tiles):
+    # w0: [10] single point → no step; w1: [10,12] → +2;
+    # w2: [12,4] → reset → 4; w3: [4,9] → +5
+    (r1,) = promql.eval_instant(
+        df, 'sum_over_time(increase({j="a"}[20s])[40s:10s])', 40_000
+    ).collect()
+    assert r1["value"] == 11.0
+    (r2,) = promql.eval_instant(
+        df, 'max_over_time(rate({j="a"}[20s])[40s:10s])', 40_000
+    ).collect()
+    assert r2["value"] == 0.25  # max step 5 over the 20s inner range
+    # non-multiple inner range and past-cap fan-out reject cleanly
+    with pytest.raises(ValueError, match="whole multiple of the step"):
+        promql.eval_instant(
+            df, 'max_over_time(rate({j="a"}[15s])[40s:10s])', 40_000)
+    with pytest.raises(ValueError, match="exceeds RANGE_TILE_MAX_K"):
+        promql.eval_instant(
+            df, 'max_over_time(rate({j="a"}[170s])[340s:10s])', 40_000)
+
+
+def test_eval_range_subquery(spark):
+    """Subqueries in RANGE mode (r9): the inner expression evaluates
+    once as its own tiled grid at the subquery step, and each inner
+    value fans into the bounded set of outer windows whose subquery
+    range covers its tile — per-step equality with eval_instant of the
+    same expression (both share the S-grid because the grid step is a
+    multiple of the subquery step). Misaligned steps and oversized
+    fan-outs reject cleanly."""
+    import math
+
+    rows = []
+    v = 0.0
+    for i in range(30):
+        v += (i % 4)
+        if i == 15:
+            v = 1.0  # mid-stream reset
+        rows.append(({"j": "a"}, 1_500 + i * 7_000, float(v)))
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    for expr, G in [
+        ('sum_over_time(increase({j="a"}[20s])[40s:10s])', 10_000),
+        ('max_over_time(rate({j="a"}[10s])[60s:10s])', 20_000),  # m=2
+        ('avg_over_time(increase({j="a"}[20s])[40s:20s])', 20_000),
+        ('last_over_time(delta({j="a"}[10s])[30s:10s])', 10_000),
+    ]:
+        rg = {(r["signature"], r["t_ms"]): r["value"]
+              for r in promql.eval_range(df, expr, 0, 200_000, G).collect()}
+        expected = {}
+        for t in range(G, 200_001, G):
+            for r in promql.eval_instant(df, expr, t).collect():
+                expected[(r["signature"], t)] = r["value"]
+        assert set(rg) == set(expected), expr
+        for key, val in expected.items():
+            assert math.isclose(rg[key], val, rel_tol=1e-9,
+                                abs_tol=1e-12), (expr, key)
+
+    with pytest.raises(ValueError, match="whole multiples of the subquery"):
+        promql.eval_range(
+            df, 'sum_over_time(increase({j="a"}[20s])[40s:15s])',
+            0, 60_000, 10_000)
+    with pytest.raises(ValueError, match="exceeds RANGE_TILE_MAX_K"):
+        promql.eval_range(
+            df, 'sum_over_time(rate({j="a"}[10s])[300s:10s])',
+            0, 60_000, 10_000)
