@@ -136,8 +136,10 @@ EXTRA_WORKLOAD_NAMES = [
     "ts_promql_range_group_left",
     # round-9: the Grafana default shape — rate with range = 4×step,
     # a bounded ≤4-way explode over ONE scan (cost scales with k,
-    # never with the step count)
+    # never with the step count) — and the range-mode subquery (inner
+    # tiled grid evaluated once, fanned into outer windows)
     "ts_promql_range_rate4x",
+    "ts_promql_range_subquery",
 ]
 
 R01_ROWS = {

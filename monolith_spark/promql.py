@@ -46,13 +46,17 @@ match this repo's established, oracle-verified conventions):
 Functions: rate increase delta idelta irate resets changes deriv
 predict_linear holt_winters <agg>_over_time (avg/sum/min/max/count/
 last/stddev/stdvar/present) quantile_over_time mad_over_time
-(experimental-promql-functions) histogram_quantile abs
+(experimental-promql-functions) histogram_quantile
+histogram_fraction (over classic le-buckets — the faithful form for
+an engine that classic-expands native histograms at ingest) abs
 ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_min clamp_max
 sin cos tan asin acos atan sinh cosh tanh deg rad pi minute hour
 day_of_week day_of_month days_in_month month year timestamp sort
 sort_desc sort_by_label sort_by_label_desc absent absent_over_time
 scalar vector time label_replace
-label_join; aggregation
+label_join info (3.x experimental — target_info data-label
+enrichment on the (job, instance) identity, the OTLP receiver's
+companion); Inf/NaN number literals; aggregation
 operators sum avg min max count stddev stdvar group count_values topk
 bottomk quantile limitk limit_ratio with by/without (limitk picks a
 DETERMINISTIC k — ordered by md5(signature) — where the Prometheus
@@ -392,6 +396,12 @@ class _Parser:
                 raise ValueError(f"unexpected keyword {v!r}")
             if v in _AGG_OPS:
                 return self.parse_agg(v)
+            if v.lower() == "inf" and self.peek()[1] not in ("(", "{"):
+                # Prometheus reserves Inf/NaN as number literals (any
+                # case); a metric of that name needs the {} form
+                return Number(float("inf"))
+            if v.lower() == "nan" and self.peek()[1] not in ("(", "{"):
+                return Number(float("nan"))
             nk, nv = self.peek()
             if nv == "(":
                 self.next()
@@ -534,6 +544,10 @@ def format_expr(node) -> str:
     if isinstance(node, str):
         node = parse(node)
     if isinstance(node, Number):
+        if node.value != node.value:  # NaN
+            return "NaN"
+        if node.value in (float("inf"), float("-inf")):
+            return "Inf" if node.value > 0 else "-Inf"
         return f"{node.value!r}"
     if isinstance(node, StringLit):
         return _quote(node.value)
@@ -1206,10 +1220,86 @@ def _eval_call(node: Call, ctx: _Ctx):
         return ("vector", _label_replace(node, ctx))
     if f == "label_join":
         return ("vector", _label_join(node, ctx))
+    if f == "info":
+        # Prometheus 3.x experimental info(): enrich every series with
+        # the DATA labels of the info metric (default target_info —
+        # exactly what the OTLP receiver writes for leftover resource
+        # attributes) sharing its identifying labels (job, instance).
+        # A second instant selector narrows the info series (and may
+        # name a different info metric). Series without a match pass
+        # through unchanged; more than one matching info series per
+        # identity raises at execution (the many-to-one guard); the
+        # series' own labels win on collision. One series-grain join —
+        # the info side is a latest-per-series instant selection.
+        import dataclasses
+
+        kind, v = _eval(node.args[0], ctx)
+        if kind != "vector":
+            raise ValueError("info() expects an instant vector")
+        if len(node.args) > 1:
+            isel = node.args[1]
+            if not isinstance(isel, Selector) or isel.range_ms is not None:
+                raise ValueError(
+                    "info() second argument must be an instant selector")
+            if isel.name is None and not any(
+                m.name == "__name__" for m in isel.matchers
+            ):
+                isel = dataclasses.replace(isel, name="target_info")
+        else:
+            isel = Selector("target_info", ())
+        info = _instant_selector(isel, ctx)
+        idk = F.struct(
+            F.coalesce(
+                F.try_element_at(F.col("labels"), F.lit("job")), F.lit("")
+            ).alias("j"),
+            F.coalesce(
+                F.try_element_at(F.col("labels"), F.lit("instance")),
+                F.lit(""),
+            ).alias("i"),
+        )
+        data = F.map_filter(
+            F.col("labels"),
+            lambda k, _: ~k.isin("__name__", "job", "instance"),
+        )
+        inf = info.select(idk.alias("__k"), data.alias("__data")).withColumn(
+            "__n1", F.count("*").over(Window.partitionBy("__k"))
+        )
+        vv = v.select("labels", "value", idk.alias("__k"))
+        j = vv.join(inf, "__k", "left")
+        guard = F.raise_error(
+            F.lit("info() found multiple matching info series for an "
+                  "identity (job, instance) — narrow the selector")
+        ).cast("double")
+        merged = F.when(
+            F.col("__data").isNotNull(),
+            F.map_concat(
+                F.col("labels"),
+                F.map_filter(
+                    F.col("__data"),
+                    lambda k, _: ~F.array_contains(
+                        F.map_keys(F.col("labels")), k
+                    ),
+                ),
+            ),
+        ).otherwise(F.col("labels"))
+        val = F.when(
+            F.col("__n1").isNull() | (F.col("__n1") == 1), F.col("value")
+        ).otherwise(guard)
+        out = (
+            j.select(merged.alias("labels"), val.alias("value"))
+            .withColumn("signature", signature_expr("labels"))
+            .select("signature", "labels", "value")
+        )
+        return ("vector", out)
     if f == "histogram_quantile":
         phi = _scalar_arg(node.args[0], ctx, f)
         kind, v = _eval(node.args[1], ctx)
         return ("vector", _histogram_quantile(phi, v))
+    if f == "histogram_fraction":
+        lo = _scalar_arg(node.args[0], ctx, f)
+        hi = _scalar_arg(node.args[1], ctx, f)
+        kind, v = _eval(node.args[2], ctx)
+        return ("vector", _histogram_fraction(lo, hi, v))
     raise ValueError(f"unsupported PromQL function {f!r}")
 
 
@@ -1219,6 +1309,8 @@ def _eval_range_func(node: Call, ctx: _Ctx) -> DataFrame:
         # PromQL argument order: quantile_over_time(φ, m[range])
         phi = _scalar_arg(node.args[0], ctx, f)
         sel = node.args[1]
+        if isinstance(sel, Subquery):
+            return _eval_subquery_func(f, sel, node, ctx, param=phi)
         if not isinstance(sel, Selector) or sel.range_ms is None:
             raise ValueError("quantile_over_time expects (φ, m[range])")
         df, _, _ = _range_df(sel, ctx)
@@ -1266,7 +1358,9 @@ def _eval_range_func(node: Call, ctx: _Ctx) -> DataFrame:
     raise ValueError(f"unsupported range function {f!r}")
 
 
-def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFrame:
+def _eval_subquery_func(
+    f: str, sq: Subquery, node: Call, ctx: _Ctx, param: float | None = None
+) -> DataFrame:
     """``<agg>_over_time(inner[R:step])`` where inner is rate/increase/
     delta of a range selector. The outer range is tiled by step-width
     windows anchored at (eval - offset - R); the inner function runs
@@ -1278,7 +1372,8 @@ def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFram
     bounded explode, one scan); with inner == step (the common
     dashboard shape) the duplication is exactly 1 — one sort shuffle."""
     if not (f.endswith("_over_time") and f[: -len("_over_time")] in
-            ("avg", "sum", "min", "max", "count", "last")):
+            ("avg", "sum", "min", "max", "count", "last", "present",
+             "stddev", "stdvar", "mad", "quantile")):
         raise ValueError(f"subquery argument not supported for {f}()")
     op = f[: -len("_over_time")]
     inner = sq.expr
@@ -1361,7 +1456,7 @@ def _eval_subquery_func(f: str, sq: Subquery, node: Call, ctx: _Ctx) -> DataFram
         "signature", "labels", F.col("__v").alias("value"),
         F.col("__w").alias("timestamp"),  # window index as pseudo-time
     )
-    return _over_time(inner_vals, op)
+    return _over_time(inner_vals, op, param)
 
 
 # -- label manipulation ---------------------------------------------------
@@ -1485,6 +1580,77 @@ def _histogram_quantile(
         .when(cur_le == float("inf"), hi_fin)
         .otherwise(interp)
     )
+    return g.select(
+        "signature", "labels", *extra_keys, val.cast("double").alias("value")
+    ).filter(F.col("value").isNotNull())
+
+
+def _histogram_fraction(
+    lo: float, hi: float, vec: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """histogram_fraction(lo, hi, b) over CLASSIC cumulative le-bucket
+    series — the estimated fraction of observations in (lo, hi].
+    Prometheus defines the function for native histograms only; this
+    engine classic-expands native histograms at ingest, so the classic
+    form is the faithful continuation: cumulative count at x linearly
+    interpolated inside the bucket containing x (first-bucket lower
+    bound 0 and +Inf clamped to the highest finite le — exactly
+    histogram_quantile's conventions), fraction = (F(hi) − F(lo)) /
+    total, clamped to [0, 1]. Same one-groupBy shape as
+    histogram_quantile."""
+    le_raw = F.coalesce(F.try_element_at("labels", F.lit("le")), F.lit(""))
+    le_val = (
+        F.when(le_raw.isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
+        .otherwise(le_raw.try_cast("double"))
+    )
+    rest = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("le"))
+    pre = vec.filter(le_val.isNotNull()).select(
+        signature_expr(rest).alias("signature"),
+        rest.alias("labels"),
+        *extra_keys,
+        le_val.alias("__le"),
+        F.col("value").alias("__c"),
+    )
+    g = pre.groupBy("signature", *extra_keys).agg(
+        F.first("labels").alias("labels"),
+        F.sort_array(F.collect_list(F.struct("__le", "__c"))).alias("__b"),
+    )
+    b = F.col("__b")
+    n = F.size(b)
+    total = F.element_at(b, n)["__c"]
+
+    def cum_at(x):
+        # buckets with le <= x count fully; the next bucket (the one
+        # containing x) interpolates, except the +Inf bucket whose
+        # width is unbounded — there the cumulative clamps at the
+        # highest finite le's count
+        below = F.filter(b, lambda e: e["__le"] <= x)
+        nb = F.size(below)
+        c_below = F.when(nb > 0, F.element_at(below, nb)["__c"]).otherwise(
+            F.lit(0.0))
+        le_below = F.when(nb > 0, F.element_at(below, nb)["__le"]).otherwise(
+            F.lit(0.0))
+        above = F.filter(b, lambda e: e["__le"] > x)
+        nxt = F.element_at(above, 1)  # null when x ≥ every le
+        interp = c_below + (nxt["__c"] - c_below) * (x - le_below) / (
+            nxt["__le"] - le_below
+        )
+        return (
+            F.when(x <= F.lit(0.0), F.lit(0.0))
+            .when(F.size(above) == 0, total)
+            .when(nxt["__le"] == float("inf"), c_below)
+            .otherwise(interp)
+        )
+
+    lo_c = F.lit(float("-inf")) if lo == float("-inf") else F.lit(float(lo))
+    hi_c = F.lit(float("inf")) if hi == float("inf") else F.lit(float(hi))
+    cum_hi = F.lit(0.0) if hi == float("-inf") else (
+        total if hi == float("inf") else cum_at(hi_c))
+    cum_lo = F.lit(0.0) if lo == float("-inf") else (
+        total if lo == float("inf") else cum_at(lo_c))
+    frac = F.greatest(
+        F.least((cum_hi - cum_lo) / total, F.lit(1.0)), F.lit(0.0))
+    val = F.when(total > 0, frac)
     return g.select(
         "signature", "labels", *extra_keys, val.cast("double").alias("value")
     ).filter(F.col("value").isNotNull())
@@ -2328,13 +2494,19 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "__w",
             F.lit(1.0).alias("value"),
         )
-    if (
-        isinstance(node, Call)
-        and node.func.endswith("_over_time")
-        and node.func[: -len("_over_time")] in
-            ("avg", "sum", "min", "max", "count", "last")
-        and len(node.args) == 1
-        and isinstance(node.args[0], Subquery)
+    if isinstance(node, Call) and node.func.endswith("_over_time") and (
+        (
+            node.func[: -len("_over_time")] in
+            ("avg", "sum", "min", "max", "count", "last", "present",
+             "stddev", "stdvar", "mad")
+            and len(node.args) == 1
+            and isinstance(node.args[0], Subquery)
+        )
+        or (
+            node.func == "quantile_over_time"
+            and len(node.args) == 2
+            and isinstance(node.args[1], Subquery)
+        )
     ):
         # subquery in RANGE mode — `max_over_time(rate(m[5m])[30m:5m])`
         # as a query_range panel. The inner expression evaluates ONCE
@@ -2346,7 +2518,14 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         # (w+1)·(G/S) < j+1 ≤ (w+1)·(G/S) + R/S — a bounded explode of
         # ≤⌈(R/S)/(G/S)⌉ windows per inner value, series grain, never
         # a per-step replan.
-        sq = node.args[0]
+        if node.func == "quantile_over_time":
+            sq_param = _const_scalar(node.args[0])
+            if sq_param is None:
+                raise ValueError("quantile_over_time expects a scalar φ")
+            sq = node.args[1]
+        else:
+            sq_param = None
+            sq = node.args[0]
         if sq.at_ms is not None:
             raise ValueError(
                 "eval_range: @ on a subquery inside a step-varying "
@@ -2409,7 +2588,8 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             )
         )
         return _over_time(
-            fanned, node.func[: -len("_over_time")], extra_keys=("__w",)
+            fanned, node.func[: -len("_over_time")], sq_param,
+            extra_keys=("__w",),
         ).select("signature", "labels", "__w", "value")
     if isinstance(node, Call) and node.func in (
         "sort", "sort_desc", "sort_by_label", "sort_by_label_desc"
@@ -2437,6 +2617,18 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             raise ValueError("histogram_quantile expects a scalar φ")
         vec = _tiled_values(node.args[1], start_ms, end_ms, step_ms, ctx)
         return _histogram_quantile(float(phi), vec, extra_keys=("__w",))
+    if (
+        isinstance(node, Call)
+        and node.func == "histogram_fraction"
+        and len(node.args) == 3
+    ):
+        lo = _const_scalar(node.args[0])
+        hi = _const_scalar(node.args[1])
+        if lo is None or hi is None:
+            raise ValueError("histogram_fraction expects scalar bounds")
+        vec = _tiled_values(node.args[2], start_ms, end_ms, step_ms, ctx)
+        return _histogram_fraction(
+            float(lo), float(hi), vec, extra_keys=("__w",))
     if isinstance(node, Call) and node.func == "vector" and len(node.args) == 1:
         # a constant series present at EVERY step — the `or vector(0)`
         # no-data fallback every dashboard uses; n_tiles rows from a

@@ -10658,6 +10658,86 @@ def ts_promql_range_p95_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_promql_range_fraction",
+    f"""
+    WITH buckets AS (
+      SELECT event_type,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS d,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+             CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE) AS c2
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN8}
+      GROUP BY 1, 2
+    )
+    SELECT '__name__=lat,event_type=' || event_type AS signature,
+           CAST({JAN1} + (d + 1) * 86400000 AS BIGINT) AS t_ms,
+           GREATEST(LEAST(
+             ((c1 + ((c2 - c1) * (80.0 - 50.0)) / (100.0 - 50.0))
+              - (c0 + ((c1 - c0) * (30.0 - 25.0)) / (50.0 - 25.0))) / n,
+             1.0), 0.0) AS value
+    FROM buckets
+    """,
+)
+def ts_promql_range_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction per STEP (r9, beyond-parity continuation of
+    the native-histogram story — this engine classic-expands native
+    histograms at ingest, so the classic-bucket fraction is the
+    faithful form): the share of daily observations in (30, 80] from
+    the same fabricated le-bucket counters as ts_promql_range_p95,
+    linearly interpolated inside the buckets containing each bound.
+    The oracle replays the identical interpolation expression tree
+    (multiply before divide, GREATEST∘LEAST clamp), so every grid
+    cell hash-matches."""
+    from monolith_spark.sources.events import events_samples
+
+    s = events_samples(spark, sf_dir, ts_range=(JAN1, JAN8))
+    day = F.floor((F.col("timestamp") - F.lit(JAN1) - 1) / F.lit(86_400_000))
+    les = [25.0, 50.0, 100.0]
+    cums = [
+        F.sum(F.when(F.col("value") <= F.lit(le), 1).otherwise(0))
+        .cast("double").alias(f"c{i}")
+        for i, le in enumerate(les)
+    ]
+    g = (
+        s.filter((F.col("timestamp") > JAN1) & (F.col("timestamp") <= JAN8))
+        .select(
+            F.element_at("labels", "event_type").alias("event_type"),
+            day.alias("__d"), "value",
+        )
+        .groupBy("event_type", "__d")
+        .agg(F.count("*").cast("double").alias("n"), *cums)
+    )
+    per_le = g.select(
+        "event_type", "__d",
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(str(int(le))).alias("le"),
+                           F.col(f"c{i}").alias("c"))
+                  for i, le in enumerate(les)],
+                F.struct(F.lit("+Inf").alias("le"), F.col("n").alias("c")),
+            )
+        ).alias("b"),
+    )
+    samples = per_le.select(
+        F.create_map(
+            F.lit("__name__"), F.lit("lat"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("le"), F.col("b.le"),
+        ).alias("labels"),
+        (F.lit(JAN1) + (F.col("__d") + 1) * F.lit(86_400_000))
+        .cast("long").alias("timestamp"),
+        F.col("b.c").cast("double").alias("value"),
+    )
+    out = _promql.eval_range(
+        samples, 'histogram_fraction(30, 80, {__name__="lat"})',
+        JAN1, JAN8, 86_400_000,
+    )
+    return out.select("signature", "t_ms", "value")
+
+
+@_q(
     "ts_recording_rules",
     f"""
     WITH pts AS (

@@ -1601,6 +1601,11 @@ def test_eval_range_subquery(spark):
         ('max_over_time(rate({j="a"}[10s])[60s:10s])', 20_000),  # m=2
         ('avg_over_time(increase({j="a"}[20s])[40s:20s])', 20_000),
         ('last_over_time(delta({j="a"}[10s])[30s:10s])', 10_000),
+        # the widened op family (r9): moments, quantile (param
+        # threading), presence
+        ('stddev_over_time(increase({j="a"}[20s])[40s:10s])', 10_000),
+        ('quantile_over_time(0.9, increase({j="a"}[20s])[40s:20s])', 20_000),
+        ('present_over_time(rate({j="a"}[10s])[30s:10s])', 10_000),
     ]:
         rg = {(r["signature"], r["t_ms"]): r["value"]
               for r in promql.eval_range(df, expr, 0, 200_000, G).collect()}
@@ -1621,3 +1626,87 @@ def test_eval_range_subquery(spark):
         promql.eval_range(
             df, 'sum_over_time(rate({j="a"}[10s])[300s:10s])',
             0, 60_000, 10_000)
+
+
+def test_histogram_fraction(spark):
+    """histogram_fraction(lo, hi, b) over classic cumulative buckets
+    (the faithful form for an engine that classic-expands native
+    histograms at ingest): linear interpolation inside the bucket
+    containing each bound, histogram_quantile's first-bucket-lower-0
+    and +Inf-clamp conventions, result clamped to [0,1] — checked
+    against hand-computed fractions, instant and range mode."""
+    rows = []
+    for le, c in [("1", 2.0), ("2", 5.0), ("4", 7.0), ("+Inf", 10.0)]:
+        rows.append(({"__name__": "lat_bucket", "le": le}, 5_000, c))
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    def frac(lo, hi):
+        (r,) = promql.eval_instant(
+            df, f'histogram_fraction({lo}, {hi}, '
+                f'{{__name__="lat_bucket"}})', 10_000).collect()
+        return r["value"]
+
+    assert frac(0, 2) == pytest.approx(0.5)          # exact bucket edge
+    assert frac(1, 3) == pytest.approx(0.4)          # interp F(3)=6
+    # a finite bound inside the +Inf bucket clamps to the highest
+    # finite le's count (histogram_quantile's convention): F(100)=7
+    assert frac(0.5, 100) == pytest.approx(0.6)      # F(0.5)=1 interp
+    assert frac(0.5, "Inf") == pytest.approx(0.9)    # true upper tail
+    assert frac(4, "Inf") == pytest.approx(0.3)
+    assert frac(5, 100) == pytest.approx(0.0)        # both clamp to 7
+    assert frac(2, 1) == 0.0                         # inverted → clamped
+
+    # range mode composes the same way, per window
+    got = {(r["t_ms"], round(r["value"], 9)) for r in promql.eval_range(
+        df, 'histogram_fraction(1, 3, {__name__="lat_bucket"})',
+        0, 10_000, 10_000).collect()}
+    assert got == {(10_000, 0.4)}
+
+
+def test_info_function(spark):
+    """info() (Prometheus 3.x experimental): series gain the data
+    labels of the target_info series sharing their (job, instance)
+    identity — the metric the OTLP receiver writes for leftover
+    resource attributes. Unmatched series pass through, the series'
+    own labels win on collision, a selector argument narrows the info
+    series, and a duplicate info identity raises at execution."""
+    rows = [
+        ({"__name__": "reqs", "job": "api", "instance": "i1",
+          "path": "/x"}, 5_000, 3.0),
+        ({"__name__": "reqs", "job": "api", "instance": "i2"}, 5_000, 4.0),
+        ({"__name__": "reqs", "job": "db", "instance": "i9"}, 5_000, 7.0),
+        ({"__name__": "target_info", "job": "api", "instance": "i1",
+          "k8s_cluster": "east", "path": "/info-wins-not"}, 4_000, 1.0),
+        ({"__name__": "target_info", "job": "api", "instance": "i2",
+          "k8s_cluster": "west"}, 4_000, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    got = {r["signature"]: (dict(r["labels"]), r["value"]) for r in
+           promql.eval_instant(df, 'info({__name__="reqs"})',
+                               10_000).collect()}
+    by_inst = {lbl["instance"]: (lbl, v) for lbl, v in got.values()}
+    assert by_inst["i1"][0]["k8s_cluster"] == "east"
+    assert by_inst["i1"][0]["path"] == "/x"      # series label wins
+    assert by_inst["i1"][1] == 3.0
+    assert by_inst["i2"][0]["k8s_cluster"] == "west"
+    assert "k8s_cluster" not in by_inst["i9"][0]  # unmatched: unchanged
+    assert by_inst["i9"][1] == 7.0
+
+    # selector argument narrows the info series
+    narrowed = {dict(r["labels"]).get("k8s_cluster") for r in
+                promql.eval_instant(
+                    df, 'info({__name__="reqs"}, {k8s_cluster="east"})',
+                    10_000).collect()}
+    assert narrowed == {"east", None}
+
+    # duplicate info identity → execution-time error
+    dup = df.unionByName(spark.createDataFrame(
+        [({"__name__": "target_info", "job": "api", "instance": "i1",
+           "k8s_cluster": "other"}, 4_500, 1.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    with pytest.raises(Exception, match="multiple matching info series"):
+        promql.eval_instant(
+            dup, 'info({__name__="reqs"})', 10_000).collect()
