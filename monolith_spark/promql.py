@@ -1247,50 +1247,7 @@ def _eval_call(node: Call, ctx: _Ctx):
                 isel = dataclasses.replace(isel, name="target_info")
         else:
             isel = Selector("target_info", ())
-        info = _instant_selector(isel, ctx)
-        idk = F.struct(
-            F.coalesce(
-                F.try_element_at(F.col("labels"), F.lit("job")), F.lit("")
-            ).alias("j"),
-            F.coalesce(
-                F.try_element_at(F.col("labels"), F.lit("instance")),
-                F.lit(""),
-            ).alias("i"),
-        )
-        data = F.map_filter(
-            F.col("labels"),
-            lambda k, _: ~k.isin("__name__", "job", "instance"),
-        )
-        inf = info.select(idk.alias("__k"), data.alias("__data")).withColumn(
-            "__n1", F.count("*").over(Window.partitionBy("__k"))
-        )
-        vv = v.select("labels", "value", idk.alias("__k"))
-        j = vv.join(inf, "__k", "left")
-        guard = F.raise_error(
-            F.lit("info() found multiple matching info series for an "
-                  "identity (job, instance) — narrow the selector")
-        ).cast("double")
-        merged = F.when(
-            F.col("__data").isNotNull(),
-            F.map_concat(
-                F.col("labels"),
-                F.map_filter(
-                    F.col("__data"),
-                    lambda k, _: ~F.array_contains(
-                        F.map_keys(F.col("labels")), k
-                    ),
-                ),
-            ),
-        ).otherwise(F.col("labels"))
-        val = F.when(
-            F.col("__n1").isNull() | (F.col("__n1") == 1), F.col("value")
-        ).otherwise(guard)
-        out = (
-            j.select(merged.alias("labels"), val.alias("value"))
-            .withColumn("signature", signature_expr("labels"))
-            .select("signature", "labels", "value")
-        )
-        return ("vector", out)
+        return ("vector", _info_enrich(v, isel, ctx))
     if f == "histogram_quantile":
         phi = _scalar_arg(node.args[0], ctx, f)
         kind, v = _eval(node.args[1], ctx)
@@ -1583,6 +1540,60 @@ def _histogram_quantile(
     return g.select(
         "signature", "labels", *extra_keys, val.cast("double").alias("value")
     ).filter(F.col("value").isNotNull())
+
+
+def _info_enrich(
+    v: DataFrame, isel: Selector, ctx: _Ctx,
+    extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """The join behind info(): latest-per-series info selection, left
+    join on the (job, instance) identity, data labels merged under
+    the series' own labels, duplicate identities raising at execution
+    (the many-to-one guard device). extra_keys carries the window id
+    through in range mode — enrichment is per-row, so the tiled grid
+    passes straight through."""
+    info = _instant_selector(isel, ctx)
+    idk = F.struct(
+        F.coalesce(
+            F.try_element_at(F.col("labels"), F.lit("job")), F.lit("")
+        ).alias("j"),
+        F.coalesce(
+            F.try_element_at(F.col("labels"), F.lit("instance")), F.lit("")
+        ).alias("i"),
+    )
+    data = F.map_filter(
+        F.col("labels"),
+        lambda k, _: ~k.isin("__name__", "job", "instance"),
+    )
+    inf = info.select(idk.alias("__k"), data.alias("__data")).withColumn(
+        "__n1", F.count("*").over(Window.partitionBy("__k"))
+    )
+    vv = v.select("labels", *extra_keys, "value", idk.alias("__k"))
+    j = vv.join(inf, "__k", "left")
+    guard = F.raise_error(
+        F.lit("info() found multiple matching info series for an "
+              "identity (job, instance) — narrow the selector")
+    ).cast("double")
+    merged = F.when(
+        F.col("__data").isNotNull(),
+        F.map_concat(
+            F.col("labels"),
+            F.map_filter(
+                F.col("__data"),
+                lambda k, _: ~F.array_contains(
+                    F.map_keys(F.col("labels")), k
+                ),
+            ),
+        ),
+    ).otherwise(F.col("labels"))
+    val = F.when(
+        F.col("__n1").isNull() | (F.col("__n1") == 1), F.col("value")
+    ).otherwise(guard)
+    return (
+        j.select(merged.alias("labels"), *extra_keys, val.alias("value"))
+        .withColumn("signature", signature_expr("labels"))
+        .select("signature", "labels", *extra_keys, "value")
+    )
 
 
 def _histogram_fraction(
@@ -2096,7 +2107,11 @@ def eval_range(
       minus composes.
     - value transforms over any tiled expression: the math functions
       (abs/ceil/floor/exp/ln/log2/log10/sqrt/sgn) and
-      round/clamp/clamp_min/clamp_max with scalar bounds.
+      round/clamp/clamp_min/clamp_max with scalar bounds;
+    - timestamp(selector) per window, info() enrichment (anchored at
+      the range end), the sort family (presentation-level unwrap, the
+      serving layer orders off the AST), and histogram_fraction over
+      any tiled inner.
     """
     if isinstance(expr, str):
         expr = parse(expr)
@@ -2591,6 +2606,48 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             fanned, node.func[: -len("_over_time")], sq_param,
             extra_keys=("__w",),
         ).select("signature", "labels", "__w", "value")
+    if isinstance(node, Call) and node.func == "info" and node.args:
+        # info() in range mode: the tiled inner grid enriched per row
+        # with the info metric's data labels — the info selection
+        # anchors at the range END (the latest resource identity, the
+        # Grafana panel semantics); __w passes straight through
+        import dataclasses as _dc
+
+        v = _tiled_values(node.args[0], start_ms, end_ms, step_ms, ctx)
+        if len(node.args) > 1:
+            isel = node.args[1]
+            if not isinstance(isel, Selector) or isel.range_ms is not None:
+                raise ValueError(
+                    "info() second argument must be an instant selector")
+            if isel.name is None and not any(
+                m.name == "__name__" for m in isel.matchers
+            ):
+                isel = _dc.replace(isel, name="target_info")
+        else:
+            isel = Selector("target_info", ())
+        return _info_enrich(v, isel, ctx, extra_keys=("__w",))
+    if (
+        isinstance(node, Call)
+        and node.func == "timestamp"
+        and len(node.args) == 1
+        and isinstance(node.args[0], Selector)
+        and node.args[0].range_ms is None
+    ):
+        # timestamp() per window: the last sample's own timestamp (in
+        # seconds) — same grouped top-struct as the bare selector
+        pts = tiles(node.args[0])
+        return (
+            pts.groupBy("signature", "__w")
+            .agg(
+                F.max(F.struct("timestamp", "value")).alias("__top"),
+                F.first("labels").alias("labels"),
+            )
+            .select(
+                "signature", "labels", "__w",
+                (F.col("__top.timestamp") / F.lit(1000.0))
+                .cast("double").alias("value"),
+            )
+        )
     if isinstance(node, Call) and node.func in (
         "sort", "sort_desc", "sort_by_label", "sort_by_label_desc"
     ):

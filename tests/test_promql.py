@@ -767,7 +767,12 @@ def test_eval_range_tiled(spark):
     # raises with the catch-all message
     with pytest.raises(ValueError, match="unsupported shape"):
         promql.eval_range(
-            df, 'timestamp({j="a"})', 0, 30_000, 10_000)
+            df, 'day_of_week({j="a"})', 0, 30_000, 10_000)
+    # timestamp() per window: the last sample's own time in seconds
+    tsv = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
+        df, 'timestamp({j="a"})', 0, 30_000, 10_000).collect()}
+    assert tsv == {("j=a", 10_000): 4.0, ("j=a", 20_000): 14.0,
+                   ("j=a", 30_000): 21.0}
     # sort_by_label unwraps to its inner vector (ordering is applied by
     # the serving layer off the AST)
     sbl = {(r["signature"], r["t_ms"]): r["value"] for r in promql.eval_range(
@@ -1710,3 +1715,21 @@ def test_info_function(spark):
     with pytest.raises(Exception, match="multiple matching info series"):
         promql.eval_instant(
             dup, 'info({__name__="reqs"})', 10_000).collect()
+
+
+def test_eval_range_info(spark):
+    """info() composes in range mode: the tiled grid enriched per row
+    with target_info data labels (info anchored at the range end),
+    window ids untouched."""
+    rows = [
+        ({"__name__": "reqs", "job": "api", "instance": "i1"}, 1_000, 1.0),
+        ({"__name__": "reqs", "job": "api", "instance": "i1"}, 11_000, 5.0),
+        ({"__name__": "target_info", "job": "api", "instance": "i1",
+          "cluster": "east"}, 11_000, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {(dict(r["labels"]).get("cluster"), r["t_ms"]): r["value"]
+           for r in promql.eval_range(
+               df, 'info({__name__="reqs"})', 0, 20_000, 10_000).collect()}
+    assert got == {("east", 10_000): 1.0, ("east", 20_000): 5.0}
