@@ -140,6 +140,9 @@ EXTRA_WORKLOAD_NAMES = [
     # tiled grid evaluated once, fanned into outer windows)
     "ts_promql_range_rate4x",
     "ts_promql_range_subquery",
+    # round-9: ALERTS historical backfill (one tiled pass + the
+    # consecutive-run streak window at series×steps grain)
+    "ts_alerts_backfill",
 ]
 
 R01_ROWS = {

@@ -71,8 +71,9 @@ def rules_from_dict(group: dict) -> list[RecordingRule]:
     for r in group.get("rules", []):
         if "alert" in r:
             raise ValueError(
-                "alerting rules are not recording rules — use the "
-                "alert_firing operators / streaming_alerts"
+                "alerting rules are not recording rules — use "
+                "alerting_rules_from_dict / backfill_alerts (batch "
+                "ALERTS history) or streaming_alerts (live)"
             )
         out.append(
             RecordingRule(r["record"], r["expr"], dict(r.get("labels", {})))
@@ -214,10 +215,167 @@ def record_rules(
                 start_ms,
                 end_ms,
             )
+    # widest reach any rule expression can touch at its earliest grid
+    # point (range = k*step selectors reach past start by (k-1)*step —
+    # the old flat `start - max(step, lookback)` bound would truncate)
     lo = start_ms - max(step_ms, promql.DEFAULT_LOOKBACK_MS)
+    for rule in rules:
+        l1, _ = promql.time_window(rule.expr, min(start_ms + step_ms, end_ms))
+        lo = min(lo, l1)
     samples = db.query_flat({}, lo, end_ms).select(
         "labels", "timestamp", "value"
     )
     out = evaluate_rules(samples, rules, start_ms, end_ms, step_ms)
+    db.write(out)
+    return out
+
+
+@dataclass(frozen=True)
+class AlertingRule:
+    """One alerting rule of a Prometheus rule group: ``alert`` is the
+    alert name, ``expr`` the condition (any expression the tiled
+    evaluator supports — a series is "active" at a step when the
+    expression returns it), ``for_ms`` the sustain duration before
+    pending becomes firing, ``labels`` static labels overlaid on the
+    result, ``annotations`` carried for API consumers (ALERTS series
+    do not encode them, matching Prometheus)."""
+
+    alert: str
+    expr: str
+    for_ms: int = 0
+    labels: dict[str, str] = field(default_factory=dict)
+    annotations: dict[str, str] = field(default_factory=dict)
+
+
+def alerting_rules_from_dict(group: dict) -> list[AlertingRule]:
+    """Build alerting rules from a parsed Prometheus rule-group
+    mapping (``{"rules": [{"alert": ..., "expr": ..., "for": "5m",
+    "labels": {...}, "annotations": {...}}]}``). Recording rules in
+    the group are skipped (rules_from_dict reads those)."""
+    out = []
+    for r in group.get("rules", []):
+        if "alert" not in r:
+            continue
+        f = r.get("for", 0)
+        for_ms = promql.parse_duration_ms(f) if isinstance(f, str) else int(f)
+        out.append(
+            AlertingRule(
+                r["alert"], r["expr"], for_ms,
+                dict(r.get("labels", {})), dict(r.get("annotations", {})),
+            )
+        )
+    return out
+
+
+def evaluate_alerting_rules(
+    samples: DataFrame,
+    rules: list[AlertingRule],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+) -> DataFrame:
+    """Historical ALERTS backfill — the thing Prometheus itself cannot
+    do (its ALERTS series exist only from when the rule was deployed):
+    evaluate each alert condition over the whole [start, end] grid in
+    ONE tiled pass, derive pending/firing per (series, step) with
+    Prometheus's `for:` semantics, and return the ALERTS series
+    [labels, timestamp, value]:
+
+    - a series is ACTIVE at a step when the condition returns it;
+    - its state is FIRING once the condition has held for >= for_ms
+      (streak length s consecutive active steps ⇒ held (s-1)·step —
+      activeAt is the streak's first evaluation time, exactly
+      Prometheus's now - activeAt >= for), PENDING before that;
+    - output labels are the condition result's labels minus __name__,
+      plus alertname=<alert>, alertstate=pending|firing and the
+      rule's static labels (which override on collision); value 1.0.
+
+    Scale shape: one tiled evaluation per rule + one keyed window
+    (series × steps grain — the consecutive-run device row_number ⇒
+    run id ⇒ streak min) — never a per-step replan."""
+    from pyspark.sql import Window
+
+    for r in rules:
+        if not _METRIC_NAME_RE.match(r.alert):
+            raise ValueError(f"invalid alert name {r.alert!r}")
+        for k in r.labels:
+            if not _LABEL_NAME_RE.match(k) or k == "__name__":
+                raise ValueError(
+                    f"invalid static label {k!r} on alert {r.alert!r}")
+    outs: list[DataFrame] = []
+    for rule in rules:
+        grid = promql.eval_range(samples, rule.expr, start_ms, end_ms, step_ms)
+        w = (
+            (F.col("t_ms") - F.lit(start_ms)) / F.lit(step_ms) - 1
+        ).cast("long")
+        g = grid.select("signature", "labels", "t_ms", w.alias("__w"))
+        rn = F.row_number().over(
+            Window.partitionBy("signature").orderBy("__w"))
+        runs = g.select(
+            "signature", "labels", "t_ms", "__w",
+            (F.col("__w") - rn).alias("__run"),
+        )
+        streak_start = F.min("__w").over(
+            Window.partitionBy("signature", "__run"))
+        held_ms = (F.col("__w") - streak_start) * F.lit(step_ms)
+        state = F.when(
+            held_ms >= F.lit(int(rule.for_ms)), F.lit("firing")
+        ).otherwise(F.lit("pending"))
+        drop = {"__name__", "alertname", "alertstate", *rule.labels}
+        kept = F.map_filter(
+            F.col("labels"),
+            lambda k, _: ~F.array_contains(
+                F.array(*[F.lit(d) for d in drop]), k),
+        )
+        pairs: list = [F.lit("alertname"), F.lit(rule.alert),
+                       F.lit("alertstate"), state]
+        for k, v in sorted(rule.labels.items()):
+            pairs.extend([F.lit(k), F.lit(v)])
+        new_labels = F.map_concat(
+            F.create_map(F.lit("__name__"), F.lit("ALERTS")),
+            kept, F.create_map(*pairs),
+        )
+        outs.append(
+            runs.select(
+                new_labels.alias("labels"),
+                F.col("t_ms").alias("timestamp"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def backfill_alerts(
+    db,
+    rules: list[AlertingRule],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Evaluate alerting rules against ``db`` over [start, end] and
+    write the ALERTS series back (one manifest commit), making alert
+    history queryable like any other series. ``overwrite`` removes
+    each alert's prior ALERTS output in the window first (time-bounded
+    delete), so re-runs are idempotent per (alert, window)."""
+    if overwrite:
+        for rule in rules:
+            db.delete_series(
+                [LabelMatcher("__name__", "ALERTS", "EQ"),
+                 LabelMatcher("alertname", rule.alert, "EQ")],
+                start_ms, end_ms,
+            )
+    lo = start_ms
+    for rule in rules:
+        l1, _ = promql.time_window(
+            rule.expr, min(start_ms + step_ms, end_ms))
+        lo = min(lo, l1)
+    samples = db.query_flat({}, lo, end_ms).select(
+        "labels", "timestamp", "value"
+    )
+    out = evaluate_alerting_rules(samples, rules, start_ms, end_ms, step_ms)
     db.write(out)
     return out

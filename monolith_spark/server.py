@@ -623,11 +623,14 @@ class MonolithServer:
         promql_path: str = "/api/v1/query",
         strict_reference_matchers: bool = False,
         recording_rules=None,
+        alerting_rules=None,
     ) -> None:
         self.db = db
-        # configured recording rules (monolith_spark.rules.RecordingRule):
-        # listed by GET /api/v1/rules, backfilled by the admin trigger
+        # configured rules (monolith_spark.rules.RecordingRule /
+        # AlertingRule): listed by GET /api/v1/rules, backfilled by
+        # the admin trigger (recording output + ALERTS history)
         self.recording_rules = list(recording_rules or [])
+        self.alerting_rules = list(alerting_rules or [])
         import time as _time
 
         self.start_time_iso = _time.strftime(
@@ -819,8 +822,20 @@ class MonolithServer:
                                         "health": "ok",
                                     }
                                     for r in server.recording_rules
+                                ] + [
+                                    {
+                                        "type": "alerting",
+                                        "name": r.alert,
+                                        "query": r.expr,
+                                        "duration": r.for_ms / 1000.0,
+                                        "labels": dict(r.labels),
+                                        "annotations": dict(r.annotations),
+                                        "health": "ok",
+                                    }
+                                    for r in server.alerting_rules
                                 ],
-                            }] if server.recording_rules else [],
+                            }] if (server.recording_rules
+                                   or server.alerting_rules) else [],
                         }
                     elif u.path == "/federate":
                         t = float(qs.get("time", [_time.time()])[0])
@@ -943,25 +958,33 @@ class MonolithServer:
 
                     try:
                         from monolith_spark.promql import parse_duration_ms
-                        from monolith_spark.rules import record_rules
+                        from monolith_spark.rules import (
+                            backfill_alerts,
+                            record_rules,
+                        )
 
                         qs = parse_qs(u.query)
-                        if not server.recording_rules:
-                            raise ValueError("no recording rules configured")
+                        if not (server.recording_rules
+                                or server.alerting_rules):
+                            raise ValueError("no rules configured")
                         step_raw = qs["step"][0]
                         try:
                             step_ms = int(float(step_raw) * 1000)
                         except ValueError:
                             step_ms = parse_duration_ms(step_raw)
-                        record_rules(
-                            server.db,
-                            server.recording_rules,
-                            int(float(qs["start"][0]) * 1000),
-                            int(float(qs["end"][0]) * 1000),
-                            step_ms,
-                            overwrite=qs.get("overwrite", ["false"])[0]
-                            == "true",
-                        )
+                        start_b = int(float(qs["start"][0]) * 1000)
+                        end_b = int(float(qs["end"][0]) * 1000)
+                        ow = qs.get("overwrite", ["false"])[0] == "true"
+                        if server.recording_rules:
+                            record_rules(
+                                server.db, server.recording_rules,
+                                start_b, end_b, step_ms, overwrite=ow,
+                            )
+                        if server.alerting_rules:
+                            backfill_alerts(
+                                server.db, server.alerting_rules,
+                                start_b, end_b, step_ms, overwrite=ow,
+                            )
                         self.send_response(204)
                         self.send_header("Content-Length", "0")
                         self.end_headers()

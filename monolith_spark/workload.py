@@ -10264,6 +10264,83 @@ def ts_promql_range_rate4x_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_alerts_backfill",
+    f"""
+    WITH pts AS (
+      SELECT event_type, {SIG_SQL} AS sig,
+             CAST((epoch_ms(ts) - {JAN1} - 1) // 86400000 AS BIGINT) AS w,
+             epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE epoch_ms(ts) > {JAN1} AND epoch_ms(ts) <= {JAN20}
+    ),
+    steps AS (
+      SELECT event_type, sig, w,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END AS step
+      FROM (SELECT event_type, sig, w, v,
+                   lag(v) OVER (PARTITION BY sig, w ORDER BY ts_ms, v) AS prev
+            FROM pts)
+    ),
+    per_series AS (
+      SELECT event_type, sig, w, CAST(sum(step) AS DOUBLE) AS inc
+      FROM steps WHERE step IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    daily AS (
+      SELECT event_type, w,
+             CAST(sum(CAST(inc AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM per_series GROUP BY 1, 2
+    ),
+    active AS (SELECT event_type, w FROM daily WHERE s > 50),
+    runs AS (
+      SELECT event_type, w,
+             w - row_number() OVER (PARTITION BY event_type ORDER BY w)
+               AS run
+      FROM active
+    ),
+    states AS (
+      SELECT event_type, w,
+             CASE WHEN (w - min(w) OVER (PARTITION BY event_type, run))
+                       * 86400000 >= 2 * 86400000
+                  THEN 'firing' ELSE 'pending' END AS st
+      FROM runs
+    )
+    SELECT '__name__=ALERTS,alertname=HighDailyIncrease,alertstate=' || st
+           || ',event_type=' || event_type || ',severity=page' AS signature,
+           CAST({JAN1} + (w + 1) * 86400000 AS BIGINT) AS t_ms,
+           CAST(1.0 AS DOUBLE) AS value
+    FROM states
+    """,
+)
+def ts_alerts_backfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical ALERTS backfill (rules.evaluate_alerting_rules, r9)
+    — the capability Prometheus itself lacks (its ALERTS series exist
+    only from rule deployment): the alert `sum by (event_type)
+    (increase(m[1d])) > 50` with `for: 2d`, evaluated over the whole
+    19-day grid in ONE tiled pass; consecutive-run streaks decide
+    pending vs firing per step ((w − streak_start)·step ≥ for —
+    Prometheus's now − activeAt ≥ for on the grid), static severity
+    overlaid, ALERTS-shaped labels. The oracle replays the tiled
+    daily sums, the threshold, and the identical run/streak window
+    construction."""
+    from monolith_spark import rules as _rules
+
+    rule = _rules.AlertingRule(
+        "HighDailyIncrease",
+        'sum by (event_type) (increase({}[1d])) > 50',
+        2 * 86_400_000,
+        {"severity": "page"},
+    )
+    out = _rules.evaluate_alerting_rules(
+        _events_lv(spark, sf_dir), [rule], JAN1, JAN20, 86_400_000
+    )
+    return out.select(
+        _signature_expr("labels").alias("signature"),
+        F.col("timestamp").alias("t_ms"),
+        "value",
+    )
+
+
+@_q(
     "ts_promql_range_subquery",
     f"""
     WITH pts AS (

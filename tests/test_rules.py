@@ -152,7 +152,13 @@ def test_rules_http_surface(spark, db):
 
     from monolith_spark.server import MonolithServer
 
-    srv = MonolithServer(db, port=0, recording_rules=_group())
+    from monolith_spark.rules import AlertingRule
+
+    alert = AlertingRule(
+        "ClicksSeen", 'sum by (kb) (sum_over_time({event_type="click"}[1d]))'
+        ' > 0', 0, {"severity": "info"}, {"summary": "clicks happened"})
+    srv = MonolithServer(db, port=0, recording_rules=_group(),
+                         alerting_rules=[alert])
     srv.serve_background()
     try:
         with urllib.request.urlopen(
@@ -160,8 +166,11 @@ def test_rules_http_surface(spark, db):
         ) as resp:
             listed = json.loads(resp.read())["data"]["groups"]
         assert [r["name"] for r in listed[0]["rules"]] == [
-            "kb:clicks:sum1d", "clicks:sum1d:total"]
+            "kb:clicks:sum1d", "clicks:sum1d:total", "ClicksSeen"]
         assert listed[0]["rules"][1]["labels"] == {"env": "prod"}
+        assert listed[0]["rules"][2]["type"] == "alerting"
+        assert listed[0]["rules"][2]["annotations"] == {
+            "summary": "clicks happened"}
 
         run = urllib.request.Request(
             f"http://127.0.0.1:{srv.port}/api/v1/admin/rules/run"
@@ -180,6 +189,18 @@ def test_rules_http_surface(spark, db):
             vec = json.loads(resp.read())["data"]["result"]
         assert len(vec) == 1 and vec[0]["metric"]["env"] == "prod"
         assert float(vec[0]["value"][1]) > 0
+
+        # the same trigger backfilled ALERTS history (for: 0 → firing
+        # wherever the condition held)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query"
+            f'?query={{__name__="ALERTS",alertname="ClicksSeen"}}&time={t}'
+        ) as resp:
+            alerts = json.loads(resp.read())["data"]["result"]
+        assert alerts and all(
+            a["metric"]["alertstate"] == "firing"
+            and a["metric"]["severity"] == "info"
+            for a in alerts)
     finally:
         srv.shutdown()
 
@@ -284,3 +305,66 @@ def test_static_label_overrides_result_label(spark):
         JAN1, JAN8, DAY,
     ).collect()
     assert out and all(r["labels"]["kb"] == "all" for r in out)
+
+
+def test_alerting_rules_backfill(spark, tmp_path):
+    """ALERTS historical backfill (r9 — the thing Prometheus cannot
+    do: its ALERTS exist only from rule deployment): pending→firing
+    with `for:` sustain semantics over a hand-built grid, static-label
+    overlay, alertname/alertstate labels, write-back + overwrite
+    idempotence, and the dict loader reading Prometheus rule-file
+    shapes."""
+    from monolith_spark.rules import (
+        alerting_rules_from_dict,
+        backfill_alerts,
+        evaluate_alerting_rules,
+    )
+
+    # series j=a is above threshold in windows 1,2,3 (streak), j=b
+    # only in window 2 — with for: 20s (2 steps) a only fires at
+    # window 3; everything else active is pending
+    rows = [({"j": "a"}, 5_000, 10.0), ({"j": "a"}, 15_000, 11.0),
+            ({"j": "a"}, 25_000, 12.0), ({"j": "b"}, 15_000, 9.0),
+            ({"j": "b"}, 35_000, 1.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    (rule,) = alerting_rules_from_dict({
+        "rules": [
+            {"record": "skipped:by:alert:loader", "expr": "x"},
+            {"alert": "HighValue", "expr": '{j=~".+"} > 5', "for": "20s",
+             "labels": {"severity": "page"},
+             "annotations": {"summary": "too high"}},
+        ]
+    })
+    assert rule.for_ms == 20_000 and rule.annotations["summary"] == "too high"
+
+    out = evaluate_alerting_rules(df, [rule], 0, 40_000, 10_000)
+    got = {
+        (dict(r["labels"])["j"], r["timestamp"],
+         dict(r["labels"])["alertstate"]): r["value"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 10_000, "pending"): 1.0,   # streak held 0s
+        ("a", 20_000, "pending"): 1.0,   # held 10s < 20s
+        ("a", 30_000, "firing"): 1.0,    # held 20s
+        ("b", 20_000, "pending"): 1.0,   # isolated window
+    }
+    lbl = {dict(r["labels"])["alertname"] for r in out.collect()}
+    assert lbl == {"HighValue"}
+    assert all(dict(r["labels"])["severity"] == "page"
+               for r in out.collect())
+    assert all(dict(r["labels"])["__name__"] == "ALERTS"
+               for r in out.collect())
+
+    # write-back + overwrite idempotence through the engine
+    db = MonolithDB(spark, str(tmp_path / "adb"), chunk_size_ms=2 * DAY)
+    db.write(df)
+    backfill_alerts(db, [rule], 0, 40_000, 10_000)
+    backfill_alerts(db, [rule], 0, 40_000, 10_000, overwrite=True)
+    stored = db.query_flat({"__name__": "ALERTS"}, 0, 10**9)
+    assert stored.count() == 4  # no duplication after the re-run
+    firing = db.query_flat(
+        {"__name__": "ALERTS", "alertstate": "firing"}, 0, 10**9).collect()
+    assert [(r["timestamp"], dict(r["labels"])["j"]) for r in firing] == [
+        (30_000, "a")]
