@@ -46,6 +46,7 @@ match this repo's established, oracle-verified conventions):
 Functions: rate increase delta idelta irate resets changes deriv
 predict_linear holt_winters <agg>_over_time (avg/sum/min/max/count/
 last/stddev/stdvar/present) quantile_over_time mad_over_time
+ts_of_max/ts_of_min/ts_of_last_over_time (3.5 experimental)
 (experimental-promql-functions) histogram_quantile
 histogram_fraction (over classic le-buckets — the faithful form for
 an engine that classic-expands native histograms at ingest) abs
@@ -953,6 +954,19 @@ def _over_time(df, op: str, param: float | None = None,
     elif op == "last":
         a = [F.max(F.struct("timestamp", "value")).alias("__t")]
         val = F.col("__t.value")
+    elif op in ("ts_of_max", "ts_of_min", "ts_of_last"):
+        # Prometheus 3.5 experimental: the sample's own TIMESTAMP in
+        # seconds. Ties pick deterministically via the struct order:
+        # ts_of_max the LATEST max, ts_of_min the EARLIEST min.
+        if op == "ts_of_max":
+            a = [F.max(F.struct("value", "timestamp")).alias("__t")]
+            val = F.col("__t.timestamp") / F.lit(1000.0)
+        elif op == "ts_of_min":
+            a = [F.min(F.struct("value", "timestamp")).alias("__t")]
+            val = F.col("__t.timestamp") / F.lit(1000.0)
+        else:
+            a = [F.max("timestamp").alias("__t")]
+            val = F.col("__t") / F.lit(1000.0)
     elif op == "present":
         a = [F.count("*").alias("__n")]
         val = F.lit(1.0)
@@ -998,6 +1012,9 @@ _RANGE_FUNCS = {
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "present_over_time", "quantile_over_time",
     "mad_over_time",
+    # Prometheus 3.5 experimental: the TIMESTAMP of the extreme/last
+    # sample in the range (seconds)
+    "ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time",
 }
 
 _MATH_FUNCS = {

@@ -245,6 +245,9 @@ class AlertingRule:
     for_ms: int = 0
     labels: dict[str, str] = field(default_factory=dict)
     annotations: dict[str, str] = field(default_factory=dict)
+    # Prometheus 3.x `keep_firing_for`: once firing, the alert stays
+    # firing for this long after the condition stops holding
+    keep_firing_for_ms: int = 0
 
 
 def alerting_rules_from_dict(group: dict) -> list[AlertingRule]:
@@ -258,10 +261,13 @@ def alerting_rules_from_dict(group: dict) -> list[AlertingRule]:
             continue
         f = r.get("for", 0)
         for_ms = promql.parse_duration_ms(f) if isinstance(f, str) else int(f)
+        kf = r.get("keep_firing_for", 0)
+        kf_ms = promql.parse_duration_ms(kf) if isinstance(kf, str) else int(kf)
         out.append(
             AlertingRule(
                 r["alert"], r["expr"], for_ms,
                 dict(r.get("labels", {})), dict(r.get("annotations", {})),
+                kf_ms,
             )
         )
     return out
@@ -302,6 +308,7 @@ def evaluate_alerting_rules(
             if not _LABEL_NAME_RE.match(k) or k == "__name__":
                 raise ValueError(
                     f"invalid static label {k!r} on alert {r.alert!r}")
+    n_tiles = -(-(end_ms - start_ms) // step_ms)
     outs: list[DataFrame] = []
     for rule in rules:
         grid = promql.eval_range(samples, rule.expr, start_ms, end_ms, step_ms)
@@ -321,6 +328,46 @@ def evaluate_alerting_rules(
         state = F.when(
             held_ms >= F.lit(int(rule.for_ms)), F.lit("firing")
         ).otherwise(F.lit("pending"))
+        states = runs.select(
+            "signature", "labels", "__w", state.alias("__st"))
+        if rule.keep_firing_for_ms > 0:
+            # keep_firing_for: a step with NO active condition stays
+            # firing while the LAST active step is (a) within reach
+            # (≤ K steps back, K = ceil(keep/step)) and (b) itself
+            # firing. Bounded device, no per-series grid: every
+            # active step explodes into its next ≤K steps; per
+            # (series, step) the max-source candidate IS the last
+            # active step, so a pending last-active correctly blocks
+            # the carry of an older firing one; active steps
+            # anti-join out (their own state wins).
+            K = min(-(-rule.keep_firing_for_ms // step_ms),
+                    max(int(n_tiles), 1))
+            cand = (
+                states.filter(F.col("__w") < n_tiles - 1)
+                .select(
+                    "signature", "__st", F.col("__w").alias("__src"),
+                    F.explode(
+                        F.sequence(
+                            F.col("__w") + 1,
+                            F.least(F.col("__w") + K,
+                                    F.lit(int(n_tiles - 1)).cast("long")),
+                        )
+                    ).alias("__w"),
+                )
+            )
+            best = cand.groupBy("signature", "__w").agg(
+                F.max(F.struct("__src", "__st")).alias("__b"))
+            dim = states.select("signature", "labels").dropDuplicates(
+                ["signature"])
+            carried = (
+                best.filter(F.col("__b.__st") == "firing")
+                .join(states.select("signature", "__w"),
+                      ["signature", "__w"], "left_anti")
+                .join(F.broadcast(dim), "signature")
+                .select("signature", "labels", "__w",
+                        F.lit("firing").alias("__st"))
+            )
+            states = states.unionByName(carried)
         drop = {"__name__", "alertname", "alertstate", *rule.labels}
         kept = F.map_filter(
             F.col("labels"),
@@ -328,7 +375,7 @@ def evaluate_alerting_rules(
                 F.array(*[F.lit(d) for d in drop]), k),
         )
         pairs: list = [F.lit("alertname"), F.lit(rule.alert),
-                       F.lit("alertstate"), state]
+                       F.lit("alertstate"), F.col("__st")]
         for k, v in sorted(rule.labels.items()):
             pairs.extend([F.lit(k), F.lit(v)])
         new_labels = F.map_concat(
@@ -336,9 +383,10 @@ def evaluate_alerting_rules(
             kept, F.create_map(*pairs),
         )
         outs.append(
-            runs.select(
+            states.select(
                 new_labels.alias("labels"),
-                F.col("t_ms").alias("timestamp"),
+                (F.lit(start_ms) + (F.col("__w") + 1) * F.lit(step_ms))
+                .cast("long").alias("timestamp"),
                 F.lit(1.0).alias("value"),
             )
         )

@@ -1733,3 +1733,26 @@ def test_eval_range_info(spark):
            for r in promql.eval_range(
                df, 'info({__name__="reqs"})', 0, 20_000, 10_000).collect()}
     assert got == {("east", 10_000): 1.0, ("east", 20_000): 5.0}
+
+
+def test_ts_of_over_time(spark):
+    """ts_of_max/min/last_over_time (Prometheus 3.5 experimental):
+    the sample's own timestamp in seconds; ties resolve
+    deterministically (latest max, earliest min); composes in range
+    mode per window."""
+    rows = [({"j": "a"}, 1_000, 5.0), ({"j": "a"}, 3_000, 9.0),
+            ({"j": "a"}, 7_000, 9.0), ({"j": "a"}, 9_000, 2.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    def one(expr):
+        (r,) = promql.eval_instant(df, expr, 10_000).collect()
+        return r["value"]
+
+    assert one('ts_of_max_over_time({j="a"}[10s])') == 7.0   # latest max
+    assert one('ts_of_min_over_time({j="a"}[10s])') == 9.0
+    assert one('ts_of_last_over_time({j="a"}[10s])') == 9.0
+    # range mode: per window
+    got = {(r["t_ms"], r["value"]) for r in promql.eval_range(
+        df, 'ts_of_max_over_time({j="a"}[5s])', 0, 10_000, 5_000).collect()}
+    assert got == {(5_000, 3.0), (10_000, 7.0)}

@@ -368,3 +368,53 @@ def test_alerting_rules_backfill(spark, tmp_path):
         {"__name__": "ALERTS", "alertstate": "firing"}, 0, 10**9).collect()
     assert [(r["timestamp"], dict(r["labels"])["j"]) for r in firing] == [
         (30_000, "a")]
+
+
+def test_alerting_keep_firing_for(spark):
+    """keep_firing_for (Prometheus 3.x): a firing alert stays firing
+    for the grace period after the condition stops; a PENDING
+    last-active step blocks the carry of an older firing one; carry
+    never resurrects as pending."""
+    from monolith_spark.rules import AlertingRule, evaluate_alerting_rules
+
+    # j=a active in w0..w2 (firing from w1 with for:10s), inactive
+    # w3..w5; j=b fires at w0 only, then a NEW 1-step activation at
+    # w3 (pending under for:10s) blocks w4 from carrying w0's firing
+    rows = [({"j": "a"}, 5_000, 9.0), ({"j": "a"}, 15_000, 9.0),
+            ({"j": "a"}, 25_000, 9.0),
+            ({"j": "b"}, 5_000, 9.0), ({"j": "b"}, 6_000, 1.0),
+            ({"j": "b"}, 35_000, 9.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    rule_a = AlertingRule("A", '{j="a"} > 5', 10_000,
+                          keep_firing_for_ms=20_000)
+    got_a = {(r["timestamp"], dict(r["labels"])["alertstate"])
+             for r in evaluate_alerting_rules(
+                 df, [rule_a], 0, 60_000, 10_000).collect()}
+    assert got_a == {
+        (10_000, "pending"),   # active, held 0
+        (20_000, "firing"),    # held 10s = for
+        (30_000, "firing"),    # active
+        (40_000, "firing"),    # carried (10s since last active)
+        (50_000, "firing"),    # carried (20s = keep_firing_for)
+        # 60_000 resolved: 30s > keep_firing_for
+    }
+    # a PENDING last-active step BLOCKS the carry of an older firing
+    # one: j=c fires through w1, gaps at w2 (carried), re-activates at
+    # w3 as a new pending streak — w4/w5 must not resurrect w1's fire
+    rows_c = [({"j": "c"}, 5_000, 9.0), ({"j": "c"}, 15_000, 9.0),
+              ({"j": "c"}, 35_000, 9.0)]
+    dfc = spark.createDataFrame(
+        rows_c, "labels map<string,string>, timestamp long, value double")
+    rule_c = AlertingRule("C", '{j="c"} > 5', 10_000,
+                          keep_firing_for_ms=40_000)
+    got_c = {(r["timestamp"], dict(r["labels"])["alertstate"])
+             for r in evaluate_alerting_rules(
+                 dfc, [rule_c], 0, 60_000, 10_000).collect()}
+    assert got_c == {
+        (10_000, "pending"),  # streak start
+        (20_000, "firing"),   # held 10s = for
+        (30_000, "firing"),   # carried from w1
+        (40_000, "pending"),  # NEW streak — resets
+        # 50s/60s: last-active is the pending w3 → carry blocked
+    }
