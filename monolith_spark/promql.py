@@ -268,7 +268,9 @@ class _Parser:
                 if self.peek()[1] != ")":
                     while True:
                         ik, iv = self.next()
-                        if ik != "IDENT":
+                        if ik == "STRING":
+                            iv = _unquote(iv)  # 3.x quoted label name
+                        elif ik != "IDENT":
                             raise ValueError(f"expected label, got {iv!r}")
                         names.append(iv)
                         if self.peek()[1] == ",":
@@ -294,7 +296,9 @@ class _Parser:
                     self.next()
                     while self.peek()[1] != ")":
                         ik, iv = self.next()
-                        if ik != "IDENT":
+                        if ik == "STRING":
+                            iv = _unquote(iv)  # 3.x quoted label name
+                        elif ik != "IDENT":
                             raise ValueError(f"expected label, got {iv!r}")
                         extras.append(iv)
                         if self.peek()[1] == ",":
@@ -391,7 +395,8 @@ class _Parser:
             self.expect(")")
             return e
         if v == "{":
-            return Selector(None, self.parse_matchers_body())
+            bname, bms = self.parse_matchers_body()
+            return Selector(bname, bms)
         if k == "IDENT":
             if v in ("by", "without", "offset", "bool"):
                 raise ValueError(f"unexpected keyword {v!r}")
@@ -416,18 +421,44 @@ class _Parser:
                 return Call(v, tuple(args))
             if nv == "{":
                 self.next()
-                return Selector(v, self.parse_matchers_body())
+                bname, bms = self.parse_matchers_body()
+                if bname is not None:
+                    raise ValueError(
+                        f"metric name specified twice: {v!r} and {bname!r}")
+                return Selector(v, bms)
             # bare metric name
             return Selector(v, ())
         raise ValueError(f"unexpected token {v!r}")
 
-    def parse_matchers_body(self) -> tuple[LabelMatcher, ...]:
+    def parse_matchers_body(self) -> tuple[str | None, tuple[LabelMatcher, ...]]:
+        """Brace body — Prometheus 3.x UTF-8 name syntax included:
+        label names may be quoted strings ({"my.label"="x"}), and a
+        BARE quoted string as the first item is the metric name
+        ({"my metric", job="api"}). Returns (metric_name_or_None,
+        matchers)."""
         ms: list[LabelMatcher] = []
+        name_in_braces: str | None = None
+        first = True
         if self.peek()[1] != "}":
             while True:
                 nk, name = self.next()
-                if nk != "IDENT":
+                if nk == "STRING" and self.peek()[1] in (",", "}"):
+                    # bare quoted string: the UTF-8 metric name
+                    if not first:
+                        raise ValueError(
+                            "quoted metric name must be the first item "
+                            "in the braces")
+                    name_in_braces = _unquote(name)
+                    first = False
+                    if self.peek()[1] == ",":
+                        self.next()
+                        continue
+                    break
+                if nk == "STRING":
+                    name = _unquote(name)  # quoted label name
+                elif nk != "IDENT":
                     raise ValueError(f"expected label name, got {name!r}")
+                first = False
                 _, op = self.next()
                 if op not in ("=", "!=", "=~", "!~"):
                     raise ValueError(f"bad matcher op {op!r}")
@@ -441,7 +472,7 @@ class _Parser:
                     continue
                 break
         self.expect("}")
-        return tuple(ms)
+        return name_in_braces, tuple(ms)
 
     def parse_agg(self, op: str):
         by = without = None
@@ -457,7 +488,9 @@ class _Parser:
                 if self.peek()[1] != ")":
                     while True:
                         ik, iv = self.next()
-                        if ik != "IDENT":
+                        if ik == "STRING":
+                            iv = _unquote(iv)  # 3.x quoted label name
+                        elif ik != "IDENT":
                             raise ValueError(f"expected label, got {iv!r}")
                         names.append(iv)
                         if self.peek()[1] == ",":
@@ -536,6 +569,16 @@ def _fmt_modifiers(node) -> str:
     return out
 
 
+_METRIC_IDENT_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+_LABEL_IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+def _fmt_label_name(n: str) -> str:
+    """Label name in canonical text: bare when it is a legacy
+    identifier, quoted otherwise (the Prometheus 3.x UTF-8 rule)."""
+    return n if _LABEL_IDENT_RE.match(n) else _quote(n)
+
+
 def format_expr(node) -> str:
     """Canonical text for an AST — the /api/v1/format_query analog.
     The invariant the tests pin: parse(format_expr(parse(q))) ==
@@ -554,10 +597,18 @@ def format_expr(node) -> str:
         return _quote(node.value)
     if isinstance(node, Selector):
         ms = ", ".join(
-            f"{m.name}{_MATCH_OP[m.type]}{_quote(m.value)}"
+            f"{_fmt_label_name(m.name)}{_MATCH_OP[m.type]}{_quote(m.value)}"
             for m in node.matchers
         )
-        body = (node.name or "") + (f"{{{ms}}}" if ms or not node.name else "")
+        if node.name is not None and (
+            not _METRIC_IDENT_RE.match(node.name)
+            or node.name.lower() in ("inf", "nan")  # number literals
+        ):
+            # Prometheus 3.x UTF-8 metric name: quoted, first in braces
+            body = "{" + _quote(node.name) + (f", {ms}" if ms else "") + "}"
+        else:
+            body = (node.name or "") + (
+                f"{{{ms}}}" if ms or not node.name else "")
         rng = f"[{format_duration_ms(node.range_ms)}]" if node.range_ms else ""
         return body + rng + _fmt_modifiers(node)
     if isinstance(node, Subquery):
@@ -571,21 +622,29 @@ def format_expr(node) -> str:
     if isinstance(node, Agg):
         clause = ""
         if node.by is not None:
-            clause = f" by ({', '.join(node.by)})"
+            clause = f" by ({', '.join(map(_fmt_label_name, node.by))})"
         elif node.without is not None:
-            clause = f" without ({', '.join(node.without)})"
+            clause = (
+                f" without ({', '.join(map(_fmt_label_name, node.without))})"
+            )
         args = ([format_expr(node.param) + ", "] if node.param is not None
                 else [""])[0]
         return f"{node.op}{clause} ({args}{format_expr(node.expr)})"
     if isinstance(node, BinOp):
         op = node.op + (" bool" if node.bool_mode else "")
         if node.match is not None:
-            op += f" {node.match[0]} ({', '.join(node.match[1])})"
+            op += (
+                f" {node.match[0]} "
+                f"({', '.join(map(_fmt_label_name, node.match[1]))})"
+            )
         if node.group is not None:
             # always emit the label list (empty ok) — a bare modifier
             # followed by the parenthesized rhs would re-parse the rhs
             # parens as the list
-            op += f" group_{node.group[0]} ({', '.join(node.group[1])})"
+            op += (
+                f" group_{node.group[0]} "
+                f"({', '.join(map(_fmt_label_name, node.group[1]))})"
+            )
         return f"({format_expr(node.lhs)}) {op} ({format_expr(node.rhs)})"
     if isinstance(node, Unary):
         return f"{node.op}({format_expr(node.expr)})"

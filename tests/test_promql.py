@@ -1509,13 +1509,26 @@ def test_eval_range_fuzz_crash_free(spark):
         ["rate", "increase", "delta", "irate", "idelta", "resets",
          "changes", "avg_over_time", "sum_over_time", "max_over_time",
          "min_over_time", "count_over_time", "last_over_time",
-         "stddev_over_time", "absent_over_time"])
+         "stddev_over_time", "absent_over_time", "ts_of_max_over_time",
+         "ts_of_min_over_time", "ts_of_last_over_time"])
+    from monolith_spark.promql import Subquery
+
+    _sq = st.builds(
+        lambda f, s, r, ss: Call(f, (Subquery(Call("increase", (s,)),
+                                              r, ss, 0, None),)),
+        st.sampled_from(["sum_over_time", "max_over_time",
+                         "stddev_over_time", "last_over_time"]),
+        _sel,
+        st.sampled_from([2 * STEP, 4 * STEP, 3 * STEP + 1]),
+        st.sampled_from([STEP, STEP // 2, 2 * STEP]),
+    )
     leaf = st.one_of(
         st.builds(lambda f, s: Call(f, (s,)), _fn, _sel),
         st.builds(lambda s: s.__class__(
             s.name, s.matchers, None, 0, None), _sel),  # instant selector
         st.builds(lambda n: Call("vector", (Number(float(n)),)),
                   st.integers(0, 3)),
+        _sq,  # subqueries straddling the alignment boundary
     )
 
     def wrap(inner):
@@ -1532,6 +1545,11 @@ def test_eval_range_fuzz_crash_free(spark):
                                        "sort_desc"]), inner),
             st.builds(lambda k, e: Agg("topk", e, Number(float(k))),
                       st.integers(1, 3), inner),
+            st.builds(
+                lambda lo, hi, e: Call(
+                    "histogram_fraction",
+                    (Number(float(lo)), Number(float(hi)), e)),
+                st.integers(0, 2), st.integers(2, 9), inner),
         )
 
     _ast = st.recursive(leaf, wrap, max_leaves=4)
@@ -1756,3 +1774,30 @@ def test_ts_of_over_time(spark):
     got = {(r["t_ms"], r["value"]) for r in promql.eval_range(
         df, 'ts_of_max_over_time({j="a"}[5s])', 0, 10_000, 5_000).collect()}
     assert got == {(5_000, 3.0), (10_000, 7.0)}
+
+
+def test_utf8_names(spark):
+    """Prometheus 3.x UTF-8 names: quoted label names in matchers and
+    label lists, quoted metric names in braces ({"my metric",
+    job="api"}), formatter quoting anything that cannot re-lex bare
+    (including metrics literally named inf/nan), and end-to-end
+    evaluation over UTF-8 label keys."""
+    assert promql.parse('{"m x", "a.b"="v"}') == promql.Selector(
+        "m x", (promql.LabelMatcher("a.b", "v", "EQ"),))
+    assert promql.format_expr(promql.Selector("inf", ())) == '{"inf"}'
+    with pytest.raises(ValueError, match="metric name specified twice"):
+        promql.parse('m{"n"}')
+    with pytest.raises(ValueError, match="must be the first item"):
+        promql.parse('{job="api", "n"}')
+
+    rows = [({"__name__": "req total", "k8s.pod": "p1"}, 5_000, 3.0),
+            ({"__name__": "req total", "k8s.pod": "p2"}, 5_000, 4.0)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+    got = {dict(r["labels"])["k8s.pod"]: r["value"] for r in
+           promql.eval_instant(df, '{"req total"}', 10_000).collect()}
+    assert got == {"p1": 3.0, "p2": 4.0}
+    (r,) = promql.eval_instant(
+        df, 'sum by ("k8s.pod") ({"req total", "k8s.pod"="p2"})',
+        10_000).collect()
+    assert r["value"] == 4.0 and dict(r["labels"]) == {"k8s.pod": "p2"}

@@ -30,12 +30,25 @@ _RESERVED = _AGG_OPS | {
     "on", "ignoring", "group_left", "group_right",
 }
 
-_label = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,4}", fullmatch=True)
+_ident_label = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,4}", fullmatch=True)
+# Prometheus 3.x UTF-8 names: anything printable, including the
+# escape-relevant characters and the inf/nan number-literal edge —
+# the formatter must quote whatever cannot re-lex as a bare name
+_label = st.one_of(
+    _ident_label,
+    st.text(alphabet=st.sampled_from(list('ab .-日"\\\n')), min_size=1,
+            max_size=6),
+)
 # lexer identifier shape: colons allowed INSIDE (recording-rule names)
 # but not leading — the same restriction the tokenizer enforces
-_metric = st.from_regex(
-    r"[a-zA-Z_][a-zA-Z0-9_:]{0,5}", fullmatch=True
-).filter(lambda s: s not in _RESERVED)
+_metric = st.one_of(
+    st.from_regex(
+        r"[a-zA-Z_][a-zA-Z0-9_:]{0,5}", fullmatch=True
+    ).filter(lambda s: s not in _RESERVED),
+    st.sampled_from(["inf", "NaN", "Inf", "my metric", "a.b", "метрика"]),
+    st.text(alphabet=st.sampled_from(list('ab .-日"\\\n')), min_size=1,
+            max_size=6),
+)
 # matcher values: printable-ish text including the escape-relevant
 # characters (quote, backslash, newline)
 _value = st.text(
