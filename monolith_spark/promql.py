@@ -555,7 +555,16 @@ def format_duration_ms(ms: int) -> str:
 
 
 def _quote(s: str) -> str:
-    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    # Escape control whitespace too: the parser accepts raw newlines in
+    # quoted strings, but canonical text should stay one line.
+    return (
+        '"'
+        + s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\t", "\\t")
+        + '"'
+    )
 
 
 def _fmt_modifiers(node) -> str:
@@ -569,8 +578,11 @@ def _fmt_modifiers(node) -> str:
     return out
 
 
-_METRIC_IDENT_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
-_LABEL_IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+# \Z, not $: re's $ also matches just before a trailing newline, so a
+# name like "a\n" would wrongly count as a bare legacy identifier and
+# be emitted unquoted (caught by the parse∘format fuzz property).
+_METRIC_IDENT_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*\Z")
+_LABEL_IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*\Z")
 
 
 def _fmt_label_name(n: str) -> str:

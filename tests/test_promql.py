@@ -615,7 +615,9 @@ def test_unsupported_constructs_fail_loudly(spark):
     s = _samples(spark)
     with pytest.raises(ValueError, match="range selector"):
         promql.eval_instant(s, "rate({})", JAN20)
-    with pytest.raises(ValueError, match="inner range == step"):
+    # since the k-fan-out tiling landed, an inner range that is not a
+    # whole multiple of the subquery step is the loud-reject shape
+    with pytest.raises(ValueError, match="whole multiple of the step"):
         promql.eval_instant(s, "max_over_time(rate({}[1d])[15d:5d])", JAN20)
     with pytest.raises(ValueError, match="unsupported PromQL function"):
         promql.eval_instant(s, "nope({}[5m])", JAN20)
