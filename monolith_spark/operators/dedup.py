@@ -607,18 +607,48 @@ def span_dup_stats(
             F.md5(F.array_join(F.slice("__w", F.col("__i"), window), " ")).alias("__h"),
         )
     )
+    # Pre-aggregate to the (hash, doc) grain FIRST: both downstream
+    # branches (the >=2-distinct-docs hash set and the per-doc span
+    # stats) then read the SAME exchange, so ReuseExchange computes the
+    # tokenize+explode+md5 pass once instead of once per branch
+    # (before: two full span scans — guide §2.4, remove shuffles/passes
+    # by sharing one identical exchange subtree).
+    # The explicit isnotnull(__h) keeps BOTH branches' copies of this
+    # subtree canonically identical: the dup_h side of the left join
+    # gets isnotnull(__h) pushed into its lineage by the optimizer, and
+    # without the same filter on the per-doc side the two exchange
+    # subtrees differ and the reuse never fires (md5 is never null, so
+    # the filter is a no-op semantically).
+    # isnotnull(__h) / isnotnull(doc_id) are semantic no-ops (md5 never
+    # returns null, null ids never join) added so the optimizer pushes
+    # the SAME filters into both branches' copies of this subtree —
+    # the left joins below push them into one branch only, and any
+    # asymmetry defeats the exchange reuse.
+    per_dh = (
+        spans.filter(F.col("__h").isNotNull() & F.col("doc_id").isNotNull())
+        .groupBy("__h", "doc_id")
+        .agg(F.count("*").alias("__c"))
+    )
+    # sum(least(__c, 1)) == count of per-(hash, doc) rows == distinct
+    # docs per hash, since __c >= 1 by construction. Written this way
+    # (not count(*)) so the aggregate genuinely CONSUMES __c: a plain
+    # count lets the optimizer prune __c's computation from this
+    # branch's copy of the per_dh subtree, the two exchange subtrees
+    # then differ, and the reuse never fires.
     dup_h = (
-        spans.groupBy("__h")
-        .agg(F.count_distinct("doc_id").alias("__nd"))
+        per_dh.groupBy("__h")
+        .agg(F.sum(F.least(F.col("__c"), F.lit(1))).alias("__nd"))
         .filter(F.col("__nd") >= 2)
         .select("__h", F.lit(1).alias("__dup"))
     )
     agg = (
-        spans.join(dup_h, "__h", "left")
+        per_dh.join(dup_h, "__h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup_spans"),
+            F.sum("__c").cast("long").alias("n_spans"),
+            F.sum(F.col("__c") * F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
         )
     )
     return (
@@ -677,23 +707,27 @@ def shingle_tf_cosine_pairs(
         ).alias("term"),
     )
     tf = sh.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    kept = tf.join(
-        dfq.filter(F.col("df") <= df_cap).select("term"), "term", "left_semi"
+    # ONE postings aggregation carries both the document frequency
+    # (size of the postings list) and the per-doc tfs; the norm branch
+    # (df <= cap, including df=1 terms) and the pair branch
+    # (2 <= df <= cap) filter ABOVE this shared aggregate, so both hang
+    # off the identical exchange and ReuseExchange runs the tokenize +
+    # shingle explode + both shuffles once. The previous shape joined
+    # tf against a separately-aggregated dfq per branch: five distinct
+    # replays of the explode lineage in the physical plan, zero reuse
+    # (guide §2.4).
+    post_all = tf.groupBy("term").agg(
+        F.collect_list(F.struct("doc_id", "tf")).alias("__ds")
     )
-    n2 = kept.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    n2 = (
+        post_all.filter(F.size("__ds") <= df_cap)
+        .select(F.explode("__ds").alias("e"))
+        .groupBy(F.col("e.doc_id").alias("doc_id"))
+        .agg(F.sum(F.col("e.tf") * F.col("e.tf")).cast("long").alias("n2"))
     )
-    post = (
-        kept.join(
-            dfq.filter((F.col("df") >= 2) & (F.col("df") <= df_cap)).select("term"),
-            "term",
-            "left_semi",
-        )
-        .groupBy("term")
-        .agg(F.collect_list(F.struct("doc_id", "tf")).alias("__ds"))
-        .select(F.array_sort("__ds").alias("d"))
-    )
+    post = post_all.filter(
+        (F.size("__ds") >= 2) & (F.size("__ds") <= df_cap)
+    ).select(F.array_sort("__ds").alias("d"))
     ex = post.select("d", F.posexplode("d").alias("i", "a"))
     dot = (
         ex.select(
