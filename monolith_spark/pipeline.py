@@ -51,12 +51,21 @@ def curation_verdicts(
     near-dup echo this pipeline just removed).
     """
     lo_pct, hi_pct = band_pct
+    # ONE tokenize pass over the corpus, reduced to a narrow per-doc
+    # feature row (ids, content hash, two numbers — never text) and
+    # materialized: the length-band histogram, the gate, the exact-dedup
+    # window and the final verdict joins all branch off this table, so
+    # the expensive scan+tokenize subtree is not re-evaluated per branch
+    # (pre-restructure the plan scanned documents 10x / tokenized 6x).
     t = docs.select(
-        "doc_id", "source", "text", _text.tokens_expr("text").alias("__w")
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("__ch"),
+        _text.tokens_expr("text").alias("__w"),
     ).select(
         "doc_id",
         "source",
-        "text",
+        "__ch",
         F.size("__w").cast("long").alias("n_tokens"),
         (
             F.size(F.filter(F.col("__w"), lambda x: x.isin(_text.STOPWORDS))).cast(
@@ -64,7 +73,7 @@ def curation_verdicts(
             )
             / F.size("__w")
         ).alias("stop_ratio"),
-    )
+    ).localCheckpoint(eager=True)
     h = t.groupBy("source", F.col("n_tokens").alias("v")).agg(F.count("*").alias("c"))
     ch = h.select(
         "source",
@@ -80,7 +89,7 @@ def curation_verdicts(
     )
     g = t.join(band, "source").select(
         "doc_id",
-        "text",
+        "__ch",
         (
             F.col("n_tokens").between(F.col("lo"), F.col("hi"))
             & (F.col("stop_ratio") >= min_stopword_ratio)
@@ -88,18 +97,19 @@ def curation_verdicts(
     )
     e = g.filter("gate_ok").select(
         "doc_id",
-        "text",
         (
-            F.col("doc_id")
-            == F.min("doc_id").over(
-                Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
-            )
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("__ch"))
         ).alias("exact_ok"),
     )
     # survivors feed TWO tokenizing stages (tf-cosine and span stats)
-    # plus the final verdict joins — materialize once so the gate/
-    # dedup lineage doesn't re-tokenize per consumer
-    ek = e.filter("exact_ok").select("doc_id", "text").localCheckpoint(eager=True)
+    # plus the final verdict joins — re-attach text to the surviving ids
+    # and materialize once so the dedup lineage doesn't re-tokenize per
+    # consumer
+    ek = (
+        docs.select("doc_id", "text")
+        .join(e.filter("exact_ok").select("doc_id"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
     nd = (
         _dedup.shingle_tf_cosine_pairs(ek, threshold=tf_cosine_tau)
         .select(F.col("doc_b").alias("doc_id"))
