@@ -145,10 +145,18 @@ def shingle_jaccard_pairs(
     # array — no groupBy shuffle before the broadcast (same tokenize
     # path as doc_shingles so the count is the exploded row count).
     toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    # Lazy checkpoint barrier: the jaccard>=τ filter is null-rejecting
+    # on n_shingles, and without the barrier Catalyst pushes an
+    # isnotnull(n_shingles) predicate into BOTH join branches, inlining
+    # the full tokenize+shingle transform into the Filter — each branch
+    # then evaluates the transform twice and the split three times, per
+    # scan, twice (stream + broadcast). Materializing the ~16-byte
+    # (id, count) rows once removes all of it (0.7 s of a 3.3 s pass at
+    # sf0.1; O(docs) narrow rows at any scale).
     sizes = toks.select(
         "doc_id",
         F.size(shingles_expr(F.col("__w"), n, pre_tokenized=True)).cast("long").alias("n_shingles"),
-    )
+    ).localCheckpoint(eager=False)
     post = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("__ds"))
@@ -782,10 +790,14 @@ def shingle_containment_pairs(
 
     sh = doc_shingles(df, id_col, text_col, n)
     toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    # Lazy checkpoint barrier — same rationale as shingle_jaccard_pairs:
+    # keeps the containment>=τ null-rejection from inlining the shingle
+    # transform into pushed-down Filters, and single-evaluates the
+    # tokenize pass across the four join-branch references below.
     sizes = toks.select(
         "doc_id",
         F.size(shingles_expr(F.col("__w"), n, pre_tokenized=True)).cast("long").alias("n_shingles"),
-    )
+    ).localCheckpoint(eager=False)
     post = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("__ds"))
