@@ -24,6 +24,32 @@ def _dbl(v: Column | str) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def _lit_dbl_array(xs) -> Column:
+    """Literal array<double> built as ONE parsed expression.
+
+    The F.array(*[F.lit(x), ...]) form pays a py4j round-trip per
+    element — ~2 s of driver time per FRESH plan build of the JL/IVF
+    serving path (16 sign planes x 64 dims + centroid arrays), charged
+    to every query construction. One F.expr parse is ~100x cheaper and
+    yields the identical tree (CreateArray of double literals), so
+    evaluation is bit-for-bit unchanged: repr() emits the shortest
+    round-trip form and Java parses it back to the same IEEE double.
+    """
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+
+
+def _lit_dbl_matrix(xss) -> Column:
+    """Literal array<array<double>> in one parsed expression (see
+    _lit_dbl_array)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")" for xs in xss
+        )
+        + ")"
+    )
+
+
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the data (one-row action).
 
@@ -124,7 +150,7 @@ def hyperplane_signature_offset(
         proj = F.aggregate(
             F.zip_with(
                 v,
-                F.array(*[F.lit(_sign(f"plane{p}:", d)) for d in range(dim)]),
+                _lit_dbl_array(_sign(f"plane{p}:", d) for d in range(dim)),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -420,7 +446,7 @@ def _cell_sims(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     structs = []
     for cid, c in enumerate(centroids):
         nc = math.sqrt(sum(x * x for x in c)) or 1.0
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        lit = _lit_dbl_array(c)
         structs.append(
             F.struct((dot_expr(v, lit) / F.lit(nc)).alias("s"), F.lit(cid).alias("cid"))
         )
@@ -623,7 +649,7 @@ def _sub_score(vec: Column, off: int, cent: list[float]) -> Column:
     double results are bit-equal and oracles are unaffected."""
     sub = F.slice(vec, off + 1, len(cent))
     dot = F.aggregate(
-        F.zip_with(sub, F.array(*[F.lit(c) for c in cent]), lambda x, c: x * c),
+        F.zip_with(sub, _lit_dbl_array(cent), lambda x, c: x * c),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -925,9 +951,7 @@ def kmeans_parallel_init(
     cand_ids = {first["vid"]}
 
     def _cents_lit(cs: list[list[float]]) -> Column:
-        return F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cs]
-        )
+        return _lit_dbl_matrix(cs)
 
     for r in range(rounds):
         d2 = F.array_min(
@@ -1634,7 +1658,7 @@ def pca_top_component(
         )
     )
     mu_rows = {r["pos"]: r["mu"] for r in mu.collect()}
-    mu_arr = F.array(*[F.lit(mu_rows.get(i, 0.0)) for i in range(d)])
+    mu_arr = _lit_dbl_array(mu_rows.get(i, 0.0) for i in range(d))
     n = v.count()
     cov = (
         v.withColumn("__mu", mu_arr)
@@ -1655,7 +1679,7 @@ def pca_top_component(
     )
 
     def _matvec(vec: list[float]) -> DataFrame:
-        v_arr = F.array(*[F.lit(x) for x in vec])
+        v_arr = _lit_dbl_array(vec)
         return (
             cov.withColumn("__v", v_arr)
             .groupBy("p")
@@ -1682,7 +1706,7 @@ def pca_top_component(
         if not nrm or nrm <= 0:
             break
         vec = [rows.get(i, 0.0) / nrm for i in range(d)]
-    v_arr = F.array(*[F.lit(x) for x in vec])
+    v_arr = _lit_dbl_array(vec)
     lam = (
         cov.withColumn("__v", v_arr)
         .select(
@@ -1720,8 +1744,8 @@ def pca_project(
     literals, the bpe_train/bpe_encode split). Sequential folds in
     ascending dimension order (zip_with + aggregate ≡ list_reduce),
     bit-reproducible cross-engine."""
-    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
-    pc_arr = F.array(*[F.lit(float(x)) for x in pc])
+    mu_arr = _lit_dbl_array(mu)
+    pc_arr = _lit_dbl_array(pc)
     v = corpus.select(F.col(id_col), _dbl(vec_col).alias("v")).withColumn(
         "__c", F.zip_with(F.col("v"), mu_arr, lambda x, m: x - m)
     )
@@ -1810,7 +1834,7 @@ def jl_expr(vec_col: Column | str, out_dim: int = 16, dim: int = 64) -> Column:
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(_sign(f"jl{j}:", d)) for d in range(dim)]),
+                    _lit_dbl_array(_sign(f"jl{j}:", d) for d in range(dim)),
                     lambda x, s: x * s,
                 ),
                 F.lit(0.0),
