@@ -1778,20 +1778,31 @@ def attach_phash_media(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Payload depends only on (id % n_images, id % 4 == 0) — a
+        # BOUNDED domain of 2*n_images entries — so synth+encode runs
+        # once per distinct image per task instead of once per row
+        # (guide-§4.5 per-task amortization; the cache bound is the
+        # n_images parameter, not the data).
+        cache: dict[tuple[int, bool], bytes] = {}
         for pdf in it:
             ids = pdf["media_id"].astype("int64")
             payloads = []
             for i in ids:
-                seed = int(i) % n_images
-                img = synth_image_varied(seed, 8 + seed % 5, 8 + seed % 3)
-                if int(i) % 4 == 0:
-                    img = invert_corner_block(img)
-                if fmt == "png":
-                    payloads.append(encode_png(img, filter_type=seed % 5))
-                elif fmt == "gif":
-                    payloads.append(encode_gif(img))
-                else:
-                    payloads.append(encode_ppm(img))
+                key = (int(i) % n_images, int(i) % 4 == 0)
+                p = cache.get(key)
+                if p is None:
+                    seed, inv = key
+                    img = synth_image_varied(seed, 8 + seed % 5, 8 + seed % 3)
+                    if inv:
+                        img = invert_corner_block(img)
+                    if fmt == "png":
+                        p = encode_png(img, filter_type=seed % 5)
+                    elif fmt == "gif":
+                        p = encode_gif(img)
+                    else:
+                        p = encode_ppm(img)
+                    cache[key] = p
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
