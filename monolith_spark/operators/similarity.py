@@ -1199,11 +1199,16 @@ def kmeans_lloyd(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("c")
         )
+        # Iterative-lineage truncation (the cluster_pairs idiom): the
+        # centroid table is k rows x dim doubles, but WITHOUT a barrier
+        # each iteration's plan nests the previous one — the final
+        # assign re-ran every earlier iteration's corpus scan (8 scans
+        # of the corpus at iters=2; 3 after).
         cents = (
             cents.select("cid", F.col("c").alias("c_old"))
             .join(newc, "cid", "left")
             .select("cid", F.coalesce("c", "c_old").alias("c"))
-        )
+        ).localCheckpoint(eager=False)
 
     return assign(cents).select(
         F.col("vid").alias("vec_id"),
