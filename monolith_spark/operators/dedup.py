@@ -145,18 +145,10 @@ def shingle_jaccard_pairs(
     # array — no groupBy shuffle before the broadcast (same tokenize
     # path as doc_shingles so the count is the exploded row count).
     toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
-    # Lazy checkpoint barrier: the jaccard>=τ filter is null-rejecting
-    # on n_shingles, and without the barrier Catalyst pushes an
-    # isnotnull(n_shingles) predicate into BOTH join branches, inlining
-    # the full tokenize+shingle transform into the Filter — each branch
-    # then evaluates the transform twice and the split three times, per
-    # scan, twice (stream + broadcast). Materializing the ~16-byte
-    # (id, count) rows once removes all of it (0.7 s of a 3.3 s pass at
-    # sf0.1; O(docs) narrow rows at any scale).
     sizes = toks.select(
         "doc_id",
         F.size(shingles_expr(F.col("__w"), n, pre_tokenized=True)).cast("long").alias("n_shingles"),
-    ).localCheckpoint(eager=False)
+    )
     post = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("__ds"))
@@ -187,6 +179,16 @@ def _attach_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> Dat
     observed bytes rather than a hint on hoped-for bytes. (On small
     corpora Catalyst's plan-time scan stats reach the same decision.)
     """
+    # Lazy checkpoint barrier: the jaccard>=τ filter below is
+    # null-rejecting on n_shingles, and without the barrier Catalyst
+    # pushes an isnotnull(n_shingles) predicate into BOTH join branches
+    # — for the map-side caller that inlines the full tokenize+shingle
+    # transform into the pushed Filter (the transform evaluated twice
+    # and the split three times per scan, twice: stream + broadcast;
+    # 0.7 s of a 3.3 s pass at sf0.1). Materializing the ~16-byte
+    # (id, count) rows once removes all of it and single-evaluates the
+    # sizes lineage across both join branches — O(docs) narrow rows.
+    sizes = sizes.localCheckpoint(eager=False)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     return (
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
@@ -301,8 +303,11 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verification of candidates only.
-    sh = doc_shingles(df, id_col, text_col, n)
+    # Exact verification of candidates only. The exploded shingle
+    # table feeds both sides of the intersection join plus the sizes
+    # aggregate — materialize the (doc_id, shingle) rows once instead
+    # of re-running tokenize+explode per reference.
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
