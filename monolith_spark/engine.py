@@ -701,7 +701,7 @@ class MonolithDB:
                         partition_by="kp",
                         options=self._INDEX_WRITE_OPTS,
                     )
-                    post_stats = self._posting_stats(batch_postings)
+                    post_stats = self._posting_stats_from_moved(post_files)
             # Time-sorted within partitions → Parquet row-group min/max
             # stats implement F3's binary search.
             fact_files = self._stage_and_move(
@@ -1151,7 +1151,7 @@ class MonolithDB:
             partition_by="kp",
             options=self._INDEX_WRITE_OPTS,
         )
-        stats = self._posting_stats(postings)
+        stats = self._posting_stats_from_moved(moved)
 
         def set_index(m: dict) -> None:
             m["label_index"] = {
@@ -1177,6 +1177,21 @@ class MonolithDB:
             )
             .collect()
         }
+
+    def _posting_stats_from_moved(self, moved: dict[str, list[str]]) -> dict:
+        """_posting_stats computed from the just-written index files
+        instead of re-evaluating the postings lineage: the explode +
+        bucket repartition shuffle already ran once to produce the
+        files, so the stats pass is a column-pruned (k, v) read of the
+        committed bytes — no second shuffle at any scale."""
+        paths = [
+            os.path.join(self.index_path, f"kp={b}", fn)
+            for b, files in moved.items()
+            for fn in files
+        ]
+        if not paths:
+            return {}
+        return self._posting_stats(self.spark.read.parquet(*paths))
 
     def _index_df(self, man: dict, keys: list[str] | None = None) -> DataFrame | None:
         """The fresh index as a DataFrame [series_id, k, v, kp] — pruned

@@ -199,6 +199,36 @@ def with_exact_ranks(
             ),
             0,
         )
+    bin_exprs = []
+    for i, (key, _, _) in enumerate(specs):
+        lo_i, hi_i = stats[f"lo{i}"], stats[f"hi{i}"]
+        if lo_i != lo_i or hi_i != hi_i:  # NaN
+            raise ValueError(
+                f"with_exact_ranks: sort key {key!r} contains NaN; "
+                "a NaN key has no rank in a total order"
+            )
+        bin_exprs.append(_bin_expr(key, lo_i, hi_i, nbins))
+    # ONE histogram job for ALL keys (vs one collect job per key):
+    # each row explodes into (spec_idx, bin) pairs and a single
+    # count-by-both aggregation serves every spec — ≤ len(specs)·nbins
+    # rows collected either way, len(specs)-1 fewer blocking jobs.
+    hists: list[dict] = [{} for _ in specs]
+    for r in (
+        base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("i"), b.alias("b"))
+                        for i, b in enumerate(bin_exprs)
+                    ]
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.i").alias("i"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    ):
+        hists[r["i"]][r["b"]] = r["__c"]
     out = base
     n_rows = 0
     for i, (key, tiebreaks, rank_col) in enumerate(specs):
@@ -206,20 +236,9 @@ def with_exact_ranks(
             F.col(key).desc() if descending else F.col(key).asc(),
             *[F.col(t).asc() for t in tiebreaks],
         ]
-        lo_i, hi_i = stats[f"lo{i}"], stats[f"hi{i}"]
-        if lo_i != lo_i or hi_i != hi_i:  # NaN
-            raise ValueError(
-                f"with_exact_ranks: sort key {key!r} contains NaN; "
-                "a NaN key has no rank in a total order"
-            )
-        b = _bin_expr(key, lo_i, hi_i, nbins)
+        b = bin_exprs[i]
         bcol, ocol = f"__b{i}", f"__off{i}"
-        hist = {
-            r[bcol]: r["__c"]
-            for r in base.groupBy(b.alias(bcol))
-            .agg(F.count("*").alias("__c"))
-            .collect()
-        }
+        hist = hists[i]
         if None in hist:
             raise ValueError(
                 f"with_exact_ranks: sort key {key!r} contains NULLs; "

@@ -338,14 +338,19 @@ def bigram_lm_score(
     skew-join splitting exists for.
     """
     bg = doc_bigrams(df, id_col, text_col)
+    if bigrams is None:
+        # bg feeds both the count aggregation and the join probe, and
+        # the two exchanges differ (partial agg under one side) so
+        # ReuseExchange cannot dedupe them — materialize the exploded
+        # bigrams once instead of tokenizing the corpus twice.
+        bg = bg.localCheckpoint(eager=False)
+        bigrams = bg.groupBy("bg").agg(F.count("*").alias("c2"))
     if unigrams is None:
         unigrams = (
             df.select(F.explode(tokens_expr(text_col)).alias("tok"))
             .groupBy("tok")
             .agg(F.count("*").alias("c1"))
         )
-    if bigrams is None:
-        bigrams = bg.groupBy("bg").agg(F.count("*").alias("c2"))
     pr = (
         bg.join(bigrams, "bg")
         .join(unigrams, F.col("head") == F.col("tok"))
