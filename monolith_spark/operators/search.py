@@ -57,12 +57,16 @@ def postings(
     (array-level filter), so the Generate emits |hit tokens| rows, not
     |corpus tokens| — at 100 TB the per-row explode fan-out, not just
     the shuffle, is bounded by the hit count."""
-    toks = tokenize(text_col)
+    # Tokenize into its own projection FIRST (the doc_shingles device):
+    # referencing tokenize() twice in one select — size() for dl and the
+    # filtered explode — re-evaluates the split per reference.
+    base = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__t"))
+    toks = F.col("__t")
     if terms is not None:
         toks = F.filter(toks, lambda t: t.isin(*terms))
-    flat = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokenize(text_col)).alias("dl"),
+    flat = base.select(
+        "doc_id",
+        F.size("__t").alias("dl"),
         F.explode(toks).alias("term"),
     )
     return flat.groupBy("doc_id", "term").agg(
