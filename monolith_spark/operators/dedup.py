@@ -580,6 +580,7 @@ def span_dup_stats(
     stride: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pre_tokenized: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the scalable
     approximation of exact-substring training-data dedup (Lee et al.
@@ -605,7 +606,10 @@ def span_dup_stats(
     """
     from monolith_spark.operators.text import tokens_expr
 
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(text_col) if pre_tokenized else tokens_expr(text_col)).alias("__w"),
+    )
     spans = (
         toks.filter(F.size("__w") >= window)
         .select(
@@ -686,6 +690,7 @@ def shingle_tf_cosine_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pre_tokenized: bool = False,
 ) -> DataFrame:
     """Sparse TF-cosine near-dup pairs over word n-gram shingles:
     [doc_a, doc_b, tf_cosine] with doc_a < doc_b and cosine >=
@@ -712,7 +717,10 @@ def shingle_tf_cosine_pairs(
     """
     from monolith_spark.operators.text import shingles_expr, tokens_expr
 
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(text_col) if pre_tokenized else tokens_expr(text_col)).alias("__w"),
+    )
     sh = toks.select(
         "doc_id",
         F.explode(

@@ -102,23 +102,27 @@ def curation_verdicts(
         ).alias("exact_ok"),
     )
     # survivors feed TWO tokenizing stages (tf-cosine and span stats)
-    # plus the final verdict joins — re-attach text to the surviving ids
-    # and materialize once so the dedup lineage doesn't re-tokenize per
-    # consumer
+    # plus the final verdict joins — re-attach the TOKENS to the
+    # surviving ids and materialize once, so the survivor corpus is
+    # tokenized exactly once for both downstream stages (they consume
+    # the array via pre_tokenized=True) instead of re-splitting text
+    # per consumer
     ek = (
-        docs.select("doc_id", "text")
+        docs.select("doc_id", _text.tokens_expr("text").alias("__w"))
         .join(e.filter("exact_ok").select("doc_id"), "doc_id")
         .localCheckpoint(eager=True)
     )
     nd = (
-        _dedup.shingle_tf_cosine_pairs(ek, threshold=tf_cosine_tau)
+        _dedup.shingle_tf_cosine_pairs(
+            ek, threshold=tf_cosine_tau, text_col="__w", pre_tokenized=True
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("__nd", F.lit(True))
     )
     nk = ek.join(nd.select("doc_id"), "doc_id", "left_anti")
     sv = nk.join(
-        _dedup.span_dup_stats(nk).select(
+        _dedup.span_dup_stats(nk, text_col="__w", pre_tokenized=True).select(
             "doc_id", F.coalesce("dup_frac", F.lit(0.0)).alias("__df")
         ),
         "doc_id",
