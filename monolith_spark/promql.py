@@ -937,10 +937,45 @@ def _steps(df: DataFrame) -> DataFrame:
     ).filter(F.col("step").isNotNull())
 
 
-def _per_series(df: DataFrame, *aggs, extra_keys: tuple[str, ...] = ()) -> DataFrame:
-    return df.groupBy("signature", *extra_keys).agg(
-        F.first("labels").alias("labels"), *aggs
+def _hashable_group(df: DataFrame, keys: list, label_src: str, *aggs) -> DataFrame:
+    """groupBy(*keys, map_entries(label_src)).agg(*aggs) with the label
+    map rebuilt post-agg as ``labels`` — the HashAggregate-eligible form
+    of groupBy(keys).agg(first(label_src), ...). A map-typed FIRST agg
+    buffer refuses hash aggregation (Spark 4.1 plans a SortAggregate at
+    the INPUT grain, paying a per-partition sort of every sample), but
+    the map's ENTRIES array is a valid var-width grouping key, and
+    map_from_entries(map_entries(m)) round-trips the map byte-for-byte,
+    entry order included. Sound only because every key set used here
+    functionally determines the label map (signature ↔ labels is
+    injective), so the added key never changes the group grain. Only
+    call this when every agg buffer is hashable (fixed-width or
+    typed-imperative like collect_list); for struct-max buffers the agg
+    sort-aggregates regardless and the wider sort key would only slow
+    the tie-break comparisons — keep first(labels) there."""
+    g = df.groupBy(*keys, F.map_entries(label_src).alias("__lent"))
+    return (
+        g.agg(*aggs)
+        .withColumn("labels", F.map_from_entries("__lent"))
+        .drop("__lent")
     )
+
+
+# over_time ops whose agg buffer is a struct (max/min of struct) — those
+# sort-aggregate no matter how labels travel, so they keep first(labels)
+_STRUCT_BUFFER_OPS = frozenset(("last", "ts_of_max", "ts_of_min"))
+
+
+def _per_series(
+    df: DataFrame,
+    *aggs,
+    extra_keys: tuple[str, ...] = (),
+    hash_friendly: bool = True,
+) -> DataFrame:
+    if not hash_friendly:
+        return df.groupBy("signature", *extra_keys).agg(
+            F.first("labels").alias("labels"), *aggs
+        )
+    return _hashable_group(df, ["signature", *extra_keys], "labels", *aggs)
 
 
 def _rate(df, start, end, per_second=True):
@@ -964,6 +999,7 @@ def _delta(df):
         F.max(F.struct("timestamp", "value")).alias("__last"),
         F.min(F.struct("timestamp", "value")).alias("__first"),
         F.count("*").alias("__n"),
+        hash_friendly=False,  # struct buffers sort-aggregate regardless
     ).filter(F.col("__n") >= 2)
     return agg.select(
         "signature",
@@ -979,15 +1015,13 @@ def _idelta(df):
     ranked = df.select(
         "signature", "labels", "value", F.row_number().over(w).alias("__rn")
     ).filter(F.col("__rn") <= 2)
-    agg = (
-        ranked.groupBy("signature")
-        .agg(
-            F.first("labels").alias("labels"),
-            F.max(F.when(F.col("__rn") == 1, F.col("value"))).alias("__v1"),
-            F.max(F.when(F.col("__rn") == 2, F.col("value"))).alias("__v2"),
-        )
-        .filter(F.col("__v2").isNotNull())
-    )
+    agg = _hashable_group(
+        ranked,
+        ["signature"],
+        "labels",
+        F.max(F.when(F.col("__rn") == 1, F.col("value"))).alias("__v1"),
+        F.max(F.when(F.col("__rn") == 2, F.col("value"))).alias("__v2"),
+    ).filter(F.col("__v2").isNotNull())
     return agg.select(
         "signature", "labels", (F.col("__v1") - F.col("__v2")).alias("value")
     )
@@ -1069,7 +1103,10 @@ def _over_time(df, op: str, param: float | None = None,
         val = _array_quantile(devs, F.lit(0.5))
     else:  # pragma: no cover
         raise ValueError(f"unknown over_time op {op!r}")
-    agg = _per_series(df, *a, extra_keys=extra_keys)
+    agg = _per_series(
+        df, *a, extra_keys=extra_keys,
+        hash_friendly=op not in _STRUCT_BUFFER_OPS,
+    )
     return agg.select(
         "signature", "labels", *extra_keys, val.cast("double").alias("value")
     )
@@ -1489,8 +1526,10 @@ def _eval_subquery_func(
     stepped = pts.select(
         "signature", "labels", "__w", step.alias("__step")
     ).filter(F.col("__step").isNotNull())
-    per_win = stepped.groupBy("signature", "__w").agg(
-        F.first("labels").alias("labels"),
+    per_win = _hashable_group(
+        stepped,
+        ["signature", "__w"],
+        "labels",
         F.sum("__step").cast("double").alias("__v"),
     )
     if inner.func == "rate":
@@ -1600,8 +1639,10 @@ def _histogram_quantile(
         le_val.alias("__le"),
         F.col("value").alias("__c"),
     )
-    g = pre.groupBy("signature", *extra_keys).agg(
-        F.first("labels").alias("labels"),
+    g = _hashable_group(
+        pre,
+        ["signature", *extra_keys],
+        "labels",
         F.sort_array(F.collect_list(F.struct("__le", "__c"))).alias("__b"),
     )
     b = F.col("__b")
@@ -1710,8 +1751,10 @@ def _histogram_fraction(
         le_val.alias("__le"),
         F.col("value").alias("__c"),
     )
-    g = pre.groupBy("signature", *extra_keys).agg(
-        F.first("labels").alias("labels"),
+    g = _hashable_group(
+        pre,
+        ["signature", *extra_keys],
+        "labels",
         F.sort_array(F.collect_list(F.struct("__le", "__c"))).alias("__b"),
     )
     b = F.col("__b")
@@ -1832,8 +1875,10 @@ def _eval_agg(node: Agg, ctx: _Ctx):
         return ("vector", keyed.filter(cond).select("signature", "labels", "value"))
     if node.op == "quantile":
         phi = _scalar_arg(node.param, ctx, node.op)
-        agg = keyed.groupBy("__gsig").agg(
-            F.first("__glabels").alias("labels"),
+        agg = _hashable_group(
+            keyed,
+            ["__gsig"],
+            "__glabels",
             F.sort_array(F.collect_list("value")).alias("__a"),
         )
         n = F.size("__a")
@@ -1859,13 +1904,12 @@ def _eval_agg(node: Agg, ctx: _Ctx):
             F.map_filter(F.col("__glabels"), lambda k, _: k != F.lit(dst)),
             F.create_map(F.lit(dst), val_str),
         )
-        out = (
-            keyed.select(gmap2.alias("labels"), "value")
-            .groupBy(signature_expr("labels").alias("signature"))
-            .agg(F.first("labels").alias("labels"),
-                 F.count("*").cast("double").alias("value"))
-            .select("signature", "labels", "value")
-        )
+        out = _hashable_group(
+            keyed.select(gmap2.alias("labels"), "value"),
+            [signature_expr("labels").alias("signature")],
+            "labels",
+            F.count("*").cast("double").alias("value"),
+        ).select("signature", "labels", "value")
         return ("vector", out)
     exprs = {
         "sum": F.sum(F.col("value").cast(_DEC)).cast("double"),
@@ -1875,13 +1919,14 @@ def _eval_agg(node: Agg, ctx: _Ctx):
         "group": F.lit(1.0),
     }
     if node.op in exprs:
-        val = exprs[node.op].alias("value")
-        out = keyed.groupBy("__gsig").agg(
-            F.first("__glabels").alias("labels"), val
+        out = _hashable_group(
+            keyed, ["__gsig"], "__glabels", exprs[node.op].alias("value")
         )
     elif node.op == "avg":
-        out = keyed.groupBy("__gsig").agg(
-            F.first("__glabels").alias("labels"),
+        out = _hashable_group(
+            keyed,
+            ["__gsig"],
+            "__glabels",
             (
                 F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")
             ).alias("value"),
@@ -1897,8 +1942,10 @@ def _eval_agg(node: Agg, ctx: _Ctx):
             / F.count("*"),
             F.lit(0.0),
         )
-        out = keyed.groupBy("__gsig").agg(
-            F.first("__glabels").alias("labels"),
+        out = _hashable_group(
+            keyed,
+            ["__gsig"],
+            "__glabels",
             (F.sqrt(var) if node.op == "stddev" else var).alias("value"),
         )
     else:
@@ -2407,8 +2454,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
                 if node.func == "resets"
                 else (F.col("value") != F.col("__prev"))
             )
-            out = seq.groupBy("signature", "__w").agg(
-                F.first("labels").alias("labels"),
+            out = _hashable_group(
+                seq,
+                ["signature", "__w"],
+                "labels",
                 F.count(F.when(F.col("__prev").isNotNull() & cond, 1))
                 .cast("double").alias("value"),
             )
@@ -2425,17 +2474,15 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
                 F.col("timestamp").alias("__t"), d.alias("__v"),
                 F.row_number().over(w).alias("__rn"),
             ).filter(F.col("__rn") <= 2)
-            agg = (
-                ranked.groupBy("signature", "__w")
-                .agg(
-                    F.first("labels").alias("labels"),
-                    F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__v1"),
-                    F.max(F.when(F.col("__rn") == 2, F.col("__v"))).alias("__v2"),
-                    F.max(F.when(F.col("__rn") == 1, F.col("__t"))).alias("__t1"),
-                    F.max(F.when(F.col("__rn") == 2, F.col("__t"))).alias("__t2"),
-                )
-                .filter(F.col("__t2").isNotNull() & (F.col("__t1") > F.col("__t2")))
-            )
+            agg = _hashable_group(
+                ranked,
+                ["signature", "__w"],
+                "labels",
+                F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__v1"),
+                F.max(F.when(F.col("__rn") == 2, F.col("__v"))).alias("__v2"),
+                F.max(F.when(F.col("__rn") == 1, F.col("__t"))).alias("__t1"),
+                F.max(F.when(F.col("__rn") == 2, F.col("__t"))).alias("__t2"),
+            ).filter(F.col("__t2").isNotNull() & (F.col("__t1") > F.col("__t2")))
             if node.func == "idelta":
                 val = (F.col("__v1") - F.col("__v2")).cast("double")
             else:
@@ -2462,8 +2509,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         stepped = pts.select(
             "signature", "labels", "__w", step.alias("__step")
         ).filter(F.col("__step").isNotNull())
-        out = stepped.groupBy("signature", "__w").agg(
-            F.first("labels").alias("labels"),
+        out = _hashable_group(
+            stepped,
+            ["signature", "__w"],
+            "labels",
             F.sum("__step").cast("double").alias("value"),
         )
         if node.func == "rate":
@@ -2532,8 +2581,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
         pts = tiles(sel, sel.range_ms)
         x = (F.col("timestamp") - F.lit(start_ms)).cast("decimal(20,0)")
         y = F.col("value").cast("decimal(18,2)")
-        agg = pts.groupBy("signature", "__w").agg(
-            F.first("labels").alias("labels"),
+        agg = _hashable_group(
+            pts,
+            ["signature", "__w"],
+            "labels",
             F.count("*").alias("__n"),
             F.sum(x).cast("double").alias("__sx"),
             F.sum(y).cast("double").alias("__sy"),
@@ -2908,19 +2959,20 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
                 F.map_filter(F.col("__glabels"), lambda k, _: k != F.lit(dst)),
                 F.create_map(F.lit(dst), F.col("value").cast("string")),
             )
-            return (
-                keyed.select(gmap2.alias("labels"), "__w", "value")
-                .groupBy(signature_expr("labels").alias("signature"), "__w")
-                .agg(F.first("labels").alias("labels"),
-                     F.count("*").cast("double").alias("value"))
-                .select("signature", "labels", "__w", "value")
-            )
+            return _hashable_group(
+                keyed.select(gmap2.alias("labels"), "__w", "value"),
+                [signature_expr("labels").alias("signature"), "__w"],
+                "labels",
+                F.count("*").cast("double").alias("value"),
+            ).select("signature", "labels", "__w", "value")
         if node.op == "quantile":
             phi = _const_scalar(node.param)
             if phi is None:
                 raise ValueError("quantile grouping expects a scalar φ")
-            agg = keyed.groupBy("__gsig", "__w").agg(
-                F.first("__glabels").alias("labels"),
+            agg = _hashable_group(
+                keyed,
+                ["__gsig", "__w"],
+                "__glabels",
                 F.sort_array(F.collect_list("value")).alias("__a"),
             )
             n = F.size("__a")
@@ -2955,8 +3007,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             "stdvar": var,
             "group": F.max(F.lit(1.0)),
         }
-        out = keyed.groupBy("__gsig", "__w").agg(
-            F.first("__glabels").alias("labels"),
+        out = _hashable_group(
+            keyed,
+            ["__gsig", "__w"],
+            "__glabels",
             exprs[node.op].cast("double").alias("value"),
         )
         return out.select(
