@@ -112,6 +112,10 @@ def curation_verdicts(
         .join(e.filter("exact_ok").select("doc_id"), "doc_id")
         .localCheckpoint(eager=True)
     )
+    # lazy barrier: nd feeds BOTH the survivor anti-join (inside the
+    # span-stats lineage) and the final verdict join — without it the
+    # whole tf-cosine pairs pass runs twice in the final plan (the two
+    # consumers join on different shapes, so ReuseExchange can't help)
     nd = (
         _dedup.shingle_tf_cosine_pairs(
             ek, threshold=tf_cosine_tau, text_col="__w", pre_tokenized=True
@@ -119,6 +123,7 @@ def curation_verdicts(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("__nd", F.lit(True))
+        .localCheckpoint(eager=False)
     )
     nk = ek.join(nd.select("doc_id"), "doc_id", "left_anti")
     sv = nk.join(
