@@ -1577,8 +1577,14 @@ def d4_prune(
         .join(assign.select(F.col("vec_id").alias("vid"), "cluster_id"), "vid")
     )
     # within-cell dup drop as the Arrow kernel — bit-identical to the
-    # former cluster join + dot_expr threshold (see kernel block)
-    dropped = _cluster_dup_ids_arrow(base, tau, vec_col="v")
+    # former cluster join + dot_expr threshold (see kernel block).
+    # Lazy barrier on the dropped-id set: `kept` is consumed by BOTH the
+    # centroid aggregation and the scoring join below, and without it
+    # the whole Σ|cell|² pair kernel (and its cluster_id shuffle) runs
+    # once per consumer — the barrier is O(dups) ids on local disk.
+    dropped = _cluster_dup_ids_arrow(base, tau, vec_col="v").localCheckpoint(
+        eager=False
+    )
     kept = base.join(dropped, "vid", "left_anti")
     comp = kept.select("cluster_id", F.posexplode("v").alias("pos", "x"))
     cents = (
