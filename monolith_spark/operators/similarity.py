@@ -1021,12 +1021,14 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     init_centers: list[list[float]] | None = None,
 ) -> DataFrame:
-    """FULLY DISTRIBUTED Lloyd k-means over an embedding column —
-    unlike train_ivf_centroids (the FAISS bounded-sample recipe, a
-    driver-side collect), every step here is a DataFrame op, so it
-    scales to corpora where even the per-cluster mean can't fit one
-    machine: assignment is a corpus × k broadcast join, the centroid
-    update is one (cid, pos) aggregation.
+    """Distributed Lloyd k-means over an embedding column — unlike
+    train_ivf_centroids (the FAISS bounded-sample recipe, a driver-side
+    collect of a SAMPLE), every corpus-sized step here is a DataFrame
+    op: assignment is a corpus × k broadcast, the centroid update is
+    one (cid, pos) aggregation. Only the k·dim centroid TABLE crosses
+    the driver between rounds — the same bytes the assignment step
+    already collapses into its one-row broadcast, bounded by the k and
+    dim parameters, never by corpus size.
 
     Returns the final assignment [vec_id, cluster_id, dist2].
 
@@ -1042,38 +1044,47 @@ def kmeans_lloyd(
     centroids collapsed to a single array row), assignment as a
     zero-shuffle narrow map (array_min over per-centroid distances),
     one posexplode shuffle of corpus × dim keyed (cid, pos) — all
-    linear; no iteration-over-collect, no driver state beyond the plan.
+    linear; per-round driver state is the k·dim centroid table only
+    (see the loop note below for why the round-trip replaced the
+    in-plan centroid chain).
     """
+    spark = corpus.sparkSession
     v = corpus.select(F.col(id_col).alias("vid"), _dbl(vec_col).alias("v"))
     if init_centers is not None:
         # e.g. kmeans_parallel_init's output — k-means|| seeding
-        spark = corpus.sparkSession
-        cents = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(init_centers)],
-            "cid int, c array<double>",
-        )
+        C = [[float(x) for x in c] for c in init_centers]
     else:
         # NULL vectors never seed (a NULL centroid would poison every
         # distance); they also never update centroids (posexplode of
         # NULL emits nothing) and assign to the lowest cluster id with
         # NULL dist2 — defined, total semantics for dirty corpora.
-        seed_w = Window.orderBy("vid")
-        cents = (
-            v.filter(F.col("v").isNotNull())
+        # limit(k).collect() is the bounded centroid-table round-trip
+        # (k rows of dim doubles — see the loop note below).
+        C = [
+            list(r["c"])
+            for r in v.filter(F.col("v").isNotNull())
             .orderBy("vid")
             .limit(k)
-            .select(
-                (F.row_number().over(seed_w) - 1).alias("cid"),
-                F.col("v").alias("c"),
-            )
+            .select(F.col("v").alias("c"))
+            .collect()
+        ]
+
+    def cents_df(cs: list[list[float]]) -> DataFrame:
+        if not cs:  # empty corpus: typed empty relation (cold path)
+            return spark.createDataFrame([], "cid int, c array<double>")
+        # k rows (cid, c) off ONE parsed literal matrix — a
+        # createDataFrame per round costs ~0.2 s of py4j/RDD setup at
+        # any size, while one expr parse is ~100× cheaper (the
+        # _lit_dbl_array device); posexplode's position IS the cid
+        # because the matrix is built in cid order
+        return spark.range(1).select(
+            F.posexplode(_lit_dbl_matrix(cs)).alias("cid", "c")
         )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        # Assignment is a pure NARROW map: the k centroids collapse to
-        # ONE array row (sorted by cid — collect_list order is not
-        # deterministic), broadcast once, and each vector takes the
-        # lexicographic min over (d2, cid) — bit-identically the
-        # orderBy(d2, cid) row_number()==1 it replaces.
+    def assign(cs: list[list[float]]) -> DataFrame:
+        # Assignment is a pure NARROW map over the corpus; each vector
+        # takes the lexicographic min over (d2, cid) — bit-identically
+        # the orderBy(d2, cid) row_number()==1 it replaces.
         #
         # Two physical forms, same bits (asserted in tests):
         # - k <= _ARROW_ASSIGN_MAX_K (every curation-family caller):
@@ -1082,37 +1093,29 @@ def kmeans_lloyd(
         #   acc += (x_d−c_d)², one dim at a time, rows vectorized) —
         #   exact sqdist_expr fold bits at numpy speed; np.argmin's
         #   first-min is the lowest-cid tie-break because positions
-        #   ascend with cid. Arrow materializes the joined cents
-        #   column PER ROW (k·dim doubles), which is why this path is
-        #   k-gated.
+        #   ascend with cid. The centroid table rides the task CLOSURE
+        #   (k·dim doubles pickled once per task — the same bytes the
+        #   former crossJoin(broadcast) shipped, minus the broadcast
+        #   exchange subjob and the per-row Arrow copy of the joined
+        #   cents column that made this path k-gated in the first
+        #   place); the input stays the bare (vid, v) projection.
         # - larger k (the paper-scale k ≈ corpus/1k regime): the
         #   Column form — JVM rows share the one broadcast struct
-        #   array by reference, so no per-row centroid copy; the HOF
+        #   array by reference, so no per-task centroid copy; the HOF
         #   fold runs interpreted (measured 3× the whole-kmeans wall
         #   at sf0.1, the price of staying copy-free at huge k).
-        carr = centroids.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
-        )
         if k <= _ARROW_ASSIGN_MAX_K:
+            C0 = [[float(x) for x in c] for c in cs]
 
             def batches(it):
                 import numpy as np
                 import pandas as pd
 
-                C = cids = None
+                cids = np.arange(len(C0), dtype=np.int32)
+                C = np.array(C0, dtype=np.float64) if C0 else None
                 for pdf in it:
                     if len(pdf) == 0:
                         continue
-                    if C is None:
-                        cents = pdf["cents"].iloc[0]
-                        cids = np.array(
-                            [int(s["cid"]) for s in cents], dtype=np.int32
-                        )
-                        if len(cents):
-                            C = np.stack(
-                                [np.asarray(s["c"], dtype=np.float64)
-                                 for s in cents]
-                            )
                     nulls = pdf[pdf["v"].isna()]
                     if len(nulls):
                         # NULL vector: no distance; lowest cluster id,
@@ -1148,9 +1151,12 @@ def kmeans_lloyd(
                         }
                     )
 
-            return v.crossJoin(F.broadcast(carr)).mapInPandas(
+            return v.mapInPandas(
                 batches, "vid long, cid int, v array<double>, d2 double"
             )
+        carr = cents_df(cs).agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+        )
         dists = F.transform(
             F.col("cents"),
             lambda s: F.struct(
@@ -1181,8 +1187,22 @@ def kmeans_lloyd(
             )
         )
 
+    # Per-round centroid ROUND-TRIP instead of an in-plan centroid
+    # table: collect the (cid, pos, m) means — ≤ k·dim rows, the SAME
+    # bytes assign() already funnels into its one-row broadcast — and
+    # re-inject them as a k-row local relation next round. The previous
+    # form kept centroids as a join + localCheckpoint chain; even a
+    # LAZY localCheckpoint pays full analysis + physical planning of
+    # the cumulative plan at build time, and the measured cost was
+    # DRIVER-side: ~1.5s/row of planning across the kmeans family at
+    # sf0.1 (guide §7.3 "nothing is running"). Values are bit-identical:
+    # m is computed in-engine (DECIMAL(38,18) sum → one double divide)
+    # and the collect/createDataFrame round-trip preserves the exact
+    # IEEE doubles; empty clusters keep their previous centroid, as
+    # before. Driver state stays bounded by k·dim (the
+    # pca_top_component / IVF-centroid device), never by corpus size.
     for _ in range(iters):
-        a = assign(cents)
+        a = assign(C)
         comp = a.select("cid", F.posexplode("v").alias("pos", "x"))
         means = (
             comp.groupBy("cid", "pos")
@@ -1194,23 +1214,16 @@ def kmeans_lloyd(
                 "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
             )
         )
-        newc = means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("c")
-        )
-        # Iterative-lineage truncation (the cluster_pairs idiom): the
-        # centroid table is k rows x dim doubles, but WITHOUT a barrier
-        # each iteration's plan nests the previous one — the final
-        # assign re-ran every earlier iteration's corpus scan (8 scans
-        # of the corpus at iters=2; 3 after).
-        cents = (
-            cents.select("cid", F.col("c").alias("c_old"))
-            .join(newc, "cid", "left")
-            .select("cid", F.coalesce("c", "c_old").alias("c"))
-        ).localCheckpoint(eager=False)
+        upd: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            upd.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        nxt = []
+        for i, old in enumerate(C):
+            byp = upd.get(i)
+            nxt.append([byp[p] for p in sorted(byp)] if byp else old)
+        C = nxt
 
-    return assign(cents).select(
+    return assign(C).select(
         F.col("vid").alias("vec_id"),
         F.col("cid").cast("long").alias("cluster_id"),
         F.col("d2").alias("dist2"),
