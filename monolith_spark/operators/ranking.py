@@ -91,7 +91,6 @@ def with_exact_rank(
     stated domain still rank correctly (bins clamp; within-bin sort is
     on the true key), only bin balance suffers."""
     df = df.localCheckpoint(eager=True)
-    spark = df.sparkSession
     key_order = F.col(key).desc() if descending else F.col(key).asc()
     order = [key_order, *[F.col(t).asc() for t in tiebreaks]]
 
@@ -147,19 +146,37 @@ def with_exact_rank(
     n_rows = run_c
     total = run_s if value_col is not None else None
 
-    off = spark.createDataFrame(
-        rows, "__b int, __off long, __soff string"
-    ).withColumn("__soff", F.col("__soff").cast(_DEC))
+    # The offset table is driver-known and <= nbins entries: inline it
+    # as ONE parsed literal map instead of createDataFrame + broadcast
+    # join — a createDataFrame pays ~0.2 s of py4j/RDD setup per call
+    # and the join adds a whole stage; element_at(map, __b) is a pure
+    # narrow expression with identical values (every bin present in the
+    # data is a key by construction, so ANSI element_at never misses).
+    off_map = F.expr(
+        "map(" + ",".join(f"{bb},{off}L" for bb, off, _ in rows) + ")"
+    )
     w = Window.partitionBy("__b").orderBy(*order)
-    out = binned.join(F.broadcast(off), "__b").withColumn(
-        rank_col, (F.col("__off") + F.row_number().over(w)).cast("long")
+    out = binned.withColumn(
+        rank_col,
+        (F.element_at(off_map, F.col("__b")) + F.row_number().over(w)).cast(
+            "long"
+        ),
     )
     if cum_col is not None:
+        soff_map = F.expr(
+            "map("
+            + ",".join(
+                f"{bb},CAST('{s}' AS DECIMAL(38,6))" for bb, _, s in rows
+            )
+            + ")"
+        )
         cum = F.sum(F.col(value_col).cast(_DEC)).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = out.withColumn(cum_col, (F.col("__soff") + cum).cast(_DEC))
-    return out.drop("__b", "__off", "__soff"), n_rows, total
+        out = out.withColumn(
+            cum_col, (F.element_at(soff_map, F.col("__b")) + cum).cast(_DEC)
+        )
+    return out.drop("__b"), n_rows, total
 
 
 def with_exact_ranks(
@@ -180,7 +197,6 @@ def with_exact_ranks(
     ``specs``: (key, tiebreaks, rank_col) triples. Returns
     (df_with_rank_cols, n_rows)."""
     base = df.localCheckpoint(eager=True)
-    spark = df.sparkSession
     # one stats pass for ALL keys (not one 1-row job per key)
     stats = base.agg(
         *[
@@ -250,15 +266,21 @@ def with_exact_ranks(
             rows.append((bb, run_c))
             run_c += hist[bb]
         n_rows = run_c
-        off = spark.createDataFrame(rows, f"{bcol} int, {ocol} long")
+        # literal offset map per spec (see with_exact_rank): no
+        # createDataFrame, no broadcast-join stage
+        off_map = F.expr(
+            "map(" + ",".join(f"{bb},{off}L" for bb, off in rows) + ")"
+        )
         w = Window.partitionBy(bcol).orderBy(*order)
         out = (
             out.withColumn(bcol, b)
-            .join(F.broadcast(off), bcol)
             .withColumn(
-                rank_col, (F.col(ocol) + F.row_number().over(w)).cast("long")
+                rank_col,
+                (
+                    F.element_at(off_map, F.col(bcol)) + F.row_number().over(w)
+                ).cast("long"),
             )
-            .drop(bcol, ocol)
+            .drop(bcol)
         )
     return out, n_rows
 

@@ -377,12 +377,24 @@ def shard_assignment(
     for r in totals:
         offsets[r["__b"]] = acc
         acc += r["__t"]
-    off_df = local.sparkSession.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "__b int, __off long"
+    # bucket offsets inline as ONE literal map (<= n_buckets entries) —
+    # no createDataFrame, no broadcast-join stage; every __b is a key by
+    # construction so ANSI element_at never misses
+    off_col = (
+        F.element_at(
+            F.expr(
+                "map(" + ",".join(f"{b},{o}L" for b, o in offsets.items()) + ")"
+            ),
+            F.col("__b"),
+        )
+        if offsets
+        else F.lit(0).cast("long")  # empty input: zero rows either way
     )
     return (
-        local.join(F.broadcast(off_df), "__b")
-        .withColumn("offset_bytes", F.col("__off") + F.col("__local") - F.col("n_bytes"))
+        local.withColumn(
+            "offset_bytes",
+            off_col + F.col("__local") - F.col("n_bytes"),
+        )
         .withColumn(
             "shard_id", (F.col("offset_bytes") / F.lit(shard_bytes)).cast("long")
         )
