@@ -226,6 +226,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k MinHash values per doc via universal hashing: min over
     shingles of (a_i·h + b_i) mod p, h = 60-bit md5 prefix mod p.
@@ -233,10 +234,14 @@ def minhash_signatures(
     One shuffle (groupBy doc) with k min aggregates over map-side
     linear transforms of a single per-shingle hash; a_i·(h mod p) <
     2⁶² so the arithmetic never overflows BIGINT on either engine.
+    ``shingles`` lets a caller that already materialized the
+    (doc_id, shingle) rows (minhash_lsh_pairs shares them with its
+    verification stage) pass them in instead of re-running the
+    tokenize+explode pass.
     """
     from monolith_spark.operators.text import hash60_expr
 
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
     h = (hash60_expr(F.col("shingle")) % MINHASH_PRIME).alias("h")
     hashed = sh.select("doc_id", h)
     aggs = [
@@ -289,8 +294,16 @@ def minhash_lsh_pairs(
     midpoint at t ~ (1/4)^(1/4) ~ 0.71 — candidates get generous
     recall at 0.5 on small corpora while pruning the quadratic space.
     """
+    # ONE shingle materialization for the whole operator: the same
+    # (doc_id, shingle) rows feed the minhash aggregation AND both
+    # sides of the verification intersection + the sizes aggregate —
+    # without sharing, the tokenize+explode pass ran once for the
+    # signatures and again for verification.
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     bsigs = minhash_band_signatures(
-        minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
+        minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh),
+        num_hashes,
+        bands,
     )
     x, y = bsigs.alias("x"), bsigs.alias("y")
     candidates = (
@@ -303,11 +316,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verification of candidates only. The exploded shingle
-    # table feeds both sides of the intersection join plus the sizes
-    # aggregate — materialize the (doc_id, shingle) rows once instead
-    # of re-running tokenize+explode per reference.
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # Exact verification of candidates only, off the shared shingle
+    # materialization above.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -358,22 +368,32 @@ def simhash_pairs(
     """
     sh = simhash(df, id_col, text_col, bits, feature_expr=shingles_expr(text_col, 3))
     rotations = 4
-    blocks = []
-    for r in range(rotations):
-        shift = r * (bits // rotations)
-        blocks.append(
-            sh.select(
-                F.col(id_col).alias("doc_id"),
-                F.col("simhash"),
-                F.lit(r).alias("rot"),
-                F.expr(
-                    f"shiftright(simhash, {max(bits - prefix_bits - shift, 0)}) & {(1 << prefix_bits) - 1}"
-                ).alias("block"),
-            )
-        )
-    blocked = blocks[0]
-    for bdf in blocks[1:]:
-        blocked = blocked.unionByName(bdf)
+    step = bits // rotations
+    # rot as EXPLODED data with a rot-dependent shift, not a 4-way
+    # union of per-rotation selects: union branches each re-evaluate
+    # their child, so the whole simhash lineage (tokenize + shingle +
+    # 60-bit hashing) ran once per rotation. Same (doc_id, simhash,
+    # rot, block) rows — the shift formula is the per-branch constant
+    # max(bits - prefix_bits - rot*step, 0) evaluated in-engine.
+    # Generate barrier first (the explode(array(x)) device): simhash is
+    # an expensive fold and projection collapse would otherwise inline
+    # it into every post-explode reference — the barrier pins it as a
+    # real attribute computed ONCE per doc before the 4-way fan-out.
+    pinned = sh.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array("simhash")).alias("simhash"),
+    )
+    blocked = pinned.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(r) for r in range(rotations)])).alias("rot"),
+    ).withColumn(
+        "block",
+        F.expr(
+            f"shiftright(simhash, greatest({bits - prefix_bits} - rot * {step}, 0))"
+            f" & {(1 << prefix_bits) - 1}"
+        ),
+    )
     # Sorted posting per (rot, block); doc_id is unique within a block
     # (one row per doc per rotation) so array_sort orders by doc_id and
     # the slice keeps the cap deterministic.
