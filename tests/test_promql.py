@@ -1803,3 +1803,43 @@ def test_utf8_names(spark):
         df, 'sum by ("k8s.pod") ({"req total", "k8s.pod"="p2"})',
         10_000).collect()
     assert r["value"] == 4.0 and dict(r["labels"]) == {"k8s.pod": "p2"}
+
+
+def test_hashable_group_device(spark):
+    """r9 optimization invariant: _hashable_group must (a) return the
+    label map byte-identically to the first(labels) form — ENTRY ORDER
+    included, since the driver's value hash sees map order — and (b)
+    plan a HashAggregate, never the SortAggregate that a map-typed
+    FIRST buffer forces (the whole point of the device)."""
+    rows = [
+        # insertion orders deliberately differ from sorted key order
+        ({"z": "1", "a": "x", "m": "q"}, "s1", 1_000, 1.0),
+        ({"z": "1", "a": "x", "m": "q"}, "s1", 2_000, 3.0),
+        ({"b": "2", "a": "y"}, "s2", 1_000, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "labels map<string,string>, signature string, "
+        "timestamp long, value double",
+    )
+    fast = promql._hashable_group(
+        df, ["signature"], "labels", F.sum("value").alias("value"))
+    slow = df.groupBy("signature").agg(
+        F.first("labels").alias("labels"), F.sum("value").alias("value"))
+    # map_entries() order == iteration order: compare the ENTRIES
+    # arrays, not just the logical map equality
+    key = lambda r: r["signature"]
+    for a, b in zip(
+        sorted(fast.select("signature", F.map_entries("labels").alias("e"),
+                           "value").collect(), key=key),
+        sorted(slow.select("signature", F.map_entries("labels").alias("e"),
+                           "value").collect(), key=key),
+    ):
+        assert a == b
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    # and the first(labels) form really does sort-aggregate in this
+    # Spark — if an upgrade lifts that limitation the device (and this
+    # pin) can be retired
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" in slow_plan
