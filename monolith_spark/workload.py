@@ -7084,6 +7084,14 @@ def docs_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.filter(~F.col("term").isin(_text.STOPWORDS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # tf feeds BOTH the score join's left side and the df
+        # aggregation below, and the two consumers' exchanges differ
+        # (term vs (doc_id, term) partitioning with partial aggs
+        # pushed under one side), so ReuseExchange cannot dedupe them
+        # — without a barrier the corpus is scanned+tokenized once
+        # per consumer (the bigram_lm_score pattern; plan showed 6
+        # scans). Materialize the (doc_id, term, tf) grain once.
+        .localCheckpoint(eager=False)
     )
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     nn = docs.agg(F.count("*").alias("n"))
