@@ -58,13 +58,44 @@ def _escape(col: Column) -> Column:
     return F.replace(col, F.lit("="), F.lit("\\="))
 
 
+def sql_str_lit(s: str) -> str:
+    """A Spark-SQL single-quoted string literal for ``s`` (backslash
+    escaping — the default parser mode get_spark runs under)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _escape_sql(e: str) -> str:
+    # SQL-text twin of _escape (backslash first, then , and =)
+    return (
+        "replace(replace(replace(" + e +
+        ", '\\\\', '\\\\\\\\'), ',', '\\\\,'), '=', '\\\\=')"
+    )
+
+
+def signature_sql_text(map_sql: str = "labels") -> str:
+    """SQL text of the canonical signature over an arbitrary map-typed
+    SQL expression. Building the expression as ONE parsed string costs
+    one py4j round-trip where the Column-by-Column construction costs
+    ~85 ms of socket chatter per call (the §7.3 driver-time trap) —
+    the parsed tree is expression-identical, so results and plans do
+    not change."""
+    return (
+        "array_join(transform(array_sort(map_entries(" + map_sql + ")), "
+        "e -> concat(" + _escape_sql("e.key") + ", '=', "
+        + _escape_sql("e.value") + ")), ',')"
+    )
+
+
 def signature_expr(labels: Column | str = "labels") -> Column:
     """Canonical signature of a label map: sorted ``k=v`` joined by ``,``.
 
     Mirrors encode_labels (/root/reference/src/indexer/sled_indexer.rs:275-289)
     minus the storage-key prefix, plus escaping (see module docstring).
+    A string argument is a column name (the hot path — parsed as one
+    SQL expression); a Column argument takes the composed construction.
     """
-    labels = F.col(labels) if isinstance(labels, str) else labels
+    if isinstance(labels, str):
+        return F.expr(signature_sql_text(f"`{labels}`"))
     entries = F.array_sort(F.map_entries(labels))  # struct<key,value>; keys unique → sorts by key
     return F.array_join(
         F.transform(entries, lambda e: F.concat(_escape(e["key"]), F.lit("="), _escape(e["value"]))),
@@ -134,6 +165,27 @@ def matcher_predicate(labels: Column | str, matchers: list["LabelMatcher"]) -> C
       as the empty string).
     - RE / NRE: fully-anchored regex on the label value ('' if absent).
     """
+    if not matchers:
+        return F.lit(True)
+    if isinstance(labels, str):
+        # hot path: the whole conjunction as ONE parsed SQL expression
+        # (one py4j round-trip instead of ~6 per matcher — §7.3)
+        parts = []
+        for m in matchers:
+            val = (f"coalesce(try_element_at(`{labels}`, "
+                   f"{sql_str_lit(m.name)}), '')")
+            pat = sql_str_lit(f"^(?:{m.value})$")
+            if m.type == EQ:
+                parts.append(f"{val} = {sql_str_lit(m.value)}")
+            elif m.type == NEQ:
+                parts.append(f"{val} != {sql_str_lit(m.value)}")
+            elif m.type == RE:
+                parts.append(f"{val} RLIKE {pat}")
+            elif m.type == NRE:
+                parts.append(f"NOT ({val} RLIKE {pat})")
+            else:  # pragma: no cover
+                raise ValueError(f"unknown matcher type {m.type!r}")
+        return F.expr("(" + ") AND (".join(parts) + ")")
     pred = F.lit(True)
     for m in matchers:
         val = F.coalesce(label_value(labels, m.name), F.lit(""))

@@ -85,7 +85,13 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from monolith_spark.labels import LabelMatcher, matcher_predicate, signature_expr
+from monolith_spark.labels import (
+    LabelMatcher,
+    matcher_predicate,
+    signature_expr,
+    signature_sql_text,
+    sql_str_lit,
+)
 from monolith_spark.operators import timeseries as _tsops
 from monolith_spark.operators.text import hash60_expr as _hash60
 
@@ -857,15 +863,27 @@ def _eval(node, ctx: _Ctx):
 # -- selectors ----------------------------------------------------------
 
 
-def _base(node: Selector, ctx: _Ctx) -> DataFrame:
+def _base(node: Selector, ctx: _Ctx, time_pred=None) -> DataFrame:
+    """Matcher (+ optional time) filter and the signature projection in
+    at most TWO DataFrame hops — every hop costs a full eager
+    re-analysis of the lineage on the driver, which at sub-second
+    query sizes is a measurable slice of the wall time (§7.3)."""
     df = ctx.samples
     ms = list(node.matchers)
     if node.name is not None:
         ms = [LabelMatcher("__name__", node.name, "EQ"), *ms]
-    if ms:
-        df = df.filter(matcher_predicate("labels", ms))
+    pred = matcher_predicate("labels", ms) if ms else None
+    if time_pred is not None:
+        pred = time_pred if pred is None else (pred & time_pred)
+    if pred is not None:
+        df = df.filter(pred)
     if "signature" not in df.columns:
-        df = df.withColumn("signature", signature_expr("labels"))
+        df = df.select(
+            signature_expr("labels").alias("signature"),
+            "labels", "timestamp", "value",
+        )
+    elif df.columns != ["signature", "labels", "timestamp", "value"]:
+        df = df.select("signature", "labels", "timestamp", "value")
     return df
 
 
@@ -884,17 +902,19 @@ def _anchor_ms(node, ctx: _Ctx) -> int:
 def _range_df(node: Selector, ctx: _Ctx) -> tuple[DataFrame, int, int]:
     end = _anchor_ms(node, ctx) - node.offset_ms
     start = end - (node.range_ms or 0)
-    df = _base(node, ctx).filter(
-        (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+    df = _base(
+        node, ctx,
+        (F.col("timestamp") >= start) & (F.col("timestamp") <= end),
     )
-    return df.select("signature", "labels", "timestamp", "value"), start, end
+    return df, start, end
 
 
 def _instant_selector(node: Selector, ctx: _Ctx) -> DataFrame:
     end = _anchor_ms(node, ctx) - node.offset_ms
     start = end - ctx.lookback_ms
-    df = _base(node, ctx).filter(
-        (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+    df = _base(
+        node, ctx,
+        (F.col("timestamp") >= start) & (F.col("timestamp") <= end),
     )
     # struct-max gives the (ts desc, value desc) deterministic pick with
     # map-side partials; labels ride separately (maps aren't orderable)
@@ -1239,8 +1259,9 @@ def _eval_call(node: Call, ctx: _Ctx):
             raise ValueError("timestamp() expects an instant selector")
         end = _anchor_ms(arg, ctx) - arg.offset_ms
         start = end - ctx.lookback_ms
-        df = _base(arg, ctx).filter(
-            (F.col("timestamp") >= start) & (F.col("timestamp") <= end)
+        df = _base(
+            arg, ctx,
+            (F.col("timestamp") >= start) & (F.col("timestamp") <= end),
         )
         out = (
             df.groupBy("signature")
@@ -1482,9 +1503,10 @@ def _eval_subquery_func(
         )
     end = _anchor_ms(sq, ctx) - sq.offset_ms - sel.offset_ms
     start = end - sq.range_ms
-    df = _base(sel, ctx).filter(
+    df = _base(
+        sel, ctx,
         (F.col("timestamp") >= start - (k - 1) * sq.step_ms)
-        & (F.col("timestamp") <= end)
+        & (F.col("timestamp") <= end),
     )
     win = F.floor((F.col("timestamp") - F.lit(start)) / F.lit(sq.step_ms))
     # a point at exactly ts == end would index one past the tiling
@@ -1801,30 +1823,37 @@ def _histogram_fraction(
 # -- aggregation operators -------------------------------------------------
 
 
-def _group_map(by, without):
-    labels = F.col("labels")
+def _group_map_sql(by, without) -> str:
+    """SQL text of the by/without label projection over the ``labels``
+    column — composed as a string so the full grouping expression
+    parses in ONE py4j round-trip (§7.3; a map_filter lambda built
+    through the Column API costs ~40 ms of socket chatter per call)."""
     if by is not None:
-        keys = [F.lit(k) for k in by]
-        return F.map_filter(
-            labels, lambda k, _: F.array_contains(F.array(*keys), k)
-        ) if keys else F.map_filter(labels, lambda k, _: F.lit(False))
+        if not by:
+            return "map_filter(labels, (k, v) -> false)"
+        arr = "array(" + ", ".join(sql_str_lit(k) for k in by) + ")"
+        return f"map_filter(labels, (k, v) -> array_contains({arr}, k))"
     if without is not None:
-        keys = [F.lit(k) for k in without]
-        return F.map_filter(
-            labels, lambda k, _: ~F.array_contains(F.array(*keys), k)
-        ) if keys else labels
+        if not without:
+            return "labels"
+        arr = "array(" + ", ".join(sql_str_lit(k) for k in without) + ")"
+        return f"map_filter(labels, (k, v) -> NOT array_contains({arr}, k))"
     # plain sum(...) aggregates everything into one group
-    return F.map_filter(labels, lambda k, _: F.lit(False))
+    return "map_filter(labels, (k, v) -> false)"
+
+
+def _group_map(by, without):
+    return F.expr(_group_map_sql(by, without))
 
 
 def _eval_agg(node: Agg, ctx: _Ctx):
     kind, vec = _eval(node.expr, ctx)
     if kind != "vector":
         raise ValueError(f"{node.op} expects an instant vector")
-    gmap = _group_map(node.by, node.without)
+    gm_sql = _group_map_sql(node.by, node.without)
     keyed = vec.select(
-        signature_expr(gmap).alias("__gsig"),
-        gmap.alias("__glabels"),
+        F.expr(signature_sql_text(gm_sql)).alias("__gsig"),
+        F.expr(gm_sql).alias("__glabels"),
         "signature",
         "labels",
         "value",
@@ -1961,25 +1990,164 @@ def _eval_agg(node: Agg, ctx: _Ctx):
 
 def _match_key(match):
     """The vector-matching key: full signature by default, or the
-    signature of the on/ignoring label subset."""
-    labels = F.col("labels")
+    signature of the on/ignoring label subset (built as ONE parsed
+    SQL expression — §7.3)."""
     if match is None:
         return F.col("signature")
     kind, names = match
-    keys = [F.lit(k) for k in names]
+    gm = _group_map_sql(
+        tuple(names) if kind == "on" else None,
+        tuple(names) if kind == "ignoring" else None,
+    )
+    return F.expr(signature_sql_text(gm))
+
+
+# value-transform / presentation calls that pass series labels through
+# row-wise (vector in args[0], labels untouched)
+_LABEL_PRESERVING_CALLS = frozenset(
+    ("round", "clamp", "clamp_min", "clamp_max", "sgn",
+     "sort", "sort_desc", "sort_by_label", "sort_by_label_desc")
+)
+
+
+def _unique_series(node) -> bool:
+    """True when the node's evaluated vector STRUCTURALLY holds at most
+    one row per output label set (per window in range mode): the vector
+    is produced by a per-(signature[, window]) aggregation, or is a
+    row-wise value transform / filter of such a vector. label_replace /
+    label_join (signature rewrites that can collide), info() enrichment
+    and group_left/group_right outputs are deliberately NOT on the list
+    — their collisions are exactly what the runtime one-to-one guard
+    exists to catch. Conservative: False for anything unproven."""
+    if isinstance(node, (Selector, Subquery)):
+        return True  # per-series grouped selection
+    if isinstance(node, Unary):
+        return _unique_series(node.expr)
+    if isinstance(node, Agg):
+        if node.op in ("topk", "bottomk", "limitk", "limit_ratio"):
+            return _unique_series(node.expr)  # row filters of the input
+        return True  # grouped by the output label set
+    if isinstance(node, Call):
+        f = node.func
+        if f in _RANGE_FUNCS:
+            return True  # _per_series aggregation
+        if f in ("absent", "absent_over_time", "vector", "timestamp",
+                 "histogram_quantile", "histogram_fraction"):
+            return True  # grouped, or at most one synthetic series
+        if f in _MATH_FUNCS or f in _DATE_FUNCS or f in _LABEL_PRESERVING_CALLS:
+            return bool(node.args) and _unique_series(node.args[0])
+        return False  # label_replace / label_join / info / unknown
+    if isinstance(node, BinOp):
+        if node.group is not None:
+            return False  # copied extras can collide output label sets
+        if node.op in ("and", "unless"):
+            return _unique_series(node.lhs)
+        # or: lhs rows plus rhs rows whose match key lhs lacks — equal
+        # output labels imply equal match keys, so the anti-join keeps
+        # the union collision-free when both sides are unique.
+        # scalar-vector forms and 1:1 matching emit one row per
+        # (lhs-)series when both operands are unique.
+        return _unique_series(node.lhs) and _unique_series(node.rhs)
+    return True  # Number / StringLit (scalar operands)
+
+
+def _pinned_labels(node) -> dict:
+    """Labels provably pinned to ONE constant, non-empty value on every
+    output row of the node's vector (EQ matchers threaded through
+    label-preserving transforms). Used to prove that stripping an
+    ignoring() set cannot merge two distinct series. Conservative:
+    unknown shapes pin nothing."""
+    if isinstance(node, Selector):
+        out = {m.name: m.value for m in node.matchers
+               if m.type == "EQ" and m.value != ""}
+        if node.name is not None:
+            out["__name__"] = node.name
+        return out
+    if isinstance(node, (Subquery, Unary)):
+        return _pinned_labels(node.expr)
+    if isinstance(node, Agg):
+        inner = _pinned_labels(node.expr)
+        if node.op in ("topk", "bottomk", "limitk", "limit_ratio"):
+            return inner  # row filters keep labels
+        if node.by is not None:
+            by = set(node.by)
+            return {k: v for k, v in inner.items() if k in by}
+        if node.without is not None:
+            wo = set(node.without)
+            return {k: v for k, v in inner.items() if k not in wo}
+        return {}  # plain agg: one all-up group, no labels
+    if isinstance(node, Call):
+        f = node.func
+        if f == "quantile_over_time" and len(node.args) == 2:
+            return _pinned_labels(node.args[1])
+        if f == "histogram_quantile" and len(node.args) >= 2:
+            inner = _pinned_labels(node.args[1])
+            inner.pop("le", None)
+            return inner
+        if (f in _RANGE_FUNCS or f in _MATH_FUNCS or f in _DATE_FUNCS
+                or f == "timestamp" or f in _LABEL_PRESERVING_CALLS):
+            return _pinned_labels(node.args[0]) if node.args else {}
+        return {}
+    if isinstance(node, BinOp):
+        if node.group is not None:
+            gkind, extras = node.group
+            out = _pinned_labels(node.lhs if gkind == "left" else node.rhs)
+            for e in extras:
+                out.pop(e, None)  # copied labels vary per partner
+            return out
+        if node.op in ("and", "unless"):
+            return _pinned_labels(node.lhs)
+        if node.op == "or":
+            l = _pinned_labels(node.lhs)
+            r = _pinned_labels(node.rhs)
+            return {k: v for k, v in l.items() if r.get(k) == v}
+        if _const_scalar(node.lhs) is not None:
+            return _pinned_labels(node.rhs)
+        # vector-scalar and 1:1 vector matching both carry the lhs labels
+        return _pinned_labels(node.lhs)
+    return {}
+
+
+def _unique_per_match_key(node, match) -> bool:
+    """True when the node's vector STRUCTURALLY holds at most one row
+    per _match_key(match) value (per window in range mode) — the
+    runtime one-to-one / one-side count guard is then provably
+    redundant and its window (sort + shuffle) is elided. Conservative:
+    False whenever uniqueness cannot be proven from the AST alone, so
+    the guard (and Prometheus's many-to-many error) stays."""
+    if match is None:
+        return _unique_series(node)
+    kind, names = match
+    names = set(names)
     if kind == "on":
-        gm = (
-            F.map_filter(labels, lambda k, _: F.array_contains(F.array(*keys), k))
-            if keys
-            else F.map_filter(labels, lambda k, _: F.lit(False))
-        )
-    else:
-        gm = (
-            F.map_filter(labels, lambda k, _: ~F.array_contains(F.array(*keys), k))
-            if keys
-            else labels
-        )
-    return signature_expr(gm)
+        if isinstance(node, Agg) and node.op not in (
+                "topk", "bottomk", "limitk", "limit_ratio", "count_values"):
+            # group key ⊆ on-labels: the match key determines the group
+            if node.by is not None and set(node.by) <= names:
+                return True
+            if node.by is None and node.without is None:
+                return True  # single all-up group
+        if (isinstance(node, Call)
+                and node.func in ("label_replace", "label_join")
+                and len(node.args) >= 2
+                and isinstance(node.args[1], StringLit)
+                and node.args[1].value not in names):
+            # rewrites a label OUTSIDE the key: key values untouched
+            return _unique_per_match_key(node.args[0], match)
+        return False
+    # ignoring(I): unique per full label set with every ignored label
+    # pinned constant — stripping I cannot merge two distinct series
+    if _unique_series(node) and names <= set(_pinned_labels(node)):
+        return True
+    if isinstance(node, Agg) and node.op not in (
+            "topk", "bottomk", "limitk", "limit_ratio", "count_values"):
+        if node.without is not None and names <= set(node.without):
+            return True  # output labels already exclude I
+        if node.by is not None and not (set(node.by) & names):
+            return True  # key strips nothing from the group labels
+        if node.by is None and node.without is None:
+            return True
+    return False
 
 
 def _copy_group_extras(labels, olabels_col: str, extras) -> "F.Column":
@@ -2013,19 +2181,32 @@ def _eval_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame):
     uniqueness window shuffle series-count rows, never points."""
     gkind, extras = node.group
     many, one = (lv, rv) if gkind == "left" else (rv, lv)
+    one_node = node.rhs if gkind == "left" else node.lhs
     key = _match_key(node.match)
     one_s = one.select(
         key.alias("__k"),
         F.col("labels").alias("__olabels"),
         F.col("value").alias("__ov"),
-    ).withColumn("__n1", F.count("*").over(Window.partitionBy("__k")))
+    )
+    # the count window exists only to raise Prometheus's
+    # multiple-matches error; a one side PROVABLY unique per key skips
+    # it (and the sort + shuffle it costs)
+    ok = None
+    if not _unique_per_match_key(one_node, node.match):
+        one_s = one_s.withColumn(
+            "__n1", F.count("*").over(Window.partitionBy("__k"))
+        )
+        ok = F.col("__n1") == 1
     many_s = many.select(key.alias("__k"), "labels", F.col("value").alias("__mv"))
     j = many_s.join(one_s, "__k")
-    ok = F.col("__n1") == 1
     guard = F.raise_error(
         F.lit("PromQL many-to-one matching found multiple matches on the "
               "one side (narrow the on/ignoring key)")
     ).cast("double")
+
+    def _guarded(x):
+        return x if ok is None else F.when(ok, x).otherwise(guard)
+
     new_labels = _copy_group_extras(F.col("labels"), "__olabels", extras)
     a, b = (
         (F.col("__mv"), F.col("__ov"))
@@ -2036,10 +2217,10 @@ def _eval_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame):
         cond = {"==": a == b, "!=": a != b, ">": a > b,
                 "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
         if node.bool_mode:
-            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            val = _guarded(cond.cast("double"))
             out = j.select(new_labels.alias("labels"), val.alias("value"))
         else:
-            val = F.when(ok, a).otherwise(guard)
+            val = _guarded(a)
             out = (
                 j.select(new_labels.alias("labels"), val.alias("value"),
                          cond.alias("__c"))
@@ -2049,7 +2230,7 @@ def _eval_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame):
     else:
         expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
                 "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
-        val = F.when(ok, expr.cast("double")).otherwise(guard)
+        val = _guarded(expr.cast("double"))
         out = j.select(new_labels.alias("labels"), val.alias("value"))
     out = out.withColumn("signature", signature_expr("labels")).select(
         "signature", "labels", "value"
@@ -2072,32 +2253,44 @@ def _eval_vv(node: BinOp, lv: DataFrame, rv: DataFrame):
     wl = Window.partitionBy("__k")
     left = lv.select(
         key.alias("__k"), "signature", "labels", F.col("value").alias("__lv")
-    ).withColumn("__nl", F.count("*").over(wl))
-    right = rv.select(key.alias("__k"), F.col("value").alias("__rv")).withColumn(
-        "__nr", F.count("*").over(wl)
     )
+    right = rv.select(key.alias("__k"), F.col("value").alias("__rv"))
+    # the per-key count windows exist only to raise Prometheus's
+    # many-to-many error; a side PROVABLY unique per key skips its
+    # window (and the sort + shuffle it costs)
+    ok = None
+    if not _unique_per_match_key(node.lhs, node.match):
+        left = left.withColumn("__nl", F.count("*").over(wl))
+        ok = F.col("__nl") == 1
+    if not _unique_per_match_key(node.rhs, node.match):
+        right = right.withColumn("__nr", F.count("*").over(wl))
+        c = F.col("__nr") == 1
+        ok = c if ok is None else (ok & c)
     j = left.join(right, "__k")
-    ok = (F.col("__nl") == 1) & (F.col("__nr") == 1)
     guard = F.raise_error(
         F.lit("PromQL vector matching is not one-to-one (use on/ignoring "
               "to narrow the match key)")
     ).cast("double")
+
+    def _guarded(x):
+        return x if ok is None else F.when(ok, x).otherwise(guard)
+
     a, b = F.col("__lv"), F.col("__rv")
     if node.op in _CMP_OPS:
         cond = {"==": a == b, "!=": a != b, ">": a > b,
                 "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
         if node.bool_mode:
-            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            val = _guarded(cond.cast("double"))
             out = j.select("signature", "labels", val.alias("value"))
         else:
-            val = F.when(ok, a).otherwise(guard)
+            val = _guarded(a)
             out = j.select(
                 "signature", "labels", val.alias("value"), cond.alias("__c")
             ).filter("__c").drop("__c")
         return ("vector", out)
     expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
             "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
-    val = F.when(ok, expr.cast("double")).otherwise(guard)
+    val = _guarded(expr.cast("double"))
     return ("vector", j.select("signature", "labels", val.alias("value")))
 
 
@@ -2380,9 +2573,10 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
                 "subtree the tiled evaluator cannot split"
             )
         k = 1 if range_ms is None else _tile_k(range_ms, step_ms)
-        df = _base(sel, ctx).filter(
+        df = _base(
+            sel, ctx,
             (F.col("timestamp") > start_ms - sel.offset_ms - (k - 1) * step_ms)
-            & (F.col("timestamp") <= end_ms - sel.offset_ms)
+            & (F.col("timestamp") <= end_ms - sel.offset_ms),
         )
         win = F.floor(
             (F.col("timestamp") - F.lit(start_ms - sel.offset_ms) - F.lit(1))
@@ -2911,8 +3105,9 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             k = _const_scalar(node.param)
             if k is None:
                 raise ValueError("limitk expects a scalar k")
-            gmap = _group_map(node.by, node.without)
-            w = Window.partitionBy(signature_expr(gmap), "__w").orderBy(
+            gsig = F.expr(signature_sql_text(
+                _group_map_sql(node.by, node.without)))
+            w = Window.partitionBy(gsig, "__w").orderBy(
                 F.md5("signature"), F.col("signature")
             )
             return (
@@ -2927,22 +3122,23 @@ def _tiled_values(node, start_ms: int, end_ms: int, step_ms: int, ctx: _Ctx) -> 
             k = _const_scalar(node.param)
             if k is None:
                 raise ValueError(f"{node.op} expects a scalar k")
-            gmap = _group_map(node.by, node.without)
+            gsig = F.expr(signature_sql_text(
+                _group_map_sql(node.by, node.without)))
             order = (
                 [F.col("value").desc(), F.col("signature")]
                 if node.op == "topk"
                 else [F.col("value").asc(), F.col("signature")]
             )
-            w = Window.partitionBy(signature_expr(gmap), "__w").orderBy(*order)
+            w = Window.partitionBy(gsig, "__w").orderBy(*order)
             return (
                 per.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= int(k))
                 .select("signature", "labels", "__w", "value")
             )
-        gmap = _group_map(node.by, node.without)
+        gm_sql = _group_map_sql(node.by, node.without)
         keyed = per.select(
-            signature_expr(gmap).alias("__gsig"),
-            gmap.alias("__glabels"),
+            F.expr(signature_sql_text(gm_sql)).alias("__gsig"),
+            F.expr(gm_sql).alias("__glabels"),
             "__w",
             "value",
         )
@@ -3057,21 +3253,33 @@ def _tiled_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame) -> DataFrame:
     shuffle (series × windows) rows, never points."""
     gkind, extras = node.group
     many, one = (lv, rv) if gkind == "left" else (rv, lv)
+    one_node = node.rhs if gkind == "left" else node.lhs
     key = _match_key(node.match)
     one_s = one.select(
         key.alias("__k"), "__w",
         F.col("labels").alias("__olabels"),
         F.col("value").alias("__ov"),
-    ).withColumn("__n1", F.count("*").over(Window.partitionBy("__k", "__w")))
+    )
+    # per-window twin of the instant guard elision: the one side skips
+    # its count window when it is provably unique per (key, window)
+    ok = None
+    if not _unique_per_match_key(one_node, node.match):
+        one_s = one_s.withColumn(
+            "__n1", F.count("*").over(Window.partitionBy("__k", "__w"))
+        )
+        ok = F.col("__n1") == 1
     many_s = many.select(
         key.alias("__k"), "__w", "labels", F.col("value").alias("__mv")
     )
     j = many_s.join(one_s, ["__k", "__w"])
-    ok = F.col("__n1") == 1
     guard = F.raise_error(
         F.lit("PromQL many-to-one matching found multiple matches on the "
               "one side within a step (narrow the on/ignoring key)")
     ).cast("double")
+
+    def _guarded(x):
+        return x if ok is None else F.when(ok, x).otherwise(guard)
+
     new_labels = _copy_group_extras(F.col("labels"), "__olabels", extras)
     a, b = (
         (F.col("__mv"), F.col("__ov"))
@@ -3082,11 +3290,11 @@ def _tiled_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame) -> DataFrame:
         cond = {"==": a == b, "!=": a != b, ">": a > b,
                 "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
         if node.bool_mode:
-            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            val = _guarded(cond.cast("double"))
             out = j.select(new_labels.alias("labels"), "__w",
                            val.alias("value"))
         else:
-            val = F.when(ok, a).otherwise(guard)
+            val = _guarded(a)
             out = (
                 j.select(new_labels.alias("labels"), "__w",
                          val.alias("value"), cond.alias("__c"))
@@ -3096,7 +3304,7 @@ def _tiled_many_to_one(node: BinOp, lv: DataFrame, rv: DataFrame) -> DataFrame:
     else:
         expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
                 "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
-        val = F.when(ok, expr.cast("double")).otherwise(guard)
+        val = _guarded(expr.cast("double"))
         out = j.select(new_labels.alias("labels"), "__w", val.alias("value"))
     return out.withColumn("signature", signature_expr("labels")).select(
         "signature", "labels", "__w", "value"
@@ -3195,24 +3403,35 @@ def _tiled_binop(
     left = lv.select(
         key.alias("__k"), "signature", "labels", "__w",
         F.col("value").alias("__lv"),
-    ).withColumn("__nl", F.count("*").over(wl))
-    right = rv.select(
-        key.alias("__k"), "__w", F.col("value").alias("__rv")
-    ).withColumn("__nr", F.count("*").over(wl))
+    )
+    right = rv.select(key.alias("__k"), "__w", F.col("value").alias("__rv"))
+    # per-window twin of the instant guard elision: a side provably
+    # unique per (key, window) skips its count window
+    ok = None
+    if not _unique_per_match_key(node.lhs, node.match):
+        left = left.withColumn("__nl", F.count("*").over(wl))
+        ok = F.col("__nl") == 1
+    if not _unique_per_match_key(node.rhs, node.match):
+        right = right.withColumn("__nr", F.count("*").over(wl))
+        c = F.col("__nr") == 1
+        ok = c if ok is None else (ok & c)
     j = left.join(right, ["__k", "__w"])
-    ok = (F.col("__nl") == 1) & (F.col("__nr") == 1)
     guard = F.raise_error(
         F.lit("PromQL vector matching is not one-to-one within a step "
               "(use on/ignoring to narrow the match key)")
     ).cast("double")
+
+    def _guarded(x):
+        return x if ok is None else F.when(ok, x).otherwise(guard)
+
     a, b = F.col("__lv"), F.col("__rv")
     if node.op in _CMP_OPS:
         cond = {"==": a == b, "!=": a != b, ">": a > b,
                 "<": a < b, ">=": a >= b, "<=": a <= b}[node.op]
         if node.bool_mode:
-            val = F.when(ok, cond.cast("double")).otherwise(guard)
+            val = _guarded(cond.cast("double"))
             return j.select("signature", "labels", "__w", val.alias("value"))
-        val = F.when(ok, a).otherwise(guard)
+        val = _guarded(a)
         return (
             j.select("signature", "labels", "__w", val.alias("value"),
                      cond.alias("__c"))
@@ -3221,5 +3440,5 @@ def _tiled_binop(
         )
     expr = {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
             "%": a % b, "^": F.pow(a, b), "atan2": F.atan2(a, b)}[node.op]
-    val = F.when(ok, expr.cast("double")).otherwise(guard)
+    val = _guarded(expr.cast("double"))
     return j.select("signature", "labels", "__w", val.alias("value"))

@@ -9815,7 +9815,11 @@ def _rate_sql(where: str, lo: int, hi: int) -> str:
 def _events_lv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from monolith_spark.sources.events import events_samples
 
-    return events_samples(spark, sf_dir).select("labels", "timestamp", "value")
+    # with_signature=False: the signature projection would be dropped
+    # by the select anyway — skip building (and re-analyzing) it
+    return events_samples(spark, sf_dir, with_signature=False).select(
+        "labels", "timestamp", "value"
+    )
 
 
 @_q(

@@ -1829,17 +1829,80 @@ def test_hashable_group_device(spark):
     # map_entries() order == iteration order: compare the ENTRIES
     # arrays, not just the logical map equality
     key = lambda r: r["signature"]
-    for a, b in zip(
-        sorted(fast.select("signature", F.map_entries("labels").alias("e"),
-                           "value").collect(), key=key),
-        sorted(slow.select("signature", F.map_entries("labels").alias("e"),
-                           "value").collect(), key=key),
-    ):
-        assert a == b
+    fast_rows = sorted(
+        fast.select("signature", F.map_entries("labels").alias("e"),
+                    "value").collect(), key=key)
+    slow_rows = sorted(
+        slow.select("signature", F.map_entries("labels").alias("e"),
+                    "value").collect(), key=key)
+    assert fast_rows == slow_rows
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan and "SortAggregate" not in plan
     # and the first(labels) form really does sort-aggregate in this
     # Spark — if an upgrade lifts that limitation the device (and this
     # pin) can be retired
     slow_plan = slow._jdf.queryExecution().executedPlan().toString()
-    assert "SortAggregate" in slow_plan
+    assert "SortAggregate" in slow_plan, (
+        "Spark now hash-aggregates map-typed FIRST buffers — retire "
+        "_hashable_group and this canary"
+    )
+
+
+def test_match_guard_elision(spark):
+    """r10 optimization invariant: the one-to-one match guard window is
+    ELIDED when a side is provably unique per match key (grouping aggs,
+    per-series range functions with the ignored labels EQ-pinned), and
+    KEPT for unproven shapes — the many-to-many error must still fire.
+    Elision must not change results."""
+    rows = [
+        ({"event_type": "p", "kb": "0"}, 1_000, 1.0),
+        ({"event_type": "p", "kb": "0"}, 2_000, 3.0),
+        ({"event_type": "p", "kb": "1"}, 1_000, 5.0),
+        ({"event_type": "c", "kb": "0"}, 1_000, 7.0),
+        ({"event_type": "c", "kb": "1"}, 2_000, 11.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp long, value double")
+
+    # both sides provably unique (grouping aggs, default full-key
+    # match): no Window in the plan, results = the per-group ratio
+    q = ('sum by (kb) (sum_over_time({event_type="p"}[10s])) / '
+         'sum by (kb) (sum_over_time({event_type="c"}[10s]))')
+    out = promql.eval_instant(df, q, 10_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "provably-unique 1:1 match kept its guard"
+    got = {r["signature"]: r["value"] for r in out.collect()}
+    assert got == {"kb=0": 4.0 / 7.0, "kb=1": 5.0 / 11.0}
+
+    # ignoring() with the ignored label EQ-pinned on both sides: elided
+    q2 = ('sum_over_time({event_type="p"}[10s]) / ignoring(event_type) '
+          'sum_over_time({event_type="c"}[10s])')
+    out2 = promql.eval_instant(df, q2, 10_000)
+    assert "Window" not in out2._jdf.queryExecution().executedPlan().toString()
+    got2 = {r["signature"]: r["value"] for r in out2.collect()}
+    assert got2 == {"event_type=p,kb=0": 4.0 / 7.0,
+                    "event_type=p,kb=1": 5.0 / 11.0}
+
+    # UNPROVEN shape (on() narrows a range-func side): guard stays and
+    # the many-to-many error still raises at execution — two p-series
+    # share kb=0, so on(kb) collapses them
+    import pytest as _pt
+    dup = df.unionByName(spark.createDataFrame(
+        [({"event_type": "p", "kb": "0", "u": "2"}, 1_000, 13.0)],
+        "labels map<string,string>, timestamp long, value double"))
+    bad = promql.eval_instant(
+        dup,
+        'sum_over_time({event_type="p"}[10s]) / on(kb) '
+        'sum_over_time({event_type="c"}[10s])',
+        10_000,
+    )
+    assert "Window" in bad._jdf.queryExecution().executedPlan().toString()
+    with _pt.raises(Exception, match="one-to-one"):
+        bad.collect()
+
+    # tiled twin: per-window elision, same results as the instant math
+    # per day-window
+    outr = promql.eval_range(df, q, 0, 10_000, 10_000)
+    assert "Window" not in outr._jdf.queryExecution().executedPlan().toString()
+    gotr = {(r["signature"], r["t_ms"]): r["value"] for r in outr.collect()}
+    assert gotr == {("kb=0", 10_000): 4.0 / 7.0, ("kb=1", 10_000): 5.0 / 11.0}
