@@ -132,22 +132,28 @@ def curation_verdicts(
         ),
         "doc_id",
     ).select("doc_id", (F.col("__df") <= span_frac_max).alias("span_ok"))
-    out = (
-        docs.select("doc_id")
-        .join(g.select("doc_id", "gate_ok"), "doc_id", "left")
-        .join(e.select("doc_id", "exact_ok"), "doc_id", "left")
-        .join(nd, "doc_id", "left")
-        .join(sv.select("doc_id", "span_ok"), "doc_id", "left")
+    # the stages partition the corpus into DISJOINT verdict sets by
+    # construction (each stage consumes exactly the previous stage's
+    # survivors: g covers every doc, e covers the gate survivors, nd ⊆
+    # exact survivors, sv covers every non-near-dup survivor — span
+    # stats emit a row for EVERY input doc), so the audit trail is a
+    # narrow 4-way UNION of per-stage rejections + the kept set instead
+    # of four doc-grain left joins (r9 verdict next-round #3: each join
+    # was one more doc-grain shuffle at 100 TB; the union adds none)
+    gated = g.filter(~F.coalesce(F.col("gate_ok"), F.lit(False))).select(
+        "doc_id", F.lit("gated").alias("verdict")
     )
-    return out.select(
+    exact = e.filter(~F.col("exact_ok")).select(
+        "doc_id", F.lit("exact_dup").alias("verdict")
+    )
+    near = nd.select("doc_id", F.lit("near_dup").alias("verdict"))
+    spanv = sv.select(
         "doc_id",
-        F.when(~F.coalesce(F.col("gate_ok"), F.lit(False)), F.lit("gated"))
-        .when(~F.coalesce(F.col("exact_ok"), F.lit(False)), F.lit("exact_dup"))
-        .when(F.coalesce(F.col("__nd"), F.lit(False)), F.lit("near_dup"))
-        .when(~F.coalesce(F.col("span_ok"), F.lit(False)), F.lit("span_heavy"))
-        .otherwise(F.lit("kept"))
+        F.when(F.col("span_ok"), F.lit("kept"))
+        .otherwise(F.lit("span_heavy"))
         .alias("verdict"),
     )
+    return gated.unionByName(exact).unionByName(near).unionByName(spanv)
 
 
 def prune_and_export(
