@@ -19,8 +19,18 @@ from pyspark.sql import functions as F
 from monolith_spark.operators.text import hash60_expr
 
 
+def _dbl_sql(v: str) -> str:
+    """SQL text of the double cast-map over a SQL expression — the
+    text twin of _dbl, for builders that compose whole expressions as
+    ONE F.expr parse (a Column-API higher-order function costs ~10 ms
+    of py4j chatter per build; the JL/IVF serving frame held 112 of
+    them = ~1.2 s per FRESH plan construction)."""
+    return f"transform({v}, x -> CAST(x AS DOUBLE))"
+
+
 def _dbl(v: Column | str) -> Column:
-    v = F.col(v) if isinstance(v, str) else v
+    if isinstance(v, str):
+        return F.expr(_dbl_sql(f"`{v}`"))
     return F.transform(v, lambda x: x.cast("double"))
 
 
@@ -35,18 +45,29 @@ def _lit_dbl_array(xs) -> Column:
     evaluation is bit-for-bit unchanged: repr() emits the shortest
     round-trip form and Java parses it back to the same IEEE double.
     """
-    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+    return F.expr(_lit_dbl_array_sql(xs))
+
+
+def _lit_dbl_array_sql(xs) -> str:
+    """SQL text of a literal array<double> (see _lit_dbl_array; repr()
+    emits the shortest round-trip form, Java parses the same IEEE
+    double). Guard: non-finite values have no SQL double literal —
+    current callers (centroids, sign planes over finite data) never
+    produce them, so fail loudly rather than emit `infD`."""
+    out = []
+    for x in xs:
+        x = float(x)
+        if x != x or x in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite value {x!r} in literal array")
+        out.append(repr(x) + "D")
+    return "array(" + ",".join(out) + ")"
 
 
 def _lit_dbl_matrix(xss) -> Column:
     """Literal array<array<double>> in one parsed expression (see
-    _lit_dbl_array)."""
+    _lit_dbl_array, incl. the non-finite guard)."""
     return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")" for xs in xss
-        )
-        + ")"
+        "array(" + ",".join(_lit_dbl_array_sql(xs) for xs in xss) + ")"
     )
 
 
@@ -63,14 +84,32 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def dot_expr(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double (order-deterministic)."""
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of dot_expr over two SQL expressions — identical
+    sequential left-fold tree, one parse (§7.3)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product in double (order-deterministic).
+    String arguments are column names (one-parse fast path)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(f"`{a}`", f"`{b}`"))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm_expr(a: Column) -> Column:
+def norm_expr(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(norm_sql(f"`{a}`"))
     return F.sqrt(dot_expr(a, a))
 
 
@@ -107,7 +146,7 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+            dot_expr("q_vec", "c_vec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -432,6 +471,24 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def _cell_sims_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL text of _cell_sims over a SQL expression — the whole
+    nlist-way centroid scorer parses in one round-trip (§7.3).
+    Identical tree: the double-cast map, per-centroid fold, constant
+    ||c|| divide and the (s, cid) struct all mirror the Column form."""
+    import math
+
+    v = _dbl_sql(vec_sql)
+    structs = []
+    for cid, c in enumerate(centroids):
+        nc = math.sqrt(sum(x * x for x in c)) or 1.0
+        structs.append(
+            f"named_struct('s', {dot_sql(v, _lit_dbl_array_sql(c))} / "
+            f"{repr(float(nc))}D, 'cid', {cid})"
+        )
+    return "array(" + ",".join(structs) + ")"
+
+
 def _cell_sims(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """array<struct<s: double, cid: int>> scoring vec against each
     centroid; one narrow projection — no shuffle, no join.
@@ -442,6 +499,8 @@ def _cell_sims(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """
     import math
 
+    if isinstance(vec_col, str):
+        return F.expr(_cell_sims_sql(f"`{vec_col}`", centroids))
     v = _dbl(vec_col)
     structs = []
     for cid, c in enumerate(centroids):
@@ -490,11 +549,13 @@ def ivf_topk(
         norm_expr(_dbl(vec_col)).alias("qn"),
     )
     c = c.withColumn(
-        "cell", F.array_max(_cell_sims("c_vec", centroids))["cid"]
+        "cell",
+        F.expr("array_max(" + _cell_sims_sql("`c_vec`", centroids) + ").cid"),
     )
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(_cell_sims("q_vec", centroids))), 1, nprobe),
-        lambda s: s["cid"],
+    probes = F.expr(
+        "transform(slice(reverse(array_sort("
+        + _cell_sims_sql("`q_vec`", centroids)
+        + f")), 1, {int(nprobe)}), s -> s.cid)"
     )
     q = q.withColumn("cell", F.explode(probes))
     scored = (
@@ -502,7 +563,7 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+            dot_expr("q_vec", "c_vec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -571,7 +632,7 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+            dot_expr("q_vec", "c_vec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -768,7 +829,7 @@ def ivfpq_topk(
         .filter(F.col("adc_rank") <= refine_factor * k)
         .withColumn(
             "cosine",
-            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+            dot_expr("q_vec", "c_vec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -884,7 +945,7 @@ def ivf_topk_indexed(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+            dot_expr("q_vec", "c_vec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1831,27 +1892,51 @@ def jl_project(
     )
 
 
-def jl_expr(vec_col: Column | str, out_dim: int = 16, dim: int = 64) -> Column:
-    """The JL projection as a composable Column (array<double>(out_dim))
-    — lets callers attach the projected vector in the SAME narrow
-    projection as other derived columns (jl_ivf_topk carries full
-    vector + JL twin through one select, no self-join). Each component
-    is one sequential fold referenced exactly once (no lambda
-    re-evaluation)."""
+def jl_sql(vec_sql: str, out_dim: int = 16, dim: int = 64) -> str:
+    """SQL text of the JL projection over a SQL expression — all
+    out_dim folds parse in ONE round-trip (§7.3); tree identical to
+    the historical Column build (each component one sequential fold
+    referenced exactly once — no lambda re-evaluation).
+
+    Sign planes depend only on the constants (j, d) — derived
+    driver-side with the same md5→first-15-hex→%2 formula hash60_expr
+    evaluates (so the SQL oracles that replay the derivation stay
+    bit-identical) and embedded as literals. The earlier in-plan
+    hash60_expr ran 1024 md5+conv calls PER ROW (16 comps × 64 dims)
+    and made JL-IVF serving ~10× slower than plain IVF."""
     import hashlib
 
-    v = _dbl(vec_col)
-
-    # Sign planes depend only on the constants (j, d) — derive them
-    # driver-side with the same md5→first-15-hex→%2 formula hash60_expr
-    # evaluates (so the SQL oracles that replay the derivation stay
-    # bit-identical) and embed them as literals. The earlier in-plan
-    # hash60_expr ran 1024 md5+conv calls PER ROW (16 comps × 64 dims)
-    # and made JL-IVF serving ~10× slower than plain IVF.
     def _sign(prefix: str, d: int) -> float:
         h = int(hashlib.md5(f"{prefix}{d}".encode()).hexdigest()[:15], 16)
         return 1.0 if h % 2 == 0 else -1.0
 
+    v = _dbl_sql(vec_sql)
+    scale = f"sqrt({repr(float(out_dim))}D)"
+    comps = [
+        (
+            f"aggregate(zip_with({v}, "
+            + _lit_dbl_array_sql(_sign(f"jl{j}:", d) for d in range(dim))
+            + ", (x, s) -> x * s), 0.0D, (acc, x) -> acc + x) / " + scale
+        )
+        for j in range(out_dim)
+    ]
+    return "array(" + ",".join(comps) + ")"
+
+
+def jl_expr(vec_col: Column | str, out_dim: int = 16, dim: int = 64) -> Column:
+    """The JL projection as a composable Column (array<double>(out_dim))
+    — lets callers attach the projected vector in the SAME narrow
+    projection as other derived columns (jl_ivf_topk carries full
+    vector + JL twin through one select, no self-join). See jl_sql."""
+    if isinstance(vec_col, str):
+        return F.expr(jl_sql(f"`{vec_col}`", out_dim, dim))
+    import hashlib
+
+    def _sign(prefix: str, d: int) -> float:
+        h = int(hashlib.md5(f"{prefix}{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    v = _dbl(vec_col)
     scale = F.sqrt(F.lit(float(out_dim)))
     comps = [
         (
@@ -1913,12 +1998,10 @@ def jl_ivf_topk(
     # projection collapse into EVERY centroid's zip_with — the 16-fold
     # JL projection re-evaluated nlist times per row (the pca_project
     # re-evaluation trap; measured 3× on the sf0.1 serving path).
-    cell = F.element_at(
-        F.transform(
-            F.array(jl_expr(vec_col, out_dim, dim)),
-            lambda j: F.array_max(_cell_sims(j, centroids))["cid"],
-        ),
-        1,
+    cell = F.expr(
+        "element_at(transform(array(" + jl_sql(f"`{vec_col}`", out_dim, dim)
+        + "), j -> array_max(" + _cell_sims_sql("j", centroids)
+        + ").cid), 1)"
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1932,9 +2015,10 @@ def jl_ivf_topk(
         norm_expr(_dbl(vec_col)).alias("qn"),
         jl_expr(vec_col, out_dim, dim).alias("q_jl"),
     )
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(_cell_sims("q_jl", centroids))), 1, nprobe),
-        lambda s: s["cid"],
+    probes = F.expr(
+        "transform(slice(reverse(array_sort("
+        + _cell_sims_sql("`q_jl`", centroids)
+        + f")), 1, {int(nprobe)}), s -> s.cid)"
     )
     q = q.withColumn("cell", F.explode(probes)).drop("q_jl")
     scored = (
@@ -1942,7 +2026,7 @@ def jl_ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+            dot_expr("q_vec", "c_vec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1982,12 +2066,10 @@ def write_jl_ivf_index(
         )
     # lambda-bind the projected vector (see jl_ivf_topk: a plain alias
     # is inlined into every centroid's dot by projection collapse)
-    cell = F.element_at(
-        F.transform(
-            F.array(jl_expr(vec_col, out_dim, dim)),
-            lambda j: F.array_max(_cell_sims(j, centroids))["cid"],
-        ),
-        1,
+    cell = F.expr(
+        "element_at(transform(array(" + jl_sql(f"`{vec_col}`", out_dim, dim)
+        + "), j -> array_max(" + _cell_sims_sql("j", centroids)
+        + ").cid), 1)"
     )
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -2045,7 +2127,7 @@ def jl_ivf_topk_indexed(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn")),
+            dot_expr("q_vec", "c_vec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
