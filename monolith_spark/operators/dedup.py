@@ -188,7 +188,7 @@ def _attach_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> Dat
     # 0.7 s of a 3.3 s pass at sf0.1). Materializing the ~16-byte
     # (id, count) rows once removes all of it and single-evaluates the
     # sizes lineage across both join branches — O(docs) narrow rows.
-    sizes = sizes.localCheckpoint(eager=False)
+    sizes = sizes.transform(_lineage_barrier, eager=False)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     return (
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
@@ -211,6 +211,8 @@ def _attach_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> Dat
 # fixed literals from a seeded PRNG, mirrored verbatim in the oracle.
 MINHASH_PRIME = (1 << 31) - 1
 import random as _random
+
+from monolith_spark.barrier import barrier as _lineage_barrier
 
 _mh_rng = _random.Random(0x5EED)
 MINHASH_AB: list[tuple[int, int]] = [
@@ -299,7 +301,7 @@ def minhash_lsh_pairs(
     # sides of the verification intersection + the sizes aggregate —
     # without sharing, the tokenize+explode pass ran once for the
     # signatures and again for verification.
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = doc_shingles(df, id_col, text_col, n).transform(_lineage_barrier, eager=False)
     bsigs = minhash_band_signatures(
         minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh),
         num_hashes,
@@ -444,12 +446,12 @@ def cluster_pairs(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(_lineage_barrier, eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).transform(_lineage_barrier, eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -465,7 +467,7 @@ def cluster_pairs(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
                 ).alias("cluster_id"),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(_lineage_barrier, eager=True)
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
@@ -559,7 +561,7 @@ def pagerank(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_lineage_barrier, eager=False)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
@@ -590,7 +592,7 @@ def pagerank(
                 + F.lit(damping)
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("rank"),
-        ).localCheckpoint(eager=False)
+        ).transform(_lineage_barrier, eager=False)
     return ranks.select("node", "rank")
 
 
@@ -830,7 +832,7 @@ def shingle_containment_pairs(
     sizes = toks.select(
         "doc_id",
         F.size(shingles_expr(F.col("__w"), n, pre_tokenized=True)).cast("long").alias("n_shingles"),
-    ).localCheckpoint(eager=False)
+    ).transform(_lineage_barrier, eager=False)
     post = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("__ds"))

@@ -36,6 +36,8 @@ from decimal import Decimal
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 __all__ = [
     "with_exact_rank",
     "with_exact_ranks",
@@ -90,7 +92,7 @@ def with_exact_rank(
     min/max pass — one fewer scan of the input; keys outside the
     stated domain still rank correctly (bins clamp; within-bin sort is
     on the true key), only bin balance suffers."""
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(_lineage_barrier, eager=True)
     key_order = F.col(key).desc() if descending else F.col(key).asc()
     order = [key_order, *[F.col(t).asc() for t in tiebreaks]]
 
@@ -196,7 +198,7 @@ def with_exact_ranks(
 
     ``specs``: (key, tiebreaks, rank_col) triples. Returns
     (df_with_rank_cols, n_rows)."""
-    base = df.localCheckpoint(eager=True)
+    base = df.transform(_lineage_barrier, eager=True)
     # one stats pass for ALL keys (not one 1-row job per key)
     stats = base.agg(
         *[
@@ -314,7 +316,7 @@ def grouped_exact_rank(
     (ntile needs it). Keys must be non-null; bins come from the global
     [min, max] (or static ``domain``) — per-group key ranges only
     affect bin balance, never correctness."""
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(_lineage_barrier, eager=True)
     if domain is not None:
         lo, hi = float(domain[0]), float(domain[1])
     else:

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from monolith_spark.operators.text import hash60_expr
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 
 def _dbl_sql(v: str) -> str:
     """SQL text of the double cast-map over a SQL expression — the
@@ -1477,7 +1479,7 @@ def semdedup(
     assign = kmeans_lloyd(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         init_centers=init_centers,
-    ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
+    ).select("vec_id", "cluster_id").transform(_lineage_barrier, eager=False)
     base = (
         corpus.select(
             F.col(id_col).alias("vid"),
@@ -1537,7 +1539,7 @@ def hard_negatives(
     assign = kmeans_lloyd(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         init_centers=init_centers,
-    ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
+    ).select("vec_id", "cluster_id").transform(_lineage_barrier, eager=False)
     base = corpus.select(
         F.col(id_col).alias("vid"),
         _dbl(vec_col).alias("vec"),
@@ -1638,7 +1640,7 @@ def d4_prune(
     assign = kmeans_lloyd(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         init_centers=init_centers,
-    ).select("vec_id", "cluster_id").localCheckpoint(eager=False)
+    ).select("vec_id", "cluster_id").transform(_lineage_barrier, eager=False)
     base = (
         corpus.select(
             F.col(id_col).alias("vid"),
@@ -1656,9 +1658,7 @@ def d4_prune(
     # centroid aggregation and the scoring join below, and without it
     # the whole Σ|cell|² pair kernel (and its cluster_id shuffle) runs
     # once per consumer — the barrier is O(dups) ids on local disk.
-    dropped = _cluster_dup_ids_arrow(base, tau, vec_col="v").localCheckpoint(
-        eager=False
-    )
+    dropped = _cluster_dup_ids_arrow(base, tau, vec_col="v").transform(_lineage_barrier, eager=False)
     kept = base.join(dropped, "vid", "left_anti")
     comp = kept.select("cluster_id", F.posexplode("v").alias("pos", "x"))
     cents = (
@@ -1760,7 +1760,7 @@ def pca_top_component(
         .agg(
             (F.sum(F.col("e.t").cast("decimal(38,18)")).cast("double") / F.lit(n)).alias("c")
         )
-        .localCheckpoint(eager=True)
+        .transform(_lineage_barrier, eager=True)
     )
 
     def _matvec(vec: list[float]) -> DataFrame:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 PUNCT_CLASS = "[.!?,;:]"
 
 # Marker tokens per language for the n-gram/stopword language-ID
@@ -343,7 +345,7 @@ def bigram_lm_score(
         # the two exchanges differ (partial agg under one side) so
         # ReuseExchange cannot dedupe them — materialize the exploded
         # bigrams once instead of tokenizing the corpus twice.
-        bg = bg.localCheckpoint(eager=False)
+        bg = bg.transform(_lineage_barrier, eager=False)
         bigrams = bg.groupBy("bg").agg(F.count("*").alias("c2"))
     if unigrams is None:
         unigrams = (
@@ -700,7 +702,7 @@ def bpe_train_merges(
             ),
             F.lit(")"),
         ).alias("w"),
-    ).localCheckpoint(eager=True)
+    ).transform(_lineage_barrier, eager=True)
 
     spark = df.sparkSession
     rules: list[tuple[int, str, str, int]] = []
@@ -733,7 +735,7 @@ def bpe_train_merges(
                 F.lit(f"({best['a']})({best['b']})"),
                 F.lit(f"({best['a']}{best['b']})"),
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(_lineage_barrier, eager=True)
     return spark.createDataFrame(rules, BPE_TRAIN_SCHEMA)
 
 
@@ -942,7 +944,7 @@ def dsir_scores(
     # n_buckets-row table once so the token-grain count pass doesn't
     # re-run per lineage reference (it ran 3x — three full corpus
     # scans — before this; the semdedup assignment-checkpoint device)
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(_lineage_barrier, eager=False)
     toks = df.select(
         F.col(id_col),
         F.explode(tokens_expr(text_col)).alias("w"),

@@ -27,6 +27,8 @@ from pyspark.sql.window import Window
 from monolith_spark.operators import dedup as _dedup
 from monolith_spark.operators import text as _text
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 
 def curation_verdicts(
     docs: DataFrame,
@@ -73,7 +75,7 @@ def curation_verdicts(
             )
             / F.size("__w")
         ).alias("stop_ratio"),
-    ).localCheckpoint(eager=True)
+    ).transform(_lineage_barrier, eager=True)
     h = t.groupBy("source", F.col("n_tokens").alias("v")).agg(F.count("*").alias("c"))
     ch = h.select(
         "source",
@@ -110,7 +112,7 @@ def curation_verdicts(
     ek = (
         docs.select("doc_id", _text.tokens_expr("text").alias("__w"))
         .join(e.filter("exact_ok").select("doc_id"), "doc_id")
-        .localCheckpoint(eager=True)
+        .transform(_lineage_barrier, eager=True)
     )
     # lazy barrier: nd feeds BOTH the survivor anti-join (inside the
     # span-stats lineage) and the final verdict join — without it the
@@ -123,7 +125,7 @@ def curation_verdicts(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("__nd", F.lit(True))
-        .localCheckpoint(eager=False)
+        .transform(_lineage_barrier, eager=False)
     )
     nk = ek.join(nd.select("doc_id"), "doc_id", "left_anti")
     sv = nk.join(
@@ -179,7 +181,7 @@ def prune_and_export(
 
     verdicts = d4_prune(
         embs, tau=tau, k=k, iters=iters, prune_pct=prune_pct
-    ).localCheckpoint(eager=True)
+    ).transform(_lineage_barrier, eager=True)
     verdicts.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
     corpus = embs.join(
         verdicts.filter(F.col("verdict") == "kept").select("vec_id"),
@@ -219,7 +221,7 @@ def curate_and_export(docs: DataFrame, out_dir: str, **curation_kwargs: Any) -> 
     crashed export leaves parquet dirs but no manifest, so consumers
     keyed on the manifest never read a partial snapshot.
     """
-    verdicts = curation_verdicts(docs, **curation_kwargs).localCheckpoint(eager=True)
+    verdicts = curation_verdicts(docs, **curation_kwargs).transform(_lineage_barrier, eager=True)
     verdicts.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
     corpus = docs.join(
         verdicts.filter(F.col("verdict") == "kept").select("doc_id"),

@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 from monolith_spark import promql
 from monolith_spark.labels import LabelMatcher
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 _METRIC_NAME_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
 _LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
 
@@ -177,13 +179,13 @@ def evaluate_rules(
         # (including the base scan) inside rule N's — O(R²) scans for R
         # rules. Cut it: materialize the base once and each non-final
         # rule's (tiny, series×steps) grid before it joins the pool.
-        base = base.localCheckpoint(eager=False)
+        base = base.transform(_lineage_barrier, eager=False)
     outs: list[DataFrame] = []
     for i, rule in enumerate(rules):
         grid = promql.eval_range(base, rule.expr, start_ms, end_ms, step_ms)
         recorded = _relabel(grid, rule)
         if i < len(rules) - 1:
-            recorded = recorded.localCheckpoint(eager=False)
+            recorded = recorded.transform(_lineage_barrier, eager=False)
         outs.append(recorded)
         base = base.unionByName(recorded)
     result = outs[0]

@@ -24,6 +24,8 @@ from monolith_spark.labels import LabelMatcher as EngineMatcher
 from monolith_spark.sources import otlp
 from monolith_spark.sources import remote as proto
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 
 def write_request_to_df(spark, req: proto.WriteRequest):
     from monolith_spark.labels import SAMPLES_SCHEMA
@@ -398,7 +400,7 @@ def tsdb_status(db: MonolithDB, limit: int = 10) -> dict:
     dim = db.series()
     kv = dim.select(
         "signature", F.explode("labels").alias("k", "v")
-    ).localCheckpoint(eager=False)
+    ).transform(_lineage_barrier, eager=False)
     num_series = dim.count()
     num_pairs = kv.select("k", "v").distinct().count()
 

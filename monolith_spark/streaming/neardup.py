@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from monolith_spark.barrier import barrier as _lineage_barrier
 from monolith_spark.operators.dedup import (
     doc_shingles,
     minhash_band_signatures,
@@ -132,13 +133,13 @@ class StreamingNearDupIndex:
         if batch.isEmpty():
             self._mark_epoch(epoch_id)
             return
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.transform(_lineage_barrier, eager=True)
         sigs = minhash_band_signatures(
             minhash_signatures(batch, n=self.n, num_hashes=self.num_hashes),
             self.num_hashes,
             self.bands,
-        ).localCheckpoint(eager=True)
-        sh_new = doc_shingles(batch, n=self.n).localCheckpoint(eager=True)
+        ).transform(_lineage_barrier, eager=True)
+        sh_new = doc_shingles(batch, n=self.n).transform(_lineage_barrier, eager=True)
 
         # Within-batch candidates from the already-computed signatures
         # (the later id is the "new" doc).
@@ -175,7 +176,7 @@ class StreamingNearDupIndex:
 
         # Materialize once; all writes below overwrite THIS epoch's
         # partition directory, so replays are idempotent.
-        matches = matches.localCheckpoint(eager=True)
+        matches = matches.transform(_lineage_barrier, eager=True)
         epoch_dir = f"epoch_id={epoch_id}"
         if not matches.isEmpty():
             matches.write.mode("overwrite").parquet(

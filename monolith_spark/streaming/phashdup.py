@@ -45,6 +45,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from monolith_spark.operators.multimodal import image_hashes, with_hash_bands
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 _MATCH_SCHEMA = "new_media_id long, old_media_id long, hamming long, epoch_id long"
 
 
@@ -111,7 +113,7 @@ class StreamingImageDedupIndex:
             image_hashes(batch)
             .filter(F.col("ahash").isNotNull())
             .select("media_id", "ahash")
-            .localCheckpoint(eager=True)
+            .transform(_lineage_barrier, eager=True)
         )
         bands = with_hash_bands(hashes, "ahash", self.max_hamming)
 
@@ -151,7 +153,7 @@ class StreamingImageDedupIndex:
             )
             matches = matches.unionByName(self._hamming_matches(cross))
 
-        matches = matches.localCheckpoint(eager=True)
+        matches = matches.transform(_lineage_barrier, eager=True)
         epoch_dir = f"epoch_id={epoch_id}"
         if not matches.isEmpty():
             matches.write.mode("overwrite").parquet(

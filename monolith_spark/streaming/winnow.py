@@ -44,6 +44,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from monolith_spark.operators.text import winnow_fingerprints_expr
 
+from monolith_spark.barrier import barrier as _lineage_barrier
+
 _MATCH_SCHEMA = (
     "new_doc_id long, old_doc_id long, shared long, containment double, epoch_id long"
 )
@@ -121,7 +123,7 @@ class StreamingWinnowIndex:
                     "fp"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(_lineage_barrier, eager=True)
         )
         n_new = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
 
@@ -142,7 +144,7 @@ class StreamingWinnowIndex:
             ).select(F.col("doc_id").alias("new_doc_id"), "old_doc_id", "fp")
             matches = matches.unionByName(self._score(cross, n_new))
 
-        matches = matches.localCheckpoint(eager=True)
+        matches = matches.transform(_lineage_barrier, eager=True)
         epoch_dir = f"epoch_id={epoch_id}"
         if not matches.isEmpty():
             matches.write.mode("overwrite").parquet(

@@ -3896,7 +3896,7 @@ def events_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(_lineage_barrier, eager=True)
     )
     types = sorted(r["prev_type"] for r in tr0.select("prev_type").distinct().collect())
     idx = {t: i for i, t in enumerate(types)}
@@ -3911,7 +3911,7 @@ def events_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type"), F.col("next_type"),
             (F.col("n").cast("double") / F.col("__rs")).alias("p"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_lineage_barrier, eager=True)
     )
     pi = {t: 1.0 / kk for t in types}
     for _ in range(12):
@@ -7091,7 +7091,7 @@ def docs_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — without a barrier the corpus is scanned+tokenized once
         # per consumer (the bigram_lm_score pattern; plan showed 6
         # scans). Materialize the (doc_id, term, tf) grain once.
-        .localCheckpoint(eager=False)
+        .transform(_lineage_barrier, eager=False)
     )
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     nn = docs.agg(F.count("*").alias("n"))
@@ -7825,11 +7825,9 @@ def docs_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final anti — checkpoint each once or every consumer re-derives
     # docs + text_stats (16 corpus scans in the audited plan; the same
     # device docs_curation_full already applies)
-    q = docs.join(gates.select("doc_id", "n_tokens"), "doc_id").localCheckpoint(
-        eager=False
-    )
+    q = docs.join(gates.select("doc_id", "n_tokens"), "doc_id").transform(_lineage_barrier, eager=False)
     canon = _dedup.exact_dedup(q).select(F.col("canonical_id").alias("doc_id"))
-    e = q.join(canon, "doc_id", "semi").localCheckpoint(eager=False)
+    e = q.join(canon, "doc_id", "semi").transform(_lineage_barrier, eager=False)
     pairs = _dedup.shingle_jaccard_pairs(e, threshold=_JACCARD_TAU)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return e.join(drop, "doc_id", "left_anti").select("doc_id", "n_tokens")
@@ -9783,6 +9781,8 @@ def ts_alert_firing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- PromQL text front-end
 
 from monolith_spark import promql as _promql  # noqa: E402
+
+from monolith_spark.barrier import barrier as _lineage_barrier
 
 _PQL_LOOKBACK = JAN20 - JAN1  # 19d instant lookback over the fixture span
 

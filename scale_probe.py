@@ -593,6 +593,102 @@ def exemplar_probe(spark, mult: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def top10_probe(spark, mult: int) -> dict:
+    """The r9-bench TOP-10 rows at 1x and Nx input (VERDICT r9 next
+    #6): the scale signal PERF adjudications can cite instead of sf0.1
+    re-run roulette. Covers the six top rows no earlier probe reached
+    (docs_curation_full, sim_jl_ivf_serving, docs_dedup_keep_best,
+    ts_exposition_roundtrip, emb_d4_prune, emb_hard_negatives);
+    ingest / ingest_skewed / query_* live in core_probe and
+    ts_promql_range_at / _range_group_left in round9_probe. Inputs are
+    the structure-scaling builders (disjoint vocab / sign-reshuffled
+    geometry / shifted series), so pair counts and cell sizes scale
+    with the multiplier, not just row count."""
+    import statistics
+
+    from monolith_spark import pipeline as _pipe
+    from monolith_spark.operators import dedup as _dedup
+    from monolith_spark.operators import similarity as _sim
+    from monolith_spark.operators import text as _text
+    from monolith_spark.sources.openmetrics import format_lines, parse_lines
+    from monolith_spark.labels import signature_expr
+
+    out: dict = {"mult": mult}
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def med3(name, fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(ts), 3)
+
+    docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+    out["docs"] = docs.count()
+    med3("curation_full_sec", lambda: run(_pipe.curation_verdicts(docs)))
+
+    def keep_best():
+        pairs = _dedup.shingle_jaccard_pairs(docs, threshold=0.5)
+        clusters = _dedup.cluster_pairs(pairs)
+        stats = _text.text_stats(docs).select("doc_id", "n_tokens")
+        run(_dedup.keep_best(stats, clusters, "n_tokens"))
+
+    med3("dedup_keep_best_sec", keep_best)
+
+    embs = scaled_embs(spark, mult).localCheckpoint(eager=True)
+    out["vectors"] = embs.count()
+    med3("d4_prune_sec", lambda: run(
+        _sim.d4_prune(embs, tau=0.4, k=8 * mult, iters=2, prune_pct=20)))
+    med3("hard_negatives_sec", lambda: run(
+        _sim.hard_negatives(embs, tau=0.4, k=8 * mult, iters=2)))
+    qv = embs.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    med3("jl_ivf_serving_sec", lambda: run(
+        _sim.jl_ivf_topk(embs, qv, k=10)))
+
+    jan8 = 1_704_067_200_000 + 7 * 86_400_000
+    s = scaled_samples(spark, mult).filter(
+        (F.col("timestamp") >= jan8)
+        & (F.col("timestamp") <= jan8 + mult * 7 * 86_400_000)
+    ).localCheckpoint(eager=True)
+    out["samples"] = s.count()
+
+    def roundtrip():
+        named = s.withColumn(
+            "labels",
+            F.map_concat(
+                F.col("labels"),
+                F.create_map(
+                    F.lit("__name__"),
+                    F.concat(F.lit("ev_"), F.element_at("labels", "event_type")),
+                ),
+            ),
+        )
+        back = parse_lines(format_lines(named))
+        stripped = F.map_filter(
+            F.col("labels"), lambda k, _: k != F.lit("__name__"))
+        run(
+            back.select(
+                F.try_element_at("labels", F.lit("__name__")).alias("name"),
+                signature_expr(stripped).alias("signature"),
+                "timestamp", "value",
+            )
+            .groupBy("name", "signature")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                .alias("sum_value"),
+                F.max("timestamp").alias("last_ms"),
+            )
+        )
+
+    med3("exposition_roundtrip_sec", roundtrip)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="monolith-spark-scale-probe")
     spark.range(1000).count()  # JVM warm-up
@@ -639,6 +735,10 @@ def main() -> None:
     if target == "round9":
         for mult in mults:
             print(json.dumps(round9_probe(spark, mult)))
+        return
+    if target == "top10":
+        for mult in mults:
+            print(json.dumps(top10_probe(spark, mult)))
         return
     for mult in mults:
         tmp = tempfile.mkdtemp(prefix="monolith_scale_")

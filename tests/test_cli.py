@@ -50,6 +50,7 @@ def test_cli_invalid_config_fails_fast_and_nonzero():
     assert r.returncode != 0
 
 
+@pytest.mark.slow
 def test_cli_init_writes_db_metadata(tmp_path):
     """Without --serve: initialize the db dir and exit 0 — metadata
     exists afterwards (test_cli.rs cli_path asserts
@@ -61,6 +62,7 @@ def test_cli_init_writes_db_metadata(tmp_path):
     assert meta["chunk_size_ms"] == 60000
 
 
+@pytest.mark.slow
 def test_cli_serve_write_read_roundtrip(tmp_path):
     """Spawn --serve on an ephemeral port, remote-write a sample over
     HTTP, remote-read it back, then SIGTERM — the reference's

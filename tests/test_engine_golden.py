@@ -39,6 +39,7 @@ def _points(row):
     return [(p["timestamp"], p["value"]) for p in row["points"]]
 
 
+@pytest.mark.slow
 def test_g1_superset_query(spark, tmp_path):
     # tests/test_chunk.rs:45-57 — query {test1=1}, t∈[0,100] → series 1 and 3.
     db = _g1_db(spark, tmp_path)
@@ -172,6 +173,7 @@ def test_salted_assembly_equals_plain(spark, sf_dir):
     assert salted == plain
 
 
+@pytest.mark.slow
 def test_skew_detection_routes_salted_assembly(spark, sf_dir, tmp_path):
     """detect_skewed_key flags a ≥10%-hot series (escalating its sample
     when the matched set is small) and query(salted="auto") still
@@ -606,6 +608,7 @@ def test_resample_lerp_hand_case(spark):
     assert abs(rows[300][0] - (10.0 + 30.0 * (200 / 305))) < 1e-12
 
 
+@pytest.mark.slow
 def test_bench_emits_driver_contract_json():
     """bench.py is the driver's per-round measurement: it must exit 0
     and print exactly one JSON line with the agreed keys at any SF."""
@@ -812,6 +815,7 @@ def test_migration_reraises_genuine_rename_failure(spark, tmp_path, monkeypatch)
     assert db._load_manifest()["version"] == 1
 
 
+@pytest.mark.slow
 def test_downsample_retention_tiers_serve_identically(spark, tmp_path):
     """Resolution-tiering retention: rolled chunks must serve every
     aggregate bit-identically to the raw data they replaced, raw
@@ -876,6 +880,7 @@ def test_downsample_retention_tiers_serve_identically(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "db"), ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_downsample_retention_straddling_buckets_merge(spark, tmp_path):
     """ADVICE r5 high: when step_ms does not divide chunk_size_ms, a
     step bucket straddling a chunk boundary is stored as per-chunk
@@ -1069,6 +1074,7 @@ def test_time_bounded_delete_series(spark, tmp_path):
     assert db.series().count() == 2
 
 
+@pytest.mark.slow
 def test_snapshot_is_complete_isolated_db(spark, tmp_path):
     """engine.snapshot(): the manifest-pinned file set hardlinked into
     snapshots/<name> is a COMPLETE MonolithDB — openable, queryable,

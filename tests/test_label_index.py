@@ -220,6 +220,7 @@ def test_exact_lookup_pushes_signature_filter(spark, tmp_path):
     assert "PushedFilters" in plan and "signature" in plan.split("PushedFilters")[1][:200]
 
 
+@pytest.mark.slow
 def test_literal_regex_served_from_postings(spark, tmp_path):
     # job=~"j1|j3" expands to a literal set and is posting-served;
     # parity with the dim-scan path, including a mixed EQ+RE+NRE query
@@ -245,6 +246,7 @@ def test_literal_regex_served_from_postings(spark, tmp_path):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_compact_collapses_incremental_posting_files(spark, tmp_path):
     # N ingests after build → N posting files in touched buckets;
     # compact() rebuilds the index to one file per bucket and keeps

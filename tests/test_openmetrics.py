@@ -352,6 +352,7 @@ def test_exemplar_suffix_roundtrip_and_scrape_ingest(spark, tmp_path):
             for r in ex} == {("abc", 1500, 0.93), ("u", 3000, 2.51)}
 
 
+@pytest.mark.slow
 def test_scrape_stream_carries_exemplars(spark, tmp_path):
     """scrape_stream(with_exemplars=True) + StreamingIngest: the
     OpenMetrics exemplar suffixes land in the exemplar store per

@@ -19,6 +19,7 @@ def test_parity(spark, sf_dir, name):
     assert not problems, f"{name}: {problems}"
 
 
+@pytest.mark.slow
 def test_every_query_nonempty(spark, sf_dir):
     # EVERY registry query must return rows even at the smallest sf —
     # a 0-row result passes any hash comparison trivially while

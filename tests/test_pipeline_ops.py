@@ -576,6 +576,7 @@ def test_salted_join_spreads_key_and_replicates_right(spark):
     assert out.count() == 100
 
 
+@pytest.mark.slow
 def test_ivfpq_topk_recall_and_adc_fidelity(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
@@ -731,6 +732,7 @@ def test_bigram_lm_score_matches_python_model(spark):
         assert abs(out[d][1] - p) < 1e-12, (d, out[d], p)
 
 
+@pytest.mark.slow
 def test_curate_and_export_materializes_corpus_and_manifest(spark, sf_dir, tmp_path):
     import json
     import os

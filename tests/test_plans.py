@@ -75,6 +75,7 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
     assert "l_quantity" in schema and "l_shipdate" in schema
 
 
+@pytest.mark.slow
 def test_approx_similarity_plans_avoid_cartesian(spark, sf_dir):
     # The all-pairs/brute-force variants are allowed a nested-loop join
     # (they are oracles); the LSH/IVF scale paths must be pure equi-join
@@ -522,6 +523,7 @@ def test_round3_pipeline_plans_avoid_cartesian(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+@pytest.mark.slow
 def test_registry_plan_red_flag_sweep(spark, sf_dir):
     """EVERY registry query's physical plan, swept for the 100 TB
     red flags: CartesianProduct, row-at-a-time Python UDFs

@@ -677,6 +677,7 @@ def test_small_function_fills(spark):
     assert cv == {(("v", "1.0"),): float(len(sd))}
 
 
+@pytest.mark.slow
 def test_eval_range_tiled(spark):
     """eval_range: one-pass tiled step evaluation — selector last-
     per-window, rate/increase with range == step, *_over_time tiles,
@@ -784,6 +785,7 @@ def test_eval_range_tiled(spark):
                                               10_000).collect()}
 
 
+@pytest.mark.slow
 def test_eval_range_binop_composition(spark):
     """Step-range binary operators: scalar arithmetic/comparisons per
     window, 1:1 vector matching per (key, window) — the error-ratio
@@ -937,6 +939,7 @@ def test_eval_range_binop_composition(spark):
         promql.eval_range(df, f"clamp({sel_a}, {sel_a}, 5)", *span)
 
 
+@pytest.mark.slow
 def test_mad_over_time_instant_and_tiled(spark):
     """mad_over_time (experimental-promql-functions): instant value
     equals the hand-computed median(|v - median(v)|) with PromQL
@@ -1391,6 +1394,7 @@ def test_ast_to_dict_golden():
         "kind": "string", "value": "k"}
 
 
+@pytest.mark.slow
 def test_eval_range_k_fanout(spark):
     """range = k*step (the Grafana $__rate_interval shape, VERDICT r8
     #1): every range function fans each sample into the ≤k consecutive
@@ -1478,6 +1482,7 @@ def test_instant_lookback_no_staleness_markers(spark):
     assert promql.eval_instant(df, '{j=~".+"}', 500_000).count() == 0
 
 
+@pytest.mark.slow
 def test_eval_range_fuzz_crash_free(spark):
     """Fuzz eval_range over random TILED-class ASTs (VERDICT r8 #8):
     any generated expression either evaluates to the spec shape
@@ -1601,6 +1606,7 @@ def test_subquery_inner_range_k_fanout(spark):
             df, 'max_over_time(rate({j="a"}[170s])[340s:10s])', 40_000)
 
 
+@pytest.mark.slow
 def test_eval_range_subquery(spark):
     """Subqueries in RANGE mode (r9): the inner expression evaluates
     once as its own tiled grid at the subquery step, and each inner

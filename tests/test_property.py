@@ -15,6 +15,8 @@ be reproducible, like the reference's seeded Ingester.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -210,6 +212,7 @@ def _workload(draw):
 
 @settings(max_examples=10, **_SETTINGS)
 @given(_workload())
+@pytest.mark.slow
 def test_write_query_matches_python_model(spark, tmp_path_factory, wl):
     series, points, matchers, start, end = wl
     rows = [
@@ -503,6 +506,7 @@ def test_anomaly_zscore_matches_python_model(spark, series_pts, window):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_zvalue_matches_python_morton_model(spark, pairs):
     """plans/zorder.py: the JVM bit-arithmetic z-value must equal a
     pure-Python Morton interleave of (top-16-bits-of-series, scaled
@@ -648,6 +652,7 @@ def _py_bpe_train(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, 
         st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=30
     )
 )
+@pytest.mark.slow
 def test_bpe_train_matches_python_model(spark, words):
     from collections import Counter
 
@@ -673,6 +678,7 @@ def _py_winnow(tokens: list[str], k: int = 3, w: int = 4) -> set[int]:
 
 @settings(max_examples=15, **_SETTINGS)
 @given(st.lists(st.text(alphabet="pq", min_size=1, max_size=2), min_size=0, max_size=24))
+@pytest.mark.slow
 def test_winnow_matches_python_model(spark, tokens):
     import pyspark.sql.functions as F
 
@@ -690,6 +696,7 @@ def test_winnow_matches_python_model(spark, tokens):
     st.lists(st.text(alphabet="mn", min_size=1, max_size=3), min_size=0, max_size=40),
     st.lists(st.text(alphabet="mn", min_size=1, max_size=3), min_size=0, max_size=40),
 )
+@pytest.mark.slow
 def test_kmv_merge_equals_union_property(spark, keys_a, keys_b):
     from monolith_spark.operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
 
@@ -767,6 +774,7 @@ def test_tf_cosine_matches_python_model(spark, docs_tokens):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_containment_matches_python_model(spark, docs_tokens):
     from monolith_spark.operators.dedup import shingle_containment_pairs
 
@@ -797,6 +805,7 @@ def test_containment_matches_python_model(spark, docs_tokens):
         max_size=5,
     )
 )
+@pytest.mark.slow
 def test_span_dup_stats_matches_python_model(spark, docs_tokens):
     from monolith_spark.operators.dedup import span_dup_stats
 
@@ -832,6 +841,7 @@ def test_span_dup_stats_matches_python_model(spark, docs_tokens):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_nb_quality_classifier_matches_python_model(spark, docs_tokens):
     from decimal import Decimal, ROUND_HALF_UP
 

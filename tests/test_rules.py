@@ -94,6 +94,7 @@ def test_record_and_query_back(spark, db):
     }
 
 
+@pytest.mark.slow
 def test_overwrite_is_idempotent(spark, db):
     record_rules(db, _group(), JAN1, JAN8, DAY, overwrite=True)
     n1 = db.query_flat(

@@ -5,6 +5,8 @@ machinery maps onto)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -292,6 +294,7 @@ def test_session_stream_gap_semantics(spark, tmp_path):
     assert len(sess) == 3
 
 
+@pytest.mark.slow
 def test_streaming_neardup_index_within_and_cross_batch(spark, tmp_path):
     from monolith_spark.streaming.neardup import StreamingNearDupIndex
 
@@ -401,6 +404,7 @@ def test_streaming_anomalies_prequential(spark, tmp_path):
     assert len(got) == 1 and got[0][2] == 99.0
 
 
+@pytest.mark.slow
 def test_attribution_stream_matches_batch(spark, tmp_path, sf_dir):
     """Stream-stream interval join (views ⋈ purchases within 1 h by
     user): driving the fixture events through file micro-batches must
@@ -447,6 +451,7 @@ def test_attribution_stream_matches_batch(spark, tmp_path, sf_dir):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_attribution_stream_left_outer_emits_expired_views(spark, tmp_path, sf_dir):
     """left_outer mode: a view with no qualifying purchase is emitted
     (NULL purchase columns) once the watermark proves its horizon
@@ -511,6 +516,7 @@ def test_attribution_stream_left_outer_emits_expired_views(spark, tmp_path, sf_d
     assert expired_unmatched <= got_outer
 
 
+@pytest.mark.slow
 def test_streaming_ivf_index_appends_and_replays(spark, tmp_path, sf_dir):
     """StreamingIVFIndex: embeddings streamed in 3 micro-batches under
     fixed centroids must yield a probe-able index equal to the batch
@@ -606,6 +612,7 @@ def test_continuous_cms_matches_batch_sketch(spark, tmp_path):
     assert {(r["d"], r["bucket"]): r["n"] for r in cms.sketch().collect()} == batch
 
 
+@pytest.mark.slow
 def test_continuous_nb_model_matches_batch_classifier(spark, tmp_path):
     """Per-epoch NB count partials must merge to exactly the batch
     model; scoring the streamed corpus against the merged model must
@@ -1140,6 +1147,7 @@ def test_streaming_image_dedup_index(spark, tmp_path):
         == {(2, 1), (3, 1), (3, 2), (4, 10)}
 
 
+@pytest.mark.slow
 def test_continuous_bigram_lm_matches_batch(spark, tmp_path):
     """Per-epoch unigram/bigram count partials must merge to exactly
     the batch tables; scoring and bucketing the streamed corpus
